@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.expressions.TextPolyHash
+
+/** Text operators (reference surface: token counting `script512.py:21`,
+  * sentence split `run_extra.py:61`, chunking `run_extra.py:64-71`,
+  * prompt pairs `run.py:139`; extensions: language-ID, quality score,
+  * fingerprint — SURVEY.md §2.6, builder brief "text analysis").
+  *
+  * Everything here is a Column builder over Spark built-ins
+  * (codegen'd, no UDF in the hot path). Each op documents its exact
+  * DuckDB-SQL twin used by the oracle (Oracles.scala).
+  */
+object TextOps {
+
+  /** BPE-ish tokenizer: maximal alphanumeric runs OR single
+    * non-space symbol. Deterministic stand-in for the reference's HF
+    * AutoTokenizer (`script512.py:5` — a model artifact, not a query
+    * capability). Same regex runs in DuckDB (RE2) and Spark (Java
+    * regex) — the pattern uses no dialect-divergent constructs.
+    */
+  val TokenPattern = "([A-Za-z0-9]+|[^A-Za-z0-9\\s])"
+
+  /** tokens(text): ArrayType(StringType).
+    * DuckDB: regexp_extract_all(text, pattern, 1). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit(TokenPattern), lit(1))
+
+  /** Token count (T1). DuckDB: len(regexp_extract_all(..)). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Sentence split (T2): segments terminated by [.!?]+ or EOS.
+    * DuckDB: string_split_regex + list_filter on non-empty trim. */
+  val SentencePattern = "[.!?]+\\s*"
+  def sentences(text: Column): Column =
+    filter(split(text, SentencePattern), s => length(trim(s)) > 0)
+
+  /** Chunk tokens into fixed windows of `n` tokens, re-joined with a
+    * single space (T3+T4 analog of `run_extra.py:64-74`; the
+    * reference slices to max_tokens=512 — window size is a
+    * parameter). slice() is 1-based, like DuckDB list slicing.
+    * DuckDB: list_transform(range(0, ceil(len/n)), i ->
+    *           array_to_string(toks[i*n+1 : i*n+n], ' ')) */
+  def chunks(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // NB: Spark sequence(a,b) DESCENDS when a>b (DuckDB range() is
+    // empty) — guard the zero-token case explicitly.
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0L), ceil(size(toks).cast("double") / lit(n)).cast("long") - 1),
+        i => array_join(slice(toks, (i * n + 1).cast("int"), lit(n)), " ")))
+  }
+
+  /** Prompt-pair construction (T5, `run.py:139`): the instruction
+    * prefix the embedding model consumes. */
+  def promptPair(prompt: String, content: Column): Column =
+    array(lit(prompt), content)
+
+  /** Rolling-hash document fingerprint — custom Catalyst expression
+    * (whole-stage codegen; see TextPolyHash). */
+  def fingerprint(text: Column): Column = TextPolyHash(text)
+
+  // --- language ID (n-gram/stopword heuristic) -------------------
+  // Tiny per-language marker dictionaries. Prediction quality is a
+  // heuristic; what matters for the gate is that the DuckDB oracle
+  // computes the identical argmax (fixed tie order en>de>fr>es,
+  // fallback 'und').
+  val LangDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "value", "fast"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "y")
+  )
+
+  private def langScore(toks: Column, dict: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(dict.map(lit): _*), t)))
+
+  /** Predicted language code. DuckDB twin in Oracles.langIdSql. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangDicts.map { case (l, d) => (l, langScore(toks, d)) }
+    // argmax with fixed priority order; all-zero -> 'und'
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: fixed-order double arithmetic so the
+    * oracle reproduces it bit-exactly.
+    *   0.4 * min(n_tokens/100, 1)            (length signal)
+    * + 0.3 * (distinct_tokens / n_tokens)    (lexical diversity)
+    * + 0.3 * (stopword_hits / n_tokens)      (naturalness)
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stop = langScore(toks, LangDicts.head._2).cast("double")
+    val dist = size(array_distinct(toks)).cast("double")
+    lit(0.4) * least(n / lit(100.0), lit(1.0)) +
+      lit(0.3) * (dist / n) +
+      lit(0.3) * (stop / n)
+  }
+
+  /** Word k-shingles as strings (dedup building block).
+    * DuckDB: list_transform(range(1, len-k+2), i ->
+    *   array_to_string(toks[i:i+k-1], ' ')) */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i.cast("int"), lit(k)), " ")))
+  }
+}

@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.Determinism._
+
+/** M0 — relational core (SURVEY.md §7.2): scan/filter/project,
+  * joins (inner/semi/anti), grouped + windowed + grouping-set
+  * aggregation, sorts/limits, set ops, string/date functions, and a
+  * skew-safe two-phase (salted) aggregation.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - dimension joins (`nation`, `region`) are explicitly broadcast;
+  *  - fact-fact joins shuffle on their join key only after
+  *    filter/project pushdown (checked via .explain in specs);
+  *  - salted agg (q19) shows the two-phase pattern for skewed keys.
+  *
+  * Determinism contract with the DuckDB oracle: see
+  * graft.ops.Determinism (micro-unit int64 double sums, fixed-order
+  * row arithmetic, total ORDER BY).
+  */
+object Relational {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: TPC-H Q1-style pricing summary
+    // (scan → pushed filter → hash agg → sort).
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= ts("1998-09-01"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sumExact($"l_extendedprice").as("sum_base_price"),
+          sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          avgExact($"l_extendedprice").as("avg_price"),
+          avgExact($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // TPC-H Q6-style forecast revenue (pure pushdown scan, no join).
+    "q02_forecast_revenue" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01") &&
+          $"l_discount" >= lit(0.05) && $"l_discount" <= lit(0.07) && $"l_quantity" < lit(24.0))
+        .agg(
+          sumExact($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Top-k with deterministic tiebreak (sort + limit).
+    "q03_top_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // 4-way join: broadcast dims, shuffled facts; revenue per nation.
+    "q04_revenue_by_nation" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(n, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+
+    // Anti-join (J2 analog — the reference's missing-id detection,
+    // process.py:69-117, as one operator instead of positional diff).
+    "q05_customers_no_orders" -> { (s, d) =>
+      import s.implicits._
+      val o95 = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1995-01-01") && $"o_orderdate" < ts("1996-01-01"))
+      Tables.customer(s, d)
+        .join(o95, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // Semi-join (J3 analog — key-alignment check as EXISTS).
+    "q06_big_spenders" -> { (s, d) =>
+      import s.implicits._
+      val bigOrders = Tables.orders(s, d)
+        .filter($"o_totalprice" > lit(400000.0))
+      Tables.customer(s, d)
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    // Union + distinct (U1 analog of shard concatenation).
+    "q07_union_distinct" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1995-01-01") && $"o_orderdate" < ts("1996-01-01"))
+        .select($"o_custkey".as("c_custkey"))
+      a.union(b).distinct().orderBy($"c_custkey")
+    },
+
+    // Distinct aggregation.
+    "q08_distinct_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          countDistinct($"o_orderpriority").as("n_prio"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // Window: latest 3 orders per customer (rank-filter pattern).
+    "q09_latest_orders" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // Window: running sum (sequential in-order adds — bit-exact
+    // across engines without the decimal route).
+    "q10_running_revenue" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter($"o_custkey" <= 100)
+        .select($"o_custkey", $"o_orderkey",
+          sum($"o_totalprice").over(w).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // Rollup (grouping sets; keys coalesced so neither engine's
+    // NULL-ordering default matters).
+    "q11_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    // Cube.
+    "q12_cube" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumExact($"o_totalprice").as("total"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"total")
+        .orderBy($"status", $"priority")
+    },
+
+    // Conditional aggregation (CASE pivot).
+    "q13_case_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"l_linestatus" === "F", $"l_quantity").otherwise(lit(0.0))).as("qty_f"),
+          sum(when($"l_linestatus" === "O", $"l_quantity").otherwise(lit(0.0))).as("qty_o"),
+          (count(when($"l_discount" > 0.08, lit(1))).cast("double") / count(lit(1))).as("high_disc_share"))
+        .orderBy($"l_returnflag")
+    },
+
+    // String functions.
+    "q14_string_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .select(
+          $"c_custkey",
+          upper($"c_name").as("name_upper"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          length($"c_name").as("name_len"),
+          concat_ws("-", $"c_mktsegment", $"c_nationkey".cast("string")).as("seg_nation"),
+          regexp_replace($"c_name", "[0-9]+", "#").as("name_masked"))
+        .orderBy($"c_custkey")
+    },
+
+    // Date functions: orders per year-month.
+    "q15_orders_by_month" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+        .agg(count(lit(1)).as("n_orders"), sumExact($"o_totalprice").as("total"))
+        .orderBy($"yr", $"mo")
+    },
+
+    // Set op: EXCEPT.
+    "q16_except" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+      val y96 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      y95.except(y96).orderBy($"o_custkey")
+    },
+
+    // Set op: INTERSECT.
+    "q17_intersect" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+      val y96 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      y95.intersect(y96).orderBy($"o_custkey")
+    },
+
+    // Join + HAVING (TPC-H Q18 style: large-quantity orders).
+    "q18_large_orders" -> { (s, d) =>
+      import s.implicits._
+      val bigKeys = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 150.0)
+      Tables.orders(s, d)
+        .join(bigKeys, $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"sum_qty")
+        .orderBy($"o_orderkey")
+    },
+
+    // Skew-safe two-phase aggregation: salt the key, partial-agg,
+    // then merge. Same result as a direct groupBy; the shape is the
+    // 100 TB pattern for skewed keys (alongside AQE skew handling).
+    "q19_salted_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .withColumn("salt", pmod($"l_orderkey", lit(8)))
+        .groupBy($"l_suppkey", $"salt")
+        .agg(sum($"l_quantity").as("pq"), count(lit(1)).as("pn"))
+        .groupBy($"l_suppkey")
+        .agg(sum($"pq").as("sum_qty"), sum($"pn").as("n_items"))
+        .orderBy($"l_suppkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  cast(sum(cast(floor((l_extendedprice)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_base_price,
+        |  cast(sum(cast(floor((l_extendedprice*(1.0-l_discount))*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_disc_price,
+        |  cast(sum(cast(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+        |  sum(l_quantity)/count(*) AS avg_qty,
+        |  cast(sum(cast(floor((l_extendedprice)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS avg_price,
+        |  cast(sum(cast(floor((l_discount)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_forecast_revenue" ->
+      """SELECT cast(sum(cast(floor((l_extendedprice*l_discount)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_revenue_by_nation" ->
+      """SELECT n_name,
+        |  cast(sum(cast(floor((l_extendedprice*(1.0-l_discount))*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q05_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_big_spenders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_union_distinct" ->
+      """SELECT DISTINCT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "q08_distinct_agg" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q09_latest_orders" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q10_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  cast(sum(cast(floor((o_totalprice)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q13_case_agg" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) AS qty_o,
+        |  cast(count(CASE WHEN l_discount > 0.08 THEN 1 END) AS DOUBLE)/count(*) AS high_disc_share
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  length(c_name) AS name_len,
+        |  concat_ws('-', c_mktsegment, cast(c_nationkey AS VARCHAR)) AS seg_nation,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q15_orders_by_month" ->
+      """SELECT cast(date_part('year', o_orderdate) AS INT) AS yr,
+        |  cast(date_part('month', o_orderdate) AS INT) AS mo,
+        |  count(*) AS n_orders,
+        |  cast(sum(cast(floor((o_totalprice)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q16_except" ->
+      """SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q17_intersect" ->
+      """SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0) b
+        |  ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q19_salted_agg" ->
+      """SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+  )
+}
