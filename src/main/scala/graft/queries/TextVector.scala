@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{TextOps, VectorOps}
+import graft.ops.Determinism._
+
+/** M1/M2 — text + vector operator queries over `documents` /
+  * `embeddings` (SURVEY.md §2.6–2.7, §7.2; reference surface:
+  * token-overflow filter `script512.py:11-24`, chunk+pool
+  * `run_extra.py:46-78`, merge `process.py:119-129`; extensions:
+  * dedup / near-dup / similarity / text analysis per the builder
+  * brief).
+  *
+  * Oracle strategy: every UDF-free kernel in TextOps/VectorOps has an
+  * exact DuckDB twin built from the SAME constants
+  * (TextOps.TokenPattern, HashKernel modulus) via the Sql builders
+  * below — one definition, two dialects, bit-identical results
+  * (fixed left-to-right folds, double-only arithmetic; see
+  * graft.ops.Determinism).
+  */
+object TextVector {
+
+  /** DuckDB-SQL twins of the TextOps/VectorOps kernels. */
+  object Sql {
+    /** tokens(text) — twin of TextOps.tokens. */
+    def toks(c: String): String =
+      s"regexp_extract_all($c, '${TextOps.TokenPattern}', 1)"
+
+    /** Polynomial rolling hash — twin of HashKernel.polyHash
+      * (acc*31+codepoint mod 1e9+7, left fold over code points). */
+    def polyHash(c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(regexp_extract_all($c, '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+        s"(acc, cp) -> (acc*31 + cp) % 1000000007)"
+
+    /** Seeded-hash embedding — twin of VectorOps.embed(c, dim). */
+    def embed(c: String, dim: Int): String =
+      s"list_transform(range(0, $dim), i -> " +
+        s"CAST(((${polyHash(c)}) + (i+1)*2654435761) % 1000000007 AS DOUBLE)" +
+        s"/1000000007.0*2.0-1.0)"
+
+    /** Fixed-window token chunks — twin of TextOps.chunks(c, n). */
+    def chunks(c: String, n: Int): String =
+      s"list_transform(range(0, CAST(ceil(len(${toks(c)})/$n.0) AS BIGINT)), " +
+        s"i -> array_to_string((${toks(c)})[i*$n+1 : i*$n+$n], ' '))"
+
+    /** Word k-shingles, de-duplicated — twin of
+      * array_distinct(TextOps.shingles(c, k)). */
+    def shingleSet(c: String, k: Int): String =
+      s"list_distinct(list_transform(range(1, len(${toks(c)})-${k - 1}+1), " +
+        s"i -> array_to_string((${toks(c)})[i : i+${k - 1}], ' ')))"
+
+    /** Sequential-fold dot product of two DOUBLE[] exprs — twin of
+      * VectorOps.dot. */
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip($a, $b), p -> p[1]*p[2])), (x, y) -> x + y)"
+  }
+
+  // Demonstration-query parameters. The reference's own limits
+  // (512-token chunks/threshold, `script512.py:23`, `run_extra.py:50`)
+  // are parameters of the same operators; the testdata documents cap
+  // at ~99 tokens (FIXTURES.md §B), so the wired queries use smaller
+  // values to exercise non-trivial data. Pipeline code (graft.pipeline)
+  // keeps the reference's 512.
+  private val OverflowTokens = 64
+  private val ChunkTokens    = 16
+  private val EmbedDim       = 8
+  private val MergeDim       = 64 // == embeddings.embedding dim
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1/T1 — token-count overflow filter (the `script512.py` job):
+    // scan → codegen'd regexp token count → filter → sort. The
+    // pushable cheap pre-filter on n_chars (SURVEY §4) is implied:
+    // n_chars >= token_count, so n_chars > OverflowTokens is a
+    // sound pushdown; included here so the parquet scan prunes.
+    "q20_token_overflow" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"n_chars" > OverflowTokens) // pushable pre-filter
+        .select($"doc_id", $"n_chars",
+          TextOps.tokenCount($"text").cast("bigint").as("token_count"))
+        .filter($"token_count" > OverflowTokens)
+        .orderBy($"doc_id")
+    },
+
+    // Exact dedup (builder brief): content fingerprint → groupBy →
+    // keep-first. Hash-partitioned by fingerprint — at 100 TB this is
+    // one shuffle on a high-cardinality key, no skew (hash output).
+    "q23_dedup_exact" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(TextOps.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keeper_id")
+    },
+
+    // Text analysis (builder brief): language-ID heuristic, quality
+    // score, token/sentence counts — all codegen'd column
+    // expressions, no UDF, single narrow pass.
+    "q26_text_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          $"doc_id", $"lang",
+          TextOps.tokenCount($"text").cast("bigint").as("n_tokens"),
+          size(TextOps.sentences($"text")).cast("bigint").as("n_sentences"),
+          TextOps.langId($"text").as("lang_pred"),
+          roundFix(TextOps.qualityScore($"text"), 6).as("quality"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = {
+    val toks = Sql.toks("text")
+    Map(
+      "q20_token_overflow" ->
+        s"""SELECT doc_id, n_chars, len($toks) AS token_count
+           |FROM documents
+           |WHERE n_chars > $OverflowTokens AND len($toks) > $OverflowTokens
+           |ORDER BY doc_id""".stripMargin,
+
+      "q23_dedup_exact" ->
+        s"""SELECT ${Sql.polyHash("text")} AS fp,
+           |  min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM documents GROUP BY fp ORDER BY keeper_id""".stripMargin,
+
+      "q26_text_stats" -> {
+        def hits(dict: Seq[String]): String = {
+          val lits = dict.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, t -> list_contains($lits, t)))"
+        }
+        val scores = TextOps.LangDicts.map { case (l, dct) => l -> hits(dct) }
+        val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+        val langCase = scores
+          .map { case (l, sc) => s"WHEN best > 0 AND $sc = best THEN '$l'" }
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        val n = "CAST(len(toks) AS DOUBLE)"
+        val dist = "CAST(len(list_distinct(toks)) AS DOUBLE)"
+        val stop = s"CAST(${hits(TextOps.LangDicts.head._2)} AS DOUBLE)"
+        val quality =
+          s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
+        s"""SELECT doc_id, lang, len(toks) AS n_tokens,
+           |  len(list_filter(string_split_regex(text, '${TextOps.SentencePattern}'),
+           |      s -> len(trim(s)) > 0)) AS n_sentences,
+           |  $langCase AS lang_pred,
+           |  ${Oracles.fround(quality, 6)} AS quality
+           |FROM (SELECT *, $best AS best
+           |      FROM (SELECT doc_id, lang, text, $toks AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }
+    )
+  }
+}
