@@ -97,6 +97,52 @@ object TextVector {
         .orderBy($"keeper_id")
     },
 
+    // A1/V3 — the run_extra.py:46-78 pipeline as one query: chunk →
+    // posexplode → embed each chunk → groupBy(doc).agg(weighted mean),
+    // weights = chunk char length (run_extra.py:47). All of a doc's
+    // chunks come from ONE input row, so the partial (map-side)
+    // aggregate reduces them in chunk order before the shuffle — the
+    // shuffle moves O(docs) buffers, not O(chunks) rows, which is the
+    // property that scales this to 100 TB of chunked text. Results
+    // rounded to 6 dp (Determinism: double-sum merge order).
+    "q21_chunk_pool" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          posexplode(TextOps.chunks($"text", ChunkTokens)).as(Seq("pos", "chunk")))
+        .withColumn("emb", VectorOps.embed($"chunk", EmbedDim))
+        .withColumn("w", length($"chunk").cast("double"))
+        .groupBy($"doc_id")
+        .agg(
+          graft.ops.WeightedAvgVec.asUdaf($"emb", $"w").as("raw"),
+          count(lit(1)).as("n_chunks"))
+        .select($"doc_id",
+          transform($"raw", x => roundFix(x, 6)).as("pooled"),
+          $"n_chunks")
+        .orderBy($"doc_id")
+    },
+
+    // J1+V2 — the process.py:119-129 merge: title-side stand-in
+    // embedding ⨝ abstract-side stored embedding on id, then
+    // concat(title*0.2, abstract*0.8). The reference's equal-length /
+    // equal-key asserts (process.py:120,124) become an in-plan
+    // full-outer join whose unmatched rows raise_error — the query
+    // itself enforces 1:1 key coverage, no driver-side count pass.
+    "q22_merge" -> { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d)
+        .select($"doc_id", VectorOps.embed($"text", MergeDim).as("t_emb"))
+      val a = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      t.join(a, $"doc_id" === $"vec_id", "full_outer")
+        .select(
+          when($"doc_id".isNull || $"vec_id".isNull,
+            raise_error(concat(lit("merge cardinality violation at id="),
+              coalesce($"doc_id", $"vec_id").cast("string"))))
+            .otherwise(coalesce($"doc_id", $"vec_id")).as("id"),
+          VectorOps.scaleConcat($"t_emb", $"embedding", 0.2).as("merged"))
+        .orderBy($"id")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — all codegen'd column
     // expressions, no UDF, single narrow pass.
@@ -126,6 +172,35 @@ object TextVector {
         s"""SELECT ${Sql.polyHash("text")} AS fp,
            |  min(doc_id) AS keeper_id, count(*) AS n_copies
            |FROM documents GROUP BY fp ORDER BY keeper_id""".stripMargin,
+
+      "q21_chunk_pool" -> {
+        val sum = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+        s"""WITH c AS (SELECT doc_id, ${Sql.chunks("text", ChunkTokens)} AS chs FROM documents),
+           |e AS (SELECT doc_id,
+           |        list_transform(chs, ch -> ${Sql.embed("ch", EmbedDim)}) AS embs,
+           |        list_transform(chs, ch -> CAST(len(ch) AS DOUBLE)) AS ws,
+           |        len(chs) AS n_chunks
+           |      FROM c)
+           |SELECT doc_id,
+           |  list_transform(range(0, $EmbedDim), i ->
+           |    ${Oracles.fround(
+                  s"${sum(s"list_transform(range(1, n_chunks+1), j -> embs[j][i+1]*ws[j])")} / ${sum("ws")}", 6)}) AS pooled,
+           |  n_chunks
+           |FROM e ORDER BY doc_id""".stripMargin
+      },
+
+      "q22_merge" ->
+        // Literal weights mirror the Scala plan-build arithmetic:
+        // lit(0.2) and lit(1.0 - 0.2) — the SQL computes the SAME
+        // IEEE subtraction rather than parsing "0.8" (different bits).
+        s"""SELECT d.doc_id AS id,
+           |  list_concat(
+           |    list_transform(${Sql.embed("d.text", MergeDim)}, x -> x*CAST(0.2 AS DOUBLE)),
+           |    list_transform(CAST(e.embedding AS DOUBLE[]),
+           |                   x -> x*(CAST(1.0 AS DOUBLE)-CAST(0.2 AS DOUBLE)))) AS merged
+           |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           |ORDER BY id""".stripMargin,
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {
