@@ -70,6 +70,18 @@ object TextVector {
   private val EmbedDim       = 8
   private val MergeDim       = 64 // == embeddings.embedding dim
 
+  // MinHash-LSH parameters: k-shingles, NumPerms permutations split
+  // into Bands bands of RowsPerBand rows. b=8, r=2 ⇒ detection prob
+  // 1-(1-j²)^8: 0.90 at j=0.5, 0.995 at j=0.7 — tuned for the 0.5
+  // verification threshold below.
+  private val ShingleK    = 3
+  private val NumPerms    = 16
+  private val Bands       = 8
+  private val RowsPerBand = NumPerms / Bands
+  private val JaccardMin  = 0.5
+  private val HashMod     = 1000000007L
+  private val PermMult    = 2654435761L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1/T1 — token-count overflow filter (the `script512.py` job):
     // scan → codegen'd regexp token count → filter → sort. The
@@ -143,6 +155,87 @@ object TextVector {
         .orderBy($"id")
     },
 
+    // Near-duplicate detection via MinHash + LSH banding (builder
+    // brief). Shingle → minhash signature → band hashes → shuffle-join
+    // candidates on (band_idx, band_hash) → verify exact Jaccard
+    // within buckets. NO all-pairs/cartesian join anywhere: the only
+    // joins shuffle on band-hash equality (candidate pairs) and on
+    // doc_id (signature lookup), both hash-partitioned — at 100 TB
+    // the candidate set is O(colliding pairs), not O(n²). All hash
+    // arithmetic stays < 2^63 (a_j, h < 1e9+7 ⇒ a_j·h < ~1e18), so
+    // ANSI overflow checking never fires.
+    "q24_near_dup" -> { (s, d) =>
+      import s.implicits._
+      val P = lit(HashMod)
+      val sh = Tables.documents(s, d).select(
+        $"doc_id",
+        array_distinct(TextOps.shingles($"text", ShingleK)).as("sh"))
+      val sig = sh.select(
+        $"doc_id", $"sh",
+        transform(
+          sequence(lit(0L), lit(NumPerms.toLong - 1)),
+          j => {
+            val a = (j + 1) * lit(PermMult) % P
+            val b = (j * lit(40503L) + 1) % P
+            array_min(transform(
+              transform($"sh", t => graft.ops.expressions.TextPolyHash(t)),
+              h => (a * h + b) % P))
+          }).as("sig"))
+      val bands = sig.select(
+        $"doc_id",
+        posexplode(transform(
+          sequence(lit(0L), lit(Bands.toLong - 1)),
+          b => aggregate(
+            slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
+            lit(0L),
+            (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .select($"id_a", $"id_b",
+          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")).cast("double")).as("jaccard"))
+        .filter($"jaccard" >= JaccardMin)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // Similarity search (builder brief): cosine top-k for a broadcast
+    // query-vector set, computed as TWO-PHASE top-k — per (query,
+    // salt-bucket) local top-k, then global top-k per query — so no
+    // single reducer ever sees the whole candidate table (the naive
+    // Window.partitionBy(query_id) would funnel all n candidates
+    // through k reducers at 100 TB). The candidate side is scanned
+    // once; the query side is broadcast (BroadcastNestedLoopJoin on
+    // an always-true condition over 3 rows).
+    "q25_topk_cosine" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = broadcast(
+        emb.filter($"vec_id" < 3)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb")))
+      val scored = emb.join(qs)
+        .select($"query_id", $"vec_id",
+          VectorOps.cosine($"q_emb", $"embedding").as("cos"),
+          pmod($"vec_id", lit(32)).as("salt"))
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id", $"salt").orderBy($"cos".desc, $"vec_id")
+      val wGlobal = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      scored
+        .withColumn("rn_local", row_number().over(wLocal))
+        .filter($"rn_local" <= 10) // ≤ 32·10 survivors per query
+        .withColumn("rn", row_number().over(wGlobal))
+        .filter($"rn" <= 10)
+        .select($"query_id", $"vec_id", $"cos", $"rn".cast("bigint").as("rn"))
+        .orderBy($"query_id", $"rn")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — all codegen'd column
     // expressions, no UDF, single narrow pass.
@@ -201,6 +294,43 @@ object TextVector {
            |                   x -> x*(CAST(1.0 AS DOUBLE)-CAST(0.2 AS DOUBLE)))) AS merged
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY id""".stripMargin,
+
+      "q24_near_dup" ->
+        s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", ShingleK)} AS sh FROM documents),
+           |h AS (SELECT doc_id, sh, list_transform(sh, t -> ${Sql.polyHash("t")}) AS hs FROM s),
+           |g AS (SELECT doc_id, sh, list_transform(range(0, $NumPerms), j ->
+           |        list_min(list_transform(hs, h ->
+           |          (((j+1)*$PermMult % $HashMod) * h + (j*40503+1) % $HashMod) % $HashMod))) AS sig
+           |      FROM h),
+           |b AS (SELECT doc_id, t.b AS band_idx,
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          sig[t.b*$RowsPerBand+1 : t.b*$RowsPerBand+$RowsPerBand]),
+           |          (acc, v) -> (acc*31+v) % $HashMod) AS band_hash
+           |      FROM g, generate_series(0, ${Bands - 1}) t(b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |         FROM b x JOIN b y ON x.band_idx = y.band_idx
+           |           AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+           |    / CAST(len(list_distinct(list_concat(a.sh, b2.sh))) AS DOUBLE) AS jaccard
+           |FROM cand JOIN s a ON cand.id_a = a.doc_id JOIN s b2 ON cand.id_b = b2.doc_id
+           |WHERE jaccard >= $JaccardMin
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q25_topk_cosine" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 3),
+           |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |sc AS (SELECT query_id, vec_id,
+           |         ${Sql.dot("qv", "cv")} / sqrt(${Sql.dot("qv", "qv")})
+           |           / sqrt(${Sql.dot("cv", "cv")}) AS cos
+           |       FROM q, c),
+           |r AS (SELECT query_id, vec_id, cos,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, vec_id) AS rn
+           |      FROM sc)
+           |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 10
+           |ORDER BY query_id, rn""".stripMargin,
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {
