@@ -42,9 +42,15 @@ object TextOps {
     * reference slices to max_tokens=512 — window size is a
     * parameter). slice() is 1-based, like DuckDB list slicing.
     * DuckDB: list_transform(range(0, ceil(len/n)), i ->
-    *           array_to_string(toks[i*n+1 : i*n+n], ' ')) */
-  def chunks(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    *           array_to_string(toks[i*n+1 : i*n+n], ' '))
+    *
+    * PERF: `toks` must be a materialized column attribute, not an
+    * inline `tokens(text)` call — HOF lambdas are interpreted with no
+    * cross-iteration CSE, so an inlined regex re-tokenizes the whole
+    * text once per window (O(windows × |text|) per row). `toks` is
+    * referenced 3× here, which blocks CollapseProject from inlining
+    * an upstream `.withColumn("toks", tokens(text))`. */
+  def chunksOf(toks: Column, n: Int): Column = {
     // NB: Spark sequence(a,b) DESCENDS when a>b (DuckDB range() is
     // empty) — guard the zero-token case explicitly.
     when(size(toks) === 0, array().cast("array<string>")).otherwise(
@@ -52,6 +58,10 @@ object TextOps {
         sequence(lit(0L), ceil(size(toks).cast("double") / lit(n)).cast("long") - 1),
         i => array_join(slice(toks, (i * n + 1).cast("int"), lit(n)), " ")))
   }
+
+  /** Convenience form; prefer `chunksOf` over a tokens column in
+    * anything hot (see PERF note there). */
+  def chunks(text: Column, n: Int): Column = chunksOf(tokens(text), n)
 
   /** Prompt-pair construction (T5, `run.py:139`): the instruction
     * prefix the embedding model consumes. */
@@ -106,12 +116,15 @@ object TextOps {
 
   /** Word k-shingles as strings (dedup building block).
     * DuckDB: list_transform(range(1, len-k+2), i ->
-    *   array_to_string(toks[i:i+k-1], ' ')) */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+    *   array_to_string(toks[i:i+k-1], ' '))
+    * Same PERF contract as `chunksOf`: pass a materialized tokens
+    * column, not an inline regex. */
+  def shinglesOf(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i.cast("int"), lit(k)), " ")))
-  }
+
+  /** Convenience form; prefer `shinglesOf` in anything hot. */
+  def shingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
 }

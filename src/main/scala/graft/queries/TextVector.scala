@@ -120,8 +120,9 @@ object TextVector {
     "q21_chunk_pool" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
         .select($"doc_id",
-          posexplode(TextOps.chunks($"text", ChunkTokens)).as(Seq("pos", "chunk")))
+          posexplode(TextOps.chunksOf($"toks", ChunkTokens)).as(Seq("pos", "chunk")))
         .withColumn("emb", VectorOps.embed($"chunk", EmbedDim))
         .withColumn("w", length($"chunk").cast("double"))
         .groupBy($"doc_id")
@@ -137,20 +138,23 @@ object TextVector {
     // J1+V2 — the process.py:119-129 merge: title-side stand-in
     // embedding ⨝ abstract-side stored embedding on id, then
     // concat(title*0.2, abstract*0.8). The reference's equal-length /
-    // equal-key asserts (process.py:120,124) become an in-plan
-    // full-outer join whose unmatched rows raise_error — the query
-    // itself enforces 1:1 key coverage, no driver-side count pass.
+    // equal-key asserts (process.py:120,124) become an in-plan left
+    // join whose unmatched rows raise_error: every processed
+    // embedding MUST have a raw document (raw docs without an
+    // embedding are the reference's own "missing/backfill" set,
+    // process.py:171-172 — allowed, handled by the q05 anti-join
+    // pattern). No driver-side count pass.
     "q22_merge" -> { (s, d) =>
       import s.implicits._
       val t = Tables.documents(s, d)
         .select($"doc_id", VectorOps.embed($"text", MergeDim).as("t_emb"))
       val a = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      t.join(a, $"doc_id" === $"vec_id", "full_outer")
+      a.join(t, $"vec_id" === $"doc_id", "left_outer")
         .select(
-          when($"doc_id".isNull || $"vec_id".isNull,
-            raise_error(concat(lit("merge cardinality violation at id="),
-              coalesce($"doc_id", $"vec_id").cast("string"))))
-            .otherwise(coalesce($"doc_id", $"vec_id")).as("id"),
+          when($"doc_id".isNull,
+            raise_error(concat(lit("merge: embedding without document, id="),
+              $"vec_id".cast("string"))))
+            .otherwise($"vec_id").as("id"),
           VectorOps.scaleConcat($"t_emb", $"embedding", 0.2).as("merged"))
         .orderBy($"id")
     },
@@ -167,20 +171,27 @@ object TextVector {
     "q24_near_dup" -> { (s, d) =>
       import s.implicits._
       val P = lit(HashMod)
-      val sh = Tables.documents(s, d).select(
-        $"doc_id",
-        array_distinct(TextOps.shingles($"text", ShingleK)).as("sh"))
-      val sig = sh.select(
-        $"doc_id", $"sh",
-        transform(
-          sequence(lit(0L), lit(NumPerms.toLong - 1)),
-          j => {
-            val a = (j + 1) * lit(PermMult) % P
-            val b = (j * lit(40503L) + 1) % P
-            array_min(transform(
-              transform($"sh", t => graft.ops.expressions.TextPolyHash(t)),
-              h => (a * h + b) % P))
-          }).as("sig"))
+      // Tokens and shingles are materialized column attributes (each
+      // referenced >1×, so CollapseProject cannot inline them) — an
+      // inline tokens(text) inside the shingle lambda would re-run
+      // the regex once per shingle position (measured 191s → ~15s at
+      // sf0.1 for this query).
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          array_distinct(TextOps.shinglesOf($"toks", ShingleK)).as("sh"))
+      val sig = sh
+        .select($"doc_id", $"sh",
+          transform($"sh", t => graft.ops.expressions.TextPolyHash(t)).as("hs"))
+        .select(
+          $"doc_id", $"sh",
+          transform(
+            sequence(lit(0L), lit(NumPerms.toLong - 1)),
+            j => {
+              val a = (j + 1) * lit(PermMult) % P
+              val b = (j * lit(40503L) + 1) % P
+              array_min(transform($"hs", h => (a * h + b) % P))
+            }).as("sig"))
       val bands = sig.select(
         $"doc_id",
         posexplode(transform(
