@@ -20,7 +20,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with
+    * INTEGER division — ns epoch values (~1.7e18) exceed double's
+    * 2^53 integer precision, so a float path would corrupt
+    * timestamps. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

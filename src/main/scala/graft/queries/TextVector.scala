@@ -247,6 +247,30 @@ object TextVector {
         .orderBy($"query_id", $"rn")
     },
 
+    // Tumbling-window aggregation over the events stream table (the
+    // batch twin of the Structured Streaming job in graft.streaming;
+    // window() + groupBy shuffles once on (window, type)).
+    "q27_event_windows" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumExact($"value").as("total_value"))
+        .select(date_format($"window.start", "yyyy-MM-dd").as("win_day"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"win_day", $"event_type")
+    },
+
+    // JSON property extraction (events.props) — semi-structured
+    // column access stays codegen'd (GetJsonObject).
+    "q28_json_props" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          get_json_object($"props", "$.k").cast("bigint").as("k"))
+        .filter($"k" > 50)
+        .orderBy($"event_id")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — all codegen'd column
     // expressions, no UDF, single narrow pass.
@@ -342,6 +366,21 @@ object TextVector {
            |      FROM sc)
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 10
            |ORDER BY query_id, rn""".stripMargin,
+
+      "q27_event_windows" ->
+        // Spark window("1 day").start == UTC midnight floor ==
+        // DuckDB date_trunc under the UTC session.
+        s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day, event_type,
+           |  count(*) AS n, ${Oracles.fsum("value")} AS total_value
+           |FROM events GROUP BY win_day, event_type
+           |ORDER BY win_day, event_type""".stripMargin,
+
+      "q28_json_props" ->
+        s"""SELECT event_id, event_type,
+           |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           |FROM events
+           |WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50
+           |ORDER BY event_id""".stripMargin,
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {
