@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps, WeightedAvgVec}
+
+/** The reference's three pipeline entry points re-expressed as
+  * composable Spark batch jobs (SURVEY.md §3, §7.2 M3):
+  *
+  *  - EP1 `run.py:126-156`  → [[embedJob]]: scan → project → embed →
+  *    sharded parquet sink. The reference's tail-drop bug (L2,
+  *    `run.py:138-148` — partial batches silently discarded, 54,198
+  *    rows lost) is structurally impossible here: there is no
+  *    row-buffering; every scanned row reaches the sink, which
+  *    [[PipelineSpec]] regression-tests.
+  *  - EP2 `run_extra.py:50-87` → [[chunkEmbedJob]]: sentence/token
+  *    chunking → per-chunk embed → length-weighted pooling.
+  *  - EP3 `process.py:69-186` → [[missingIds]] (anti-join backfill
+  *    feed) + [[mergeJob]] (title⨝abstract weighted concat).
+  *
+  * Shard handling replaces pickle files (`join.py`):
+  * `maxRecordsPerFile` bounds rows per part-file on write (K3), and
+  * [[readSharded]] recovers an ordered shard id from the part-file
+  * name on read (S4 + T6 `join.py:12`).
+  *
+  * Checkpoint/resume (K2/L3): each job is a deterministic,
+  * idempotent write to its own output dir — re-running after a crash
+  * overwrites cleanly (mode=overwrite), which replaces the
+  * reference's broken manual `(batch_id, line_num)` bookkeeping
+  * (L4, `run.py:121-134` — saved but never applied). The streaming
+  * analog with a real checkpoint dir lives in graft.streaming.
+  */
+object EmbedPipeline {
+
+  /** EP1: embed a text column and write a sharded parquet dataset.
+    * Narrow pipeline — zero shuffles; parallelism = input splits.
+    * Returns rows written (== rows scanned; no tail-drop). */
+  def embedJob(spark: SparkSession, inPath: String, outPath: String,
+               idCol: String, contentCol: String, dim: Int,
+               shardRows: Int): Long = {
+    val df = spark.read.parquet(inPath)
+      .select(col(idCol).as("id"), col(contentCol).as("content"))
+      .withColumn("embedding", VectorOps.embed(col("content"), dim))
+    // The K3 rows-per-file bound is the session conf, not a writer
+    // option (the option form is silently ignored).
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.get(key, "0")
+    spark.conf.set(key, shardRows.toLong)
+    try df.write.mode("overwrite").parquet(outPath)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** S4+T6: read a sharded parquet dir with a dense 0..n-1 shard id
+    * from the lexicographic part-file order — the `join.py:12`
+    * numeric-suffix sort, minus the pickle. (A single task writing
+    * multiple bounded files shares one task id, so the filename as a
+    * whole, not its task-id field, is the shard key.) Ranking runs
+    * over the distinct FILE list (small), broadcast back — no
+    * global sort of the data. */
+  def readSharded(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path).withColumn("fname", input_file_name())
+    val files = df.select(col("fname")).distinct()
+      .withColumn("shard_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("fname"))) - 1)
+    df.join(broadcast(files), Seq("fname")).drop("fname")
+  }
+
+  /** J2 (`process.py:69-117`): ids present in `raw` but not in
+    * `processed` — one anti-join instead of 49 lines of positional
+    * diffing. Input to the EP2 backfill. */
+  def missingIds(raw: DataFrame, processed: DataFrame, idCol: String): DataFrame =
+    raw.join(processed, Seq(idCol), "left_anti")
+
+  /** EP2 (`run_extra.py:50-87`): chunk long documents to ≤maxTokens
+    * windows, embed each chunk, pool per document weighted by chunk
+    * char length (`run_extra.py:47`). One shuffle (the groupBy);
+    * map-side partial aggregation keeps it O(docs). */
+  def chunkEmbedJob(spark: SparkSession, docs: DataFrame, outPath: String,
+                    idCol: String, contentCol: String,
+                    maxTokens: Int, dim: Int): Long = {
+    val pooled = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(contentCol)).as("toks"))
+      .select(col("id"),
+        posexplode(TextOps.chunksOf(col("toks"), maxTokens)).as(Seq("pos", "chunk")))
+      .withColumn("emb", VectorOps.embed(col("chunk"), dim))
+      .withColumn("w", length(col("chunk")).cast("double"))
+      .groupBy(col("id"))
+      .agg(WeightedAvgVec.asUdaf(col("emb"), col("w")).as("embedding"))
+    pooled.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** EP3 merge (`process.py:119-129`): equi-join two embedding sets
+    * on id and emit concat(title*w, abstract*(1-w)). The reference's
+    * alignment asserts become an in-plan raise_error on any id
+    * missing from either side (1:1 expected here, unlike q22's
+    * backfill-tolerant direction). */
+  def mergeJob(spark: SparkSession, titlesPath: String, abstractsPath: String,
+               outPath: String, titleWeight: Double): Long = {
+    val t = spark.read.parquet(titlesPath)
+      .select(col("id").as("t_id"), col("embedding").as("t_emb"))
+    val a = spark.read.parquet(abstractsPath)
+      .select(col("id").as("a_id"), col("embedding").as("a_emb"))
+    val merged = t.join(a, col("t_id") === col("a_id"), "full_outer")
+      .select(
+        when(col("t_id").isNull || col("a_id").isNull,
+          raise_error(concat(lit("merge misalignment at id="),
+            coalesce(col("t_id"), col("a_id")).cast("string"))))
+          .otherwise(col("t_id")).as("id"),
+        VectorOps.scaleConcat(col("t_emb"), col("a_emb"), titleWeight)
+          .as("embedding"))
+    merged.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.EmbedPipeline
+import java.nio.file.Files
+
+/** E2E pipeline tests on sf0.001 (SURVEY §5.4, VERDICT r2 next#6):
+  * EP1 embed job + sharded sink, S4/T6 shard source round-trip, J2
+  * backfill, EP3 merge — including the regression test that the
+  * reference's L2 tail-drop (54,198 lost rows, process.py:171-172)
+  * cannot happen here.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("EP1 embed job: sharded sink drops no rows (L2 regression) and shards are bounded") {
+    val out = tmp("ep1")
+    val n = EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", out,
+      "doc_id", "text", dim = 8, shardRows = 64)
+    val in = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(n == in, s"tail-drop: wrote $n of $in rows")
+
+    val sharded = EmbedPipeline.readSharded(spark, out)
+    assert(sharded.count() == in)
+    // every shard ≤ shardRows (the K3 100k-rows-per-file contract)
+    val maxShard = sharded.groupBy("shard_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxShard <= 64, s"shard with $maxShard rows > 64")
+    // id set preserved exactly
+    val missing = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id")).except(sharded.select("id")).count()
+    assert(missing == 0)
+  }
+
+  test("shard source round-trip: ordered shard ids reconstruct the dataset (S4+T6)") {
+    val out = tmp("shards")
+    EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", out,
+      "doc_id", "text", dim = 4, shardRows = 100)
+    val sharded = EmbedPipeline.readSharded(spark, out)
+    val nShards = sharded.select("shard_id").distinct().count()
+    assert(nShards >= 5, s"expected ≥5 shards of ≤100 rows for 500 docs, got $nShards")
+    // shard ids are a contiguous 0..n-1 range (orderable, join.py:12 analog)
+    val ids = sharded.select("shard_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(ids.head == 0 && ids.last == nShards - 1)
+  }
+
+  test("EP3 backfill loop: anti-join finds exactly the unprocessed ids, chunk-embed repairs them") {
+    val mainOut = tmp("main")
+    // simulate the reference's lossy main pass: skip 50 ids
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id").as("id"), col("text"))
+      .withColumn("embedding", graft.ops.VectorOps.embed(col("text"), 8))
+      .write.mode("overwrite").parquet(mainOut)
+
+    val raw = docs.select(col("doc_id").as("id"), col("text"))
+    val processed = spark.read.parquet(mainOut)
+    val missing = EmbedPipeline.missingIds(raw, processed.select("id"), "id")
+    assert(missing.count() == 50)
+    assert(missing.agg(max("id")).collect()(0).getLong(0) == 49)
+
+    val backfillOut = tmp("backfill")
+    val nBack = EmbedPipeline.chunkEmbedJob(spark, missing, backfillOut,
+      "id", "text", maxTokens = 16, dim = 8)
+    assert(nBack == 50)
+    // union restores the full corpus — the count reconciliation of
+    // process.py:131-173, with nothing lost
+    val total = processed.select("id")
+      .union(spark.read.parquet(backfillOut).select("id")).distinct().count()
+    assert(total == 500)
+  }
+
+  test("EP3 merge job: 1:1 merge doubles the dim; misalignment raises") {
+    val tDir = tmp("titles"); val aDir = tmp("abstracts"); val mDir = tmp("merged")
+    EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", tDir,
+      "doc_id", "text", dim = 8, shardRows = 1000)
+    EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", aDir,
+      "doc_id", "text", dim = 8, shardRows = 1000)
+    val n = EmbedPipeline.mergeJob(spark, tDir, aDir, mDir, titleWeight = 0.2)
+    assert(n == 500)
+    val dim = spark.read.parquet(mDir)
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dim.sameElements(Array(16)), s"merged dim ${dim.toSeq}, want 16")
+
+    // misaligned inputs must fail loudly (process.py:120,124 assert)
+    val aShort = tmp("abshort")
+    spark.read.parquet(aDir).filter(col("id") < 400)
+      .write.mode("overwrite").parquet(aShort)
+    val e = intercept[Exception] {
+      EmbedPipeline.mergeJob(spark, tDir, aShort, tmp("mbad"), 0.2)
+    }
+    assert(e.getMessage != null)
+  }
+}

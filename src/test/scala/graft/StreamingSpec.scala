@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventWindows
+import java.nio.file.Files
+
+/** M4 — Structured Streaming analog of the reference's micro-batch
+  * loop, tested as the reference is actually operated: one
+  * `runOnce` per arrival of new files, same checkpoint dir (L3
+  * resume), watermark dropping late rows (L5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("checkpointed windowed stream: emitted windows match the batch twin; late rows dropped; no duplicates") {
+    val events = Tables.events(spark, sf).select("ts", "event_type")
+    val schema = events.schema
+    val cut = "2024-01-20 00:00:00"
+
+    val inDir = tmp("stream-in"); val outDir = tmp("stream-out")
+    val ckDir = tmp("stream-ck")
+
+    // run 1: early file only (days 1-19) — nothing can close yet
+    events.filter(col("ts") < lit(cut))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    EventWindows.runOnce(spark, inDir, outDir, ckDir, schema)
+
+    // run 2: the rest arrives (days 20-30) — watermark sweeps past
+    // the early windows, which must now be emitted exactly once
+    events.filter(col("ts") >= lit(cut))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    EventWindows.runOnce(spark, inDir, outDir, ckDir, schema)
+
+    val out2 = spark.read.parquet(outDir)
+    val batchTwin = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+    // 1. every emitted row carries the FULL count for its window —
+    //    no partial emissions (join on keys, compare counts)
+    val mismatched = out2.as("o")
+      .join(batchTwin.as("b"), Seq("win_start", "event_type"))
+      .filter(col("o.n") =!= col("b.n")).count()
+    assert(mismatched == 0, s"$mismatched windows emitted with partial counts")
+
+    // 2. exactly-once: no (window, type) appears twice across runs
+    val dups = out2.groupBy("win_start", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, s"$dups duplicate window emissions")
+
+    // 3. the early days are actually out (emission does happen):
+    //    run 2's batch starts with watermark = max(early ts) - 1h,
+    //    so at minimum days 1..18 are closed
+    val early = out2.filter(col("win_start") < lit("2024-01-19 00:00:00")).count()
+    val earlyExpected = batchTwin
+      .filter(col("win_start") < lit("2024-01-19 00:00:00")).count()
+    assert(early == earlyExpected,
+      s"early windows: emitted $early of $earlyExpected")
+
+    // run 3: a straggler from day 2 arrives — far behind the
+    // watermark; its window is closed and it must be dropped
+    val straggler = events.filter(col("ts") < lit("2024-01-03 00:00:00")).limit(1)
+    straggler.coalesce(1).write.mode("append").parquet(inDir)
+    EventWindows.runOnce(spark, inDir, outDir, ckDir, schema)
+
+    val out3 = spark.read.parquet(outDir)
+    // late row changed nothing: same rows for its window, count still
+    // the on-time batch count, and still no duplicates
+    val day2 = out3.filter(col("win_start") === lit("2024-01-02 00:00:00"))
+      .groupBy("event_type").agg(sum("n").as("n"))
+    val day2Batch = batchTwin.filter(col("win_start") === lit("2024-01-02 00:00:00"))
+      .select(col("event_type"), col("n"))
+    assert(day2.except(day2Batch).isEmpty && day2Batch.except(day2).isEmpty,
+      "late straggler mutated an already-closed window")
+  }
+}
