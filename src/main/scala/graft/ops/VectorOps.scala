@@ -46,6 +46,35 @@ object VectorOps {
       transform(toDouble(title), x => x * lit(w)),
       transform(toDouble(abstr), x => x * lit(1.0 - w)))
 
+  /** Signed-random-projection (SRP) signature bits for cosine LSH:
+    * bit i = 1 iff dot(v, H_i) > 0 over DETERMINISTIC pseudo-random
+    * hyperplanes H_i[d] = hash(i·dim+d) scaled to [-1,1) — the same
+    * seeded-hash family as [[embed]], so the DuckDB oracle can
+    * reproduce the planes exactly. Fixed fold order per bit. */
+  def srpBits(v: Column, nBits: Int, dim: Int): Column =
+    transform(
+      sequence(lit(0L), lit(nBits.toLong - 1)),
+      i => when(
+        aggregate(
+          zip_with(toDouble(v), sequence(lit(0L), lit(dim.toLong - 1)),
+            (x, dd) => x *
+              (((i * dim + dd + 1) * lit(2654435761L) % lit(1000000007L))
+                .cast("double") / lit(1000000007.0) * lit(2.0) - lit(1.0))),
+          lit(0.0), (acc, p) => acc + p) > 0, lit(1L)).otherwise(lit(0L)))
+
+  /** Pack an array of 0/1 bit longs into nBands integer band values
+    * (bandBits bits each, little-endian within the band) — LSH
+    * bucket keys. pow(2,p) is exact in double for p ≤ 52. */
+  def packBands(bits: Column, nBands: Int, bandBits: Int): Column =
+    transform(
+      sequence(lit(0L), lit(nBands.toLong - 1)),
+      b => aggregate(
+        sequence(lit(0L), lit(bandBits.toLong - 1)),
+        lit(0L),
+        (acc, p) => acc +
+          element_at(bits, (b * bandBits + p + 1).cast("int")) *
+          pow(lit(2.0), p.cast("double")).cast("long")))
+
   /** V1 stand-in embedder: deterministic seeded-hash vector in
     * [-1, 1)^dim (the reference's InstructorXL is a model artifact;
     * the interface is what we re-express — SURVEY.md §7.1).

@@ -82,6 +82,13 @@ object TextVector {
   private val HashMod     = 1000000007L
   private val PermMult    = 2654435761L
 
+  // SRP-LSH (q30): 24 signature bits in 4 bands of 6.
+  private val AnnBits  = 24
+  private val AnnBands = 4
+
+  // T5 instruction prefix (run.py:84-92 selects one per --type).
+  private val EmbedPrompt = "Represent the document for retrieval:"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1/T1 — token-count overflow filter (the `script512.py` job):
     // scan → codegen'd regexp token count → filter → sort. The
@@ -271,6 +278,80 @@ object TextVector {
         .orderBy($"event_id")
     },
 
+    // SimHash near-dup (builder brief, second dedup family): 64-bit
+    // simhash computed by a codegen'd Catalyst expression as 4×16-bit
+    // band values; LSH candidates on band equality (pigeonhole: any
+    // pair at hamming ≤ 3 shares a band — recall 1.0, no all-pairs
+    // join); verify exact hamming over the band arrays.
+    "q29_simhash_dedup" -> { (s, d) =>
+      import s.implicits._
+      val bandsDf = Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          transform($"toks", t => graft.ops.expressions.TextPolyHash(t)).as("hs"))
+        .select($"doc_id", graft.ops.expressions.SimHashBands($"hs").as("bands"))
+      val exploded = bandsDf.select($"doc_id",
+        posexplode($"bands").as(Seq("band_idx", "band_val")))
+      val cand = exploded.as("x")
+        .join(exploded.as("y"),
+          $"x.band_idx" === $"y.band_idx" && $"x.band_val" === $"y.band_val" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+        .distinct()
+      cand
+        .join(bandsDf.select($"doc_id".as("id_a"), $"bands".as("bands_a")), "id_a")
+        .join(bandsDf.select($"doc_id".as("id_b"), $"bands".as("bands_b")), "id_b")
+        .select($"id_a", $"id_b",
+          aggregate(
+            zip_with($"bands_a", $"bands_b",
+              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // LSH-bucketed approximate similarity search (builder brief: the
+    // scale path next to q25's exact scan): SRP signatures bucket the
+    // candidate side; only vectors sharing a band with a query are
+    // scored. The window top-k runs over the PRUNED candidate set —
+    // that pruning, not salting, is what bounds the reducer here.
+    "q30_ann_lsh" -> { (s, d) =>
+      import s.implicits._
+      val sig = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          graft.ops.expressions.SrpBands($"embedding", AnnBits, AnnBands).as("bands"))
+      val qs = sig.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bands")
+      val qBands = qs.select($"query_id",
+        posexplode($"bands").as(Seq("band_idx", "band_val")))
+      val cBands = sig.select($"vec_id",
+        posexplode($"bands").as(Seq("band_idx", "band_val")))
+      val cand = cBands.join(broadcast(qBands), Seq("band_idx", "band_val"))
+        .select($"query_id", $"vec_id").distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      cand
+        .join(sig.select($"vec_id", $"embedding"), "vec_id")
+        .join(broadcast(qs.select($"query_id", $"q_emb")), "query_id")
+        .select($"query_id", $"vec_id",
+          VectorOps.cosine($"q_emb", $"embedding").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"query_id", $"vec_id", $"cos", $"rn".cast("bigint").as("rn"))
+        .orderBy($"query_id", $"rn")
+    },
+
+    // T5 (run.py:139): instruction prompt-pair construction — the
+    // [[prompt, content], ...] rows the embedding model consumes.
+    "q31_prompt_pairs" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 10)
+        .select($"doc_id",
+          TextOps.promptPair(EmbedPrompt, $"text").as("pair"))
+        .orderBy($"doc_id")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — all codegen'd column
     // expressions, no UDF, single narrow pass.
@@ -381,6 +462,87 @@ object TextVector {
            |FROM events
            |WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50
            |ORDER BY event_id""".stripMargin,
+
+      "q29_simhash_dedup" -> {
+        // Twin of SimHashKernel.bands: bit i = band*16+pos set iff
+        // Σ(((a_i·h+b_i) mod P) & 1)·2−1 > 0.
+        val bandsSql =
+          s"""list_transform(range(0, 4), b ->
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, 16), p ->
+             |      (CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(hs, h ->
+             |          ((((b*16+p+1)*$PermMult % $HashMod) * h
+             |            + ((b*16+p)*40503+1) % $HashMod) % $HashMod & 1) * 2 - 1)),
+             |        (acc, v) -> acc + v) > 0
+             |       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))),
+             |    (acc2, v2) -> acc2 + v2))""".stripMargin
+        s"""WITH bsrc AS (
+           |  SELECT doc_id, $bandsSql AS bands
+           |  FROM (SELECT doc_id,
+           |          list_transform(${Sql.toks("text")}, t -> ${Sql.polyHash("t")}) AS hs
+           |        FROM documents)),
+           |e AS (SELECT doc_id, t.b AS band_idx, bands[t.b+1] AS band_val
+           |      FROM bsrc, generate_series(0, 3) t(b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |         FROM e x JOIN e y ON x.band_idx = y.band_idx
+           |           AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+           |SELECT id_a, id_b,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(list_zip(a.bands, b2.bands),
+           |      p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT))),
+           |    (acc, v) -> acc + v) AS hamming
+           |FROM cand JOIN bsrc a ON cand.id_a = a.doc_id
+           |          JOIN bsrc b2 ON cand.id_b = b2.doc_id
+           |WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q30_ann_lsh" -> {
+        val r = AnnBits / AnnBands
+        // Twin of VectorOps.srpBits + packBands over a DOUBLE[] `v`.
+        val bandsSql =
+          s"""list_transform(range(0, $AnnBands), b ->
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, $r), p -> bits[b*$r+p+1] * (CAST(1 AS BIGINT) << p))),
+             |    (acc, v) -> acc + v))""".stripMargin
+        val bitsSql =
+          s"""list_transform(range(0, $AnnBits), i ->
+             |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(range(0, $MergeDim), dd ->
+             |      v[dd+1] * (CAST((i*$MergeDim+dd+1)*$PermMult % $HashMod AS DOUBLE)
+             |                 /1000000007.0*2.0-1.0))),
+             |    (acc, p) -> acc + p) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)""".stripMargin
+        s"""WITH sig AS (
+           |  SELECT vec_id, v AS embedding, $bandsSql AS bands
+           |  FROM (SELECT vec_id, v, $bitsSql AS bits
+           |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bands AS q_bands
+           |      FROM sig WHERE vec_id < 3),
+           |qb AS (SELECT query_id, t.b AS band_idx, q_bands[t.b+1] AS band_val
+           |       FROM q, generate_series(0, ${AnnBands - 1}) t(b)),
+           |cb AS (SELECT vec_id, t.b AS band_idx, bands[t.b+1] AS band_val
+           |       FROM sig, generate_series(0, ${AnnBands - 1}) t(b)),
+           |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+           |         FROM cb JOIN qb ON cb.band_idx = qb.band_idx
+           |                        AND cb.band_val = qb.band_val),
+           |sc AS (SELECT cand.query_id, cand.vec_id,
+           |         ${Sql.dot("q.q_emb", "s.embedding")}
+           |           / sqrt(${Sql.dot("q.q_emb", "q.q_emb")})
+           |           / sqrt(${Sql.dot("s.embedding", "s.embedding")}) AS cos
+           |       FROM cand JOIN sig s ON cand.vec_id = s.vec_id
+           |                 JOIN q ON cand.query_id = q.query_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, vec_id) AS rn
+           |      FROM sc)
+           |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
+           |ORDER BY query_id, rn""".stripMargin
+      },
+
+      "q31_prompt_pairs" ->
+        s"""SELECT doc_id, ['$EmbedPrompt', text] AS pair
+           |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {

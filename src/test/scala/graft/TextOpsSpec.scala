@@ -81,6 +81,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und"))
   }
 
+  test("SrpBands kernel is bit-identical to the HOF reference implementation") {
+    val df = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        graft.ops.expressions.SrpBands($"embedding", 24, 4).as("kernel"),
+        VectorOps.packBands(VectorOps.srpBits($"embedding", 24, 64), 4, 6).as("hof"))
+    val bad = df.filter($"kernel" =!= $"hof").count()
+    assert(bad == 0, s"$bad rows where kernel bands != HOF bands")
+  }
+
   test("embed stand-in is deterministic and in [-1, 1)") {
     val df = Seq("hello world", "hello world", "other").toDF("text")
       .select(VectorOps.embed($"text", 16).as("e"))
