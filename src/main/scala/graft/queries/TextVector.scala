@@ -352,6 +352,22 @@ object TextVector {
         .orderBy($"doc_id")
     },
 
+    // Multimodal (builder brief): binary payload manifest → batched
+    // stub decode/featurize (graft.multimodal) → relational summary.
+    // No DuckDB oracle (the mapPartitions inference stage is not
+    // SQL-expressible) → driver records the rows-only check; the
+    // deeper contracts are in MultimodalSpec.
+    "q32_media_features" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+      graft.multimodal.Multimodal.extractFeatures(s, media, dim = 16)
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"n_bytes").as("total_bytes"),
+          max(size($"feature")).cast("bigint").as("dim"))
+        .orderBy($"kind")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — all codegen'd column
     // expressions, no UDF, single narrow pass.

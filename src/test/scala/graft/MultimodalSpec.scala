@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.ops.{BatchEncoder, Inference}
+
+/** Multimodal plumbing tests: the decode is a stub, the Spark-side
+  * contract (schema, batch shape, determinism, no row loss) is real.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("media manifest: typed schema, binary payloads, no row loss") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    assert(media.count() == 500)
+    val kinds = media.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == 500)
+  }
+
+  test("batched feature extraction: every row featurized, deterministic, fixed dim") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val f1 = Multimodal.extractFeatures(spark, media, dim = 16)
+    assert(f1.count() == 500)
+    assert(f1.select(size($"feature")).distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    // deterministic across runs (the oracle/test contract for stubs)
+    val f2 = Multimodal.extractFeatures(spark, media, dim = 16)
+    assert(f1.exceptAll(f2).isEmpty && f2.exceptAll(f1).isEmpty)
+    // n_bytes matches the payload length recorded in documents
+    val bad = f1.join(Tables.documents(spark, sf),
+        $"media_id" === $"doc_id")
+      .filter($"n_bytes" =!= $"n_chars").count()
+    assert(bad == 0, "payload byte count drifted from n_chars (ascii text)")
+  }
+
+  test("encoder sees bounded batches and the tail batch is flushed (L2 regression)") {
+    // 10 rows, batch 4 → batches of 4,4,2 — the 2-row tail must
+    // arrive (run.py dropped it; we must not)
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val enc = new BatchEncoder[Multimodal.Media, Long] {
+      override def encodeBatch(xs: Seq[Multimodal.Media]): Seq[Long] = {
+        seen.add(xs.length); xs.map(_.media_id)
+      }
+    }
+    val ten = Multimodal.mediaFromDocuments(spark, sf)
+      .filter($"media_id" < 10).coalesce(1)
+    val out = Inference.mapBatched(ten, 4, enc).collect()
+    assert(out.sorted.toSeq == (0L until 10L))
+    val sizes = seen.value
+    assert(sizes.size() == 3 && !(0 until sizes.size()).exists(i => sizes.get(i) > 4),
+      s"batch sizes $sizes, want [4,4,2]")
+  }
+
+  test("video frame sampling explodes 1 media row into N bounded frames") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val frames = Multimodal.sampleFrames(media, everyK = 1)
+    val nVideos = media.filter($"kind" === "video").count()
+    assert(frames.count() >= nVideos, "every video yields at least one frame")
+    val maxLen = frames.select(max(length($"frame_bytes"))).collect()(0).getInt(0)
+    assert(maxLen <= 256, s"frame block of $maxLen bytes > 256")
+  }
+}
