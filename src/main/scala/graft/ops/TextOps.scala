@@ -11,7 +11,9 @@ import graft.ops.expressions.TextPolyHash
   *
   * Everything here is a Column builder over Spark built-ins
   * (codegen'd, no UDF in the hot path). Each op documents its exact
-  * DuckDB-SQL twin used by the oracle (Oracles.scala).
+  * DuckDB-SQL twin used by the oracle (builders in
+  * graft.queries.TextVector.Sql; numeric conventions in
+  * graft.ops.Determinism.Oracles).
   */
 object TextOps {
 

@@ -23,7 +23,7 @@ object VectorOps {
   /** Sequential-fold dot product.
     * DuckDB: list_reduce(list_prepend(0.0, list_transform(
     *   list_zip(a::DOUBLE[], b::DOUBLE[]), p -> p[1]*p[2])), (x,y)->x+y)
-    * (see Oracles.dotSql for the shared snippet). */
+    * (shared snippet: graft.queries.TextVector.Sql.dot). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
