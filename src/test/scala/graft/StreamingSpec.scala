@@ -78,4 +78,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(day2.except(day2Batch).isEmpty && day2Batch.except(day2).isEmpty,
       "late straggler mutated an already-closed window")
   }
+
+  test("session windows via flatMapGroupsWithState match the batch twin, exactly once") {
+    import spark.implicits._
+    import graft.streaming.EventSessions
+    val events = Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    val schema = events.schema
+    val gapMs = 3600000L // 1 hour
+
+    val inDir = tmp("sess-in"); val outDir = tmp("sess-out"); val ckDir = tmp("sess-ck")
+    // feed in three time-ordered files (the source contract)
+    for ((lo, hi) <- Seq(("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+                         ("2024-01-21", "2024-02-01"))) {
+      events.filter(col("ts") >= lit(s"$lo 00:00:00") && col("ts") < lit(s"$hi 00:00:00"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      EventSessions.runOnce(spark, inDir, outDir, ckDir, schema, gapMs)
+    }
+
+    val emitted = spark.read.parquet(outDir).as[EventSessions.Session]
+    val expected = EventSessions.sessionsBatch(events, gapMs)
+
+    // every emitted session is exactly a batch-twin session
+    val phantom = emitted.toDF().except(expected.toDF()).count()
+    assert(phantom == 0, s"$phantom emitted sessions not in the batch twin")
+    // exactly-once: no duplicate session emissions across the 3 runs
+    val dups = emitted.groupBy("user_id", "start_ms").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0)
+    // sessions fully inside the watermark-swept range are all out:
+    // after run 3 the watermark is ≥ max(file2 ts) - 1h, so sessions
+    // ending before Jan 20 must be emitted
+    val cutMs = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime
+    val nEarlyEmitted = emitted.filter(col("end_ms") < cutMs).count()
+    val nEarlyExpected = expected.filter(col("end_ms") < cutMs).count()
+    assert(nEarlyEmitted == nEarlyExpected,
+      s"early sessions: $nEarlyEmitted emitted of $nEarlyExpected")
+  }
 }
