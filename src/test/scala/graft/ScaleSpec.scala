@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern demonstrations with plan-shape assertions (the
+  * 100-TB playbook, verified on local[4]): bucketed co-located
+  * joins, broadcast dimension joins, salted aggregation equivalence
+  * (RelationalSpec), LSH candidate pruning (verify skill probes).
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    // At 100 TB, fact⨝fact repeated across jobs amortizes via
+    // bucketing: both sides pre-hashed into the same bucket layout →
+    // the sort-merge join needs neither shuffle nor sort.
+    // external tables at explicit paths — no warehouse involvement
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+      Tables.lineitem(spark, sf)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(plan.contains("SortMergeJoin"))
+      // and it computes the right thing
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("dimension joins broadcast (q04); fact joins don't cartesian") {
+    val plan = graft.queries.Relational.queries("q04_revenue_by_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation join should broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q20's cheap pre-filter reaches the parquet scan (pushdown)") {
+    val plan = graft.queries.TextVector.queries("q20_token_overflow")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(n_chars"),
+      "n_chars pre-filter must push into the scan")
+  }
+
+  test("near-dup and ANN plans stay bucketed: no cartesian, no nested loop on the data side") {
+    for (q <- Seq("q24_near_dup", "q29_simhash_dedup")) {
+      val plan = graft.queries.TextVector.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
+}
