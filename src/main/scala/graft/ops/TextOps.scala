@@ -89,9 +89,10 @@ object TextOps {
   private def langScore(toks: Column, dict: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(dict.map(lit): _*), t)))
 
-  /** Predicted language code. DuckDB twin in Oracles.langIdSql. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  /** Predicted language code from a materialized tokens column
+    * (same PERF contract as chunksOf). DuckDB twin built in
+    * TextVector.oracles("q26_text_stats"). */
+  def langIdOf(toks: Column): Column = {
     val scores = LangDicts.map { case (l, d) => (l, langScore(toks, d)) }
     // argmax with fixed priority order; all-zero -> 'und'
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
@@ -100,14 +101,16 @@ object TextOps {
     }
   }
 
+  /** Convenience form; prefer `langIdOf` in anything hot. */
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
   /** Quality score in [0,1]: fixed-order double arithmetic so the
     * oracle reproduces it bit-exactly.
     *   0.4 * min(n_tokens/100, 1)            (length signal)
     * + 0.3 * (distinct_tokens / n_tokens)    (lexical diversity)
     * + 0.3 * (stopword_hits / n_tokens)      (naturalness)
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScoreOf(toks: Column): Column = {
     val n = size(toks).cast("double")
     val stop = langScore(toks, LangDicts.head._2).cast("double")
     val dist = size(array_distinct(toks)).cast("double")
@@ -115,6 +118,9 @@ object TextOps {
       lit(0.3) * (dist / n) +
       lit(0.3) * (stop / n)
   }
+
+  /** Convenience form; prefer `qualityScoreOf` in anything hot. */
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text))
 
   /** Word k-shingles as strings (dedup building block).
     * DuckDB: list_transform(range(1, len-k+2), i ->

@@ -387,12 +387,13 @@ object TextVector {
     "q26_text_stats" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"text", TextOps.tokens($"text").as("toks"))
         .select(
           $"doc_id", $"lang",
-          TextOps.tokenCount($"text").cast("bigint").as("n_tokens"),
+          size($"toks").cast("bigint").as("n_tokens"),
           size(TextOps.sentences($"text")).cast("bigint").as("n_sentences"),
-          TextOps.langId($"text").as("lang_pred"),
-          roundFix(TextOps.qualityScore($"text"), 6).as("quality"))
+          TextOps.langIdOf($"toks").as("lang_pred"),
+          roundFix(TextOps.qualityScoreOf($"toks"), 6).as("quality"))
         .orderBy($"doc_id")
     }
   )

@@ -47,6 +47,11 @@ class PipelineSpec extends AnyFunSuite {
     val ids = sharded.select("shard_id").distinct()
       .collect().map(_.getInt(0)).sorted
     assert(ids.head == 0 && ids.last == nShards - 1)
+
+    // F2 (join.py:11 filename predicate): path-glob selection at
+    // read time — a glob over part files reads the same dataset
+    val viaGlob = spark.read.parquet(s"$out/part-*").count()
+    assert(viaGlob == sharded.count(), "glob read must match dir read")
   }
 
   test("EP3 backfill loop: anti-join finds exactly the unprocessed ids, chunk-embed repairs them") {
