@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // plain int64-micros timestamps in output parquet (pyarrow/
       // DuckDB-friendly; INT96 is deprecated and reads differently)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -59,6 +59,22 @@ class ScaleSpec extends AnyFunSuite {
       "n_chars pre-filter must push into the scan")
   }
 
+  test("DerivedTokenPrefilter rule injects the cheap length guard under a token-count predicate") {
+    // a user query with NO manual pre-filter — the optimizer rule
+    // must derive length(text) > 64 in front of the regex predicate
+    val userQuery = Tables.documents(spark, sf)
+      .filter(graft.ops.TextOps.tokenCount($"text") > 64)
+    val optimized = userQuery.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("length(text"),
+      s"derived guard missing from optimized plan:\n${optimized.take(600)}")
+    // and the rewrite is semantics-preserving
+    val n = userQuery.count()
+    val manual = Tables.documents(spark, sf)
+      .filter(length($"text") > 64)
+      .filter(graft.ops.TextOps.tokenCount($"text") > 64).count()
+    assert(n == manual)
+  }
+
   test("near-dup and ANN plans stay bucketed: no cartesian, no nested loop on the data side") {
     for (q <- Seq("q24_near_dup", "q29_simhash_dedup")) {
       val plan = graft.queries.TextVector.queries(q)(spark, sf)
