@@ -354,6 +354,35 @@ object TextVector {
         .orderBy($"query_id", $"rn")
     },
 
+    // IVF-style approximate similarity search (builder brief's other
+    // ANN scale path next to q30's LSH): a 16-centroid coarse
+    // quantizer (codebook = small broadcast driver state, as in any
+    // IVF index) assigns every vector to a cell in one narrow kernel
+    // pass; queries search ONLY their own cell (nprobe=1). The join
+    // is an equi-join on cell id — the inverted-list probe — never a
+    // scan of the full candidate side per query.
+    "q33_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val assigned = emb.select($"vec_id", $"embedding",
+        graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
+      val qs = broadcast(assigned.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+          $"cell".as("q_cell")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      assigned.join(qs, $"cell" === $"q_cell")
+        .select($"query_id", $"vec_id",
+          VectorOps.cosine($"q_emb", $"embedding").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"query_id", $"vec_id", $"cos", $"rn".cast("bigint").as("rn"))
+        .orderBy($"query_id", $"rn")
+    },
+
     // T5 (run.py:139): instruction prompt-pair construction — the
     // [[prompt, content], ...] rows the embedding model consumes.
     "q31_prompt_pairs" -> { (s, d) =>
@@ -573,6 +602,35 @@ object TextVector {
       "q31_prompt_pairs" ->
         s"""SELECT doc_id, ['$EmbedPrompt', text] AS pair
            |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+      "q33_ann_ivf" -> {
+        // Twin of IvfCell: argmax-cosine assignment with first-wins
+        // ties (list_reduce strict-> max + list_position first index).
+        val cos = (a: String, b: String) =>
+          s"${Sql.dot(a, b)} / sqrt(${Sql.dot(a, a)}) / sqrt(${Sql.dot(b, b)})"
+        s"""WITH cents AS (
+           |  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cs
+           |  FROM embeddings WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT vec_id, v,
+           |    list_transform(cs, c -> ${cos("v", "c")}) AS scores
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cents),
+           |a AS (
+           |  SELECT vec_id, v,
+           |    list_position(scores,
+           |      list_reduce(scores, (x, y) -> CASE WHEN y > x THEN y ELSE x END)) - 1 AS cell
+           |  FROM scored),
+           |q AS (SELECT vec_id AS query_id, v AS q_emb, cell AS q_cell
+           |      FROM a WHERE vec_id < 3),
+           |sc AS (SELECT q.query_id, a.vec_id, ${cos("q.q_emb", "a.v")} AS cos
+           |       FROM a JOIN q ON a.cell = q.q_cell),
+           |r AS (SELECT query_id, vec_id, cos,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, vec_id) AS rn
+           |      FROM sc)
+           |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
+           |ORDER BY query_id, rn""".stripMargin
+      },
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {
