@@ -298,11 +298,12 @@ object TextVector {
     // join); verify exact hamming over the band arrays.
     "q29_simhash_dedup" -> { (s, d) =>
       import s.implicits._
+      // TokenHashes fuses tokenize+hash in one codegen'd scan (no
+      // regex, no intermediate token array) — property-tested equal
+      // to transform(tokens(text), polyHash).
       val bandsDf = Tables.documents(s, d)
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        .select($"doc_id",
-          transform($"toks", t => graft.ops.expressions.TextPolyHash(t)).as("hs"))
-        .select($"doc_id", graft.ops.expressions.SimHashBands($"hs").as("bands"))
+        .select($"doc_id", graft.ops.expressions.SimHashBands(
+          graft.ops.expressions.TokenHashes($"text")).as("bands"))
       val exploded = bandsDf.select($"doc_id",
         posexplode($"bands").as(Seq("band_idx", "band_val")))
       val cand = exploded.as("x")
