@@ -32,14 +32,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup (untimed)
     names.foreach(n => try run(n) catch { case _: Throwable => () })
-    // timed: median of 3
+    // timed: median of 3; a failing query reports -1, never a
+    // fast-looking time-to-failure
     val results = names.map { name =>
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
+        try run(name) catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(1)
+      name -> (if (failed) -1.0 else times(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,9 +21,13 @@ object TextOps {
     * non-space symbol. Deterministic stand-in for the reference's HF
     * AutoTokenizer (`script512.py:5` — a model artifact, not a query
     * capability). Same regex runs in DuckDB (RE2) and Spark (Java
-    * regex) — the pattern uses no dialect-divergent constructs.
+    * regex); the whitespace class is spelled out explicitly because
+    * `\s` IS dialect-divergent — Java includes \x0B (vertical tab),
+    * RE2 does not. TokenHashesKernel's scanner implements the same
+    * set.
     */
-  val TokenPattern = "([A-Za-z0-9]+|[^A-Za-z0-9\\s])"
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+  val TokenPattern = s"([A-Za-z0-9]+|[^A-Za-z0-9$WsClass])"
 
   /** tokens(text): ArrayType(StringType).
     * DuckDB: regexp_extract_all(text, pattern, 1). */
@@ -34,8 +38,10 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Sentence split (T2): segments terminated by [.!?]+ or EOS.
-    * DuckDB: string_split_regex + list_filter on non-empty trim. */
-  val SentencePattern = "[.!?]+\\s*"
+    * DuckDB: string_split_regex + list_filter on non-empty trim.
+    * Explicit whitespace class for the same \s-divergence reason as
+    * TokenPattern. */
+  val SentencePattern = s"[.!?]+[$WsClass]*"
   def sentences(text: Column): Column =
     filter(split(text, SentencePattern), s => length(trim(s)) > 0)
 

@@ -15,13 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * Cosine uses the engine's fixed operation order
   * (dot folded over dims ascending, then /sqrt(na)/sqrt(nb) — see
   * VectorOps.cosine), so the DuckDB oracle reproduces the assignment
-  * exactly. CodegenFallback: the per-row work is one tight JVM loop
+  * exactly. Precondition: vectors and centroids are non-zero — a
+  * zero norm makes every cosine NaN, where JVM comparison (NaN never
+  * greater) and DuckDB (NaN above all doubles) disagree on the
+  * argmax. CodegenFallback: the per-row work is one tight JVM loop
   * (K·dim mul-adds); codegen would only inline the call.
   */
 case class IvfCell(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
 
-  private def isFloat: Boolean = child.dataType match {
+  // computed once, not per element in the hot loop
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

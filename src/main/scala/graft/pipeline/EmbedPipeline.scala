@@ -82,10 +82,15 @@ object EmbedPipeline {
                     maxTokens: Int, dim: Int): Long = {
     val pooled = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(contentCol)).as("toks"))
+      // posexplode_OUTER: a zero-token doc must still reach the sink
+      // (with an empty pooled vector) — plain posexplode would drop
+      // it, the exact row-loss class this module exists to prevent
       .select(col("id"),
-        posexplode(TextOps.chunksOf(col("toks"), maxTokens)).as(Seq("pos", "chunk")))
+        posexplode_outer(TextOps.chunksOf(col("toks"), maxTokens)).as(Seq("pos", "chunk")))
       .withColumn("emb", VectorOps.embed(col("chunk"), dim))
-      .withColumn("w", length(col("chunk")).cast("double"))
+      // null chunk (outer-exploded empty doc): weight 0, not null —
+      // VecW.w is a primitive Double and must never see null
+      .withColumn("w", coalesce(length(col("chunk")), lit(0)).cast("double"))
       .groupBy(col("id"))
       .agg(WeightedAvgVec.asUdaf(col("emb"), col("w")).as("embedding"))
     pooled.write.mode("overwrite").parquet(outPath)

@@ -29,10 +29,12 @@ object TextVector {
       s"regexp_extract_all($c, '${TextOps.TokenPattern}', 1)"
 
     /** Polynomial rolling hash — twin of HashKernel.polyHash
-      * (acc*31+codepoint mod 1e9+7, left fold over code points). */
+      * (acc*31+codepoint mod 1e9+7, left fold over code points).
+      * `(?s)` so RE2's `.` matches newlines too — HashKernel folds
+      * EVERY code point. */
     def polyHash(c: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(regexp_extract_all($c, '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+        s"list_transform(regexp_extract_all($c, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT))), " +
         s"(acc, cp) -> (acc*31 + cp) % 1000000007)"
 
     /** Seeded-hash embedding — twin of VectorOps.embed(c, dim). */
@@ -128,6 +130,10 @@ object TextVector {
       import s.implicits._
       Tables.documents(s, d)
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        // zero-token docs are excluded EXPLICITLY on both sides (the
+        // oracle has the same len>0 predicate) — otherwise posexplode
+        // silently drops them here while the oracle keeps a NaN row
+        .filter(size($"toks") > 0)
         .select($"doc_id",
           posexplode(TextOps.chunksOf($"toks", ChunkTokens)).as(Seq("pos", "chunk")))
         .withColumn("emb", VectorOps.embed($"chunk", EmbedDim))
@@ -445,7 +451,8 @@ object TextVector {
       "q21_chunk_pool" -> {
         val sum = (l: String) =>
           s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
-        s"""WITH c AS (SELECT doc_id, ${Sql.chunks("text", ChunkTokens)} AS chs FROM documents),
+        s"""WITH c AS (SELECT doc_id, ${Sql.chunks("text", ChunkTokens)} AS chs FROM documents
+           |           WHERE len(${Sql.toks("text")}) > 0),
            |e AS (SELECT doc_id,
            |        list_transform(chs, ch -> ${Sql.embed("ch", EmbedDim)}) AS embs,
            |        list_transform(chs, ch -> CAST(len(ch) AS DOUBLE)) AS ws,

@@ -37,18 +37,26 @@ object EventSessions {
       state.remove()
       return Iterator(Session(userId, s.startMs, s.lastMs, s.n))
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    // flatMapGroupsWithState does NOT filter rows older than the
+    // watermark — a straggler would regress lastMs (corrupting the
+    // session end) and then setTimeoutTimestamp below the watermark
+    // throws and kills the query. Drop them explicitly, the same
+    // fate windowed aggregation gives late rows.
+    val wm = state.getCurrentWatermarkMs()
+    val sorted = events.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
     var cur = state.getOption.orNull
     val closed = Seq.newBuilder[Session]
     sorted.foreach { e =>
       val t = e.ts.getTime
       if (cur == null) cur = SessionState(t, t, 1)
-      else if (t - cur.lastMs < gapMs) cur = cur.copy(lastMs = t, n = cur.n + 1)
+      else if (t - cur.lastMs < gapMs)
+        cur = cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1)
       else { closed += Session(userId, cur.startMs, cur.lastMs, cur.n); cur = SessionState(t, t, 1) }
     }
     if (cur != null) {
       state.update(cur)
-      state.setTimeoutTimestamp(cur.lastMs + gapMs)
+      // timeout must not be below the watermark even after drops
+      state.setTimeoutTimestamp(math.max(cur.lastMs + gapMs, wm + 1))
     }
     closed.result().iterator
   }
@@ -71,8 +79,9 @@ object EventSessions {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Session], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      // idempotent per-batchId sink — see EventWindows.runOnce
+      .foreachBatch { (batch: Dataset[Session], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.awaitTermination()
@@ -86,8 +95,11 @@ object EventSessions {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ms")
+    // unix_millis, NOT cast(double)*1000 — the float round-trip is
+    // off by 1 ms for some fractional-second timestamps, which the
+    // exact differential against the streaming path would catch.
     events.toDF()
-      .select($"user_id", (col("ts").cast("double") * 1000).cast("long").as("ms"))
+      .select($"user_id", unix_millis(col("ts")).as("ms"))
       .withColumn("prev", lag($"ms", 1).over(w))
       .withColumn("newSess",
         when($"prev".isNull || $"ms" - $"prev" >= gapMs, 1).otherwise(0))

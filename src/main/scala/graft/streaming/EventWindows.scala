@@ -45,8 +45,11 @@ object EventWindows {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      // batchId-keyed subdir + overwrite = idempotent sink: foreachBatch
+      // is at-least-once (a crash between sink commit and checkpoint
+      // commit replays the batch), so a plain append would duplicate
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.awaitTermination()

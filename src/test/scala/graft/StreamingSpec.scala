@@ -35,7 +35,8 @@ class StreamingSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(inDir)
     EventWindows.runOnce(spark, inDir, outDir, ckDir, schema)
 
-    val out2 = spark.read.parquet(outDir)
+    // drop the batch=<id> partition column the idempotent sink adds
+    val out2 = spark.read.parquet(outDir).select("win_start", "event_type", "n")
     val batchTwin = events
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -68,7 +69,7 @@ class StreamingSpec extends AnyFunSuite {
     straggler.coalesce(1).write.mode("append").parquet(inDir)
     EventWindows.runOnce(spark, inDir, outDir, ckDir, schema)
 
-    val out3 = spark.read.parquet(outDir)
+    val out3 = spark.read.parquet(outDir).select("win_start", "event_type", "n")
     // late row changed nothing: same rows for its window, count still
     // the on-time batch count, and still no duplicates
     val day2 = out3.filter(col("win_start") === lit("2024-01-02 00:00:00"))
@@ -95,7 +96,9 @@ class StreamingSpec extends AnyFunSuite {
       EventSessions.runOnce(spark, inDir, outDir, ckDir, schema, gapMs)
     }
 
-    val emitted = spark.read.parquet(outDir).as[EventSessions.Session]
+    val emitted = spark.read.parquet(outDir)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[EventSessions.Session]
     val expected = EventSessions.sessionsBatch(events, gapMs)
 
     // every emitted session is exactly a batch-twin session
