@@ -27,6 +27,31 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Streaming ingestion dedup: each event id is emitted AT MOST
+    * once across all micro-batches and runs, with state bounded by
+    * the watermark (ids older than the delay are evicted — a
+    * replayed shard inside the horizon dedups, one outside it is
+    * dropped as late). This is the guard the reference lacks when a
+    * shard is re-delivered/re-processed (its backfill pass can
+    * double-embed, `run_extra.py:162`). */
+  def dedupStream(spark: SparkSession, inDir: String, outDir: String,
+                  checkpointDir: String, schema: StructType,
+                  delay: String = "1 hour"): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** One checkpointed micro-batch run over whatever files are in
     * `inDir` (Trigger.AvailableNow ≙ one `run.py` invocation;
     * re-invoking with the same checkpoint resumes — L3). Append

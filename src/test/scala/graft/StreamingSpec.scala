@@ -80,6 +80,24 @@ class StreamingSpec extends AnyFunSuite {
       "late straggler mutated an already-closed window")
   }
 
+  test("streaming ingestion dedup: a re-delivered shard does not double-process") {
+    val events = Tables.events(spark, sf).select("event_id", "ts", "event_type")
+    val schema = events.schema
+    val inDir = tmp("dedup-in"); val outDir = tmp("dedup-out"); val ck = tmp("dedup-ck")
+
+    val shard = events.filter(col("ts") < lit("2024-01-05 00:00:00"))
+    shard.coalesce(1).write.mode("append").parquet(inDir)
+    EventWindows.dedupStream(spark, inDir, outDir, ck, schema)
+    // the same shard arrives AGAIN (re-delivery / retry)
+    shard.coalesce(1).write.mode("append").parquet(inDir)
+    EventWindows.dedupStream(spark, inDir, outDir, ck, schema)
+
+    val out = spark.read.parquet(outDir).select("event_id")
+    assert(out.count() == shard.count(),
+      s"re-delivered shard changed the output: ${out.count()} vs ${shard.count()}")
+    assert(out.distinct().count() == shard.count())
+  }
+
   test("session windows via flatMapGroupsWithState match the batch twin, exactly once") {
     import spark.implicits._
     import graft.streaming.EventSessions
