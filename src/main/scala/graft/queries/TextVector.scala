@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{TextOps, VectorOps}
@@ -59,7 +59,24 @@ object TextVector {
     def dot(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"list_transform(list_zip($a, $b), p -> p[1]*p[2])), (x, y) -> x + y)"
+
+    /** Canonical scalar serialization of a DOUBLE[] — twin of
+      * [[TextVector.vecCsv]]. */
+    def vecCsv(l: String, scale: String): String =
+      s"array_to_string(list_transform($l, " +
+        s"x -> CAST(CAST(floor(x*$scale+0.5) AS BIGINT) AS VARCHAR)), ',')"
   }
+
+  /** Canonical scalar serialization of a double-vector column for the
+    * driver's gate (array columns are unsortable/unhashable in its
+    * pandas compare — ADVICE r3): quantize each element to int64
+    * units with the Determinism floor(x·s+0.5) formula (pure double
+    * arithmetic, identical both engines), render base-10, join as
+    * CSV. Exact integer string equality ⇒ the hash compare works and
+    * still proves element-wise equality to 1/scale. */
+  private def vecCsv(v: Column, scale: Double): Column =
+    concat_ws(",", transform(v,
+      x => floor(x * lit(scale) + lit(0.5)).cast("bigint").cast("string")))
 
   // Demonstration-query parameters. The reference's own limits
   // (512-token chunks/threshold, `script512.py:23`, `run_extra.py:50`)
@@ -124,8 +141,9 @@ object TextVector {
     // chunks come from ONE input row, so the partial (map-side)
     // aggregate reduces them in chunk order before the shuffle — the
     // shuffle moves O(docs) buffers, not O(chunks) rows, which is the
-    // property that scales this to 100 TB of chunked text. Results
-    // rounded to 6 dp (Determinism: double-sum merge order).
+    // property that scales this to 100 TB of chunked text. Output
+    // quantized to micro-unit CSV (vecCsv — double-sum merge order
+    // needs the 1e-6 quantization anyway).
     "q21_chunk_pool" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -143,7 +161,7 @@ object TextVector {
           graft.ops.WeightedAvgVec.asUdaf($"emb", $"w").as("raw"),
           count(lit(1)).as("n_chunks"))
         .select($"doc_id",
-          transform($"raw", x => roundFix(x, 6)).as("pooled"),
+          vecCsv($"raw", 1e6).as("pooled"),
           $"n_chunks")
         .orderBy($"doc_id")
     },
@@ -168,7 +186,10 @@ object TextVector {
             raise_error(concat(lit("merge: embedding without document, id="),
               $"vec_id".cast("string"))))
             .otherwise($"vec_id").as("id"),
-          VectorOps.scaleConcat($"t_emb", $"embedding", 0.2).as("merged"))
+          // nano-unit CSV (1e-9 per element over the bit-exact
+          // scaleConcat doubles) — scalar for the driver's gate
+          vecCsv(VectorOps.scaleConcat($"t_emb", $"embedding", 0.2), 1e9)
+            .as("merged"))
         .orderBy($"id")
     },
 
@@ -397,7 +418,11 @@ object TextVector {
       Tables.documents(s, d)
         .filter($"doc_id" < 10)
         .select($"doc_id",
-          TextOps.promptPair(EmbedPrompt, $"text").as("pair"))
+          // the 2-element [prompt, content] array, serialized with a
+          //  separator (never in the corpus) so the gate can
+          // sort/hash it as a scalar
+          concat_ws("\u0001", TextOps.promptPair(EmbedPrompt, $"text"))
+            .as("pair"))
         .orderBy($"doc_id")
     },
 
@@ -451,6 +476,9 @@ object TextVector {
       "q21_chunk_pool" -> {
         val sum = (l: String) =>
           s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+        val pooledList =
+          s"list_transform(range(0, $EmbedDim), i -> " +
+            s"${sum(s"list_transform(range(1, n_chunks+1), j -> embs[j][i+1]*ws[j])")} / ${sum("ws")})"
         s"""WITH c AS (SELECT doc_id, ${Sql.chunks("text", ChunkTokens)} AS chs FROM documents
            |           WHERE len(${Sql.toks("text")}) > 0),
            |e AS (SELECT doc_id,
@@ -459,9 +487,7 @@ object TextVector {
            |        len(chs) AS n_chunks
            |      FROM c)
            |SELECT doc_id,
-           |  list_transform(range(0, $EmbedDim), i ->
-           |    ${Oracles.fround(
-                  s"${sum(s"list_transform(range(1, n_chunks+1), j -> embs[j][i+1]*ws[j])")} / ${sum("ws")}", 6)}) AS pooled,
+           |  ${Sql.vecCsv(pooledList, "1000000.0")} AS pooled,
            |  n_chunks
            |FROM e ORDER BY doc_id""".stripMargin
       },
@@ -471,10 +497,12 @@ object TextVector {
         // lit(0.2) and lit(1.0 - 0.2) — the SQL computes the SAME
         // IEEE subtraction rather than parsing "0.8" (different bits).
         s"""SELECT d.doc_id AS id,
-           |  list_concat(
-           |    list_transform(${Sql.embed("d.text", MergeDim)}, x -> x*CAST(0.2 AS DOUBLE)),
-           |    list_transform(CAST(e.embedding AS DOUBLE[]),
-           |                   x -> x*(CAST(1.0 AS DOUBLE)-CAST(0.2 AS DOUBLE)))) AS merged
+           |  ${Sql.vecCsv(
+                s"""list_concat(
+                   |    list_transform(${Sql.embed("d.text", MergeDim)}, x -> x*CAST(0.2 AS DOUBLE)),
+                   |    list_transform(CAST(e.embedding AS DOUBLE[]),
+                   |                   x -> x*(CAST(1.0 AS DOUBLE)-CAST(0.2 AS DOUBLE))))""".stripMargin,
+                "1000000000.0")} AS merged
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY id""".stripMargin,
 
@@ -608,7 +636,7 @@ object TextVector {
       },
 
       "q31_prompt_pairs" ->
-        s"""SELECT doc_id, ['$EmbedPrompt', text] AS pair
+        s"""SELECT doc_id, array_to_string(['$EmbedPrompt', text], chr(1)) AS pair
            |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
       "q33_ann_ivf" -> {
