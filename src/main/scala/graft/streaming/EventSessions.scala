@@ -13,52 +13,66 @@ import java.sql.Timestamp
   * counter, `run.py:56`).
   *
   * A session = consecutive events of one user with < `gap` between
-  * neighbors. Sessions are emitted when CLOSED: either a new event
-  * arrives past the gap, or the watermark passes last_ts + gap
-  * (event-time timeout). Exactly-once across restarts via the
-  * checkpoint dir.
+  * neighbors. Sessions are emitted when CLOSED: the watermark has
+  * passed last_ts + gap, so no admissible event can ever extend them
+  * (event-time timeout or a later arrival triggers the sweep).
+  * Exactly-once across restarts via the checkpoint dir.
   *
-  * Ordering note: events are sorted by ts within each micro-batch;
-  * cross-batch order is event-time order as long as source files
-  * arrive in time order (the test harness's contract — true of the
-  * reference's append-only shard layout too).
+  * Ordering note: the watermark ADMITS out-of-order events (any row
+  * with ts ≥ watermark), including ones earlier than an open
+  * session's start — so state is the LIST of open sessions and
+  * insertion is by span distance, not append-only: an event merges
+  * with every open session within `gap` of it (possibly bridging
+  * two into one), else opens its own. A session only closes — and
+  * only then is emitted — once the watermark proves no future row
+  * can reach it, which is exactly the batch-twin semantics.
   */
 object EventSessions {
 
   case class EventIn(user_id: Long, ts: Timestamp)
   case class SessionState(startMs: Long, lastMs: Long, n: Int)
+  case class OpenState(sessions: Seq[SessionState])
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
   def updateKey(gapMs: Long)(
       userId: Long, events: Iterator[EventIn],
-      state: GroupState[SessionState]): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      return Iterator(Session(userId, s.startMs, s.lastMs, s.n))
-    }
+      state: GroupState[OpenState]): Iterator[Session] = {
+    val wm = state.getCurrentWatermarkMs()
+    var open: Seq[SessionState] =
+      state.getOption.map(_.sessions).getOrElse(Seq.empty)
+
     // flatMapGroupsWithState does NOT filter rows older than the
     // watermark — a straggler would regress lastMs (corrupting the
     // session end) and then setTimeoutTimestamp below the watermark
     // throws and kills the query. Drop them explicitly, the same
-    // fate windowed aggregation gives late rows.
-    val wm = state.getCurrentWatermarkMs()
-    val sorted = events.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
-    var cur = state.getOption.orNull
-    val closed = Seq.newBuilder[Session]
-    sorted.foreach { e =>
+    // fate windowed aggregation gives late rows. (On a timeout
+    // invocation the iterator is empty.)
+    events.filter(_.ts.getTime >= wm).toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
-      if (cur == null) cur = SessionState(t, t, 1)
-      else if (t - cur.lastMs < gapMs)
-        cur = cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1)
-      else { closed += Session(userId, cur.startMs, cur.lastMs, cur.n); cur = SessionState(t, t, 1) }
+      // merge iff |distance to span| < gap — strict, matching the
+      // batch twin's `ms - prev >= gapMs` new-session rule; covers
+      // in-span, after-end, AND before-start (out-of-order) arrivals
+      val (near, far) = open.partition(s =>
+        t > s.startMs - gapMs && t < s.lastMs + gapMs)
+      val merged =
+        if (near.isEmpty) SessionState(t, t, 1)
+        else SessionState(
+          math.min(t, near.map(_.startMs).min),
+          math.max(t, near.map(_.lastMs).max),
+          near.map(_.n).sum + 1)
+      open = far :+ merged
     }
-    if (cur != null) {
-      state.update(cur)
-      // timeout must not be below the watermark even after drops
-      state.setTimeoutTimestamp(math.max(cur.lastMs + gapMs, wm + 1))
-    }
-    closed.result().iterator
+
+    // closed ⇔ no admissible row (ts ≥ wm) satisfies ts < last+gap
+    val (closed, stillOpen) = open.partition(_.lastMs + gapMs <= wm)
+    if (stillOpen.nonEmpty) {
+      state.update(OpenState(stillOpen))
+      // earliest possible close; never below the watermark
+      state.setTimeoutTimestamp(
+        math.max(stillOpen.map(_.lastMs + gapMs).min, wm + 1))
+    } else state.remove()
+    closed.sortBy(_.startMs).iterator
+      .map(s => Session(userId, s.startMs, s.lastMs, s.n))
   }
 
   /** One checkpointed micro-batch run (Trigger.AvailableNow), same

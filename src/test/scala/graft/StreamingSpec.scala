@@ -98,6 +98,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.distinct().count() == shard.count())
   }
 
+  test("session windows: out-of-order events above the watermark merge backward and bridge sessions") {
+    import spark.implicits._
+    import graft.streaming.EventSessions
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ms(s: String) = ts(s).getTime
+    val gapMs = 3600000L // 1 hour; watermark delay 1 day admits the stragglers
+
+    // file 1 — u1 one open session [12:00,12:30]; u2 two open
+    // sessions [12:00] and [13:30] (1.5h apart ≥ gap)
+    val f1 = Seq((1L, ts("2024-03-01 12:00:00")), (1L, ts("2024-03-01 12:30:00")),
+                 (2L, ts("2024-03-01 12:00:00")), (2L, ts("2024-03-01 13:30:00")))
+    // file 2 — ABOVE the watermark but earlier than open-session
+    // state: u1's 11:40 precedes its session start (backward merge →
+    // [11:40,12:30]); u2's 12:45 is within gap of BOTH its sessions
+    // (bridge → [12:00,13:30])
+    val f2 = Seq((1L, ts("2024-03-01 11:40:00")), (2L, ts("2024-03-01 12:45:00")))
+    // file 3 — next-day sentinel pushes the watermark past every
+    // Mar-1 session's end+gap, closing them
+    val f3 = Seq((3L, ts("2024-03-02 18:00:00")))
+
+    val inDir = tmp("ooo-in"); val outDir = tmp("ooo-out"); val ckDir = tmp("ooo-ck")
+    val schema = f1.toDF("user_id", "ts").schema
+    for (rows <- Seq(f1, f2, f3)) {
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inDir)
+      EventSessions.runOnce(spark, inDir, outDir, ckDir, schema, gapMs, delay = "1 day")
+    }
+
+    val emitted = spark.read.parquet(outDir)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[EventSessions.Session].collect().toSet
+    val all = (f1 ++ f2 ++ f3).toDF("user_id", "ts")
+    val twinClosed = EventSessions.sessionsBatch(all, gapMs)
+      .filter(col("end_ms") < ms("2024-03-02 00:00:00"))
+      .collect().toSet
+    assert(emitted == twinClosed,
+      s"streaming sessions $emitted != batch twin $twinClosed")
+    assert(emitted.contains(EventSessions.Session(1L,
+      ms("2024-03-01 11:40:00"), ms("2024-03-01 12:30:00"), 3)),
+      "backward merge must extend the session start")
+    assert(emitted.contains(EventSessions.Session(2L,
+      ms("2024-03-01 12:00:00"), ms("2024-03-01 13:30:00"), 3)),
+      "a between-sessions event must bridge both into one")
+  }
+
   test("session windows via flatMapGroupsWithState match the batch twin, exactly once") {
     import spark.implicits._
     import graft.streaming.EventSessions
