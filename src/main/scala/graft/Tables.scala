@@ -24,9 +24,13 @@ object Tables {
     * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with
     * INTEGER division — ns epoch values (~1.7e18) exceed double's
     * 2^53 integer precision, so a float path would corrupt
-    * timestamps. */
+    * timestamps. Requires `spark.sql.legacy.parquet.nanosAsLong=true`
+    * in the session builder (Verify / Bench / TestSpark all set it;
+    * a table accessor must not mutate session conf as a side
+    * effect). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -12,6 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // events.parquet is TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // plain int64-micros timestamps in output parquet (pyarrow/
       // DuckDB-friendly; INT96 is deprecated and reads differently)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

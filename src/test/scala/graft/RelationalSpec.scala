@@ -9,7 +9,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // events.parquet is TIMESTAMP(NANOS) — see Tables.events
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
