@@ -75,6 +75,18 @@ object VectorOps {
           element_at(bits, (b * bandBits + p + 1).cast("int")) *
           pow(lit(2.0), p.cast("double")).cast("long")))
 
+  /** HOF reference implementation of
+    * [[graft.ops.expressions.FeatureEmbed]] (random-feature
+    * embedding of an array<long> hash set) — kept only for the
+    * bit-identity unit test; anything hot uses the codegen kernel. */
+  def featureEmbedRef(hs: Column, dim: Int): Column =
+    transform(
+      sequence(lit(0L), lit(dim.toLong - 1)),
+      i => aggregate(hs, lit(0.0), (acc, h) =>
+        // parens matter: acc + (x/P·2 − 1), the kernel's IEEE order
+        acc + (((h + (i + 1) * lit(2654435761L)) % lit(1000000007L))
+          .cast("double") / lit(1000000007.0) * lit(2.0) - lit(1.0))))
+
   /** V1 stand-in embedder: deterministic seeded-hash vector in
     * [-1, 1)^dim (the reference's InstructorXL is a model artifact;
     * the interface is what we re-express — SURVEY.md §7.1).

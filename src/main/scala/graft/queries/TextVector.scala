@@ -105,6 +105,18 @@ object TextVector {
   private val AnnBits  = 24
   private val AnnBands = 4
 
+  // Embedding-cosine near-dup (q34): distinct 2-shingle hash set →
+  // 32-dim random-feature embedding → SRP-LSH candidates → cosine
+  // verify. Dim 32 keeps projection noise (~1/√32) well under the
+  // 0.9 decision margin; every planted near-dup pair (jaccard ≥ 0.2)
+  // sits above cosine 0.8 (measured at sf0.01), so 0.9 selects the
+  // tight cluster.
+  private val DedupShingleK = 2
+  private val DedupDim      = 32
+  private val DedupBits     = 24
+  private val DedupBands    = 4
+  private val DedupCosMin   = 0.9
+
   // T5 instruction prefix (run.py:84-92 selects one per --type).
   private val EmbedPrompt = "Represent the document for retrieval:"
 
@@ -411,6 +423,52 @@ object TextVector {
         .orderBy($"query_id", $"rn")
     },
 
+    // Embedding-cosine near-dup (builder brief's last dedup family,
+    // next to exact q23 / MinHash q24 / SimHash q29): each doc's
+    // distinct shingle set → codegen'd random-feature embedding
+    // (FeatureEmbed — cosine tracks shingle overlap) → SRP-band LSH
+    // candidates → exact cosine verify within buckets. Bucket-carry
+    // single-lineage pass as in q24 (no self-join recompute, no
+    // all-pairs join anywhere); at 100 TB band width grows with
+    // corpus size (~2·log2 n bits) to hold the bucket collision rate.
+    "q34_embed_dup" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          array_distinct(TextOps.shinglesOf($"toks", DedupShingleK)).as("sh"))
+        // docs with no shingle (<k tokens) are excluded explicitly on
+        // both sides: an all-zero embedding has no cosine
+        .filter(size($"sh") > 0)
+        // the per-dim feature SUM is order-dependent in IEEE doubles
+        // and list_distinct's output order is engine-specific — sort
+        // the hash list so both engines fold in the same order
+        .select($"doc_id",
+          graft.ops.expressions.FeatureEmbed(
+            sort_array(transform($"sh", t => graft.ops.expressions.TextPolyHash(t))),
+            DedupDim).as("v"))
+      val bands = emb.select($"doc_id", $"v",
+        posexplode(graft.ops.expressions.SrpBands($"v", DedupBits, DedupBands))
+          .as(Seq("band_idx", "band_val")))
+      val pairs = bands
+        .groupBy($"band_idx", $"band_val")
+        .agg(collect_list(struct($"doc_id", $"v")).as("members"))
+        .filter(size($"members") > 1)
+        .select(explode(flatten(transform($"members", x =>
+          transform(
+            filter($"members", y => y.getField("doc_id") > x.getField("doc_id")),
+            y => struct(
+              x.getField("doc_id").as("id_a"), x.getField("v").as("v_a"),
+              y.getField("doc_id").as("id_b"), y.getField("v").as("v_b")))))).as("p"))
+        .select($"p.id_a", $"p.v_a", $"p.id_b", $"p.v_b")
+        .dropDuplicates("id_a", "id_b")
+      pairs
+        .select($"id_a", $"id_b",
+          VectorOps.cosine($"v_a", $"v_b").as("cos"))
+        .filter($"cos" >= DedupCosMin)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // T5 (run.py:139): instruction prompt-pair construction — the
     // [[prompt, content], ...] rows the embedding model consumes.
     "q31_prompt_pairs" -> { (s, d) =>
@@ -633,6 +691,48 @@ object TextVector {
            |      FROM sc)
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin
+      },
+
+      "q34_embed_dup" -> {
+        val r = DedupBits / DedupBands
+        // Twin of FeatureEmbed over the doc's distinct-shingle hashes.
+        val fe =
+          s"""list_transform(range(0, $DedupDim), i ->
+             |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(hs, h ->
+             |      CAST((h + (i+1)*$PermMult) % $HashMod AS DOUBLE)/1000000007.0*2.0-1.0)),
+             |    (a, b) -> a + b))""".stripMargin
+        // Twin of SrpBands (same structure as q30's, dim = DedupDim).
+        val bitsSql =
+          s"""list_transform(range(0, $DedupBits), i ->
+             |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(range(0, $DedupDim), dd ->
+             |      v[dd+1] * (CAST((i*$DedupDim+dd+1)*$PermMult % $HashMod AS DOUBLE)
+             |                 /1000000007.0*2.0-1.0))),
+             |    (acc, p) -> acc + p) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)""".stripMargin
+        val bandsSql =
+          s"""list_transform(range(0, $DedupBands), b ->
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, $r), p -> bits[b*$r+p+1] * (CAST(1 AS BIGINT) << p))),
+             |    (acc, v2) -> acc + v2))""".stripMargin
+        s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", DedupShingleK)} AS sh FROM documents),
+           |h AS (SELECT doc_id, list_sort(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs
+           |      FROM s WHERE len(sh) > 0),
+           |e AS (SELECT doc_id, $fe AS v FROM h),
+           |sig AS (SELECT doc_id, v, $bandsSql AS bands
+           |        FROM (SELECT doc_id, v, $bitsSql AS bits FROM e)),
+           |b AS (SELECT doc_id, t.b AS band_idx, bands[t.b+1] AS band_val
+           |      FROM sig, generate_series(0, ${DedupBands - 1}) t(b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |         FROM b x JOIN b y ON x.band_idx = y.band_idx
+           |           AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+           |SELECT id_a, id_b,
+           |  ${Sql.dot("a.v", "b2.v")} / sqrt(${Sql.dot("a.v", "a.v")})
+           |    / sqrt(${Sql.dot("b2.v", "b2.v")}) AS cos
+           |FROM cand JOIN sig a ON cand.id_a = a.doc_id
+           |          JOIN sig b2 ON cand.id_b = b2.doc_id
+           |WHERE cos >= $DedupCosMin
+           |ORDER BY id_a, id_b""".stripMargin
       },
 
       "q31_prompt_pairs" ->

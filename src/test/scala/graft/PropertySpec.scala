@@ -95,6 +95,20 @@ class PropertySpec extends AnyFunSuite {
     assert(real.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("FeatureEmbed codegen kernel == HOF reference, bit-exact") {
+    val texts = samples(asciiText, 60)
+    val df = texts.toDF("text")
+      .select(TextOps.tokens($"text").as("toks"))
+      .select(array_distinct(TextOps.shinglesOf($"toks", 2)).as("sh"))
+      .filter(size($"sh") > 0)
+      .select(transform($"sh",
+        t => graft.ops.expressions.TextPolyHash(t)).as("hs"))
+      .select(
+        graft.ops.expressions.FeatureEmbed($"hs", 8).as("fused"),
+        graft.ops.VectorOps.featureEmbedRef($"hs", 8).as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
   test("anti-join == set difference; semi ∪ anti partitions the left side") {
     val cases = samples(Gen.zip(
       Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))), 12)

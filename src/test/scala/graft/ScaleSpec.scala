@@ -83,4 +83,15 @@ class ScaleSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
     }
   }
+
+  test("q34 embed-dedup is a single-scan bucket-carry plan: no cartesian, one parquet scan") {
+    val plan = graft.queries.TextVector.queries("q34_embed_dup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "q34 must not all-pairs join")
+    // bucket-carry: embeddings travel WITH the band rows, so the
+    // tokenize→shingle→hash→embed lineage is evaluated exactly once
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"q34 should scan documents once:\n${plan.take(600)}")
+  }
 }
