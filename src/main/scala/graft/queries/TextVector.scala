@@ -110,11 +110,15 @@ object TextVector {
   // verify. Dim 32 keeps projection noise (~1/√32) well under the
   // 0.9 decision margin; every planted near-dup pair (jaccard ≥ 0.2)
   // sits above cosine 0.8 (measured at sf0.01), so 0.9 selects the
-  // tight cluster.
+  // tight cluster. Band sizing is the n²-control: chance candidates
+  // ≈ n²/2 · bands · 2^-rowsPerBand, so rowsPerBand must track
+  // log2(n) — 6-bit bands cost 21 s at sf0.1 on chance collisions
+  // alone, 12-bit bands cut them 64×; 16 bands keep recall
+  // ≈ 1-(1-0.857^12)^16 ≈ 0.94 for cosine-0.9 pairs.
   private val DedupShingleK = 2
   private val DedupDim      = 32
-  private val DedupBits     = 24
-  private val DedupBands    = 4
+  private val DedupBits     = 192
+  private val DedupBands    = 16
   private val DedupCosMin   = 0.9
 
   // T5 instruction prefix (run.py:84-92 selects one per --type).
@@ -427,19 +431,32 @@ object TextVector {
     // next to exact q23 / MinHash q24 / SimHash q29): each doc's
     // distinct shingle set → codegen'd random-feature embedding
     // (FeatureEmbed — cosine tracks shingle overlap) → SRP-band LSH
-    // candidates → exact cosine verify within buckets. Bucket-carry
-    // single-lineage pass as in q24 (no self-join recompute, no
-    // all-pairs join anywhere); at 100 TB band width grows with
-    // corpus size (~2·log2 n bits) to hold the bucket collision rate.
+    // candidates → exact cosine verify. No all-pairs join anywhere.
+    // This is the JOIN-BACK variant (q24's comment documents the
+    // trade-off): the corpus has near-dup CLUSTERS (measured max
+    // bucket 871 docs at sf0.1 ⇒ ~8M raw candidate pairs), so pairs
+    // shuffle as bare (id_a, id_b) — the vectors rejoin AFTER the
+    // distinct (the bucket-carry form moved 2×32 doubles through the
+    // same 8M-row shuffle, measured ~4.5 GB vs ~128 MB).
     "q34_embed_dup" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.documents(s, d)
+        // the demo corpus is one parquet file = ONE input split; the
+        // shingle+embed stage is CPU-heavy per row, so fan it out
+        // across cores first (at 100 TB the scan has plentiful
+        // splits and this repartition is dropped)
+        .repartition($"doc_id")
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
         .select($"doc_id",
           array_distinct(TextOps.shinglesOf($"toks", DedupShingleK)).as("sh"))
-        // docs with no shingle (<k tokens) are excluded explicitly on
-        // both sides: an all-zero embedding has no cosine
-        .filter(size($"sh") > 0)
+        // No size(sh)>0 filter HERE on purpose: Catalyst pushes it
+        // below the repartition into the single-split scan, running
+        // the whole shingle computation once more on one core. A
+        // shingle-less doc embeds to the zero vector, every pair it
+        // joins scores cosine NaN, and `NaN >= 0.9` is false on the
+        // JVM — so the final filter drops exactly the rows the
+        // oracle's explicit `WHERE len(sh) > 0` removes up front
+        // (DuckDB sorts NaN above all, so the oracle DOES need it).
         // the per-dim feature SUM is order-dependent in IEEE doubles
         // and list_distinct's output order is engine-specific — sort
         // the hash list so both engines fold in the same order
@@ -447,24 +464,36 @@ object TextVector {
           graft.ops.expressions.FeatureEmbed(
             sort_array(transform($"sh", t => graft.ops.expressions.TextPolyHash(t))),
             DedupDim).as("v"))
-      val bands = emb.select($"doc_id", $"v",
+        // the embedding table is referenced 4× below (both band-join
+        // sides + both vector join-backs) and Spark has no DAG-level
+        // CSE — persist it once. It is ~270 B/doc (id + 32 doubles),
+        // 4 orders smaller than the text it derives from, so
+        // MEMORY_AND_DISK holds it even at corpus scale — the same
+        // stage a production pipeline would materialize.
+        .cache()
+      val bands = emb.select($"doc_id",
         posexplode(graft.ops.expressions.SrpBands($"v", DedupBits, DedupBands))
           .as(Seq("band_idx", "band_val")))
-      val pairs = bands
-        .groupBy($"band_idx", $"band_val")
-        .agg(collect_list(struct($"doc_id", $"v")).as("members"))
-        .filter(size($"members") > 1)
-        .select(explode(flatten(transform($"members", x =>
-          transform(
-            filter($"members", y => y.getField("doc_id") > x.getField("doc_id")),
-            y => struct(
-              x.getField("doc_id").as("id_a"), x.getField("v").as("v_a"),
-              y.getField("doc_id").as("id_b"), y.getField("v").as("v_b")))))).as("p"))
-        .select($"p.id_a", $"p.v_a", $"p.id_b", $"p.v_b")
+      // band-equality SELF-JOIN for candidates (same shape as the
+      // oracle SQL and q29): whole-stage-codegen join + filter. The
+      // bucket-carry groupBy/flatten form pays interpreted-lambda
+      // pair expansion INSIDE each bucket — with an 871-doc cluster
+      // that is ~12M single-threaded lambda evals (this switch plus
+      // the cached embed stage: 17 s → ~1.5 s at sf0.1).
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          $"x.band_idx" === $"y.band_idx" && $"x.band_val" === $"y.band_val" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      pairs
+      cand
+        .join(emb.select($"doc_id".as("id_a"), $"v".as("v_a")), "id_a")
+        .join(emb.select($"doc_id".as("id_b"), $"v".as("v_b")), "id_b")
+        // codegen'd cosine (CosineSim ≡ VectorOps.cosine bit-for-bit)
+        // — the verify stage touches every candidate pair, and three
+        // interpreted HOF reductions per pair dominated the query
         .select($"id_a", $"id_b",
-          VectorOps.cosine($"v_a", $"v_b").as("cos"))
+          graft.ops.expressions.CosineSim($"v_a", $"v_b").as("cos"))
         .filter($"cos" >= DedupCosMin)
         .orderBy($"id_a", $"id_b")
     },

@@ -109,6 +109,17 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("CosineSim codegen kernel == HOF cosine, bit-exact") {
+    val vecs = samples(Gen.listOfN(16,
+      Gen.choose(-1000000, 1000000).map(_ / 1000.0)), 60)
+    val df = vecs.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      .toDF("a", "b")
+      .select(
+        graft.ops.expressions.CosineSim($"a", $"b").as("fused"),
+        graft.ops.VectorOps.cosine($"a", $"b").as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
   test("anti-join == set difference; semi ∪ anti partitions the left side") {
     val cases = samples(Gen.zip(
       Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))), 12)

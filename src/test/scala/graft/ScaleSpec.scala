@@ -84,14 +84,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q34 embed-dedup is a single-scan bucket-carry plan: no cartesian, one parquet scan") {
-    val plan = graft.queries.TextVector.queries("q34_embed_dup")(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("q34 embed-dedup joins back by id: no cartesian, candidate shuffle carries ids only") {
+    val df = graft.queries.TextVector.queries("q34_embed_dup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       "q34 must not all-pairs join")
-    // bucket-carry: embeddings travel WITH the band rows, so the
-    // tokenize→shingle→hash→embed lineage is evaluated exactly once
-    assert("Scan parquet".r.findAllIn(plan).length == 1,
-      s"q34 should scan documents once:\n${plan.take(600)}")
+    // the CPU-heavy shingle+embed stage must fan out past the
+    // single-file scan: a repartition sits above the scan, and no
+    // heavy text predicate leaks down into the scan's filters (a
+    // pushed size(shingles)>0 re-ran the whole tokenize on one core)
+    assert(plan.contains("REPARTITION_BY_COL"),
+      "embed stage must repartition off the single-split scan")
+    val scanLines = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scanLines.nonEmpty && scanLines.forall(!_.contains("regexp")),
+      s"text kernels must not run inside the scan:\n${scanLines.headOption.getOrElse("")}")
   }
 }
