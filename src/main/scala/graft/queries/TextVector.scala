@@ -163,11 +163,15 @@ object TextVector {
     "q21_chunk_pool" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        // fan the CPU-heavy tokenize+chunk+embed stage out past the
+        // single-file scan split (q34 has the full rationale)
+        .repartition($"doc_id")
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        // zero-token docs are excluded EXPLICITLY on both sides (the
-        // oracle has the same len>0 predicate) — otherwise posexplode
-        // silently drops them here while the oracle keeps a NaN row
-        .filter(size($"toks") > 0)
+        // zero-token docs: posexplode of an empty chunk list emits
+        // nothing, which is the exclusion we want — an explicit
+        // size(toks)>0 filter would be pushed below the repartition
+        // and re-tokenize on the scan core. The oracle keeps its
+        // explicit len>0 predicate (DuckDB would emit a NaN row).
         .select($"doc_id",
           posexplode(TextOps.chunksOf($"toks", ChunkTokens)).as(Seq("pos", "chunk")))
         .withColumn("emb", VectorOps.embed($"chunk", EmbedDim))
@@ -221,60 +225,59 @@ object TextVector {
     "q24_near_dup" -> { (s, d) =>
       import s.implicits._
       val P = lit(HashMod)
-      // Tokens and shingles are materialized column attributes (each
-      // referenced >1×, so CollapseProject cannot inline them) — an
-      // inline tokens(text) inside the shingle lambda would re-run
-      // the regex once per shingle position (measured 191s → ~15s at
-      // sf0.1 for this query).
+      // ShingleHashes fuses tokenize→shingle→hash→distinct and
+      // MinHashSig fuses the 16 permutation minima, both one codegen
+      // scan — the HOF forms were ~2 s of interpreted
+      // array_join(slice(…)) and ~56M lambda evals at sf0.1. The
+      // shingle SET survives as hashes only: Jaccard over distinct
+      // hash sets equals Jaccard over the shingle strings up to hash
+      // collisions, which both engines compute identically (standard
+      // minhash practice — the verify never needs the strings).
       val sh = Tables.documents(s, d)
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        // fan out past the single-file scan split (q34 rationale)
+        .repartition($"doc_id")
         .select($"doc_id",
-          array_distinct(TextOps.shinglesOf($"toks", ShingleK)).as("sh"))
-      val sig = sh
-        .select($"doc_id", $"sh",
-          transform($"sh", t => graft.ops.expressions.TextPolyHash(t)).as("hs"))
-        .select(
-          $"doc_id", $"sh",
-          transform(
-            sequence(lit(0L), lit(NumPerms.toLong - 1)),
-            j => {
-              val a = (j + 1) * lit(PermMult) % P
-              val b = (j * lit(40503L) + 1) % P
-              array_min(transform($"hs", h => (a * h + b) % P))
-            }).as("sig"))
-      val bands = sig.select(
-        $"doc_id", $"sh",
+          graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
+        // shingle-less docs (<k tokens) are excluded both sides (the
+        // pushed copy of this predicate at the scan is a cheap
+        // codegen kernel, unlike the interpreted HOF it replaced)
+        .filter(size($"hs") > 0)
+        .select($"doc_id", $"hs",
+          graft.ops.expressions.MinHashSig($"hs", NumPerms).as("sig"))
+      val bands = sh.select(
+        $"doc_id", $"hs",
         posexplode(transform(
           sequence(lit(0L), lit(Bands.toLong - 1)),
           b => aggregate(
             slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
             lit(0L),
             (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
-      // Bucket-carry formulation: shingle sets travel WITH the band
-      // rows into the groupBy, so the whole tokenize→shingle→minhash
+      // Bucket-carry formulation: shingle-hash sets travel WITH the
+      // band rows into the groupBy, so the whole scan→minhash
       // lineage is evaluated ONCE (a band self-join would recompute
       // it per side — measured 11.3s → ~4s at sf0.1). Trade-off:
       // shuffle carries Bands× the shingle payload; with huge
       // payloads (long docs at 100 TB) flip to the join-back variant
-      // (candidates by id only, shingles re-joined for the verify).
-      // Worst-case bucket of m colliding docs emits m(m-1)/2 pairs —
-      // inherent to LSH, bounded by band-hash collision rate.
+      // (candidates by id only, shingles re-joined for the verify —
+      // q34 demonstrates it). Worst-case bucket of m colliding docs
+      // emits m(m-1)/2 pairs — inherent to LSH, bounded by band-hash
+      // collision rate (measured max bucket 19 here).
       val pairs = bands
         .groupBy($"band_idx", $"band_hash")
-        .agg(collect_list(struct($"doc_id", $"sh")).as("members"))
+        .agg(collect_list(struct($"doc_id", $"hs")).as("members"))
         .filter(size($"members") > 1)
         .select(explode(flatten(transform($"members", x =>
           transform(
             filter($"members", y => y.getField("doc_id") > x.getField("doc_id")),
             y => struct(
-              x.getField("doc_id").as("id_a"), x.getField("sh").as("sh_a"),
-              y.getField("doc_id").as("id_b"), y.getField("sh").as("sh_b")))))).as("p"))
-        .select($"p.id_a", $"p.sh_a", $"p.id_b", $"p.sh_b")
+              x.getField("doc_id").as("id_a"), x.getField("hs").as("hs_a"),
+              y.getField("doc_id").as("id_b"), y.getField("hs").as("hs_b")))))).as("p"))
+        .select($"p.id_a", $"p.hs_a", $"p.id_b", $"p.hs_b")
         .dropDuplicates("id_a", "id_b")
       pairs
         .select($"id_a", $"id_b",
-          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")).cast("double")).as("jaccard"))
+          (size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+            size(array_union($"hs_a", $"hs_b")).cast("double")).as("jaccard"))
         .filter($"jaccard" >= JaccardMin)
         .orderBy($"id_a", $"id_b")
     },
@@ -345,8 +348,14 @@ object TextVector {
       // regex, no intermediate token array) — property-tested equal
       // to transform(tokens(text), polyHash).
       val bandsDf = Tables.documents(s, d)
+        // fan out past the single-file scan split, and persist: the
+        // band table (doc_id + 4 longs) is referenced 3× below and
+        // each reference would otherwise re-run the fused scan
+        // (q34 rationale)
+        .repartition($"doc_id")
         .select($"doc_id", graft.ops.expressions.SimHashBands(
           graft.ops.expressions.TokenHashes($"text")).as("bands"))
+        .cache()
       val exploded = bandsDf.select($"doc_id",
         posexplode($"bands").as(Seq("band_idx", "band_val")))
       val cand = exploded.as("x")
@@ -446,23 +455,18 @@ object TextVector {
         // across cores first (at 100 TB the scan has plentiful
         // splits and this repartition is dropped)
         .repartition($"doc_id")
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        .select($"doc_id",
-          array_distinct(TextOps.shinglesOf($"toks", DedupShingleK)).as("sh"))
-        // No size(sh)>0 filter HERE on purpose: Catalyst pushes it
-        // below the repartition into the single-split scan, running
-        // the whole shingle computation once more on one core. A
-        // shingle-less doc embeds to the zero vector, every pair it
-        // joins scores cosine NaN, and `NaN >= 0.9` is false on the
-        // JVM — so the final filter drops exactly the rows the
-        // oracle's explicit `WHERE len(sh) > 0` removes up front
-        // (DuckDB sorts NaN above all, so the oracle DOES need it).
-        // the per-dim feature SUM is order-dependent in IEEE doubles
-        // and list_distinct's output order is engine-specific — sort
-        // the hash list so both engines fold in the same order
+        // No size>0 filter HERE on purpose: a shingle-less doc embeds
+        // to the zero vector, every pair it joins scores cosine NaN,
+        // and `NaN >= 0.9` is false on the JVM — so the final filter
+        // drops exactly the rows the oracle's explicit
+        // `WHERE len(sh) > 0` removes up front (DuckDB sorts NaN
+        // above all, so the oracle DOES need it). The per-dim
+        // feature SUM is order-dependent in IEEE doubles and
+        // list_distinct's output order is engine-specific — sort the
+        // hash set so both engines fold in the same order.
         .select($"doc_id",
           graft.ops.expressions.FeatureEmbed(
-            sort_array(transform($"sh", t => graft.ops.expressions.TextPolyHash(t))),
+            sort_array(graft.ops.expressions.ShingleHashes($"text", DedupShingleK)),
             DedupDim).as("v"))
         // the embedding table is referenced 4× below (both band-join
         // sides + both vector join-backs) and Spark has no DAG-level
@@ -535,6 +539,9 @@ object TextVector {
     "q26_text_stats" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        // no repartition: the full-text shuffle costs more than this
+        // single narrow pass saves (measured 0.97 s → 1.25 s at
+        // sf0.1) — fan-out only pays off above ~1 s/core of kernels
         .select($"doc_id", $"lang", $"text", TextOps.tokens($"text").as("toks"))
         .select(
           $"doc_id", $"lang",
@@ -595,8 +602,9 @@ object TextVector {
 
       "q24_near_dup" ->
         s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", ShingleK)} AS sh FROM documents),
-           |h AS (SELECT doc_id, sh, list_transform(sh, t -> ${Sql.polyHash("t")}) AS hs FROM s),
-           |g AS (SELECT doc_id, sh, list_transform(range(0, $NumPerms), j ->
+           |h AS (SELECT doc_id, list_distinct(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs
+           |      FROM s WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, list_transform(range(0, $NumPerms), j ->
            |        list_min(list_transform(hs, h ->
            |          (((j+1)*$PermMult % $HashMod) * h + (j*40503+1) % $HashMod) % $HashMod))) AS sig
            |      FROM h),
@@ -609,9 +617,9 @@ object TextVector {
            |         FROM b x JOIN b y ON x.band_idx = y.band_idx
            |           AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
            |SELECT id_a, id_b,
-           |  CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
-           |    / CAST(len(list_distinct(list_concat(a.sh, b2.sh))) AS DOUBLE) AS jaccard
-           |FROM cand JOIN s a ON cand.id_a = a.doc_id JOIN s b2 ON cand.id_b = b2.doc_id
+           |  CAST(len(list_intersect(a.hs, b2.hs)) AS DOUBLE)
+           |    / CAST(len(list_distinct(list_concat(a.hs, b2.hs))) AS DOUBLE) AS jaccard
+           |FROM cand JOIN h a ON cand.id_a = a.doc_id JOIN h b2 ON cand.id_b = b2.doc_id
            |WHERE jaccard >= $JaccardMin
            |ORDER BY id_a, id_b""".stripMargin,
 
@@ -745,7 +753,7 @@ object TextVector {
              |    list_transform(range(0, $r), p -> bits[b*$r+p+1] * (CAST(1 AS BIGINT) << p))),
              |    (acc, v2) -> acc + v2))""".stripMargin
         s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", DedupShingleK)} AS sh FROM documents),
-           |h AS (SELECT doc_id, list_sort(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs
+           |h AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, t -> ${Sql.polyHash("t")}))) AS hs
            |      FROM s WHERE len(sh) > 0),
            |e AS (SELECT doc_id, $fe AS v FROM h),
            |sig AS (SELECT doc_id, v, $bandsSql AS bands

@@ -109,6 +109,41 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("ShingleHashes fused kernel == distinct(polyhash(shingle strings)), on fuzz and real data") {
+    val texts = samples(asciiText, 80) ++
+      samples(Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(' ', '\t', '\n', 'é', '→', '!', '.'))).map(_.mkString), 40)
+    for (k <- Seq(2, 3)) {
+      val fuzz = texts.toDF("text")
+        .select($"text", TextOps.tokens($"text").as("toks"))
+        .select(
+          graft.ops.expressions.ShingleHashes($"text", k).as("fused"),
+          array_distinct(transform(TextOps.shinglesOf($"toks", k),
+            t => graft.ops.expressions.TextPolyHash(t))).as("ref"))
+      assert(fuzz.filter($"fused" =!= $"ref").count() == 0, s"k=$k fuzz mismatch")
+    }
+    val real = Tables.documents(spark, sf)
+      .select($"text", TextOps.tokens($"text").as("toks"))
+      .select(
+        graft.ops.expressions.ShingleHashes($"text", 3).as("fused"),
+        array_distinct(transform(TextOps.shinglesOf($"toks", 3),
+          t => graft.ops.expressions.TextPolyHash(t))).as("ref"))
+    assert(real.filter($"fused" =!= $"ref").count() == 0)
+  }
+
+  test("MinHashSig kernel == HOF permutation minima") {
+    val hsGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000006L))
+    val df = samples(hsGen, 80).toDF("hs")
+      .select(
+        graft.ops.expressions.MinHashSig($"hs", 16).as("fused"),
+        transform(sequence(lit(0L), lit(15L)), j => {
+          val a = (j + 1) * lit(2654435761L) % lit(1000000007L)
+          val b = (j * lit(40503L) + 1) % lit(1000000007L)
+          array_min(transform($"hs", h => (a * h + b) % lit(1000000007L)))
+        }).as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
   test("CosineSim codegen kernel == HOF cosine, bit-exact") {
     val vecs = samples(Gen.listOfN(16,
       Gen.choose(-1000000, 1000000).map(_ / 1000.0)), 60)
