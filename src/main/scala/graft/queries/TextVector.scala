@@ -174,7 +174,9 @@ object TextVector {
         // explicit len>0 predicate (DuckDB would emit a NaN row).
         .select($"doc_id",
           posexplode(TextOps.chunksOf($"toks", ChunkTokens)).as(Seq("pos", "chunk")))
-        .withColumn("emb", VectorOps.embed($"chunk", EmbedDim))
+        // HashEmbed hashes each chunk ONCE (the HOF embed re-folds
+        // the chunk text per dimension — kernel == HOF, unit-tested)
+        .withColumn("emb", graft.ops.expressions.HashEmbed($"chunk", EmbedDim))
         .withColumn("w", length($"chunk").cast("double"))
         .groupBy($"doc_id")
         .agg(
@@ -198,7 +200,8 @@ object TextVector {
     "q22_merge" -> { (s, d) =>
       import s.implicits._
       val t = Tables.documents(s, d)
-        .select($"doc_id", VectorOps.embed($"text", MergeDim).as("t_emb"))
+        // HashEmbed folds the full text once, not once per dimension
+        .select($"doc_id", graft.ops.expressions.HashEmbed($"text", MergeDim).as("t_emb"))
       val a = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       a.join(t, $"vec_id" === $"doc_id", "left_outer")
         .select(

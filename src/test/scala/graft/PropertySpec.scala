@@ -131,6 +131,14 @@ class PropertySpec extends AnyFunSuite {
     assert(real.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("HashEmbed codegen kernel == HOF embed, bit-exact") {
+    val texts = samples(asciiText, 60) ++ Seq("", "é→!")
+    val df = texts.toDF("text").select(
+      graft.ops.expressions.HashEmbed($"text", 8).as("fused"),
+      graft.ops.VectorOps.embed($"text", 8).as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
   test("MinHashSig kernel == HOF permutation minima") {
     val hsGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000006L))
     val df = samples(hsGen, 80).toDF("hs")
