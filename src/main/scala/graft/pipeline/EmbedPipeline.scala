@@ -40,7 +40,9 @@ object EmbedPipeline {
                shardRows: Int): Long = {
     val df = spark.read.parquet(inPath)
       .select(col(idCol).as("id"), col(contentCol).as("content"))
-      .withColumn("embedding", VectorOps.embed(col("content"), dim))
+      // codegen kernel ≡ VectorOps.embed (unit-enforced); the HOF
+      // form re-hashes the text once per dimension
+      .withColumn("embedding", graft.ops.expressions.HashEmbed(col("content"), dim))
     // The K3 rows-per-file bound is the session conf, not a writer
     // option (the option form is silently ignored).
     val key = "spark.sql.files.maxRecordsPerFile"
@@ -87,7 +89,7 @@ object EmbedPipeline {
       // it, the exact row-loss class this module exists to prevent
       .select(col("id"),
         posexplode_outer(TextOps.chunksOf(col("toks"), maxTokens)).as(Seq("pos", "chunk")))
-      .withColumn("emb", VectorOps.embed(col("chunk"), dim))
+      .withColumn("emb", graft.ops.expressions.HashEmbed(col("chunk"), dim))
       // null chunk (outer-exploded empty doc): weight 0, not null —
       // VecW.w is a primitive Double and must never see null
       .withColumn("w", coalesce(length(col("chunk")), lit(0)).cast("double"))
