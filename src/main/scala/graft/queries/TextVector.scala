@@ -522,9 +522,11 @@ object TextVector {
 
     // Multimodal (builder brief): binary payload manifest → batched
     // stub decode/featurize (graft.multimodal) → relational summary.
-    // No DuckDB oracle (the mapPartitions inference stage is not
-    // SQL-expressible) → driver records the rows-only check; the
-    // deeper contracts are in MultimodalSpec.
+    // The summary IS oracle-gated: kind, counts and byte totals are
+    // deterministic functions of `documents`, and the inference
+    // stage contributes only the (parameter) feature dim — the
+    // feature VALUES, which SQL cannot express, are contract-tested
+    // in MultimodalSpec instead.
     "q32_media_features" -> { (s, d) =>
       import s.implicits._
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
@@ -807,6 +809,20 @@ object TextVector {
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin
       },
+
+      "q32_media_features" ->
+        // Twin of mediaFromDocuments' manifest columns: kind is the
+        // doc_id%3 round-robin, n_bytes the utf8 byte length of text
+        // (payload := text.cast(binary)); dim is the stub stage's
+        // parameter (16) — the only value SQL cannot derive.
+        s"""SELECT kind, count(*) AS n_items,
+           |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           |  CAST(16 AS BIGINT) AS dim
+           |FROM (SELECT CASE CAST(doc_id % 3 AS INT)
+           |        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |        text
+           |      FROM documents)
+           |GROUP BY kind ORDER BY kind""".stripMargin,
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {
