@@ -84,6 +84,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition (the runtime half of the skew playbook; q19 is the salting half)") {
+    val prev = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds scaled down so local test data counts as "skewed";
+    // at 100 TB the defaults (256 MB advisory) play the same role
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 90% of the left side lands on one key — the hot-key shape
+      // that stalls a static sort-merge join on one reducer
+      val left = spark.range(200000)
+        .select(when($"id" % 10 < 9, lit(7L)).otherwise($"id" % 1000).as("k"),
+          concat(lit("payload-"), $"id").as("pad"))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not split the skewed partition:\n${plan.take(500)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q34 embed-dedup joins back by id: no cartesian, candidate shuffle carries ids only") {
     val df = graft.queries.TextVector.queries("q34_embed_dup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
