@@ -329,6 +329,24 @@ object TextVector {
         .orderBy($"win_day", $"event_type")
     },
 
+    // Native session windows (batch form of the M4 streaming
+    // sessionizer — graft.streaming.EventSessions holds the
+    // custom-state variant): Spark's built-in session_window merges
+    // events of a user with < 1h between neighbors; end = last+gap.
+    // One shuffle on (user, session); DuckDB oracle re-derives the
+    // sessions with lag + running sum (same strict-< merge rule).
+    "q35_session_windows" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "1 hour"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_millis($"session_window.start").as("start_ms"),
+          unix_millis($"session_window.end").as("end_ms"),
+          $"n_events")
+        .orderBy($"user_id", $"start_ms")
+    },
+
     // JSON property extraction (events.props) — semi-structured
     // column access stays codegen'd (GetJsonObject).
     "q28_json_props" -> { (s, d) =>
@@ -650,6 +668,24 @@ object TextVector {
            |  count(*) AS n, ${Oracles.fsum("value")} AS total_value
            |FROM events GROUP BY win_day, event_type
            |ORDER BY win_day, event_type""".stripMargin,
+
+      "q35_session_windows" ->
+        // Sessionize exactly as Spark's session_window does: a new
+        // session starts when the gap to the previous event is
+        // >= 1h (merge is strict <); end = last event + gap.
+        s"""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),
+           |x AS (SELECT user_id, ms,
+           |        CASE WHEN lag(ms) OVER w IS NULL
+           |               OR ms - lag(ms) OVER w >= 3600000 THEN 1 ELSE 0 END AS ns
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+           |y AS (SELECT user_id, ms,
+           |        sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+           |                      ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM x)
+           |SELECT user_id, min(ms) AS start_ms, max(ms) + 3600000 AS end_ms,
+           |  count(*) AS n_events
+           |FROM y GROUP BY user_id, sid
+           |ORDER BY user_id, start_ms""".stripMargin,
 
       "q28_json_props" ->
         s"""SELECT event_id, event_type,
