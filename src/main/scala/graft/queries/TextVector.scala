@@ -347,6 +347,39 @@ object TextVector {
         .orderBy($"user_id", $"start_ms")
     },
 
+    // AS-OF JOIN (capability extension — the classic "operator Spark
+    // lacks", composed per the brief's preference (a)): each event
+    // joins the most recent order-day total of the same key at or
+    // before its timestamp. NOT a range join (whose candidate set is
+    // O(events × orders) per key): tag + UNION both sides, one
+    // window over (key, time, tag) carrying the last non-null order
+    // value forward — a single shuffle, linear work, the shape that
+    // survives 100 TB. Order rows sort before events at the same
+    // instant (tag 0 < 1), giving inclusive `>=` semantics — the
+    // oracle is DuckDB's NATIVE ASOF LEFT JOIN.
+    "q36_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(sumExact($"o_totalprice").as("day_total"))
+        // o_orderdate is parquet TIMESTAMP_NTZ; the UTC session makes
+        // the cast's wall-clock reading == DuckDB's naive epoch_ms
+        .select($"o_custkey".as("k"),
+          unix_millis($"o_orderdate".cast("timestamp")).as("t"),
+          lit(0).as("tag"), lit(null).cast("bigint").as("event_id"), $"day_total")
+      val e = Tables.events(s, d)
+        .select($"user_id".as("k"), unix_millis($"ts").as("t"),
+          lit(1).as("tag"), $"event_id", lit(null).cast("double").as("day_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"t", $"tag")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      o.unionByName(e)
+        .withColumn("asof_total", last($"day_total", ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"event_id", $"k".as("user_id"), $"asof_total")
+        .orderBy($"event_id")
+    },
+
     // JSON property extraction (events.props) — semi-structured
     // column access stays codegen'd (GetJsonObject).
     "q28_json_props" -> { (s, d) =>
@@ -686,6 +719,17 @@ object TextVector {
            |  count(*) AS n_events
            |FROM y GROUP BY user_id, sid
            |ORDER BY user_id, start_ms""".stripMargin,
+
+      "q36_asof_join" ->
+        s"""WITH oagg AS (SELECT o_custkey AS k,
+           |    CAST(epoch_ms(o_orderdate) AS BIGINT) AS t,
+           |    ${Oracles.fsum("o_totalprice")} AS day_total
+           |  FROM orders GROUP BY 1, 2),
+           |e AS (SELECT event_id, user_id AS k,
+           |        CAST(epoch_ms(ts) AS BIGINT) AS t FROM events)
+           |SELECT e.event_id, e.k AS user_id, o.day_total AS asof_total
+           |FROM e ASOF LEFT JOIN oagg o ON e.k = o.k AND e.t >= o.t
+           |ORDER BY event_id""".stripMargin,
 
       "q28_json_props" ->
         s"""SELECT event_id, event_type,
