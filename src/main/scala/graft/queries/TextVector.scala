@@ -381,10 +381,14 @@ object TextVector {
     },
 
     // JSON property extraction (events.props) — semi-structured
-    // column access stays codegen'd (GetJsonObject).
+    // column access stays codegen'd (GetJsonObject). The parse runs
+    // twice (pushed filter copy + projection) and events is one
+    // input split, so fan out first — props are small, the shuffle
+    // is cheap (measured 1.26 s → 0.06 s at sf0.1).
     "q28_json_props" -> { (s, d) =>
       import s.implicits._
       Tables.events(s, d)
+        .repartition($"event_id")
         .select($"event_id", $"event_type",
           get_json_object($"props", "$.k").cast("bigint").as("k"))
         .filter($"k" > 50)
