@@ -84,6 +84,51 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-style layout prunes partitions at planning: only matching directories are scanned") {
+    // the 100-TB layout practice: land data partitioned by a coarse
+    // key (date, lang, source) so selective reads never touch the
+    // rest of the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, sf)
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions, not scan rows:\n${plan.take(400)}")
+    // the pruned scan touches only the lang=en directory
+    val files = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"scan read outside lang=en: ${files.filterNot(_.contains("lang=en")).take(2).mkString}")
+    val expected = Tables.documents(spark, sf).filter($"lang" === "en").count()
+    assert(read.count() == expected)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join before the shuffle") {
+    // at 100 TB a selective dim filter should cut fact-scan output
+    // BEFORE the join shuffle; Spark injects a bloom filter from the
+    // filtered creation side into the fact scan (thresholds lowered
+    // so local data qualifies — the defaults gate on 10 MB sides)
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter($"o_totalprice" > 350000)
+      val j = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n${plan.take(400)}")
+      // and the rewrite is semantics-preserving
+      val direct = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      assert(j.count() == direct.count())
+    } finally prev.foreach { case (k, vo) => vo.foreach(spark.conf.set(k, _)) }
+  }
+
   test("AQE splits a skewed join partition (the runtime half of the skew playbook; q19 is the salting half)") {
     val prev = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.get(k)).toMap
