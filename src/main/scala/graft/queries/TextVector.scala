@@ -380,6 +380,36 @@ object TextVector {
         .orderBy($"event_id")
     },
 
+    // RANGE JOIN (capability extension, the interval member of the
+    // join family next to q36's as-of): per user and day, count the
+    // events inside 6 hours of that day's first event (an interval
+    // may cross midnight into the next bucket). NOT an inequality
+    // join (O(intervals × events) per key): intervals explode into
+    // the day buckets they cover, events hash to their single
+    // containing bucket, and an EQUI-join on (key, day) meets each
+    // true pair exactly once (a point lies in one bucket — no dedup
+    // pass) before the exact range predicate. Work is linear in
+    // data + interval spans; the bucket width trades explode factor
+    // against join selectivity at scale.
+    "q37_range_join" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id".as("k"), unix_millis($"ts").as("t"))
+        .withColumn("day", expr("t div 86400000"))
+      val iv = e.groupBy($"k", $"day")
+        .agg(min($"t").as("start_ms"))
+        .withColumn("end_ms", $"start_ms" + lit(6L * 3600000L))
+      val ivBuckets = iv.select($"k", $"day".as("iv_day"), $"start_ms", $"end_ms",
+        explode(sequence(expr("start_ms div 86400000"),
+          expr("(end_ms - 1) div 86400000"))).as("day"))
+      ivBuckets.join(e, Seq("k", "day"))
+        .filter($"t" >= $"start_ms" && $"t" < $"end_ms")
+        .groupBy($"k", $"iv_day")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"k".as("user_id"), $"iv_day".as("day"), $"n_events")
+        .orderBy($"user_id", $"day")
+    },
+
     // JSON property extraction (events.props) — semi-structured
     // column access stays codegen'd (GetJsonObject). The parse runs
     // twice (pushed filter copy + projection) and events is one
@@ -734,6 +764,18 @@ object TextVector {
            |SELECT e.event_id, e.k AS user_id, o.day_total AS asof_total
            |FROM e ASOF LEFT JOIN oagg o ON e.k = o.k AND e.t >= o.t
            |ORDER BY event_id""".stripMargin,
+
+      "q37_range_join" ->
+        // the oracle states the range join DIRECTLY as an inequality
+        // join — fine at oracle scale, and it proves the bucketed
+        // rewrite loses/duplicates nothing
+        s"""WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS t FROM events),
+           |iv AS (SELECT k, t // 86400000 AS day, min(t) AS start_ms,
+           |         min(t) + 21600000 AS end_ms
+           |       FROM e GROUP BY 1, 2)
+           |SELECT iv.k AS user_id, iv.day, count(*) AS n_events
+           |FROM iv JOIN e ON iv.k = e.k AND e.t >= iv.start_ms AND e.t < iv.end_ms
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q28_json_props" ->
         s"""SELECT event_id, event_type,
