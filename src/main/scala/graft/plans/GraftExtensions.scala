@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
-/** Engine optimizer extensions (SURVEY §4, §7.2 M5).
+/** Engine optimizer + function extensions (SURVEY §4, §7.2 M5).
   *
   * [[DerivedTokenPrefilter]]: a token-count predicate
   * `size(regexp_extract_all(text, TokenPattern, 1)) > n` cannot reach
@@ -19,12 +19,53 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * `n_chars` guard by hand; this rule derives it for ANY
   * token-count predicate, including user-written ones.
   *
+  * The kernel expressions are also registered as SQL FUNCTIONS, so
+  * the whole engine surface is reachable from `spark.sql(...)` —
+  * e.g. `SELECT cosine_sim(a, b)`, `shingle_hashes(text, 3)` — not
+  * only from the Column API.
+  *
   * Registered via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (Verify/Bench/TestSpark session builders).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import graft.ops.expressions._
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def litInt(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, _)          => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an integer literal, got $other")
+  }
+
+  private def inject(e: SparkSessionExtensions, name: String, arity: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity.length,
+          s"$name expects ${arity.length} arguments (${arity}), got ${args.length}")
+        builder(args)
+      }))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DerivedTokenPrefilter)
+    // arity string: one char per arg (e=expression, i=int literal)
+    inject(e, "text_poly_hash", "e")(a => TextPolyHash(a.head))
+    inject(e, "token_hashes", "e")(a => TokenHashes(a.head))
+    inject(e, "shingle_hashes", "ei")(a =>
+      ShingleHashes(a.head, litInt("shingle_hashes", a(1))))
+    inject(e, "minhash_sig", "ei")(a =>
+      MinHashSig(a.head, litInt("minhash_sig", a(1))))
+    inject(e, "hash_embed", "ei")(a =>
+      HashEmbed(a.head, litInt("hash_embed", a(1))))
+    inject(e, "feature_embed", "ei")(a =>
+      FeatureEmbed(a.head, litInt("feature_embed", a(1))))
+    inject(e, "cosine_sim", "ee")(a => CosineSim(a.head, a(1)))
+    inject(e, "simhash_bands", "e")(a => SimHashBands(a.head))
+    inject(e, "srp_bands", "eii")(a =>
+      SrpBands(a.head, litInt("srp_bands", a(1)), litInt("srp_bands", a(2))))
+  }
 }
 
 object DerivedTokenPrefilter extends Rule[LogicalPlan] {
