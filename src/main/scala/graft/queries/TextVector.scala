@@ -624,21 +624,22 @@ object TextVector {
     },
 
     // Text analysis (builder brief): language-ID heuristic, quality
-    // score, token/sentence counts — all codegen'd column
-    // expressions, no UDF, single narrow pass.
+    // score, token/sentence counts — ONE fused codegen kernel pass
+    // (TextStats ≡ the four HOF columns, unit-enforced). No
+    // repartition: the full-text shuffle costs more than this single
+    // narrow pass saves — fan-out only pays off above ~1 s/core of
+    // kernels, and the fused pass is far under that.
     "q26_text_stats" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        // no repartition: the full-text shuffle costs more than this
-        // single narrow pass saves (measured 0.97 s → 1.25 s at
-        // sf0.1) — fan-out only pays off above ~1 s/core of kernels
-        .select($"doc_id", $"lang", $"text", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id", $"lang",
+          graft.ops.expressions.TextStats($"text").as("st"))
         .select(
           $"doc_id", $"lang",
-          size($"toks").cast("bigint").as("n_tokens"),
-          size(TextOps.sentences($"text")).cast("bigint").as("n_sentences"),
-          TextOps.langIdOf($"toks").as("lang_pred"),
-          roundFix(TextOps.qualityScoreOf($"toks"), 6).as("quality"))
+          $"st.n_tokens".as("n_tokens"),
+          $"st.n_sentences".as("n_sentences"),
+          $"st.lang_pred".as("lang_pred"),
+          roundFix($"st.quality", 6).as("quality"))
         .orderBy($"doc_id")
     }
   )

@@ -131,6 +131,44 @@ class PropertySpec extends AnyFunSuite {
     assert(real.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("TextStats fused kernel == the four HOF stat columns, incl. NaN and ties") {
+    import org.apache.spark.sql.DataFrame
+    val texts = samples(asciiText, 80) ++
+      samples(Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(' ', '\t', '\n', '.', '!', '?', 'é', '→'))).map(_.mkString), 60) ++
+      Seq("", "...", " \t ", "the der le el", "a. b! c? d", ".!? .", "x.\t.y")
+    // the HOF quality reference THROWS under ANSI for zero-token
+    // text (x/0), so the comparison domain is n_tokens > 0 — the
+    // kernel is total (NaN) there, pinned separately below
+    def cols(df: DataFrame) = df
+      .select($"text", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select(
+        graft.ops.expressions.TextStats($"text").as("st"),
+        size($"toks").cast("bigint").as("rn"),
+        size(TextOps.sentences($"text")).cast("bigint").as("rs"),
+        TextOps.langIdOf($"toks").as("rl"),
+        TextOps.qualityScoreOf($"toks").as("rq"))
+    val all = cols(texts.toDF("text"))
+      .unionByName(cols(Tables.documents(spark, sf).select($"text")))
+    val bad = all.filter(
+      $"st.n_tokens" =!= $"rn" || $"st.n_sentences" =!= $"rs" ||
+        $"st.lang_pred" =!= $"rl" || !($"st.quality" <=> $"rq"))
+    assert(bad.count() == 0)
+    // zero-token text: total, no ANSI fault — a poison row must not
+    // kill a 100-TB job. (n_sentences still follows the space-only
+    // trim rule: " \t " is one non-empty segment, "" is none.)
+    val empty = Seq(("", 0L), (" \t ", 1L)).toDF("text", "want_sent")
+      .select($"want_sent", graft.ops.expressions.TextStats($"text").as("st"))
+      .select($"want_sent", $"st.n_tokens", $"st.n_sentences",
+        $"st.lang_pred", isnan($"st.quality"))
+      .collect()
+    empty.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == r.getLong(0) &&
+        r.getString(3) == "und" && r.getBoolean(4))
+    }
+  }
+
   test("HashEmbed codegen kernel == HOF embed, bit-exact") {
     val texts = samples(asciiText, 60) ++ Seq("", "é→!")
     val df = texts.toDF("text").select(
