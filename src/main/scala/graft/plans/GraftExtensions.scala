@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FeatureEmbed(a.head, litInt("feature_embed", a(1))))
     inject(e, "cosine_sim", "ee")(a => CosineSim(a.head, a(1)))
     inject(e, "simhash_bands", "e")(a => SimHashBands(a.head))
+    inject(e, "text_stats", "e")(a => TextStats(a.head))
     inject(e, "srp_bands", "eii")(a =>
       SrpBands(a.head, litInt("srp_bands", a(1)), litInt("srp_bands", a(2))))
   }

@@ -22,6 +22,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.ops.expressions.ShingleHashes($"text", 3).as("sh"),
       graft.ops.expressions.HashEmbed($"text", 4).as("v"))
     assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+    val stats = spark.sql(
+      "SELECT text_stats(text).lang_pred AS lp FROM docs_sql WHERE text_stats(text).n_tokens > 0")
+    assert(stats.count() > 0)
   }
 
   test("vector kernels are callable from SQL: cosine_sim, srp_bands, minhash_sig") {
