@@ -80,6 +80,33 @@ class StreamingSpec extends AnyFunSuite {
       "late straggler mutated an already-closed window")
   }
 
+  test("streaming chunk-embed pipeline (EP2 analog): exactly-once, matches the batch job") {
+    import graft.streaming.DocEmbedStream
+    import graft.pipeline.EmbedPipeline
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val schema = docs.schema
+    val inDir = tmp("embst-in"); val outDir = tmp("embst-out"); val ck = tmp("embst-ck")
+
+    // files land in two deliveries; a third run sees nothing new
+    docs.filter(col("doc_id") < 250).coalesce(1).write.mode("append").parquet(inDir)
+    DocEmbedStream.runOnce(spark, inDir, outDir, ck, schema, maxTokens = 16, dim = 8)
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(inDir)
+    DocEmbedStream.runOnce(spark, inDir, outDir, ck, schema, maxTokens = 16, dim = 8)
+    DocEmbedStream.runOnce(spark, inDir, outDir, ck, schema, maxTokens = 16, dim = 8)
+
+    val streamed = spark.read.parquet(outDir).select("id", "embedding")
+    // exactly-once: every doc pooled exactly once across the runs
+    assert(streamed.count() == docs.count())
+    assert(streamed.select("id").distinct().count() == docs.count())
+    // and the streamed result IS the batch pipeline's result
+    val batchOut = tmp("embst-batch")
+    EmbedPipeline.chunkEmbedJob(spark, docs, batchOut, "doc_id", "text",
+      maxTokens = 16, dim = 8)
+    val batch = spark.read.parquet(batchOut).select("id", "embedding")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed pooled embeddings differ from the batch twin")
+  }
+
   test("streaming ingestion dedup: a re-delivered shard does not double-process") {
     val events = Tables.events(spark, sf).select("event_id", "ts", "event_type")
     val schema = events.schema
