@@ -623,6 +623,45 @@ object TextVector {
         .orderBy($"kind")
     },
 
+    // Deterministic train/val/test split (corpus-curation op): the
+    // split is a pure function of CONTENT hash — stable under
+    // re-partitioning, re-ordering, incremental re-runs, and engine
+    // choice (the property that matters for dataset reproducibility;
+    // a rand()-based split has none of them). 80/10/10 by
+    // polyhash(text) mod 10.
+    "q38_hash_split" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"n_chars",
+          when(pmod(TextOps.fingerprint($"text"), lit(10L)) < 8, "train")
+            .when(pmod(TextOps.fingerprint($"text"), lit(10L)) === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"split")
+    },
+
+    // Per-language quota selection (corpus curation): keep the top-3
+    // docs of each language by quality score — the stratified-cap
+    // pattern that stops one domain/language from dominating a
+    // training mix. Window per lang over the fused TextStats quality;
+    // at 100 TB the partition key (lang) is low-cardinality but each
+    // reducer only ranks its own language's docs (and a two-phase
+    // local/global top-k à la q25 handles a single dominant lang).
+    "q39_lang_quota" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          graft.ops.expressions.TextStats($"text").getField("quality").as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"lang",
+          roundFix($"quality", 6).as("quality"), $"rn".cast("bigint").as("rn"))
+        .orderBy($"lang", $"rn")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — ONE fused codegen kernel pass
     // (TextStats ≡ the four HOF columns, unit-enforced). No
@@ -950,6 +989,36 @@ object TextVector {
            |        text
            |      FROM documents)
            |GROUP BY kind ORDER BY kind""".stripMargin,
+
+      "q38_hash_split" ->
+        s"""SELECT split, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM (SELECT n_chars,
+           |        CASE WHEN (${Sql.polyHash("text")}) % 10 < 8 THEN 'train'
+           |             WHEN (${Sql.polyHash("text")}) % 10 = 8 THEN 'val'
+           |             ELSE 'test' END AS split
+           |      FROM documents)
+           |GROUP BY split ORDER BY split""".stripMargin,
+
+      "q39_lang_quota" -> {
+        // same quality construction as the q26 oracle (the Spark side
+        // computes it in the TextStats kernel — kernel == HOF ==
+        // this SQL, bit-exact)
+        val stop = "CAST(len(list_filter(toks, t -> list_contains(" +
+          TextOps.LangDicts.head._2.map(w => s"'$w'").mkString("[", ", ", "]") +
+          ", t))) AS DOUBLE)"
+        val n = "CAST(len(toks) AS DOUBLE)"
+        val dist = "CAST(len(list_distinct(toks)) AS DOUBLE)"
+        val quality = s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
+        s"""WITH t AS (SELECT doc_id, lang, ${Sql.toks("text")} AS toks FROM documents),
+           |q AS (SELECT doc_id, lang, $quality AS quality FROM t),
+           |r AS (SELECT doc_id, lang, quality,
+           |        row_number() OVER (PARTITION BY lang
+           |                           ORDER BY quality DESC, doc_id) AS rn
+           |      FROM q)
+           |SELECT doc_id, lang, ${Oracles.fround("quality", 6)} AS quality, rn
+           |FROM r WHERE rn <= 3 ORDER BY lang, rn""".stripMargin
+      },
 
       "q26_text_stats" -> {
         def hits(dict: Seq[String]): String = {
