@@ -662,6 +662,53 @@ object TextVector {
         .orderBy($"lang", $"rn")
     },
 
+    // Weighted source mixing (corpus curation): down-sample each
+    // source to a target rate with the same content-hash device as
+    // q38 — the mixture is deterministic and composable with
+    // incremental ingestion (a doc's keep/drop never changes as data
+    // arrives). Narrow pass + one small aggregation.
+    "q40_source_mix" -> { (s, d) =>
+      import s.implicits._
+      val rate = when($"source" === "src0", 100)
+        .when($"source" === "src1", 50)
+        .otherwise(10)
+      Tables.documents(s, d)
+        .filter(pmod(TextOps.fingerprint($"text"), lit(100L)) < rate)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    },
+
+    // The curation FUNNEL — exact dedup → per-language quality quota
+    // → deterministic split — composed as ONE query: the end-to-end
+    // shape a corpus build actually runs, proving the ops stack.
+    // Three shuffles total (dedup groupBy, quota window, final agg),
+    // each on a key that scales (content hash / lang / split).
+    "q41_curation_funnel" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val keepers = docs
+        .groupBy(TextOps.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      val quota = docs
+        .join(keepers, "doc_id") // dedup survivors only
+        .select($"doc_id", $"lang", $"text",
+          graft.ops.expressions.TextStats($"text").getField("quality").as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 50)
+      quota
+        .select($"lang",
+          when(pmod(TextOps.fingerprint($"text"), lit(10L)) < 8, "train")
+            .when(pmod(TextOps.fingerprint($"text"), lit(10L)) === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"split", $"lang")
+    },
+
     // Text analysis (builder brief): language-ID heuristic, quality
     // score, token/sentence counts — ONE fused codegen kernel pass
     // (TextStats ≡ the four HOF columns, unit-enforced). No
@@ -989,6 +1036,40 @@ object TextVector {
            |        text
            |      FROM documents)
            |GROUP BY kind ORDER BY kind""".stripMargin,
+
+      "q40_source_mix" ->
+        s"""SELECT source, count(*) AS n_kept
+           |FROM documents
+           |WHERE (${Sql.polyHash("text")}) % 100 <
+           |  CASE WHEN source = 'src0' THEN 100
+           |       WHEN source = 'src1' THEN 50 ELSE 10 END
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      "q41_curation_funnel" -> {
+        val stop = "CAST(len(list_filter(toks, t -> list_contains(" +
+          TextOps.LangDicts.head._2.map(w => s"'$w'").mkString("[", ", ", "]") +
+          ", t))) AS DOUBLE)"
+        val n = "CAST(len(toks) AS DOUBLE)"
+        val dist = "CAST(len(list_distinct(toks)) AS DOUBLE)"
+        val quality = s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
+        s"""WITH keepers AS (
+           |  SELECT min(doc_id) AS doc_id FROM
+           |    (SELECT doc_id, ${Sql.polyHash("text")} AS fp FROM documents)
+           |  GROUP BY fp),
+           |t AS (SELECT d.doc_id, d.lang, d.text, ${Sql.toks("d.text")} AS toks
+           |      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+           |q AS (SELECT doc_id, lang, text, $quality AS quality FROM t),
+           |r AS (SELECT doc_id, lang, text,
+           |        row_number() OVER (PARTITION BY lang
+           |                           ORDER BY quality DESC, doc_id) AS rn
+           |      FROM q)
+           |SELECT CASE WHEN (${Sql.polyHash("text")}) % 10 < 8 THEN 'train'
+           |            WHEN (${Sql.polyHash("text")}) % 10 = 8 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |  lang, count(*) AS n_docs
+           |FROM r WHERE rn <= 50
+           |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+      },
 
       "q38_hash_split" ->
         s"""SELECT split, count(*) AS n_docs,
