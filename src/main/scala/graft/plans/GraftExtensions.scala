@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DerivedTokenPrefilter)
+    e.injectPlannerStrategy(_ => TopKStrategy)
     // arity string: one char per arg (e=expression, i=int literal)
     inject(e, "text_poly_hash", "e")(a => TextPolyHash(a.head))
     inject(e, "token_hashes", "e")(a => TokenHashes(a.head))

@@ -644,19 +644,19 @@ object TextVector {
     // Per-language quota selection (corpus curation): keep the top-3
     // docs of each language by quality score — the stratified-cap
     // pattern that stops one domain/language from dominating a
-    // training mix. Window per lang over the fused TextStats quality;
-    // at 100 TB the partition key (lang) is low-cardinality but each
-    // reducer only ranks its own language's docs (and a two-phase
-    // local/global top-k à la q25 handles a single dominant lang).
+    // training mix. Runs on the custom TopKPerKey PHYSICAL operator
+    // (graft.plans.TopKPerKey): bounded k-row heaps per key instead
+    // of the row_number window's full per-group sort — O(n log k)
+    // and k rows of reducer state per key, the property that
+    // survives a dominant language at 100 TB. The oracle states the
+    // window formulation; TopKSpec pins operator ≡ window besides.
     "q39_lang_quota" -> { (s, d) =>
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .select($"doc_id", $"lang",
           graft.ops.expressions.TextStats($"text").getField("quality").as("quality"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
+      graft.plans.TopK.perKey(scored,
+          Seq("lang"), Seq("quality" -> false, "doc_id" -> true), 3)
         .select($"doc_id", $"lang",
           roundFix($"quality", 6).as("quality"), $"rn".cast("bigint").as("rn"))
         .orderBy($"lang", $"rn")

@@ -15,3 +15,14 @@ object ColumnShim {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 }
+
+/** Bridge for custom logical plans: build a DataFrame over an
+  * arbitrary LogicalPlan (Dataset.ofRows is private[sql] in the
+  * classic API). */
+object DatasetShim {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+}
