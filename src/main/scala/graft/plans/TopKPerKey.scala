@@ -39,25 +39,39 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** Two-phase like hash aggregation: `partial = true` runs on each
+  * input partition BEFORE the shuffle, emitting at most k rows per
+  * key per partition (a key's global top-k is a subset of the union
+  * of its per-partition top-k) and no rank; the final phase requires
+  * clustering, merges the survivors, and ranks. The shuffle moves
+  * O(keys·k) rows per input partition instead of everything. */
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: AttributeReference, child: SparkPlan)
+    rankAttr: AttributeReference, partial: Boolean, child: SparkPlan)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  // rankAttr is never a reference INTO the child, in either phase
+  // (the partial phase carries it only to hand to the final phase)
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
-  // hash-cluster rows of a key into one partition; no sort required —
-  // the heaps do the bounded ordering work
+  // final phase hash-clusters rows of a key into one partition; no
+  // sort required — the heaps do the bounded ordering work
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val nOrder = order
     val nKeys = keys
     val kk = k
-    val outAttrs = output
+    val isPartial = partial
+    val rAttr = rankAttr
     child.execute().mapPartitions { it =>
       val keyProj = GenerateUnsafeProjection.generate(
         BindReferences.bindReferences(nKeys, childOutput))
@@ -81,20 +95,24 @@ case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      val outProj = GenerateUnsafeProjection.generate(
-        BindReferences.bindReferences(
-          (childOutput :+ rankAttr).asInstanceOf[Seq[Expression]],
-          childOutput :+ rankAttr))
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = new Array[UnsafeRow](heap.size())
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // poll order = worst→best
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          rankRow.setInt(0, idx + 1)
-          outProj(joined(r, rankRow))
+      if (isPartial) {
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      } else {
+        val outProj = GenerateUnsafeProjection.generate(
+          BindReferences.bindReferences(
+            (childOutput :+ rAttr).asInstanceOf[Seq[Expression]],
+            childOutput :+ rAttr))
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val rows = new Array[UnsafeRow](heap.size())
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // poll order = worst→best
+          rows.iterator.zipWithIndex.map { case (r, idx) =>
+            rankRow.setInt(0, idx + 1)
+            outProj(joined(r, rankRow))
+          }
         }
       }
     }
@@ -107,7 +125,9 @@ case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      val planned = planLater(child)
+      TopKPerKeyExec(keys, order, k, rankAttr, partial = false,
+        TopKPerKeyExec(keys, order, k, rankAttr, partial = true, planned)) :: Nil
     case _ => Nil
   }
 }

@@ -29,6 +29,12 @@ class TopKSpec extends AnyFunSuite {
       Seq("lang"), Seq("n_chars" -> false, "doc_id" -> true), 3)
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey "), s"strategy did not plan the node:\n$plan")
+    // two-phase like hash aggregation: partial before the shuffle
+    // bounds shuffle volume to k rows per key per input partition
+    assert(plan.contains("TopKPerKeyPartial"), s"no map-side partial phase:\n$plan")
+    assert(plan.linesIterator.toSeq.indexWhere(_.contains("TopKPerKeyPartial")) >
+      plan.linesIterator.toSeq.indexWhere(_.contains("Exchange hashpartitioning")),
+      "partial phase must sit below the shuffle")
     assert(!plan.contains("!TopKPerKey"), s"exec reports missing input:\n$plan")
     assert(!plan.contains("Sort "),
       s"bounded heaps must replace the window's full sort:\n$plan")
