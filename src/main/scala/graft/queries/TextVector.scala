@@ -410,6 +410,34 @@ object TextVector {
         .orderBy($"user_id", $"day")
     },
 
+    // Exact grouped quantiles (order statistics — the one analytics
+    // family not yet covered): p50/p95 of event value per type, via
+    // per-group sorted arrays and the SAME interpolation expression
+    // both engines (Spark's built-in `percentile` uses a different
+    // IEEE association than DuckDB's quantile_cont, so the formula
+    // is stated manually: v_lo + (v_hi − v_lo)·frac). The per-group
+    // collect is the exact-quantile trade-off made explicit — at
+    // 100 TB a group's values must fit a reducer; otherwise drop to
+    // approx sketches or a two-pass count-then-select.
+    "q42_quantiles" -> { (s, d) =>
+      import s.implicits._
+      def q(p: Double): Column = {
+        val idx = ($"n" - 1).cast("double") * lit(p)
+        val lo = floor(idx).cast("int")
+        val hi = ceil(idx).cast("int")
+        val vlo = element_at($"vs", lo + 1)
+        val vhi = element_at($"vs", hi + 1)
+        vlo + (vhi - vlo) * (idx - floor(idx))
+      }
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list($"value")).as("vs"),
+          count(lit(1)).as("n"))
+        .select($"event_type", $"n",
+          roundFix(q(0.5), 6).as("p50"), roundFix(q(0.95), 6).as("p95"))
+        .orderBy($"event_type")
+    },
+
     // JSON property extraction (events.props) — semi-structured
     // column access stays codegen'd (GetJsonObject). The parse runs
     // twice (pushed filter copy + projection) and events is one
@@ -863,6 +891,22 @@ object TextVector {
            |SELECT iv.k AS user_id, iv.day, count(*) AS n_events
            |FROM iv JOIN e ON iv.k = e.k AND e.t >= iv.start_ms AND e.t < iv.end_ms
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q42_quantiles" -> {
+        def q(p: String): String = {
+          val idx = s"(CAST(n - 1 AS DOUBLE) * $p)"
+          val vlo = s"vs[CAST(floor($idx) AS BIGINT) + 1]"
+          val vhi = s"vs[CAST(ceil($idx) AS BIGINT) + 1]"
+          s"$vlo + ($vhi - $vlo) * ($idx - floor($idx))"
+        }
+        s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS vs,
+           |             count(*) AS n
+           |           FROM events GROUP BY 1)
+           |SELECT event_type, n,
+           |  ${Oracles.fround(q("0.5"), 6)} AS p50,
+           |  ${Oracles.fround(q("0.95"), 6)} AS p95
+           |FROM g ORDER BY event_type""".stripMargin
+      },
 
       "q28_json_props" ->
         s"""SELECT event_id, event_type,
