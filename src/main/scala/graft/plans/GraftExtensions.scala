@@ -33,7 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litInt(fn: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, _)          => v.toInt
+    // exact — a long literal >= 2^31 must error, not wrap to a
+    // silently wrong kernel parameter
+    case Literal(v: Long, _)          => java.lang.Math.toIntExact(v)
     case other => throw new IllegalArgumentException(
       s"$fn: parameter must be an integer literal, got $other")
   }

@@ -143,11 +143,14 @@ object TopK {
     * [[TopKStrategy]]). */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
              k: Int): DataFrame = {
+    require(k >= 1, s"TopK.perKey: k must be >= 1, got $k")
     val spark: SparkSession = df.sparkSession
     val child = DatasetShim.analyzed(df)
     // resolve directly against the analyzed child — the node enters
-    // the plan fully resolved
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
+    // the plan fully resolved; honor the session's case sensitivity
+    // like every other column-name entry point
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String): Attribute = child.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"TopK.perKey: no column '$n' in ${child.output.map(_.name).mkString(", ")}"))
     val sortOrder = order.map { case (n, asc) =>

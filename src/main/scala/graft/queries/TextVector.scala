@@ -65,6 +65,19 @@ object TextVector {
     def vecCsv(l: String, scale: String): String =
       s"array_to_string(list_transform($l, " +
         s"x -> CAST(CAST(floor(x*$scale+0.5) AS BIGINT) AS VARCHAR)), ',')"
+
+    /** Quality score over a tokens-list alias — twin of
+      * TextStatsKernel's quality formula, ONE definition for the
+      * q26/q39/q41 oracles (a one-sided tweak would silently break
+      * the cross-query contract). */
+    def quality(toks: String): String = {
+      val stop = s"CAST(len(list_filter($toks, t -> list_contains(" +
+        TextOps.LangDicts.head._2.map(w => s"'$w'").mkString("[", ", ", "]") +
+        ", t))) AS DOUBLE)"
+      val n = s"CAST(len($toks) AS DOUBLE)"
+      val dist = s"CAST(len(list_distinct($toks)) AS DOUBLE)"
+      s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
+    }
   }
 
   /** Canonical scalar serialization of a double-vector column for the
@@ -430,9 +443,14 @@ object TextVector {
         vlo + (vhi - vlo) * (idx - floor(idx))
       }
       Tables.events(s, d)
+        // collect_list drops NULLs, so n must come from the array —
+        // and the oracle filters NULLs explicitly to match (a NULL
+        // value would otherwise desync index vs length and fault the
+        // ANSI array access)
+        .filter($"value".isNotNull)
         .groupBy($"event_type")
-        .agg(sort_array(collect_list($"value")).as("vs"),
-          count(lit(1)).as("n"))
+        .agg(sort_array(collect_list($"value")).as("vs"))
+        .withColumn("n", size($"vs").cast("bigint"))
         .select($"event_type", $"n",
           roundFix(q(0.5), 6).as("p50"), roundFix(q(0.95), 6).as("p95"))
         .orderBy($"event_type")
@@ -571,19 +589,22 @@ object TextVector {
         // across cores first (at 100 TB the scan has plentiful
         // splits and this repartition is dropped)
         .repartition($"doc_id")
-        // No size>0 filter HERE on purpose: a shingle-less doc embeds
-        // to the zero vector, every pair it joins scores cosine NaN,
-        // and `NaN >= 0.9` is false on the JVM — so the final filter
-        // drops exactly the rows the oracle's explicit
-        // `WHERE len(sh) > 0` removes up front (DuckDB sorts NaN
-        // above all, so the oracle DOES need it). The per-dim
-        // feature SUM is order-dependent in IEEE doubles and
-        // list_distinct's output order is engine-specific — sort the
-        // hash set so both engines fold in the same order.
+        // Shingle-less docs (<k tokens) are excluded EXPLICITLY: they
+        // embed to the zero vector and their pairs score cosine NaN,
+        // and Spark SQL (like DuckDB) sorts NaN ABOVE all doubles —
+        // `NaN >= 0.9` is TRUE in a SQL filter — so without this
+        // filter empty docs would pair with each other while the
+        // oracle's `WHERE len(sh) > 0` drops them. The pushed copy of
+        // this predicate at the scan is a cheap codegen kernel (q24's
+        // note). The per-dim feature SUM is order-dependent in IEEE
+        // doubles and list_distinct's output order is
+        // engine-specific — sort the hash set so both engines fold
+        // in the same order.
         .select($"doc_id",
-          graft.ops.expressions.FeatureEmbed(
-            sort_array(graft.ops.expressions.ShingleHashes($"text", DedupShingleK)),
-            DedupDim).as("v"))
+          sort_array(graft.ops.expressions.ShingleHashes($"text", DedupShingleK)).as("hs"))
+        .filter(size($"hs") > 0)
+        .select($"doc_id",
+          graft.ops.expressions.FeatureEmbed($"hs", DedupDim).as("v"))
         // the embedding table is referenced 4× below (both band-join
         // sides + both vector join-backs) and Spark has no DAG-level
         // CSE — persist it once. It is ~270 B/doc (id + 32 doubles),
@@ -901,7 +922,7 @@ object TextVector {
         }
         s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS vs,
            |             count(*) AS n
-           |           FROM events GROUP BY 1)
+           |           FROM events WHERE value IS NOT NULL GROUP BY 1)
            |SELECT event_type, n,
            |  ${Oracles.fround(q("0.5"), 6)} AS p50,
            |  ${Oracles.fround(q("0.95"), 6)} AS p95
@@ -1090,19 +1111,13 @@ object TextVector {
            |GROUP BY source ORDER BY source""".stripMargin,
 
       "q41_curation_funnel" -> {
-        val stop = "CAST(len(list_filter(toks, t -> list_contains(" +
-          TextOps.LangDicts.head._2.map(w => s"'$w'").mkString("[", ", ", "]") +
-          ", t))) AS DOUBLE)"
-        val n = "CAST(len(toks) AS DOUBLE)"
-        val dist = "CAST(len(list_distinct(toks)) AS DOUBLE)"
-        val quality = s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
         s"""WITH keepers AS (
            |  SELECT min(doc_id) AS doc_id FROM
            |    (SELECT doc_id, ${Sql.polyHash("text")} AS fp FROM documents)
            |  GROUP BY fp),
            |t AS (SELECT d.doc_id, d.lang, d.text, ${Sql.toks("d.text")} AS toks
            |      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
-           |q AS (SELECT doc_id, lang, text, $quality AS quality FROM t),
+           |q AS (SELECT doc_id, lang, text, ${Sql.quality("toks")} AS quality FROM t),
            |r AS (SELECT doc_id, lang, text,
            |        row_number() OVER (PARTITION BY lang
            |                           ORDER BY quality DESC, doc_id) AS rn
@@ -1126,17 +1141,9 @@ object TextVector {
            |GROUP BY split ORDER BY split""".stripMargin,
 
       "q39_lang_quota" -> {
-        // same quality construction as the q26 oracle (the Spark side
-        // computes it in the TextStats kernel — kernel == HOF ==
-        // this SQL, bit-exact)
-        val stop = "CAST(len(list_filter(toks, t -> list_contains(" +
-          TextOps.LangDicts.head._2.map(w => s"'$w'").mkString("[", ", ", "]") +
-          ", t))) AS DOUBLE)"
-        val n = "CAST(len(toks) AS DOUBLE)"
-        val dist = "CAST(len(list_distinct(toks)) AS DOUBLE)"
-        val quality = s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
+        // Sql.quality == the TextStats kernel's formula, bit-exact
         s"""WITH t AS (SELECT doc_id, lang, ${Sql.toks("text")} AS toks FROM documents),
-           |q AS (SELECT doc_id, lang, $quality AS quality FROM t),
+           |q AS (SELECT doc_id, lang, ${Sql.quality("toks")} AS quality FROM t),
            |r AS (SELECT doc_id, lang, quality,
            |        row_number() OVER (PARTITION BY lang
            |                           ORDER BY quality DESC, doc_id) AS rn
@@ -1155,16 +1162,11 @@ object TextVector {
         val langCase = scores
           .map { case (l, sc) => s"WHEN best > 0 AND $sc = best THEN '$l'" }
           .mkString("CASE ", " ", " ELSE 'und' END")
-        val n = "CAST(len(toks) AS DOUBLE)"
-        val dist = "CAST(len(list_distinct(toks)) AS DOUBLE)"
-        val stop = s"CAST(${hits(TextOps.LangDicts.head._2)} AS DOUBLE)"
-        val quality =
-          s"0.4*least($n/100.0, 1.0) + 0.3*($dist/$n) + 0.3*($stop/$n)"
         s"""SELECT doc_id, lang, len(toks) AS n_tokens,
            |  len(list_filter(string_split_regex(text, '${TextOps.SentencePattern}'),
            |      s -> len(trim(s)) > 0)) AS n_sentences,
            |  $langCase AS lang_pred,
-           |  ${Oracles.fround(quality, 6)} AS quality
+           |  ${Oracles.fround(Sql.quality("toks"), 6)} AS quality
            |FROM (SELECT *, $best AS best
            |      FROM (SELECT doc_id, lang, text, $toks AS toks FROM documents))
            |ORDER BY doc_id""".stripMargin

@@ -114,18 +114,20 @@ class ScaleSpec extends AnyFunSuite {
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    // baseline count BEFORE the bloom confs — comparing two
+    // bloom-rewritten plans to each other would be vacuous
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf).filter($"o_totalprice" > 350000)
+    val baseline = li.join(ord, $"l_orderkey" === $"o_orderkey").count()
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val li = Tables.lineitem(spark, sf)
-      val ord = Tables.orders(spark, sf).filter($"o_totalprice" > 350000)
       val j = li.join(ord, $"l_orderkey" === $"o_orderkey")
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"),
         s"no runtime bloom filter on the fact scan:\n${plan.take(400)}")
-      // and the rewrite is semantics-preserving
-      val direct = li.join(ord, $"l_orderkey" === $"o_orderkey")
-      assert(j.count() == direct.count())
+      // and the rewrite is semantics-preserving vs the un-bloomed plan
+      assert(j.count() == baseline)
     } finally prev.foreach { case (k, vo) => vo.foreach(spark.conf.set(k, _)) }
   }
 
