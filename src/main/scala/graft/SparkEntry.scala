@@ -15,7 +15,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Cache contract: a few builders (q29, q34) `.cache()` a small
+    * derived stage that the returned plan references several times
+    * (Spark has no DAG-level CSE across multi-referenced DataFrames).
+    * The cache is owned by the returned plan's lifetime — a harness
+    * that executes MANY entries from this map must call
+    * `spark.catalog.clearCache()` between (or after) queries, as
+    * Verify and Bench do, or cached blocks accumulate across the run. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries
 

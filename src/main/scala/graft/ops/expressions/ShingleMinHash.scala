@@ -117,9 +117,13 @@ object ShingleHashes {
   *   a_j = (j+1)·PermMult mod P,  b_j = (j·40503 + 1) mod P,
   *   sig_j = min over h of (a_j·h + b_j) mod P
   * — the exact formula q24's HOF pipeline and the DuckDB oracle
-  * compute (a,h < P ⇒ a·h < ~1e18, ANSI-safe). Empty input → empty
-  * signature (callers exclude shingle-less docs; the HOF's
-  * array_min(empty) = NULL row never survives a band join either).
+  * compute. Inputs are floor-modded into [0, P) first: a no-op for
+  * the engine's own polyhashes (already < P), but it keeps the
+  * SQL-registered `minhash_sig` total over ARBITRARY array<long>
+  * values (a,h < P ⇒ a·h < ~1e18 — no silent Long wrap, ANSI-safe).
+  * Empty input → empty signature (callers exclude shingle-less docs;
+  * the HOF's array_min(empty) = NULL row never survives a band join
+  * either).
   *
   * Why an expression: nPerms·|hs| interpreted lambda evals per row
   * (~56M at sf0.1) — the second-largest interpretation tax in q24.
@@ -139,7 +143,8 @@ object MinHashKernel {
       var mn = Long.MaxValue
       var i = 0
       while (i < n) {
-        val v = (a * hs.getLong(i) + b) % Mod
+        val h = java.lang.Math.floorMod(hs.getLong(i), Mod)
+        val v = (a * h + b) % Mod
         if (v < mn) mn = v
         i += 1
       }

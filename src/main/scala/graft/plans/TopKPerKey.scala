@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -16,14 +16,31 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Why a physical operator: the window formulation
   * `row_number().over(partitionBy(keys).orderBy(order))` + filter
-  * must SORT every group's every row (shuffle + full sort, O(n log
-  * n) per key) and only then discard all but k. This operator keeps
-  * a bounded k-row heap per key — O(n log k) with k rows of state
-  * per key instead of the group's whole row set, which is the
-  * difference between "works" and "one hot key OOMs a reducer" at
-  * corpus scale. (The shuffle itself remains; a two-phase
-  * partial/final split à la q25's salted top-k composes on top by
-  * calling perKey twice.)
+  * must SORT every group's every row (shuffle + full sort of the
+  * whole input, O(n log n) per key) and only then discard all but k.
+  * This operator is two-phase like hash aggregation:
+  *
+  *  - the PARTIAL phase runs on each input partition before the
+  *    shuffle, keeping a bounded k-row heap per key (O(n log k)) and
+  *    emitting at most k rows per key per partition — a key's global
+  *    top-k is a subset of the union of its per-partition top-k, so
+  *    the shuffle moves O(keys·k) rows per input partition instead
+  *    of everything. Heap state is k rows per key but unbounded in
+  *    key CARDINALITY, so the map is flushed downstream and cleared
+  *    whenever it holds more than `spark.graft.topk.partialFlushRows`
+  *    buffered rows (mirroring ObjectHashAggregateExec's fallback).
+  *    Flushing is correct, not just safe: a row in its key's global
+  *    top-k has < k rows above it globally, hence < k above it within
+  *    any flush segment — it survives that segment's heap too. Memory
+  *    is bounded regardless of key cardinality; the only cost of a
+  *    flush is a weaker pre-shuffle reduction.
+  *  - the FINAL phase requires clustering on the key AND a
+  *    (key, order) child ordering, then streams: count rows per
+  *    contiguous group, emit the first k with their 1-based rank,
+  *    O(1) state. The sort that satisfies the required ordering is a
+  *    spill-capable SortExec ABOVE the exchange, so it only ever
+  *    sorts the partial phase's survivors (≤ k rows per key per map
+  *    partition), never the raw input.
   *
   * The differential spec pins `perKey == window+filter` row-for-row.
   */
@@ -39,12 +56,6 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
-/** Two-phase like hash aggregation: `partial = true` runs on each
-  * input partition BEFORE the shuffle, emitting at most k rows per
-  * key per partition (a key's global top-k is a subset of the union
-  * of its per-partition top-k) and no rank; the final phase requires
-  * clustering, merges the survivors, and ranks. The shuffle moves
-  * O(keys·k) rows per input partition instead of everything. */
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     rankAttr: AttributeReference, partial: Boolean, child: SparkPlan)
@@ -56,23 +67,38 @@ case class TopKPerKeyExec(
   // (the partial phase carries it only to hand to the final phase)
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
-  // final phase hash-clusters rows of a key into one partition; no
-  // sort required — the heaps do the bounded ordering work
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
 
+  // the final phase streams contiguous groups in rank order; asking
+  // for the ordering (instead of re-heaping) keeps final-phase state
+  // O(1) and delegates spilling to SortExec — which here sorts only
+  // the partial phase's survivors, not the input
+  private def groupedOrdering: Seq[SortOrder] =
+    keys.map(SortOrder(_, Ascending)) ++ order
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) super.requiredChildOrdering else groupedOrdering :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupedOrdering
+
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) doExecutePartial() else doExecuteFinal()
+
+  private def doExecutePartial(): RDD[InternalRow] = {
     val childOutput = child.output
     val nOrder = order
     val nKeys = keys
     val kk = k
-    val isPartial = partial
-    val rAttr = rankAttr
+    val flushRows = math.max(kk,
+      conf.getConfString("spark.graft.topk.partialFlushRows", "1048576").toInt)
     child.execute().mapPartitions { it =>
+      val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
       val keyProj = GenerateUnsafeProjection.generate(
         BindReferences.bindReferences(nKeys, childOutput))
       val ord = RowOrdering.create(nOrder, childOutput)
@@ -81,39 +107,91 @@ case class TopKPerKeyExec(
       val evictOrd = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = -ord.compare(a, b)
       }
-      while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk, evictOrd)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        private var held = 0
+        private var drain: java.util.Iterator[UnsafeRow] =
+          java.util.Collections.emptyIterator[UnsafeRow]()
+
+        // consume input until the buffer budget is hit or input ends,
+        // then hand the accumulated per-key top-k rows downstream and
+        // reset (segment flush — see class doc for why it's exact)
+        private def step(): java.util.Iterator[UnsafeRow] = {
+          while (it.hasNext && held < flushRows) {
+            val raw = it.next()
+            val row = raw match {
+              case u: UnsafeRow => u
+              case r => toUnsafe(r)
+            }
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[UnsafeRow](kk, evictOrd)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size() < kk) { heap.add(row.copy()); held += 1 }
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          val out = new java.util.ArrayList[UnsafeRow](held)
+          val hs = heaps.values().iterator()
+          while (hs.hasNext) {
+            val hi = hs.next().iterator()
+            while (hi.hasNext) out.add(hi.next())
+          }
+          heaps.clear()
+          held = 0
+          out.iterator()
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        override def hasNext: Boolean = {
+          while (!drain.hasNext && it.hasNext) drain = step()
+          drain.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          drain.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      if (isPartial) {
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-      } else {
-        val outProj = GenerateUnsafeProjection.generate(
-          BindReferences.bindReferences(
-            (childOutput :+ rAttr).asInstanceOf[Seq[Expression]],
-            childOutput :+ rAttr))
-        val joined = new JoinedRow
-        val rankRow = new GenericInternalRow(1)
-        heaps.values().iterator().asScala.flatMap { heap =>
-          val rows = new Array[UnsafeRow](heap.size())
-          var i = rows.length - 1
-          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // poll order = worst→best
-          rows.iterator.zipWithIndex.map { case (r, idx) =>
-            rankRow.setInt(0, idx + 1)
-            outProj(joined(r, rankRow))
-          }
+    }
+  }
+
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val nKeys = keys
+    val kk = k
+    val rAttr = rankAttr
+    child.execute().mapPartitions { it =>
+      val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+      val keyProj = GenerateUnsafeProjection.generate(
+        BindReferences.bindReferences(nKeys, childOutput))
+      // group-change equality via the sort semantics (0.0 == -0.0,
+      // NaN == NaN), matching the contiguity the child ordering gives
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(nKeys.map(_.dataType))
+      val outProj = GenerateUnsafeProjection.generate(
+        BindReferences.bindReferences(
+          (childOutput :+ rAttr).asInstanceOf[Seq[Expression]],
+          childOutput :+ rAttr))
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      var cur: UnsafeRow = null
+      var n = 0
+      it.flatMap { raw =>
+        val row = raw match {
+          case u: UnsafeRow => u
+          case r => toUnsafe(r)
         }
+        val key = keyProj(row)
+        if (cur == null || keyOrd.compare(key, cur) != 0) {
+          cur = key.copy()
+          n = 0
+        }
+        n += 1
+        if (n <= kk) {
+          rankRow.setInt(0, n)
+          Iterator.single(outProj(joined(row, rankRow)): InternalRow)
+        } else Iterator.empty
       }
     }
   }
@@ -136,13 +214,13 @@ object TopK {
   import org.apache.spark.sql.graftshim.DatasetShim
 
   /** Per-key top-k of `df` in the given sort order (column name →
-    * ascending?), with a 1-based `rn` rank column appended. The
+    * ascending?), with a 1-based `rankCol` rank column appended. The
     * order must be total (add a unique tiebreak column) for
     * deterministic ranks, exactly as with row_number. Requires the
     * session to register [[GraftExtensions]] (it injects
     * [[TopKStrategy]]). */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
-             k: Int): DataFrame = {
+             k: Int, rankCol: String = "rn"): DataFrame = {
     require(k >= 1, s"TopK.perKey: k must be >= 1, got $k")
     val spark: SparkSession = df.sparkSession
     val child = DatasetShim.analyzed(df)
@@ -153,10 +231,15 @@ object TopK {
     def attr(n: String): Attribute = child.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"TopK.perKey: no column '$n' in ${child.output.map(_.name).mkString(", ")}"))
+    // appending a duplicate name would make downstream name-based
+    // resolution ambiguous (unlike withColumn, which replaces)
+    if (child.output.exists(a => resolver(a.name, rankCol)))
+      throw new IllegalArgumentException(
+        s"TopK.perKey: input already has a column '$rankCol'; pass rankCol = <other name>")
     val sortOrder = order.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    val rankAttr = AttributeReference("rn", IntegerType, nullable = false)()
+    val rankAttr = AttributeReference(rankCol, IntegerType, nullable = false)()
     DatasetShim.ofRows(spark,
       TopKPerKeyNode(keys.map(attr), sortOrder, k, rankAttr, child))
   }

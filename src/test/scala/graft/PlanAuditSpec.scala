@@ -11,9 +11,9 @@ class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
 
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
+    try SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
-    }
+    } finally spark.catalog.clearCache() // SparkEntry.queries cache contract
 
   // q25 broadcasts a 3-row query-vector set against the scan with an
   // always-true condition — an intentional BroadcastNestedLoopJoin

@@ -6,8 +6,8 @@ import org.apache.spark.sql.expressions.Window
 
 /** Differential + plan-shape tests for the custom TopKPerKey
   * physical operator (graft.plans.TopKPerKey): bounded per-key heaps
-  * must produce exactly the window+filter rows without the window's
-  * full per-group sort.
+  * must produce exactly the window+filter rows without ever sorting
+  * the raw input.
   */
 class TopKSpec extends AnyFunSuite {
   import TestSpark._
@@ -23,21 +23,29 @@ class TopKSpec extends AnyFunSuite {
       "TopKPerKey diverges from the window formulation")
   }
 
-  test("TopKPerKey plans its own exec with no full sort") {
+  test("TopKPerKey plans its own exec; only the shuffled survivors are sorted") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"n_chars")
     val topk = graft.plans.TopK.perKey(docs,
       Seq("lang"), Seq("n_chars" -> false, "doc_id" -> true), 3)
-    val plan = topk.queryExecution.executedPlan.toString
+    val lines = topk.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val plan = lines.mkString("\n")
+    def at(marker: String): Int = lines.indexWhere(_.contains(marker))
     assert(plan.contains("TopKPerKey "), s"strategy did not plan the node:\n$plan")
     // two-phase like hash aggregation: partial before the shuffle
     // bounds shuffle volume to k rows per key per input partition
     assert(plan.contains("TopKPerKeyPartial"), s"no map-side partial phase:\n$plan")
-    assert(plan.linesIterator.toSeq.indexWhere(_.contains("TopKPerKeyPartial")) >
-      plan.linesIterator.toSeq.indexWhere(_.contains("Exchange hashpartitioning")),
+    assert(at("TopKPerKeyPartial") > at("Exchange hashpartitioning"),
       "partial phase must sit below the shuffle")
     assert(!plan.contains("!TopKPerKey"), s"exec reports missing input:\n$plan")
-    assert(!plan.contains("Sort "),
-      s"bounded heaps must replace the window's full sort:\n$plan")
+    // the final phase's required (key, order) ordering is satisfied by
+    // a spill-capable SortExec ABOVE the exchange — it sorts only the
+    // partial phase's ≤ k-rows-per-key-per-partition survivors; the
+    // raw input below the shuffle must never be sorted
+    val sortAt = at("Sort ")
+    assert(sortAt >= 0 && sortAt < at("Exchange hashpartitioning"),
+      s"survivor sort must sit between final phase and shuffle:\n$plan")
+    assert(!lines.drop(at("Exchange hashpartitioning")).exists(_.contains("Sort ")),
+      s"input side of the shuffle must not sort:\n$plan")
     // exactly one shuffle: the ClusteredDistribution on the key
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
   }
@@ -49,5 +57,33 @@ class TopKSpec extends AnyFunSuite {
       .orderBy($"g", $"rn").collect()
     assert(topk.map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSeq ==
       Seq(("a", 2L, 1), ("a", 1L, 2), ("b", 3L, 1)))
+  }
+
+  test("partial-phase flush fallback keeps results exact under a tiny row budget") {
+    // force a flush every handful of rows: high key cardinality no
+    // longer accumulates unbounded heap state, and the result must
+    // still match the window formulation row for row
+    spark.conf.set("spark.graft.topk.partialFlushRows", "7")
+    try {
+      val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"n_chars")
+      val topk = graft.plans.TopK.perKey(docs,
+        Seq("lang"), Seq("n_chars" -> false, "doc_id" -> true), 5)
+      val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+      val ref = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      assert(topk.except(ref).isEmpty && ref.except(topk).isEmpty,
+        "flushing the partial heaps changed the result")
+    } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+  }
+
+  test("TopKPerKey rejects a rank-column name collision") {
+    val df = Seq((1L, "a", 2)).toDF("id", "g", "rn")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.TopK.perKey(df, Seq("g"), Seq("id" -> true), 1)
+    }
+    assert(e.getMessage.contains("rankCol"))
+    // and an explicit rankCol resolves the collision
+    val ok = graft.plans.TopK.perKey(df, Seq("g"), Seq("id" -> true), 1,
+      rankCol = "rank2")
+    assert(ok.columns.toSeq == Seq("id", "g", "rn", "rank2"))
   }
 }
