@@ -25,11 +25,13 @@ object SparkEntry {
     * `spark.catalog.clearCache()` between (or after) queries, as
     * Verify and Bench do, or cached blocks accumulate across the run. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.TextVector.queries
+    graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
+      graft.queries.Search.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
     * driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.TextVector.oracles
+    graft.queries.Relational.oracles ++ graft.queries.TextVector.oracles ++
+      graft.queries.Search.oracles
 }

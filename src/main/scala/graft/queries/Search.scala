@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.TextOps
+
+/** Search & retrieval extensions over the curation surface: BM25
+  * keyword retrieval (the inverted-index capability a training-data
+  * curation stack needs next to ANN), blocked fuzzy matching, and
+  * the remaining relational surface (grouping sets, pivot,
+  * argmax/argmin aggregates, value-window functions).
+  *
+  * Same contract as the other packs: every query has a DuckDB oracle
+  * twin with identical IEEE arithmetic (see graft.ops.Determinism
+  * and TextVector.Sql).
+  */
+object Search {
+
+  /** BM25 parameters (Robertson/Sparck Jones defaults). */
+  private val K1 = 1.2
+  private val B  = 0.75
+  /** Fixed query-term set (mid-frequency words of the testdata
+    * vocabulary; a real deployment would parameterize). */
+  private val Terms = Seq("vector", "merge", "stream")
+
+  /** Dirty catalog names with adjective typos for the fuzzy join;
+    * the product noun (last word) is kept intact — it is the
+    * blocking key. */
+  private val DirtyNames =
+    Seq("smal ring", "bleu bolt", "ho gear", "largee widget", "redd rod")
+  private val FuzzyMaxDist = 2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 keyword retrieval, inverted-index style but expressed as
+    // two scan passes (both pruned to doc_id+text):
+    //   pass 1: corpus statistics (N, Σdl, per-term df) — one tiny
+    //           row, broadcast back;
+    //   pass 2: per-doc term frequencies → score → global top-10.
+    // At 100 TB this is the plan you want: no per-token explode/
+    // shuffle (term set is fixed and small, so tf is a per-row
+    // column), stats are O(1) bytes moved, and the only wide op is
+    // the final TakeOrdered over scored rows. Scoring emits
+    // micro-rounded int64 (ln is the one non-exactly-rounded
+    // function in the engine; the 1e-6 quantization absorbs any
+    // sub-ulp libm divergence — every other term of the formula is
+    // exact-rounded IEEE arithmetic on identical inputs).
+    "q43_bm25" -> { (s, d) =>
+      import s.implicits._
+      def base: DataFrame = {
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+          size(filter($"toks", x => x === lit(t))).cast("double").as(s"tf$i")
+        }
+        toks.select($"doc_id" +: size($"toks").cast("double").as("dl") +: tfCols: _*)
+      }
+      val statCols = count(lit(1)).cast("double").as("n") +:
+        sum($"dl").as("sumdl") +:
+        Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val avgdl = $"sumdl" / $"n"
+      val contribs = Terms.indices.map { i =>
+        val tf = col(s"tf$i"); val df = col(s"df$i")
+        val idf = log(($"n" - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+        when(tf > 0,
+          idf * (tf * lit(K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"dl" / avgdl)))
+          .otherwise(lit(0.0))
+      }
+      base.crossJoin(broadcast(stats))
+        .select($"doc_id", $"dl".cast("bigint").as("dl"),
+          floor(contribs.reduce(_ + _) * lit(1e6) + lit(0.5))
+            .cast("bigint").as("score_u"))
+        .filter($"score_u" > 0)
+        .orderBy($"score_u".desc, $"doc_id")
+        .limit(10)
+    },
+
+    // Blocked fuzzy join: dirty catalog names → part names within
+    // levenshtein ≤ 2, blocked on the product noun (last word) so
+    // the plan is a broadcast equi-join on the block key with the
+    // edit distance evaluated only WITHIN blocks — never an
+    // all-pairs theta join. (Blocking trades recall for scale by
+    // construction: a typo in the blocking word escapes the block;
+    // that is the documented contract of every blocked matcher.)
+    "q44_fuzzy_join" -> { (s, d) =>
+      import s.implicits._
+      val dirty = DirtyNames.toDF("q_name")
+        .withColumn("block", element_at(split($"q_name", " "), -1))
+      val parts = Tables.part(s, d)
+        .select($"p_name").distinct()
+        .withColumn("block", element_at(split($"p_name", " "), -1))
+      parts.join(broadcast(dirty), "block")
+        .withColumn("dist", levenshtein($"q_name", $"p_name"))
+        .filter($"dist" <= FuzzyMaxDist)
+        .select($"q_name", $"p_name", $"dist")
+        .orderBy($"q_name", $"dist", $"p_name")
+    },
+
+    // Grouping sets with explicit grouping flags (the general form
+    // of q11's rollup / q12's cube): one expand + hash agg, the
+    // same single-shuffle shape at any scale.
+    "q45_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Determinism.sumExact
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sumExact($"l_quantity").as("sum_qty"),
+          grouping($"l_returnflag").cast("int").as("g_flag"),
+          grouping($"l_linestatus").cast("int").as("g_status"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"g_flag", $"g_status", $"n", $"sum_qty")
+        .orderBy($"g_flag", $"g_status", $"flag", $"status")
+    },
+
+    // Pivot: long→wide with a fixed pivot-value list (the scalable
+    // form — map-side conditional aggregation, one shuffle on the
+    // group key, no distinct-values pre-pass).
+    "q46_pivot" -> { (s, d) =>
+      import s.implicits._
+      val srcs = Seq("src1", "src2", "src3", "src4")
+      val wide = Tables.documents(s, d)
+        .groupBy($"lang").pivot("source", srcs).count()
+      wide.select($"lang" +: srcs.map(c =>
+          coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy($"lang")
+    },
+
+    // Argmax/argmin aggregates (max_by/min_by): per nation, the
+    // customer holding the max/min balance. The order value packs
+    // (cents, custkey) into one exactly-representable int64 so ties
+    // on balance break deterministically on key — same packing on
+    // both engines.
+    "q47_argmax" -> { (s, d) =>
+      import s.implicits._
+      val ordval = (round($"c_acctbal" * 100).cast("bigint") * lit(100000000L) +
+        $"c_custkey").as("ordval")
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_name", ordval)
+        .groupBy($"c_nationkey")
+        .agg(max_by($"c_name", $"ordval").as("richest"),
+          min_by($"c_name", $"ordval").as("poorest"),
+          count(lit(1)).as("n_cust"))
+        .orderBy($"c_nationkey")
+    },
+
+    // Value-window functions: lag/lead/ntile/percent_rank over each
+    // customer's order history (complements q09's rank filter and
+    // q10's running sum). percent_rank divides two exact ints —
+    // bit-identical cross-engine; prices emit as exact cents.
+    "q48_order_deltas" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("bigint")
+      Tables.orders(s, d)
+        .filter($"o_custkey" <= 50)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          cents($"o_totalprice").as("price_c"),
+          cents(lag($"o_totalprice", 1, 0.0).over(w)).as("prev_price_c"),
+          date_format(lead($"o_orderdate", 1).over(w), "yyyy-MM-dd").as("next_date"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }
+  )
+
+  val oracles: Map[String, String] = {
+    val toks = TextVector.Sql.toks("text")
+
+    Map(
+      "q43_bm25" -> {
+        val tfSelects = Terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+        }.mkString(", ")
+        val dfSelects = Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(", ")
+        val contribs = Terms.indices.map { i =>
+          s"""CASE WHEN tf$i > 0 THEN
+             |  ln((n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |  * (tf$i * CAST(${K1 + 1.0} AS DOUBLE))
+             |  / (tf$i + CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($B AS DOUBLE)
+             |       + CAST($B AS DOUBLE) * dl / (sumdl / n)))
+             |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfSelects
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfSelects FROM base
+           |)
+           |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           |       CAST(floor(($contribs) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_u
+           |FROM base, stats
+           |WHERE CAST(floor(($contribs) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) > 0
+           |ORDER BY score_u DESC, doc_id LIMIT 10""".stripMargin
+      },
+
+      "q44_fuzzy_join" -> {
+        val vals = DirtyNames.map(n => s"('$n')").mkString(", ")
+        s"""WITH dirty(q_name) AS (VALUES $vals),
+           |     parts AS (SELECT DISTINCT p_name FROM part)
+           |SELECT q_name, p_name, levenshtein(q_name, p_name) AS dist
+           |FROM parts JOIN dirty
+           |  ON str_split(p_name, ' ')[-1] = str_split(q_name, ' ')[-1]
+           |WHERE levenshtein(q_name, p_name) <= $FuzzyMaxDist
+           |ORDER BY q_name, dist, p_name""".stripMargin
+      },
+
+      "q45_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(floor(l_quantity*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+      "q46_pivot" ->
+        """SELECT lang,
+          |       count(*) FILTER (WHERE source = 'src1') AS src1,
+          |       count(*) FILTER (WHERE source = 'src2') AS src2,
+          |       count(*) FILTER (WHERE source = 'src3') AS src3,
+          |       count(*) FILTER (WHERE source = 'src4') AS src4
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q47_argmax" ->
+        """SELECT c_nationkey,
+          |       arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS richest,
+          |       arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS poorest,
+          |       count(*) AS n_cust
+          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q48_order_deltas" ->
+        """SELECT o_custkey, o_orderkey,
+          |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c,
+          |  CAST(floor(lag(o_totalprice, 1, 0.0) OVER w * 100 + 0.5) AS BIGINT) AS prev_price_c,
+          |  strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS next_date,
+          |  ntile(4) OVER w AS quartile,
+          |  percent_rank() OVER w AS pct_rank
+          |FROM orders WHERE o_custkey <= 50
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin
+    )
+  }
+}
