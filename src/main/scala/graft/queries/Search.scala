@@ -151,6 +151,23 @@ object Search {
         .orderBy($"c_nationkey")
     },
 
+    // Sliding (hopping) event-time windows — the overlapping
+    // complement of q27's tumbling day windows and q35's session
+    // windows: 1-day width hopping every 12h, so each event lands in
+    // exactly width/slide = 2 windows. Spark expands the window set
+    // map-side (no self-join); the oracle derives the same two
+    // epoch-aligned starts per event arithmetically.
+    "q49_sliding_windows" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Determinism.sumExact
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 day", "12 hours"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumExact($"value").as("total_value"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("win_start"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"win_start", $"event_type")
+    },
+
     // Value-window functions: lag/lead/ntile/percent_rank over each
     // customer's order history (complements q09's rank filter and
     // q10's running sum). percent_rank divides two exact ints —
@@ -240,6 +257,19 @@ object Search {
           |       arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS poorest,
           |       count(*) AS n_cust
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q49_sliding_windows" -> {
+        // Spark's hopping windows are epoch-aligned: the two starts
+        // covering ts are floor12h(ts) and floor12h(ts)-12h. epoch()
+        // keeps ms as an exact double fraction; 43200 = 12h seconds.
+        val fsum = graft.ops.Determinism.Oracles.fsum("value")
+        s"""SELECT strftime(make_timestamp(CAST(((floor(epoch(ts)/43200.0) - k) * 43200.0) * 1000000.0 AS BIGINT)),
+           |                '%Y-%m-%d %H:%M') AS win_start,
+           |       event_type, count(*) AS n, $fsum AS total_value
+           |FROM events CROSS JOIN (VALUES (0), (1)) AS hop(k)
+           |GROUP BY win_start, event_type
+           |ORDER BY win_start, event_type""".stripMargin
+      },
 
       "q48_order_deltas" ->
         """SELECT o_custkey, o_orderkey,
