@@ -169,6 +169,49 @@ class StreamingSpec extends AnyFunSuite {
       "a between-sessions event must bridge both into one")
   }
 
+  test("stream-stream view→click join: cross-delivery pairs, exactly once, matches the batch twin") {
+    import graft.streaming.EventJoin
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val schema = events.schema
+    val inDir = tmp("ssj-in"); val outDir = tmp("ssj-out"); val ck = tmp("ssj-ck")
+    // chosen so exactly one (view, click) pair SPANS the delivery
+    // boundary — the click arrives a run after its view, proving the
+    // join state survives the checkpoint between runs
+    val cut = "2024-01-24 00:00:00"
+
+    events.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(inDir)
+    EventJoin.runOnce(spark, inDir, outDir, ck, schema)
+    events.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(inDir)
+    EventJoin.runOnce(spark, inDir, outDir, ck, schema)
+
+    val out = spark.read.parquet(outDir)
+    // the batch twin is the SAME operator over batch frames
+    // (withWatermark is a no-op in batch)
+    val twin = EventJoin.viewClicks(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"), "2 hours", "2 hours")
+    val keys = Seq("user_id", "view_id", "click_id")
+    assert(out.select(keys.head, keys.tail: _*).except(twin.select(keys.head, keys.tail: _*)).isEmpty &&
+      twin.select(keys.head, keys.tail: _*).except(out.select(keys.head, keys.tail: _*)).isEmpty,
+      "streamed join differs from the batch twin")
+    val dups = out.groupBy("view_id", "click_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, s"$dups duplicate pair emissions")
+    val spanning = out.filter(col("view_ts") < lit(cut) && col("click_ts") >= lit(cut)).count()
+    assert(spanning == 1,
+      s"expected exactly 1 cross-delivery pair, got $spanning — state not carried across runs")
+
+    // a re-delivered early shard is entirely below the watermark:
+    // its rows are dropped as late and cannot re-pair
+    events.filter(col("ts") < lit("2024-01-05 00:00:00"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    EventJoin.runOnce(spark, inDir, outDir, ck, schema)
+    val out3 = spark.read.parquet(outDir)
+    assert(out3.count() == out.count(),
+      "re-delivered late shard must not add or duplicate pairs")
+  }
+
   test("session windows via flatMapGroupsWithState match the batch twin, exactly once") {
     import spark.implicits._
     import graft.streaming.EventSessions
