@@ -77,6 +77,29 @@ object Multimodal {
     Inference.mapBatched(media, batchSize, new StubFeatureEncoder(dim)).toDF()
   }
 
+  /** Resize plumbing for `image` payloads: recompute the metadata to
+    * the target box (aspect-preserving fit, integer arithmetic —
+    * exactly what a real resize records) and re-sample the payload to
+    * a deterministic stub raster of ceil(bytes · scale²) bytes taken
+    * at a fixed stride. A real implementation replaces ONLY the
+    * byte-level `resample` with a pixel scaler; schema and plumbing
+    * stay as they are. */
+  def resizeImages(media: Dataset[Media], maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"), col("payload"))
+      .withColumn("scale",
+        least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0)))
+      .select(col("media_id"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"),
+        // stub resample: the scaled byte budget off the front (codegen
+        // substring — a real scaler swaps this one expression)
+        expr("substring(payload, 1, greatest(int(length(payload) * scale * scale), 1))")
+          .as("payload"))
+  }
+
   /** Frame-sampling plumbing for `video` payloads: every k-th
     * 256-byte block as a "frame" (stub for a real frame decoder;
     * demonstrates the explode shape: 1 media row → N frame rows). */

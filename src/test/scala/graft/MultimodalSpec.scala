@@ -54,6 +54,25 @@ class MultimodalSpec extends AnyFunSuite {
       s"batch sizes $sizes, want [4,4,2]")
   }
 
+  test("image resize: aspect-preserving fit, never upscales, payload budget tracks scale") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val resized = Multimodal.resizeImages(media, maxW = 300, maxH = 300)
+    val nImages = media.filter($"kind" === "image").count()
+    assert(resized.count() == nImages, "resize must be 1:1 over images")
+    val bad = resized.filter($"out_w" > 300 || $"out_h" > 300).count()
+    assert(bad == 0, "resize exceeded the target box")
+    // joining back: out dims are the aspect-preserving integer fit,
+    // and no image got LARGER
+    val checked = resized.as("r")
+      .join(media.filter($"kind" === "image").as("m"), "media_id")
+      .select($"media_id", $"out_w", $"out_h", $"m.width", $"m.height",
+        length($"r.payload").as("out_bytes"), length($"m.payload").as("in_bytes"))
+    assert(checked.filter($"out_w" > $"width" || $"out_h" > $"height").count() == 0,
+      "resize upscaled an image")
+    assert(checked.filter($"out_bytes" > $"in_bytes").count() == 0,
+      "resized payload grew")
+  }
+
   test("video frame sampling explodes 1 media row into N bounded frames") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, everyK = 1)
