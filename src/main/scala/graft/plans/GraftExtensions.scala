@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DerivedTokenPrefilter)
+    // rewrite user-written row_number+filter top-k onto the custom
+    // operator (graft.plans.WindowTopKRewrite)
+    e.injectOptimizerRule(_ => WindowTopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
     // arity string: one char per arg (e=expression, i=int literal)
     inject(e, "text_poly_hash", "e")(a => TextPolyHash(a.head))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -198,6 +199,89 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+/** Optimizer rule: the standard Spark idiom
+  *
+  *   `withColumn("rn", row_number().over(partitionBy(k).orderBy(o)))
+  *      .filter($"rn" <= k)`
+  *
+  * is rewritten to [[TopKPerKeyNode]], so USER-WRITTEN window-rank
+  * filters run on the bounded-heap operator without knowing it
+  * exists (Spark's own InferWindowGroupLimit only pre-prunes rows —
+  * it still sorts every surviving group; this replaces the sort).
+  *
+  * Fires only when provably equivalent: a single window expression
+  * that is row_number() over the default ROWS frame, a non-empty
+  * partition spec (a global top-k has no clustering key for the
+  * exec), and a conjunct upper-bounding the rank by an integer
+  * literal. `rn <= k` / `rn < k+1` conjuncts are consumed by the
+  * operator; any other conjunct (including `rn = k`) stays as a
+  * residual Filter above it, exactly where the original filter sat.
+  * Disable with `spark.graft.topk.rewrite=false`; ranks beyond
+  * `spark.graft.topk.rewriteMaxK` (default 10000) keep the window
+  * formulation (at some k the full sort's spill path beats k-row
+  * heaps per key).
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def isDefaultRowFrame(spec: WindowSpecDefinition): Boolean =
+    spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+      case _ => false
+    }
+
+  /** (consumed-bound, residual?) for one conjunct against the rank
+    * attribute: Some((k, None)) consumes the conjunct as top-k,
+    * Some((k, Some(c))) bounds by k but keeps c. None = not a rank
+    * bound (conjunct must then not reference rn at all to stay a
+    * residual — it always may, rn is in the output). */
+  private def rankBound(c: Expression, rn: Attribute): Option[(Int, Option[Expression])] =
+    c match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) =>
+        Some((k, None))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) =>
+        Some((k, None))
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) =>
+        Some((k - 1, None))
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) =>
+        Some((k - 1, None))
+      case eq @ EqualTo(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) =>
+        Some((k, Some(eq)))
+      case eq @ EqualTo(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) =>
+        Some((k, Some(eq)))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.topk.rewrite", "true") != "true") return plan
+    val maxK = conf.getConfString("spark.graft.topk.rewriteMaxK", "10000").toInt
+    plan.transformUp {
+      case f @ Filter(cond,
+            w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)), part, order, wchild, _))
+          if part.nonEmpty && order.nonEmpty && isDefaultRowFrame(spec) =>
+        val rn = alias.toAttribute.asInstanceOf[AttributeReference]
+        val conjuncts = splitConjunctivePredicates(cond)
+        val bounds = conjuncts.map(c => c -> rankBound(c, rn))
+        val ks = bounds.collect { case (_, Some((k, _))) => k }
+        if (ks.isEmpty || ks.min < 1 || ks.min > maxK) f
+        else {
+          val k = ks.min
+          val residual = bounds.flatMap {
+            case (_, Some((_, keep))) => keep  // consumed, unless = form
+            case (c, None)            => Some(c)
+          }
+          // InferWindowGroupLimit may already have pre-pruned below
+          // the window; TopK subsumes it — strip to avoid double work
+          val inner = wchild match {
+            case WindowGroupLimit(_, _, _, _, gchild) => gchild
+            case other => other
+          }
+          val topk = TopKPerKeyNode(part, order, k, rn, inner)
+          residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
+        }
+    }
+  }
 }
 
 object TopKStrategy extends SparkStrategy {

@@ -129,19 +129,21 @@ object Relational {
     },
 
     // Window: latest 3 orders per customer (rank-filter pattern).
-    // Runs on the custom TopKPerKey physical operator instead of
-    // row_number+filter: bounded per-key heaps, map-side partial
-    // top-k before the shuffle, and only the k·partitions survivors
-    // ever sorted — the shape that holds when one customer has 10^8
-    // orders. TopKSpec pins perKey == the window formulation
-    // row-for-row, and the DuckDB oracle here still IS the window
-    // formulation.
+    // Written as the STANDARD Spark idiom — row_number + filter — and
+    // executed on the custom TopKPerKey physical operator anyway: the
+    // WindowTopKRewrite optimizer rule (graft.plans) recognizes the
+    // pattern and swaps in bounded per-key heaps with a map-side
+    // partial phase, so one customer with 10^8 orders never forces a
+    // full per-group sort. TopKSpec pins operator == window
+    // row-for-row and asserts this query's plan; the DuckDB oracle
+    // here still IS the window formulation.
     "q09_latest_orders" -> { (s, d) =>
       import s.implicits._
-      val base = Tables.orders(s, d)
-        .select($"o_custkey", $"o_orderkey", $"o_orderdate")
-      graft.plans.TopK.perKey(base, Seq("o_custkey"),
-          Seq("o_orderdate" -> false, "o_orderkey" -> false), 3)
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
         .select($"o_custkey", $"o_orderkey",
           date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"rn")
         .orderBy($"o_custkey", $"rn")

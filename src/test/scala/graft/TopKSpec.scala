@@ -75,6 +75,49 @@ class TopKSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
   }
 
+  test("WindowTopKRewrite: the standard row_number+filter idiom plans TopKPerKey") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"n_chars")
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+    val idiom = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"),
+      s"rewrite did not replace the window:\n$plan")
+    // and the rewritten plan returns exactly the un-rewritten rows
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    try {
+      val off = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      assert(!off.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "kill switch ignored")
+      assert(idiom.except(off).isEmpty && off.except(idiom).isEmpty,
+        "rewritten result diverges from the window result")
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
+    // q09 ships the idiom — its executed plan must be on the operator
+    val q09 = graft.queries.Relational.queries("q09_latest_orders")(spark, sf)
+    assert(q09.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "q09's window formulation was not rewritten onto TopKPerKey")
+  }
+
+  test("WindowTopKRewrite: rn = k keeps a residual filter; other window functions bail") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"n_chars")
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+    // equality form: bounded by k, residual filter keeps only rank k
+    val second = docs.withColumn("rn", row_number().over(w)).filter($"rn" === 2)
+    assert(second.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val ref = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .filter($"rn" === 2)
+    assert(second.except(ref).isEmpty && ref.except(second).isEmpty)
+    // rank() has different semantics than row_number — must not fire
+    val ranked = docs.withColumn("rn", rank().over(w)).filter($"rn" <= 2)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "rewrite fired on rank(), which ties differently")
+    // a second window expression rides the same Window node — bail
+    val two = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mx", max($"n_chars").over(Window.partitionBy($"lang")))
+      .filter($"rn" <= 2)
+    assert(two.count() > 0) // plans and runs, whichever shape it takes
+  }
+
   test("TopKPerKey rejects a rank-column name collision") {
     val df = Seq((1L, "a", 2)).toDF("id", "g", "rn")
     val e = intercept[IllegalArgumentException] {
