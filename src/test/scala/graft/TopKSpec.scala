@@ -118,6 +118,61 @@ class TopKSpec extends AnyFunSuite {
     assert(two.count() > 0) // plans and runs, whichever shape it takes
   }
 
+  test("TopKPerKey shuffles O(keys·k) rows where the window shuffles everything") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffled = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measure(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      shuffled.set(0)
+      try { f; org.apache.spark.ListenerShim.flush(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      shuffled.get()
+    }
+    // spread the 500 docs over several input partitions so the
+    // partial phase has real map-side work to cut
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars").repartition(4, $"doc_id")
+    val n = docs.count()
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+
+    // the plain window cost (Spark's own InferWindowGroupLimit also
+    // map-side-prunes rank filters — but only after LOCALLY SORTING
+    // every input row; disable it to measure the naive baseline the
+    // heaps replace. Against WindowGroupLimit itself the operator's
+    // edge is O(n log k) hash heaps instead of an O(n log n) local
+    // sort + equal shuffle volume.)
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    val windowShuffle = try measure {
+      docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .foreach(_ => ())
+    } finally {
+      spark.conf.unset("spark.graft.topk.rewrite")
+      spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+    }
+
+    val topkShuffle = measure {
+      graft.plans.TopK.perKey(docs, Seq("lang"),
+        Seq("n_chars" -> false, "doc_id" -> true), 5).foreach(_ => ())
+    }
+    val nLangs = docs.select($"lang").distinct().count()
+    // window: every row crosses the exchange (plus the repartition);
+    // operator: at most keys × k × map-partitions survivors do
+    val bound = nLangs * 5 * 4 + n // + n for the shared repartition
+    assert(windowShuffle >= 2 * n,
+      s"window formulation shuffled $windowShuffle rows, expected ≥ ${2 * n}")
+    assert(topkShuffle <= bound,
+      s"TopKPerKey shuffled $topkShuffle rows, bound $bound")
+    assert(topkShuffle < windowShuffle,
+      s"operator ($topkShuffle) did not beat the window ($windowShuffle)")
+  }
+
   test("TopKPerKey rejects a rank-column name collision") {
     val df = Seq((1L, "a", 2)).toDF("id", "g", "rn")
     val e = intercept[IllegalArgumentException] {
