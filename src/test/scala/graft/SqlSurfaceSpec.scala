@@ -45,6 +45,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sig.length == 4 && sig.forall(_ >= 0))
   }
 
+  test("a full analytical query in pure SQL: views + windows + joins + optimizer stack") {
+    // a SQL-only user sees the whole engine: parquet views, standard
+    // SQL (join + window rank filter), and the planner extensions —
+    // the row_number filter below must come back on TopKPerKey
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_sql")
+    Tables.customer(spark, sf).createOrReplaceTempView("customer_sql")
+    val top = spark.sql(
+      """SELECT c.c_mktsegment, t.o_custkey, t.o_totalprice, t.rn
+        |FROM (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    FROM orders_sql) WHERE rn <= 2
+        |) t
+        |JOIN customer_sql c ON c.c_custkey = t.o_custkey
+        |ORDER BY t.o_custkey, t.rn""".stripMargin)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"SQL-written rank filter did not plan the custom operator:\n${plan.take(800)}")
+    assert(top.count() > 0)
+    // equivalent Column-API result, row for row
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val api = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .join(Tables.customer(spark, sf), $"c_custkey" === $"o_custkey")
+      .select($"c_mktsegment", $"o_custkey", $"o_totalprice", $"rn")
+    assert(top.except(api).isEmpty && api.except(top).isEmpty)
+  }
+
   test("non-literal kernel parameters fail fast with a clear message") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {
