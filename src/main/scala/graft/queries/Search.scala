@@ -168,6 +168,32 @@ object Search {
         .orderBy($"win_start", $"event_type")
     },
 
+    // Behavioral funnel over per-user event sequences: how far does
+    // each user get through view → click → purchase IN ORDER? One
+    // shuffle on user_id; per-user state is that user's own events
+    // (the sessionization shape — bounded by activity, not corpus).
+    // The sequence is made deterministic by sorting (epoch_ms,
+    // event_id) structs, then a left fold advances the stage counter
+    // — the same transform+fold runs in DuckDB.
+    "q50_funnel" -> { (s, d) =>
+      import s.implicits._
+      val steps = array(lit("view"), lit("click"), lit("purchase"))
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(
+          struct(unix_millis($"ts").as("ms"), $"event_id", $"event_type")))
+          .as("seq"), count(lit(1)).as("n_events"))
+        .select($"user_id", $"n_events",
+          aggregate(
+            transform($"seq", e =>
+              coalesce(array_position(steps, e.getField("event_type")), lit(0L))
+                .cast("int")),
+            lit(0),
+            (acc, x) => when(x === acc + 1, acc + 1).otherwise(acc))
+            .as("funnel_stage"))
+        .orderBy($"user_id")
+    },
+
     // Value-window functions: lag/lead/ntile/percent_rank over each
     // customer's order history (complements q09's rank filter and
     // q10's running sum). percent_rank divides two exact ints —
@@ -257,6 +283,20 @@ object Search {
           |       arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS poorest,
           |       count(*) AS n_cust
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q50_funnel" ->
+        // list(x ORDER BY ...) gives the same deterministic sequence
+        // the struct sort gives Spark; the step mapping + fold are
+        // written identically (ints only — no float drift possible).
+        """SELECT user_id, count(*) AS n_events,
+          |  list_reduce(
+          |    list_prepend(0, list_transform(
+          |      list(event_type ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id),
+          |      t -> CASE t WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |                  WHEN 'purchase' THEN 3 ELSE 0 END)),
+          |    (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END)
+          |  AS funnel_stage
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q49_sliding_windows" -> {
         // Spark's hopping windows are epoch-aligned: the two starts
