@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.TextOps
+import graft.queries.TextVector.{Sql => TSql}
+
+/** Corpus-quality / privacy / decontamination extensions — the
+  * curation steps a training-data pipeline runs between the
+  * reference's embed jobs (`/root/reference/run.py`) and training:
+  * intra-document repetition statistics (the public Gopher-style
+  * repetition filters: top-token and top-2-gram mass fractions),
+  * PII masking with stable pseudonymization, benchmark-contamination
+  * detection via shingle-hash overlap, token-budget sequence
+  * packing, and the correlated-subquery SQL face.
+  *
+  * Same contract as the other packs: every query has a DuckDB oracle
+  * twin with identical IEEE arithmetic (graft.ops.Determinism /
+  * TextVector.Sql conventions — int64 counts, exact-rounded double
+  * division, shared polynomial-hash constants).
+  */
+object Quality {
+
+  /** Gopher-style repetition thresholds (public heuristics; the
+    * exact cut points are corpus-tuned parameters, not magic). */
+  private val TopBigramFracMax = 0.18
+  private val TopTokenFracMax  = 0.3
+
+  /** Contamination shingle width. The testdata vocabulary is tiny
+    * (~40 words), so 3-grams already give a meaningful overlap
+    * signal; real corpora use 8–13-gram windows — the plan shape
+    * (broadcast benchmark set, hash equi-join) is width-independent. */
+  private val ContamK = 3
+
+  /** Sequence-packing token budget per training sequence. */
+  private val PackBudget = 512
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Intra-document repetition statistics (the quality signal the
+    // dedup family — q23/q24/q29/q34 — cannot see: repetition INSIDE
+    // one document). Per doc: mass fraction of the most frequent
+    // token and of the most frequent 2-gram, plus the distinct-token
+    // ratio; flag docs over the Gopher-style cut points. Plan: two
+    // explode→count aggregations keyed by (doc_id, gram) — state is
+    // bounded per doc's vocabulary, keys are (doc × gram) so the
+    // shuffle scales linearly with corpus tokens; no per-row O(n²)
+    // lambda counting (the HOF formulation interprets |toks|² evals
+    // per row — measured against at sf0.1 before choosing this
+    // shape).
+    "q51_repetition" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tok"))
+      val tok = base
+        .select($"doc_id", $"n_tok", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"n_tok", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"n_tok")
+        .agg(max($"c").as("top_tok"), count(lit(1)).as("n_distinct"))
+      val big = base
+        .select($"doc_id", explode(TextOps.shinglesOf($"toks", 2)).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bigram"))
+      tok.join(big, Seq("doc_id"))
+        .select($"doc_id", $"n_tok",
+          ($"top_tok".cast("double") / $"n_tok".cast("double"))
+            .as("top_tok_frac"),
+          ($"n_distinct".cast("double") / $"n_tok".cast("double"))
+            .as("distinct_frac"),
+          ($"top_bigram".cast("double") / ($"n_tok" - 1).cast("double"))
+            .as("top_bigram_frac"))
+        .withColumn("repetitive",
+          $"top_bigram_frac" > TopBigramFracMax ||
+            $"top_tok_frac" > TopTokenFracMax)
+        .orderBy($"doc_id")
+    },
+
+    // PII scrub: digit masking + stable pseudonymization over the
+    // natural-key column (c_name carries an embedded numeric id —
+    // exactly the "identifier inside free text" case). The mask is a
+    // narrow per-row map (no shuffle — at 100 TB this pipelines
+    // inside the scan stage); the pseudonym is the shared
+    // polynomial-hash kernel, so the same entity always maps to the
+    // same opaque token across jobs (what downstream joins need
+    // after redaction).
+    "q52_pii_scrub" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .filter($"c_custkey" <= 200)
+        .select($"c_custkey",
+          regexp_replace($"c_name", "[0-9]", "#").as("masked_name"),
+          (length($"c_name") - length(regexp_replace($"c_name", "[0-9]", "")))
+            .cast("long").as("n_masked"),
+          concat(lit("cust_"), TextOps.fingerprint($"c_name").cast("string"))
+            .as("pseudonym"))
+        .orderBy($"c_custkey")
+    },
+
+    // Benchmark-contamination check: which training docs share
+    // verbatim k-grams with a held-out benchmark set (here: the
+    // doc_id % 97 == 0 slice — a stand-in for an eval suite)?
+    // Shingle-hash sets come from the fused codegen kernel (q24's);
+    // the benchmark side is tiny by construction, so it broadcasts —
+    // the contaminated-doc scan never shuffles its text, only
+    // (doc_id, hash) pairs into the count-distinct. At 100 TB the
+    // benchmark side stays broadcast-sized (eval suites are MBs) and
+    // the train side streams through map-side hash probes.
+    "q53_contamination" -> { (s, d) =>
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id",
+          graft.ops.expressions.ShingleHashes($"text", ContamK).as("hs"))
+        .filter(size($"hs") > 0)
+      val bench = sh.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("bench_id"), explode($"hs").as("h"))
+      val train = sh.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", explode($"hs").as("h"))
+      train.join(broadcast(bench), Seq("h"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"h").as("n_shared"),
+          countDistinct($"bench_id").as("n_bench_docs"))
+        .orderBy($"n_shared".desc, $"doc_id")
+        .limit(15)
+    },
+
+    // Token-budget sequence packing: assign documents (in stable
+    // doc_id order, per language) to fixed-budget training sequences
+    // by exclusive-prefix-sum binning — the deterministic,
+    // shuffle-once analog of greedy sequence packing (a doc whose
+    // tokens straddle a boundary opens the next sequence; budget
+    // overflow within a sequence is the concat-and-split convention).
+    // One window shuffle on lang, then a groupBy on (lang, seq_id)
+    // that AQE coalesces; no driver-side loop, no per-bin state.
+    "q54_seq_pack" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          TextOps.tokenCount($"text").cast("long").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("seq_id",
+          floor(($"cum" - $"n_tok").cast("double") / lit(PackBudget.toDouble))
+            .cast("long"))
+        .groupBy($"lang", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"seq_id")
+    },
+
+    // Correlated-subquery SQL face: EXISTS / NOT EXISTS / correlated
+    // scalar COUNT — Catalyst decorrelates all three into
+    // semi/anti/aggregate joins (no per-row re-execution, unlike the
+    // tuple-at-a-time reading). Integer-only comparisons and counts,
+    // so the oracle replay is exact by construction.
+    "q55_subqueries" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SubquerySql)
+    }
+  )
+
+  /** Runs verbatim in both engines (ANSI subset — the Spark side
+    * executes this exact text too). */
+  private val SubquerySql =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 50000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q51_repetition" -> {
+      val toks = TSql.toks("text")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks,
+         |             CAST(len($toks) AS BIGINT) AS n_tok
+         |           FROM documents WHERE len($toks) >= 2),
+         |tok AS (SELECT doc_id, n_tok, u.tok FROM b, unnest(toks) u(tok)),
+         |tc AS (SELECT doc_id, n_tok, tok, count(*) AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |ta AS (SELECT doc_id, n_tok, max(c) AS top_tok,
+         |         count(*) AS n_distinct FROM tc GROUP BY 1, 2),
+         |bgr AS (SELECT doc_id, u.bg FROM b,
+         |          unnest(list_transform(range(1, len(toks)),
+         |            i -> array_to_string(toks[i : i+1], ' '))) u(bg)),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, max(c) AS top_bigram FROM bc GROUP BY 1)
+         |SELECT ta.doc_id, n_tok,
+         |  CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
+         |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_frac,
+         |  CAST(top_bigram AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) AS top_bigram_frac,
+         |  (CAST(top_bigram AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) > $TopBigramFracMax
+         |   OR CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) > $TopTokenFracMax) AS repetitive
+         |FROM ta JOIN ba ON ta.doc_id = ba.doc_id
+         |ORDER BY ta.doc_id""".stripMargin
+    },
+
+    "q52_pii_scrub" ->
+      s"""SELECT c_custkey,
+         |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+         |  length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+         |    AS n_masked,
+         |  'cust_' || CAST(${TSql.polyHash("c_name")} AS VARCHAR) AS pseudonym
+         |FROM customer WHERE c_custkey <= 200
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q53_contamination" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             list_distinct(list_transform(
+         |               ${TSql.shingleSet("text", ContamK)},
+         |               t -> ${TSql.polyHash("t")})) AS hs
+         |           FROM documents),
+         |e AS (SELECT doc_id, u.h FROM h, unnest(hs) u(h)
+         |      WHERE len(hs) > 0),
+         |b AS (SELECT doc_id AS bench_id, h FROM e WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, h FROM e WHERE doc_id % 97 != 0)
+         |SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM tr JOIN b ON tr.h = b.h
+         |GROUP BY tr.doc_id
+         |ORDER BY n_shared DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q54_seq_pack" -> {
+      val nTok = s"CAST(len(${TSql.toks("text")}) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, lang, $nTok AS n_tok FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+         |          AS BIGINT) AS cum FROM t),
+         |s AS (SELECT doc_id, lang, n_tok,
+         |        CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget.0)
+         |          AS BIGINT) AS seq_id FROM c)
+         |SELECT lang, seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM s GROUP BY lang, seq_id
+         |ORDER BY lang, seq_id""".stripMargin
+    },
+
+    "q55_subqueries" -> SubquerySql
+  )
+}
