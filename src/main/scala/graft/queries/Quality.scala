@@ -37,6 +37,9 @@ object Quality {
   /** Sequence-packing token budget per training sequence. */
   private val PackBudget = 512
 
+  /** Chunk width for the generator-form chunker (same as q21's). */
+  private val ChunkN = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Intra-document repetition statistics (the quality signal the
@@ -151,6 +154,21 @@ object Quality {
         .orderBy($"lang", $"seq_id")
     },
 
+    // The chunker as a Catalyst Generator (UDTF): one (pos, chunk)
+    // row per ≤16-token window, emitted lazily by ChunkExplode —
+    // row-identical to q21's posexplode(chunksOf(...)) stage but
+    // without materializing per-row token/chunk arrays (the
+    // long-document scale path; see ChunkExplode's scaladoc). Plans
+    // as GenerateExec feeding the sort directly.
+    "q56_chunk_explode" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          graft.ops.expressions.ChunkExplode($"text", ChunkN)
+            .as(Seq("pos", "chunk")))
+        .orderBy($"doc_id", $"pos")
+    },
+
     // Correlated-subquery SQL face: EXISTS / NOT EXISTS / correlated
     // scalar COUNT — Catalyst decorrelates all three into
     // semi/anti/aggregate joins (no per-row re-execution, unlike the
@@ -246,6 +264,13 @@ object Quality {
          |FROM s GROUP BY lang, seq_id
          |ORDER BY lang, seq_id""".stripMargin
     },
+
+    "q56_chunk_explode" ->
+      s"""WITH c AS (SELECT doc_id, ${TSql.chunks("text", ChunkN)} AS chs
+         |           FROM documents)
+         |SELECT doc_id, CAST(u.i AS INTEGER) AS pos, chs[u.i + 1] AS chunk
+         |FROM c, unnest(range(0, len(chs))) u(i)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q55_subqueries" -> SubquerySql
   )
