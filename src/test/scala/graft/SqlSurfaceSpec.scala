@@ -45,6 +45,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sig.length == 4 && sig.forall(_ >= 0))
   }
 
+  test("the Generator UDTF is callable from SQL via LATERAL VIEW") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_gen_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.pos, c.chunk
+        |FROM docs_gen_sql
+        |LATERAL VIEW chunk_explode(text, 7) c AS pos, chunk""".stripMargin)
+    val viaApi = Tables.documents(spark, sf).select($"doc_id",
+      graft.ops.expressions.ChunkExplode($"text", 7).as(Seq("pos", "chunk")))
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
+
   test("a full analytical query in pure SQL: views + windows + joins + optimizer stack") {
     // a SQL-only user sees the whole engine: parquet views, standard
     // SQL (join + window rank filter), and the planner extensions —
