@@ -121,4 +121,50 @@ object EmbedPipeline {
     merged.write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).count()
   }
+
+  /** EP3 as ONE typed pass: merge + both-direction missing-id
+    * detection + cardinality check in a single `cogroup` over the
+    * [[Embedded]] record triple (the reference runs three separate
+    * positional scans for this — merge `process.py:119-129`, missing
+    * ids `process.py:69-117`, count reconciliation
+    * `process.py:131-173`). Spark co-partitions both sides on id —
+    * one shuffle each — where the join + two anti-joins formulation
+    * shuffles the same data three times. Per-key state is that id's
+    * own rows (bounded), so this scales with corpus size, not key
+    * cardinality. Weighted-concat arithmetic is element-for-element
+    * the same double ops as [[mergeJob]]'s `scaleConcat`
+    * (PipelineSpec asserts bit-equality between the two paths).
+    *
+    * Statuses: `both` (merged embedding), `title_only` /
+    * `abstract_only` (the backfill feeds), `conflict` (duplicate id
+    * within a side — the condition the reference's zip silently
+    * corrupts on). */
+  def cogroupReconcile(titles: org.apache.spark.sql.Dataset[Embedded],
+                       abstracts: org.apache.spark.sql.Dataset[Embedded],
+                       titleWeight: Double): org.apache.spark.sql.Dataset[Reconciled] = {
+    import titles.sparkSession.implicits._
+    val aw = 1.0 - titleWeight
+    titles.groupByKey(_.id).cogroup(abstracts.groupByKey(_.id)) { (id, ts, as0) =>
+      val t = ts.toSeq
+      val a = as0.toSeq
+      if (t.size > 1 || a.size > 1)
+        Iterator.single(Reconciled(id, "conflict", Seq.empty))
+      else (t.headOption, a.headOption) match {
+        case (Some(x), Some(y)) =>
+          Iterator.single(Reconciled(id, "both",
+            x.embedding.map(_ * titleWeight) ++ y.embedding.map(_ * aw)))
+        case (Some(_), None) => Iterator.single(Reconciled(id, "title_only", Seq.empty))
+        case (None, Some(_)) => Iterator.single(Reconciled(id, "abstract_only", Seq.empty))
+        case _ => Iterator.empty
+      }
+    }
+  }
 }
+
+/** The reference's universal intermediate row `(content, embedding,
+  * id)` (`run.py:142-144`, SURVEY §1.1) as a typed record — the
+  * schema [[EmbedPipeline.embedJob]] writes. */
+case class Embedded(id: Long, content: String, embedding: Seq[Double])
+
+/** One reconciled id from [[EmbedPipeline.cogroupReconcile]]. */
+case class Reconciled(id: Long, status: String, embedding: Seq[Double])

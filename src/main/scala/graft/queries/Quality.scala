@@ -55,20 +55,37 @@ object Quality {
     // shape).
     "q51_repetition" -> { (s, d) =>
       import s.implicits._
+      // Single pass on the TokenHashes codegen kernel (no regex, no
+      // token strings): grams become LONG ids — a 1-gram is h·2, a
+      // 2-gram is ((h_i·31 + h_{i+1}) mod P)·2 + 1 (kind in the low
+      // bit, all values < 2^32 so no overflow) — then one
+      // explode→count→conditional-agg. Counting hashed grams ≡
+      // counting strings up to polyhash collisions, which both
+      // engines compute identically (q24's argument). vs the
+      // two-branch string+struct+join formulation: one scan instead
+      // of two, one count shuffle of longs instead of three of
+      // strings (measured 1.85 s → 1.19 s at sf0.1; the string
+      // form's dominant cost was interpreted struct/string lambdas).
+      val P = lit(1000000007L)
       val base = Tables.documents(s, d)
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tok"))
-      val tok = base
-        .select($"doc_id", $"n_tok", explode($"toks").as("tok"))
-        .groupBy($"doc_id", $"n_tok", $"tok").agg(count(lit(1)).as("c"))
+        .select($"doc_id",
+          graft.ops.expressions.TokenHashes($"text").as("hs"))
+        .filter(size($"hs") >= 2)
+        .select($"doc_id", $"hs", size($"hs").cast("long").as("n_tok"))
+      val gids = concat(
+        transform($"hs", h => h * 2),
+        zip_with(
+          slice($"hs", lit(1), size($"hs") - 1),
+          slice($"hs", lit(2), size($"hs") - 1),
+          (a, b) => ((a * 31 + b) % P) * 2 + 1))
+      val stats = base
+        .select($"doc_id", $"n_tok", explode(gids).as("gid"))
+        .groupBy($"doc_id", $"n_tok", $"gid").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id", $"n_tok")
-        .agg(max($"c").as("top_tok"), count(lit(1)).as("n_distinct"))
-      val big = base
-        .select($"doc_id", explode(TextOps.shinglesOf($"toks", 2)).as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_bigram"))
-      tok.join(big, Seq("doc_id"))
+        .agg(max(when($"gid" % 2 === 0, $"c")).as("top_tok"),
+          count(when($"gid" % 2 === 0, lit(1))).as("n_distinct"),
+          max(when($"gid" % 2 === 1, $"c")).as("top_bigram"))
+      stats
         .select($"doc_id", $"n_tok",
           ($"top_tok".cast("double") / $"n_tok".cast("double"))
             .as("top_tok_frac"),
@@ -201,27 +218,28 @@ object Quality {
 
     "q51_repetition" -> {
       val toks = TSql.toks("text")
-      s"""WITH b AS (SELECT doc_id, $toks AS toks,
+      s"""WITH b AS (SELECT doc_id,
+         |             list_transform($toks, t -> ${TSql.polyHash("t")}) AS hs,
          |             CAST(len($toks) AS BIGINT) AS n_tok
          |           FROM documents WHERE len($toks) >= 2),
-         |tok AS (SELECT doc_id, n_tok, u.tok FROM b, unnest(toks) u(tok)),
-         |tc AS (SELECT doc_id, n_tok, tok, count(*) AS c
-         |       FROM tok GROUP BY 1, 2, 3),
-         |ta AS (SELECT doc_id, n_tok, max(c) AS top_tok,
-         |         count(*) AS n_distinct FROM tc GROUP BY 1, 2),
-         |bgr AS (SELECT doc_id, u.bg FROM b,
-         |          unnest(list_transform(range(1, len(toks)),
-         |            i -> array_to_string(toks[i : i+1], ' '))) u(bg)),
-         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
-         |ba AS (SELECT doc_id, max(c) AS top_bigram FROM bc GROUP BY 1)
-         |SELECT ta.doc_id, n_tok,
+         |g AS (SELECT doc_id, n_tok, u.gid FROM b, unnest(list_concat(
+         |        list_transform(hs, h -> h * 2),
+         |        list_transform(range(1, len(hs)),
+         |          i -> ((hs[i] * 31 + hs[i+1]) % 1000000007) * 2 + 1))) u(gid)),
+         |gc AS (SELECT doc_id, n_tok, gid, count(*) AS c
+         |       FROM g GROUP BY 1, 2, 3),
+         |agg AS (SELECT doc_id, n_tok,
+         |          max(CASE WHEN gid % 2 = 0 THEN c END) AS top_tok,
+         |          count(CASE WHEN gid % 2 = 0 THEN 1 END) AS n_distinct,
+         |          max(CASE WHEN gid % 2 = 1 THEN c END) AS top_bigram
+         |        FROM gc GROUP BY 1, 2)
+         |SELECT doc_id, n_tok,
          |  CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
          |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_frac,
          |  CAST(top_bigram AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) AS top_bigram_frac,
          |  (CAST(top_bigram AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) > $TopBigramFracMax
          |   OR CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) > $TopTokenFracMax) AS repetitive
-         |FROM ta JOIN ba ON ta.doc_id = ba.doc_id
-         |ORDER BY ta.doc_id""".stripMargin
+         |FROM agg ORDER BY doc_id""".stripMargin
     },
 
     "q52_pii_scrub" ->

@@ -101,4 +101,40 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("EP3 typed cogroup: merge + both-direction missing ids in one pass ≡ join formulation") {
+    import spark.implicits._
+    import graft.pipeline.{Embedded, Reconciled}
+    val tDir = tmp("cg-titles"); val aDir = tmp("cg-abstracts")
+    EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", tDir,
+      "doc_id", "text", dim = 8, shardRows = 1000)
+    EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", aDir,
+      "doc_id", "text", dim = 8, shardRows = 1000)
+    // title side missing ids >= 450, abstract side missing ids < 30:
+    // both backfill directions present, 420 ids on both sides
+    val titles = spark.read.parquet(tDir).filter($"id" < 450).as[Embedded]
+    val abstracts = spark.read.parquet(aDir).filter($"id" >= 30).as[Embedded]
+
+    val rec = EmbedPipeline.cogroupReconcile(titles, abstracts, titleWeight = 0.2)
+      .collect()
+    assert(rec.count(_.status == "both") == 420)
+    assert(rec.count(_.status == "title_only") == 30)
+    assert(rec.count(_.status == "abstract_only") == 50)
+    assert(!rec.exists(_.status == "conflict"))
+
+    // the merged vectors are BIT-equal to mergeJob's scaleConcat path
+    val viaJoin = titles.toDF().select($"id", $"embedding".as("t_emb"))
+      .join(abstracts.toDF().select($"id", $"embedding".as("a_emb")), Seq("id"))
+      .select($"id", graft.ops.VectorOps.scaleConcat($"t_emb", $"a_emb", 0.2)
+        .as("embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rec.filter(_.status == "both")
+      .forall(r => viaJoin(r.id) == r.embedding))
+
+    // a duplicated id within one side is flagged, not silently zipped
+    val dup = titles.union(titles.filter($"id" === 7L).as[Embedded])
+    val conf = EmbedPipeline.cogroupReconcile(dup, abstracts, 0.2)
+      .filter(_.status == "conflict").collect()
+    assert(conf.map(_.id).toSeq == Seq(7L))
+  }
 }
