@@ -212,8 +212,71 @@ object Search {
           ntile(4).over(w).as("quartile"),
           percent_rank().over(w).as("pct_rank"))
         .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // Unpivot (wide → long): per-priority order metrics melted to
+    // (priority, metric, value) rows — the Dataset.unpivot operator;
+    // the oracle is the portable UNION ALL expansion (identical
+    // semantics incl. NULL-dropping, which doesn't arise here).
+    // Counts and micro-unit sums keep every value double-exact.
+    "q57_unpivot" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          graft.ops.Determinism.sumExact($"o_totalprice").as("total_price"),
+          max($"o_totalprice").as("max_price"))
+        .unpivot(
+          Array($"o_orderpriority"),
+          Array($"n_orders", $"total_price", $"max_price"),
+          "metric", "value")
+        .orderBy($"o_orderpriority", $"metric")
+    },
+
+    // Bag (multiset) set ops — EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (q16/q17 are the distinct forms). Spark plans
+    // both as multiplicity arithmetic over a single hash aggregate
+    // per side (generate+sum), not a join. Output is re-grouped to
+    // (value, multiplicity) for a stable compare.
+    "q58_bag_setops" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
+      val b = Tables.customer(s, d)
+        .filter($"c_acctbal" > 1000).select($"c_nationkey")
+      val ex = a.exceptAll(b).groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.union(in).orderBy($"op", $"c_nationkey")
+    },
+
+    // LATERAL join: per-nation top-2 orders via a correlated,
+    // ordered-and-limited lateral subquery — the SQL face of the
+    // per-key top-k pattern (the Column-API/TopKPerKey forms are
+    // q09/q39). Catalyst decorrelates the lateral into a
+    // window-rank over a domain join rather than re-running the
+    // subquery per outer row.
+    "q59_lateral_topk" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(LateralSql)
     }
   )
+
+  /** Runs verbatim in both engines. */
+  private val LateralSql =
+    """SELECT n.n_name, t.o_orderkey,
+      |  CAST(floor(t.o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      |FROM nation n
+      |CROSS JOIN LATERAL (
+      |  SELECT o.o_orderkey, o.o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |  LIMIT 2) t
+      |ORDER BY n.n_name, t.o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = {
     val toks = TextVector.Sql.toks("text")
@@ -310,6 +373,36 @@ object Search {
            |GROUP BY win_start, event_type
            |ORDER BY win_start, event_type""".stripMargin
       },
+
+      "q57_unpivot" -> {
+        val fsum = graft.ops.Determinism.Oracles.fsum("o_totalprice")
+        s"""WITH w AS (SELECT o_orderpriority,
+           |             CAST(count(*) AS DOUBLE) AS n_orders,
+           |             $fsum AS total_price,
+           |             max(o_totalprice) AS max_price
+           |           FROM orders GROUP BY 1)
+           |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+           |UNION ALL
+           |SELECT o_orderpriority, 'total_price', total_price FROM w
+           |UNION ALL
+           |SELECT o_orderpriority, 'max_price', max_price FROM w
+           |ORDER BY o_orderpriority, metric""".stripMargin
+      },
+
+      "q58_bag_setops" ->
+        """WITH a AS (SELECT c_nationkey FROM customer
+          |           WHERE c_mktsegment = 'BUILDING'),
+          |b AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 1000),
+          |e AS (SELECT c_nationkey FROM a EXCEPT ALL SELECT c_nationkey FROM b),
+          |i AS (SELECT c_nationkey FROM a INTERSECT ALL SELECT c_nationkey FROM b)
+          |SELECT c_nationkey, count(*) AS n, 'except_all' AS op
+          |FROM e GROUP BY c_nationkey
+          |UNION ALL
+          |SELECT c_nationkey, count(*) AS n, 'intersect_all' AS op
+          |FROM i GROUP BY c_nationkey
+          |ORDER BY op, c_nationkey""".stripMargin,
+
+      "q59_lateral_topk" -> LateralSql,
 
       "q48_order_deltas" ->
         """SELECT o_custkey, o_orderkey,
