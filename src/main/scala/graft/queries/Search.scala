@@ -254,9 +254,12 @@ object Search {
     // LATERAL join: per-nation top-2 orders via a correlated,
     // ordered-and-limited lateral subquery — the SQL face of the
     // per-key top-k pattern (the Column-API/TopKPerKey forms are
-    // q09/q39). Catalyst decorrelates the lateral into a
-    // window-rank over a domain join rather than re-running the
-    // subquery per outer row.
+    // q09/q39). Catalyst decorrelates the lateral into a window
+    // rank over a domain join (no per-outer-row re-execution), and
+    // the engine's WindowTopKRewrite then plans THAT onto the custom
+    // TopKPerKeyExec — `graft.Explain q59_lateral_topk` shows
+    // TopKPerKeyPartial feeding the shuffle. SQL text in, custom
+    // operator out, with no hint anywhere.
     "q59_lateral_topk" -> { (s, d) =>
       Tables.nation(s, d).createOrReplaceTempView("nation")
       Tables.customer(s, d).createOrReplaceTempView("customer")
