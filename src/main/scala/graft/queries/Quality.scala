@@ -186,6 +186,70 @@ object Quality {
         .orderBy($"doc_id", $"pos")
     },
 
+    // NULL-discipline surface: null-safe equality (<=> ≡ DuckDB's
+    // IS NOT DISTINCT FROM), NULL-producing CASE, count(col) vs
+    // count(*), count(DISTINCT nullable), and coalesce — the
+    // semantics corner every engine must get right and engines
+    // disagree on by default (e.g. Spark sorts NULLS FIRST asc,
+    // DuckDB NULLS LAST — aggregation here sidesteps ordering;
+    // comparisons are pinned by the null-safe operator).
+    "q60_null_semantics" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_custkey")
+      val banded = Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          when($"c_acctbal" >= 0, floor($"c_acctbal" / lit(1000.0)).cast("long"))
+            .as("band"))
+      banded
+        .select($"c_nationkey", $"band",
+          ($"band" <=> lag($"band", 1).over(w)).as("same_as_prev"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), count($"band").as("n_banded"),
+          countDistinct($"band").as("n_bands"),
+          count(when($"same_as_prev", lit(1))).as("n_nullsafe_eq"),
+          max(coalesce($"band", lit(-1L))).as("max_band_or_neg1"))
+        .orderBy($"c_nationkey")
+    },
+
+    // Statistical aggregates with the engine's determinism
+    // discipline: population variance and Pearson correlation from
+    // integer-exact moment sums (cents-quantized balances × per-
+    // customer order counts). The built-in stddev/corr fold doubles
+    // in shuffle-arrival order (non-deterministic bits); these
+    // compute every Σ, Σx², Σxy in int64 — overflow-checked by ANSI
+    // mode, with ~9e18 headroom at any realistic group size — and
+    // defer ALL floating-point to identical final expressions
+    // (sqrt is IEEE correctly-rounded, so it's bit-safe cross-
+    // engine). Zero-variance groups yield NULL via the same CASE
+    // both sides (ANSI double x/0 would throw, not inf).
+    "q61_exact_stats" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey",
+          floor($"c_acctbal" * 100 + lit(0.5)).cast("long").as("bal_c"))
+      val ord = Tables.orders(s, d)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+      val j = cust
+        .join(ord, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_nationkey", $"bal_c",
+          coalesce($"n_ord", lit(0L)).as("n_ord"))
+      val a = j.groupBy($"c_nationkey").agg(
+        count(lit(1)).as("n"),
+        sum($"bal_c").as("sx"), sum($"bal_c" * $"bal_c").as("sxx"),
+        sum($"n_ord").as("sy"), sum($"n_ord" * $"n_ord").as("syy"),
+        sum($"bal_c" * $"n_ord").as("sxy"))
+      val vx = $"n" * $"sxx" - $"sx" * $"sx"
+      val vy = $"n" * $"syy" - $"sy" * $"sy"
+      a.select($"c_nationkey", $"n",
+        (vx.cast("double") / ($"n" * $"n").cast("double") / lit(10000.0))
+          .as("var_pop_bal"),
+        when(vx > 0 && vy > 0,
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("corr_bal_orders"))
+        .orderBy($"c_nationkey")
+    },
+
     // Correlated-subquery SQL face: EXISTS / NOT EXISTS / correlated
     // scalar COUNT — Catalyst decorrelates all three into
     // semi/anti/aggregate joins (no per-row re-execution, unlike the
@@ -289,6 +353,44 @@ object Quality {
          |SELECT doc_id, CAST(u.i AS INTEGER) AS pos, chs[u.i + 1] AS chunk
          |FROM c, unnest(range(0, len(chs))) u(i)
          |ORDER BY doc_id, pos""".stripMargin,
+
+    "q60_null_semantics" ->
+      """WITH b AS (SELECT c_nationkey, c_custkey,
+        |             CASE WHEN c_acctbal >= 0
+        |               THEN CAST(floor(c_acctbal / 1000.0) AS BIGINT) END AS band
+        |           FROM customer),
+        |r AS (SELECT c_nationkey, band,
+        |        (band IS NOT DISTINCT FROM lag(band) OVER
+        |          (PARTITION BY c_nationkey ORDER BY c_custkey)) AS same_as_prev
+        |      FROM b)
+        |SELECT c_nationkey, count(*) AS n, count(band) AS n_banded,
+        |  count(DISTINCT band) AS n_bands,
+        |  count(CASE WHEN same_as_prev THEN 1 END) AS n_nullsafe_eq,
+        |  max(coalesce(band, -1)) AS max_band_or_neg1
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_exact_stats" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |           FROM customer),
+        |o AS (SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey, bal_c, coalesce(n_ord, 0) AS n_ord
+        |      FROM c LEFT JOIN o ON c_custkey = o_custkey),
+        |a AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(bal_c) AS BIGINT) AS sx,
+        |        CAST(sum(bal_c * bal_c) AS BIGINT) AS sxx,
+        |        CAST(sum(n_ord) AS BIGINT) AS sy,
+        |        CAST(sum(n_ord * n_ord) AS BIGINT) AS syy,
+        |        CAST(sum(bal_c * n_ord) AS BIGINT) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT c_nationkey, n,
+        |  CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*n AS DOUBLE) / 10000.0
+        |    AS var_pop_bal,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |  END AS corr_bal_orders
+        |FROM a ORDER BY c_nationkey""".stripMargin,
 
     "q55_subqueries" -> SubquerySql
   )
