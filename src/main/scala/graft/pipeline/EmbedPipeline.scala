@@ -43,14 +43,51 @@ object EmbedPipeline {
       // codegen kernel ≡ VectorOps.embed (unit-enforced); the HOF
       // form re-hashes the text once per dimension
       .withColumn("embedding", graft.ops.expressions.HashEmbed(col("content"), dim))
-    // The K3 rows-per-file bound is the session conf, not a writer
-    // option (the option form is silently ignored).
+    // A3: rows counted in-flight by observe-metrics — no post-write
+    // recount scan (at 100 TB that second scan is real money).
+    withMaxRecordsPerFile(spark, shardRows) {
+      graft.ops.Metrics.observedParquetWrite(df, outPath).rows
+    }
+  }
+
+  /** The K3 rows-per-file bound is the session conf, not a writer
+    * option (the option form is silently ignored). */
+  private def withMaxRecordsPerFile[A](spark: SparkSession, shardRows: Int)(f: => A): A = {
     val key = "spark.sql.files.maxRecordsPerFile"
     val prev = spark.conf.get(key, "0")
     spark.conf.set(key, shardRows.toLong)
-    try df.write.mode("overwrite").parquet(outPath)
-    finally spark.conf.set(key, prev)
-    spark.read.parquet(outPath).count()
+    try f finally spark.conf.set(key, prev)
+  }
+
+  /** Compaction stats from [[compactJob]]. */
+  final case class CompactStats(rowsIn: Long, rowsOut: Long,
+                                filesIn: Int, filesOut: Int)
+
+  /** The `join.py` compaction job (S4→K3, `join.py:25-41`): many
+    * small shard files in → few bounded files out, plus the count
+    * reconciliation `process.py:131-173` runs by hand. The
+    * round-robin `repartition` sizes output files near the K3 bound
+    * (ceil(rows/shardRows) partitions) and `maxRecordsPerFile`
+    * enforces the bound exactly. This is the small-files repair a
+    * 100-TB pipeline runs continuously — a checkpoint cadence of
+    * ~3,200 rows/shard (`run.py:150-153`) makes thousands of tiny
+    * files per billion rows; scan cost recovers only after
+    * compaction. Throws on any row loss (there is none to lose —
+    * no tail-drop exists in this engine; the assert preserves the
+    * reference's reconciliation semantics). */
+  def compactJob(spark: SparkSession, inPath: String, outPath: String,
+                 shardRows: Int): CompactStats = {
+    val in = spark.read.parquet(inPath)
+    val filesIn = in.inputFiles.length
+    val rowsIn = in.count()
+    val parts = math.max(1L, (rowsIn + shardRows - 1) / shardRows).toInt
+    val rowsOut = withMaxRecordsPerFile(spark, shardRows) {
+      graft.ops.Metrics.observedParquetWrite(in.repartition(parts), outPath).rows
+    }
+    val filesOut = spark.read.parquet(outPath).inputFiles.length
+    require(rowsOut == rowsIn,
+      s"compaction lost rows: $rowsIn in, $rowsOut out")
+    CompactStats(rowsIn, rowsOut, filesIn, filesOut)
   }
 
   /** S4+T6: read a sharded parquet dir with a dense 0..n-1 shard id

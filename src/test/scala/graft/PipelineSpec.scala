@@ -102,6 +102,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("compaction job: many tiny shards → few bounded files, counts reconcile, throughput observed") {
+    val tiny = tmp("tiny"); val compact = tmp("compact")
+    // write with an absurdly small shard bound → many small files
+    // (the checkpoint-cadence small-files problem, run.py:150-153)
+    EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", tiny,
+      "doc_id", "text", dim = 4, shardRows = 10)
+    val st = EmbedPipeline.compactJob(spark, tiny, compact, shardRows = 200)
+    assert(st.rowsIn == 500 && st.rowsOut == 500)
+    assert(st.filesIn > 10, s"expected many small files, got ${st.filesIn}")
+    assert(st.filesOut <= 4, s"expected <= 4 compacted files, got ${st.filesOut}")
+    // bounded: no compacted file exceeds the K3 bound
+    val perFile = spark.read.parquet(compact)
+      .groupBy(input_file_name()).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(perFile <= 200, s"file with $perFile rows > 200")
+    // A3 metric: in-flight observe-count measured a positive rate
+    val ws = graft.ops.Metrics.observedParquetWrite(
+      spark.read.parquet(compact), tmp("rewrite"))
+    assert(ws.rows == 500 && ws.seconds > 0 && ws.rowsPerSec > 0)
+  }
+
   test("EP3 typed cogroup: merge + both-direction missing ids in one pass ≡ join formulation") {
     import spark.implicits._
     import graft.pipeline.{Embedded, Reconciled}
