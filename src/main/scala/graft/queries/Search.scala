@@ -251,6 +251,29 @@ object Search {
       ex.union(in).orderBy($"op", $"c_nationkey")
     },
 
+    // Bounded window frames — the frame vocabulary q09/q10/q48 don't
+    // cover: a ROWS-frame moving sum, first/last_value over an
+    // explicit full-partition frame (last_value under the DEFAULT
+    // frame is the famous current-row trap — spelled explicitly
+    // here), and nth_value. All money in exact cents.
+    "q62_window_frames" -> { (s, d) =>
+      import s.implicits._
+      val cents = floor($"o_totalprice" * 100 + lit(0.5)).cast("bigint")
+      val order = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val moving = order.rowsBetween(-2, Window.currentRow)
+      val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter($"o_custkey" <= 50)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", cents.as("price_c"))
+        .withColumn("moving3_c", sum($"price_c").over(moving))
+        .withColumn("first_c", first($"price_c").over(full))
+        .withColumn("last_c", last($"price_c").over(full))
+        .withColumn("second_c", nth_value($"price_c", 2).over(full))
+        .drop("o_orderdate")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // LATERAL join: per-nation top-2 orders via a correlated,
     // ordered-and-limited lateral subquery — the SQL face of the
     // per-key top-k pattern (the Column-API/TopKPerKey forms are
@@ -406,6 +429,22 @@ object Search {
           |ORDER BY op, c_nationkey""".stripMargin,
 
       "q59_lateral_topk" -> LateralSql,
+
+      "q62_window_frames" ->
+        """WITH p AS (SELECT o_custkey, o_orderkey, o_orderdate,
+          |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+          |           FROM orders WHERE o_custkey <= 50)
+          |SELECT o_custkey, o_orderkey, price_c,
+          |  CAST(sum(price_c) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_c,
+          |  first_value(price_c) OVER w AS first_c,
+          |  last_value(price_c) OVER w AS last_c,
+          |  nth_value(price_c, 2) OVER w AS second_c
+          |FROM p
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
       "q48_order_deltas" ->
         """SELECT o_custkey, o_orderkey,

@@ -52,6 +52,30 @@ class GeneratorSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 5L).map(_._3) == Seq("a - b € x , π", "!"))
   }
 
+  test("property: kernel chunking ≡ HOF chunking on random unicode strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "\t", "\n"),
+      1 -> Gen.oneOf("€", "π", "!", ","),
+      1 -> Gen.const("𝕏") // 𝕏: astral plane → surrogate pair
+    )).map(_.mkString)
+    val texts = (0 until 60).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(rows(genForm(df)) == rows(hofForm(df)))
+    // the kernel's lazy iterator agrees with itself driver-side
+    texts.foreach { t =>
+      val it = graft.ops.expressions.ChunkGenKernel
+        .chunkIterator(UTF8String.fromString(t), N)
+      val chunks = it.map(_._2.toString).toSeq
+      assert(chunks.forall(c => TextOps.TokenPattern.r.findAllIn(c).size <= N))
+    }
+  }
+
   test("plans as GenerateExec (no UDF, no array materialization op)") {
     val plan = genForm(Tables.documents(spark, sf)).queryExecution.executedPlan
     assert(plan.exists(_.isInstanceOf[GenerateExec]),
