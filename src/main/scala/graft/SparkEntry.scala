@@ -26,12 +26,14 @@ object SparkEntry {
     * Verify and Bench do, or cached blocks accumulate across the run. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
-      graft.queries.Search.queries ++ graft.queries.Quality.queries
+      graft.queries.Search.queries ++ graft.queries.Quality.queries ++
+      graft.queries.Clusters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
     * driver's rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TextVector.oracles ++
-      graft.queries.Search.oracles ++ graft.queries.Quality.oracles
+      graft.queries.Search.oracles ++ graft.queries.Quality.oracles ++
+      graft.queries.Clusters.oracles
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Cluster-level curation extensions: the steps AFTER pairwise
+  * similarity. q63 resolves q24's verified near-dup pairs into
+  * canonical clusters (connected components — the transitive closure
+  * the reference's pairwise merge `/root/reference/process.py:119-129`
+  * never takes); q64 draws a deterministic weighted sample per
+  * stratum (Efraimidis–Spirakis A-Res with a hash-derived uniform),
+  * the "sample training data proportional to quality score" step,
+  * running on the engine's own TopKPerKey physical operator.
+  *
+  * Same contract as the other packs: DuckDB oracle twins with
+  * identical IEEE arithmetic. q63's oracle computes the component
+  * labels via a recursive-CTE transitive closure — O(cluster²) rows,
+  * fine for an oracle; the engine side uses the O(edges·diameter)
+  * label-propagation operator that survives 100 TB.
+  */
+object Clusters {
+
+  /** Sample size per stratum (q64). */
+  private val SampleK = 20
+
+  /** Shared hash-to-uniform constants (q64): multiplicative hash mod
+    * the engine-wide prime; key is pre-modded so the product stays
+    * < ~2.7e18 — no Long wrap, ANSI-safe (MinHashKernel's argument). */
+  private val HashMod  = 1000000007L
+  private val PermMult = 2654435761L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Dedup cluster resolution: verified near-dup pairs (exactly
+    // q24's output — composed, not re-specified) → connected
+    // components → (doc_id, cluster_id = min doc_id in component,
+    // cluster_size). A curation pipeline keeps cluster_id ==  doc_id
+    // rows as representatives and drops the rest; emitting the whole
+    // labeling keeps the query a superset of that decision. The
+    // component loop is 2 hash-shuffles per round on vertex id and
+    // converges in diameter rounds (ConnectedComponents scaladoc);
+    // cluster_size is a tiny post-join aggregation over one row per
+    // clustered doc.
+    "q63_dedup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")
+      val labels = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .select($"id".as("doc_id"), $"label".as("cluster_id"))
+      labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .orderBy($"cluster_id", $"doc_id")
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res): priority r_i = -ln(u_i)/w_i with u_i a deterministic
+    // hash-uniform in (0,1), keep the k smallest per stratum —
+    // selection probability rises with weight w_i (order value
+    // here; quality score in a curation pipeline), and the same seed
+    // always draws the same sample — reproducible corpus sampling.
+    // The per-stratum top-k runs on TopKPerKeyExec (bounded heaps +
+    // partial pre-shuffle reduction), so no reducer ever sorts a
+    // whole stratum — at 100 TB the shuffle moves O(strata·k) rows
+    // per map partition, not the corpus. ln is the one
+    // libm-dependent step (can differ ~1 ulp cross-engine): emitted
+    // priorities are micro-rounded to 1e-9 and the selection margin
+    // between adjacent order statistics (~1e-5 here) dwarfs 1 ulp,
+    // so neither the sample nor the hash can flip (q43's argument).
+    "q64_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      val h = pmod($"o_orderkey", lit(HashMod)) * lit(PermMult) % lit(HashMod)
+      val u = (h + lit(1L)).cast("double") / lit(1000000008.0)
+      val base = Tables.orders(s, d)
+        .select($"o_orderpriority".as("stratum"), $"o_orderkey",
+          (-log(u) / $"o_totalprice").as("prio"))
+      graft.plans.TopK
+        .perKey(base, Seq("stratum"), Seq(("prio", true), ("o_orderkey", true)), SampleK)
+        .select($"stratum", $"rn", $"o_orderkey",
+          floor($"prio" * lit(1.0e9) + lit(0.5)).cast("bigint").as("prio_n"))
+        .orderBy($"stratum", $"rn")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Transitive closure by recursive CTE over the symmetrized edge
+    // list (UNION dedup bounds the recursion), then label = min
+    // reachable id. `least(src, min(dst))` covers the src itself —
+    // with symmetric edges every vertex reaches itself in 2 steps,
+    // but the guard keeps the labeling correct without relying on it.
+    "q63_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${TextVector.oracles("q24_near_dup")}
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), lbl AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lbl
+         |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "q64_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT o_orderpriority AS stratum, o_orderkey,
+         |    -ln(CAST(((o_orderkey % $HashMod) * $PermMult) % $HashMod + 1 AS DOUBLE)
+         |          / CAST(1000000008.0 AS DOUBLE)) / o_totalprice AS prio
+         |  FROM orders),
+         |r AS (
+         |  SELECT stratum, o_orderkey, prio,
+         |    row_number() OVER (PARTITION BY stratum
+         |                       ORDER BY prio, o_orderkey) AS rn
+         |  FROM b)
+         |SELECT stratum, rn, o_orderkey,
+         |  CAST(floor(prio * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS prio_n
+         |FROM r WHERE rn <= $SampleK
+         |ORDER BY stratum, rn""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** ConnectedComponents (graft.ops) — correctness on known graphs,
+  * including shapes the q63 oracle gate cannot exercise (long
+  * chains needing many propagation rounds, the maxIter guard).
+  */
+class ClusterSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // the planted near-dup families and price spread the last two
+  // tests rely on live in the gate-scale dir, not the smoke dir
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.ops.ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("disjoint components get their min-id labels") {
+    // {1,2,3} triangle-ish, {10,11}, {20,21,22} star on 20
+    val labels = cc(Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (22L, 20L)))
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("a long chain converges (diameter rounds) regardless of edge orientation") {
+    // 0-1-2-…-25 as alternating orientations; min label must reach
+    // the far end only via repeated rounds
+    val chain = (0L until 25L).map(i =>
+      if (i % 2 == 0) (i, i + 1) else (i + 1, i))
+    val labels = cc(chain)
+    assert(labels.size == 26 && labels.values.forall(_ == 0L))
+  }
+
+  test("maxIter guard throws instead of returning wrong labels") {
+    val chain = (0L until 25L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      graft.ops.ConnectedComponents.run(chain.toDF("a", "b"), "a", "b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
+  test("q63 clusters are consistent with q24 pairs: every pair lands in one cluster") {
+    val out = SparkEntry.queries("q63_dedup_clusters")(spark, sf01)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = SparkEntry.queries("q24_near_dup")(spark, sf01)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"pair ($a,$b) split across clusters")
+      assert(out(a) <= a && out(a) <= b, "cluster id must be the component min")
+    }
+  }
+
+  test("q64 weighted sampling favors heavy weights and is reproducible") {
+    val one = SparkEntry.queries("q64_weighted_sample")(spark, sf01)
+      .select($"stratum", $"rn", $"o_orderkey", $"prio_n")
+      .collect()
+    val two = SparkEntry.queries("q64_weighted_sample")(spark, sf01)
+      .select($"stratum", $"rn", $"o_orderkey", $"prio_n")
+      .collect()
+    assert(one.sameElements(two), "same seed must draw the same sample")
+
+    // selection probability rises with weight: the sampled orders'
+    // mean price must sit clearly above the population mean
+    val sampled = one.map(_.getLong(2)).toSet
+    val prices = Tables.orders(spark, sf01)
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect()
+    val popMean = prices.map(_._2).sum / prices.length
+    val inSample = prices.filter(p => sampled.contains(p._1))
+    assert(inSample.length == one.length)
+    val sampleMean = inSample.map(_._2).sum / inSample.length
+    assert(sampleMean > popMean * 1.2,
+      s"weighted sample mean $sampleMean not above population mean $popMean")
+  }
+}
