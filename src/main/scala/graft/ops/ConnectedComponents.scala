@@ -52,7 +52,13 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxIter: Int = 30): DataFrame = {
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // materialize the symmetrized edge list ONCE: every round joins
+    // against it, and without this the whole upstream edge pipeline
+    // (for q63, the minhash+LSH+verify chain) would re-execute per
+    // round. The edge list of a dedup graph is orders smaller than
+    // the corpus it came from, so executor-local storage holds it.
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
 
     // every vertex came from an edge, so the propagation join below
     // always matches — inner join, no coalesce needed
