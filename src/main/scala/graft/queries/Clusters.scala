@@ -12,7 +12,9 @@ import graft.Tables
   * never takes); q64 draws a deterministic weighted sample per
   * stratum (Efraimidis–Spirakis A-Res with a hash-derived uniform),
   * the "sample training data proportional to quality score" step,
-  * running on the engine's own TopKPerKey physical operator.
+  * running on the engine's own TopKPerKey physical operator; q65
+  * assigns train/val/test splits with the near-dup CLUSTER as the
+  * unit, so no near-duplicate pair ever straddles train and test.
   *
   * Same contract as the other packs: DuckDB oracle twins with
   * identical IEEE arithmetic. q63's oracle computes the component
@@ -80,31 +82,64 @@ object Clusters {
         .select($"stratum", $"rn", $"o_orderkey",
           floor($"prio" * lit(1.0e9) + lit(0.5)).cast("bigint").as("prio_n"))
         .orderBy($"stratum", $"rn")
+    },
+
+    // Leakage-safe train/val/test split: the unit of assignment is
+    // the near-dup CLUSTER, not the document — two near-duplicate
+    // docs must never straddle train and test, or the held-out set
+    // leaks into training (the contamination q53 detects after the
+    // fact, prevented structurally here). Unclustered docs are their
+    // own unit. Split = deterministic hash of the unit id, 80/10/10
+    // — q38's content-hash split with the cluster label as the
+    // hashed key; stable under re-partitioning, re-runs, and engine
+    // choice. The label table holds only clustered docs (a tiny
+    // fraction of any corpus), so the join back to documents is a
+    // broadcast at scale.
+    "q65_leakage_split" -> { (s, d) =>
+      import s.implicits._
+      val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")
+      val labels = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .select($"id".as("doc_id"), $"label".as("cluster_id"))
+      val h = pmod($"unit_id", lit(HashMod)) * lit(PermMult) % lit(HashMod)
+      Tables.documents(s, d).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("unit_id"))
+        .select($"doc_id", $"unit_id",
+          when(pmod(h, lit(10L)) < 8, "train")
+            .when(pmod(h, lit(10L)) === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
     }
   )
 
+  /** Shared oracle CTE chain: q24's verified pairs → transitive
+    * closure by recursive CTE over the symmetrized edge list (UNION
+    * dedup bounds the recursion) → label = min reachable id.
+    * `least(src, min(dst))` covers the src itself — with symmetric
+    * edges every vertex reaches itself in 2 steps, but the guard
+    * keeps the labeling correct without relying on it. O(cluster²)
+    * reach rows — an oracle-side cost only; the engine side is the
+    * O(edges·diameter) propagation loop. */
+  private val CcCtes: String =
+    s"""pairs AS (
+       |${TextVector.oracles("q24_near_dup")}
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), lbl AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
-    // Transitive closure by recursive CTE over the symmetrized edge
-    // list (UNION dedup bounds the recursion), then label = min
-    // reachable id. `least(src, min(dst))` covers the src itself —
-    // with symmetric edges every vertex reaches itself in 2 steps,
-    // but the guard keeps the labeling correct without relying on it.
     "q63_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |${TextVector.oracles("q24_near_dup")}
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |), reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |), lbl AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |  FROM reach GROUP BY src
-         |)
+      s"""WITH RECURSIVE $CcCtes
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lbl
@@ -124,6 +159,19 @@ object Clusters {
          |SELECT stratum, rn, o_orderkey,
          |  CAST(floor(prio * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS prio_n
          |FROM r WHERE rn <= $SampleK
-         |ORDER BY stratum, rn""".stripMargin
+         |ORDER BY stratum, rn""".stripMargin,
+
+    "q65_leakage_split" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |units AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS unit_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+         |)
+         |SELECT doc_id, unit_id,
+         |  CASE WHEN ((unit_id % $HashMod) * $PermMult % $HashMod) % 10 < 8 THEN 'train'
+         |       WHEN ((unit_id % $HashMod) * $PermMult % $HashMod) % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM units
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -57,6 +57,23 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 split is leakage-safe: near-dup docs never straddle splits") {
+    val split = SparkEntry.queries("q65_leakage_split")(spark, sf01)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val pairs = SparkEntry.queries("q24_near_dup")(spark, sf01)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a,$b) split across ${split(a)}/${split(b)}")
+    }
+    // and the split covers every document, roughly 80/10/10
+    val n = split.size
+    assert(n == Tables.documents(spark, sf01).count())
+    val train = split.values.count(_ == "train").toDouble / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
+  }
+
   test("q64 weighted sampling favors heavy weights and is reproducible") {
     val one = SparkEntry.queries("q64_weighted_sample")(spark, sf01)
       .select($"stratum", $"rn", $"o_orderkey", $"prio_n")
