@@ -56,6 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator (graft.plans.WindowTopKRewrite)
     e.injectOptimizerRule(_ => WindowTopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectPlannerStrategy(_ => AsOfStrategy)
     // arity string: one char per arg (e=expression, i=int literal)
     inject(e, "text_poly_hash", "e")(a => TextPolyHash(a.head))
     inject(e, "token_hashes", "e")(a => TokenHashes(a.head))

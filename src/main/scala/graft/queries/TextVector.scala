@@ -364,12 +364,14 @@ object TextVector {
     // lacks", composed per the brief's preference (a)): each event
     // joins the most recent order-day total of the same key at or
     // before its timestamp. NOT a range join (whose candidate set is
-    // O(events × orders) per key): tag + UNION both sides, one
-    // window over (key, time, tag) carrying the last non-null order
-    // value forward — a single shuffle, linear work, the shape that
-    // survives 100 TB. Order rows sort before events at the same
-    // instant (tag 0 < 1), giving inclusive `>=` semantics — the
-    // oracle is DuckDB's NATIVE ASOF LEFT JOIN.
+    // O(events × orders) per key): runs on the engine's custom
+    // sort-merge AsOfJoinExec (graft.plans.AsOfJoin) — both sides
+    // co-partitioned on the key and sorted (key, time) by
+    // spill-capable SortExecs, then ONE streaming forward merge with
+    // O(1) state per partition. Inclusive `<=` tie semantics — the
+    // oracle is DuckDB's NATIVE ASOF LEFT JOIN (`e.t >= o.t`), and
+    // AsOfSpec pins the operator against the tag+union+window
+    // carry-forward formulation row for row.
     "q36_asof_join" -> { (s, d) =>
       import s.implicits._
       val o = Tables.orders(s, d)
@@ -377,19 +379,13 @@ object TextVector {
         .agg(sumExact($"o_totalprice").as("day_total"))
         // o_orderdate is parquet TIMESTAMP_NTZ; the UTC session makes
         // the cast's wall-clock reading == DuckDB's naive epoch_ms
-        .select($"o_custkey".as("k"),
+        .select($"o_custkey".as("user_id"),
           unix_millis($"o_orderdate".cast("timestamp")).as("t"),
-          lit(0).as("tag"), lit(null).cast("bigint").as("event_id"), $"day_total")
+          $"day_total".as("asof_total"))
       val e = Tables.events(s, d)
-        .select($"user_id".as("k"), unix_millis($"ts").as("t"),
-          lit(1).as("tag"), $"event_id", lit(null).cast("double").as("day_total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"k").orderBy($"t", $"tag")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      o.unionByName(e)
-        .withColumn("asof_total", last($"day_total", ignoreNulls = true).over(w))
-        .filter($"tag" === 1)
-        .select($"event_id", $"k".as("user_id"), $"asof_total")
+        .select($"event_id", $"user_id", unix_millis($"ts").as("t"))
+      graft.plans.AsOf.joinBackward(e, o, Seq("user_id"), "t")
+        .select($"event_id", $"user_id", $"asof_total")
         .orderBy($"event_id")
     },
 

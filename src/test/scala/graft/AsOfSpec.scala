@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Differential + plan-shape + edge-case tests for the custom
+  * sort-merge as-of join (graft.plans.AsOfJoin).
+  */
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("AsOfJoin == tag+union+window formulation on real tables, row for row") {
+    val o = Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(sum($"o_totalprice").as("day_total"))
+      .select($"o_custkey".as("k"),
+        unix_millis($"o_orderdate".cast("timestamp")).as("t"), $"day_total")
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"user_id".as("k"), unix_millis($"ts").as("t"))
+
+    val custom = graft.plans.AsOf.joinBackward(e, o, Seq("k"), "t")
+      .select($"event_id", $"k", $"day_total")
+
+    // reference: the union+window carry-forward (q36's original form)
+    val oT = o.select($"k", $"t", lit(0).as("tag"),
+      lit(null).cast("bigint").as("event_id"), $"day_total")
+    val eT = e.select($"k", $"t", lit(1).as("tag"), $"event_id",
+      lit(null).cast("double").as("day_total"))
+    val w = Window.partitionBy($"k").orderBy($"t", $"tag")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = oT.unionByName(eT)
+      .withColumn("asof", last($"day_total", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"k", $"asof".as("day_total"))
+
+    assert(custom.except(ref).isEmpty && ref.except(custom).isEmpty,
+      "custom as-of join diverges from the window formulation")
+  }
+
+  test("edge semantics: inclusive ties, no-match nulls, stale right rows, later-only right rows") {
+    val left = Seq(
+      (1L, 10L, "l-a"),  // tie with right at t=10 → inclusive match
+      (1L, 5L, "l-b"),   // before any right row of key 1 → null
+      (2L, 100L, "l-c"), // key with no right rows at all → null
+      (3L, 50L, "l-d"),  // after both right rows of key 3 → latest wins
+      (3L, 12L, "l-e")   // between the two → earlier one
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, "r1@10"),
+      (3L, 11L, "r3@11"),
+      (3L, 20L, "r3@20"),
+      (4L, 1L, "r4@1")   // key never asked for → ignored
+    ).toDF("k", "t", "rv")
+
+    val out = graft.plans.AsOf.joinBackward(left, right, Seq("k"), "t")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "l-a" -> Some("r1@10"),
+      "l-b" -> None,
+      "l-c" -> None,
+      "l-d" -> Some("r3@20"),
+      "l-e" -> Some("r3@11")))
+  }
+
+  test("plan shape: custom exec, co-partitioned exchanges, spill-capable sorts, no join blowup") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "y")).toDF("k", "t", "rv")
+    val df = graft.plans.AsOf.joinBackward(left, right, Seq("k"), "t")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"strategy did not plan the node:\n$plan")
+    assert(!plan.contains("!AsOfJoin"), s"exec reports missing input:\n$plan")
+    // both sides shuffle on the key and sort on (key, time) — the
+    // SortMergeJoin shape, not a range/cartesian blowup
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 co-partitioning exchanges, got $exchanges:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts >= 2, s"expected sorts satisfying (key,time) on both sides:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"as-of must not fall back to a generic join:\n$plan")
+  }
+
+  test("validation: missing columns and payload collisions fail fast") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val right = Seq((1L, 5L, "y")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOf.joinBackward(left, right, Seq("nope"), "t")
+    }
+    // both sides carry a payload column named v → ambiguous output
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOf.joinBackward(left, right, Seq("k"), "t")
+    }
+  }
+}
