@@ -46,8 +46,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: LogicalPlan, right: LogicalPlan)
+    forward: Boolean, left: LogicalPlan, right: LogicalPlan)
   extends BinaryNode {
+  override def maxRows: Option[Long] = left.maxRows
   override def output: Seq[Attribute] =
     left.output ++ AsOfJoin.payload(right.output, rightKeys, rightTime)
       .map(_.withNullability(true))
@@ -68,7 +69,7 @@ object AsOfJoin {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan)
+    forward: Boolean, left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
   private def payloadAttrs: Seq[Attribute] =
@@ -77,7 +78,8 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ payloadAttrs.map(_.withNullability(true))
 
-  override def nodeName: String = "AsOfJoin"
+  override def nodeName: String =
+    if (forward) "AsOfJoinForward" else "AsOfJoin"
 
   // co-partition both sides on the key — EnsureRequirements gives
   // both children HashPartitioning with a shared partition count,
@@ -86,9 +88,13 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   // (key, time) order on both sides; the sorts satisfying this are
-  // ordinary spill-capable SortExecs
+  // ordinary spill-capable SortExecs. The forward variant reverses
+  // the TIME direction only: scanning times descending makes the
+  // last-consumed eligible right row the SMALLEST time >= left time
+  // — the same merge, mirrored.
   private def ordering(keys: Seq[Expression], time: Expression): Seq[SortOrder] =
-    keys.map(SortOrder(_, Ascending)) :+ SortOrder(time, Ascending)
+    keys.map(SortOrder(_, Ascending)) :+
+      SortOrder(time, if (forward) Descending else Ascending)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     ordering(leftKeys, leftTime) :: ordering(rightKeys, rightTime) :: Nil
 
@@ -117,6 +123,7 @@ case class AsOfJoinExec(
       // same contiguity the required child ordering provides
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val fwd = forward
       // output = left row ++ right payload, resolved by ordinal
       // inside the joined (left ++ fullRight) schema
       val outProj = GenerateUnsafeProjection.generate(
@@ -161,7 +168,8 @@ case class AsOfJoinExec(
         var scanning = true
         while (scanning && rHead != null) {
           val c = keyOrd.compare(rHeadKey, lKey)
-          if (c < 0 || (c == 0 && timeOrd.compare(rHeadTime, lT) <= 0)) {
+          val tc = timeOrd.compare(rHeadTime, lT)
+          if (c < 0 || (c == 0 && (if (fwd) tc >= 0 else tc <= 0))) {
             rCur = rHead; rCurKey = rHeadKey
             fetchRight()
           } else scanning = false
@@ -179,8 +187,8 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, rk, lt, rt, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(lk, rk, lt, rt, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -200,7 +208,18 @@ object AsOf {
     *                 non-null, any orderable type
     */
   def joinBackward(left: DataFrame, right: DataFrame,
-                   keys: Seq[String], timeCol: String): DataFrame = {
+                   keys: Seq[String], timeCol: String): DataFrame =
+    join(left, right, keys, timeCol, forward = false)
+
+  /** Forward as-of LEFT join: the FIRST right row with equal key and
+    * `right.timeCol >= left.timeCol` ("next state at or after"). */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  keys: Seq[String], timeCol: String): DataFrame =
+    join(left, right, keys, timeCol, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame,
+                   keys: Seq[String], timeCol: String,
+                   forward: Boolean): DataFrame = {
     val spark: SparkSession = left.sparkSession
     val lPlan = DatasetShim.analyzed(left)
     val rPlan = DatasetShim.analyzed(right)
@@ -222,6 +241,6 @@ object AsOf {
       AsOfJoinNode(
         keys.map(attr(lPlan, _, "left")), rightKeys,
         attr(lPlan, timeCol, "left"), rightTime,
-        lPlan, rPlan))
+        forward, lPlan, rPlan))
   }
 }

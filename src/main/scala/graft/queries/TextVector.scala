@@ -389,6 +389,28 @@ object TextVector {
         .orderBy($"event_id")
     },
 
+    // Forward as-of: each event joins the NEXT order-day total of
+    // the same key at or after its timestamp (the "time-to-next-
+    // state" direction q36 can't see). Same custom sort-merge
+    // operator mirrored — time sorted descending on both sides, so
+    // the last-consumed eligible right row is the smallest
+    // time >= event time; still O(1) state per partition. Oracle =
+    // DuckDB native forward ASOF (`e.t <= o.t`).
+    "q66_asof_forward" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(sumExact($"o_totalprice").as("day_total"))
+        .select($"o_custkey".as("user_id"),
+          unix_millis($"o_orderdate".cast("timestamp")).as("t"),
+          $"day_total".as("next_total"))
+      val e = Tables.events(s, d)
+        .select($"event_id", $"user_id", unix_millis($"ts").as("t"))
+      graft.plans.AsOf.joinForward(e, o, Seq("user_id"), "t")
+        .select($"event_id", $"user_id", $"next_total")
+        .orderBy($"event_id")
+    },
+
     // RANGE JOIN (capability extension, the interval member of the
     // join family next to q36's as-of): per user and day, count the
     // events inside 6 hours of that day's first event (an interval
@@ -895,6 +917,17 @@ object TextVector {
            |        CAST(epoch_ms(ts) AS BIGINT) AS t FROM events)
            |SELECT e.event_id, e.k AS user_id, o.day_total AS asof_total
            |FROM e ASOF LEFT JOIN oagg o ON e.k = o.k AND e.t >= o.t
+           |ORDER BY event_id""".stripMargin,
+
+      "q66_asof_forward" ->
+        s"""WITH oagg AS (SELECT o_custkey AS k,
+           |    CAST(epoch_ms(o_orderdate) AS BIGINT) AS t,
+           |    ${Oracles.fsum("o_totalprice")} AS day_total
+           |  FROM orders GROUP BY 1, 2),
+           |e AS (SELECT event_id, user_id AS k,
+           |        CAST(epoch_ms(ts) AS BIGINT) AS t FROM events)
+           |SELECT e.event_id, e.k AS user_id, o.day_total AS next_total
+           |FROM e ASOF LEFT JOIN oagg o ON e.k = o.k AND e.t <= o.t
            |ORDER BY event_id""".stripMargin,
 
       "q37_range_join" ->

@@ -64,6 +64,27 @@ class AsOfSpec extends AnyFunSuite {
       "l-e" -> Some("r3@11")))
   }
 
+  test("forward direction: inclusive ties, first-at-or-after, no-match nulls") {
+    val left = Seq(
+      (1L, 10L, "l-a"),  // tie with right at t=10 → inclusive match
+      (1L, 11L, "l-b"),  // after the last right row of key 1 → null
+      (1L, 1L, "l-c"),   // before both → earliest right row
+      (2L, 7L, "l-d")    // key with no right rows → null
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 5L, "r1@5"),
+      (1L, 10L, "r1@10")
+    ).toDF("k", "t", "rv")
+
+    val out = graft.plans.AsOf.joinForward(left, right, Seq("k"), "t")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "l-a" -> Some("r1@10"),
+      "l-b" -> None,
+      "l-c" -> Some("r1@5"),
+      "l-d" -> None))
+  }
+
   test("plan shape: custom exec, co-partitioned exchanges, spill-capable sorts, no join blowup") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "lv")
     val right = Seq((1L, 5L, "y")).toDF("k", "t", "rv")
