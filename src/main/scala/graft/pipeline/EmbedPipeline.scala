@@ -97,6 +97,25 @@ object EmbedPipeline {
     * whole, not its task-id field, is the shard key.) Ranking runs
     * over the distinct FILE list (small), broadcast back — no
     * global sort of the data. */
+  /** Incremental refresh (upsert-by-partition): rewrite ONLY the
+    * hive partitions present in `updates`, leaving every other
+    * partition's files untouched — dynamic partition overwrite, the
+    * idempotent repair/backfill primitive a 100-TB store needs (the
+    * reference instead rewrites whole datasets and hand-reconciles,
+    * `process.py:131-173`). Static `overwrite` would truncate the
+    * whole root; `append` would duplicate repaired rows — dynamic
+    * mode is the only shape that makes re-running a backfill a
+    * no-op. Conf is scoped-and-restored like maxRecordsPerFile:
+    * session-level flags must not leak out of a job. */
+  def upsertPartitions(spark: SparkSession, updates: DataFrame,
+                       outPath: String, partitionCol: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
+    finally spark.conf.set(key, prev)
+  }
+
   def readSharded(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path).withColumn("fname", input_file_name())
     val files = df.select(col("fname")).distinct()

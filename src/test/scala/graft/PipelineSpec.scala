@@ -17,6 +17,51 @@ class PipelineSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft-$name").toString
 
+  test("upsert-by-partition: only the updated partitions rewrite; re-running is a no-op") {
+    import spark.implicits._
+    val store = tmp("upsert") + "/store"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    docs.write.partitionBy("lang").parquet(store)
+
+    def partitionFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(store)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    }
+    val before = partitionFiles()
+    assert(before.size > 1, "test needs several lang partitions")
+
+    // repair: lang=en docs get re-processed text; every other
+    // partition must not be touched
+    val updates = docs.filter($"lang" === "en")
+      .withColumn("text", concat($"text", lit(" [fixed]")))
+    EmbedPipeline.upsertPartitions(spark, updates, store, "lang")
+
+    val after = partitionFiles()
+    assert(after.keySet == before.keySet)
+    before.foreach { case (p, files) =>
+      if (p == "lang=en")
+        assert(after(p).map(_._1).intersect(files.map(_._1)).isEmpty,
+          "updated partition must be replaced, not appended")
+      else assert(after(p) == files, s"untouched partition $p was rewritten")
+    }
+    val readBack = spark.read.parquet(store)
+    assert(readBack.count() == docs.count())
+    assert(readBack.filter($"lang" === "en")
+      .filter(!$"text".endsWith(" [fixed]")).count() == 0,
+      "stale rows survived in the repaired partition")
+
+    // idempotence: re-running the same repair changes nothing but mtimes
+    EmbedPipeline.upsertPartitions(spark, updates, store, "lang")
+    assert(spark.read.parquet(store).count() == docs.count())
+    // and the session conf was restored both times
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC").equalsIgnoreCase("static"))
+  }
+
   test("EP1 embed job: sharded sink drops no rows (L2 regression) and shards are bounded") {
     val out = tmp("ep1")
     val n = EmbedPipeline.embedJob(spark, s"$sf/documents.parquet", out,
