@@ -125,10 +125,17 @@ case class AsOfJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
       val fwd = forward
       // output = left row ++ right payload, resolved by ordinal
-      // inside the joined (left ++ fullRight) schema
+      // inside the joined (left ++ fullRight) schema. The right
+      // half of the binding SCHEMA must be marked nullable even when
+      // the child column is not (BoundReference takes its nullability
+      // from the input schema side): a no-match left row joins the
+      // all-null filler row, and a nullable=false BoundReference
+      // skips the null check — a primitive column would silently
+      // read 0 (caught by the randomized differential spec).
       val outProj = GenerateUnsafeProjection.generate(
         BindReferences.bindReferences(
-          (lOut ++ pAttrs).asInstanceOf[Seq[Expression]], lOut ++ rOut))
+          (lOut ++ pAttrs).asInstanceOf[Seq[Expression]],
+          lOut ++ rOut.map(_.withNullability(true))))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 

@@ -102,6 +102,48 @@ class AsOfSpec extends AnyFunSuite {
       s"as-of must not fall back to a generic join:\n$plan")
   }
 
+  test("randomized differential: both directions match a brute-force reference on adversarial data") {
+    // seeded random datasets with few keys and coarse times, so
+    // duplicate (key,time) collisions, empty keys, and cross-
+    // partition boundaries all occur; right times are made UNIQUE
+    // per key (the operator takes the last qualifying right row in
+    // sort order — with duplicate right times that tie-break is
+    // partition-layout-dependent, which is why the API contract
+    // requires a unique (key,time) on the right side, as q36's
+    // groupBy guarantees)
+    val rnd = new scala.util.Random(20260812L)
+    val leftRows = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, rnd.nextInt(10000)))
+    val rightRows = Seq.fill(200)((rnd.nextInt(14).toLong, rnd.nextInt(40).toLong, rnd.nextInt(10000)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = leftRows.toDF("k", "t", "lv").repartition(7)
+    val right = rightRows.toDF("k", "t", "rv").repartition(5)
+
+    def brute(fwd: Boolean): Map[(Long, Long, Int), Option[Int]] =
+      leftRows.map { case (k, t, lv) =>
+        val cands = rightRows.filter(r => r._1 == k && (if (fwd) r._2 >= t else r._2 <= t))
+        val pick = if (cands.isEmpty) None
+          else Some(if (fwd) cands.minBy(_._2) else cands.maxBy(_._2))
+        (k, t, lv) -> pick.map(_._3)
+      }.toMap
+
+    // left rows are not unique either — compare as multisets keyed
+    // by the full left row plus the joined value
+    def run(fwd: Boolean): Seq[((Long, Long, Int), Option[Int])] = {
+      val df = if (fwd) graft.plans.AsOf.joinForward(left, right, Seq("k"), "t")
+        else graft.plans.AsOf.joinBackward(left, right, Seq("k"), "t")
+      df.select($"k", $"t", $"lv", $"rv").as[(Long, Long, Int, Option[Int])]
+        .collect().toSeq.map(r => ((r._1, r._2, r._3), r._4))
+    }
+    for (fwd <- Seq(false, true)) {
+      val expected = brute(fwd)
+      val got = run(fwd)
+      assert(got.length == leftRows.length, s"fwd=$fwd row count")
+      got.foreach { case (key, v) =>
+        assert(v == expected(key), s"fwd=$fwd: left row $key got $v want ${expected(key)}")
+      }
+    }
+  }
+
   test("validation: missing columns and payload collisions fail fast") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "v")
     val right = Seq((1L, 5L, "y")).toDF("k", "t", "v")
