@@ -18,22 +18,28 @@ import org.apache.spark.sql.functions._
   * `/root/reference/process.py:119-129`; this is the transitive
   * closure of it).
   *
-  * Scale shape (100 TB): each round is two hash-shuffles keyed on
-  * vertex id — a join of the (symmetrized) edge list against the
-  * label table and a min-aggregation back to vertices — exactly the
-  * partitioning a 1000-executor cluster wants; no step ever
-  * collects vertices or edges to the driver. Rounds needed = graph
-  * diameter; near-dup clusters are short-diameter by construction
-  * (members pairwise-similar to a shared core), so convergence is a
-  * handful of rounds. For adversarial long-chain graphs the
-  * alternating large-star/small-star algorithm (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond") trades the same
-  * per-round shuffles for O(log²·) rounds — the driver loop below
-  * would host it unchanged. Per-round `localCheckpoint` truncates
-  * lineage so the plan doesn't grow exponentially with iterations
-  * (the classic iterative-DataFrame trap); labels are a (long, long)
-  * pair per vertex, 4 orders smaller than the documents they
-  * describe.
+  * Scale shape (100 TB): each round is three hash-shuffles keyed on
+  * vertex id — the (symmetrized) edge list joined against the label
+  * table, a min-aggregation back to vertices, and one pointer-jump
+  * lookup — exactly the partitioning a 1000-executor cluster wants;
+  * no step ever collects vertices or edges to the driver. The
+  * pointer jump (label ← min(label, label(label)), classic path
+  * shortcutting) is what bounds the rounds: plain neighbor-min
+  * propagation needs O(diameter) rounds, which an adversarial
+  * long-chain component turns into an O(n)-round job; with
+  * shortcutting the label distance to the component minimum roughly
+  * halves per round, so convergence is O(log diameter) — the same
+  * round bound class as the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond") with a much simpler loop body. Correctness is
+  * unchanged: every label is always the id of a node in the same
+  * component (true of neighbor minima and of labels-of-labels by
+  * induction), labels only decrease, and the fixpoint of the
+  * combined step is the fixpoint of plain propagation — the
+  * component minimum. Per-round `localCheckpoint` truncates lineage
+  * so the plan doesn't grow with iterations (the classic
+  * iterative-DataFrame trap); labels are a (long, long) pair per
+  * vertex, 4 orders smaller than the documents they describe.
   */
 object ConnectedComponents {
 
@@ -77,16 +83,24 @@ object ConnectedComponents {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
+      val propagated = labels.join(nbrMin, "id")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), col("nbr_min")).as("lab1"))
+      // pointer jump: a label is itself a vertex id, so look up ITS
+      // (previous-round) label — always <= itself — and shortcut to
+      // it. This is what turns O(diameter) rounds into O(log d).
+      val jumped = propagated.join(
+          labels.select(col("id").as("jid"), col("label").as("jlabel")),
+          propagated("lab1") === col("jid"))
+        .select(col("id"), col("prev"),
+          least(col("lab1"), col("jlabel")).as("label"))
+        .localCheckpoint()
       // labels only ever decrease (min is monotone), so `label <
       // prev` counts exactly the vertices still moving; checkpoint
       // BEFORE the count so the action and the next round share one
-      // materialization instead of recomputing the join
-      val next = labels.join(nbrMin, "id")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), col("nbr_min")).as("label"))
-        .localCheckpoint()
-      changed = next.filter(col("label") < col("prev")).count()
-      labels = next.select(col("id"), col("label"))
+      // materialization instead of recomputing the joins
+      changed = jumped.filter(col("label") < col("prev")).count()
+      labels = jumped.select(col("id"), col("label"))
       iter += 1
     }
     labels

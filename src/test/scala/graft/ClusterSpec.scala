@@ -28,19 +28,23 @@ class ClusterSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("a long chain converges (diameter rounds) regardless of edge orientation") {
-    // 0-1-2-…-25 as alternating orientations; min label must reach
-    // the far end only via repeated rounds
-    val chain = (0L until 25L).map(i =>
+  test("a long chain converges in O(log diameter) rounds regardless of edge orientation") {
+    // 0-1-2-…-150 as alternating orientations: diameter 150, so
+    // plain neighbor-min propagation would need ~150 rounds — only
+    // the pointer-jumping shortcut can finish inside maxIter=12
+    // (≈ log2(150) + slack)
+    val chain = (0L until 150L).map(i =>
       if (i % 2 == 0) (i, i + 1) else (i + 1, i))
-    val labels = cc(chain)
-    assert(labels.size == 26 && labels.values.forall(_ == 0L))
+    val labels = graft.ops.ConnectedComponents
+      .run(chain.toDF("a", "b"), "a", "b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 151 && labels.values.forall(_ == 0L))
   }
 
   test("maxIter guard throws instead of returning wrong labels") {
-    val chain = (0L until 25L).map(i => (i, i + 1))
+    val chain = (0L until 200L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
-      graft.ops.ConnectedComponents.run(chain.toDF("a", "b"), "a", "b", maxIter = 3)
+      graft.ops.ConnectedComponents.run(chain.toDF("a", "b"), "a", "b", maxIter = 2)
     }
     assert(e.getMessage.contains("no fixpoint"))
   }
