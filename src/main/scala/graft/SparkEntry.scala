@@ -23,7 +23,12 @@ object SparkEntry {
     * The cache is owned by the returned plan's lifetime — a harness
     * that executes MANY entries from this map must call
     * `spark.catalog.clearCache()` between (or after) queries, as
-    * Verify and Bench do, or cached blocks accumulate across the run. */
+    * Verify and Bench do, or cached blocks accumulate across the run.
+    * The q63/q65 builders additionally EXECUTE jobs during
+    * construction (the connected-components convergence loop —
+    * graft.queries.Clusters scaladoc); builders return correct
+    * plans either way, but plan-only consumers should expect those
+    * two to take query-execution time. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
       graft.queries.Search.queries ++ graft.queries.Quality.queries ++

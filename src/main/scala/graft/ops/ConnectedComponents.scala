@@ -36,16 +36,56 @@ import org.apache.spark.sql.functions._
   * component (true of neighbor minima and of labels-of-labels by
   * induction), labels only decrease, and the fixpoint of the
   * combined step is the fixpoint of plain propagation — the
-  * component minimum. Per-round `localCheckpoint` truncates lineage
-  * so the plan doesn't grow with iterations (the classic
-  * iterative-DataFrame trap); labels are a (long, long) pair per
-  * vertex, 4 orders smaller than the documents they describe.
+  * component minimum.
+  *
+  * Iteration mechanics: per-round `localCheckpoint` truncates
+  * lineage so the plan doesn't grow with iterations (the classic
+  * iterative-DataFrame trap), and each superseded round's
+  * checkpoint blocks are unpersisted as soon as the next round
+  * lands — `spark.catalog.clearCache()` does NOT free
+  * localCheckpoint storage, so without the explicit release every
+  * round's label table would sit in executor storage until RDD GC.
+  * Labels are a (long, long) pair per vertex, 4 orders smaller than
+  * the documents they describe. NOTE: `run` EXECUTES jobs (the
+  * convergence loop needs per-round actions) — callers get back a
+  * small materialized label table, not a lazy plan.
   */
 object ConnectedComponents {
+
+  /** One propagation round as a lazy plan (exposed so tests can
+    * audit the loop's join shapes, which `run`'s checkpointing hides
+    * from the final plan): neighbor-min via the symmetrized edges,
+    * then the pointer-jump shortcut. Output: (id, prev, label). */
+  private[graft] def roundStep(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = sym
+      .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+      .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
+    val propagated = labels.join(nbrMin, "id")
+      .select(col("id"), col("label").as("prev"),
+        least(col("label"), col("nbr_min")).as("lab1"))
+    // pointer jump: a label is itself a vertex id, so look up ITS
+    // (previous-round) label — always <= itself — and shortcut to
+    // it. This is what turns O(diameter) rounds into O(log d).
+    propagated.join(
+        labels.select(col("id").as("jid"), col("label").as("jlabel")),
+        propagated("lab1") === col("jid"))
+      .select(col("id"), col("prev"),
+        least(col("lab1"), col("jlabel")).as("label"))
+  }
+
+  /** Release one DataFrame's localCheckpoint blocks (the checkpointed
+    * plan is a LogicalRDD over the materialized RDD). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.DatasetShim.analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Labels every vertex incident to an edge in `edges` with the
     * minimum vertex id of its connected component. Edge orientation
     * is irrelevant (the edge list is symmetrized internally).
+    * Executes the convergence loop eagerly (see class doc).
     *
     * @param edges   DataFrame with two integral id columns
     * @param srcCol  name of the first endpoint column
@@ -66,43 +106,40 @@ object ConnectedComponents {
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
-    // every vertex came from an edge, so the propagation join below
-    // always matches — inner join, no coalesce needed
+    // every vertex came from an edge, so the propagation join in
+    // roundStep always matches — inner joins, no coalesce needed
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // the checkpointed DataFrame backing `labels` (after round 1,
+    // `labels` is a projection OVER the round's checkpoint, so the
+    // release must target the checkpoint handle itself)
+    var backing = labels
 
     var iter = 0
     var changed = 1L
     while (changed > 0) {
-      if (iter >= maxIter)
+      if (iter >= maxIter) {
+        releaseCheckpoint(sym)
+        releaseCheckpoint(backing)
         throw new IllegalStateException(
           s"ConnectedComponents: no fixpoint after $maxIter rounds — " +
-            "component diameter exceeds the bound; raise maxIter or switch " +
-            "this loop to the large-star/small-star step")
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
-      val propagated = labels.join(nbrMin, "id")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), col("nbr_min")).as("lab1"))
-      // pointer jump: a label is itself a vertex id, so look up ITS
-      // (previous-round) label — always <= itself — and shortcut to
-      // it. This is what turns O(diameter) rounds into O(log d).
-      val jumped = propagated.join(
-          labels.select(col("id").as("jid"), col("label").as("jlabel")),
-          propagated("lab1") === col("jid"))
-        .select(col("id"), col("prev"),
-          least(col("lab1"), col("jlabel")).as("label"))
-        .localCheckpoint()
+            "even with pointer jumping the component structure exceeds " +
+            "the bound; raise maxIter")
+      }
+      val jumped = roundStep(sym, labels).localCheckpoint()
       // labels only ever decrease (min is monotone), so `label <
       // prev` counts exactly the vertices still moving; checkpoint
       // BEFORE the count so the action and the next round share one
       // materialization instead of recomputing the joins
       changed = jumped.filter(col("label") < col("prev")).count()
+      // the previous round's blocks are now superseded — free them
+      releaseCheckpoint(backing)
+      backing = jumped
       labels = jumped.select(col("id"), col("label"))
       iter += 1
     }
+    releaseCheckpoint(sym)
     labels
   }
 }

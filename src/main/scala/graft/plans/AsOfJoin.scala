@@ -227,6 +227,9 @@ object AsOf {
   private def join(left: DataFrame, right: DataFrame,
                    keys: Seq[String], timeCol: String,
                    forward: Boolean): DataFrame = {
+    val fn = if (forward) "AsOf.joinForward" else "AsOf.joinBackward"
+    if (keys.isEmpty)
+      throw new IllegalArgumentException(s"$fn: at least one key column is required")
     val spark: SparkSession = left.sparkSession
     val lPlan = DatasetShim.analyzed(left)
     val rPlan = DatasetShim.analyzed(right)
@@ -234,20 +237,35 @@ object AsOf {
     def attr(plan: LogicalPlan, n: String, side: String): Attribute =
       plan.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(
-          s"AsOf.joinBackward: no column '$n' on the $side side " +
+          s"$fn: no column '$n' on the $side side " +
             s"(${plan.output.map(_.name).mkString(", ")})"))
+    val leftKeys = keys.map(attr(lPlan, _, "left"))
     val rightKeys = keys.map(attr(rPlan, _, "right"))
+    val leftTime = attr(lPlan, timeCol, "left")
     val rightTime = attr(rPlan, timeCol, "right")
+    // the node carries NO analyzer-inserted casts, and the merge's
+    // orderings and hash co-partitioning are built from the LEFT
+    // types — a type mismatch would silently mis-hash and misread,
+    // not error, so reject it here
+    keys.lazyZip(leftKeys).lazyZip(rightKeys).foreach { (n, la, ra) =>
+      if (la.dataType != ra.dataType)
+        throw new IllegalArgumentException(
+          s"$fn: key '$n' types differ (left ${la.dataType.simpleString}, " +
+            s"right ${ra.dataType.simpleString}); cast one side first")
+    }
+    if (leftTime.dataType != rightTime.dataType)
+      throw new IllegalArgumentException(
+        s"$fn: time column '$timeCol' types differ " +
+          s"(left ${leftTime.dataType.simpleString}, " +
+          s"right ${rightTime.dataType.simpleString}); cast one side first")
     val dup = AsOfJoin.payload(rPlan.output, rightKeys, rightTime)
       .map(_.name).filter(rn => lPlan.output.exists(a => resolver(a.name, rn)))
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
-        s"AsOf.joinBackward: right payload columns ${dup.mkString(", ")} " +
+        s"$fn: right payload columns ${dup.mkString(", ")} " +
           "collide with left columns; rename them first")
     DatasetShim.ofRows(spark,
-      AsOfJoinNode(
-        keys.map(attr(lPlan, _, "left")), rightKeys,
-        attr(lPlan, timeCol, "left"), rightTime,
+      AsOfJoinNode(leftKeys, rightKeys, leftTime, rightTime,
         forward, lPlan, rPlan))
   }
 }

@@ -19,8 +19,15 @@ import graft.Tables
   * Same contract as the other packs: DuckDB oracle twins with
   * identical IEEE arithmetic. q63's oracle computes the component
   * labels via a recursive-CTE transitive closure — O(cluster²) rows,
-  * fine for an oracle; the engine side uses the O(edges·diameter)
-  * label-propagation operator that survives 100 TB.
+  * fine for an oracle; the engine side uses the pointer-jumping
+  * label-propagation operator (O(edges) work per round,
+  * O(log diameter) rounds) that survives 100 TB.
+  *
+  * NOTE: the q63/q65 builders EXECUTE the component loop eagerly
+  * (ConnectedComponents.run needs per-round convergence actions);
+  * they return the final assembly plan over the materialized label
+  * table. The loop's own join shapes are plan-audited separately in
+  * ClusterSpec via ConnectedComponents.roundStep.
   */
 object Clusters {
 
@@ -41,10 +48,10 @@ object Clusters {
     // cluster_size). A curation pipeline keeps cluster_id ==  doc_id
     // rows as representatives and drops the rest; emitting the whole
     // labeling keeps the query a superset of that decision. The
-    // component loop is 2 hash-shuffles per round on vertex id and
-    // converges in diameter rounds (ConnectedComponents scaladoc);
-    // cluster_size is a tiny post-join aggregation over one row per
-    // clustered doc.
+    // component loop is 3 hash-shuffles per round on vertex id and
+    // converges in O(log diameter) rounds via pointer jumping
+    // (ConnectedComponents scaladoc); cluster_size is a tiny
+    // post-join aggregation over one row per clustered doc.
     "q63_dedup_clusters" -> { (s, d) =>
       import s.implicits._
       val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")

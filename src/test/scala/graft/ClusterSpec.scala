@@ -41,6 +41,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(labels.size == 151 && labels.values.forall(_ == 0L))
   }
 
+  test("the propagation round plans hash joins only: no cartesian, no nested loop, no UDF") {
+    // run()'s checkpointing hides the loop's internals from the
+    // whole-catalog plan audit, so audit one round's lazy plan here
+    import org.apache.spark.sql.functions.col
+    val edges = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val plan = graft.ops.ConnectedComponents.roundStep(sym, labels)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in CC round:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in CC round:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF in CC round:\n$plan")
+  }
+
   test("maxIter guard throws instead of returning wrong labels") {
     val chain = (0L until 200L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
