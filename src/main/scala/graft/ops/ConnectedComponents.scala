@@ -55,14 +55,21 @@ object ConnectedComponents {
   /** One propagation round as a lazy plan (exposed so tests can
     * audit the loop's join shapes, which `run`'s checkpointing hides
     * from the final plan): neighbor-min via the symmetrized edges,
-    * then the pointer-jump shortcut. Output: (id, prev, label). */
-  private[graft] def roundStep(sym: DataFrame, labels: DataFrame): DataFrame = {
+    * then the pointer-jump shortcut. Output: (id, prev, label).
+    *
+    * `jump = false` skips the shortcut join — used for round 1 only,
+    * where labels are still the identity so label-of-label == label
+    * and the join is a provable no-op (one saved shuffle round-trip;
+    * jumping starts paying once chains of labels exist). */
+  private[graft] def roundStep(sym: DataFrame, labels: DataFrame,
+                               jump: Boolean = true): DataFrame = {
     val nbrMin = sym
       .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
       .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
     val propagated = labels.join(nbrMin, "id")
       .select(col("id"), col("label").as("prev"),
         least(col("label"), col("nbr_min")).as("lab1"))
+    if (!jump) return propagated.select(col("id"), col("prev"), col("lab1").as("label"))
     // pointer jump: a label is itself a vertex id, so look up ITS
     // (previous-round) label — always <= itself — and shortcut to
     // it. This is what turns O(diameter) rounds into O(log d).
@@ -127,7 +134,7 @@ object ConnectedComponents {
             "even with pointer jumping the component structure exceeds " +
             "the bound; raise maxIter")
       }
-      val jumped = roundStep(sym, labels).localCheckpoint()
+      val jumped = roundStep(sym, labels, jump = iter > 0).localCheckpoint()
       // labels only ever decrease (min is monotone), so `label <
       // prev` counts exactly the vertices still moving; checkpoint
       // BEFORE the count so the action and the next round share one
