@@ -144,6 +144,35 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE partition coalescing keeps both as-of shuffles co-partitioned (sides of very different size)") {
+    // aggressive coalescing + wildly asymmetric sides: if AQE ever
+    // coalesced the two exchanges independently, zipPartitions would
+    // throw on unequal partition counts; if co-partitioning broke,
+    // equal keys would miss and rows would lose their matches
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val left = (0L until 20000L).map(i => (i % 50, i % 997, i)).toDF("k", "t", "lv")
+      val right = (0L until 50L).map(i => (i, 0L, i * 1000)).toDF("k", "t", "rv")
+      val out = graft.plans.AsOf.joinBackward(left, right, Seq("k"), "t")
+      // every left row's key has a right row at t=0 <= any left t →
+      // zero misses proves equal keys still meet post-coalescing
+      assert(out.count() == 20000L)
+      assert(out.filter($"rv".isNull).count() == 0,
+        "co-partitioning broke: some keys missed their right rows")
+      assert(out.filter($"rv" =!= $"k" * 1000).count() == 0)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("validation: missing columns and payload collisions fail fast") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "v")
     val right = Seq((1L, 5L, "y")).toDF("k", "t", "v")
