@@ -41,6 +41,32 @@ class ClusterSpec extends AnyFunSuite {
     assert(labels.size == 151 && labels.values.forall(_ == 0L))
   }
 
+  test("randomized differential: labels match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2) // self-loops carry no information
+      // driver-side union-find with path compression as the oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member per root
+      val members = parent.keys.toSeq.groupBy(find)
+      val expected = members.flatMap { case (_, ms) =>
+        val m = ms.min; ms.map(_ -> m)
+      }.toMap
+      val got = cc(edges)
+      assert(got == expected, s"trial $trial (n=$n): labels diverge from union-find")
+    }
+  }
+
   test("the propagation round plans hash joins only: no cartesian, no nested loop, no UDF") {
     // run()'s checkpointing hides the loop's internals from the
     // whole-catalog plan audit, so audit one round's lazy plan here
