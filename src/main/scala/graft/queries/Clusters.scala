@@ -14,7 +14,9 @@ import graft.Tables
   * the "sample training data proportional to quality score" step,
   * running on the engine's own TopKPerKey physical operator; q65
   * assigns train/val/test splits with the near-dup CLUSTER as the
-  * unit, so no near-duplicate pair ever straddles train and test.
+  * unit, so no near-duplicate pair ever straddles train and test;
+  * q67 materializes the dedup end product — the cleaned corpus
+  * (cluster representatives only), reported per language.
   *
   * Same contract as the other packs: DuckDB oracle twins with
   * identical IEEE arithmetic. q63's oracle computes the component
@@ -89,6 +91,28 @@ object Clusters {
         .select($"stratum", $"rn", $"o_orderkey",
           floor($"prio" * lit(1.0e9) + lit(0.5)).cast("bigint").as("prio_n"))
         .orderBy($"stratum", $"rn")
+    },
+
+    // The dedup family's end product: the CLEANED CORPUS. Every
+    // near-dup cluster keeps exactly its representative (the min
+    // doc_id = the cluster id); all other members drop. Shape: the
+    // tiny non-representative id set anti-joins the corpus — at
+    // 100 TB that is a broadcast anti-join against the full scan,
+    // one pass, no shuffle of the corpus itself. Emits per-language
+    // survivor counts (the operational report a curation run logs),
+    // exact micro-unit char sums included.
+    "q67_dedup_keep" -> { (s, d) =>
+      import s.implicits._
+      val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")
+      val drop = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .filter($"id" =!= $"label")
+        .select($"id".as("doc_id"))
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").cast("long").as("kept_chars"))
+        .orderBy($"lang")
     },
 
     // Leakage-safe train/val/test split: the unit of assignment is
@@ -167,6 +191,15 @@ object Clusters {
          |  CAST(floor(prio * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS prio_n
          |FROM r WHERE rn <= $SampleK
          |ORDER BY stratum, rn""".stripMargin,
+
+    "q67_dedup_keep" ->
+      s"""WITH RECURSIVE $CcCtes
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
 
     "q65_leakage_split" ->
       s"""WITH RECURSIVE $CcCtes,
