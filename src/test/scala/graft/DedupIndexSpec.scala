@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.DedupIndex
+import java.nio.file.Files
+
+/** Incremental dedup screening (graft.pipeline.DedupIndex): build a
+  * corpus index once, then screen a synthetic ingest batch with
+  * planted exact copies, near-dups, and fresh documents.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString + "/idx"
+
+  test("screen classifies planted exact / near / unique docs against the index") {
+    val dir = tmp("dedup-index")
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    DedupIndex.build(spark, corpus, dir)
+
+    // plant an ingest batch from the longest corpus docs (long docs
+    // keep Jaccard high after a small perturbation): 5 exact copies,
+    // 5 near-dups (one token appended), 5 fresh strings the corpus
+    // vocabulary does not contain
+    val donors = Tables.documents(spark, sf)
+      .orderBy($"n_chars".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val exacts = donors.take(5).zipWithIndex.map { case ((id, t), i) =>
+      (10000L + i, t, "exact", id)
+    }
+    val nears = donors.drop(5).zipWithIndex.map { case ((id, t), i) =>
+      (10100L + i, t + " perturbed", "near", id)
+    }
+    val fresh = (0 until 5).map { i =>
+      (10200L + i.toLong, s"zzqx$i wholly novel ingest payload number $i", "unique", -1L)
+    }
+    val batch = (exacts ++ nears ++ fresh).toSeq
+      .toDF("doc_id", "text", "expected", "donor_id")
+
+    val out = DedupIndex.screen(spark, batch.select($"doc_id", $"text"), dir)
+      .join(batch.select($"doc_id", $"expected", $"donor_id"), "doc_id")
+      .collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val (id, verdict, expected) = (r.getLong(0), r.getString(1), r.getString(4))
+      assert(verdict == expected, s"doc $id classified $verdict, want $expected")
+      if (expected == "exact")
+        assert(r.getLong(2) == r.getLong(5), s"doc $id matched wrong corpus doc")
+      if (expected == "near") {
+        assert(r.getLong(2) == r.getLong(5), s"doc $id matched wrong corpus doc")
+        assert(r.getDouble(3) >= 0.5 && r.getDouble(3) < 1.0)
+      }
+      if (expected == "unique") assert(r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
+  test("screening joins the band index, never the corpus text; index grows incrementally") {
+    val dir = tmp("dedup-incr")
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    DedupIndex.build(spark, corpus, dir)
+
+    val batch = Seq((20000L, "another wholly novel zzqx ingest document"))
+      .toDF("doc_id", "text")
+    val plan = DedupIndex.screen(spark, batch, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus TEXT is never reread: only the three index tables
+    assert(!plan.contains("documents.parquet"),
+      s"screen rescans the corpus text:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in screen plan:\n$plan")
+
+    // ingest-then-extend: building the union's index lets yesterday's
+    // batch match tomorrow's re-delivery as exact
+    val extended = corpus.union(batch)
+    DedupIndex.build(spark, extended, dir)
+    val redelivery = DedupIndex.screen(spark, batch, dir).collect()
+    assert(redelivery.length == 1 && redelivery(0).getString(1) == "exact" &&
+      redelivery(0).getLong(2) == 20000L)
+  }
+}
