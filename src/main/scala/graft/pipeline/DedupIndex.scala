@@ -39,11 +39,18 @@ object DedupIndex {
   private val HashMod = 1000000007L
 
   private def withDerived(docs: DataFrame): DataFrame = {
+    // the exact-dup key is (polyhash, byte length): one ~2^30-range
+    // polyhash alone would birthday-collide from ~10^4.5 docs, and a
+    // false "exact" verdict silently drops a document — the length
+    // multiplies the keyspace for free. A production deployment
+    // widens fp to 128 bits (two independent polyhash bases or
+    // xxhash128) with no structural change to the index.
     val base = docs
       .select(col("doc_id"), col("text"),
         TextPolyHash(col("text")).as("fp"),
+        octet_length(col("text")).as("fp_len"),
         ShingleHashes(col("text"), ShingleK).as("hs"))
-    base.select(col("doc_id"), col("fp"), col("hs"),
+    base.select(col("doc_id"), col("fp"), col("fp_len"), col("hs"),
       when(size(col("hs")) > 0, MinHashSig(col("hs"), NumPerms))
         .otherwise(array().cast("array<bigint>")).as("sig"))
   }
@@ -64,7 +71,7 @@ object DedupIndex {
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
     val derived = withDerived(docs).cache()
     try {
-      derived.select(col("doc_id"), col("fp"))
+      derived.select(col("doc_id"), col("fp"), col("fp_len"))
         .write.mode("overwrite").parquet(s"$dir/fingerprints")
       derived.select(col("doc_id"), col("hs"))
         .write.mode("overwrite").parquet(s"$dir/shingles")
@@ -86,13 +93,13 @@ object DedupIndex {
     // reference costs less than materializing them would at scale
     val derived = withDerived(newDocs)
     val fps = spark.read.parquet(s"$dir/fingerprints")
-        .select(col("doc_id").as("corpus_id"), col("fp"))
+        .select(col("doc_id").as("corpus_id"), col("fp"), col("fp_len"))
       val shs = spark.read.parquet(s"$dir/shingles")
         .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
       val bands = spark.read.parquet(s"$dir/bands")
         .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
 
-      val exact = derived.join(fps, Seq("fp"))
+      val exact = derived.join(fps, Seq("fp", "fp_len"))
         .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("exact_id"))
 
       val cand = bandsOf(derived)
