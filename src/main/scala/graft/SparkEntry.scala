@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Cache contract: a few builders (q29, q34) `.cache()` a small
+    * Cache contract: a few builders (q29, q34, q68) `.cache()` a small
     * derived stage that the returned plan references several times
     * (Spark has no DAG-level CSE across multi-referenced DataFrames).
     * The cache is owned by the returned plan's lifetime — a harness
@@ -32,7 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
       graft.queries.Search.queries ++ graft.queries.Quality.queries ++
-      graft.queries.Clusters.queries
+      graft.queries.Clusters.queries ++ graft.queries.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
@@ -40,5 +40,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TextVector.oracles ++
       graft.queries.Search.oracles ++ graft.queries.Quality.oracles ++
-      graft.queries.Clusters.oracles
+      graft.queries.Clusters.oracles ++ graft.queries.Corpus.oracles
 }

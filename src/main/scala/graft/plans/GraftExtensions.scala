@@ -73,6 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "text_stats", "e")(a => TextStats(a.head))
     inject(e, "srp_bands", "eii")(a =>
       SrpBands(a.head, litInt("srp_bands", a(1)), litInt("srp_bands", a(2))))
+    inject(e, "winnow_fingerprints", "eii")(a =>
+      WinnowFingerprints(a.head, litInt("winnow_fingerprints", a(1)),
+        litInt("winnow_fingerprints", a(2))))
     // table-generating (UDTF): SELECT ... LATERAL VIEW
     //   chunk_explode(text, 16) c AS pos, chunk
     inject(e, "chunk_explode", "ei")(a =>

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Corpus-maintenance operators (round 6): the storage/index side of
+  * a training-data pipeline, complementing the dedup/similarity
+  * families in [[TextVector]] and the curation ops in [[Quality]]:
+  *
+  *  - q68 winnowing fingerprint overlap (MOSS span-overlap
+  *    detection — the fingerprint family's positional member, next
+  *    to minhash (q24) / simhash (q29) / embedding-cosine (q34)
+  *    which are all bag-of-features);
+  *  - q69 deterministic re-shard (content-hash training order +
+  *    fixed shard assignment — the K3 re-shard analog as a query);
+  *  - q70 inverted-index posting lists (term → (doc, tf, positions)
+  *    with document frequency — the retrieval-index build that q43's
+  *    BM25 scoring would read at scale);
+  *  - q71 content-defined chunking dedup (rsync/LBFS-style: chunk
+  *    boundaries are a pure function of content, so shared spans
+  *    chunk identically in every document that contains them —
+  *    storage-level exact dedup of repeated spans, robust to
+  *    insertions unlike fixed-size blocks).
+  *
+  * Oracle strategy: same as TextVector — the kernels' DuckDB twins
+  * are built from the shared constants (TextOps.TokenPattern,
+  * HashKernel modulus) via [[TextVector.Sql]]; winnowing's window
+  * minima are stated with SQL window functions and pinned to the
+  * O(m) deque kernel by WinnowSpec.
+  */
+object Corpus {
+
+  import TextVector.Sql
+
+  // q68: 5-token shingles (rare enough that fingerprint collisions
+  // mean real shared spans — 3-shingles on this vocab are too
+  // common), window 4 (density 2/(w+1) ≈ 0.4, guarantee on shared
+  // runs of w+k-1 = 8 tokens). MaxDf is the STOP-FINGERPRINT cap:
+  // a fingerprint in > MaxDf docs generates O(df²) candidate pairs
+  // (one 871-doc cluster = 378k pairs from a single value), so
+  // high-df fingerprints are dropped before the pair join — the
+  // standard index-pruning move that bounds the self-join output at
+  // any corpus size (measured df at sf0.1 caps at 4; the guard is
+  // for the 100-TB tail).
+  private val WinnowK         = 5
+  private val WinnowW         = 4
+  private val WinnowMaxDf     = 20
+  private val WinnowMinShared = 2
+
+  // q69: 8 shards, 5 head slots shown per shard.
+  private val NShards   = 8L
+  private val HeadSlots = 5
+
+  // q70: deterministic 1-in-7 term sample (by token hash) keeps the
+  // demonstration index small; df is computed on the sampled terms.
+  private val IdxSampleMod = 7L
+
+  // q71: expected chunk length = CdcMod tokens (boundary when
+  // tokenhash % CdcMod == 0).
+  private val CdcMod = 16L
+
+  private val P = 1000000007L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Winnowing fingerprint overlap (SIGMOD'03 / MOSS): per-doc
+    // fingerprints = distinct window-minima of positional 5-shingle
+    // hashes (WinnowFingerprints — O(m) deque kernel, density
+    // 2/(w+1)), then a fingerprint-equality self-join counts shared
+    // fingerprints per pair. Any shared run of w+k-1 tokens shares
+    // ≥ 1 fingerprint (the winnowing guarantee), so recall on long
+    // overlaps is 1.0 with a ~2.5× smaller index than all-shingles.
+    // Scale: the join partitions by fingerprint value; the df cap
+    // drops degenerate hot fingerprints before pair expansion
+    // (bounding output at O(n_fp · MaxDf²) regardless of corpus
+    // size); the fingerprint table (2 longs/row) is the only
+    // shuffled state.
+    "q68_winnow_overlap" -> { (s, d) =>
+      import s.implicits._
+      // fan out past the single-file scan split for the kernel pass;
+      // cache the tiny (doc_id, fp) table — referenced 3× below
+      // (both join sides + per-doc counts; no DAG-level CSE)
+      val kept = Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id",
+          explode(graft.ops.expressions.WinnowFingerprints($"text", WinnowK, WinnowW))
+            .as("fp"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"fp")))
+        .filter($"df" <= WinnowMaxDf)
+        .select($"doc_id", $"fp")
+        .cache()
+      val cnt = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+      val pairs = kept.as("x")
+        .join(kept.as("y"), $"x.fp" === $"y.fp" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+        .groupBy($"id_a", $"id_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= WinnowMinShared)
+      pairs
+        .join(cnt.select($"doc_id".as("id_a"), $"n_fp".as("n_a")), "id_a")
+        .join(cnt.select($"doc_id".as("id_b"), $"n_fp".as("n_b")), "id_b")
+        .select($"id_a", $"id_b", $"n_shared",
+          ($"n_shared".cast("double") / least($"n_a", $"n_b").cast("double"))
+            .as("overlap"))
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // Deterministic re-shard (K3 analog as a query): training order
+    // and shard assignment as a pure function of CONTENT hash —
+    // stable under re-partitioning and incremental re-runs (the q38
+    // device, extended from split labels to a physical layout).
+    // Within-shard order is (hash, doc_id); the row_number+filter is
+    // rewritten onto the bounded-heap TopKPerKey operator by
+    // WindowTopKRewrite, and the 8-row shard-totals side is a
+    // broadcast join. At scale this IS the re-shard plan: shuffle
+    // once on shard_id, sortWithinPartitions(h), write with
+    // maxRecordsPerFile.
+    "q69_shard_assign" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", TextOps.fingerprint($"text").as("h"),
+          TextOps.tokenCount($"text").cast("long").as("n_tok"))
+        .withColumn("shard_id", pmod($"h", lit(NShards)))
+      val totals = docs.groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      docs
+        .withColumn("slot", row_number().over(
+          Window.partitionBy($"shard_id").orderBy($"h", $"doc_id")))
+        .filter($"slot" <= HeadSlots)
+        .join(broadcast(totals), Seq("shard_id"))
+        .select($"shard_id", $"slot".cast("bigint").as("slot"),
+          $"doc_id", $"h", $"n_docs", $"n_tokens")
+        .orderBy($"shard_id", $"slot")
+    },
+
+    // Inverted-index build (retrieval side of the engine): term →
+    // posting list (doc_id, tf, ordered positions) + document
+    // frequency — what q43's BM25 would SCAN at serving time,
+    // materialized here as a build job. Positions come from one
+    // fused posexplode(TokenHashes) pass; postings group by
+    // (term, doc) with map-side partial aggregation; df is a window
+    // over the already-(term,doc)-grouped rows — O(postings) state,
+    // partitioned by term, which is exactly how a 100-TB index build
+    // shards. The 1-in-7 term sample is deterministic (hash mod),
+    // not a rand() — re-runs and engines agree.
+    "q70_inverted_index" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id",
+          posexplode(graft.ops.expressions.TokenHashes($"text")).as(Seq("pos", "th")))
+        .filter(pmod($"th", lit(IdxSampleMod)) === 0)
+        .groupBy($"th", $"doc_id")
+        .agg(count(lit(1)).as("tf"),
+          concat_ws(",",
+            transform(sort_array(collect_list($"pos")), _.cast("string")))
+            .as("positions"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"th")))
+        .select($"th", $"doc_id", $"tf", $"df", $"positions")
+        .orderBy($"th", $"doc_id")
+    },
+
+    // Content-defined chunking dedup (rsync/LBFS): a token closes a
+    // chunk when its hash ≡ 0 mod CdcMod, so boundaries — and hence
+    // chunk identity — are pure functions of content: a span shared
+    // by two documents chunks identically in both regardless of
+    // position (robust to insertions, unlike fixed-size blocks).
+    // chunk_id = exclusive prefix count of boundaries (one window
+    // pass per doc, the natural partition); chunk hash folds token
+    // hashes in position order; the corpus-level groupBy(chunk_hash)
+    // finds spans stored more than once — the storage-dedup measure.
+    "q71_cdc_chunks" -> { (s, d) =>
+      import s.implicits._
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id",
+          posexplode(graft.ops.expressions.TokenHashes($"text")).as(Seq("pos", "th")))
+        .withColumn("b", when(pmod($"th", lit(CdcMod)) === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum($"b").over(wDoc), lit(0L)))
+        .groupBy($"doc_id", $"chunk_id")
+        .agg(sort_array(collect_list(struct($"pos", $"th"))).as("arr"))
+        .select(
+          size($"arr").cast("long").as("n_tok"),
+          aggregate($"arr", lit(0L),
+            (acc, x) => (acc * lit(31L) + x.getField("th")) % lit(P))
+            .as("chunk_hash"))
+        .groupBy($"chunk_hash")
+        .agg(count(lit(1)).as("n_copies"), min($"n_tok").as("n_tokens"))
+        .filter($"n_copies" >= 2)
+        .orderBy($"chunk_hash")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q68_winnow_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks)-${WinnowK - 1} AS m, toks
+         |      FROM t WHERE len(toks) >= $WinnowK),
+         |g AS (SELECT doc_id, m, CAST(u.i AS INT) AS pos,
+         |        ${Sql.polyHash(s"array_to_string(toks[u.i+1 : u.i+$WinnowK], ' ')")} AS h
+         |      FROM s, unnest(range(0, m)) u(i)),
+         |w AS (SELECT doc_id, m, pos,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
+         |      FROM g),
+         |f AS (SELECT DISTINCT doc_id, wm AS fp FROM w
+         |      WHERE pos <= m - $WinnowW OR (m < $WinnowW AND pos = 0)),
+         |kept AS (SELECT doc_id, fp FROM
+         |           (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f)
+         |         WHERE df <= $WinnowMaxDf),
+         |cnt AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+         |          FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |          GROUP BY x.doc_id, y.doc_id
+         |          HAVING count(*) >= $WinnowMinShared)
+         |SELECT p.id_a, p.id_b, p.n_shared,
+         |  CAST(p.n_shared AS DOUBLE) / CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE) AS overlap
+         |FROM pairs p
+         |JOIN cnt ca ON p.id_a = ca.doc_id
+         |JOIN cnt cb ON p.id_b = cb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q69_shard_assign" ->
+      s"""WITH d AS (SELECT doc_id, ${Sql.polyHash("text")} AS h,
+         |             CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |sh AS (SELECT doc_id, h, n_tok, h % $NShards AS shard_id FROM d),
+         |tot AS (SELECT shard_id, count(*) AS n_docs,
+         |          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |        FROM sh GROUP BY shard_id),
+         |r AS (SELECT shard_id, doc_id, h,
+         |        row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS slot
+         |      FROM sh)
+         |SELECT r.shard_id, CAST(r.slot AS BIGINT) AS slot, r.doc_id, r.h,
+         |  t.n_docs, t.n_tokens
+         |FROM r JOIN tot t ON r.shard_id = t.shard_id
+         |WHERE r.slot <= $HeadSlots
+         |ORDER BY r.shard_id, slot""".stripMargin,
+
+    "q70_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+         |        ${Sql.polyHash("toks[u.i+1]")} AS th
+         |      FROM t, unnest(range(0, len(toks))) u(i)),
+         |g AS (SELECT th, doc_id, count(*) AS tf,
+         |        string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+         |      FROM p WHERE th % $IdxSampleMod = 0
+         |      GROUP BY th, doc_id)
+         |SELECT th, doc_id, tf,
+         |  CAST(count(*) OVER (PARTITION BY th) AS BIGINT) AS df, positions
+         |FROM g ORDER BY th, doc_id""".stripMargin,
+
+    "q71_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+         |        ${Sql.polyHash("toks[u.i+1]")} AS th
+         |      FROM t, unnest(range(0, len(toks))) u(i)),
+         |c AS (SELECT doc_id, pos, th,
+         |        COALESCE(CAST(sum(CASE WHEN th % $CdcMod = 0 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          AS BIGINT), 0) AS chunk_id
+         |      FROM p),
+         |h AS (SELECT doc_id, chunk_id, count(*) AS n_tok,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), list(th ORDER BY pos)),
+         |          (a, x) -> (a*31 + x) % $P) AS chunk_hash
+         |      FROM c GROUP BY doc_id, chunk_id)
+         |SELECT chunk_hash, count(*) AS n_copies,
+         |  CAST(min(n_tok) AS BIGINT) AS n_tokens
+         |FROM h GROUP BY chunk_hash HAVING count(*) >= 2
+         |ORDER BY chunk_hash""".stripMargin
+  )
+}
