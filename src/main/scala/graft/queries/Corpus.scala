@@ -64,6 +64,10 @@ object Corpus {
 
   private val P = 1000000007L
 
+  // q72: surprisal output rounding (micro-units inside the exact
+  // sum; 6 decimals on the emitted mean).
+  private val XentDecimals = 6
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Winnowing fingerprint overlap (SIGMOD'03 / MOSS): per-doc
@@ -193,6 +197,35 @@ object Corpus {
         .agg(count(lit(1)).as("n_copies"), min($"n_tok").as("n_tokens"))
         .filter($"n_copies" >= 2)
         .orderBy($"chunk_hash")
+    },
+
+    // Unigram-LM surprisal scoring (statistical quality filter, next
+    // to TextStats' heuristic one): train a unigram model ON the
+    // corpus itself (token → count, one map-side-combined groupBy),
+    // then score every document by its mean surprisal
+    // -avg ln p(token) — the cheap cross-entropy outlier signal real
+    // pipelines run before anything model-based. The vocabulary is
+    // tiny relative to the corpus (Heaps' law), so the trained model
+    // BROADCASTS and scoring is one shuffle-free pass + per-doc agg.
+    // ln is micro-rounded through the exact-sum convention (shared
+    // per-term constants, q43's argument: adjacent-doc score gaps
+    // dwarf 1-ulp cross-engine ln differences).
+    "q72_unigram_surprisal" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Determinism.{avgExact, roundFix}
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum($"c").as("n"))
+      toks
+        .join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(total))
+        .select($"doc_id",
+          (-log($"c".cast("double") / $"n".cast("double"))).as("surp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          roundFix(avgExact($"surp"), XentDecimals).as("xent"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -274,6 +307,20 @@ object Corpus {
          |SELECT chunk_hash, count(*) AS n_copies,
          |  CAST(min(n_tok) AS BIGINT) AS n_tokens
          |FROM h GROUP BY chunk_hash HAVING count(*) >= 2
-         |ORDER BY chunk_hash""".stripMargin
+         |ORDER BY chunk_hash""".stripMargin,
+
+    "q72_unigram_surprisal" -> {
+      import graft.ops.Determinism.Oracles
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |v AS (SELECT tok, count(*) AS c FROM p GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v),
+         |s AS (SELECT p.doc_id,
+         |        -ln(CAST(v.c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS surp
+         |      FROM p JOIN v ON p.tok = v.tok CROSS JOIN n)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  ${Oracles.fround(Oracles.favg("surp"), XentDecimals)} AS xent
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -17,9 +17,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // q25 broadcasts a 3-row query-vector set against the scan with an
   // always-true condition — an intentional BroadcastNestedLoopJoin
-  // (the "join" is really a per-row constant lookup). q43 broadcasts
-  // its ONE-row corpus-statistics aggregate the same way.
-  private val intendedBnlj = Set("q25_topk_cosine", "q43_bm25")
+  // (the "join" is really a per-row constant lookup). q43 and q72
+  // broadcast their ONE-row corpus-statistics aggregate the same way.
+  private val intendedBnlj = Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal")
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
