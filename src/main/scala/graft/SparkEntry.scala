@@ -32,7 +32,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
       graft.queries.Search.queries ++ graft.queries.Quality.queries ++
-      graft.queries.Clusters.queries ++ graft.queries.Corpus.queries
+      graft.queries.Clusters.queries ++ graft.queries.Corpus.queries ++
+      graft.queries.Cleaning.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
@@ -40,5 +41,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TextVector.oracles ++
       graft.queries.Search.oracles ++ graft.queries.Quality.oracles ++
-      graft.queries.Clusters.oracles ++ graft.queries.Corpus.oracles
+      graft.queries.Clusters.oracles ++ graft.queries.Corpus.oracles ++
+      graft.queries.Cleaning.oracles
 }

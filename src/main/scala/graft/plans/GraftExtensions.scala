@@ -59,6 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     // arity string: one char per arg (e=expression, i=int literal)
     inject(e, "text_poly_hash", "e")(a => TextPolyHash(a.head))
+    inject(e, "nfc_normalize", "e")(a => NfcNormalize(a.head))
     inject(e, "token_hashes", "e")(a => TokenHashes(a.head))
     inject(e, "shingle_hashes", "ei")(a =>
       ShingleHashes(a.head, litInt("shingle_hashes", a(1))))

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Web-corpus cleaning operators (round 6): the ingest-side text
+  * hygiene a training-data pipeline runs BEFORE the dedup/quality
+  * families in [[TextVector]] / [[Quality]] ever see a document —
+  * the reference embeds its text exactly as scraped
+  * (`/root/reference/run.py:34` passes the raw column to the model),
+  * so these are capability extensions in the C4/CCNet tradition:
+  *
+  *  - q73 markup normalization: HTML tag strip → entity decode →
+  *    Unicode NFC (custom codegen expression, [[graft.ops.expressions.NfcNormalize]])
+  *    → whitespace collapse — the canonical form that makes
+  *    fingerprints (q23) and shingles (q24) mean what they say;
+  *  - q74 URL extraction + blocklist: pull URLs out of text, parse
+  *    registrable-domain-ish apex, drop blocklisted trackers via a
+  *    tiny broadcast anti-join, report per-domain link stats — the
+  *    provenance/robots-style filter every crawl pipeline runs;
+  *  - q75 corpus-wide paragraph dedup (RefinedWeb-style): explode
+  *    docs into fixed-token paragraphs, keep only each paragraph's
+  *    FIRST occurrence in (doc_id, pos) order across the whole
+  *    corpus, reassemble surviving paragraphs in order — exact
+  *    span-level dedup, the aggressive sibling of whole-doc q23.
+  *
+  * The testdata text is deliberately clean (TESTDATA.md), so q73/q74
+  * derive their dirty input in-query with engine-portable string
+  * expressions (concat/replace over the real tables — same
+  * derivation in the DuckDB oracle, same pattern as the q32
+  * multimodal manifest). All regexes avoid `\s`/`\w` classes —
+  * spelled-out character classes are the one dialect-safe form
+  * (TextOps.WsClass rationale).
+  *
+  * Scale notes (100 TB): q73/q74 are pure narrow maps until the
+  * final small aggregation — they pipeline inside whole-stage
+  * codegen on the scan, no shuffle of document text at all (q74
+  * shuffles only (domain, doc_id) pairs; the blocklist side is
+  * broadcast). q75 shuffles each paragraph row once for the
+  * first-occurrence window — the window partitions on
+  * (polyhash, para) so the sort compares 8-byte hashes before ever
+  * touching string bytes — and once more on doc_id to reassemble;
+  * both are plain hash shuffles that scale linearly with paragraph
+  * count.
+  */
+object Cleaning {
+
+  import TextVector.Sql
+
+  // q73: the dirty-markup derivation below injects tags, entities, a
+  // combining-accent footer (NFC-normalizes to precomposed é), and
+  // tab/newline whitespace; cleaning must round-trip all of it.
+  private val Ws = TextOps.WsClass // " \t\n\x0B\f\r" spelled out
+
+  // q75: 3-token paragraphs — long enough to mean something, short
+  // enough that the ~40-word testdata vocabulary actually produces
+  // cross-document duplicates to drop.
+  private val ParaTokens = 3
+
+  // q74: apex domains dropped before aggregation (trackers).
+  private val Blocklist = Seq("adsite.io", "spam.example.org")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Markup normalization chain. Order matters and is part of the
+    // contract: tags strip BEFORE entity decode (else a decoded
+    // "&lt;b&gt;" would fabricate a tag), NFC BEFORE whitespace
+    // collapse (composition never creates whitespace), trim last.
+    "q73_normalize" -> { (s, d) =>
+      import s.implicits._
+      val dirty = concat(
+        lit("<p id=\""), $"doc_id".cast("string"), lit("\"> "),
+        replace($"text", lit(" table "), lit(" &amp;\t<b>table</b>  ")),
+        lit(" </p>\n<div class=\"footer\">café &lt;"), $"source",
+        lit("&gt;</div>"))
+      val stripped = regexp_replace(dirty, "<[^>]*>", " ")
+      val decoded = replace(replace(replace(stripped,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")), lit("&amp;"), lit("&"))
+      val composed = graft.ops.expressions.NfcNormalize(decoded)
+      val clean = trim(regexp_replace(composed, s"[$Ws]+", " "))
+      Tables.documents(s, d)
+        .select($"doc_id", dirty.as("dirty"), clean.as("clean"))
+        .select($"doc_id",
+          length($"dirty").as("n_raw"),
+          length($"clean").as("n_clean"),
+          $"clean")
+        .orderBy($"doc_id")
+    },
+
+    // URL extraction + apex parse + blocklist anti-join + per-domain
+    // stats. parse_url() exists in Spark but not DuckDB, so both
+    // engines share the regexes instead (group-1 extract).
+    "q74_url_extract" -> { (s, d) =>
+      import s.implicits._
+      val withUrls = concat(
+        $"text",
+        lit(" ref https://www."), $"source", lit(".example.com/d/"),
+        $"doc_id".cast("string"),
+        lit(" img http://cdn"), ($"doc_id" % 4).cast("string"),
+        lit(".assets-cdn.net/i/"), $"doc_id".cast("string"), lit(".png"),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" trk https://track"), ($"doc_id" % 2).cast("string"),
+            lit(".adsite.io/p?id="), $"doc_id".cast("string")))
+          .otherwise(lit("")))
+      val blocked = Blocklist.toDF("apex")
+      Tables.documents(s, d)
+        .select($"doc_id", explode(
+          regexp_extract_all(withUrls, lit("https?://[^ ]+"), lit(0))).as("url"))
+        .select($"doc_id",
+          regexp_extract($"url", "^https?://([^/]+)", 1).as("domain"))
+        .withColumn("apex",
+          regexp_extract($"domain", "([A-Za-z0-9-]+\\.[A-Za-z]+)$", 1))
+        // tiny dim anti-join: broadcast, no shuffle of the fact side
+        .join(broadcast(blocked), Seq("apex"), "left_anti")
+        .groupBy($"domain", $"apex")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"domain")
+    },
+
+    // Corpus-wide exact paragraph dedup with in-order reassembly.
+    // First occurrence in (doc_id, pos) order wins — including
+    // repeats WITHIN a document (RefinedWeb's exact-span semantics).
+    // The left joins keep empty docs and fully-deduped docs as rows
+    // (n_kept = 0), so the output stays 1:1 with the corpus.
+    "q75_paragraph_dedup" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.documents(s, d).select($"doc_id")
+      val paras = Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          posexplode(TextOps.chunksOf($"toks", ParaTokens)).as(Seq("pos", "para")))
+      // window partition key leads with the 8-byte polyhash so the
+      // shuffle+sort compares hashes, not paragraph bytes; the para
+      // column stays in the key for collision safety
+      val w = Window
+        .partitionBy(graft.ops.expressions.TextPolyHash($"para"), $"para")
+        .orderBy($"doc_id", $"pos")
+      val kept = paras
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      val totals = paras.groupBy($"doc_id").agg(count(lit(1)).as("n_paras"))
+      val rebuilt = kept.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct($"pos", $"para"))),
+            p => p.getField("para")), " ").as("clean_text"))
+      base
+        .join(totals, Seq("doc_id"), "left")
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_paras", lit(0L)).as("n_paras"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"clean_text", lit("")).as("clean_text"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q73_normalize" -> {
+      val dirty =
+        """'<p id="' || CAST(doc_id AS VARCHAR) || '"> ' ||
+          |  replace(text, ' table ', ' &amp;' || chr(9) || '<b>table</b>  ') ||
+          |  ' </p>' || chr(10) || '<div class="footer">cafe' || chr(769) ||
+          |  ' &lt;' || source || '&gt;</div>'""".stripMargin
+      s"""WITH d AS (SELECT doc_id, $dirty AS dirty FROM documents),
+         |c AS (SELECT doc_id, dirty,
+         |        trim(regexp_replace(
+         |          nfc_normalize(
+         |            replace(replace(replace(
+         |              regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
+         |              '&lt;', '<'), '&gt;', '>'), '&amp;', '&')),
+         |          '[$Ws]+', ' ', 'g')) AS clean
+         |      FROM d)
+         |SELECT doc_id,
+         |  CAST(length(dirty) AS INTEGER) AS n_raw,
+         |  CAST(length(clean) AS INTEGER) AS n_clean,
+         |  clean
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "q74_url_extract" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        text || ' ref https://www.' || source || '.example.com/d/' ||
+         |        CAST(doc_id AS VARCHAR) ||
+         |        ' img http://cdn' || CAST(doc_id % 4 AS VARCHAR) ||
+         |        '.assets-cdn.net/i/' || CAST(doc_id AS VARCHAR) || '.png' ||
+         |        CASE WHEN doc_id % 5 = 0
+         |          THEN ' trk https://track' || CAST(doc_id % 2 AS VARCHAR) ||
+         |               '.adsite.io/p?id=' || CAST(doc_id AS VARCHAR)
+         |          ELSE '' END AS txt
+         |      FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://[^ ]+')) AS url
+         |      FROM t),
+         |p AS (SELECT doc_id,
+         |        regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+         |        regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+         |                       '([A-Za-z0-9-]+\\.[A-Za-z]+)$$', 1) AS apex
+         |      FROM u)
+         |SELECT domain, apex, count(*) AS n_urls,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM p
+         |WHERE apex NOT IN (${Blocklist.map("'" + _ + "'").mkString(", ")})
+         |GROUP BY domain, apex
+         |ORDER BY domain""".stripMargin,
+
+    "q75_paragraph_dedup" ->
+      s"""WITH c AS (SELECT doc_id, ${Sql.chunks("text", ParaTokens)} AS chs
+         |           FROM documents),
+         |p AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos, chs[u.i + 1] AS para
+         |      FROM c, unnest(range(0, len(chs))) u(i)),
+         |k AS (SELECT doc_id, pos, para,
+         |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |      FROM p),
+         |a AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+         |r AS (SELECT doc_id, count(*) AS n_kept,
+         |        array_to_string(list(para ORDER BY pos), ' ') AS clean_text
+         |      FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  coalesce(a.n_paras, 0) AS n_paras,
+         |  coalesce(r.n_kept, 0) AS n_kept,
+         |  coalesce(r.clean_text, '') AS clean_text
+         |FROM c
+         |LEFT JOIN a ON c.doc_id = a.doc_id
+         |LEFT JOIN r ON c.doc_id = r.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+  )
+}
