@@ -268,8 +268,38 @@ object Relational {
         .groupBy($"l_suppkey")
         .agg(sum($"pq").as("sum_qty"), sum($"pn").as("n_items"))
         .orderBy($"l_suppkey")
+    },
+
+    // Recursive CTE (SQL:1999 iterative fixpoint, Spark 4's native
+    // WITH RECURSIVE): bounded-depth BFS over an order-derived edge
+    // list — min distance and path-visit counts from a seed node.
+    // The SAME text runs in both engines (like q55). The depth bound
+    // in the recursive step keeps UNION ALL terminating despite
+    // cycles; contrast q63, which does transitive closure at scale
+    // with an explicit driver loop (pointer jumping) because a
+    // recursive CTE's fixpoint shuffle count grows with the DIAMETER
+    // — the CTE form is right when depth is small and known.
+    "q76_recursive_bfs" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(RecursiveBfsSql)
     }
   )
+
+  /** Runs verbatim in both engines. */
+  private val RecursiveBfsSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT o_custkey AS src, CAST(o_orderkey % 97 AS BIGINT) AS dst
+      |  FROM orders
+      |),
+      |bfs(node, d) AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+      |  UNION ALL
+      |  SELECT e.dst AS node, b.d + 1 AS d
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.d < 4
+      |)
+      |SELECT node, min(d) AS dist, count(*) AS n_paths
+      |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -410,6 +440,8 @@ object Relational {
 
     "q19_salted_agg" ->
       """SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
-        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q76_recursive_bfs" -> RecursiveBfsSql
   )
 }
