@@ -168,6 +168,32 @@ object Search {
         .orderBy($"win_start", $"event_type")
     },
 
+    // Time-series gap fill + forward fill: per-user daily event
+    // counts, a generated date spine over each user's active range
+    // (sequence + explode — map-side, no join against a calendar
+    // table), left join of observed days, then last-non-null
+    // forward fill. The missing-day rows keep n NULL so downstream
+    // can tell observed zeros from filled values. Scale: the spine
+    // is bounded by Σ per-user ranges (not users × global range);
+    // one shuffle for the daily agg, one for the window.
+    "q77_gap_fill" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", $"n",
+          last($"n", ignoreNulls = true).over(w).as("n_filled"))
+        .orderBy($"user_id", $"day")
+    },
+
     // Behavioral funnel over per-user event sequences: how far does
     // each user get through view → click → purchase IN ORDER? One
     // shuffle on user_id; per-user state is that user's own events
@@ -308,6 +334,25 @@ object Search {
     val toks = TextVector.Sql.toks("text")
 
     Map(
+      "q77_gap_fill" ->
+        """WITH daily AS (
+          |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2
+          |),
+          |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+          |           FROM daily GROUP BY 1),
+          |spine AS (SELECT user_id,
+          |            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          |          FROM bounds),
+          |j AS (SELECT s.user_id, s.day, d.n
+          |      FROM spine s LEFT JOIN daily d
+          |        ON d.user_id = s.user_id AND d.day = s.day)
+          |SELECT user_id, day, n,
+          |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+          |FROM j ORDER BY user_id, day""".stripMargin,
+
       "q43_bm25" -> {
         val tfSelects = Terms.zipWithIndex.map { case (t, i) =>
           s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
