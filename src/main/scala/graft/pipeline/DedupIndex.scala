@@ -67,16 +67,36 @@ object DedupIndex {
 
   /** Build (or rebuild) the index for a corpus. One scan of the
     * corpus text computes fingerprint + shingle set + minhash
-    * signature; bands derive from the signatures. */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    * signature; bands derive from the signatures. The index is
+    * hive-partitioned on a `run` label: build writes `run=base` and
+    * clears every earlier run; [[append]] adds runs incrementally. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    write(docs, dir, "base", dynamic = false)
+
+  /** Append one ingest batch's docs to the index under `run=<runId>`
+    * (dynamic partition overwrite: re-running the same runId
+    * REPLACES that run instead of duplicating it — which makes
+    * at-least-once delivery, e.g. foreachBatch re-execution,
+    * idempotent). Only the batch is scanned; the existing index is
+    * untouched. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+             runId: String): Unit =
+    write(docs, dir, runId, dynamic = true)
+
+  private def write(docs: DataFrame, dir: String, runId: String,
+                    dynamic: Boolean): Unit = {
     val derived = withDerived(docs).cache()
+    def out(df: DataFrame, path: String): Unit = {
+      val w = df.withColumn("run", lit(runId)).write
+        .partitionBy("run").mode("overwrite")
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .parquet(path)
+    }
     try {
-      derived.select(col("doc_id"), col("fp"), col("fp_len"))
-        .write.mode("overwrite").parquet(s"$dir/fingerprints")
-      derived.select(col("doc_id"), col("hs"))
-        .write.mode("overwrite").parquet(s"$dir/shingles")
-      bandsOf(derived)
-        .write.mode("overwrite").parquet(s"$dir/bands")
+      out(derived.select(col("doc_id"), col("fp"), col("fp_len")),
+        s"$dir/fingerprints")
+      out(derived.select(col("doc_id"), col("hs")), s"$dir/shingles")
+      out(bandsOf(derived), s"$dir/bands")
     } finally derived.unpersist()
   }
 

@@ -125,6 +125,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.distinct().count() == shard.count())
   }
 
+  test("streaming dedup screening: batches screen against the index, uniques absorb, re-delivery is idempotent") {
+    import spark.implicits._
+    import graft.pipeline.DedupIndex
+    import graft.streaming.DedupScreenStream
+    val idx = tmp("scr-idx"); val inDir = tmp("scr-in")
+    val outDir = tmp("scr-out"); val ck = tmp("scr-ck")
+
+    // base corpus: two documents
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, idx)
+    val schema = corpus.schema
+
+    // delivery 1: an exact copy of corpus doc 1 + a fresh doc
+    Seq((100L, "the quick brown fox jumps over the lazy dog again and again"),
+        (101L, "zzqx wholly novel streaming payload one two three four five"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema)
+
+    // delivery 2: an exact copy of delivery 1's UNIQUE doc — it must
+    // match 101, proving the absorb closed the loop across batches
+    Seq((200L, "zzqx wholly novel streaming payload one two three four five"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema)
+    // delivery 3: nothing new — a no-op run must not disturb state
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema)
+
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "verdict", "match_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.size == 3, s"expected 3 screened docs, got $out")
+    assert(out(100L) == ("exact", 1L), s"copy of corpus doc: ${out(100L)}")
+    assert(out(101L) == ("unique", -1L), s"fresh doc: ${out(101L)}")
+    assert(out(200L) == ("exact", 101L),
+      s"cross-batch dup must match the absorbed unique: ${out(200L)}")
+
+    // index holds base + exactly the absorbed uniques, and re-running
+    // a batch (simulated by re-appending run b0) does not duplicate
+    val fps = spark.read.parquet(s"$idx/fingerprints")
+    assert(fps.count() == 3 && fps.select("doc_id").distinct().count() == 3)
+    DedupIndex.append(spark,
+      Seq((101L, "zzqx wholly novel streaming payload one two three four five"))
+        .toDF("doc_id", "text"), idx, "b0")
+    val fps2 = spark.read.parquet(s"$idx/fingerprints")
+    assert(fps2.count() == 3, "re-delivered absorb duplicated index rows")
+  }
+
   test("session windows: out-of-order events above the watermark merge backward and bridge sessions") {
     import spark.implicits._
     import graft.streaming.EventSessions
