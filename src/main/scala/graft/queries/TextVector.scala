@@ -118,6 +118,14 @@ object TextVector {
   private val AnnBits  = 24
   private val AnnBands = 4
 
+  // q78: product quantization — MergeDim (64) split into 4
+  // subspaces × 16 dims, 8 centroids each: codes are 4 small ints
+  // (vs 64 floats — the 64× compression that makes billion-vector
+  // ANN fit in executor memory).
+  private val PqM   = 4
+  private val PqK   = 8
+  private val PqSub = MergeDim / PqM
+
   // Embedding-cosine near-dup (q34): distinct 2-shingle hash set →
   // 32-dim random-feature embedding → SRP-LSH candidates → cosine
   // verify. Dim 32 keeps projection noise (~1/√32) well under the
@@ -777,6 +785,64 @@ object TextVector {
     },
 
     // Text analysis (builder brief): language-ID heuristic, quality
+    // Product-quantization ANN (third ANN scale path, next to q30's
+    // LSH and q33's IVF): vectors encode to PqM sub-space centroid
+    // codes (argmin L2 per sub-space against a deterministic
+    // codebook — a stand-in for the k-means codebook a production
+    // index trains), then queries rank candidates by asymmetric
+    // distance (ADC: query sub-vector vs the candidate's CODE
+    // centroid — the candidate's floats are never read at query
+    // time). Scale story: the encoded table is PqM bytes/vector
+    // instead of MergeDim floats (64× here) — the form in which a
+    // billion-vector index fits in RAM; the codebook is driver
+    // state, broadcast like q33's centroids. All arithmetic is
+    // fixed-order double folds, so ranks hash-match the oracle.
+    "q78_pq_ann" -> { (s, d) =>
+      import s.implicits._
+      def sq(c: Column): Column = c * c
+      // deterministic codebook shared with the oracle: integer
+      // formula → the exact double both engines compute
+      val cb: Seq[Seq[Seq[Double]]] =
+        (0 until PqM).map(m => (0 until PqK).map(j => (0 until PqSub).map { i =>
+          val v = (((m * PqK + j) * PqSub + i + 1).toLong * PermMult) % HashMod
+          v.toDouble / 1000000007.0 * 2.0 - 1.0
+        }))
+      val cbLit = typedLit(cb)
+      def cbAt(m: Column, j: Column, i: Column): Column =
+        element_at(element_at(element_at(cbLit,
+          (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
+      def xAt(x: Column, m: Column, i: Column): Column =
+        element_at(x, (m * PqSub + i + 1).cast("int"))
+      val enc = Tables.embeddings(s, d)
+        .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
+        // per-subspace distance table, then argmin (first minimum —
+        // list_position has the same first-match tie rule)
+        .withColumn("dd", transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(sequence(lit(0), lit(PqK - 1)), j =>
+            aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (a, i) =>
+              a + sq(xAt($"x", m, i) - cbAt(m, j, i))))))
+        .withColumn("codes", transform(sequence(lit(1), lit(PqM)), m =>
+          (array_position(element_at($"dd", m), array_min(element_at($"dd", m))) - 1)
+            .cast("int")))
+      val qs = broadcast(enc.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"x".as("qx")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      enc.select($"vec_id", $"codes")
+        .crossJoin(qs)
+        .select($"query_id", $"vec_id",
+          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+            acc + aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (a, i) =>
+              a + sq(xAt($"qx", m, i) -
+                cbAt(m, element_at($"codes", (m + 1).cast("int")), i)))).as("adc"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"query_id", $"vec_id",
+          floor($"adc" * lit(1000000.0) + lit(0.5)).cast("bigint").as("adc_u"),
+          $"rn".cast("bigint").as("rn"))
+        .orderBy($"query_id", $"rn")
+    },
+
     // score, token/sentence counts — ONE fused codegen kernel pass
     // (TextStats ≡ the four HOF columns, unit-enforced). No
     // repartition: the full-text shuffle costs more than this single
@@ -800,6 +866,45 @@ object TextVector {
   val oracles: Map[String, String] = {
     val toks = Sql.toks("text")
     Map(
+      "q78_pq_ann" -> {
+        // (a-b)*(a-b) with the subtraction spelled twice — NOT
+        // pow(a-b, 2): libm pow is not guaranteed bit-equal to the
+        // explicit product
+        def sqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
+        val fold = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
+        s"""WITH cb AS (SELECT list_transform(range(0, $PqM), m ->
+           |    list_transform(range(0, $PqK), j ->
+           |      list_transform(range(0, $PqSub), i ->
+           |        CAST(((m*$PqK + j)*$PqSub + i + 1) * $PermMult % $HashMod AS DOUBLE)
+           |          / 1000000007.0 * 2.0 - 1.0))) AS cb),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+           |d AS (SELECT vec_id, x,
+           |        list_transform(range(0, $PqM), m ->
+           |          list_transform(range(0, $PqK), j ->
+           |            ${fold(s"list_transform(range(0, $PqSub), i -> " +
+                          sqDiff(s"x[m*$PqSub + i + 1]", "cb[m+1][j+1][i+1]") + ")")}))
+           |          AS dd
+           |      FROM e, cb),
+           |enc AS (SELECT vec_id,
+           |          list_transform(range(1, ${PqM + 1}), m ->
+           |            list_position(dd[m], list_min(dd[m])) - 1) AS codes
+           |        FROM d),
+           |q AS (SELECT vec_id AS query_id, x AS qx FROM e WHERE vec_id < 3),
+           |s AS (SELECT q.query_id, enc.vec_id,
+           |        ${fold(s"list_transform(range(0, $PqM), m -> " +
+                      fold(s"list_transform(range(0, $PqSub), i -> " +
+                        sqDiff(s"qx[m*$PqSub + i + 1]",
+                               s"cb[m+1][codes[m+1]+1][i+1]") + ")") + ")")} AS adc
+           |      FROM enc, q, cb),
+           |r AS (SELECT query_id, vec_id, adc,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |      FROM s)
+           |SELECT query_id, vec_id,
+           |  CAST(floor(adc*1000000.0 + 0.5) AS BIGINT) AS adc_u, rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+      },
+
       "q20_token_overflow" ->
         s"""SELECT doc_id, n_chars, len($toks) AS token_count
            |FROM documents

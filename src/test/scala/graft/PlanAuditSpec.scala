@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // always-true condition — an intentional BroadcastNestedLoopJoin
   // (the "join" is really a per-row constant lookup). q43 and q72
   // broadcast their ONE-row corpus-statistics aggregate the same way.
-  private val intendedBnlj = Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal")
+  private val intendedBnlj =
+    Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal", "q78_pq_ann")
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
