@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -222,6 +222,36 @@ object Quality {
     // (sqrt is IEEE correctly-rounded, so it's bit-safe cross-
     // engine). Zero-variance groups yield NULL via the same CASE
     // both sides (ANSI double x/0 would throw, not inf).
+    // Per-group OLS regression (regr_slope/regr_intercept analog) on
+    // exact integer moments: x = epoch day of the order date, y =
+    // price in cents — the five sums stay bigint-exact through the
+    // shuffle (like q61); the built-in regr_slope folds doubles in
+    // partition order and can't bit-match. Only the FINAL slope /
+    // intercept expressions touch floating point, in a fixed shape
+    // both engines evaluate identically. n*Sxy would overflow int64
+    // at scale, so the final arithmetic casts each exact sum to
+    // double first (same deterministic rounding both sides).
+    "q79_ols_regression" -> { (s, d) =>
+      import s.implicits._
+      val pts = Tables.orders(s, d)
+        .select($"o_orderpriority",
+          datediff(to_date($"o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("x"),
+          floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("y"))
+      val a = pts.groupBy($"o_orderpriority").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      def D(c: Column): Column = c.cast("double")
+      val slope = (D($"n") * D($"sxy") - D($"sx") * D($"sy")) /
+        (D($"n") * D($"sxx") - D($"sx") * D($"sx"))
+      val intercept = (D($"sy") - slope * D($"sx")) / D($"n")
+      a.select($"o_orderpriority", $"n",
+        floor(slope * lit(1000000.0) + lit(0.5)).cast("bigint").as("slope_u"),
+        floor(intercept * lit(1000000.0) + lit(0.5)).cast("bigint").as("intercept_u"))
+        .orderBy($"o_orderpriority")
+    },
+
     "q61_exact_stats" -> { (s, d) =>
       import s.implicits._
       val cust = Tables.customer(s, d)
@@ -368,6 +398,30 @@ object Quality {
         |  count(CASE WHEN same_as_prev THEN 1 END) AS n_nullsafe_eq,
         |  max(coalesce(band, -1)) AS max_band_or_neg1
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q79_ols_regression" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |             CAST(date_diff('day', DATE '1970-01-01',
+        |                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        |           FROM orders),
+        |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM p GROUP BY 1),
+        |f AS (SELECT o_orderpriority, n,
+        |        (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
+        |        sx, sy
+        |      FROM a)
+        |SELECT o_orderpriority, n,
+        |  CAST(floor(slope*1000000.0 + 0.5) AS BIGINT) AS slope_u,
+        |  CAST(floor(((CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+        |              / CAST(n AS DOUBLE))*1000000.0 + 0.5) AS BIGINT) AS intercept_u
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
 
     "q61_exact_stats" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
