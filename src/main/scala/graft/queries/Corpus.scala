@@ -226,10 +226,56 @@ object Corpus {
         .agg(count(lit(1)).as("n_tok"),
           roundFix(avgExact($"surp"), XentDecimals).as("xent"))
         .orderBy($"doc_id")
+    },
+
+    // Z-order (Morton) layout keys: interleave the bits of two
+    // dimension buckets so range scans on EITHER dimension touch few
+    // z-ranges — the data-layout move behind multi-dimensional file
+    // skipping (Delta/Iceberg OPTIMIZE ZORDER; a plain sort gives
+    // min/max locality on one leading column only). The query
+    // computes z = interleave(custkey bucket, day bucket) over
+    // orders, groups into z-range "files", and reports each file's
+    // per-dimension min/max span — the bounded spans ARE the
+    // file-skipping stats a scan would prune on. Pure int
+    // arithmetic: bit-identical in any engine; at scale this is
+    // `repartitionByRange(z).sortWithinPartitions(z)` before the
+    // parquet write.
+    "q80_zorder_layout" -> { (s, d) =>
+      import s.implicits._
+      val x = (pmod($"o_custkey", lit(256L))).as("x")
+      val y = (pmod(datediff(to_date($"o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long"), lit(256L))).as("y")
+      val z = (0 until 8).map { b =>
+        shiftleft(shiftright($"x", b).bitwiseAND(lit(1L)), 2 * b) +
+          shiftleft(shiftright($"y", b).bitwiseAND(lit(1L)), 2 * b + 1)
+      }.reduce(_ + _)
+      Tables.orders(s, d)
+        .select(x, y)
+        .select($"x", $"y", z.as("z"))
+        .groupBy(shiftright($"z", 10).as("zfile"))
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("x_min"), max($"x").as("x_max"),
+          min($"y").as("y_min"), max($"y").as("y_max"))
+        .orderBy($"zfile")
     }
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q80_zorder_layout" -> {
+      val interleave = (0 until 8).map { b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT o_custkey % 256 AS x,
+         |             CAST(date_diff('day', DATE '1970-01-01',
+         |                            CAST(o_orderdate AS DATE)) AS BIGINT) % 256 AS y
+         |           FROM orders),
+         |z AS (SELECT x, y, ($interleave) AS z FROM p)
+         |SELECT z >> 10 AS zfile, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY zfile""".stripMargin
+    },
 
     "q68_winnow_overlap" ->
       s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
