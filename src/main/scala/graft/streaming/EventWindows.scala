@@ -52,6 +52,23 @@ object EventWindows {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment join: each micro-batch broadcast-joins
+    * a STATIC dimension (re-read per batch if its files change, no
+    * streaming state at all — contrast EventJoin's stream-stream
+    * state) and aggregates per enrichment key. The canonical "tag
+    * events with their segment/tenant/experiment arm" shape: at
+    * scale the dim is the broadcast side and the stream never
+    * shuffles before the windowed agg. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, joinKey: String,
+                     segmentCol: String, windowDur: String,
+                     delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .join(broadcast(dim), Seq(joinKey))
+      .groupBy(window(col("ts"), windowDur), col(segmentCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(segmentCol), col("n"))
+
   /** One checkpointed micro-batch run over whatever files are in
     * `inDir` (Trigger.AvailableNow ≙ one `run.py` invocation;
     * re-invoking with the same checkpoint resumes — L3). Append

@@ -125,6 +125,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.distinct().count() == shard.count())
   }
 
+  test("stream-static enrichment join: per-batch broadcast dim, emitted windows match the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val schema = events.schema
+    // static dimension: user → segment (written once, read per batch)
+    val dimDir = tmp("enr-dim")
+    events.select($"user_id").distinct()
+      .withColumn("segment", concat(lit("seg"), pmod($"user_id", lit(4L))))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+
+    val inDir = tmp("enr-in"); val outDir = tmp("enr-out"); val ck = tmp("enr-ck")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val agg = EventWindows.enrichedCounts(stream, dim, "user_id",
+        "segment", "1 day", "1 hour")
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ck).trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val cut = "2024-01-20 00:00:00"
+    events.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    events.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+
+    val out = spark.read.parquet(outDir).select("win_start", "segment", "n")
+    val twin = events.join(dim, Seq("user_id"))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("segment"), col("n"))
+    // every emitted (window, segment) row carries the full enriched
+    // count, exactly once; the closed early windows are all out
+    val mismatched = out.as("o").join(twin.as("b"), Seq("win_start", "segment"))
+      .filter(col("o.n") =!= col("b.n")).count()
+    assert(mismatched == 0, s"$mismatched partially-counted windows")
+    assert(out.groupBy("win_start", "segment").count()
+      .filter(col("count") > 1).count() == 0, "duplicate emissions")
+    val early = out.filter(col("win_start") < lit("2024-01-19 00:00:00")).count()
+    val earlyExpected = twin.filter(col("win_start") < lit("2024-01-19 00:00:00")).count()
+    assert(early == earlyExpected, s"early windows: $early of $earlyExpected")
+  }
+
   test("streaming dedup screening: batches screen against the index, uniques absorb, re-delivery is idempotent") {
     import spark.implicits._
     import graft.pipeline.DedupIndex
