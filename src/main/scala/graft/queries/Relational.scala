@@ -270,6 +270,30 @@ object Relational {
         .orderBy($"l_suppkey")
     },
 
+    // Skew-safe SALTED JOIN (the join-side sibling of q19's salted
+    // aggregation): the build side replicates once per salt value,
+    // the probe side hashes each row to ONE salt, and the join key
+    // becomes (key, salt) — a hot key's rows now spread over S
+    // reducer partitions instead of melting one. Static salting is
+    // the deterministic worst-case guard; AQE's runtime skew split
+    // (ScaleSpec) is the adaptive half. Same result as the plain
+    // join, which is exactly what the oracle states.
+    "q82_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val Salts = 8
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey",
+          explode(sequence(lit(0L), lit(Salts.toLong - 1))).as("salt"))
+      val ord = Tables.orders(s, d)
+        .select($"o_custkey", $"o_totalprice",
+          pmod($"o_orderkey", lit(Salts.toLong)).as("salt"))
+      ord.join(cust, $"o_custkey" === $"c_custkey" && ord("salt") === cust("salt"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ops.Determinism.sumExact($"o_totalprice").as("total"))
+        .orderBy($"c_nationkey")
+    },
+
     // Recursive CTE (SQL:1999 iterative fixpoint, Spark 4's native
     // WITH RECURSIVE): bounded-depth BFS over an order-derived edge
     // list — min distance and path-visit counts from a seed node.
@@ -442,6 +466,14 @@ object Relational {
       """SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
-    "q76_recursive_bfs" -> RecursiveBfsSql
+    "q76_recursive_bfs" -> RecursiveBfsSql,
+
+    // the salt is an implementation detail: the oracle is the PLAIN
+    // join the salted form must be indistinguishable from
+    "q82_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  cast(sum(cast(floor((o_totalprice)*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -168,6 +168,34 @@ object Search {
         .orderBy($"win_start", $"event_type")
     },
 
+    // Exponentially-decayed activity score (EMA-style recency
+    // weighting, the standard feature-pipeline aggregate): per user,
+    // fold events in time order with acc = acc·α + value, so the
+    // newest event carries weight 1 and each step back decays by α.
+    // The recursion IS the left fold — both engines run the same
+    // (sort → fold) shape q50 established, bit-identical because the
+    // sequence order is total (ms, event_id) and the arithmetic is
+    // a fixed-order double chain. One shuffle on user_id; per-user
+    // state bounded by that user's own events.
+    "q81_decay_score" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Determinism.roundFix
+      val Alpha = 0.9
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(
+          struct(unix_millis($"ts").as("ms"), $"event_id", $"value")))
+          .as("seq"), count(lit(1)).as("n_events"))
+        .select($"user_id", $"n_events",
+          roundFix(
+            aggregate(
+              transform($"seq", e => e.getField("value")),
+              lit(0.0),
+              (acc, v) => acc * lit(Alpha) + v),
+            6).as("decay_score"))
+        .orderBy($"user_id")
+    },
+
     // Time-series gap fill + forward fill: per-user daily event
     // counts, a generated date spine over each user's active range
     // (sequence + explode — map-side, no join against a calendar
@@ -417,6 +445,18 @@ object Search {
           |       arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS poorest,
           |       count(*) AS n_cust
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q81_decay_score" ->
+        // same (ordered list → left fold) shape as q50; the fold
+        // arithmetic acc*0.9 + v is the identical double chain in
+        // both engines because the order (ms, event_id) is total
+        """SELECT user_id, count(*) AS n_events,
+          |  floor(list_reduce(
+          |    list_prepend(CAST(0.0 AS DOUBLE),
+          |      list(value ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id)),
+          |    (acc, v) -> acc * CAST(0.9 AS DOUBLE) + v) * 1000000.0 + 0.5) / 1000000.0
+          |  AS decay_score
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q50_funnel" ->
         // list(x ORDER BY ...) gives the same deterministic sequence
