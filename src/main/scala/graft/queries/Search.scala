@@ -168,6 +168,30 @@ object Search {
         .orderBy($"win_start", $"event_type")
     },
 
+    // SCD-2 history compression (slowly-changing-dimension build):
+    // per user, keep only CHANGE POINTS of the tracked attribute
+    // (event_type here), then stitch validity intervals with lead()
+    // — the standard "compress an event log into versioned dimension
+    // rows" warehouse operator. Two windows over the same (user_id →
+    // time) partitioning: Spark plans them into ONE shuffle + sort
+    // (both windows share the partition/order), so the log shuffles
+    // once. Open intervals get a sentinel end; micros keep the
+    // boundaries exact.
+    "q83_scd2_intervals" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("valid_to",
+          coalesce(lead($"ts_us", 1).over(w), lit(Long.MaxValue)))
+        .select($"user_id", $"event_type",
+          $"ts_us".as("valid_from"), $"valid_to")
+        .orderBy($"user_id", $"valid_from", $"event_id")
+    },
+
     // Exponentially-decayed activity score (EMA-style recency
     // weighting, the standard feature-pipeline aggregate): per user,
     // fold events in time order with acc = acc·α + value, so the
@@ -445,6 +469,19 @@ object Search {
           |       arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS poorest,
           |       count(*) AS n_cust
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q83_scd2_intervals" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+          |           FROM events),
+          |c AS (SELECT user_id, event_id, ts_us, event_type,
+          |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+          |      FROM e),
+          |f AS (SELECT user_id, event_id, ts_us, event_type FROM c
+          |      WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, event_type, ts_us AS valid_from,
+          |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+          |           9223372036854775807) AS valid_to
+          |FROM f ORDER BY user_id, valid_from, event_id""".stripMargin,
 
       "q81_decay_score" ->
         // same (ordered list → left fold) shape as q50; the fold
