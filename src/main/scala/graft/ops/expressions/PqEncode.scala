@@ -1,0 +1,97 @@
+package graft.ops.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization encode kernel: array<double> of m·sub dims →
+  * array<int> of m sub-space centroid codes (argmin L2, FIRST
+  * minimum on ties — the `array_position(dd, array_min(dd))` rule
+  * the q78 HOF reference implements). The deterministic codebook is
+  * the same integer-formula → double derivation the DuckDB oracle
+  * computes inline; it is built once per (m, k, sub) and memoized
+  * JVM-wide (driver state in spirit — what a trained k-means
+  * codebook would be broadcast as).
+  *
+  * Why an expression: the HOF encode runs m·k·sub interpreted lambda
+  * evals per row (~25M at sf0.1) — this keeps the encode inside
+  * whole-stage codegen with a tight primitive loop. PropertySpec
+  * pins kernel ≡ HOF bit-exactly.
+  */
+object PqKernel {
+  final val PermMult: Long = 2654435761L
+  final val Mod: Long = 1000000007L
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  def codebook(m: Int, k: Int, sub: Int): Array[Array[Array[Double]]] =
+    memo.computeIfAbsent((m, k, sub), _ =>
+      Array.tabulate(m, k, sub) { (mm, jj, ii) =>
+        val v = (((mm * k + jj) * sub + ii + 1).toLong * PermMult) % Mod
+        v.toDouble / 1000000007.0 * 2.0 - 1.0
+      })
+
+  def encode(x: ArrayData, m: Int, k: Int, sub: Int): ArrayData = {
+    val cb = codebook(m, k, sub)
+    val out = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      val cbm = cb(mm)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var jj = 0
+      while (jj < k) {
+        val cbj = cbm(jj)
+        var a = 0.0
+        var ii = 0
+        while (ii < sub) {
+          // left-to-right fold of (xi-ci)² — the HOF aggregate's
+          // exact order
+          val d = x.getDouble(mm * sub + ii) - cbj(ii)
+          a = a + d * d
+          ii += 1
+        }
+        // strict < keeps the FIRST minimum, matching array_position
+        if (a < bestD) { bestD = a; best = jj }
+        jj += 1
+      }
+      out(mm) = best
+      mm += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** array<double> → array<int> PQ codes under the engine's
+  * deterministic codebook. */
+case class PqEncode(child: Expression, m: Int, k: Int, sub: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernel.encode(input.asInstanceOf[ArrayData], m, k, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.expressions.PqKernel.encode($c, $m, $k, $sub)")
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, m: Int, k: Int, sub: Int): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(c), m, k, sub))
+}

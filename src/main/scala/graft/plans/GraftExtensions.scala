@@ -77,6 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "winnow_fingerprints", "eii")(a =>
       WinnowFingerprints(a.head, litInt("winnow_fingerprints", a(1)),
         litInt("winnow_fingerprints", a(2))))
+    inject(e, "pq_encode", "eiii")(a =>
+      PqEncode(a.head, litInt("pq_encode", a(1)), litInt("pq_encode", a(2)),
+        litInt("pq_encode", a(3))))
     // table-generating (UDTF): SELECT ... LATERAL VIEW
     //   chunk_explode(text, 16) c AS pos, chunk
     inject(e, "chunk_explode", "ei")(a =>

@@ -815,15 +815,11 @@ object TextVector {
         element_at(x, (m * PqSub + i + 1).cast("int"))
       val enc = Tables.embeddings(s, d)
         .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
-        // per-subspace distance table, then argmin (first minimum —
-        // list_position has the same first-match tie rule)
-        .withColumn("dd", transform(sequence(lit(0), lit(PqM - 1)), m =>
-          transform(sequence(lit(0), lit(PqK - 1)), j =>
-            aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (a, i) =>
-              a + sq(xAt($"x", m, i) - cbAt(m, j, i))))))
-        .withColumn("codes", transform(sequence(lit(1), lit(PqM)), m =>
-          (array_position(element_at($"dd", m), array_min(element_at($"dd", m))) - 1)
-            .cast("int")))
+        // codegen kernel (PqEncode ≡ the HOF argmin reference,
+        // PropertySpec-pinned; first minimum on ties, matching
+        // list_position in the oracle)
+        .withColumn("codes",
+          graft.ops.expressions.PqEncode($"x", PqM, PqK, PqSub))
       val qs = broadcast(enc.filter($"vec_id" < 3)
         .select($"vec_id".as("query_id"), $"x".as("qx")))
       val w = org.apache.spark.sql.expressions.Window

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 import graft.ops.TextOps
 import graft.ops.expressions.HashKernel
 import org.apache.spark.unsafe.types.UTF8String
@@ -187,6 +188,33 @@ class PropertySpec extends AnyFunSuite {
           val b = (j * lit(40503L) + 1) % lit(1000000007L)
           array_min(transform($"hs", h => (a * h + b) % lit(1000000007L)))
         }).as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
+  test("PqEncode codegen kernel == HOF argmin reference, incl. first-min ties") {
+    val M = 4; val K = 8; val Sub = 16
+    // random vectors in the embedding's value range + an all-zero
+    // vector (every sub-space distance tie resolves to the FIRST min)
+    val vecs = samples(Gen.listOfN(M * Sub,
+      Gen.choose(-2000000, 2000000).map(_ / 1000.0)), 60) ++
+      Seq(List.fill(M * Sub)(0.0))
+    val cb = graft.ops.expressions.PqKernel.codebook(M, K, Sub)
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    def cbAt(m: Column, j: Column, i: Column): Column =
+      element_at(element_at(element_at(cbLit,
+        (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
+    def xAt(x: Column, m: Column, i: Column): Column =
+      element_at(x, (m * Sub + i + 1).cast("int"))
+    val df = vecs.toDF("x")
+      .withColumn("dd", transform(sequence(lit(0), lit(M - 1)), m =>
+        transform(sequence(lit(0), lit(K - 1)), j =>
+          aggregate(sequence(lit(0), lit(Sub - 1)), lit(0.0), (a, i) =>
+            a + (xAt($"x", m, i) - cbAt(m, j, i)) * (xAt($"x", m, i) - cbAt(m, j, i))))))
+      .select(
+        graft.ops.expressions.PqEncode($"x", M, K, Sub).as("fused"),
+        transform(sequence(lit(1), lit(M)), m =>
+          (array_position(element_at($"dd", m), array_min(element_at($"dd", m))) - 1)
+            .cast("int")).as("ref"))
     assert(df.filter($"fused" =!= $"ref").count() == 0)
   }
 
