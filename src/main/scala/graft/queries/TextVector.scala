@@ -785,6 +785,34 @@ object TextVector {
     },
 
     // Text analysis (builder brief): language-ID heuristic, quality
+    // Malformed-record quarantine (q28's JSON parse made total): a
+    // deterministic 1-in-7 of the JSON payloads is TRUNCATED
+    // in-query, and the pipeline must classify instead of crash —
+    // at 100 TB poison records are a certainty and one throwing row
+    // kills the job (the ANSI posture TextStats takes for text,
+    // applied to JSON). Spark's lenient get_json_object yields NULL
+    // on truncation, the oracle guards with json_valid; the two
+    // agree on truncation, which is the corruption derived here
+    // (they diverge on trailing garbage — Spark accepts, json_valid
+    // rejects — so the quarantine rule is pinned to the parse the
+    // engine actually runs). Narrow map + one small agg: nothing
+    // shuffles but the per-type counters.
+    "q84_json_quarantine" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          when($"event_id" % 7 === 0,
+            substr($"props", lit(1), length($"props") - 1))
+            .otherwise($"props").as("pj"))
+        .withColumn("k", get_json_object($"pj", "$.k").cast("bigint"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count($"k").as("n_good"),
+          sum(when($"k".isNull, lit(1L)).otherwise(lit(0L))).as("n_quarantined"),
+          sum($"k").as("sum_k"))
+        .orderBy($"event_type")
+    },
+
     // Product-quantization ANN (third ANN scale path, next to q30's
     // LSH and q33's IVF): vectors encode to PqM sub-space centroid
     // codes (argmin L2 per sub-space against a deterministic
@@ -862,6 +890,21 @@ object TextVector {
   val oracles: Map[String, String] = {
     val toks = Sql.toks("text")
     Map(
+      "q84_json_quarantine" ->
+        s"""WITH d AS (SELECT event_id, event_type,
+           |             CASE WHEN event_id % 7 = 0
+           |               THEN substr(props, 1, length(props) - 1)
+           |               ELSE props END AS pj
+           |           FROM events),
+           |p AS (SELECT event_type,
+           |        CASE WHEN json_valid(pj)
+           |          THEN CAST(json_extract_string(pj, '$$.k') AS BIGINT) END AS k
+           |      FROM d)
+           |SELECT event_type, count(*) AS n, count(k) AS n_good,
+           |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           |  CAST(sum(k) AS BIGINT) AS sum_k
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q78_pq_ann" -> {
         // (a-b)*(a-b) with the subtraction spelled twice — NOT
         // pow(a-b, 2): libm pow is not guaranteed bit-equal to the
