@@ -222,6 +222,53 @@ object Quality {
     // (sqrt is IEEE correctly-rounded, so it's bit-safe cross-
     // engine). Zero-variance groups yield NULL via the same CASE
     // both sides (ANSI double x/0 would throw, not inf).
+    // Chi-squared independence of the corpus mix (lang × source
+    // contingency): observed cell counts vs the independence
+    // expectation rt·ct/t, χ² = Σ (o-e)²/e. The QA check behind
+    // "is my source mix language-balanced" — a skewed mix biases
+    // every downstream quota (q39/q40). Per-cell contributions are
+    // doubles, but the Σ runs through sumExact (commutative int64
+    // micro-units), so the statistic is shuffle-order-free and
+    // hash-matches the oracle. The margins are three tiny aggregates
+    // joined back broadcast-style; nothing big shuffles twice.
+    "q85_chi2_mix" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Determinism.sumExact
+      val obs = Tables.documents(s, d)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      val rows = obs.groupBy($"lang").agg(sum($"o").as("rt"))
+      val cols = obs.groupBy($"source").agg(sum($"o").as("ct"))
+      val tot = obs.agg(sum($"o").as("t"))
+      val e = $"rt".cast("double") * $"ct".cast("double") / $"t".cast("double")
+      val od = $"o".cast("double")
+      obs.join(rows, "lang").join(cols, "source").crossJoin(tot)
+        .select($"lang", $"source", od.as("od"), e.as("e"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          ((countDistinct($"lang") - 1) * (countDistinct($"source") - 1))
+            .as("dof"),
+          sumExact(($"od" - $"e") * ($"od" - $"e") / $"e").as("chi2"))
+    },
+
+    // Cohort retention (the standard growth-analytics matrix): users
+    // grouped by first-active day, counted on each later active day
+    // offset. distinct (user, day) first, so the count per (cohort,
+    // offset) IS distinct users — no count-distinct shuffle after
+    // the join. The first-seen aggregate and the join both hash on
+    // user_id: one partitioning reused across stages.
+    "q86_cohort_retention" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+        .distinct()
+      val first = daily.groupBy($"user_id").agg(min($"day").as("cohort"))
+      daily.join(first, "user_id")
+        .select($"cohort", datediff($"day", $"cohort").as("offset"))
+        .groupBy($"cohort", $"offset").agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"offset")
+    },
+
     // Per-group OLS regression (regr_slope/regr_intercept analog) on
     // exact integer moments: x = epoch day of the order date, y =
     // price in cents — the five sums stay bigint-exact through the
@@ -398,6 +445,35 @@ object Quality {
         |  count(CASE WHEN same_as_prev THEN 1 END) AS n_nullsafe_eq,
         |  max(coalesce(band, -1)) AS max_band_or_neg1
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q85_chi2_mix" -> {
+      import graft.ops.Determinism.Oracles.fsum
+      s"""WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rt FROM o GROUP BY 1),
+         |c AS (SELECT source, CAST(sum(n) AS BIGINT) AS ct FROM o GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM o),
+         |x AS (SELECT o.lang, o.source, CAST(o.n AS DOUBLE) AS od,
+         |        CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t AS DOUBLE) AS e
+         |      FROM o JOIN r ON o.lang = r.lang
+         |             JOIN c ON o.source = c.source, t)
+         |SELECT count(*) AS n_cells,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+         |  ${fsum("(od - e)*(od - e)/e")} AS chi2
+         |FROM x""".stripMargin
+    },
+
+    "q86_cohort_retention" ->
+      """WITH daily AS (SELECT DISTINCT user_id,
+        |                 CAST(date_trunc('day', ts) AS DATE) AS day
+        |               FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM daily GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, day) AS INTEGER) AS "offset",
+        |  count(*) AS n_users
+        |FROM daily JOIN f ON daily.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
 
     "q79_ols_regression" ->
       """WITH p AS (SELECT o_orderpriority,

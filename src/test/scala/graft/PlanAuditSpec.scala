@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // (the "join" is really a per-row constant lookup). q43 and q72
   // broadcast their ONE-row corpus-statistics aggregate the same way.
   private val intendedBnlj =
-    Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal", "q78_pq_ann")
+    Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal", "q78_pq_ann",
+      "q85_chi2_mix")
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
@@ -55,9 +56,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("every query ends in a deterministic total order (oracle-comparable output)") {
-    // q02 is a keys=[] global aggregate (one row — trivially ordered);
-    // q32 is the rows-only multimodal summary (3 rows, sorted anyway)
-    val singleRow = Set("q02_forecast_revenue", "q32_media_features")
+    // q02/q85 are keys=[] global aggregates (one row — trivially
+    // ordered); q32 is the rows-only multimodal summary (3 rows,
+    // sorted anyway)
+    val singleRow =
+      Set("q02_forecast_revenue", "q32_media_features", "q85_chi2_mix")
     for ((name, plan) <- plans if !singleRow(name))
       assert(plan.contains("Sort ") || plan.contains("TakeOrderedAndProject"),
         s"$name has no final sort — hash compare would be order-dependent")
