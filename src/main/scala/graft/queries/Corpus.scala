@@ -228,6 +228,30 @@ object Corpus {
         .orderBy($"doc_id")
     },
 
+    // BPE merge-pair counting — the TRAINING step of byte-pair
+    // tokenizer induction (count adjacent symbol pairs, merge the
+    // winner, repeat): one full round of pair statistics with the
+    // top candidates ranked deterministically (count desc, pair
+    // asc). The engine's tokenizer is a fixed stand-in (T1), so
+    // this is the capability a team would use to TRAIN the real
+    // one from their corpus. Scale: the pair space is bounded by
+    // alphabet² regardless of corpus size, so the global rank sorts
+    // a tiny aggregate — the heavy part is the narrow explode,
+    // which pipelines on the scan.
+    "q87_bpe_pairs" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.orderBy($"n".desc, $"pair")
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .filter(length($"tok") > 1)
+        .select(explode(transform(sequence(lit(1), length($"tok") - 1),
+          i => substr($"tok", i, lit(2)))).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 20)
+        .orderBy($"rn")
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -261,6 +285,16 @@ object Corpus {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q87_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest(${Sql.toks("text")}) AS tok FROM documents),
+         |p AS (SELECT substr(tok, CAST(u.i AS INTEGER), 2) AS pair
+         |      FROM t, unnest(range(1, length(tok))) u(i)
+         |      WHERE length(tok) > 1),
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1),
+         |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn
+         |      FROM c)
+         |SELECT pair, n, rn FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin,
 
     "q80_zorder_layout" -> {
       val interleave = (0 until 8).map { b =>
