@@ -698,6 +698,23 @@ object TextVector {
         .orderBy($"kind")
     },
 
+    // The multimodal RESIZE stage's output manifest, oracle-gated
+    // (q32 gates the feature stage): aspect-preserving fit into a
+    // 256×240 box over the image-kind media rows. The stub resample
+    // truncates the byte budget with int() — toward zero — which the
+    // oracle states as floor() because DuckDB's CAST(double AS INT)
+    // ROUNDS (a real cross-engine trap; both values are >= 0 so
+    // floor ≡ trunc). All metadata arithmetic is the real resize
+    // bookkeeping; only the pixel scaler is stubbed.
+    "q88_media_resize" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+      graft.multimodal.Multimodal.resizeImages(media, maxW = 256, maxH = 240)
+        .select($"media_id", $"out_w", $"out_h",
+          length($"payload").cast("bigint").as("n_out_bytes"))
+        .orderBy($"media_id")
+    },
+
     // Deterministic train/val/test split (corpus-curation op): the
     // split is a pure function of CONTENT hash — stable under
     // re-partitioning, re-ordering, incremental re-runs, and engine
@@ -1274,6 +1291,27 @@ object TextVector {
            |        text
            |      FROM documents)
            |GROUP BY kind ORDER BY kind""".stripMargin,
+
+      "q88_media_resize" ->
+        // floor, NOT CAST(... AS INT): DuckDB's double→int cast
+        // rounds, Spark's int() truncates — floor matches on the
+        // non-negative byte budget
+        s"""WITH m AS (SELECT doc_id AS media_id,
+           |             CAST(doc_id % 4 * 256 + 256 AS INTEGER) AS width,
+           |             CAST(doc_id % 3 * 240 + 240 AS INTEGER) AS height,
+           |             octet_length(encode(text)) AS nb
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |i AS (SELECT media_id, width, height, nb,
+           |        least(CAST(256 AS DOUBLE) / width,
+           |              CAST(240 AS DOUBLE) / height,
+           |              CAST(1.0 AS DOUBLE)) AS scale
+           |      FROM m)
+           |SELECT media_id,
+           |  CAST(floor(width * scale) AS INTEGER) AS out_w,
+           |  CAST(floor(height * scale) AS INTEGER) AS out_h,
+           |  CAST(greatest(CAST(floor(nb * scale * scale) AS BIGINT), 1) AS BIGINT)
+           |    AS n_out_bytes
+           |FROM i ORDER BY media_id""".stripMargin,
 
       "q40_source_mix" ->
         s"""SELECT source, count(*) AS n_kept
