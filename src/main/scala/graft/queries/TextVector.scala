@@ -830,6 +830,23 @@ object TextVector {
         .orderBy($"event_type")
     },
 
+    // The multimodal FRAME-SAMPLE stage's manifest, oracle-gated
+    // (completing the trio: q32 features, q88 resize): every 2nd
+    // 256-byte block of each video payload as a stub frame — the
+    // 1-row→N-frames explode shape a real decoder drives. Counts and
+    // byte totals check against the oracle's text-substring twin
+    // (payload := utf8 of ASCII text, so byte and char offsets
+    // coincide).
+    "q89_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+      graft.multimodal.Multimodal.sampleFrames(media, everyK = 2)
+        .groupBy($"media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length($"frame_bytes")).cast("bigint").as("frame_bytes"))
+        .orderBy($"media_id")
+    },
+
     // Product-quantization ANN (third ANN scale path, next to q30's
     // LSH and q33's IVF): vectors encode to PqM sub-space centroid
     // codes (argmin L2 per sub-space against a deterministic
@@ -1312,6 +1329,19 @@ object TextVector {
            |  CAST(greatest(CAST(floor(nb * scale * scale) AS BIGINT), 1) AS BIGINT)
            |    AS n_out_bytes
            |FROM i ORDER BY media_id""".stripMargin,
+
+      "q89_frame_sample" ->
+        s"""WITH m AS (SELECT doc_id AS media_id,
+           |             octet_length(encode(text)) AS nb, text
+           |           FROM documents WHERE doc_id % 3 = 2),
+           |f AS (SELECT media_id,
+           |        octet_length(encode(substr(text,
+           |          CAST(u.i * 512 + 1 AS INTEGER), 256))) AS fb
+           |      FROM m, unnest(range(0,
+           |        greatest(CAST(floor(nb / 512.0) AS BIGINT), 1))) u(i))
+           |SELECT media_id, count(*) AS n_frames,
+           |  CAST(sum(fb) AS BIGINT) AS frame_bytes
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q40_source_mix" ->
         s"""SELECT source, count(*) AS n_kept
