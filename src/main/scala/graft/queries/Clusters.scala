@@ -25,11 +25,12 @@ import graft.Tables
   * label-propagation operator (O(edges) work per round,
   * O(log diameter) rounds) that survives 100 TB.
   *
-  * NOTE: the q63/q65 builders EXECUTE the component loop eagerly
-  * (ConnectedComponents.run needs per-round convergence actions);
-  * they return the final assembly plan over the materialized label
-  * table. The loop's own join shapes are plan-audited separately in
-  * ClusterSpec via ConnectedComponents.roundStep.
+  * NOTE: the q63/q65/q67 builders all read [[NearDupStage.labels]] —
+  * the shingle→minhash→LSH→verify→connected-components chain
+  * EXECUTES eagerly exactly once per (session, corpus dir) and the
+  * three queries assemble over the shared materialized label table
+  * (ClusterSpec proves single execution). The loop's own join shapes
+  * are plan-audited separately via ConnectedComponents.roundStep.
   */
 object Clusters {
 
@@ -56,8 +57,7 @@ object Clusters {
     // post-join aggregation over one row per clustered doc.
     "q63_dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")
-      val labels = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+      val labels = NearDupStage.labels(s, d)
         .select($"id".as("doc_id"), $"label".as("cluster_id"))
       labels
         .withColumn("cluster_size",
@@ -103,8 +103,7 @@ object Clusters {
     // exact micro-unit char sums included.
     "q67_dedup_keep" -> { (s, d) =>
       import s.implicits._
-      val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")
-      val drop = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+      val drop = NearDupStage.labels(s, d)
         .filter($"id" =!= $"label")
         .select($"id".as("doc_id"))
       Tables.documents(s, d)
@@ -128,8 +127,7 @@ object Clusters {
     // broadcast at scale.
     "q65_leakage_split" -> { (s, d) =>
       import s.implicits._
-      val pairs = TextVector.queries("q24_near_dup")(s, d).select($"id_a", $"id_b")
-      val labels = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+      val labels = NearDupStage.labels(s, d)
         .select($"id".as("doc_id"), $"label".as("cluster_id"))
       val h = pmod($"unit_id", lit(HashMod)) * lit(PermMult) % lit(HashMod)
       Tables.documents(s, d).select($"doc_id")

@@ -121,6 +121,22 @@ class ClusterSpec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
   }
 
+  test("q63/q65/q67 share one NearDupStage build: the LSH+CC chain executes once") {
+    graft.queries.NearDupStage.reset()
+    SparkEntry.queries("q63_dedup_clusters")(spark, sf01).foreach(_ => ())
+    SparkEntry.queries("q65_leakage_split")(spark, sf01).foreach(_ => ())
+    SparkEntry.queries("q67_dedup_keep")(spark, sf01).foreach(_ => ())
+    assert(graft.queries.NearDupStage.buildCount == 1,
+      s"expected one shared chain build, got ${graft.queries.NearDupStage.buildCount}")
+    // and the shared labels are exactly q63's labeling
+    val fromStage = graft.queries.NearDupStage.labels(spark, sf01)
+      .as[(Long, Long)].collect().toMap
+    val fromQ63 = SparkEntry.queries("q63_dedup_clusters")(spark, sf01)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(fromStage == fromQ63)
+    assert(graft.queries.NearDupStage.buildCount == 1, "re-reads must not rebuild")
+  }
+
   test("q64 weighted sampling favors heavy weights and is reproducible") {
     val one = SparkEntry.queries("q64_weighted_sample")(spark, sf01)
       .select($"stratum", $"rn", $"o_orderkey", $"prio_n")
