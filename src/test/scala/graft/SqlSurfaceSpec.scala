@@ -45,6 +45,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sig.length == 4 && sig.forall(_ >= 0))
   }
 
+  test("minhash_sig is total over arbitrary bigint input: out-of-domain hashes floor-mod, never wrap") {
+    // the public SQL face accepts ANY array<bigint>; internal callers
+    // feed polyhashes < P, but a user can feed negatives or values
+    // near Long.MaxValue — the kernel must reduce them into [0, P)
+    // first (a*h would otherwise silently overflow Long)
+    val p = 1000000007L
+    val raw = Seq(-5L, Long.MaxValue, Long.MinValue, p, p + 3L, 0L)
+    val reduced = raw.map(h => java.lang.Math.floorMod(h, p))
+    def sig(hs: Seq[Long]): Seq[Long] = spark.sql(
+      s"SELECT minhash_sig(array(${hs.mkString("L,")}L), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    val a = sig(raw)
+    val b = sig(reduced)
+    assert(a == b, "out-of-domain input must behave as its floor-mod image")
+    assert(a.forall(v => v >= 0 && v < p), "signature values must stay in [0, P)")
+  }
+
   test("the Generator UDTF is callable from SQL via LATERAL VIEW") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_gen_sql")
     val viaSql = spark.sql(
