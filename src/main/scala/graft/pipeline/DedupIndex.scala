@@ -87,9 +87,14 @@ object DedupIndex {
                     dynamic: Boolean): Unit = {
     val derived = withDerived(docs).cache()
     def out(df: DataFrame, path: String): Unit = {
-      val w = df.withColumn("run", lit(runId)).write
+      // the mode is pinned EXPLICITLY both ways: build's contract is
+      // "clear every earlier run", which only static overwrite
+      // delivers — a session with spark.sql.sources.
+      // partitionOverwriteMode=dynamic set globally would otherwise
+      // silently leave stale runs in a rebuilt index
+      df.withColumn("run", lit(runId)).write
         .partitionBy("run").mode("overwrite")
-      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
         .parquet(path)
     }
     try {
@@ -105,18 +110,32 @@ object DedupIndex {
     * {exact, near, unique}; match_id = the smallest matching corpus
     * id (exact) or the best-Jaccard corpus id (near, ties to the
     * smaller id); jaccard is null unless verdict = near.
-    * Exact beats near when both hold. */
-  def screen(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame = {
+    * Exact beats near when both hold.
+    *
+    * `excludeRun`: skip one `run=` partition of the index — an
+    * at-least-once caller that APPENDS the batch under a run id must
+    * screen re-deliveries with its own run excluded, or the re-run
+    * screens the batch against its previously-absorbed self and
+    * every 'unique' verdict flips to an 'exact' self-match
+    * (DedupScreenStream's contract). The filter is on the hive
+    * partition column, so excluded runs prune at the scan — no data
+    * read. */
+  def screen(spark: SparkSession, newDocs: DataFrame, dir: String,
+             excludeRun: Option[String] = None): DataFrame = {
     // NOT cached: the result is lazy, so a scoped cache would be
     // released before the caller executes — and the new batch is the
     // small side by definition, so recomputing its kernels per
     // reference costs less than materializing them would at scale
     val derived = withDerived(newDocs)
-    val fps = spark.read.parquet(s"$dir/fingerprints")
+    def runs(path: String): DataFrame = {
+      val df = spark.read.parquet(path)
+      excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
+    }
+    val fps = runs(s"$dir/fingerprints")
         .select(col("doc_id").as("corpus_id"), col("fp"), col("fp_len"))
-      val shs = spark.read.parquet(s"$dir/shingles")
+      val shs = runs(s"$dir/shingles")
         .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
-      val bands = spark.read.parquet(s"$dir/bands")
+      val bands = runs(s"$dir/bands")
         .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
 
       val exact = derived.join(fps, Seq("fp", "fp_len"))

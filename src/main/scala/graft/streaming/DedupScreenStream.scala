@@ -20,7 +20,12 @@ import graft.pipeline.DedupIndex
   * `batch=<id>`, and the index absorb is a dynamic partition
   * overwrite of `run=b<id>` — so a re-delivered batch rewrites the
   * same state instead of duplicating it (exactly-once downstream;
-  * the regression test re-runs a delivery to prove it).
+  * the regression test re-runs a full delivery to prove it). The
+  * screen step excludes the batch's OWN `run=b<id>` partition: a
+  * re-delivery that crashed between the absorb and the checkpoint
+  * commit would otherwise screen the batch against its
+  * already-absorbed self, flip every 'unique' verdict to an 'exact'
+  * self-match, and drop the document downstream.
   *
   * Duplicates WITHIN one micro-batch intentionally screen
   * independently (both can come back `unique` — same as the batch
@@ -42,22 +47,35 @@ object DedupScreenStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the batch feeds screening AND the unique-absorb join
-        val b = batch.select(col("doc_id"), col("text")).cache()
-        try {
-          val verdicts =
-            DedupIndex.screen(spark, b, indexDir).cache()
-          try {
-            verdicts.write.mode("overwrite")
-              .parquet(s"$outDir/batch=$batchId")
-            val uniques = b.join(
-              verdicts.filter(col("verdict") === "unique").select("doc_id"),
-              Seq("doc_id"))
-            DedupIndex.append(spark, uniques, indexDir, s"b$batchId")
-          } finally verdicts.unpersist()
-        } finally b.unpersist()
+        deliver(spark, batch, batchId, indexDir, outDir)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** One delivery of one micro-batch: screen (own run excluded),
+    * write verdicts to the idempotent `batch=<id>` sink, absorb the
+    * uniques under `run=b<id>`. Factored out of foreachBatch so the
+    * at-least-once contract is directly testable — calling this
+    * twice with the same batchId must produce identical verdicts and
+    * index state. */
+  private[graft] def deliver(spark: SparkSession, batch: DataFrame,
+                             batchId: Long, indexDir: String,
+                             outDir: String): Unit = {
+    // the batch feeds screening AND the unique-absorb join
+    val b = batch.select(col("doc_id"), col("text")).cache()
+    try {
+      val verdicts =
+        DedupIndex.screen(spark, b, indexDir,
+          excludeRun = Some(s"b$batchId")).cache()
+      try {
+        verdicts.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        val uniques = b.join(
+          verdicts.filter(col("verdict") === "unique").select("doc_id"),
+          Seq("doc_id"))
+        DedupIndex.append(spark, uniques, indexDir, s"b$batchId")
+      } finally verdicts.unpersist()
+    } finally b.unpersist()
   }
 }

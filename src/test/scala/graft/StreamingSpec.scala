@@ -226,6 +226,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(fps2.count() == 3, "re-delivered absorb duplicated index rows")
   }
 
+  test("dedup re-delivery of a FULL batch (post-absorb crash) reproduces the original verdicts") {
+    import spark.implicits._
+    import graft.pipeline.DedupIndex
+    import graft.streaming.DedupScreenStream
+    val idx = tmp("redel-idx"); val outDir = tmp("redel-out")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, idx)
+
+    // batch 0: one exact dup of the corpus + one genuinely new doc
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "zzqx wholly novel streaming payload one two three four five"))
+      .toDF("doc_id", "text")
+    DedupScreenStream.deliver(spark, batch, 0L, idx, outDir)
+    val first = spark.read.parquet(s"$outDir/batch=0")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(first == Map(100L -> "exact", 101L -> "unique"))
+
+    // simulate at-least-once: the engine crashed AFTER the absorb of
+    // run=b0 but BEFORE the checkpoint commit, so the same batch id
+    // is delivered again. The re-screen must exclude run=b0 — doc 101
+    // would otherwise see its own absorbed copy and flip to 'exact',
+    // silently dropping it downstream.
+    DedupScreenStream.deliver(spark, batch, 0L, idx, outDir)
+    val second = spark.read.parquet(s"$outDir/batch=0")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(second == first,
+      s"re-delivered batch changed verdicts: $first -> $second")
+    // and the index still holds exactly base + the one absorbed unique
+    val fps = spark.read.parquet(s"$idx/fingerprints")
+    assert(fps.count() == 2 && fps.select("doc_id").distinct().count() == 2)
+  }
+
   test("session windows: out-of-order events above the watermark merge backward and bridge sessions") {
     import spark.implicits._
     import graft.streaming.EventSessions
