@@ -15,8 +15,28 @@ import org.apache.spark.sql.SparkSession
   *     (unlike count(), which lets Spark skip project/sort work).
   */
 object Bench {
+
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contamination guard (round-6 lesson: a bench run concurrently
+    // with other sbt/Spark JVMs reads 1.5–5.9× slow and the inflated
+    // numbers got committed as the round's measurement). Record the
+    // pre-run load average in the output so a reader can judge the
+    // number, and warn loudly when the machine is already busy. The
+    // threshold is deliberately low — this process has done no work
+    // yet, so ANY load belongs to someone else.
+    val loadBefore = loadAvg()
+    if (loadBefore > 2.0)
+      System.err.println(
+        f"[bench] WARNING: loadavg $loadBefore%.2f before start — another " +
+          "workload is active; timings will be inflated. Re-run on an idle " +
+          "machine before trusting this output.")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +78,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // load_before < ~2 means the run started on an idle machine;
+    // load_after reflects this process's own 32-thread work and is
+    // informational only
+    val loadJson = s""""load_before":$loadBefore,"load_after":${loadAvg()}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
