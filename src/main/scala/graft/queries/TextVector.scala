@@ -118,6 +118,14 @@ object TextVector {
   private val AnnBits  = 24
   private val AnnBands = 4
 
+  // IVF (q33, and q90's coarse stage): 16 cells, codebook TRAINED by
+  // deterministic Lloyd's k-means (graft.ops.Kmeans) on an id-prefix
+  // sample — bounded driver state regardless of corpus size; the
+  // oracle replays training via IvfIters unrolled CTE rounds.
+  private val IvfK       = 16
+  private val IvfSampleN = 256
+  private val IvfIters   = 4
+
   // q78: product quantization — MergeDim (64) split into 4
   // subspaces × 16 dims, 8 centroids each: codes are 4 small ints
   // (vs 64 floats — the 64× compression that makes billion-vector
@@ -573,13 +581,18 @@ object TextVector {
     // IVF index) assigns every vector to a cell in one narrow kernel
     // pass; queries search ONLY their own cell (nprobe=1). The join
     // is an equi-join on cell id — the inverted-list probe — never a
-    // scan of the full candidate side per query.
+    // scan of the full candidate side per query. The codebook is
+    // TRAINED: a bounded id-prefix sample collects to the driver
+    // (≤ IvfSampleN rows — codebook training is driver state by
+    // design) and runs IvfIters deterministic Lloyd rounds
+    // (graft.ops.Kmeans), which the oracle replays CTE-for-round.
     "q33_ann_ivf" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter($"vec_id" < 16).orderBy($"vec_id")
+      val sample = emb.filter($"vec_id" < IvfSampleN).orderBy($"vec_id")
         .select($"embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
       val assigned = emb.select($"vec_id", $"embedding",
         graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
       val qs = broadcast(assigned.filter($"vec_id" < 3)
@@ -1267,26 +1280,53 @@ object TextVector {
            |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
       "q33_ann_ivf" -> {
-        // Twin of IvfCell: argmax-cosine assignment with first-wins
-        // ties (list_reduce strict-> max + list_position first index).
+        // Twin of Kmeans.train + IvfCell: c0 = first-IvfK init, then
+        // IvfIters unrolled Lloyd rounds (assign: argmax-cosine with
+        // first-wins ties via list_reduce strict-> max + list_position
+        // first index; update: in-order list_reduce elementwise sum,
+        // one divide — Kmeans.train's exact fold), then the same
+        // argmax assignment of the FULL table against the trained
+        // codebook. An emptied cell keeps its previous centroid
+        // (LEFT JOIN + coalesce ↔ the trainer's mine.isEmpty branch).
         val cos = (a: String, b: String) =>
           s"${Sql.dot(a, b)} / sqrt(${Sql.dot(a, a)}) / sqrt(${Sql.dot(b, b)})"
-        s"""WITH cents AS (
-           |  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cs
-           |  FROM embeddings WHERE vec_id < 16),
+        val rounds = (1 to IvfIters).map { t =>
+          s"""a$t AS (
+             |  SELECT vec_id, x,
+             |    list_position(scores, list_reduce(scores,
+             |      (p, q) -> CASE WHEN q > p THEN q ELSE p END)) - 1 AS cell
+             |  FROM (SELECT vec_id, x,
+             |          list_transform(cs, c -> ${cos("x", "c")}) AS scores
+             |        FROM samp, c${t - 1})),
+             |m$t AS (
+             |  SELECT cell, count(*) AS n,
+             |    list_reduce(list(x ORDER BY vec_id),
+             |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv
+             |  FROM a$t GROUP BY cell),
+             |c$t AS (
+             |  SELECT list(coalesce(list_transform(sv, e -> e / n), cs[j + 1])
+             |              ORDER BY j) AS cs
+             |  FROM c${t - 1} CROSS JOIN range(0, $IvfK) r(j)
+             |  LEFT JOIN m$t ON m$t.cell = r.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH samp AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+           |  FROM embeddings WHERE vec_id < $IvfSampleN),
+           |c0 AS (SELECT (list(x ORDER BY vec_id))[1:$IvfK] AS cs FROM samp),
+           |$rounds,
            |scored AS (
            |  SELECT vec_id, v,
            |    list_transform(cs, c -> ${cos("v", "c")}) AS scores
-           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cents),
-           |a AS (
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), c$IvfIters),
+           |asg AS (
            |  SELECT vec_id, v,
            |    list_position(scores,
            |      list_reduce(scores, (x, y) -> CASE WHEN y > x THEN y ELSE x END)) - 1 AS cell
            |  FROM scored),
            |q AS (SELECT vec_id AS query_id, v AS q_emb, cell AS q_cell
-           |      FROM a WHERE vec_id < 3),
-           |sc AS (SELECT q.query_id, a.vec_id, ${cos("q.q_emb", "a.v")} AS cos
-           |       FROM a JOIN q ON a.cell = q.q_cell),
+           |      FROM asg WHERE vec_id < 3),
+           |sc AS (SELECT q.query_id, asg.vec_id, ${cos("q.q_emb", "asg.v")} AS cos
+           |       FROM asg JOIN q ON asg.cell = q.q_cell),
            |r AS (SELECT query_id, vec_id, cos,
            |        row_number() OVER (PARTITION BY query_id
            |                           ORDER BY cos DESC, vec_id) AS rn
