@@ -126,13 +126,39 @@ object TextVector {
   private val IvfSampleN = 256
   private val IvfIters   = 4
 
-  // q78: product quantization — MergeDim (64) split into 4
+  // q78/q90: product quantization — MergeDim (64) split into 4
   // subspaces × 16 dims, 8 centroids each: codes are 4 small ints
   // (vs 64 floats — the 64× compression that makes billion-vector
   // ANN fit in executor memory).
   private val PqM   = 4
   private val PqK   = 8
   private val PqSub = MergeDim / PqM
+
+  /** Deterministic PQ codebook shared by q78/q90 and their oracles:
+    * integer formula → the exact double both engines compute. */
+  private lazy val PqCodebook: Seq[Seq[Seq[Double]]] =
+    (0 until PqM).map(m => (0 until PqK).map(j => (0 until PqSub).map { i =>
+      val v = (((m * PqK + j) * PqSub + i + 1).toLong * PermMult) % HashMod
+      v.toDouble / 1000000007.0 * 2.0 - 1.0
+    }))
+
+  /** ADC (asymmetric distance): query sub-vectors vs the candidate's
+    * CODE centroids — the candidate's floats are never read at query
+    * time. Fixed-order double folds; identical structure in the q78
+    * and q90 plans so the two queries can never drift. */
+  private def pqAdc(qx: Column, codes: Column): Column = {
+    def sq(c: Column): Column = c * c
+    val cbLit = typedLit(PqCodebook)
+    def cbAt(m: Column, j: Column, i: Column): Column =
+      element_at(element_at(element_at(cbLit,
+        (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
+    def xAt(x: Column, m: Column, i: Column): Column =
+      element_at(x, (m * PqSub + i + 1).cast("int"))
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+      acc + aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (a, i) =>
+        a + sq(xAt(qx, m, i) -
+          cbAt(m, element_at(codes, (m + 1).cast("int")), i))))
+  }
 
   // Embedding-cosine near-dup (q34): distinct 2-shingle hash set →
   // 32-dim random-feature embedding → SRP-LSH candidates → cosine
@@ -874,20 +900,6 @@ object TextVector {
     // fixed-order double folds, so ranks hash-match the oracle.
     "q78_pq_ann" -> { (s, d) =>
       import s.implicits._
-      def sq(c: Column): Column = c * c
-      // deterministic codebook shared with the oracle: integer
-      // formula → the exact double both engines compute
-      val cb: Seq[Seq[Seq[Double]]] =
-        (0 until PqM).map(m => (0 until PqK).map(j => (0 until PqSub).map { i =>
-          val v = (((m * PqK + j) * PqSub + i + 1).toLong * PermMult) % HashMod
-          v.toDouble / 1000000007.0 * 2.0 - 1.0
-        }))
-      val cbLit = typedLit(cb)
-      def cbAt(m: Column, j: Column, i: Column): Column =
-        element_at(element_at(element_at(cbLit,
-          (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
-      def xAt(x: Column, m: Column, i: Column): Column =
-        element_at(x, (m * PqSub + i + 1).cast("int"))
       val enc = Tables.embeddings(s, d)
         .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
         // codegen kernel (PqEncode ≡ the HOF argmin reference,
@@ -901,11 +913,45 @@ object TextVector {
         .partitionBy($"query_id").orderBy($"adc", $"vec_id")
       enc.select($"vec_id", $"codes")
         .crossJoin(qs)
+        .select($"query_id", $"vec_id", pqAdc($"qx", $"codes").as("adc"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
         .select($"query_id", $"vec_id",
-          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
-            acc + aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (a, i) =>
-              a + sq(xAt($"qx", m, i) -
-                cbAt(m, element_at($"codes", (m + 1).cast("int")), i)))).as("adc"))
+          floor($"adc" * lit(1000000.0) + lit(0.5)).cast("bigint").as("adc_u"),
+          $"rn".cast("bigint").as("rn"))
+        .orderBy($"query_id", $"rn")
+    },
+
+    // IVF+PQ composed (the billion-vector serving shape q33 and q78
+    // each demonstrate half of): the TRAINED coarse quantizer routes
+    // every vector to an inverted list (cell), vectors store only
+    // their PqM-byte PQ codes, and a query probes ITS OWN cell
+    // (nprobe=1 — an equi-join on cell id, exactly q33's probe) and
+    // ranks the in-cell candidates by ADC against the query's raw
+    // sub-vectors (exactly q78's kernel, minus the crossJoin: the
+    // ADC scan is bounded to the probed cell). At 100 TB this is the
+    // IVF-PQ layout FAISS serves from RAM: codes 64× smaller than
+    // floats, probe cost |cell| not |corpus|, codebooks broadcast
+    // driver state.
+    "q90_ivf_pq" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val sample = emb.filter($"vec_id" < IvfSampleN).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+      val enc = emb
+        .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
+        .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
+        .withColumn("codes",
+          graft.ops.expressions.PqEncode($"x", PqM, PqK, PqSub))
+      val qs = broadcast(enc.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"x".as("qx"), $"cell".as("q_cell")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      enc.select($"vec_id", $"cell", $"codes")
+        .join(qs, $"cell" === $"q_cell") // the inverted-list probe
+        .select($"query_id", $"vec_id", pqAdc($"qx", $"codes").as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"query_id", $"vec_id",
@@ -933,6 +979,56 @@ object TextVector {
         .orderBy($"doc_id")
     }
   )
+
+  /** Cosine in the engine's fixed operation order (dot folded over
+    * dims ascending, then /sqrt/sqrt — VectorOps.cosine's twin). */
+  private def sqlCos(a: String, b: String): String =
+    s"${Sql.dot(a, b)} / sqrt(${Sql.dot(a, a)}) / sqrt(${Sql.dot(b, b)})"
+
+  /** Oracle twin of Kmeans.train + IvfCell, shared by q33/q90: c0 =
+    * first-IvfK init over the id-prefix sample, then IvfIters
+    * unrolled Lloyd rounds (assign: argmax-cosine with first-wins
+    * ties via list_reduce strict-> max + list_position first index;
+    * update: in-order list_reduce elementwise sum, one divide —
+    * Kmeans.train's exact fold; an emptied cell keeps its previous
+    * centroid — LEFT JOIN + coalesce ↔ the trainer's mine.isEmpty
+    * branch), ending at `asg(vec_id, v, cell)`: the FULL table
+    * assigned against the trained codebook. */
+  private lazy val IvfOracleCtes: String = {
+    val rounds = (1 to IvfIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, x,
+         |    list_position(scores, list_reduce(scores,
+         |      (p, q) -> CASE WHEN q > p THEN q ELSE p END)) - 1 AS cell
+         |  FROM (SELECT vec_id, x,
+         |          list_transform(cs, c -> ${sqlCos("x", "c")}) AS scores
+         |        FROM samp, c${t - 1})),
+         |m$t AS (
+         |  SELECT cell, count(*) AS n,
+         |    list_reduce(list(x ORDER BY vec_id),
+         |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv
+         |  FROM a$t GROUP BY cell),
+         |c$t AS (
+         |  SELECT list(coalesce(list_transform(sv, e -> e / n), cs[j + 1])
+         |              ORDER BY j) AS cs
+         |  FROM c${t - 1} CROSS JOIN range(0, $IvfK) r(j)
+         |  LEFT JOIN m$t ON m$t.cell = r.j)""".stripMargin
+    }.mkString(",\n")
+    s"""samp AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings WHERE vec_id < $IvfSampleN),
+       |c0 AS (SELECT (list(x ORDER BY vec_id))[1:$IvfK] AS cs FROM samp),
+       |$rounds,
+       |scored AS (
+       |  SELECT vec_id, v,
+       |    list_transform(cs, c -> ${sqlCos("v", "c")}) AS scores
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), c$IvfIters),
+       |asg AS (
+       |  SELECT vec_id, v,
+       |    list_position(scores,
+       |      list_reduce(scores, (x, y) -> CASE WHEN y > x THEN y ELSE x END)) - 1 AS cell
+       |  FROM scored)""".stripMargin
+  }
 
   val oracles: Map[String, String] = {
     val toks = Sql.toks("text")
@@ -1279,60 +1375,57 @@ object TextVector {
         s"""SELECT doc_id, array_to_string(['$EmbedPrompt', text], chr(1)) AS pair
            |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
-      "q33_ann_ivf" -> {
-        // Twin of Kmeans.train + IvfCell: c0 = first-IvfK init, then
-        // IvfIters unrolled Lloyd rounds (assign: argmax-cosine with
-        // first-wins ties via list_reduce strict-> max + list_position
-        // first index; update: in-order list_reduce elementwise sum,
-        // one divide — Kmeans.train's exact fold), then the same
-        // argmax assignment of the FULL table against the trained
-        // codebook. An emptied cell keeps its previous centroid
-        // (LEFT JOIN + coalesce ↔ the trainer's mine.isEmpty branch).
-        val cos = (a: String, b: String) =>
-          s"${Sql.dot(a, b)} / sqrt(${Sql.dot(a, a)}) / sqrt(${Sql.dot(b, b)})"
-        val rounds = (1 to IvfIters).map { t =>
-          s"""a$t AS (
-             |  SELECT vec_id, x,
-             |    list_position(scores, list_reduce(scores,
-             |      (p, q) -> CASE WHEN q > p THEN q ELSE p END)) - 1 AS cell
-             |  FROM (SELECT vec_id, x,
-             |          list_transform(cs, c -> ${cos("x", "c")}) AS scores
-             |        FROM samp, c${t - 1})),
-             |m$t AS (
-             |  SELECT cell, count(*) AS n,
-             |    list_reduce(list(x ORDER BY vec_id),
-             |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv
-             |  FROM a$t GROUP BY cell),
-             |c$t AS (
-             |  SELECT list(coalesce(list_transform(sv, e -> e / n), cs[j + 1])
-             |              ORDER BY j) AS cs
-             |  FROM c${t - 1} CROSS JOIN range(0, $IvfK) r(j)
-             |  LEFT JOIN m$t ON m$t.cell = r.j)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH samp AS (
-           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-           |  FROM embeddings WHERE vec_id < $IvfSampleN),
-           |c0 AS (SELECT (list(x ORDER BY vec_id))[1:$IvfK] AS cs FROM samp),
-           |$rounds,
-           |scored AS (
-           |  SELECT vec_id, v,
-           |    list_transform(cs, c -> ${cos("v", "c")}) AS scores
-           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), c$IvfIters),
-           |asg AS (
-           |  SELECT vec_id, v,
-           |    list_position(scores,
-           |      list_reduce(scores, (x, y) -> CASE WHEN y > x THEN y ELSE x END)) - 1 AS cell
-           |  FROM scored),
+      "q33_ann_ivf" ->
+        s"""WITH $IvfOracleCtes,
            |q AS (SELECT vec_id AS query_id, v AS q_emb, cell AS q_cell
            |      FROM asg WHERE vec_id < 3),
-           |sc AS (SELECT q.query_id, asg.vec_id, ${cos("q.q_emb", "asg.v")} AS cos
+           |sc AS (SELECT q.query_id, asg.vec_id, ${sqlCos("q.q_emb", "asg.v")} AS cos
            |       FROM asg JOIN q ON asg.cell = q.q_cell),
            |r AS (SELECT query_id, vec_id, cos,
            |        row_number() OVER (PARTITION BY query_id
            |                           ORDER BY cos DESC, vec_id) AS rn
            |      FROM sc)
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
-           |ORDER BY query_id, rn""".stripMargin
+           |ORDER BY query_id, rn""".stripMargin,
+
+      "q90_ivf_pq" -> {
+        // q33's trained-IVF CTEs route vectors to cells; q78's PQ
+        // CTEs encode them; the probe joins ON cell (never a cross
+        // join) and ranks by the same ADC fold.
+        def sqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
+        val fold = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
+        s"""WITH $IvfOracleCtes,
+           |cb AS (SELECT list_transform(range(0, $PqM), m ->
+           |    list_transform(range(0, $PqK), j ->
+           |      list_transform(range(0, $PqSub), i ->
+           |        CAST(((m*$PqK + j)*$PqSub + i + 1) * $PermMult % $HashMod AS DOUBLE)
+           |          / 1000000007.0 * 2.0 - 1.0))) AS cb),
+           |dd AS (SELECT vec_id, v, cell,
+           |        list_transform(range(0, $PqM), m ->
+           |          list_transform(range(0, $PqK), j ->
+           |            ${fold(s"list_transform(range(0, $PqSub), i -> " +
+                          sqDiff(s"v[m*$PqSub + i + 1]", "cb[m+1][j+1][i+1]") + ")")}))
+           |          AS dm
+           |      FROM asg, cb),
+           |enc AS (SELECT vec_id, cell,
+           |          list_transform(range(1, ${PqM + 1}), m ->
+           |            list_position(dm[m], list_min(dm[m])) - 1) AS codes
+           |        FROM dd),
+           |q AS (SELECT vec_id AS query_id, v AS qx, cell AS q_cell
+           |      FROM dd WHERE vec_id < 3),
+           |s AS (SELECT q.query_id, enc.vec_id,
+           |        ${fold(s"list_transform(range(0, $PqM), m -> " +
+                      fold(s"list_transform(range(0, $PqSub), i -> " +
+                        sqDiff(s"qx[m*$PqSub + i + 1]",
+                               s"cb[m+1][codes[m+1]+1][i+1]") + ")") + ")")} AS adc
+           |      FROM enc JOIN q ON enc.cell = q.q_cell CROSS JOIN cb),
+           |r AS (SELECT query_id, vec_id, adc,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |      FROM s)
+           |SELECT query_id, vec_id,
+           |  CAST(floor(adc*1000000.0 + 0.5) AS BIGINT) AS adc_u, rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
       },
 
       "q32_media_features" ->
