@@ -133,24 +133,11 @@ object DedupIndex {
     }
     val fps = runs(s"$dir/fingerprints")
         .select(col("doc_id").as("corpus_id"), col("fp"), col("fp_len"))
-      val shs = runs(s"$dir/shingles")
-        .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
-      val bands = runs(s"$dir/bands")
-        .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
 
       val exact = derived.join(fps, Seq("fp", "fp_len"))
         .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("exact_id"))
 
-      val cand = bandsOf(derived)
-        .join(bands, Seq("band_idx", "band_hash"))
-        .select(col("doc_id"), col("corpus_id")).distinct()
-      val near = cand
-        .join(derived.select(col("doc_id"), col("hs")), Seq("doc_id"))
-        .join(shs, Seq("corpus_id"))
-        .select(col("doc_id"), col("corpus_id"),
-          (size(array_intersect(col("hs"), col("corpus_hs"))).cast("double") /
-            size(array_union(col("hs"), col("corpus_hs"))).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= JaccardMin)
+      val near = verifiedAgainst(spark, derived, dir, excludeRun)
         // best match: max jaccard, smaller corpus id on ties — via
         // max_by on a packed (jaccard, -id) struct, one aggregation
         .groupBy(col("doc_id"))
@@ -168,5 +155,71 @@ object DedupIndex {
             .otherwise(lit("unique")).as("verdict"),
           coalesce(col("exact_id"), col("near_id")).as("match_id"),
           when(col("exact_id").isNull, col("near_jaccard")).as("jaccard"))
+  }
+
+  /** Every Jaccard-verified (doc_id, corpus_id, jaccard) pair between
+    * a derived batch and the indexed corpus — the shared candidate +
+    * verify stage of [[screen]] (which then keeps only the best
+    * match) and [[nearEdgesAgainst]] (which needs the FULL edge set:
+    * cluster maintenance must see a batch doc that bridges TWO
+    * existing clusters, not just its best match). */
+  private def verifiedAgainst(spark: SparkSession, derived: DataFrame,
+                              dir: String, excludeRun: Option[String]): DataFrame = {
+    def runs(path: String): DataFrame = {
+      val df = spark.read.parquet(path)
+      excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
+    }
+    val shs = runs(s"$dir/shingles")
+      .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
+    val bands = runs(s"$dir/bands")
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val cand = bandsOf(derived)
+      .join(bands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    cand
+      .join(derived.select(col("doc_id"), col("hs")), Seq("doc_id"))
+      .join(shs, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        (size(array_intersect(col("hs"), col("corpus_hs"))).cast("double") /
+          size(array_union(col("hs"), col("corpus_hs"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardMin)
+  }
+
+  /** All verified near-dup edges between a new batch and the indexed
+    * corpus: (id_a = batch doc, id_b = corpus doc). Same LSH
+    * candidates + exact-Jaccard verify as [[screen]]'s near path,
+    * WITHOUT the best-match reduction. */
+  def nearEdgesAgainst(spark: SparkSession, newDocs: DataFrame, dir: String,
+                       excludeRun: Option[String] = None): DataFrame =
+    verifiedAgainst(spark, withDerived(newDocs), dir, excludeRun)
+      .select(col("doc_id").as("id_a"), col("corpus_id").as("id_b"))
+
+  /** Verified near-dup edges WITHIN one document set — the q24 chain
+    * (shingle → minhash → LSH band self-join → exact-Jaccard verify)
+    * over `docs` alone, as (id_a < id_b) pairs. Identical parameters
+    * to the index build, so edges from this method and from
+    * [[nearEdgesAgainst]] compose into one coherent graph. */
+  def nearEdgesWithin(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val derived = withDerived(docs).cache()
+    try {
+      val bs = bandsOf(derived)
+      val cand = bs.as("x")
+        .join(bs.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(derived.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(derived.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardMin)
+        .select(col("id_a"), col("id_b"))
+        // materialize before unpersist: the caller gets a stable plan
+        .localCheckpoint()
+    } finally derived.unpersist()
   }
 }

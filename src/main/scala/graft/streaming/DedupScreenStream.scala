@@ -37,17 +37,19 @@ object DedupScreenStream {
   /** One checkpointed pass over whatever files are new in `inDir`
     * (Trigger.AvailableNow). The index at `indexDir` must exist
     * (DedupIndex.build — an empty corpus is fine). Safe to call
-    * repeatedly as files land. */
+    * repeatedly as files land. `labelDir`: when set, each batch also
+    * folds its near-dup edges into the persisted cluster-label table
+    * ([[graft.pipeline.ClusterMaintenance]] — init it first). */
   def runOnce(spark: SparkSession, inDir: String, indexDir: String,
               outDir: String, checkpointDir: String,
-              schema: StructType): Unit = {
+              schema: StructType, labelDir: Option[String] = None): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        deliver(spark, batch, batchId, indexDir, outDir)
+        deliver(spark, batch, batchId, indexDir, outDir, labelDir)
       }
       .start()
     q.awaitTermination()
@@ -61,7 +63,8 @@ object DedupScreenStream {
     * index state. */
   private[graft] def deliver(spark: SparkSession, batch: DataFrame,
                              batchId: Long, indexDir: String,
-                             outDir: String): Unit = {
+                             outDir: String,
+                             labelDir: Option[String] = None): Unit = {
     // the batch feeds screening AND the unique-absorb join
     val b = batch.select(col("doc_id"), col("text")).cache()
     try {
@@ -75,6 +78,14 @@ object DedupScreenStream {
           verdicts.filter(col("verdict") === "unique").select("doc_id"),
           Seq("doc_id"))
         DedupIndex.append(spark, uniques, indexDir, s"b$batchId")
+        // cluster maintenance AFTER the absorb, with the batch's own
+        // run excluded from the edge probe (intra-batch edges come
+        // from nearEdgesWithin) — its epoch=batchId+1 snapshot is
+        // idempotent under re-delivery like the other two sinks
+        labelDir.foreach(ld =>
+          graft.pipeline.ClusterMaintenance.absorb(
+            spark, b, indexDir, ld, batchId,
+            excludeRun = Some(s"b$batchId")))
       } finally verdicts.unpersist()
     } finally b.unpersist()
   }

@@ -79,4 +79,16 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(redelivery.length == 1 && redelivery(0).getString(1) == "exact" &&
       redelivery(0).getLong(2) == 20000L)
   }
+
+  test("nearEdgesWithin reproduces q24's verified pair set exactly") {
+    // ClusterMaintenance's equivalence-to-from-scratch argument rests
+    // on the edge generators using q24's chain; pin it on real data
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val edges = DedupIndex.nearEdgesWithin(spark, docs)
+      .as[(Long, Long)].collect().toSet
+    val q24 = SparkEntry.queries("q24_near_dup")(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(q24.nonEmpty && edges == q24,
+      s"edge sets differ: only-in-index=${edges -- q24}, only-in-q24=${q24 -- edges}")
+  }
 }

@@ -261,6 +261,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(fps.count() == 2 && fps.select("doc_id").distinct().count() == 2)
   }
 
+  test("incremental cluster maintenance: absorbed batches converge to the from-scratch labeling") {
+    import spark.implicits._
+    import graft.pipeline.{ClusterMaintenance, DedupIndex}
+    import graft.streaming.DedupScreenStream
+    val idx = tmp("cm-idx"); val inDir = tmp("cm-in")
+    val outDir = tmp("cm-out"); val ck = tmp("cm-ck"); val lbl = tmp("cm-lbl")
+
+    // word vocabulary: w1..w28; cluster A = w1..w20, cluster B =
+    // w9..w28 (shingle jaccard 0.38 — verify keeps them SEPARATE),
+    // bridge = w5..w24 (0.64 against each — near-dup of BOTH; LSH
+    // detection prob ≈ 0.98 at that jaccard with the fixed 8×2
+    // permutation family, and the outcome is deterministic)
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val tA = words(1, 20); val tB = words(9, 28)
+    val corpus = Seq(
+      (1L, tA), (2L, tA + " extra"),           // cluster A
+      (10L, tB), (11L, tB + " more"),          // cluster B
+      (30L, "totally separate island of text here"),
+      (31L, "totally separate island of text here indeed"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, idx)
+    ClusterMaintenance.init(spark, corpus, lbl)
+    val init = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(init(1L) == 1L && init(2L) == 1L, s"cluster A: $init")
+    assert(init(10L) == 10L && init(11L) == 10L, s"cluster B: $init")
+    assert(init(30L) == 30L && init(31L) == 30L, s"cluster C: $init")
+
+    val schema = corpus.schema
+    // batch 0: a unique doc — absorbed into the index, no labels yet
+    Seq((100L, "qq rr ss tt uu vv ww xx yy zz"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema, Some(lbl))
+
+    // batch 1: 200 near-dups batch-0's absorbed doc (cross-batch
+    // clustering); 201 is the bridge that MERGES clusters A and B
+    Seq((200L, "qq rr ss tt uu vv ww xx yy aa"),
+        (201L, words(5, 24)))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema, Some(lbl))
+
+    val got = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    // the VERDICT criterion: a batch-N doc near-dupping a batch-1
+    // doc lands in the SAME cluster
+    assert(got(200L) == got(100L) && got(100L) == 100L,
+      s"cross-batch near-dup not co-clustered: $got")
+    // the bridge merged A and B into one component with min id 1
+    assert(Seq(1L, 2L, 10L, 11L, 201L).forall(got(_) == 1L),
+      s"bridge did not merge clusters A and B: $got")
+    // untouched cluster C carried over verbatim
+    assert(got(30L) == 30L && got(31L) == 30L, s"untouched cluster moved: $got")
+
+    // full equivalence: labels == from-scratch connected components
+    // over the union of every delivered doc's near-dup edges
+    val union = corpus.union(Seq(
+      (100L, "qq rr ss tt uu vv ww xx yy zz"),
+      (200L, "qq rr ss tt uu vv ww xx yy aa"),
+      (201L, words(5, 24))).toDF("doc_id", "text"))
+    val scratch = graft.ops.ConnectedComponents
+      .run(DedupIndex.nearEdgesWithin(spark, union), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch,
+      s"incremental labels diverge from from-scratch:\n$got\nvs\n$scratch")
+  }
+
   test("session windows: out-of-order events above the watermark merge backward and bridge sessions") {
     import spark.implicits._
     import graft.streaming.EventSessions
