@@ -81,8 +81,9 @@ object ConnectedComponents {
   }
 
   /** Release one DataFrame's localCheckpoint blocks (the checkpointed
-    * plan is a LogicalRDD over the materialized RDD). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+    * plan is a LogicalRDD over the materialized RDD). Shared with the
+    * other iterative driver loops (BpeTrainer). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     org.apache.spark.sql.graftshim.DatasetShim.analyzed(df) match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
