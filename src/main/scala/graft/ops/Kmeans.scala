@@ -50,17 +50,47 @@ object Kmeans {
     bestJ
   }
 
+  /** Squared-L2 argmin assignment (strict <, first index wins) —
+    * PqKernel.encode's arithmetic: the (x-c)² terms fold over dims
+    * ascending from 0.0. The PQ-codebook metric (sub-space distance
+    * IS the quantization error being minimized, unlike the IVF
+    * router's cosine). */
+  def assignCellL2(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = Double.PositiveInfinity
+    var bestJ = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var a = 0.0
+      var k = 0
+      while (k < x.length) { val d = x(k) - c(k); a += d * d; k += 1 }
+      if (a < best) { best = a; bestJ = j }
+      j += 1
+    }
+    bestJ
+  }
+
   /** Train k centroids on `samples` (caller supplies them in the
     * pinned order, e.g. sorted by vector id) with `iters` Lloyd
     * rounds. Returns the trained codebook. */
-  def train(samples: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  def train(samples: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] =
+    lloyd(samples, k, iters, cosine = true)
+
+  /** Squared-L2 variant of [[train]] — same init/update/empty-cell
+    * conventions, L2 assignment. */
+  def trainL2(samples: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] =
+    lloyd(samples, k, iters, cosine = false)
+
+  private def lloyd(samples: Array[Array[Double]], k: Int, iters: Int,
+                    cosine: Boolean): Array[Array[Double]] = {
     require(samples.length >= k,
       s"k-means needs at least k=$k samples, got ${samples.length}")
     var cents = samples.take(k).map(_.clone)
     var it = 0
     while (it < iters) {
       val normSq = cents.map(c => c.foldLeft(0.0)((acc, v) => acc + v * v))
-      val assign = samples.map(assignCell(_, cents, normSq))
+      val assign = samples.map(x =>
+        if (cosine) assignCell(x, cents, normSq) else assignCellL2(x, cents))
       cents = Array.tabulate(k) { j =>
         val mine = samples.indices.filter(assign(_) == j)
         if (mine.isEmpty) cents(j).clone

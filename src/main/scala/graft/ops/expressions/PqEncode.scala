@@ -35,8 +35,15 @@ object PqKernel {
         v.toDouble / 1000000007.0 * 2.0 - 1.0
       })
 
-  def encode(x: ArrayData, m: Int, k: Int, sub: Int): ArrayData = {
-    val cb = codebook(m, k, sub)
+  def encode(x: ArrayData, m: Int, k: Int, sub: Int): ArrayData =
+    encodeWith(x, codebook(m, k, sub))
+
+  /** Same argmin-L2 loop against an arbitrary (e.g. TRAINED)
+    * codebook — q91's encode. */
+  def encodeWith(x: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val k = cb(0).length
+    val sub = cb(0)(0).length
     val out = new Array[Int](m)
     var mm = 0
     while (mm < m) {
@@ -94,4 +101,33 @@ object PqEncode {
   import org.apache.spark.sql.graftshim.ColumnShim
   def apply(c: Column, m: Int, k: Int, sub: Int): Column =
     ColumnShim.column(PqEncode(ColumnShim.expression(c), m, k, sub))
+}
+
+/** array<double> → array<int> PQ codes under a caller-supplied
+  * (trained) codebook, broadcast inside the expression like
+  * IvfCell's centroids. CodegenFallback: one tight JVM loop per
+  * row. */
+case class PqEncodeWith(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_with needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_with"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernel.encodeWith(input.asInstanceOf[ArrayData], cb)
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeWith =
+    copy(child = newChild)
+}
+
+object PqEncodeWith {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, cb: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(PqEncodeWith(ColumnShim.expression(c), cb))
 }

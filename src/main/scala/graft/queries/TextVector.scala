@@ -142,13 +142,21 @@ object TextVector {
       v.toDouble / 1000000007.0 * 2.0 - 1.0
     }))
 
+  /** PQ training sample depth per subspace (q91): id-prefix sample,
+    * IvfSampleN rows, PqIters Lloyd rounds. */
+  private val PqIters = 3
+
   /** ADC (asymmetric distance): query sub-vectors vs the candidate's
     * CODE centroids — the candidate's floats are never read at query
-    * time. Fixed-order double folds; identical structure in the q78
-    * and q90 plans so the two queries can never drift. */
-  private def pqAdc(qx: Column, codes: Column): Column = {
+    * time. Fixed-order double folds; identical structure in the
+    * q78/q90/q91 plans so the three queries can never drift. */
+  private def pqAdc(qx: Column, codes: Column): Column =
+    pqAdcWith(qx, codes, PqCodebook)
+
+  private def pqAdcWith(qx: Column, codes: Column,
+                        cb: Seq[Seq[Seq[Double]]]): Column = {
     def sq(c: Column): Column = c * c
-    val cbLit = typedLit(PqCodebook)
+    val cbLit = typedLit(cb)
     def cbAt(m: Column, j: Column, i: Column): Column =
       element_at(element_at(element_at(cbLit,
         (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
@@ -960,6 +968,44 @@ object TextVector {
         .orderBy($"query_id", $"rn")
     },
 
+    // PQ with TRAINED codebooks (q78's upgrade, the round-6 verdict's
+    // "codebook a production index trains"): per sub-space, the
+    // id-prefix sample's sub-vectors train a k=PqK codebook by
+    // deterministic L2 Lloyd rounds (Kmeans.trainL2 — the sub-space
+    // L2 distance IS the quantization error PQ minimizes), then
+    // encode + full ADC ranking exactly as q78. Training is bounded
+    // driver state (PqM small codebooks); the oracle replays all
+    // PqM sub-space trainings simultaneously in one CTE chain keyed
+    // on m.
+    "q91_pq_trained" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val sample = emb.filter($"vec_id" < IvfSampleN).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+        graft.ops.Kmeans.trainL2(
+          sample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
+      }
+      val cbSeq: Seq[Seq[Seq[Double]]] = cb.map(_.map(_.toSeq).toSeq).toSeq
+      val enc = emb
+        .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
+        .withColumn("codes", graft.ops.expressions.PqEncodeWith($"x", cb))
+      val qs = broadcast(enc.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"x".as("qx")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      enc.select($"vec_id", $"codes")
+        .crossJoin(qs)
+        .select($"query_id", $"vec_id", pqAdcWith($"qx", $"codes", cbSeq).as("adc"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"query_id", $"vec_id",
+          floor($"adc" * lit(1000000.0) + lit(0.5)).cast("bigint").as("adc_u"),
+          $"rn".cast("bigint").as("rn"))
+        .orderBy($"query_id", $"rn")
+    },
+
     // score, token/sentence counts — ONE fused codegen kernel pass
     // (TextStats ≡ the four HOF columns, unit-enforced). No
     // repartition: the full-text shuffle costs more than this single
@@ -1079,6 +1125,74 @@ object TextVector {
                         sqDiff(s"qx[m*$PqSub + i + 1]",
                                s"cb[m+1][codes[m+1]+1][i+1]") + ")") + ")")} AS adc
            |      FROM enc, q, cb),
+           |r AS (SELECT query_id, vec_id, adc,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |      FROM s)
+           |SELECT query_id, vec_id,
+           |  CAST(floor(adc*1000000.0 + 0.5) AS BIGINT) AS adc_u, rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+      },
+
+      "q91_pq_trained" -> {
+        // Twin of Kmeans.trainL2 (per sub-space, all PqM trainings in
+        // one CTE chain keyed on m) + PqKernel.encodeWith + the ADC
+        // fold. Same conventions as the IVF replay: first-k init,
+        // argmin with first-wins ties, in-order list_reduce sums, one
+        // divide, emptied cell keeps its centroid. The ADC total
+        // folds per-subspace partials in m order from 0.0 — the
+        // nested-aggregate structure of pqAdcWith.
+        def sqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
+        val fold = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
+        val l2 = (v: String, c: String) => fold(
+          s"list_transform(range(0, $PqSub), i -> ${sqDiff(s"$v[i + 1]", s"$c[i + 1]")})")
+        def argmin(scores: String) =
+          s"list_position($scores, list_reduce($scores, " +
+            s"(p, q) -> CASE WHEN q < p THEN q ELSE p END)) - 1"
+        val rounds = (1 to PqIters).map { t =>
+          s"""pa$t AS (
+             |  SELECT m, vec_id, sv, ${argmin("scores")} AS cell
+             |  FROM (SELECT m, vec_id, sv,
+             |          list_transform(cs, c -> ${l2("sv", "c")}) AS scores
+             |        FROM subsamp JOIN pc${t - 1} USING (m))),
+             |pm$t AS (
+             |  SELECT m, cell, count(*) AS n,
+             |    list_reduce(list(sv ORDER BY vec_id),
+             |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv_sum
+             |  FROM pa$t GROUP BY m, cell),
+             |pc$t AS (
+             |  SELECT pc.m,
+             |    list(coalesce(list_transform(sv_sum, e -> e / n), cs[j + 1])
+             |         ORDER BY j) AS cs
+             |  FROM pc${t - 1} pc CROSS JOIN range(0, $PqK) r(j)
+             |  LEFT JOIN pm$t ON pm$t.m = pc.m AND pm$t.cell = r.j
+             |  GROUP BY pc.m, pc.cs)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+           |samp AS (SELECT vec_id, x FROM e WHERE vec_id < $IvfSampleN),
+           |subsamp AS (SELECT vec_id, r.m AS m,
+           |              list_slice(x, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
+           |            FROM samp CROSS JOIN range(0, $PqM) r(m)),
+           |pc0 AS (SELECT m, (list(sv ORDER BY vec_id))[1:$PqK] AS cs
+           |        FROM subsamp GROUP BY m),
+           |$rounds,
+           |sube AS (SELECT vec_id, r.m AS m,
+           |           list_slice(x, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
+           |         FROM e CROSS JOIN range(0, $PqM) r(m)),
+           |easg AS (
+           |  SELECT m, vec_id, ${argmin("scores")} AS cell
+           |  FROM (SELECT m, vec_id,
+           |          list_transform(cs, c -> ${l2("sv", "c")}) AS scores
+           |        FROM sube JOIN pc$PqIters USING (m))),
+           |q AS (SELECT vec_id AS query_id, x AS qx FROM e WHERE vec_id < 3),
+           |part AS (
+           |  SELECT q.query_id, a.vec_id, a.m,
+           |    ${fold(s"list_transform(range(0, $PqSub), i -> " +
+                  sqDiff(s"qx[a.m * $PqSub + i + 1]", "cs[a.cell + 1][i + 1]") + ")")} AS partial
+           |  FROM easg a JOIN pc$PqIters USING (m) CROSS JOIN q),
+           |s AS (SELECT query_id, vec_id,
+           |        ${fold("list(partial ORDER BY m)")} AS adc
+           |      FROM part GROUP BY query_id, vec_id),
            |r AS (SELECT query_id, vec_id, adc,
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
            |      FROM s)

@@ -75,6 +75,20 @@ class KmeansSpec extends AnyFunSuite {
       f"trained recall $trainedRec%.3f too low for well-separated planted clusters")
   }
 
+  test("L2 training reduces quantization error vs the naive first-k codebook (q91's PQ metric)") {
+    val (pts, _) = planted()
+    val sub = pts.map(_.take(8)) // a PQ-style sub-space slice
+    val naive = sub.take(K).map(_.clone)
+    val trained = graft.ops.Kmeans.trainL2(sub, K, 3)
+    def qErr(cents: Array[Array[Double]]): Double =
+      sub.map { x =>
+        val c = cents(graft.ops.Kmeans.assignCellL2(x, cents))
+        x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+    val (ne, te) = (qErr(naive), qErr(trained))
+    assert(te < ne, f"trained quantization error $te%.2f not below naive $ne%.2f")
+  }
+
   test("an emptied cell keeps its previous centroid instead of going NaN") {
     // 3 identical points, k=2: after round 1 both seeds sit on the
     // same location's mean; cell 1 empties (first-wins sends all
