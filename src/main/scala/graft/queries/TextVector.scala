@@ -125,6 +125,10 @@ object TextVector {
   private val IvfK       = 16
   private val IvfSampleN = 256
   private val IvfIters   = 4
+  // q90 probes the query's 2 best cells: nprobe=1 recall dies at
+  // cell boundaries; real IVF serving always multi-probes, and the
+  // plan cost is one more tiny broadcast row per query.
+  private val IvfNprobe  = 2
 
   // q78/q90: product quantization — MergeDim (64) split into 4
   // subspaces × 16 dims, 8 centroids each: codes are 4 small ints
@@ -933,14 +937,15 @@ object TextVector {
     // IVF+PQ composed (the billion-vector serving shape q33 and q78
     // each demonstrate half of): the TRAINED coarse quantizer routes
     // every vector to an inverted list (cell), vectors store only
-    // their PqM-byte PQ codes, and a query probes ITS OWN cell
-    // (nprobe=1 — an equi-join on cell id, exactly q33's probe) and
-    // ranks the in-cell candidates by ADC against the query's raw
+    // their PqM-byte PQ codes, and a query probes its IvfNprobe best
+    // cells (cell ranking = the same cosine the quantizer assigns
+    // by; the probe is an equi-join on cell id, exactly q33's) and
+    // ranks the candidates by ADC against the query's raw
     // sub-vectors (exactly q78's kernel, minus the crossJoin: the
-    // ADC scan is bounded to the probed cell). At 100 TB this is the
-    // IVF-PQ layout FAISS serves from RAM: codes 64× smaller than
-    // floats, probe cost |cell| not |corpus|, codebooks broadcast
-    // driver state.
+    // ADC scan is bounded to the probed cells). At 100 TB this is
+    // the IVF-PQ layout FAISS serves from RAM: codes 64× smaller
+    // than floats, probe cost nprobe·|cell| not |corpus|, codebooks
+    // broadcast driver state.
     "q90_ivf_pq" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
@@ -948,17 +953,29 @@ object TextVector {
         .select($"embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+      val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
       val enc = emb
         .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
         .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
         .withColumn("codes",
           graft.ops.expressions.PqEncode($"x", PqM, PqK, PqSub))
-      val qs = broadcast(enc.filter($"vec_id" < 3)
-        .select($"vec_id".as("query_id"), $"x".as("qx"), $"cell".as("q_cell")))
+      // rank ALL cells per query by the assignment cosine, keep the
+      // top IvfNprobe — 3 queries × IvfK centroid rows, driver-free
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"sc".desc, $"cell")
+      val probes = broadcast(enc.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"x".as("qx"))
+        .select($"query_id", $"qx",
+          posexplode(typedLit(centsSeq)).as(Seq("cell", "cvec")))
+        .select($"query_id", $"qx", $"cell",
+          VectorOps.cosine($"qx", $"cvec").as("sc"))
+        .withColumn("cr", row_number().over(wc))
+        .filter($"cr" <= IvfNprobe)
+        .select($"query_id", $"qx", $"cell"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"adc", $"vec_id")
       enc.select($"vec_id", $"cell", $"codes")
-        .join(qs, $"cell" === $"q_cell") // the inverted-list probe
+        .join(probes, Seq("cell")) // the inverted-list probe
         .select($"query_id", $"vec_id", pqAdc($"qx", $"codes").as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
@@ -1526,14 +1543,22 @@ object TextVector {
            |          list_transform(range(1, ${PqM + 1}), m ->
            |            list_position(dm[m], list_min(dm[m])) - 1) AS codes
            |        FROM dd),
-           |q AS (SELECT vec_id AS query_id, v AS qx, cell AS q_cell
-           |      FROM dd WHERE vec_id < 3),
+           |qc AS (SELECT vec_id AS query_id, v AS qx, r.j AS cell,
+           |         scores[r.j + 1] AS sc
+           |       FROM scored CROSS JOIN range(0, $IvfK) r(j)
+           |       WHERE vec_id < 3),
+           |q AS (SELECT query_id, qx, cell FROM (
+           |        SELECT query_id, qx, cell,
+           |          row_number() OVER (PARTITION BY query_id
+           |                             ORDER BY sc DESC, cell) AS cr
+           |        FROM qc)
+           |      WHERE cr <= $IvfNprobe),
            |s AS (SELECT q.query_id, enc.vec_id,
            |        ${fold(s"list_transform(range(0, $PqM), m -> " +
                       fold(s"list_transform(range(0, $PqSub), i -> " +
                         sqDiff(s"qx[m*$PqSub + i + 1]",
                                s"cb[m+1][codes[m+1]+1][i+1]") + ")") + ")")} AS adc
-           |      FROM enc JOIN q ON enc.cell = q.q_cell CROSS JOIN cb),
+           |      FROM enc JOIN q ON enc.cell = q.cell CROSS JOIN cb),
            |r AS (SELECT query_id, vec_id, adc,
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
            |      FROM s)
