@@ -62,3 +62,45 @@ object BpeMerge {
   def apply(c: Column, a: String, b: String): Column =
     ColumnShim.column(BpeMerge(ColumnShim.expression(c), a, b))
 }
+
+/** Apply a whole TRAINED merge table in training order — the BPE
+  * ENCODE step. Each merge was learned on the corpus state produced
+  * by fully applying its predecessors, so in-order application
+  * reproduces the training-state tokenization (the merge-rank
+  * convention HF tokenizers serialize). One kernel invocation per
+  * row instead of a |merges|-deep expression chain. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply needs array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  @transient private lazy val table: Array[(UTF8String, UTF8String)] =
+    merges.map { case (a, b) =>
+      (UTF8String.fromString(a), UTF8String.fromString(b))
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    var cur = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < table.length) {
+      cur = BpeMergeKernel.merge(cur, table(i)._1, table(i)._2)
+      i += 1
+    }
+    cur
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+object BpeApply {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, merges: Seq[(String, String)]): Column =
+    ColumnShim.column(BpeApply(ColumnShim.expression(c), merges))
+}

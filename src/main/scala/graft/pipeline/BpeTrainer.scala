@@ -84,4 +84,19 @@ object BpeTrainer {
     graft.ops.ConnectedComponents.releaseCheckpoint(backing)
     merges.result()
   }
+
+  /** ENCODE with a trained merge table: every word of
+    * `docs(contentCol)` splits to characters and replays the merges
+    * in training order (one [[graft.ops.expressions.BpeApply]]
+    * kernel pass per row — merges-in-order reproduces the
+    * training-state tokenization). Output: the input rows plus
+    * `bpe_tokens: array<string>`, the document's sub-word pieces in
+    * text order. Narrow map over the scan — no shuffle at any
+    * corpus size. */
+  def encode(docs: DataFrame, contentCol: String, merges: Seq[Merge]): DataFrame = {
+    val table = merges.map(m => (m.a, m.b))
+    docs.withColumn("bpe_tokens",
+      flatten(transform(TextOps.tokens(col(contentCol)),
+        w => graft.ops.expressions.BpeApply(split(w, ""), table))))
+  }
 }

@@ -79,6 +79,48 @@ class BpeSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("encode replays the merge table losslessly and fuses the trained pieces") {
+    val docs = Seq(
+      "low low low low low",
+      "lower lower newest newest newest",
+      "newest newest newest widest widest").toDF("text")
+    val merges = BpeTrainer.train(spark, docs, "text", nMerges = 8)
+    val out = BpeTrainer.encode(docs, "text", merges)
+      .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect()
+    out.foreach { case (text, pieces) =>
+      // lossless: pieces concatenate back to the words in order
+      assert(pieces.mkString("") ==
+        spark.range(1).select(concat_ws("",
+          graft.ops.TextOps.tokens(lit(text)))).as[String].head(),
+        s"pieces of '$text' do not reassemble")
+    }
+    // the trained merges actually fuse: some multi-char piece from
+    // the merge table appears in the encoded output
+    val fused = merges.map(m => m.a + m.b).toSet
+    val seen = out.flatMap(_._2).toSet
+    assert(fused.exists(seen.contains),
+      s"no trained piece of $fused appears in encode output $seen")
+    // and encoding matches the reference dynamics: applying the same
+    // merge list in order to each word's characters
+    val wordsOf = out.flatMap { case (t, _) => t.split(" ") }.distinct
+    wordsOf.foreach { w =>
+      var syms = w.split("").toVector
+      merges.foreach { m =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.a && syms(i + 1) == m.b) {
+            merged += (m.a + m.b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.result()
+      }
+      val enc = BpeTrainer.encode(Seq(w).toDF("text"), "text", merges)
+        .select($"bpe_tokens").as[Seq[String]].head()
+      assert(enc == syms, s"word '$w': kernel $enc != reference $syms")
+    }
+  }
+
   test("round 1 of training is exactly q87's top merge pair") {
     val sfDir = "/root/testdata/sf0.001"
     val first = BpeTrainer.train(spark, Tables.documents(spark, sfDir),
