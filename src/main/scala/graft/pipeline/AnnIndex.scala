@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ similarity index — the index LIFECYCLE around
+  * q90's one-shot query, mirroring what [[DedupIndex]] is to q24:
+  * train/encode once, append ingest batches incrementally, serve
+  * top-k probes against the stored codes without ever rescanning
+  * raw vectors.
+  *
+  * Layout (parquet under `dir`):
+  *   - `codebooks/` (part, m, j, c) — the trained coarse quantizer
+  *     (part='ivf': j-th centroid) and PQ codebooks (part='pq':
+  *     sub-space m, centroid j), written once at [[build]];
+  *   - `codes/` (vec_id, cell, codes), hive-partitioned on a `run`
+  *     label: build writes `run=base`, [[append]] adds runs with
+  *     dynamic partition overwrite (re-delivered batches replace
+  *     themselves — [[DedupIndex]]'s idempotency discipline).
+  *
+  * Scale shape: codebooks are a few KB of driver state (read once
+  * per job, broadcast inside the kernels); `codes/` is PqM bytes +
+  * cell id per vector — the RAM-resident form a billion-vector
+  * deployment serves from. [[append]] encodes ONLY the new batch
+  * (one narrow kernel pass) against the FROZEN codebooks — the
+  * standard production trade: cell balance drifts as the
+  * distribution moves, and a periodic [[build]] re-trains, exactly
+  * like `DedupIndex.build` vs `.append`. [[search]] probes
+  * nprobe cells per query (equi-join on cell) and ranks by ADC on a
+  * `TopKPerKey`-planned rank filter — no crossJoin, no full scan.
+  */
+object AnnIndex {
+
+  private val IvfK = 16
+  private val IvfIters = 4
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 3
+  private val SampleN = 256
+
+  /** Train codebooks on the id-prefix sample, encode the corpus,
+    * persist both. */
+  def build(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    val sample = vectors.filter(col("vec_id") < SampleN).orderBy(col("vec_id"))
+      .select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val sub = sample.head.length / PqM
+    val ivf = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+    val pq = Array.tabulate(PqM) { m =>
+      graft.ops.Kmeans.trainL2(
+        sample.map(_.slice(m * sub, (m + 1) * sub)), PqK, PqIters)
+    }
+    val cbRows =
+      ivf.zipWithIndex.map { case (c, j) => ("ivf", 0, j, c.toSeq) } ++
+        pq.zipWithIndex.flatMap { case (cs, m) =>
+          cs.zipWithIndex.map { case (c, j) => ("pq", m, j, c.toSeq) }
+        }
+    cbRows.toSeq.toDF("part", "m", "j", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeCodes(vectors, dir, "base", ivf, pq, dynamic = false)
+  }
+
+  /** Encode one ingest batch against the FROZEN codebooks and append
+    * it under `run=<runId>` (idempotent under re-delivery). */
+  def append(spark: SparkSession, newVectors: DataFrame, dir: String,
+             runId: String): Unit = {
+    val (ivf, pq) = codebooks(spark, dir)
+    writeCodes(newVectors, dir, runId, ivf, pq, dynamic = true)
+  }
+
+  /** Top-k ADC search for a query set (query_id, qvec): rank cells
+    * per query, probe the top `nprobe` inverted lists, rank
+    * candidates by ADC. The rank filter plans onto TopKPerKeyExec
+    * via the WindowTopKRewrite rule. */
+  def search(spark: SparkSession, queries: DataFrame, dir: String,
+             k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ivf, pq) = codebooks(spark, dir)
+    val centsSeq: Seq[Seq[Double]] = ivf.map(_.toSeq).toSeq
+    val pqSeq: Seq[Seq[Seq[Double]]] = pq.map(_.map(_.toSeq).toSeq).toSeq
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("cell"))
+    val probes = broadcast(queries
+      .select(col("query_id"), col("qvec"),
+        posexplode(typedLit(centsSeq)).as(Seq("cell", "cvec")))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        graft.ops.VectorOps.cosine(col("qvec"), col("cvec")).as("sc"))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    spark.read.parquet(s"$dir/codes")
+      .join(probes, Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        adc(col("qvec"), col("codes"), pqSeq).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rn"))
+  }
+
+  private def codebooks(spark: SparkSession,
+                        dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("part"), col("m"), col("j"), col("c")).collect()
+    val ivf = rows.filter(_.getString(0) == "ivf").sortBy(_.getInt(2))
+      .map(_.getSeq[Double](3).toArray)
+    val pqRows = rows.filter(_.getString(0) == "pq")
+    val pq = Array.tabulate(PqM) { m =>
+      pqRows.filter(_.getInt(1) == m).sortBy(_.getInt(2))
+        .map(_.getSeq[Double](3).toArray)
+    }
+    (ivf, pq)
+  }
+
+  private def writeCodes(vectors: DataFrame, dir: String, runId: String,
+                         ivf: Array[Array[Double]],
+                         pq: Array[Array[Array[Double]]],
+                         dynamic: Boolean): Unit =
+    vectors
+      .select(col("vec_id"),
+        graft.ops.expressions.IvfCell(col("vec"), ivf).as("cell"),
+        graft.ops.expressions.PqEncodeWith(col("vec"), pq).as("codes"))
+      .withColumn("run", lit(runId))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .parquet(s"$dir/codes")
+
+  /** ADC against a codebook literal — the pqAdcWith fold (nested
+    * ordered aggregates), kept here so the pipeline module has no
+    * dependency on the query pack. */
+  private def adc(qx: org.apache.spark.sql.Column,
+                  codes: org.apache.spark.sql.Column,
+                  cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val m = cb.length
+    val sub = cb.head.head.length
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    val cbLit = typedLit(cb)
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mm) =>
+      acc + aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (a, i) =>
+        a + sq(element_at(qx, (mm * sub + i + 1).cast("int")) -
+          element_at(element_at(element_at(cbLit, (mm + 1).cast("int")),
+            (element_at(codes, (mm + 1).cast("int")) + 1).cast("int")),
+            (i + 1).cast("int")))))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.AnnIndex
+import java.nio.file.Files
+
+/** AnnIndex (graft.pipeline) — the persisted IVF-PQ lifecycle:
+  * build once, serve probes from stored codes, absorb ingest batches
+  * incrementally against frozen codebooks.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString + "/ann"
+
+  private def corpus = Tables.embeddings(spark, sf)
+    .select($"vec_id", transform($"embedding", v => v.cast("double")).as("vec"))
+
+  test("build + search: every query finds itself first, results come from probed cells only") {
+    val dir = tmp("ann-build")
+    AnnIndex.build(spark, corpus, dir)
+
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val out = AnnIndex.search(spark, queries, dir, k = 5).collect()
+    assert(out.length == 15, s"3 queries × top-5, got ${out.length}")
+    // a vector's ADC to itself is only quantization error — self must
+    // rank first for every query
+    val firsts = out.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(firsts == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+      s"self not ranked first: $firsts")
+  }
+
+  test("search never rescans raw vectors and plans the rank onto TopKPerKey") {
+    val dir = tmp("ann-plan")
+    AnnIndex.build(spark, corpus, dir)
+    // query vectors arrive as literals (a real probe ships its own
+    // vector); the CANDIDATE side must come from codes/ only
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .toDF("query_id", "qvec")
+    val plan = AnnIndex.search(spark, queries, dir, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"search rescans the raw vectors:\n$plan")
+    assert(plan.contains("TopKPerKey"),
+      s"rank filter did not plan onto TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in search:\n$plan")
+  }
+
+  test("append encodes only the batch, is idempotent, and appended vectors become findable") {
+    val dir = tmp("ann-append")
+    AnnIndex.build(spark, corpus, dir)
+    val before = spark.read.parquet(s"$dir/codes").count()
+
+    // ingest: a near-copy of vector 7 under a new id
+    val donor = corpus.filter($"vec_id" === 7)
+      .select($"vec").as[Seq[Double]].head()
+    val batch = Seq((100000L, donor.map(_ + 0.001)))
+      .toDF("vec_id", "vec")
+    AnnIndex.append(spark, batch, dir, "b1")
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 1)
+    // re-delivery replaces run=b1 instead of duplicating it
+    AnnIndex.append(spark, batch, dir, "b1")
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 1,
+      "re-delivered append duplicated codes")
+
+    // the appended near-copy is now served: querying with vector 7
+    // returns 100000 among the top-2 (itself + the near-copy share a
+    // cell and nearly share codes)
+    val q7 = corpus.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val top = AnnIndex.search(spark, q7, dir, k = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == Set(7L, 100000L),
+      s"appended near-dup not served from the index: $top")
+  }
+}
