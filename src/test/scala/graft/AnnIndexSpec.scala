@@ -53,6 +53,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in search:\n$plan")
   }
 
+  test("streaming ingest: new vector files index incrementally and become searchable") {
+    val base = Files.createTempDirectory("graft-ann-stream").toString
+    val dir = s"$base/ann"; val inDir = s"$base/in"; val ck = s"$base/ck"
+    AnnIndex.build(spark, corpus, dir)
+    val before = spark.read.parquet(s"$dir/codes").count()
+
+    val donor = corpus.filter($"vec_id" === 11)
+      .select($"vec").as[Seq[Double]].head()
+    val schema = corpus.schema
+    Seq((200000L, donor.map(_ + 0.001)))
+      .toDF("vec_id", "vec").coalesce(1).write.mode("append").parquet(inDir)
+    graft.streaming.AnnIngestStream.runOnce(spark, inDir, dir, ck, schema)
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 1)
+    // a second pass with nothing new is a no-op
+    graft.streaming.AnnIngestStream.runOnce(spark, inDir, dir, ck, schema)
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 1)
+
+    val q11 = corpus.filter($"vec_id" === 11)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val top = AnnIndex.search(spark, q11, dir, k = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == Set(11L, 200000L),
+      s"streamed vector not served from the index: $top")
+  }
+
   test("append encodes only the batch, is idempotent, and appended vectors become findable") {
     val dir = tmp("ann-append")
     AnnIndex.build(spark, corpus, dir)
