@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The curation END PRODUCT as a materialized artifact: one job that
+  * composes the engine's dedup → quality → split stages and WRITES
+  * the training corpus, instead of answering queries about it
+  * (q67 reports the cleaned corpus, q65 the split; a training run
+  * consumes files). Output layout: parquet partitioned by `split`
+  * (train/val/test), one row per surviving document with its
+  * near-dup cluster id and quality score attached — the lineage
+  * columns an audit needs.
+  *
+  * Stage shapes (each individually proven by its query twin):
+  *   1. near-dup clusters from [[graft.queries.NearDupStage]] (the
+  *      shared LSH → connected-components label table);
+  *   2. keep = cluster representatives only (q67: broadcast drop-set
+  *      anti-join — the corpus scan never shuffles);
+  *   3. quality floor via the fused TextStats kernel (q26/q39's
+  *      score, one codegen pass);
+  *   4. split = hash of the CLUSTER id, 80/10/10 (q65: no near-dup
+  *      pair ever straddles train/test);
+  *   5. write partitioned by split — static overwrite, so re-running
+  *      the export is idempotent.
+  *
+  * At 100 TB: one corpus scan for the label stage (shared, not
+  * per-consumer), one for the export; everything between is
+  * id-width. */
+object CurationExport {
+
+  private val HashMod = 1000000007L
+  private val PermMult = 2654435761L
+
+  /** Run the export; returns per-split counts (the run report). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          minQuality: Double = 0.0): DataFrame = {
+    val labels = graft.queries.NearDupStage.labels(spark, sfDir)
+    val drop = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val clusters = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+    val h = pmod(col("unit_id"), lit(HashMod)) * lit(PermMult) % lit(HashMod)
+    val kept = graft.Tables.documents(spark, sfDir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("quality",
+        graft.ops.expressions.TextStats(col("text")).getField("quality"))
+      .filter(col("quality") >= minQuality)
+      .withColumn("split",
+        when(pmod(h, lit(10L)) < 8, "train")
+          .when(pmod(h, lit(10L)) === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("unit_id"), col("quality"), col("split"))
+
+    kept.write.partitionBy("split").mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .parquet(outDir)
+
+    spark.read.parquet(outDir)
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+  }
+}
