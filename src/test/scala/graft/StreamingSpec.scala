@@ -327,6 +327,42 @@ class StreamingSpec extends AnyFunSuite {
       s"incremental labels diverge from from-scratch:\n$got\nvs\n$scratch")
   }
 
+  test("cluster maintenance absorb is idempotent even after its own label snapshot landed") {
+    import spark.implicits._
+    import graft.pipeline.{ClusterMaintenance, DedupIndex}
+    val idx = tmp("cmr-idx"); val lbl = tmp("cmr-lbl")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, idx)
+    ClusterMaintenance.init(spark, corpus, lbl)
+
+    val batch = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta eta theta iota nu"))
+      .toDF("doc_id", "text")
+    // first delivery: index absorb + label absorb both land
+    DedupIndex.append(spark, batch, idx, "b0")
+    ClusterMaintenance.absorb(spark, batch, idx, lbl, 0L, Some("b0"))
+    val first = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(first(50L) == 1L, s"batch doc not clustered: $first")
+
+    // crash AFTER the epoch=1 snapshot, re-delivery of batch 0: the
+    // re-run reads a label table that already contains doc 50 and
+    // must converge to the identical labeling, same epoch replaced
+    DedupIndex.append(spark, batch, idx, "b0")
+    ClusterMaintenance.absorb(spark, batch, idx, lbl, 0L, Some("b0"))
+    val second = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(second == first, s"re-delivered absorb changed labels: $first -> $second")
+    val epochs = spark.read.parquet(lbl)
+      .select(col("epoch").cast("long")).distinct()
+      .as[Long].collect().sorted
+    assert(epochs.sameElements(Array(0L, 1L)),
+      s"re-delivery must replace its epoch, not add one: ${epochs.mkString(",")}")
+  }
+
   test("session windows: out-of-order events above the watermark merge backward and bridge sessions") {
     import spark.implicits._
     import graft.streaming.EventSessions
