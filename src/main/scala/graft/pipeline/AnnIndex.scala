@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *   - `codebooks/` (part, m, j, c) — the trained coarse quantizer
   *     (part='ivf': j-th centroid) and PQ codebooks (part='pq':
   *     sub-space m, centroid j), written once at [[build]];
-  *   - `codes/` (vec_id, cell, codes), hive-partitioned on a `run`
-  *     label: build writes `run=base`, [[append]] adds runs with
-  *     dynamic partition overwrite (re-delivered batches replace
-  *     themselves — [[DedupIndex]]'s idempotency discipline).
+  *   - `codes/` (vec_id, codes), hive-partitioned on (`run`, `cell`):
+  *     the cell directories ARE the inverted lists — a probe opens
+  *     nprobe directories and never touches the rest (the scan
+  *     prunes on a static cell predicate, asserted in AnnIndexSpec).
+  *     Build writes `run=base`, [[append]] adds runs with dynamic
+  *     partition overwrite (re-delivered batches replace themselves —
+  *     [[DedupIndex]]'s idempotency discipline; encode is
+  *     deterministic, so a re-delivery lands in the same cells).
   *
   * Scale shape: codebooks are a few KB of driver state (read once
   * per job, broadcast inside the kernels); `codes/` is PqM bytes +
@@ -88,8 +92,14 @@ object AnnIndex {
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell")))
+    // the probed cells, driver-side (bounded by nprobe · |queries|):
+    // an isin on the hive partition column prunes every other
+    // inverted-list directory at the scan
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cells: _*))
       .join(probes, Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         adc(col("qvec"), col("codes"), pqSeq).as("adc"))
@@ -121,7 +131,7 @@ object AnnIndex {
         graft.ops.expressions.IvfCell(col("vec"), ivf).as("cell"),
         graft.ops.expressions.PqEncodeWith(col("vec"), pq).as("codes"))
       .withColumn("run", lit(runId))
-      .write.partitionBy("run").mode("overwrite")
+      .write.partitionBy("run", "cell").mode("overwrite")
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .parquet(s"$dir/codes")
 

@@ -51,6 +51,10 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"),
       s"rank filter did not plan onto TopKPerKeyExec:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in search:\n$plan")
+    // the inverted lists are directories: the probe scan must carry a
+    // partition filter on cell — unprobed cells never open
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"probe scan does not prune cell partitions:\n$plan")
   }
 
   test("streaming ingest: new vector files index incrementally and become searchable") {
