@@ -62,6 +62,10 @@ object Corpus {
   // tokenhash % CdcMod == 0).
   private val CdcMod = 16L
 
+  // q92: how many BPE merge rounds the oracle replays (each round is
+  // one unrolled CTE block; the trainer itself is unbounded)
+  private val BpeRounds = 6
+
   private val P = 1000000007L
 
   // q72: surprisal output rounding (micro-units inside the exact
@@ -252,6 +256,26 @@ object Corpus {
         .orderBy($"rn")
     },
 
+    // Iterative BPE TRAINING, oracle-gated (q87 is one round of pair
+    // stats; this is the induction loop itself): the first BpeRounds
+    // merge decisions (round, pair, weighted count) of
+    // graft.pipeline.BpeTrainer over the corpus. The trainer
+    // executes its distributed rounds eagerly (q63's precedent for
+    // eager stages); the DuckDB twin replays every round — pair
+    // count, argmax (count desc, pair asc), and the greedy
+    // skip-past merge apply as a struct-accumulator left fold
+    // (list_reduce state machine) — so the full training dynamics,
+    // not just round 1, are hash-checked cross-engine.
+    "q92_bpe_vocab" -> { (s, d) =>
+      import s.implicits._
+      val merges = graft.pipeline.BpeTrainer
+        .train(s, Tables.documents(s, d), "text", BpeRounds, minFreq = 1L)
+      merges.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.a, m.b, m.n) }
+        .toDF("rn", "a", "b", "n")
+        .orderBy($"rn")
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -284,7 +308,56 @@ object Corpus {
     }
   )
 
+  /** q92's oracle: unrolled BPE training rounds. Words live as
+    * BRACKETED STRINGS — every symbol wrapped in chr(31) markers
+    * (`␟s1␟␟s2␟…`), a character absent from the corpus — because
+    * DuckDB 1.0's list_reduce cannot carry struct state. The greedy
+    * skip-past merge apply is then ONE string replace:
+    * `␟a␟␟b␟ → ␟ab␟` replaces left-to-right non-overlapping, each
+    * symbol keeps its own bracket pair, so neighbors stay intact and
+    * "aaaa" → [aa][aa] exactly like BpeMergeKernel's cursor scan.
+    * Per round: unwrap → split → adjacent-pair counts weighted by
+    * word freq → winner (count desc, pair asc) → replace. */
+  private def bpeOracle: String = {
+    val D = "chr(31)"
+    // '␟s1␟␟s2␟…' → [s1, s2, …]: strip the outer brackets, split on
+    // the inner double-bracket seams
+    val syms = s"string_split(wstr[2:length(wstr) - 1], $D || $D)"
+    val rounds = (1 to BpeRounds).map { t =>
+      s"""sy$t AS (SELECT freq, $syms AS syms FROM v${t - 1}),
+         |pr$t AS (
+         |  SELECT syms[CAST(u.i AS INTEGER)] AS a,
+         |         syms[CAST(u.i AS INTEGER) + 1] AS b,
+         |         CAST(sum(freq) AS BIGINT) AS n
+         |  FROM sy$t, unnest(range(1, len(syms))) u(i)
+         |  GROUP BY 1, 2),
+         |w$t AS (SELECT a, b, n FROM pr$t ORDER BY n DESC, a, b LIMIT 1),
+         |v$t AS (SELECT freq,
+         |          replace(wstr, $D || w.a || $D || $D || w.b || $D,
+         |                  $D || w.a || w.b || $D) AS wstr
+         |        FROM v${t - 1}, w$t w)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(t => s"SELECT $t AS rn, a, b, n FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(${Sql.toks("text")}) AS w FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (
+       |  SELECT freq,
+       |    array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> $D || word[i:i] || $D), '') AS wstr
+       |  FROM words),
+       |$rounds
+       |SELECT CAST(rn AS BIGINT) AS rn, a, b, n FROM (
+       |$out
+       |) ORDER BY rn""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "q92_bpe_vocab" -> bpeOracle,
 
     "q87_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest(${Sql.toks("text")}) AS tok FROM documents),
