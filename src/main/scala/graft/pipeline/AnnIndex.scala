@@ -91,7 +91,10 @@ object AnnIndex {
         graft.ops.VectorOps.cosine(col("qvec"), col("cvec")).as("sc"))
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell")))
+      // the query's residual is PER PROBED CELL (IVFADC)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qvec"), centAt(ivf, col("cell")), (a, b) => a - b)
+          .as("qrv")))
     // the probed cells, driver-side (bounded by nprobe · |queries|):
     // an isin on the hive partition column prunes every other
     // inverted-list directory at the scan
@@ -102,7 +105,7 @@ object AnnIndex {
       .filter(col("cell").isin(cells: _*))
       .join(probes, Seq("cell"))
       .select(col("query_id"), col("vec_id"),
-        adc(col("qvec"), col("codes"), pqSeq).as("adc"))
+        adc(col("qrv"), col("codes"), pqSeq).as("adc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("adc"), col("rn"))
@@ -122,14 +125,23 @@ object AnnIndex {
     (ivf, pq)
   }
 
+  private def centAt(ivf: Array[Array[Double]],
+                     cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(typedLit(ivf.map(_.toSeq).toSeq), (cell + 1).cast("int"))
+
   private def writeCodes(vectors: DataFrame, dir: String, runId: String,
                          ivf: Array[Array[Double]],
                          pq: Array[Array[Array[Double]]],
                          dynamic: Boolean): Unit =
     vectors
       .select(col("vec_id"),
-        graft.ops.expressions.IvfCell(col("vec"), ivf).as("cell"),
-        graft.ops.expressions.PqEncodeWith(col("vec"), pq).as("codes"))
+        graft.ops.expressions.IvfCell(col("vec"), ivf).as("cell"), col("vec"))
+      // canonical IVFADC: codes quantize the RESIDUAL vec − centroid
+      // (lower variance → finer quantization at the same code budget)
+      .select(col("vec_id"), col("cell"),
+        graft.ops.expressions.PqEncodeWith(
+          zip_with(col("vec"), centAt(ivf, col("cell")), (a, b) => a - b),
+          pq).as("codes"))
       .withColumn("run", lit(runId))
       .write.partitionBy("run", "cell").mode("overwrite")
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")

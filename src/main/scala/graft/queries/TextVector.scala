@@ -937,15 +937,18 @@ object TextVector {
     // IVF+PQ composed (the billion-vector serving shape q33 and q78
     // each demonstrate half of): the TRAINED coarse quantizer routes
     // every vector to an inverted list (cell), vectors store only
-    // their PqM-byte PQ codes, and a query probes its IvfNprobe best
-    // cells (cell ranking = the same cosine the quantizer assigns
-    // by; the probe is an equi-join on cell id, exactly q33's) and
-    // ranks the candidates by ADC against the query's raw
-    // sub-vectors (exactly q78's kernel, minus the crossJoin: the
-    // ADC scan is bounded to the probed cells). At 100 TB this is
-    // the IVF-PQ layout FAISS serves from RAM: codes 64× smaller
-    // than floats, probe cost nprobe·|cell| not |corpus|, codebooks
-    // broadcast driver state.
+    // the PqM-byte PQ codes of their RESIDUAL x − centroid(cell)
+    // (the canonical IVFADC form: residuals have far lower variance
+    // than raw vectors, so the same code budget quantizes finer),
+    // and a query probes its IvfNprobe best cells (cell ranking =
+    // the same cosine the quantizer assigns by; the probe is an
+    // equi-join on cell id, exactly q33's), ranking candidates by
+    // ADC between the QUERY's residual against that cell and the
+    // candidate's code centroids. At 100 TB this is the IVF-PQ
+    // layout FAISS serves from RAM: codes 64× smaller than floats,
+    // probe cost nprobe·|cell| not |corpus|, codebooks broadcast
+    // driver state. Residual subtraction is elementwise (zip_with ≡
+    // the oracle's indexed list_transform — no fold, bit-exact).
     "q90_ivf_pq" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
@@ -954,13 +957,18 @@ object TextVector {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
       val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+      def centAt(cell: Column): Column =
+        element_at(typedLit(centsSeq), (cell + 1).cast("int"))
+      def residual(x: Column, cell: Column): Column =
+        zip_with(x, centAt(cell), (a, b) => a - b)
       val enc = emb
         .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
         .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
-        .withColumn("codes",
-          graft.ops.expressions.PqEncode($"x", PqM, PqK, PqSub))
+        .withColumn("codes", graft.ops.expressions.PqEncode(
+          residual($"x", $"cell"), PqM, PqK, PqSub))
       // rank ALL cells per query by the assignment cosine, keep the
-      // top IvfNprobe — 3 queries × IvfK centroid rows, driver-free
+      // top IvfNprobe — 3 queries × IvfK centroid rows, driver-free;
+      // the query's residual is PER PROBED CELL
       val wc = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"sc".desc, $"cell")
       val probes = broadcast(enc.filter($"vec_id" < 3)
@@ -971,12 +979,12 @@ object TextVector {
           VectorOps.cosine($"qx", $"cvec").as("sc"))
         .withColumn("cr", row_number().over(wc))
         .filter($"cr" <= IvfNprobe)
-        .select($"query_id", $"qx", $"cell"))
+        .select($"query_id", $"cell", residual($"qx", $"cell").as("qrv")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"adc", $"vec_id")
       enc.select($"vec_id", $"cell", $"codes")
         .join(probes, Seq("cell")) // the inverted-list probe
-        .select($"query_id", $"vec_id", pqAdc($"qx", $"codes").as("adc"))
+        .select($"query_id", $"vec_id", pqAdc($"qrv", $"codes").as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"query_id", $"vec_id",
@@ -1520,25 +1528,31 @@ object TextVector {
            |ORDER BY query_id, rn""".stripMargin,
 
       "q90_ivf_pq" -> {
-        // q33's trained-IVF CTEs route vectors to cells; q78's PQ
-        // CTEs encode them; the probe joins ON cell (never a cross
-        // join) and ranks by the same ADC fold.
+        // q33's trained-IVF CTEs route vectors to cells; PQ codes
+        // quantize the RESIDUAL v − centroid(cell) (elementwise
+        // subtraction, zip_with's twin); the probe joins ON cell
+        // (never a cross join) and ranks by ADC between the query's
+        // per-cell residual and the code centroids.
         def sqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
         val fold = (l: String) =>
           s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
+        val resid = (x: String) =>
+          s"list_transform(range(0, $MergeDim), i -> $x[i + 1] - cs[cell + 1][i + 1])"
         s"""WITH $IvfOracleCtes,
            |cb AS (SELECT list_transform(range(0, $PqM), m ->
            |    list_transform(range(0, $PqK), j ->
            |      list_transform(range(0, $PqSub), i ->
            |        CAST(((m*$PqK + j)*$PqSub + i + 1) * $PermMult % $HashMod AS DOUBLE)
            |          / 1000000007.0 * 2.0 - 1.0))) AS cb),
-           |dd AS (SELECT vec_id, v, cell,
+           |rsd AS (SELECT vec_id, cell, ${resid("v")} AS rv
+           |        FROM asg, c$IvfIters),
+           |dd AS (SELECT vec_id, cell,
            |        list_transform(range(0, $PqM), m ->
            |          list_transform(range(0, $PqK), j ->
            |            ${fold(s"list_transform(range(0, $PqSub), i -> " +
-                          sqDiff(s"v[m*$PqSub + i + 1]", "cb[m+1][j+1][i+1]") + ")")}))
+                          sqDiff(s"rv[m*$PqSub + i + 1]", "cb[m+1][j+1][i+1]") + ")")}))
            |          AS dm
-           |      FROM asg, cb),
+           |      FROM rsd, cb),
            |enc AS (SELECT vec_id, cell,
            |          list_transform(range(1, ${PqM + 1}), m ->
            |            list_position(dm[m], list_min(dm[m])) - 1) AS codes
@@ -1547,16 +1561,17 @@ object TextVector {
            |         scores[r.j + 1] AS sc
            |       FROM scored CROSS JOIN range(0, $IvfK) r(j)
            |       WHERE vec_id < 3),
-           |q AS (SELECT query_id, qx, cell FROM (
+           |q AS (SELECT query_id, cell, ${resid("qx")} AS qrv FROM (
            |        SELECT query_id, qx, cell,
            |          row_number() OVER (PARTITION BY query_id
            |                             ORDER BY sc DESC, cell) AS cr
            |        FROM qc)
+           |      CROSS JOIN c$IvfIters
            |      WHERE cr <= $IvfNprobe),
            |s AS (SELECT q.query_id, enc.vec_id,
            |        ${fold(s"list_transform(range(0, $PqM), m -> " +
                       fold(s"list_transform(range(0, $PqSub), i -> " +
-                        sqDiff(s"qx[m*$PqSub + i + 1]",
+                        sqDiff(s"qrv[m*$PqSub + i + 1]",
                                s"cb[m+1][codes[m+1]+1][i+1]") + ")") + ")")} AS adc
            |      FROM enc JOIN q ON enc.cell = q.cell CROSS JOIN cb),
            |r AS (SELECT query_id, vec_id, adc,
