@@ -51,9 +51,18 @@ object AnnIndex {
       .map(_.getSeq[Double](0).toArray)
     val sub = sample.head.length / PqM
     val ivf = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+    // PQ codebooks train on what they will encode: the sample's
+    // RESIDUALS against the trained coarse quantizer (training on
+    // raw vectors and encoding residuals measured recall@5 0.2 vs
+    // 0.4 in the q90 oracle-gated twin)
+    val normSq = ivf.map(c => c.foldLeft(0.0)((a, v) => a + v * v))
+    val residSample = sample.map { x =>
+      val cell = graft.ops.Kmeans.assignCell(x, ivf, normSq)
+      x.zip(ivf(cell)).map { case (a, b) => a - b }
+    }
     val pq = Array.tabulate(PqM) { m =>
       graft.ops.Kmeans.trainL2(
-        sample.map(_.slice(m * sub, (m + 1) * sub)), PqK, PqIters)
+        residSample.map(_.slice(m * sub, (m + 1) * sub)), PqK, PqIters)
     }
     val cbRows =
       ivf.zipWithIndex.map { case (c, j) => ("ivf", 0, j, c.toSeq) } ++

@@ -961,11 +961,25 @@ object TextVector {
         element_at(typedLit(centsSeq), (cell + 1).cast("int"))
       def residual(x: Column, cell: Column): Column =
         zip_with(x, centAt(cell), (a, b) => a - b)
+      // PQ codebooks train on the SAMPLE'S RESIDUALS (what they will
+      // encode — q91's trainer on q90's geometry; the untrained
+      // closed-form codebook measured recall@5 0.2 here, residual
+      // k-means lifts it, AnnRecallSpec pins the ordering)
+      val normSq = cents.map(c => c.foldLeft(0.0)((a, v) => a + v * v))
+      val residSample = sample.map { x =>
+        val cell = graft.ops.Kmeans.assignCell(x, cents, normSq)
+        x.zip(cents(cell)).map { case (a, b) => a - b }
+      }
+      val pqCb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+        graft.ops.Kmeans.trainL2(
+          residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
+      }
+      val pqCbSeq: Seq[Seq[Seq[Double]]] = pqCb.map(_.map(_.toSeq).toSeq).toSeq
       val enc = emb
         .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
         .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
-        .withColumn("codes", graft.ops.expressions.PqEncode(
-          residual($"x", $"cell"), PqM, PqK, PqSub))
+        .withColumn("codes", graft.ops.expressions.PqEncodeWith(
+          residual($"x", $"cell"), pqCb))
       // rank ALL cells per query by the assignment cosine, keep the
       // top IvfNprobe — 3 queries × IvfK centroid rows, driver-free;
       // the query's residual is PER PROBED CELL
@@ -984,7 +998,8 @@ object TextVector {
         .partitionBy($"query_id").orderBy($"adc", $"vec_id")
       enc.select($"vec_id", $"cell", $"codes")
         .join(probes, Seq("cell")) // the inverted-list probe
-        .select($"query_id", $"vec_id", pqAdc($"qrv", $"codes").as("adc"))
+        .select($"query_id", $"vec_id",
+          pqAdcWith($"qrv", $"codes", pqCbSeq).as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"query_id", $"vec_id",
@@ -1055,6 +1070,46 @@ object TextVector {
     * dims ascending, then /sqrt/sqrt — VectorOps.cosine's twin). */
   private def sqlCos(a: String, b: String): String =
     s"${Sql.dot(a, b)} / sqrt(${Sql.dot(a, a)}) / sqrt(${Sql.dot(b, b)})"
+
+  // shared oracle fragments for the PQ family (q78/q90/q91)
+  private def sqlSqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
+  private def sqlFold(l: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
+  private def sqlL2(v: String, c: String) = sqlFold(
+    s"list_transform(range(0, $PqSub), i -> ${sqlSqDiff(s"$v[i + 1]", s"$c[i + 1]")})")
+  private def sqlArgmin(scores: String) =
+    s"list_position($scores, list_reduce($scores, " +
+      s"(p, q) -> CASE WHEN q < p THEN q ELSE p END)) - 1"
+
+  /** Oracle twin of Kmeans.trainL2 per subspace (q90/q91): expects a
+    * CTE `subsamp(vec_id, m, sv)` of sample sub-vectors; emits
+    * pc0 → pc$PqIters (all PqM trainings in one chain keyed on m,
+    * first-k init, argmin-L2 first-wins, in-order mean folds,
+    * emptied cell keeps its centroid). */
+  private lazy val PqTrainOracleCtes: String = {
+    val rounds = (1 to PqIters).map { t =>
+      s"""pa$t AS (
+         |  SELECT m, vec_id, sv, ${sqlArgmin("scores")} AS cell
+         |  FROM (SELECT m, vec_id, sv,
+         |          list_transform(cs, c -> ${sqlL2("sv", "c")}) AS scores
+         |        FROM subsamp JOIN pc${t - 1} USING (m))),
+         |pm$t AS (
+         |  SELECT m, cell, count(*) AS n,
+         |    list_reduce(list(sv ORDER BY vec_id),
+         |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv_sum
+         |  FROM pa$t GROUP BY m, cell),
+         |pc$t AS (
+         |  SELECT pc.m,
+         |    list(coalesce(list_transform(sv_sum, e -> e / n), cs[j + 1])
+         |         ORDER BY j) AS cs
+         |  FROM pc${t - 1} pc CROSS JOIN range(0, $PqK) r(j)
+         |  LEFT JOIN pm$t ON pm$t.m = pc.m AND pm$t.cell = r.j
+         |  GROUP BY pc.m, pc.cs)""".stripMargin
+    }.mkString(",\n")
+    s"""pc0 AS (SELECT m, (list(sv ORDER BY vec_id))[1:$PqK] AS cs
+       |        FROM subsamp GROUP BY m),
+       |$rounds""".stripMargin
+  }
 
   /** Oracle twin of Kmeans.train + IvfCell, shared by q33/q90: c0 =
     * first-IvfK init over the id-prefix sample, then IvfIters
@@ -1158,73 +1213,41 @@ object TextVector {
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
       },
 
-      "q91_pq_trained" -> {
-        // Twin of Kmeans.trainL2 (per sub-space, all PqM trainings in
-        // one CTE chain keyed on m) + PqKernel.encodeWith + the ADC
-        // fold. Same conventions as the IVF replay: first-k init,
-        // argmin with first-wins ties, in-order list_reduce sums, one
-        // divide, emptied cell keeps its centroid. The ADC total
-        // folds per-subspace partials in m order from 0.0 — the
-        // nested-aggregate structure of pqAdcWith.
-        def sqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
-        val fold = (l: String) =>
-          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
-        val l2 = (v: String, c: String) => fold(
-          s"list_transform(range(0, $PqSub), i -> ${sqDiff(s"$v[i + 1]", s"$c[i + 1]")})")
-        def argmin(scores: String) =
-          s"list_position($scores, list_reduce($scores, " +
-            s"(p, q) -> CASE WHEN q < p THEN q ELSE p END)) - 1"
-        val rounds = (1 to PqIters).map { t =>
-          s"""pa$t AS (
-             |  SELECT m, vec_id, sv, ${argmin("scores")} AS cell
-             |  FROM (SELECT m, vec_id, sv,
-             |          list_transform(cs, c -> ${l2("sv", "c")}) AS scores
-             |        FROM subsamp JOIN pc${t - 1} USING (m))),
-             |pm$t AS (
-             |  SELECT m, cell, count(*) AS n,
-             |    list_reduce(list(sv ORDER BY vec_id),
-             |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv_sum
-             |  FROM pa$t GROUP BY m, cell),
-             |pc$t AS (
-             |  SELECT pc.m,
-             |    list(coalesce(list_transform(sv_sum, e -> e / n), cs[j + 1])
-             |         ORDER BY j) AS cs
-             |  FROM pc${t - 1} pc CROSS JOIN range(0, $PqK) r(j)
-             |  LEFT JOIN pm$t ON pm$t.m = pc.m AND pm$t.cell = r.j
-             |  GROUP BY pc.m, pc.cs)""".stripMargin
-        }.mkString(",\n")
+      "q91_pq_trained" ->
+        // Twin of Kmeans.trainL2 (PqTrainOracleCtes — per sub-space,
+        // all PqM trainings in one CTE chain keyed on m) +
+        // PqKernel.encodeWith + the ADC fold (per-subspace partials
+        // folded in m order from 0.0 — pqAdcWith's nested-aggregate
+        // structure).
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
            |samp AS (SELECT vec_id, x FROM e WHERE vec_id < $IvfSampleN),
            |subsamp AS (SELECT vec_id, r.m AS m,
            |              list_slice(x, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
            |            FROM samp CROSS JOIN range(0, $PqM) r(m)),
-           |pc0 AS (SELECT m, (list(sv ORDER BY vec_id))[1:$PqK] AS cs
-           |        FROM subsamp GROUP BY m),
-           |$rounds,
+           |$PqTrainOracleCtes,
            |sube AS (SELECT vec_id, r.m AS m,
            |           list_slice(x, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
            |         FROM e CROSS JOIN range(0, $PqM) r(m)),
            |easg AS (
-           |  SELECT m, vec_id, ${argmin("scores")} AS cell
+           |  SELECT m, vec_id, ${sqlArgmin("scores")} AS cell
            |  FROM (SELECT m, vec_id,
-           |          list_transform(cs, c -> ${l2("sv", "c")}) AS scores
+           |          list_transform(cs, c -> ${sqlL2("sv", "c")}) AS scores
            |        FROM sube JOIN pc$PqIters USING (m))),
            |q AS (SELECT vec_id AS query_id, x AS qx FROM e WHERE vec_id < 3),
            |part AS (
            |  SELECT q.query_id, a.vec_id, a.m,
-           |    ${fold(s"list_transform(range(0, $PqSub), i -> " +
-                  sqDiff(s"qx[a.m * $PqSub + i + 1]", "cs[a.cell + 1][i + 1]") + ")")} AS partial
+           |    ${sqlFold(s"list_transform(range(0, $PqSub), i -> " +
+                  sqlSqDiff(s"qx[a.m * $PqSub + i + 1]", "cs[a.cell + 1][i + 1]") + ")")} AS partial
            |  FROM easg a JOIN pc$PqIters USING (m) CROSS JOIN q),
            |s AS (SELECT query_id, vec_id,
-           |        ${fold("list(partial ORDER BY m)")} AS adc
+           |        ${sqlFold("list(partial ORDER BY m)")} AS adc
            |      FROM part GROUP BY query_id, vec_id),
            |r AS (SELECT query_id, vec_id, adc,
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
            |      FROM s)
            |SELECT query_id, vec_id,
            |  CAST(floor(adc*1000000.0 + 0.5) AS BIGINT) AS adc_u, rn
-           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-      },
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
       "q20_token_overflow" ->
         s"""SELECT doc_id, n_chars, len($toks) AS token_count
@@ -1528,35 +1551,31 @@ object TextVector {
            |ORDER BY query_id, rn""".stripMargin,
 
       "q90_ivf_pq" -> {
-        // q33's trained-IVF CTEs route vectors to cells; PQ codes
-        // quantize the RESIDUAL v − centroid(cell) (elementwise
-        // subtraction, zip_with's twin); the probe joins ON cell
-        // (never a cross join) and ranks by ADC between the query's
-        // per-cell residual and the code centroids.
-        def sqDiff(a: String, b: String) = s"($a - $b) * ($a - $b)"
-        val fold = (l: String) =>
-          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, b) -> a + b)"
+        // q33's trained-IVF CTEs route vectors to cells; PQ codebooks
+        // TRAIN on the sample's residuals v − centroid(cell)
+        // (PqTrainOracleCtes over rsd's sub-vectors — Kmeans.trainL2's
+        // twin), codes quantize every vector's residual, and the
+        // probe joins ON cell (never a cross join) ranking by ADC
+        // between the query's per-cell residual and the trained code
+        // centroids.
         val resid = (x: String) =>
           s"list_transform(range(0, $MergeDim), i -> $x[i + 1] - cs[cell + 1][i + 1])"
         s"""WITH $IvfOracleCtes,
-           |cb AS (SELECT list_transform(range(0, $PqM), m ->
-           |    list_transform(range(0, $PqK), j ->
-           |      list_transform(range(0, $PqSub), i ->
-           |        CAST(((m*$PqK + j)*$PqSub + i + 1) * $PermMult % $HashMod AS DOUBLE)
-           |          / 1000000007.0 * 2.0 - 1.0))) AS cb),
            |rsd AS (SELECT vec_id, cell, ${resid("v")} AS rv
            |        FROM asg, c$IvfIters),
-           |dd AS (SELECT vec_id, cell,
-           |        list_transform(range(0, $PqM), m ->
-           |          list_transform(range(0, $PqK), j ->
-           |            ${fold(s"list_transform(range(0, $PqSub), i -> " +
-                          sqDiff(s"rv[m*$PqSub + i + 1]", "cb[m+1][j+1][i+1]") + ")")}))
-           |          AS dm
-           |      FROM rsd, cb),
-           |enc AS (SELECT vec_id, cell,
-           |          list_transform(range(1, ${PqM + 1}), m ->
-           |            list_position(dm[m], list_min(dm[m])) - 1) AS codes
-           |        FROM dd),
+           |subsamp AS (SELECT vec_id, r.m AS m,
+           |              list_slice(rv, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
+           |            FROM rsd CROSS JOIN range(0, $PqM) r(m)
+           |            WHERE vec_id < $IvfSampleN),
+           |$PqTrainOracleCtes,
+           |sube AS (SELECT vec_id, cell, r.m AS m,
+           |           list_slice(rv, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
+           |         FROM rsd CROSS JOIN range(0, $PqM) r(m)),
+           |easg AS (
+           |  SELECT m, vec_id, cell, ${sqlArgmin("scores")} AS code
+           |  FROM (SELECT m, vec_id, cell,
+           |          list_transform(cs, c -> ${sqlL2("sv", "c")}) AS scores
+           |        FROM sube JOIN pc$PqIters USING (m))),
            |qc AS (SELECT vec_id AS query_id, v AS qx, r.j AS cell,
            |         scores[r.j + 1] AS sc
            |       FROM scored CROSS JOIN range(0, $IvfK) r(j)
@@ -1568,12 +1587,15 @@ object TextVector {
            |        FROM qc)
            |      CROSS JOIN c$IvfIters
            |      WHERE cr <= $IvfNprobe),
-           |s AS (SELECT q.query_id, enc.vec_id,
-           |        ${fold(s"list_transform(range(0, $PqM), m -> " +
-                      fold(s"list_transform(range(0, $PqSub), i -> " +
-                        sqDiff(s"qrv[m*$PqSub + i + 1]",
-                               s"cb[m+1][codes[m+1]+1][i+1]") + ")") + ")")} AS adc
-           |      FROM enc JOIN q ON enc.cell = q.cell CROSS JOIN cb),
+           |part AS (
+           |  SELECT q.query_id, a.vec_id, a.m,
+           |    ${sqlFold(s"list_transform(range(0, $PqSub), i -> " +
+                  sqlSqDiff(s"qrv[a.m * $PqSub + i + 1]", "cs[a.code + 1][i + 1]") + ")")} AS partial
+           |  FROM easg a JOIN pc$PqIters USING (m)
+           |  JOIN q ON a.cell = q.cell),
+           |s AS (SELECT query_id, vec_id,
+           |        ${sqlFold("list(partial ORDER BY m)")} AS adc
+           |      FROM part GROUP BY query_id, vec_id),
            |r AS (SELECT query_id, vec_id, adc,
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
            |      FROM s)

@@ -44,16 +44,14 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained >= 0.4, f"trained PQ recall $trained%.2f implausibly low")
   }
 
-  test("every q90 result comes from one of its query's probed cells") {
-    // consistency of the composed index: results ⊆ union of the
-    // probed inverted lists (re-derived via the same public surface)
+  test("q90 (IVFADC, nprobe=2, trained residual codebooks) clears a recall floor") {
+    val r = recall("q90_ivf_pq")
+    // measured 0.40 at sf0.01: trained-on-residuals doubled the
+    // untrained codebook's 0.20; the remaining misses are exact
+    // neighbors outside the 2 probed cells (the nprobe trade)
+    assert(r >= 0.3, f"q90 recall@5 $r%.2f below floor")
     val out = SparkEntry.queries("q90_ivf_pq")(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect()
     assert(out.length == 15, s"3 queries × top-5 expected, got ${out.length}")
-    // q33 (nprobe=1) results must be a subset of q90's candidate
-    // space: the best cell is always among the top-2 probed
-    val q33 = SparkEntry.queries("q33_ann_ivf")(spark, sf)
-      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-    assert(q33.nonEmpty)
   }
 }
