@@ -24,19 +24,46 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Contamination guard (round-6 lesson: a bench run concurrently
-    // with other sbt/Spark JVMs reads 1.5–5.9× slow and the inflated
-    // numbers got committed as the round's measurement). Record the
-    // pre-run load average in the output so a reader can judge the
-    // number, and warn loudly when the machine is already busy. The
-    // threshold is deliberately low — this process has done no work
-    // yet, so ANY load belongs to someone else.
-    val loadBefore = loadAvg()
-    if (loadBefore > 2.0)
+    // Contamination guard, now ENFORCED (two rounds running, the
+    // committed round artifact was measured on a busy machine and its
+    // outliers were pure load contamination — the round-6 warning
+    // fired and was ignored). Mechanics: the 1-minute loadavg at JVM
+    // start routinely includes OUR OWN sbt/JVM startup residue (a
+    // clean judged run read 2.67 here), and that residue decays while
+    // this process sits idle — so instead of refusing outright, WAIT
+    // for the loadavg to decay below the threshold and only refuse
+    // (exit 2, no JSON line) if the machine is still busy at the
+    // deadline: that means another workload is genuinely running and
+    // any timing taken now would be the third contaminated artifact.
+    // Override: --force argv or GRAFT_BENCH_FORCE=1 (CI escape hatch;
+    // the recorded load_before still exposes the number's quality).
+    val threshold = 2.0
+    val waitDeadlineSecs =
+      sys.env.getOrElse("GRAFT_BENCH_WAIT_SECS", "600").toLong
+    val force = args.contains("--force") ||
+      sys.env.get("GRAFT_BENCH_FORCE").contains("1")
+    val loadAtStart = loadAvg()
+    var loadBefore = loadAtStart
+    if (loadBefore > threshold && loadBefore >= 0 && !force) {
       System.err.println(
-        f"[bench] WARNING: loadavg $loadBefore%.2f before start — another " +
-          "workload is active; timings will be inflated. Re-run on an idle " +
-          "machine before trusting this output.")
+        f"[bench] loadavg $loadBefore%.2f > $threshold%.1f — waiting up to " +
+          s"${waitDeadlineSecs}s for the machine to go idle (this process " +
+          "is idle while waiting, so self-induced startup load decays).")
+      val deadline = System.nanoTime() + waitDeadlineSecs * 1000000000L
+      while (loadBefore > threshold && System.nanoTime() < deadline) {
+        Thread.sleep(10000)
+        loadBefore = loadAvg()
+      }
+      if (loadBefore > threshold) {
+        System.err.println(
+          f"[bench] REFUSING to run: loadavg still $loadBefore%.2f after " +
+            s"${waitDeadlineSecs}s — another workload is active and timings " +
+            "would be inflated. Re-run on an idle machine, or pass --force " +
+            "(or GRAFT_BENCH_FORCE=1) to measure anyway.")
+        sys.exit(2)
+      }
+      System.err.println(f"[bench] loadavg decayed to $loadBefore%.2f — proceeding.")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,10 +105,12 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // load_before < ~2 means the run started on an idle machine;
-    // load_after reflects this process's own 32-thread work and is
-    // informational only
-    val loadJson = s""""load_before":$loadBefore,"load_after":${loadAvg()}"""
+    // load_before < ~2 means the run started on an idle machine (the
+    // gate above enforces it unless --force); load_at_start is the
+    // pre-wait reading and load_after reflects this process's own
+    // 32-thread work — both informational
+    val loadJson = s""""load_before":$loadBefore,"load_at_start":$loadAtStart,""" +
+      s""""load_after":${loadAvg()},"forced":$force"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
