@@ -82,6 +82,41 @@ object AnnIndex {
     writeCodes(newVectors, dir, runId, ivf, pq, dynamic = true)
   }
 
+  /** Fold every `run=` partition of `codes/` into a single
+    * `run=base` (daily appends otherwise accumulate one partition
+    * per batch forever — [[DedupIndex.compact]]'s discipline).
+    * The merged rows re-partition by `cell`, so the inverted-list
+    * directory layout — and with it the probe-time partition
+    * pruning — is preserved. Swap: write to a hidden temp dir,
+    * delete old runs, rename into place. Run at a QUIESCENT point
+    * (no in-flight ingest): a re-delivered batch appending its
+    * `run=` after compaction would duplicate its vectors alongside
+    * the folded copy. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val path = s"$dir/codes"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val runs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("run="))
+    if (runs.length <= 1) return
+    val tmp = new org.apache.hadoop.fs.Path(path, ".compact-tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).drop("run")
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+    runs.foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "run=base"))
+  }
+
+  /** How many `run=` partitions a search currently lists (spec hook
+    * for the compaction contract). */
+  private[graft] def runCount(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(_.getPath.getName.startsWith("run="))
+  }
+
   /** Top-k ADC search for a query set (query_id, qvec): rank cells
     * per query, probe the top `nprobe` inverted lists, rank
     * candidates by ADC. The rank filter plans onto TopKPerKeyExec

@@ -65,37 +65,47 @@ object DedupIndex {
             lit(0L),
             (acc, v) => (acc * 31 + v) % lit(HashMod)))).as(Seq("band_idx", "band_hash")))
 
+  private val Tables = Seq("fingerprints", "shingles", "bands")
+
   /** Build (or rebuild) the index for a corpus. One scan of the
     * corpus text computes fingerprint + shingle set + minhash
     * signature; bands derive from the signatures. The index is
     * hive-partitioned on a `run` label: build writes `run=base` and
     * clears every earlier run; [[append]] adds runs incrementally. */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
-    write(docs, dir, "base", dynamic = false)
+    write(spark, docs, dir, "base", clearOtherRuns = true)
 
   /** Append one ingest batch's docs to the index under `run=<runId>`
-    * (dynamic partition overwrite: re-running the same runId
+    * (whole-dir overwrite of that run: re-running the same runId
     * REPLACES that run instead of duplicating it — which makes
     * at-least-once delivery, e.g. foreachBatch re-execution,
     * idempotent). Only the batch is scanned; the existing index is
     * untouched. */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
              runId: String): Unit =
-    write(docs, dir, runId, dynamic = true)
+    write(spark, docs, dir, runId, clearOtherRuns = false)
 
-  private def write(docs: DataFrame, dir: String, runId: String,
-                    dynamic: Boolean): Unit = {
+  private def write(spark: SparkSession, docs: DataFrame, dir: String,
+                    runId: String, clearOtherRuns: Boolean): Unit = {
     val derived = withDerived(docs).cache()
+    // each run is written as an EXPLICIT `run=<id>` directory rather
+    // than through partitionBy: same hive layout (readers still
+    // discover and prune on `run`), same per-run idempotency as
+    // dynamic partition overwrite — but a ZERO-ROW write still emits
+    // one schema-bearing parquet file, so an empty corpus build or an
+    // all-duplicates batch append leaves a READABLE index (a
+    // partitionBy write of zero rows leaves only _SUCCESS and the
+    // next read dies in schema inference)
     def out(df: DataFrame, path: String): Unit = {
-      // the mode is pinned EXPLICITLY both ways: build's contract is
-      // "clear every earlier run", which only static overwrite
-      // delivers — a session with spark.sql.sources.
-      // partitionOverwriteMode=dynamic set globally would otherwise
-      // silently leave stale runs in a rebuilt index
-      df.withColumn("run", lit(runId)).write
-        .partitionBy("run").mode("overwrite")
-        .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
-        .parquet(path)
+      if (clearOtherRuns) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root))
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.startsWith("run=") && p.getName != s"run=$runId")
+            .foreach(p => fs.delete(p, true))
+      }
+      df.write.mode("overwrite").parquet(s"$path/run=$runId")
     }
     try {
       out(derived.select(col("doc_id"), col("fp"), col("fp_len")),
@@ -103,6 +113,46 @@ object DedupIndex {
       out(derived.select(col("doc_id"), col("hs")), s"$dir/shingles")
       out(bandsOf(derived), s"$dir/bands")
     } finally derived.unpersist()
+  }
+
+  /** Fold every `run=` partition of each index table into a single
+    * `run=base`, bounding what steady-state screenings list (daily
+    * appends otherwise accumulate one partition per batch forever).
+    * Swap order per table: write the merged rows to a hidden temp dir
+    * (readers ignore dot-dirs), delete the old run dirs, rename the
+    * temp into place as `run=base` — one pass over the table, no
+    * driver-side materialization. A crash between delete and rename
+    * leaves the data intact in the temp dir (manual recovery), which
+    * a production deployment would close with a commit-log swap.
+    * Run at a QUIESCENT point (no in-flight deliveries): a
+    * re-delivered batch appending its `run=` after compaction would
+    * duplicate that batch's rows alongside the folded copy. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    Tables.foreach { t =>
+      val path = s"$dir/$t"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        val runs = fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.startsWith("run="))
+        if (runs.length > 1) {
+          val tmp = new org.apache.hadoop.fs.Path(path, ".compact-tmp")
+          fs.delete(tmp, true)
+          spark.read.parquet(path).drop("run")
+            .write.mode("overwrite").parquet(tmp.toString)
+          runs.foreach(p => fs.delete(p, true))
+          fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "run=base"))
+        }
+      }
+    }
+
+  /** How many `run=` partitions a screening currently lists (spec
+    * hook for the compaction contract). */
+  private[graft] def runCount(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/fingerprints")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(_.getPath.getName.startsWith("run="))
   }
 
   /** Screen a new batch against the index. Returns one row per new

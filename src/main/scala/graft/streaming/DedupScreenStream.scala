@@ -31,8 +31,26 @@ import graft.pipeline.DedupIndex
   * independently (both can come back `unique` — same as the batch
   * q23/q24 formulation, where intra-batch dedup is its own pass);
   * across batches the absorb closes the loop.
+  *
+  * Cluster-maintenance reachability (round-8 fix): the main index
+  * absorbs only UNIQUE docs, but Jaccard similarity is not
+  * transitive — a later doc X may near-dup an earlier batch's
+  * screened-OUT doc Y without near-dupping Y's own match Z, and a
+  * from-scratch clustering over all delivered docs would still put
+  * X in Y's cluster (X–Y is an edge). So when `labelDir` is set, the
+  * loop also appends every NON-unique doc's LSH state to a probe-only
+  * side index (`<indexDir>/screened` — never consulted by screening,
+  * so verdicts are unchanged), and the label absorb folds in the
+  * batch's edges against it. With both probes, every edge of the
+  * full delivered-docs near-dup graph is reachable and the
+  * incremental labeling equals the from-scratch one.
   */
 object DedupScreenStream {
+
+  /** The probe-only side index of screened-out docs under the main
+    * index dir (shared with tests). */
+  private[graft] def screenedDir(indexDir: String): String =
+    s"$indexDir/screened"
 
   /** One checkpointed pass over whatever files are new in `inDir`
     * (Trigger.AvailableNow). The index at `indexDir` must exist
@@ -79,13 +97,26 @@ object DedupScreenStream {
           Seq("doc_id"))
         DedupIndex.append(spark, uniques, indexDir, s"b$batchId")
         // cluster maintenance AFTER the absorb, with the batch's own
-        // run excluded from the edge probe (intra-batch edges come
-        // from nearEdgesWithin) — its epoch=batchId+1 snapshot is
-        // idempotent under re-delivery like the other two sinks
-        labelDir.foreach(ld =>
+        // run excluded from the edge probes (intra-batch edges come
+        // from nearEdgesWithin) — its epoch=batchId+1 delta is
+        // idempotent under re-delivery like the other sinks. The
+        // screened-out docs append to the probe-only side index
+        // FIRST (same keyed-run idempotency), then the absorb folds
+        // in edges against it so docs dropped by screening stay
+        // reachable as cluster bridges (class doc).
+        labelDir.foreach { ld =>
+          val sd = screenedDir(indexDir)
+          val nonUniques = b.join(
+            verdicts.filter(col("verdict") =!= "unique").select("doc_id"),
+            Seq("doc_id"))
+          DedupIndex.append(spark, nonUniques, sd, s"b$batchId")
+          val screenedEdges = DedupIndex.nearEdgesAgainst(
+            spark, b, sd, excludeRun = Some(s"b$batchId"))
           graft.pipeline.ClusterMaintenance.absorb(
             spark, b, indexDir, ld, batchId,
-            excludeRun = Some(s"b$batchId")))
+            excludeRun = Some(s"b$batchId"),
+            extraEdges = Some(screenedEdges))
+        }
       } finally verdicts.unpersist()
     } finally b.unpersist()
   }

@@ -108,5 +108,25 @@ class AnnIndexSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(top == Set(7L, 100000L),
       s"appended near-dup not served from the index: $top")
+
+    // compaction: base + the appended run fold into one run, search
+    // results and the cell-partitioned layout unchanged
+    val preCompact = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id", $"rn").as[(Long, Int)].collect().toSet
+    assert(AnnIndex.runCount(spark, dir) == 2)
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.runCount(spark, dir) == 1,
+      "compact must fold every run into one")
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 1,
+      "compact changed the row count")
+    val postCompact = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id", $"rn").as[(Long, Int)].collect().toSet
+    assert(postCompact == preCompact,
+      s"compact changed search results: $preCompact -> $postCompact")
+    // inverted-list dirs survive the fold: probes still prune cells
+    val plan = AnnIndex.search(spark, q7, dir, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"compacted probe scan lost cell pruning:\n$plan")
   }
 }

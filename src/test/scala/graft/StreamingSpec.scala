@@ -363,6 +363,132 @@ class StreamingSpec extends AnyFunSuite {
       s"re-delivery must replace its epoch, not add one: ${epochs.mkString(",")}")
   }
 
+  test("cluster maintenance reaches near-dups THROUGH screened-out docs (Jaccard non-transitivity)") {
+    import spark.implicits._
+    import graft.pipeline.{ClusterMaintenance, DedupIndex}
+    import graft.streaming.DedupScreenStream
+    val idx = tmp("sc-idx"); val inDir = tmp("sc-in")
+    val outDir = tmp("sc-out"); val ck = tmp("sc-ck"); val lbl = tmp("sc-lbl")
+
+    // the non-transitive chain: j(Y,Z) = j(X,Y) = 14/22 ≈ 0.64 (both
+    // near-dup edges), but j(X,Z) = 10/26 ≈ 0.38 < 0.5 (NOT an edge).
+    // Y screens out as a near-dup of Z, so X's only path into the
+    // cluster is the edge X–Y — which exists only if screened-out
+    // docs stay probe-able.
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val tZ = words("a", 1, 16) + " " + words("c", 1, 4)
+    val tY = words("a", 1, 16) + " " + words("d", 1, 4)
+    val tX = words("a", 5, 16) + " " + words("d", 1, 4) + " " + words("e", 1, 4)
+
+    // setup sanity: the planted chain must hold under the REAL
+    // kernels (edges X–Y and Y–Z verified, X–Z absent)
+    val scratchEdges = DedupIndex.nearEdgesWithin(
+      spark, Seq((1L, tZ), (100L, tY), (200L, tX)).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(scratchEdges == Set((1L, 100L), (100L, 200L)),
+      s"planted chain does not hold under the kernels: $scratchEdges")
+
+    // base corpus = {Z} alone: init also exercises the empty-label
+    // path (no near-dup edges → empty epoch=0, which must stay
+    // readable — a first-deploy corpus with no duplicates)
+    val corpus = Seq((1L, tZ)).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, idx)
+    ClusterMaintenance.init(spark, corpus, lbl)
+    assert(ClusterMaintenance.current(spark, lbl).count() == 0L,
+      "no-duplicate corpus must init to an empty (readable) label table")
+
+    val schema = corpus.schema
+    // batch 0: Y — screened out as near-dup of Z, NOT absorbed into
+    // the main index; the edge Y–Z clusters them
+    Seq((100L, tY)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema, Some(lbl))
+    val v0 = spark.read.parquet(s"$outDir/batch=0")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v0 == Map(100L -> "near"), s"Y must screen out as near: $v0")
+
+    // batch 1: X — unique to the MAIN index (j(X,Z) < 0.5), but a
+    // near-dup of the screened-out Y; a from-scratch clustering puts
+    // X in the {X,Y,Z} cluster and the incremental labels must too
+    Seq((200L, tX)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    DedupScreenStream.runOnce(spark, inDir, idx, outDir, ck, schema, Some(lbl))
+    val v1 = spark.read.parquet(s"$outDir/batch=1")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v1 == Map(200L -> "unique"),
+      s"X must screen unique (verdicts never consult the side index): $v1")
+
+    val got = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 100L -> 1L, 200L -> 1L),
+      s"X did not reach the cluster through the screened-out Y: $got")
+  }
+
+  test("label deltas: absorbs write O(touched) rows, compact folds to one epoch, labels unchanged") {
+    import spark.implicits._
+    import graft.pipeline.{ClusterMaintenance, DedupIndex}
+    val idx = tmp("cp-idx"); val lbl = tmp("cp-lbl")
+    def t(tail: String) =
+      s"alpha beta gamma delta epsilon zeta eta theta iota $tail"
+    val corpus = Seq(
+      (1L, t("kappa")), (2L, t("kappa mu")),
+      (30L, "an unrelated island of text that stands alone fine"),
+      (31L, "an unrelated island of text that stands alone fine too"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, idx)
+    ClusterMaintenance.init(spark, corpus, lbl)
+
+    // two absorbs touching only cluster {1,2}
+    for (i <- 0 to 1) {
+      val batch = Seq((50L + i, t(s"nu$i"))).toDF("doc_id", "text")
+      DedupIndex.append(spark, batch, idx, s"b$i")
+      ClusterMaintenance.absorb(spark, batch, idx, lbl, i.toLong, Some(s"b$i"))
+    }
+    // the island cluster {30,31} was untouched: its rows must still
+    // live ONLY in epoch=0 (deltas carry touched rows, not snapshots)
+    val ep = spark.read.parquet(lbl)
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"))
+    assert(ep.filter(col("doc_id") >= 30L && col("doc_id") <= 31L &&
+        col("epoch") > 0L).count() == 0L,
+      "untouched rows were rewritten into a delta epoch")
+
+    val before = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 50L -> 1L, 51L -> 1L,
+      30L -> 30L, 31L -> 30L), s"pre-compact labels wrong: $before")
+    assert(ClusterMaintenance.epochCount(spark, lbl) == 3)
+
+    ClusterMaintenance.compact(spark, lbl)
+    assert(ClusterMaintenance.epochCount(spark, lbl) == 1,
+      "compact must fold every epoch into one")
+    val after = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(after == before, s"compact changed the labeling: $before -> $after")
+
+    // absorbs keep working after a compact (epoch numbering resumes
+    // past the folded snapshot)
+    val batch2 = Seq((60L, t("xi"))).toDF("doc_id", "text")
+    DedupIndex.append(spark, batch2, idx, "b2")
+    ClusterMaintenance.absorb(spark, batch2, idx, lbl, 2L, Some("b2"))
+    val resumed = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == before + (60L -> 1L),
+      s"post-compact absorb wrong: $resumed")
+
+    // index-side compaction: base + 3 appended runs fold to one,
+    // screening results unchanged
+    assert(DedupIndex.runCount(spark, idx) == 4)
+    val probe = Seq((99L, t("kappa"))).toDF("doc_id", "text")
+    val sBefore = DedupIndex.screen(spark, probe, idx)
+      .select("doc_id", "verdict", "match_id").as[(Long, String, Long)].collect().toSet
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.runCount(spark, idx) == 1,
+      "index compact must fold every run into one")
+    val sAfter = DedupIndex.screen(spark, probe, idx)
+      .select("doc_id", "verdict", "match_id").as[(Long, String, Long)].collect().toSet
+    assert(sAfter == sBefore, s"index compact changed screening: $sBefore -> $sAfter")
+  }
+
   test("session windows: out-of-order events above the watermark merge backward and bridge sessions") {
     import spark.implicits._
     import graft.streaming.EventSessions
