@@ -27,6 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * queries — localCheckpoint storage is not catalog cache), and
   * holds (long, long) rows — 4 orders smaller than the corpus.
   * Keyed per session so a fresh session (fresh executors) rebuilds.
+  *
+  * Staleness contract: the cache assumes the data under `dir` is
+  * IMMUTABLE for the session's lifetime (true of the driver's
+  * testdata and of any production corpus snapshot addressed by
+  * path). Rewriting files under a cached dir within one session
+  * serves labels of the old contents — version the path (new
+  * snapshot dir) instead, which is also what makes the cache key
+  * sound at 100 TB. Entries whose session has been stopped are
+  * evicted on the next access, releasing the session reference and
+  * its checkpointed blocks.
   */
 object NearDupStage {
 
@@ -39,13 +49,15 @@ object NearDupStage {
     * near-dup pairs — label = min doc_id of the near-dup cluster;
     * one row per clustered doc. First call per (session, dir) runs
     * the full chain; later calls return the materialized table. */
-  def labels(s: SparkSession, d: String): DataFrame =
+  def labels(s: SparkSession, d: String): DataFrame = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     cache.getOrElseUpdate((s, d), {
       builds.incrementAndGet()
       val pairs = TextVector.queries("q24_near_dup")(s, d)
         .select("id_a", "id_b")
       graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
     })
+  }
 
   /** How many times the chain actually executed (spec hook: three
     * consumers, one build). */
