@@ -25,7 +25,16 @@ import graft.ops.TextOps
   *    docs into fixed-token paragraphs, keep only each paragraph's
   *    FIRST occurrence in (doc_id, pos) order across the whole
   *    corpus, reassemble surviving paragraphs in order — exact
-  *    span-level dedup, the aggressive sibling of whole-doc q23.
+  *    span-level dedup, the aggressive sibling of whole-doc q23;
+  *  - q93 cross-doc repeated-SPAN excision (round 8 — the
+  *    exact-substring dedup family of Lee et al.'s ExactSubstr,
+  *    realized Spark-first): q75 removes duplicates that ALIGN to
+  *    paragraph boundaries; q93 removes repeated token spans at ANY
+  *    offset — boilerplate, licenses, templated text — keeping only
+  *    the corpus-wide first occurrence. Positional k-token shingles
+  *    stand in for the suffix array: a span of ≥ SpanK tokens
+  *    repeats iff all its interior k-shingles repeat, so the union
+  *    of non-first repeated-shingle windows IS the excision set.
   *
   * The testdata text is deliberately clean (TESTDATA.md), so q73/q74
   * derive their dirty input in-query with engine-portable string
@@ -62,6 +71,68 @@ object Cleaning {
 
   // q74: apex domains dropped before aggregation (trackers).
   private val Blocklist = Seq("adsite.io", "spam.example.org")
+
+  // q93: the minimum repeated-span length, in tokens. Repeats of
+  // ≥ SpanK tokens are excised wherever they recur; shorter repeats
+  // survive (they are content, not boilerplate). 8 is demo-scaled to
+  // the testdata vocabulary; ExactSubstr's published threshold is 50
+  // BPE tokens — a constant, not a structural change.
+  private val SpanK = 8
+
+  /** The q93 chain over any (doc_id, text) frame (spec hook: planted
+    * spans). Scale shape: shingle rows shuffle ONCE on the
+    * (hash, shingle) key for the first-occurrence window (hash leads
+    * the key so the sort compares 8-byte values before string bytes —
+    * q75's device), the window-to-token explode is SpanK× on
+    * REPEATED occurrences only (an interval-union window would drop
+    * that factor if repeats dominated), and reassembly shuffles on
+    * doc_id. Everything is linear in corpus tokens — the
+    * suffix-array result without building a suffix array. */
+  private[graft] def spanDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select($"doc_id")
+    val toks = docs
+      .repartition($"doc_id")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    // positional k-shingles: start offsets 0..m-k, the token text of
+    // each shingle carried alongside its polyhash (collision safety,
+    // exactly q75's window-key discipline)
+    val sh = toks.filter(size($"toks") >= SpanK)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), size($"toks") - SpanK),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(SpanK))))).as(Seq("pos", "sh")))
+    val w = Window
+      .partitionBy(graft.ops.expressions.TextPolyHash($"sh"), $"sh")
+      .orderBy($"doc_id", $"pos")
+    // every occurrence AFTER the corpus-wide first (in (doc_id, pos)
+    // order) marks its SpanK-token window for excision; the union of
+    // marked windows is exactly the repeated, non-canonical spans
+    val covered = sh
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1)
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanK - 1))).as("p"))
+      .distinct()
+    val tokpos = toks
+      .select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
+    val totals = tokpos.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+    val rebuilt = tokpos
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct($"p", $"tok"))),
+            x => x.getField("tok")), " ").as("clean_text"))
+    base
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tok", lit(0L)).as("n_tok"),
+        (coalesce($"n_tok", lit(0L)) - coalesce($"n_kept", lit(0L)))
+          .as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -157,7 +228,12 @@ object Cleaning {
           coalesce($"n_kept", lit(0L)).as("n_kept"),
           coalesce($"clean_text", lit("")).as("clean_text"))
         .orderBy($"doc_id")
-    }
+    },
+
+    // Cross-doc repeated-span excision (class doc; [[spanDedup]] for
+    // the chain and its scale shape). Output stays 1:1 with the
+    // corpus: (doc_id, n_tok, n_removed, clean_text).
+    "q93_span_dedup" -> { (s, d) => spanDedup(Tables.documents(s, d)) }
   )
 
   def oracles: Map[String, String] = Map(
@@ -228,6 +304,37 @@ object Cleaning {
          |FROM c
          |LEFT JOIN a ON c.doc_id = a.doc_id
          |LEFT JOIN r ON c.doc_id = r.doc_id
-         |ORDER BY c.doc_id""".stripMargin
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "q93_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         |        array_to_string(toks[u.i + 1 : u.i + $SpanK], ' ') AS sh
+         |      FROM t, unnest(range(0, len(toks) - ${SpanK - 1})) u(i)
+         |      WHERE len(toks) >= $SpanK),
+         |r AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY ${Sql.polyHash("sh")}, sh
+         |                           ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |cov AS (SELECT DISTINCT doc_id, pos + CAST(u.j AS INTEGER) AS p
+         |        FROM r, unnest(range(0, $SpanK)) u(j)
+         |        WHERE rn > 1),
+         |tok AS (SELECT doc_id, CAST(u.i AS INTEGER) AS p, toks[u.i + 1] AS tok
+         |        FROM t, unnest(range(0, len(toks))) u(i)),
+         |a AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+         |k AS (SELECT doc_id, p, tok FROM tok
+         |      WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                        WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p)),
+         |rb AS (SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+         |       FROM k GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.n_tok, 0) - coalesce(rb.n_kept, 0) AS n_removed,
+         |  coalesce(rb.clean_text, '') AS clean_text
+         |FROM t
+         |LEFT JOIN a ON t.doc_id = a.doc_id
+         |LEFT JOIN rb ON t.doc_id = rb.doc_id
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -69,6 +69,41 @@ class CleaningSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == Seq(1L -> "a b c d", 2L -> "e f"))
   }
 
+  test("span dedup excises planted cross-doc spans exactly once corpus-wide") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val span = ws("s", 1, 50)    // the 50-token boilerplate block
+    val span2 = ws("r", 1, 12)   // a within-doc repeat
+    val short = ws("t", 1, 7)    // 7 tokens — below the SpanK=8 floor
+    val docs = Seq(
+      (1L, ws("a", 1, 10) + " " + span + " " + ws("b", 1, 10)),   // first occurrence
+      (2L, ws("c", 1, 10) + " " + span + " " + ws("d", 1, 10)),   // cross-doc repeat
+      (3L, ws("z", 1, 20)),                                       // untouched
+      (4L, ws("e", 1, 5) + " " + span + " " + ws("f", 1, 5)),     // third occurrence
+      (5L, span2 + " " + ws("g", 1, 10) + " " + span2),           // intra-doc repeat
+      (6L, ws("h", 1, 10) + " " + short + " " + ws("i", 1, 10)),  // sub-threshold…
+      (7L, ws("j", 1, 10) + " " + short + " " + ws("k", 1, 10))   // …pair survives
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.spanDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    // first occurrence keeps everything; every later occurrence is
+    // excised exactly — surrounding text intact
+    assert(out(1L) == ((70L, 0L, ws("a", 1, 10) + " " + span + " " + ws("b", 1, 10))),
+      s"canonical doc was modified: ${out(1L)}")
+    assert(out(2L) == ((70L, 50L, ws("c", 1, 10) + " " + ws("d", 1, 10))),
+      s"cross-doc repeat not excised cleanly: ${out(2L)}")
+    assert(out(4L) == ((60L, 50L, ws("e", 1, 5) + " " + ws("f", 1, 5))),
+      s"third occurrence not excised: ${out(4L)}")
+    // within one doc the FIRST copy survives, the second goes
+    assert(out(5L) == ((34L, 12L, span2 + " " + ws("g", 1, 10))),
+      s"intra-doc repeat wrong: ${out(5L)}")
+    // repeats shorter than SpanK are content, not boilerplate
+    assert(out(6L)._2 == 0L && out(7L)._2 == 0L,
+      s"sub-threshold span was excised: ${out(6L)} ${out(7L)}")
+    assert(out(3L) == ((20L, 0L, ws("z", 1, 20))))
+  }
+
   test("q73/q74/q75 run end-to-end on the sf tables with sane shapes") {
     val norm = SparkEntry.queries("q73_normalize")(spark, sf).collect()
     assert(norm.nonEmpty)
