@@ -25,29 +25,45 @@ import graft.ops.TextOps
   * release immediately, and only (merge-pair, count) scalars ever
   * reach the driver.
   *
-  * Conventions: symbols start as the word's characters (merges never
-  * cross word boundaries — tokens() already split words); no
-  * end-of-word marker (documented simplification — adding one is a
-  * one-line change to the seeding select); training stops early when
-  * the best pair's weighted count drops below `minFreq`.
+  * Conventions: symbols start as the word's characters plus a
+  * trailing end-of-word marker `</w>` (the GPT-2/Sennrich
+  * convention — vocabularies distinguish the word-final piece
+  * "low</w>" from the prefix piece "low" in "lowest", so trained
+  * merge tables are interchangeable with public tokenizers; the
+  * marker cannot collide with corpus text because tokens() emits
+  * only alnum runs or single punctuation chars, never the 4-char
+  * mixed string). `markEow = false` recovers the bare-character
+  * seeding (q87's pair-stats convention). Merges never cross word
+  * boundaries — tokens() already split words. Training stops early
+  * when the best pair's weighted count drops below `minFreq`.
   */
 object BpeTrainer {
+
+  /** GPT-2/Sennrich end-of-word marker, appended as its own seed
+    * symbol to every word. */
+  val EowMarker = "</w>"
 
   /** One merge decision: fuse adjacent (a, b) into a+b; `n` is the
     * freq-weighted pair count that won the round. */
   final case class Merge(a: String, b: String, n: Long)
 
+  private def seedSymbols(word: org.apache.spark.sql.Column,
+                          markEow: Boolean): org.apache.spark.sql.Column =
+    if (markEow) concat(split(word, ""), array(lit(EowMarker)))
+    else split(word, "")
+
   /** Train up to `nMerges` BPE merges over `docs(contentCol)`.
     * Returns the ordered merge list (the tokenizer's merge table). */
   def train(spark: SparkSession, docs: DataFrame, contentCol: String,
-            nMerges: Int, minFreq: Long = 2L): Seq[Merge] = {
+            nMerges: Int, minFreq: Long = 2L,
+            markEow: Boolean = true): Seq[Merge] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     // THE corpus-scale pass: collapse to the weighted vocabulary.
-    // split(word, '') seeds character-level symbols.
+    // split(word, '') seeds character-level symbols (+ the marker).
     var vocab = docs
       .select(explode(TextOps.tokens(col(contentCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("word"), "").as("symbols"))
+      .select(col("freq"), seedSymbols(col("word"), markEow).as("symbols"))
       .localCheckpoint()
     var backing = vocab
 
@@ -86,17 +102,20 @@ object BpeTrainer {
   }
 
   /** ENCODE with a trained merge table: every word of
-    * `docs(contentCol)` splits to characters and replays the merges
-    * in training order (one [[graft.ops.expressions.BpeApply]]
-    * kernel pass per row — merges-in-order reproduces the
-    * training-state tokenization). Output: the input rows plus
-    * `bpe_tokens: array<string>`, the document's sub-word pieces in
-    * text order. Narrow map over the scan — no shuffle at any
-    * corpus size. */
-  def encode(docs: DataFrame, contentCol: String, merges: Seq[Merge]): DataFrame = {
+    * `docs(contentCol)` splits to characters (+ the end-of-word
+    * marker when `markEow`, matching how the table was trained) and
+    * replays the merges in training order (one
+    * [[graft.ops.expressions.BpeApply]] kernel pass per row —
+    * merges-in-order reproduces the training-state tokenization).
+    * Output: the input rows plus `bpe_tokens: array<string>`, the
+    * document's sub-word pieces in text order; word-final pieces
+    * carry the `</w>` suffix (strip it to reassemble the raw text).
+    * Narrow map over the scan — no shuffle at any corpus size. */
+  def encode(docs: DataFrame, contentCol: String, merges: Seq[Merge],
+             markEow: Boolean = true): DataFrame = {
     val table = merges.map(m => (m.a, m.b))
     docs.withColumn("bpe_tokens",
       flatten(transform(TextOps.tokens(col(contentCol)),
-        w => graft.ops.expressions.BpeApply(split(w, ""), table))))
+        w => graft.ops.expressions.BpeApply(seedSymbols(w, markEow), table))))
   }
 }

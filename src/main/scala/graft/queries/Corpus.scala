@@ -238,7 +238,10 @@ object Corpus {
     // top candidates ranked deterministically (count desc, pair
     // asc). The engine's tokenizer is a fixed stand-in (T1), so
     // this is the capability a team would use to TRAIN the real
-    // one from their corpus. Scale: the pair space is bounded by
+    // one from their corpus. Character bigrams only — the UNMARKED
+    // seeding (BpeTrainer's markEow=false twin; the full q92 loop
+    // adds the </w> end-of-word symbol, whose pairs a 2-char substr
+    // cannot express). Scale: the pair space is bounded by
     // alphabet² regardless of corpus size, so the global rank sorts
     // a tiny aggregate — the heavy part is the narrow explode,
     // which pipelines on the scan.
@@ -259,7 +262,9 @@ object Corpus {
     // Iterative BPE TRAINING, oracle-gated (q87 is one round of pair
     // stats; this is the induction loop itself): the first BpeRounds
     // merge decisions (round, pair, weighted count) of
-    // graft.pipeline.BpeTrainer over the corpus. The trainer
+    // graft.pipeline.BpeTrainer over the corpus, seeding each word's
+    // characters + the </w> end-of-word marker (GPT-2/Sennrich
+    // convention — public-tokenizer-interchangeable). The trainer
     // executes its distributed rounds eagerly (q63's precedent for
     // eager stages); the DuckDB twin replays every round — pair
     // count, argmax (count desc, pair asc), and the greedy
@@ -308,7 +313,9 @@ object Corpus {
     }
   )
 
-  /** q92's oracle: unrolled BPE training rounds. Words live as
+  /** q92's oracle: unrolled BPE training rounds. Words seed as their
+    * characters plus the `</w>` end-of-word symbol (BpeTrainer's
+    * GPT-2/Sennrich convention). Words live as
     * BRACKETED STRINGS — every symbol wrapped in chr(31) markers
     * (`␟s1␟␟s2␟…`), a character absent from the corpus — because
     * DuckDB 1.0's list_reduce cannot carry struct state. The greedy
@@ -347,7 +354,8 @@ object Corpus {
        |v0 AS (
        |  SELECT freq,
        |    array_to_string(list_transform(range(1, length(word) + 1),
-       |      i -> $D || word[i:i] || $D), '') AS wstr
+       |      i -> $D || word[i:i] || $D), '')
+       |      || $D || '${graft.pipeline.BpeTrainer.EowMarker}' || $D AS wstr
        |  FROM words),
        |$rounds
        |SELECT CAST(rn AS BIGINT) AS rn, a, b, n FROM (

@@ -7,20 +7,29 @@ import graft.pipeline.BpeTrainer
 /** BpeTrainer (graft.pipeline) — the iterative tokenizer-induction
   * loop, pinned against a straightforward single-process reference
   * implementation run on the same text (the VERDICT's done
-  * criterion), plus the q87 contract: round 1 of training IS q87's
-  * top merge pair.
+  * criterion), plus the q87 contract: round 1 of UNMARKED training
+  * IS q87's top merge pair. Training seeds each word's characters
+  * plus the `</w>` end-of-word marker (GPT-2/Sennrich convention),
+  * so word-final pieces are distinct vocabulary entries from
+  * identical word-internal prefixes.
   */
 class BpeSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  private val Eow = BpeTrainer.EowMarker
+
   /** Naive in-memory BPE: same conventions as the trainer (character
-    * seeding, count desc / pair asc argmax, greedy left-to-right
-    * apply with skip-past-merge, minFreq stop). */
+    * (+ optional marker) seeding, count desc / pair asc argmax,
+    * greedy left-to-right apply with skip-past-merge, minFreq stop). */
   private def refTrain(words: Map[String, Long], n: Int,
-                       minFreq: Long = 2L): Seq[(String, String, Long)] = {
+                       minFreq: Long = 2L,
+                       markEow: Boolean = true): Seq[(String, String, Long)] = {
     var vocab: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, f) => (w.split("").toVector, f) }
+      words.toSeq.map { case (w, f) =>
+        val syms = w.split("").toVector
+        (if (markEow) syms :+ Eow else syms, f)
+      }
     val out = Seq.newBuilder[(String, String, Long)]
     var continue = true
     var round = 0
@@ -36,21 +45,23 @@ class BpeSpec extends AnyFunSuite {
       best match {
         case Some(((a, b), c)) if c >= minFreq =>
           out += ((a, b, c))
-          vocab = vocab.map { case (syms, f) =>
-            val merged = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                merged += (a + b); i += 2
-              } else { merged += syms(i); i += 1 }
-            }
-            (merged.result(), f)
-          }
+          vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
           round += 1
         case _ => continue = false
       }
     }
     out.result()
+  }
+
+  private def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val merged = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        merged += (a + b); i += 2
+      } else { merged += syms(i); i += 1 }
+    }
+    merged.result()
   }
 
   test("trained merges match the single-process reference on a toy corpus") {
@@ -88,10 +99,13 @@ class BpeSpec extends AnyFunSuite {
     val out = BpeTrainer.encode(docs, "text", merges)
       .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect()
     out.foreach { case (text, pieces) =>
-      // lossless: pieces concatenate back to the words in order
-      assert(pieces.mkString("") ==
-        spark.range(1).select(concat_ws("",
-          graft.ops.TextOps.tokens(lit(text)))).as[String].head(),
+      // every word contributes exactly one marker, and stripping the
+      // markers reassembles the words in order (lossless)
+      val wordCount = text.split(" ").length
+      assert(pieces.count(_.endsWith(Eow)) == wordCount,
+        s"'$text': expected $wordCount word-final pieces in $pieces")
+      assert(pieces.mkString("").replace(Eow, "") ==
+        text.split(" ").mkString(""),
         s"pieces of '$text' do not reassemble")
     }
     // the trained merges actually fuse: some multi-char piece from
@@ -101,30 +115,45 @@ class BpeSpec extends AnyFunSuite {
     assert(fused.exists(seen.contains),
       s"no trained piece of $fused appears in encode output $seen")
     // and encoding matches the reference dynamics: applying the same
-    // merge list in order to each word's characters
+    // merge list in order to each word's characters + marker
     val wordsOf = out.flatMap { case (t, _) => t.split(" ") }.distinct
     wordsOf.foreach { w =>
-      var syms = w.split("").toVector
-      merges.foreach { m =>
-        val merged = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == m.a && syms(i + 1) == m.b) {
-            merged += (m.a + m.b); i += 2
-          } else { merged += syms(i); i += 1 }
-        }
-        syms = merged.result()
-      }
+      var syms = w.split("").toVector :+ Eow
+      merges.foreach(m => syms = applyMerge(syms, m.a, m.b))
       val enc = BpeTrainer.encode(Seq(w).toDF("text"), "text", merges)
         .select($"bpe_tokens").as[Seq[String]].head()
       assert(enc == syms, s"word '$w': kernel $enc != reference $syms")
     }
   }
 
-  test("round 1 of training is exactly q87's top merge pair") {
+  test("end-of-word marker keeps word-final pieces distinct from shared prefixes") {
+    // "low" standalone vs "low" as a prefix of "lowest": with the
+    // marker, the word-final piece trains as "low</w>" — merges
+    // never leak across the word boundary, so encoding "low lowest"
+    // yields a marker-terminated piece for the standalone word and
+    // bare prefix pieces inside the longer one (vocabulary
+    // interchangeable with public GPT-2-style tokenizers)
+    val docs = Seq.fill(8)("low lowest").toDF("text")
+    val merges = BpeTrainer.train(spark, docs, "text", nMerges = 10, minFreq = 1L)
+    // "low" appears as often as "lowest"-prefix "low": both l+o and
+    // lo+w merge, then low+</w> for the standalone form only
+    assert(merges.exists(m => m.a + m.b == s"low$Eow"),
+      s"no low$Eow merge trained: $merges")
+    val enc = BpeTrainer.encode(Seq("low lowest").toDF("text"), "text", merges)
+      .select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc.contains(s"low$Eow"),
+      s"standalone 'low' must encode to the word-final piece: $enc")
+    // the "low" inside "lowest" must NOT absorb the marker
+    val idx = enc.indexOf(s"low$Eow")
+    val rest = enc.drop(idx + 1)
+    assert(rest.nonEmpty && rest.forall(p => !p.startsWith(s"low$Eow")),
+      s"'lowest' leaked a word-final piece: $enc")
+  }
+
+  test("round 1 of UNMARKED training is exactly q87's top merge pair") {
     val sfDir = "/root/testdata/sf0.001"
     val first = BpeTrainer.train(spark, Tables.documents(spark, sfDir),
-      "text", nMerges = 1).head
+      "text", nMerges = 1, markEow = false).head
     val q87 = SparkEntry.queries("q87_bpe_pairs")(spark, sfDir)
       .filter($"rn" === 1).select($"pair", $"n").as[(String, Long)].head()
     assert(first.a + first.b == q87._1 && first.n == q87._2,
