@@ -41,14 +41,21 @@ object AnnIndex {
   private val PqK = 8
   private val PqIters = 3
   private val SampleN = 256
+  private val PermMult = 2654435761L
+  private val HashMod = 1000000007L
 
-  /** Train codebooks on the id-prefix sample, encode the corpus,
-    * persist both. */
+  /** Train codebooks on a seeded pseudo-random sample (the SampleN
+    * vec_ids ranked first by the hash permutation — unbiased unlike
+    * an id-prefix slice, deterministic across re-builds), encode the
+    * corpus, persist both. */
   def build(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
     import spark.implicits._
-    val sample = vectors.filter(col("vec_id") < SampleN).orderBy(col("vec_id"))
-      .select(col("vec")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = vectors
+      .withColumn("h", col("vec_id") * lit(PermMult) % lit(HashMod))
+      .orderBy(col("h"), col("vec_id")).limit(SampleN)
+      .select(col("vec_id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     val sub = sample.head.length / PqM
     val ivf = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
     // PQ codebooks train on what they will encode: the sample's
@@ -139,14 +146,22 @@ object AnnIndex {
       .select(col("query_id"), col("cell"),
         zip_with(col("qvec"), centAt(ivf, col("cell")), (a, b) => a - b)
           .as("qrv")))
-    // the probed cells, driver-side (bounded by nprobe · |queries|):
-    // an isin on the hive partition column prunes every other
-    // inverted-list directory at the scan
+    // the probed cells, driver-side (bounded: ≤ IvfK distinct
+    // values): an isin on the hive partition column prunes every
+    // other inverted-list directory at the scan. A LARGE query
+    // batch probes most cells — the isin then prunes nothing and
+    // degenerates to a full-scan row filter — so past half the
+    // lists the predicate is dropped and the cell equi-join below
+    // does the filtering alone (the join IS the probe; rows of
+    // unprobed cells hash to no probe row and die in the join).
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
+    val codesAll = spark.read.parquet(s"$dir/codes")
+    val codes =
+      if (cells.length * 2 <= IvfK) codesAll.filter(col("cell").isin(cells: _*))
+      else codesAll
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    spark.read.parquet(s"$dir/codes")
-      .filter(col("cell").isin(cells: _*))
+    codes
       .join(probes, Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         adc(col("qrv"), col("codes"), pqSeq).as("adc"))

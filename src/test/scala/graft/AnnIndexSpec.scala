@@ -57,6 +57,33 @@ class AnnIndexSpec extends AnyFunSuite {
       s"probe scan does not prune cell partitions:\n$plan")
   }
 
+  test("a 100-query batch takes the cells-as-join path and still never rescans raw vectors") {
+    val dir = tmp("ann-batch")
+    AnnIndex.build(spark, corpus, dir)
+    // query vectors as literals (a real probe ships its own vector);
+    // 100 queries × nprobe=2 probe most of the 16 inverted lists, so
+    // search must drop the degenerate isin and filter via the cell
+    // equi-join alone
+    val queries = corpus.filter($"vec_id" < 100)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .toDF("query_id", "qvec")
+    val df = AnnIndex.search(spark, queries, dir, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"batch search rescans the raw vectors:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in batch search:\n$plan")
+    val out = df.collect()
+    assert(out.length == 300, s"100 queries × top-3, got ${out.length}")
+    // every query's top-3 comes from its own probed cells; self must
+    // appear in each query's result set (its ADC is pure quantization
+    // error — among the smallest in the probed lists)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 100, s"queries answered: ${byQ.size}")
+    val selfMisses = byQ.count { case (q, rows) => !rows.exists(_.getLong(1) == q) }
+    assert(selfMisses == 0, s"$selfMisses queries missing their own vector in top-3")
+  }
+
   test("streaming ingest: new vector files index incrementally and become searchable") {
     val base = Files.createTempDirectory("graft-ann-stream").toString
     val dir = s"$base/ann"; val inDir = s"$base/in"; val ck = s"$base/ck"
