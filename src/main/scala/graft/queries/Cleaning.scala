@@ -83,15 +83,20 @@ object Cleaning {
     * spans). Scale shape: shingle rows shuffle ONCE on the
     * (hash, shingle) key for the first-occurrence window (hash leads
     * the key so the sort compares 8-byte values before string bytes —
-    * q75's device), the window-to-token explode is SpanK× on
-    * REPEATED occurrences only (an interval-union window would drop
-    * that factor if repeats dominated), and reassembly shuffles on
-    * doc_id. Everything is linear in corpus tokens — the
-    * suffix-array result without building a suffix array. */
+    * q75's device); the window-to-token explode is SpanK× on
+    * REPEATED occurrences only, and those drop-positions aggregate
+    * to one per-doc set — so the only other shuffles are
+    * repeat-bounded, never corpus-token-bounded. Excision itself is
+    * a NARROW pass: the per-doc drop set joins back on doc_id and an
+    * index-filtered array rebuild emits the cleaned text (no
+    * token-level anti-join, no collect_list regroup — both cost a
+    * full corpus-token shuffle in the first cut of this query; the
+    * per-token array_contains probe is bounded by the doc's own
+    * repeated-span budget). Everything is linear in corpus tokens —
+    * the suffix-array result without building a suffix array. */
   private[graft] def spanDedup(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs.select($"doc_id")
     val toks = docs
       .repartition($"doc_id")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
@@ -107,30 +112,22 @@ object Cleaning {
       .orderBy($"doc_id", $"pos")
     // every occurrence AFTER the corpus-wide first (in (doc_id, pos)
     // order) marks its SpanK-token window for excision; the union of
-    // marked windows is exactly the repeated, non-canonical spans
-    val covered = sh
+    // marked windows — one SET per doc, sized by the doc's repeated
+    // spans — is exactly the repeated, non-canonical spans
+    val dropSets = sh
       .withColumn("rn", row_number().over(w))
       .filter($"rn" > 1)
       .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanK - 1))).as("p"))
-      .distinct()
-    val tokpos = toks
-      .select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
-    val totals = tokpos.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
-    val rebuilt = tokpos
-      .join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy($"doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(sort_array(collect_list(struct($"p", $"tok"))),
-            x => x.getField("tok")), " ").as("clean_text"))
-    base
-      .join(totals, Seq("doc_id"), "left")
-      .join(rebuilt, Seq("doc_id"), "left")
+      .groupBy($"doc_id").agg(collect_set($"p").as("drop"))
+    toks
+      .join(dropSets, Seq("doc_id"), "left")
+      .select($"doc_id", $"toks",
+        coalesce($"drop", array().cast("array<int>")).as("drop"))
       .select($"doc_id",
-        coalesce($"n_tok", lit(0L)).as("n_tok"),
-        (coalesce($"n_tok", lit(0L)) - coalesce($"n_kept", lit(0L)))
-          .as("n_removed"),
-        coalesce($"clean_text", lit("")).as("clean_text"))
+        size($"toks").cast("bigint").as("n_tok"),
+        size($"drop").cast("bigint").as("n_removed"),
+        array_join(filter($"toks",
+          (_, i) => !array_contains($"drop", i)), " ").as("clean_text"))
       .orderBy($"doc_id")
   }
 
