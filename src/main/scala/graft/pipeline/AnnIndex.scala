@@ -35,29 +35,47 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private val IvfK = 16
   private val IvfIters = 4
   private val PqM = 4
   private val PqK = 8
   private val PqIters = 3
-  private val SampleN = 256
   private val PermMult = 2654435761L
   private val HashMod = 1000000007L
+  // cell-count policy: nlist ≈ √N (the standard IVF sizing — cells
+  // small enough to probe cheaply, numerous enough that nprobe/nlist
+  // is a small corpus fraction), floored for tiny corpora and capped
+  // so the codebook stays comfortable driver state. The training
+  // sample scales with the cell count (≥ SamplePerCell vectors per
+  // centroid); search never hard-codes either — it derives both from
+  // the persisted codebooks.
+  private val IvfKMin = 4
+  private val IvfKMax = 4096
+  private val SamplePerCell = 16
+  private val SampleFloor = 256
 
-  /** Train codebooks on a seeded pseudo-random sample (the SampleN
+  private[graft] def cellsFor(n: Long): Int =
+    math.max(IvfKMin, math.min(IvfKMax, math.sqrt(n.toDouble).toInt))
+
+  /** Train codebooks on a seeded pseudo-random sample (the sample
     * vec_ids ranked first by the hash permutation — unbiased unlike
     * an id-prefix slice, deterministic across re-builds), encode the
-    * corpus, persist both. */
+    * corpus, persist both. Cell count and sample size scale with the
+    * corpus ([[cellsFor]]). */
   def build(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
     import spark.implicits._
+    val n = vectors.count()
+    require(n > 0, "AnnIndex.build on an empty vector table")
+    val ivfK = cellsFor(n)
+    val sampleN = math.min(n, math.max(SampleFloor.toLong,
+      ivfK.toLong * SamplePerCell)).toInt
     val sample = vectors
       .withColumn("h", col("vec_id") * lit(PermMult) % lit(HashMod))
-      .orderBy(col("h"), col("vec_id")).limit(SampleN)
+      .orderBy(col("h"), col("vec_id")).limit(sampleN)
       .select(col("vec_id"), col("vec")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     val sub = sample.head.length / PqM
-    val ivf = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+    val ivf = graft.ops.Kmeans.train(sample, math.min(ivfK, sample.length), IvfIters)
     // PQ codebooks train on what they will encode: the sample's
     // RESIDUALS against the trained coarse quantizer (training on
     // raw vectors and encoding residuals measured recall@5 0.2 vs
@@ -158,7 +176,7 @@ object AnnIndex {
       .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
     val codesAll = spark.read.parquet(s"$dir/codes")
     val codes =
-      if (cells.length * 2 <= IvfK) codesAll.filter(col("cell").isin(cells: _*))
+      if (cells.length * 2 <= ivf.length) codesAll.filter(col("cell").isin(cells: _*))
       else codesAll
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     codes
@@ -177,7 +195,10 @@ object AnnIndex {
     val ivf = rows.filter(_.getString(0) == "ivf").sortBy(_.getInt(2))
       .map(_.getSeq[Double](3).toArray)
     val pqRows = rows.filter(_.getString(0) == "pq")
-    val pq = Array.tabulate(PqM) { m =>
+    // geometry derives from what was persisted — search never assumes
+    // the build-time constants
+    val pqM = pqRows.map(_.getInt(1)).max + 1
+    val pq = Array.tabulate(pqM) { m =>
       pqRows.filter(_.getInt(1) == m).sortBy(_.getInt(2))
         .map(_.getSeq[Double](3).toArray)
     }

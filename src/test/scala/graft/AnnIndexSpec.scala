@@ -57,6 +57,23 @@ class AnnIndexSpec extends AnyFunSuite {
       s"probe scan does not prune cell partitions:\n$plan")
   }
 
+  test("cell count scales ~sqrt(corpus) with floor and cap") {
+    assert(AnnIndex.cellsFor(1) == 4, "tiny corpora floor at 4 cells")
+    assert(AnnIndex.cellsFor(500) == 22)
+    assert(AnnIndex.cellsFor(1000000) == 1000)
+    assert(AnnIndex.cellsFor(1000000000L) == 4096,
+      "cells cap so the codebook stays bounded driver state")
+    // the persisted index agrees: a build over the sf corpus stores
+    // cellsFor(n) coarse centroids, and search derives the count from
+    // the codebook table rather than a constant
+    val dir = tmp("ann-k")
+    AnnIndex.build(spark, corpus, dir)
+    val stored = spark.read.parquet(s"$dir/codebooks")
+      .filter($"part" === "ivf").count()
+    assert(stored == AnnIndex.cellsFor(corpus.count()),
+      s"stored $stored centroids")
+  }
+
   test("a 100-query batch takes the cells-as-join path and still never rescans raw vectors") {
     val dir = tmp("ann-batch")
     AnnIndex.build(spark, corpus, dir)
