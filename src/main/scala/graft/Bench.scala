@@ -80,7 +80,11 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).foreach(_ => ())
 
+    // dev-loop filter (the driver never sets it): time only the named
+    // queries, e.g. SPARK_GRAFT_BENCH_ONLY=q93_span_dedup,q75_...
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup (untimed)
     names.foreach(n => try run(n) catch { case _: Throwable => () })
     // timed: median of 3; a failing query reports -1, never a
