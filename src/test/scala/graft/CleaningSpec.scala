@@ -123,4 +123,17 @@ class CleaningSpec extends AnyFunSuite {
     // at least one paragraph must actually have been dropped
     assert(dedup.map(r => r.getLong(1) - r.getLong(2)).sum > 0)
   }
+
+  test("q93 plan: excision is a narrow array rebuild, not a token-level regroup") {
+    // the round-8 rewrite replaced the corpus-token anti-join +
+    // collect_list regroup with a per-doc drop-set join and an
+    // index-filtered array rebuild; collect_list reappearing in the
+    // plan means the token-level regroup crept back
+    val plan = SparkEntry.queries("q93_span_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"q93 regroups corpus tokens via collect_list:\n$plan")
+    assert(plan.contains("collect_set"),
+      "q93 lost its per-doc drop-set aggregate")
+  }
 }
