@@ -188,6 +188,34 @@ object AnnIndex {
       .select(col("query_id"), col("vec_id"), col("adc"), col("rn"))
   }
 
+  /** ADC search, then EXACT rerank of the top `shortlist` candidates
+    * per query against caller-provided raw vectors (vec_id, vec) —
+    * the refine step (FAISS IndexRefineFlat; DiskANN's SSD fetch;
+    * the q90 query demonstrates the same shape one-shot). Compressed
+    * codes do the ranking work in RAM; the true vectors are fetched
+    * BY ID only for the shortlist·|queries| rows — a bounded
+    * equi-join, never a rescan — and quantization error stops
+    * capping recall. [[search]]'s codes-only guarantee is preserved
+    * by keeping this a separate entry point that takes the vector
+    * table explicitly. */
+  def searchRefined(spark: SparkSession, queries: DataFrame, dir: String,
+                    vectors: DataFrame, k: Int, nprobe: Int = 2,
+                    shortlist: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sl = search(spark, queries, dir, shortlist, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val d2 = aggregate(
+      zip_with(col("vec"), col("qvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    sl.join(vectors.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("d2"), col("rn"))
+  }
+
   private def codebooks(spark: SparkSession,
                         dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val rows = spark.read.parquet(s"$dir/codebooks")

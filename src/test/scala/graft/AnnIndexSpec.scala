@@ -101,6 +101,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(selfMisses == 0, s"$selfMisses queries missing their own vector in top-3")
   }
 
+  test("searchRefined reranks the ADC shortlist by true distance via a bounded id-join") {
+    val dir = tmp("ann-refine")
+    AnnIndex.build(spark, corpus, dir)
+    val queries = corpus.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val refined = AnnIndex.searchRefined(spark, queries, dir, corpus, k = 5)
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in refine:\n$plan")
+    val rows = refined.orderBy($"rn").collect()
+    assert(rows.length == 5)
+    // rank 1 is the query itself at true distance 0 (ADC could only
+    // promise quantization-error distance), and ranks order by the
+    // TRUE distance, non-decreasing
+    assert(rows.head.getLong(1) == 7L && rows.head.getDouble(2) == 0.0,
+      s"self not first at d2=0: ${rows.head}")
+    val d2s = rows.map(_.getDouble(2))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b },
+      s"refined ranks not ordered by true distance: ${d2s.toSeq}")
+    // refined results are a subset of the ADC shortlist — refine
+    // reorders, it never widens the probe
+    val short = AnnIndex.search(spark, queries, dir, k = 25)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(1)).forall(short.contains),
+      "refined result outside the ADC shortlist")
+  }
+
   test("streaming ingest: new vector files index incrementally and become searchable") {
     val base = Files.createTempDirectory("graft-ann-stream").toString
     val dir = s"$base/ann"; val inDir = s"$base/in"; val ck = s"$base/ck"
