@@ -68,7 +68,8 @@ object ZorderLayout {
     val cand = spark.read.parquet(s"$dir/_spans")
       .filter(!(col("x_max") < xLo || col("x_min") > xHi ||
         col("y_max") < yLo || col("y_min") > yHi))
-      .select(col("zfile").cast("long")).collect().map(_.getLong(0))
+      .select(col("zfile").cast("long")).collect()
+      .map(_.getLong(0)).toIndexedSeq
     spark.read.parquet(dir)
       .filter(col("zfile").cast("long").isin(cand: _*))
       .filter(col("zx").between(xLo, xHi) && col("zy").between(yLo, yHi))
