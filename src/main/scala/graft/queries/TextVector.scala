@@ -149,8 +149,14 @@ object TextVector {
   // the standard serving answer when quantization noise, not cell
   // routing, caps recall). Cost shape: an id-equi-join of
   // RerankR·|queries| shortlist rows back to the raw vectors —
-  // bounded, never a rescan.
-  private val RerankR = 25
+  // bounded, never a rescan. Sizing: the shortlist must track the
+  // probed-candidate count (≈ nprobe·n/IvfK), or ADC noise pushes
+  // true neighbors off it — 25 cleared 0.73 recall at 500 vectors
+  // and collapsed to 0.27 at 2000 (AnnRecallSpec pins both scales);
+  // 150 restores the cell-recall ceiling at every test SF while
+  // remaining a vanishing fraction of a production cell (30k+
+  // vectors at nlist=√n, 1e9-corpus).
+  private val RerankR = 150
 
   /** Deterministic PQ codebook shared by q78/q90 and their oracles:
     * integer formula → the exact double both engines compute. */
