@@ -197,12 +197,19 @@ object AnnIndex {
     * equi-join, never a rescan — and quantization error stops
     * capping recall. [[search]]'s codes-only guarantee is preserved
     * by keeping this a separate entry point that takes the vector
-    * table explicitly. */
+    * table explicitly.
+    *
+    * `shortlist = 0` (default) auto-sizes to `max(16·k, 128)` —
+    * a shortlist that does not scale with the ask was measured (in
+    * the q90 twin) collapsing recall 0.73 → 0.27 when cell
+    * population quadrupled, because ADC noise pushes true neighbors
+    * off a fixed-depth list. */
   def searchRefined(spark: SparkSession, queries: DataFrame, dir: String,
                     vectors: DataFrame, k: Int, nprobe: Int = 2,
-                    shortlist: Int = 25): DataFrame = {
+                    shortlist: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sl = search(spark, queries, dir, shortlist, nprobe)
+    val depth = if (shortlist > 0) shortlist else math.max(16 * k, 128)
+    val sl = search(spark, queries, dir, depth, nprobe)
       .select(col("query_id"), col("vec_id"))
     val d2 = aggregate(
       zip_with(col("vec"), col("qvec"), (a, b) => (a - b) * (a - b)),

@@ -120,10 +120,14 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b },
       s"refined ranks not ordered by true distance: ${d2s.toSeq}")
     // refined results are a subset of the ADC shortlist — refine
-    // reorders, it never widens the probe
+    // reorders, it never widens the probe (pinned with an explicit
+    // shortlist depth so the subset check is exact)
+    val refined25 = AnnIndex
+      .searchRefined(spark, queries, dir, corpus, k = 5, shortlist = 25)
+      .select($"vec_id").as[Long].collect().toSet
     val short = AnnIndex.search(spark, queries, dir, k = 25)
       .select($"vec_id").as[Long].collect().toSet
-    assert(rows.map(_.getLong(1)).forall(short.contains),
+    assert(refined25.forall(short.contains),
       "refined result outside the ADC shortlist")
   }
 
