@@ -22,6 +22,19 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Aggregate (total, steal) jiffies from /proc/stat's first line.
+    * Steal is the contamination mode the loadavg gate CANNOT see: on
+    * a virtualized host a busy neighbor steals guest cycles while
+    * guest loadavg stays low — measured here as identical-code bench
+    * totals swinging 45 → 60 s with load_before < 1.5. Reporting the
+    * run's steal fraction lets a reader judge the number's quality. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contamination guard, now ENFORCED (two rounds running, the
@@ -87,6 +100,7 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     // warmup (untimed)
     names.foreach(n => try run(n) catch { case _: Throwable => () })
+    val (cpuTotal0, steal0) = cpuStat()
     // timed: median of 3; a failing query reports -1, never a
     // fast-looking time-to-failure
     val results = names.map { name =>
@@ -113,8 +127,13 @@ object Bench {
     // gate above enforces it unless --force); load_at_start is the
     // pre-wait reading and load_after reflects this process's own
     // 32-thread work — both informational
+    val (cpuTotal1, steal1) = cpuStat()
+    val stealPct =
+      if (cpuTotal1 > cpuTotal0)
+        100.0 * (steal1 - steal0) / (cpuTotal1 - cpuTotal0)
+      else -1.0
     val loadJson = s""""load_before":$loadBefore,"load_at_start":$loadAtStart,""" +
-      s""""load_after":${loadAvg()},"forced":$force"""
+      s""""load_after":${loadAvg()},"steal_pct":$stealPct,"forced":$force"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
