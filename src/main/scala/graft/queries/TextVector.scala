@@ -173,11 +173,17 @@ object TextVector {
   /** The shared codebook-training sample (q33/q90/q91): the
     * IvfSampleN vectors ranked first by the seeded hash permutation,
     * collected in vec_id order (the pinned init/fold order). Bounded
-    * driver state — the standard index-build lifecycle. */
-  private def ivfSample(emb: DataFrame): Array[Array[Double]] =
+    * driver state — the standard index-build lifecycle. The
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition
+    * top-N + driver merge — ScaleSpec pins it), NOT a global sort:
+    * at 1e9 vectors the sample costs one scan, no shuffle. */
+  private[graft] def ivfSampleDf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("h", col("vec_id") * lit(PermMult) % lit(HashMod))
       .orderBy(col("h"), col("vec_id")).limit(IvfSampleN)
+
+  private def ivfSample(emb: DataFrame): Array[Array[Double]] =
+    ivfSampleDf(emb)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)

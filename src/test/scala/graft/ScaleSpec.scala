@@ -173,4 +173,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(scanLines.nonEmpty && scanLines.forall(!_.contains("regexp")),
       s"text kernels must not run inside the scan:\n${scanLines.headOption.getOrElse("")}")
   }
+
+  test("seeded codebook sampling plans as bounded top-N, not a global sort") {
+    // the q33/q90/q91 training sample: orderBy(hash)+limit must plan
+    // onto TakeOrderedAndProject (per-partition top-N, driver merge)
+    // — a Sort+Exchange here would shuffle the full vector table just
+    // to pick a 400-row sample
+    val plan = graft.queries.TextVector
+      .ivfSampleDf(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample is not a bounded top-N:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"sample plan shuffles the vector table:\n$plan")
+  }
 }
