@@ -52,6 +52,15 @@ object DedupScreenStream {
   private[graft] def screenedDir(indexDir: String): String =
     s"$indexDir/screened"
 
+  /** Fold accumulated `run=` partitions of BOTH stores this stream
+    * appends to — the main index and the screened-doc probe index —
+    * into one run each ([[graft.pipeline.DedupIndex.compact]]'s
+    * contract; run at a quiescent point, no in-flight deliveries). */
+  def compact(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    graft.pipeline.DedupIndex.compact(spark, indexDir)
+    graft.pipeline.DedupIndex.compact(spark, screenedDir(indexDir))
+  }
+
   /** One checkpointed pass over whatever files are new in `inDir`
     * (Trigger.AvailableNow). The index at `indexDir` must exist
     * (DedupIndex.build — an empty corpus is fine). Safe to call

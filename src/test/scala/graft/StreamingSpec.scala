@@ -422,6 +422,16 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 100L -> 1L, 200L -> 1L),
       s"X did not reach the cluster through the screened-out Y: $got")
+
+    // quiescent compaction folds BOTH stores this stream appends to
+    // (main index runs: base + X's batch; screened probe index: Y's
+    // batch) and changes nothing readable
+    DedupScreenStream.compact(spark, idx)
+    assert(DedupIndex.runCount(spark, idx) == 1,
+      "main index must fold to one run")
+    val after = ClusterMaintenance.current(spark, lbl)
+      .as[(Long, Long)].collect().toMap
+    assert(after == got, s"compaction changed labels: $got -> $after")
   }
 
   test("label deltas: absorbs write O(touched) rows, compact folds to one epoch, labels unchanged") {
