@@ -95,7 +95,18 @@ object Bench {
 
     // dev-loop filter (the driver never sets it): time only the named
     // queries, e.g. SPARK_GRAFT_BENCH_ONLY=q93_span_dedup,q75_...
+    // Unknown names REFUSE (like the loadavg gate): a typo would
+    // otherwise emit a plausible-looking total-0 artifact.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] REFUSING: unknown SPARK_GRAFT_BENCH_ONLY names " +
+            s"${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warmup (untimed)

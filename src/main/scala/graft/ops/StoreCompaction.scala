@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-recoverable partition-folding shared by the three
+  * run/epoch-accumulating stores ([[graft.pipeline.DedupIndex]],
+  * [[graft.pipeline.AnnIndex]], [[graft.pipeline.ClusterMaintenance]])
+  * — one implementation so the crash semantics cannot diverge (the
+  * first cut had three hand-rolled variants with three different
+  * failure windows).
+  *
+  * Protocol, for folding every `<prefix>=` dir under `path` into one
+  * `<prefix>=<target>`:
+  *   1. write the merged snapshot to `.compact-tmp` (a dot-dir —
+  *      parquet readers ignore it);
+  *   2. create the `.compact-commit` marker naming the target
+  *      (atomic create — the commit point: from here the snapshot is
+  *      authoritative);
+  *   3. delete the old partition dirs;
+  *   4. rename the snapshot to `<prefix>=<target>`;
+  *   5. delete the marker.
+  * A crash before 2 changes nothing readable (a stale tmp is
+  * discarded by the next fold). A crash after 2 is completed by
+  * [[heal]], which the stores' read entry points call first — every
+  * window self-heals on the next touch instead of requiring manual
+  * recovery. Folds must still run at a QUIESCENT point (no in-flight
+  * appends): an append landing between 3 and 4 is not protected —
+  * that is the stores' documented operational contract, not a crash
+  * concern.
+  */
+object StoreCompaction {
+
+  private val TmpName = ".compact-tmp"
+  private val MarkerName = ".compact-commit"
+
+  /** Fold the `<prefix>=` partitions of `path` into `<prefix>=<target>`
+    * holding `merged` (already stripped of the partition column).
+    * No-op when the store has ≤ 1 partition dir. */
+  def fold(spark: SparkSession, path: String, prefix: String, target: String,
+           merged: => DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    heal(spark, path, prefix)
+    if (partDirs(fs, root, prefix).length <= 1) return
+    val tmp = new Path(root, TmpName)
+    fs.delete(tmp, true)
+    val w = merged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val marker = fs.create(new Path(root, MarkerName), true)
+    try marker.write(target.getBytes("UTF-8")) finally marker.close()
+    partDirs(fs, root, prefix).foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new Path(root, s"$prefix=$target"))
+    fs.delete(new Path(root, MarkerName), false)
+  }
+
+  /** Complete an interrupted [[fold]]: while the commit marker
+    * exists the temp snapshot is authoritative — delete leftover
+    * partition dirs, rename the snapshot into place (skipped if the
+    * crash already renamed it), drop the marker. No-op without the
+    * marker, so calling this from every read path costs one
+    * existence check. */
+  def heal(spark: SparkSession, path: String, prefix: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val markerPath = new Path(root, MarkerName)
+    if (!fs.exists(markerPath)) return
+    val in = fs.open(markerPath)
+    val target =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val tmp = new Path(root, TmpName)
+    if (target.nonEmpty && fs.exists(tmp)) {
+      partDirs(fs, root, prefix).foreach(p => fs.delete(p, true))
+      fs.rename(tmp, new Path(root, s"$prefix=$target"))
+    }
+    fs.delete(markerPath, false)
+  }
+
+  private def partDirs(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                       prefix: String): Array[Path] =
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(prefix + "="))
+}

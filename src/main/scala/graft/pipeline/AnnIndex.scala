@@ -39,8 +39,6 @@ object AnnIndex {
   private val PqM = 4
   private val PqK = 8
   private val PqIters = 3
-  private val PermMult = 2654435761L
-  private val HashMod = 1000000007L
   // cell-count policy: nlist ≈ √N (the standard IVF sizing — cells
   // small enough to probe cheaply, numerous enough that nprobe/nlist
   // is a small corpus fraction), floored for tiny corpora and capped
@@ -68,11 +66,12 @@ object AnnIndex {
     val ivfK = cellsFor(n)
     val sampleN = math.min(n, math.max(SampleFloor.toLong,
       ivfK.toLong * SamplePerCell)).toInt
-    val sample = vectors
-      .withColumn("h", col("vec_id") * lit(PermMult) % lit(HashMod))
-      .orderBy(col("h"), col("vec_id")).limit(sampleN)
-      .select(col("vec_id"), col("vec")).collect()
-      .sortBy(_.getLong(0))
+    // getAs[Number]: callers may supply INT or LONG vec_ids — this is
+    // a public pipeline API, unlike the schema-pinned query pack
+    val sample = graft.ops.SeededSample
+      .top(vectors.select(col("vec_id"), col("vec")), "vec_id", sampleN)
+      .collect()
+      .sortBy(_.getAs[Number](0).longValue)
       .map(_.getSeq[Double](1).toArray)
     val sub = sample.head.length / PqM
     val ivf = graft.ops.Kmeans.train(sample, math.min(ivfK, sample.length), IvfIters)
@@ -119,23 +118,14 @@ object AnnIndex {
     * the folded copy. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val path = s"$dir/codes"
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val runs = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("run="))
-    if (runs.length <= 1) return
-    val tmp = new org.apache.hadoop.fs.Path(path, ".compact-tmp")
-    fs.delete(tmp, true)
-    spark.read.parquet(path).drop("run")
-      .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
-    runs.foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "run=base"))
+    graft.ops.StoreCompaction.fold(spark, path, "run", "base",
+      spark.read.parquet(path).drop("run"), Seq("cell"))
   }
 
   /** How many `run=` partitions a search currently lists (spec hook
     * for the compaction contract). */
   private[graft] def runCount(spark: SparkSession, dir: String): Int = {
+    graft.ops.StoreCompaction.heal(spark, s"$dir/codes", "run")
     val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) 0
@@ -174,6 +164,7 @@ object AnnIndex {
     // unprobed cells hash to no probe row and die in the join).
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
+    graft.ops.StoreCompaction.heal(spark, s"$dir/codes", "run")
     val codesAll = spark.read.parquet(s"$dir/codes")
     val codes =
       if (cells.length * 2 <= ivf.length) codesAll.filter(col("cell").isin(cells: _*))

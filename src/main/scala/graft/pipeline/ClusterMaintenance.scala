@@ -66,11 +66,13 @@ object ClusterMaintenance {
     * Partition value inference may type `epoch` int or long —
     * normalize. Empty table (no-duplicate corpus) yields an empty
     * (doc_id, label) frame, not an error. */
-  def current(spark: SparkSession, labelDir: String): DataFrame =
+  def current(spark: SparkSession, labelDir: String): DataFrame = {
+    graft.ops.StoreCompaction.heal(spark, labelDir, "epoch")
     spark.read.parquet(labelDir)
       .withColumn("epoch", col("epoch").cast("long"))
       .groupBy(col("doc_id"))
       .agg(max_by(col("label"), col("epoch")).as("label"))
+  }
 
   /** Absorb one ingest batch: bounded component re-run (class doc),
     * ONLY the recomputed rows written as the `epoch = batchId + 1`
@@ -109,22 +111,22 @@ object ClusterMaintenance {
 
   /** Fold every delta epoch into a single `epoch=<max>` snapshot so
     * [[current]] lists O(1) partitions regardless of how many batches
-    * have been absorbed. Swap order: materialize the merged table,
-    * overwrite the max-epoch dir with it, then delete the older
-    * epoch dirs — a crash mid-compact leaves a table [[current]]
-    * still reads correctly (latest-wins over full snapshot + stale
-    * deltas ≡ the snapshot). Run at a QUIESCENT point (stream
-    * stopped or checkpoint committed): a re-delivery of an
-    * already-compacted batch would overwrite the merged snapshot
-    * with that batch's delta. */
+    * have been absorbed. Crash-recoverable via
+    * [[graft.ops.StoreCompaction]] (snapshot to a temp dir, commit
+    * marker, delete, rename — [[current]] heals an interrupted fold
+    * on its next read; the first cut overwrote the live max-epoch dir
+    * in place, where a crash mid-write silently served stale labels).
+    * Run at a QUIESCENT point (stream stopped or checkpoint
+    * committed): a re-delivery of an already-compacted batch would
+    * overwrite the merged snapshot with that batch's delta. */
   def compact(spark: SparkSession, labelDir: String): Unit = {
+    graft.ops.StoreCompaction.heal(spark, labelDir, "epoch")
     val paths = epochPaths(spark, labelDir)
     if (paths.length <= 1) return
     val maxEpoch = paths.map(epochOf).max
-    val merged = current(spark, labelDir).localCheckpoint()
-    writeEpoch(merged, labelDir, maxEpoch)
-    val fs = new Path(labelDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    paths.filter(epochOf(_) != maxEpoch).foreach(p => fs.delete(p, true))
+    graft.ops.StoreCompaction.fold(spark, labelDir, "epoch", maxEpoch.toString,
+      current(spark, labelDir)
+        .select(col("doc_id").cast("long"), col("label").cast("long")))
   }
 
   /** How many epoch partitions a reader currently lists (spec hook

@@ -72,8 +72,17 @@ object DedupIndex {
     * signature; bands derive from the signatures. The index is
     * hive-partitioned on a `run` label: build writes `run=base` and
     * clears every earlier run; [[append]] adds runs incrementally. */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // a REBUILD must also clear the screened-doc probe store a
+    // DedupScreenStream left under this dir (graft.streaming
+    // .DedupScreenStream.screenedDir): it holds the PREVIOUS
+    // corpus's LSH state, and stale probe edges would otherwise fold
+    // phantom doc_ids into the next deployment's label table
+    val screened = new org.apache.hadoop.fs.Path(s"$dir/screened")
+    val fs = screened.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(screened)) fs.delete(screened, true)
     write(spark, docs, dir, "base", clearOtherRuns = true)
+  }
 
   /** Append one ingest batch's docs to the index under `run=<runId>`
     * (whole-dir overwrite of that run: re-running the same runId
@@ -118,37 +127,27 @@ object DedupIndex {
   /** Fold every `run=` partition of each index table into a single
     * `run=base`, bounding what steady-state screenings list (daily
     * appends otherwise accumulate one partition per batch forever).
-    * Swap order per table: write the merged rows to a hidden temp dir
-    * (readers ignore dot-dirs), delete the old run dirs, rename the
-    * temp into place as `run=base` — one pass over the table, no
-    * driver-side materialization. A crash between delete and rename
-    * leaves the data intact in the temp dir (manual recovery), which
-    * a production deployment would close with a commit-log swap.
-    * Run at a QUIESCENT point (no in-flight deliveries): a
-    * re-delivered batch appending its `run=` after compaction would
-    * duplicate that batch's rows alongside the folded copy. */
+    * Crash-recoverable via [[graft.ops.StoreCompaction]] (snapshot
+    * to a temp dir, commit marker, delete, rename — read entry
+    * points heal an interrupted fold). Run at a QUIESCENT point (no
+    * in-flight deliveries): a re-delivered batch appending its
+    * `run=` after compaction would duplicate that batch's rows
+    * alongside the folded copy. */
   def compact(spark: SparkSession, dir: String): Unit =
     Tables.foreach { t =>
       val path = s"$dir/$t"
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) {
-        val runs = fs.listStatus(root).map(_.getPath)
-          .filter(_.getName.startsWith("run="))
-        if (runs.length > 1) {
-          val tmp = new org.apache.hadoop.fs.Path(path, ".compact-tmp")
-          fs.delete(tmp, true)
-          spark.read.parquet(path).drop("run")
-            .write.mode("overwrite").parquet(tmp.toString)
-          runs.foreach(p => fs.delete(p, true))
-          fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "run=base"))
-        }
-      }
+      graft.ops.StoreCompaction.fold(spark, path, "run", "base",
+        spark.read.parquet(path).drop("run"))
     }
+
+  private def healAll(spark: SparkSession, dir: String): Unit =
+    Tables.foreach(t =>
+      graft.ops.StoreCompaction.heal(spark, s"$dir/$t", "run"))
 
   /** How many `run=` partitions a screening currently lists (spec
     * hook for the compaction contract). */
   private[graft] def runCount(spark: SparkSession, dir: String): Int = {
+    graft.ops.StoreCompaction.heal(spark, s"$dir/fingerprints", "run")
     val root = new org.apache.hadoop.fs.Path(s"$dir/fingerprints")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) 0
@@ -176,6 +175,7 @@ object DedupIndex {
     // released before the caller executes — and the new batch is the
     // small side by definition, so recomputing its kernels per
     // reference costs less than materializing them would at scale
+    healAll(spark, dir) // complete any interrupted compaction first
     val derived = withDerived(newDocs)
     def runs(path: String): DataFrame = {
       val df = spark.read.parquet(path)
@@ -215,6 +215,7 @@ object DedupIndex {
     * existing clusters, not just its best match). */
   private def verifiedAgainst(spark: SparkSession, derived: DataFrame,
                               dir: String, excludeRun: Option[String]): DataFrame = {
+    healAll(spark, dir) // complete any interrupted compaction first
     def runs(path: String): DataFrame = {
       val df = spark.read.parquet(path)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))

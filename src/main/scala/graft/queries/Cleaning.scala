@@ -97,9 +97,13 @@ object Cleaning {
   private[graft] def spanDedup(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NULL text reads as empty (n_tok=0, clean_text='') — matching
+    // the oracle's coalesce path; bare tokens(NULL) would
+    // null-propagate into size()=-1 and a NULL rebuild
     val toks = docs
       .repartition($"doc_id")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.tokens(coalesce($"text", lit(""))).as("toks"))
     // positional k-shingles: start offsets 0..m-k, the token text of
     // each shingle carried alongside its polyhash (collision safety,
     // exactly q75's window-key discipline)

@@ -178,9 +178,8 @@ object TextVector {
     * top-N + driver merge — ScaleSpec pins it), NOT a global sort:
     * at 1e9 vectors the sample costs one scan, no shuffle. */
   private[graft] def ivfSampleDf(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"))
-      .withColumn("h", col("vec_id") * lit(PermMult) % lit(HashMod))
-      .orderBy(col("h"), col("vec_id")).limit(IvfSampleN)
+    graft.ops.SeededSample.top(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", IvfSampleN)
 
   private def ivfSample(emb: DataFrame): Array[Array[Double]] =
     ivfSampleDf(emb)
@@ -190,10 +189,12 @@ object TextVector {
 
   /** Oracle twin of [[ivfSample]]'s membership: e(vec_id, x) rows of
     * the seeded sample, in any order (folds re-pin with ORDER BY
-    * vec_id). */
+    * vec_id). Constants interpolate from [[graft.ops.SeededSample]]
+    * so the SQL twin can never drift from the engine's device. */
   private def sqlSamp(from: String): String =
     s"(SELECT vec_id, x FROM $from " +
-      s"ORDER BY (vec_id * $PermMult) % $HashMod, vec_id LIMIT $IvfSampleN)"
+      s"ORDER BY (vec_id * ${graft.ops.SeededSample.Mult}) % " +
+      s"${graft.ops.SeededSample.Mod}, vec_id LIMIT $IvfSampleN)"
 
   /** ADC (asymmetric distance): query sub-vectors vs the candidate's
     * CODE centroids — the candidate's floats are never read at query

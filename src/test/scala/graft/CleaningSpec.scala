@@ -104,6 +104,17 @@ class CleaningSpec extends AnyFunSuite {
     assert(out(3L) == ((20L, 0L, ws("z", 1, 20))))
   }
 
+  test("span dedup treats NULL and empty text as zero-token docs, never null-propagates") {
+    val docs = Seq((1L, "real content here"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.spanDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(2L) == ((0L, 0L, "")), s"NULL text must read empty: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, "")), s"empty text wrong: ${out(3L)}")
+    assert(out(1L)._1 == 3L)
+  }
+
   test("q73/q74/q75 run end-to-end on the sf tables with sane shapes") {
     val norm = SparkEntry.queries("q73_normalize")(spark, sf).collect()
     assert(norm.nonEmpty)

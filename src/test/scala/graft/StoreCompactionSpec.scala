@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.ops.StoreCompaction
+import java.nio.file.Files
+
+/** StoreCompaction (graft.ops) — the shared crash-recoverable
+  * partition fold behind DedupIndex/AnnIndex/ClusterMaintenance
+  * compaction. The protocol's claim: every crash window either
+  * changes nothing readable or is completed by heal() on the next
+  * read.
+  */
+class StoreCompactionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def store(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft-$name").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/run=base")
+    Seq((3L, "c")).toDF("id", "v")
+      .write.parquet(s"$dir/run=b1")
+    dir
+  }
+
+  private def rows(dir: String): Set[(Long, String)] =
+    spark.read.parquet(dir).select($"id", $"v")
+      .as[(Long, String)].collect().toSet
+
+  private val all = Set(1L -> "a", 2L -> "b", 3L -> "c")
+
+  test("fold merges every partition into the target and removes the marker") {
+    val dir = store("fold")
+    StoreCompaction.fold(spark, dir, "run", "base",
+      spark.read.parquet(dir).drop("run"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+    assert(names.count(_.startsWith("run=")) == 1, s"not folded: $names")
+    assert(!names.contains(".compact-commit") && !names.contains(".compact-tmp"),
+      s"protocol files left behind: $names")
+    assert(rows(dir) == all)
+  }
+
+  test("heal completes a crash between delete and rename (the committed window)") {
+    val dir = store("heal-mid")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // replay the protocol by hand up to the crash: snapshot → marker
+    // → old partitions deleted → CRASH (no rename)
+    spark.read.parquet(dir).drop("run")
+      .write.parquet(s"$dir/.compact-tmp")
+    val m = fs.create(new Path(dir, ".compact-commit"), true)
+    m.write("base".getBytes("UTF-8")); m.close()
+    fs.delete(new Path(dir, "run=base"), true)
+    fs.delete(new Path(dir, "run=b1"), true)
+    // the store now has zero visible partitions — heal must restore it
+    StoreCompaction.heal(spark, dir, "run")
+    assert(rows(dir) == all, "healed store lost rows")
+    assert(!fs.exists(new Path(dir, ".compact-commit")))
+  }
+
+  test("heal completes a crash after rename but before marker removal") {
+    val dir = store("heal-late")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreCompaction.fold(spark, dir, "run", "base",
+      spark.read.parquet(dir).drop("run"))
+    // crash state: fold finished the rename but died before removing
+    // the marker — re-create it
+    val m = fs.create(new Path(dir, ".compact-commit"), true)
+    m.write("base".getBytes("UTF-8")); m.close()
+    StoreCompaction.heal(spark, dir, "run")
+    assert(!fs.exists(new Path(dir, ".compact-commit")))
+    assert(rows(dir) == all)
+  }
+
+  test("a stale tmp WITHOUT a marker is ignored by heal and discarded by the next fold") {
+    val dir = store("stale-tmp")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash BEFORE the commit point: a partial tmp exists, marker does
+    // not — the old partitions are still the truth
+    Seq((99L, "garbage")).toDF("id", "v")
+      .write.parquet(s"$dir/.compact-tmp")
+    StoreCompaction.heal(spark, dir, "run")
+    assert(rows(dir) == all, "heal must not promote an uncommitted tmp")
+    StoreCompaction.fold(spark, dir, "run", "base",
+      spark.read.parquet(dir).drop("run"))
+    assert(rows(dir) == all, "fold must discard the stale tmp")
+    assert(!fs.exists(new Path(dir, ".compact-tmp")))
+  }
+
+  test("AnnIndex search self-heals an interrupted compaction") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-ann-heal").toString
+    val dir = s"$base/ann"
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", v => v.cast("double")).as("vec"))
+    graft.pipeline.AnnIndex.build(spark, corpus, dir)
+    val donor = corpus.filter($"vec_id" === 7).select($"vec").as[Seq[Double]].head()
+    graft.pipeline.AnnIndex.append(spark,
+      Seq((100000L, donor.map(_ + 0.001))).toDF("vec_id", "vec"), dir, "b1")
+    val q7 = corpus.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val before = graft.pipeline.AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id", $"rn").as[(Long, Int)].collect().toSet
+    // replay compaction up to the crash (marker committed, runs
+    // deleted, rename pending)
+    val codes = s"$dir/codes"
+    val fs = new Path(codes).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(codes).drop("run")
+      .write.partitionBy("cell").parquet(s"$codes/.compact-tmp")
+    val m = fs.create(new Path(codes, ".compact-commit"), true)
+    m.write("base".getBytes("UTF-8")); m.close()
+    fs.listStatus(new Path(codes)).map(_.getPath)
+      .filter(_.getName.startsWith("run=")).foreach(p => fs.delete(p, true))
+    // the next search heals and serves identical results
+    val after = graft.pipeline.AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id", $"rn").as[(Long, Int)].collect().toSet
+    assert(after == before, s"healed index serves different results: $before -> $after")
+    assert(graft.pipeline.AnnIndex.runCount(spark, dir) == 1)
+  }
+}
