@@ -102,6 +102,10 @@ object AnnIndex {
     * it under `run=<runId>` (idempotent under re-delivery). */
   def append(spark: SparkSession, newVectors: DataFrame, dir: String,
              runId: String): Unit = {
+    // complete any interrupted compaction BEFORE landing the run: a
+    // later heal would otherwise restore the pre-compaction snapshot
+    // over this append
+    graft.ops.StoreCompaction.heal(spark, s"$dir/codes", "run")
     val (ivf, pq) = codebooks(spark, dir)
     writeCodes(newVectors, dir, runId, ivf, pq, dynamic = true)
   }

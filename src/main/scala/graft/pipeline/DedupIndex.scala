@@ -96,6 +96,10 @@ object DedupIndex {
 
   private def write(spark: SparkSession, docs: DataFrame, dir: String,
                     runId: String, clearOtherRuns: Boolean): Unit = {
+    // complete any interrupted compaction BEFORE landing a run: a
+    // later heal would otherwise restore the pre-compaction snapshot
+    // over this write
+    healAll(spark, dir)
     val derived = withDerived(docs).cache()
     // each run is written as an EXPLICIT `run=<id>` directory rather
     // than through partitionBy: same hive layout (readers still

@@ -88,6 +88,25 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(dir, ".compact-tmp")))
   }
 
+  test("an append onto a crashed-mid-compaction store heals first, losing nothing") {
+    val dir = store("append-heal")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed crash state (marker present, partitions deleted)
+    spark.read.parquet(dir).drop("run")
+      .write.parquet(s"$dir/.compact-tmp")
+    val m = fs.create(new Path(dir, ".compact-commit"), true)
+    m.write("base".getBytes("UTF-8")); m.close()
+    fs.delete(new Path(dir, "run=base"), true)
+    fs.delete(new Path(dir, "run=b1"), true)
+    // a writer heals before landing its run — the heal must not later
+    // clobber the append, and the append must not vanish
+    StoreCompaction.heal(spark, dir, "run")
+    Seq((4L, "d")).toDF("id", "v").write.parquet(s"$dir/run=b2")
+    assert(rows(dir) == all + (4L -> "d"), s"rows lost: ${rows(dir)}")
+    StoreCompaction.heal(spark, dir, "run") // stray second heal: no-op
+    assert(rows(dir) == all + (4L -> "d"))
+  }
+
   test("AnnIndex search self-heals an interrupted compaction") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-ann-heal").toString
