@@ -51,10 +51,39 @@ object StoreCompaction {
       .parquet(tmp.toString)
     val marker = fs.create(new Path(root, MarkerName), true)
     try marker.write(target.getBytes("UTF-8")) finally marker.close()
-    partDirs(fs, root, prefix).foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new Path(root, s"$prefix=$target"))
+    // every step between marker and marker-removal must VERIFY its fs
+    // result (Hadoop FileSystem reports failure by returning false,
+    // not throwing): on failure we abort with the marker in place so
+    // heal can finish the job — silently proceeding to delete the
+    // marker after a failed rename would strand the snapshot in the
+    // dot-dir with no recovery path
+    partDirs(fs, root, prefix).foreach(p => mustDelete(fs, p))
+    mustRename(fs, tmp, new Path(root, s"$prefix=$target"))
     fs.delete(new Path(root, MarkerName), false)
   }
+
+  /** Remove any in-flight protocol state (marker + temp snapshot)
+    * WITHOUT completing it — for rebuild/init paths that are about
+    * to destroy the store's contents anyway: healing there would
+    * resurrect the previous deployment's data over the fresh one. */
+  def reset(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.delete(new Path(root, MarkerName), false)
+    fs.delete(new Path(root, TmpName), true)
+  }
+
+  private def mustDelete(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new IllegalStateException(
+        s"compaction: failed to delete $p (commit marker left for heal)")
+
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+                         from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"compaction: failed to rename $from -> $to (commit marker left for heal)")
 
   /** Complete an interrupted [[fold]]: while the commit marker
     * exists the temp snapshot is authoritative — delete leftover
@@ -74,8 +103,8 @@ object StoreCompaction {
       finally in.close()
     val tmp = new Path(root, TmpName)
     if (target.nonEmpty && fs.exists(tmp)) {
-      partDirs(fs, root, prefix).foreach(p => fs.delete(p, true))
-      fs.rename(tmp, new Path(root, s"$prefix=$target"))
+      partDirs(fs, root, prefix).foreach(p => mustDelete(fs, p))
+      mustRename(fs, tmp, new Path(root, s"$prefix=$target"))
     }
     fs.delete(markerPath, false)
   }

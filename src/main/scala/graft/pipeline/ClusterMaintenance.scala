@@ -56,6 +56,10 @@ object ClusterMaintenance {
     val edges = DedupIndex.nearEdgesWithin(spark, corpus)
     val labels = graft.ops.ConnectedComponents.run(edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("label"))
+    // RESET (not heal) any in-flight compaction: init is destroying
+    // the store's contents — healing here would later resurrect the
+    // PREVIOUS deployment's snapshot over the fresh epoch=0
+    graft.ops.StoreCompaction.reset(spark, labelDir)
     val fs = new Path(labelDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     epochPaths(spark, labelDir).foreach(p => fs.delete(p, true))
     writeEpoch(labels, labelDir, 0L)
@@ -131,8 +135,10 @@ object ClusterMaintenance {
 
   /** How many epoch partitions a reader currently lists (spec hook
     * for the compaction contract). */
-  private[graft] def epochCount(spark: SparkSession, labelDir: String): Int =
+  private[graft] def epochCount(spark: SparkSession, labelDir: String): Int = {
+    graft.ops.StoreCompaction.heal(spark, labelDir, "epoch")
     epochPaths(spark, labelDir).length
+  }
 
   private def epochPaths(spark: SparkSession, labelDir: String): Array[Path] = {
     val root = new Path(labelDir)

@@ -179,8 +179,18 @@ object DedupIndex {
     // released before the caller executes — and the new batch is the
     // small side by definition, so recomputing its kernels per
     // reference costs less than materializing them would at scale
-    healAll(spark, dir) // complete any interrupted compaction first
     val derived = withDerived(newDocs)
+    // verifiedAgainst heals every table first — built BEFORE the
+    // fingerprints read below so its heal precedes the eager file
+    // listing spark.read.parquet performs at construction time
+    val near = verifiedAgainst(spark, derived, dir, excludeRun)
+        // best match: max jaccard, smaller corpus id on ties — via
+        // max_by on a packed (jaccard, -id) struct, one aggregation
+        .groupBy(col("doc_id"))
+        .agg(max_by(struct(col("corpus_id"), col("jaccard")),
+          struct(col("jaccard"), negate(col("corpus_id")))).as("best"))
+        .select(col("doc_id"), col("best.corpus_id").as("near_id"),
+          col("best.jaccard").as("near_jaccard"))
     def runs(path: String): DataFrame = {
       val df = spark.read.parquet(path)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
@@ -190,15 +200,6 @@ object DedupIndex {
 
       val exact = derived.join(fps, Seq("fp", "fp_len"))
         .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("exact_id"))
-
-      val near = verifiedAgainst(spark, derived, dir, excludeRun)
-        // best match: max jaccard, smaller corpus id on ties — via
-        // max_by on a packed (jaccard, -id) struct, one aggregation
-        .groupBy(col("doc_id"))
-        .agg(max_by(struct(col("corpus_id"), col("jaccard")),
-          struct(col("jaccard"), negate(col("corpus_id")))).as("best"))
-        .select(col("doc_id"), col("best.corpus_id").as("near_id"),
-          col("best.jaccard").as("near_jaccard"))
 
       derived.select(col("doc_id"))
         .join(exact, Seq("doc_id"), "left")

@@ -107,6 +107,27 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(rows(dir) == all + (4L -> "d"))
   }
 
+  test("ClusterMaintenance.init resets a pending compaction; heal cannot resurrect old labels") {
+    val lbl = Files.createTempDirectory("graft-init-reset").toString + "/lbl"
+    val fs = new Path(lbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // previous deployment's labels, crashed mid-compaction in the
+    // committed window: snapshot in tmp, marker present, epochs gone
+    Seq((900L, 900L), (901L, 900L)).toDF("doc_id", "label")
+      .write.parquet(s"$lbl/.compact-tmp")
+    val m = fs.create(new Path(lbl, ".compact-commit"), true)
+    m.write("1".getBytes("UTF-8")); m.close()
+    // operator rebuilds over a fresh no-duplicate corpus
+    graft.pipeline.ClusterMaintenance.init(spark,
+      Seq((10L, "totally unique text")).toDF("doc_id", "text"), lbl)
+    // current() must serve the NEW deployment (empty labels), not the
+    // resurrected old snapshot
+    assert(graft.pipeline.ClusterMaintenance.current(spark, lbl).count() == 0L,
+      "heal resurrected the previous deployment's labels over init")
+    assert(!fs.exists(new Path(lbl, ".compact-commit")) &&
+      !fs.exists(new Path(lbl, ".compact-tmp")),
+      "init left stale protocol files behind")
+  }
+
   test("AnnIndex search self-heals an interrupted compaction") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-ann-heal").toString
