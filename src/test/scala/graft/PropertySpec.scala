@@ -243,4 +243,23 @@ class PropertySpec extends AnyFunSuite {
       assert((anti ++ semi) == as.toSet && anti.intersect(semi).isEmpty)
     }
   }
+
+  test("SeededSample selects the same rows under any input partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the determinism contract behind every trained codebook: the
+    // sample is a pure function of the ids, not of partition layout
+    // or row order (the (hash, id) rank has no ties — id breaks them)
+    val base = spark.range(0, 5000).select($"id".as("vec_id"),
+      (rand(42) * 100).cast("int").as("payload"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.ops.SeededSample.top(df, "vec_id", 137)
+        .select($"vec_id").as[Long].collect().sorted.toSeq
+    val a = ids(base.repartition(1))
+    val b = ids(base.repartition(13, $"payload"))
+    val c = ids(base.orderBy($"payload"))
+    assert(a.length == 137)
+    assert(a == b && b == c,
+      s"sample membership depends on partitioning: ${a.take(5)} vs ${b.take(5)}")
+  }
 }
