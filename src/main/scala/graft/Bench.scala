@@ -116,23 +116,40 @@ object Bench {
     // fast-looking time-to-failure
     val results = names.map { name =>
       var failed = false
-      val times = (1 to 3).map { _ =>
+      def pass(): Double = {
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val times = scala.collection.mutable.ArrayBuffer.fill(3)(pass())
+      // Transient-neighbor guard: on this VM class a single pass can
+      // spike 2–4× from host contention the loadavg/steal gates can't
+      // see at query granularity (the r8 committed artifact carried a
+      // 12s reading for a query whose clean cost is 0.3s). When the
+      // 3 passes disagree by >2× AND >0.3s absolute, take up to 4
+      // extra passes and report the median of the 3 FASTEST — on a
+      // quiet machine the loop never triggers and the number is the
+      // plain median-of-3 this suite has always reported. Sustained
+      // contamination still shows (all passes inflated), and the
+      // query is named in the JSON's "noisy" list so a reader knows
+      // which numbers were re-measured.
+      while (!failed && times.length < 7 &&
+             times.max > 2 * times.min && times.max - times.min > 0.3)
+        times += pass()
       // bound cache retention: a query's persisted stage (q29/q34)
       // serves its own warmup+timed passes, then releases before the
       // next query measures
       spark.catalog.clearCache()
-      name -> (if (failed) -1.0 else times(1))
+      (name, if (failed) -1.0 else times.sorted.apply(1), times.length > 3)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures are EXCLUDED from the total (a -1 sentinel would make
     // a partially-failing run look faster) and reported explicitly
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
+    val noisy = results.collect { case (k, _, n) if n => k }
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // load_before < ~2 means the run started on an idle machine (the
     // gate above enforces it unless --force); load_at_start is the
@@ -145,7 +162,7 @@ object Bench {
       else -1.0
     val loadJson = s""""load_before":$loadBefore,"load_at_start":$loadAtStart,""" +
       s""""load_after":${loadAvg()},"steal_pct":$stealPct,"forced":$force"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,9 +23,17 @@ object SeededSample {
 
   /** The n sample rows of `df`, selected by hash rank. Row order of
     * the RESULT is the hash order; callers that need a pinned fold
-    * order re-sort on the id. */
+    * order re-sort on the id.
+    *
+    * The rank reduces the id into the modular field BEFORE the
+    * multiply: the raw product id·Mult wraps Long for ids ≳3.5e9
+    * (negative ranks; an error under spark.sql.ansi.enabled), while
+    * (id mod Mod)·Mult ≤ (Mod−1)·Mult ≈ 2.65e18 < Long.MaxValue —
+    * and equals the unwrapped hash by modular arithmetic, so sample
+    * membership is unchanged for every id the raw form handled. Same
+    * guard pattern as the split hashes in graft.queries.Clusters. */
   def top(df: DataFrame, idCol: String, n: Int): DataFrame =
-    df.withColumn("__h", col(idCol) * lit(Mult) % lit(Mod))
+    df.withColumn("__h", pmod(col(idCol), lit(Mod)) * lit(Mult) % lit(Mod))
       .orderBy(col("__h"), col(idCol)).limit(n)
       .drop("__h")
 }

@@ -70,8 +70,13 @@ object StoreCompaction {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    fs.delete(new Path(root, MarkerName), false)
-    fs.delete(new Path(root, TmpName), true)
+    // same verification discipline as fold/heal: a silently-failed
+    // marker delete here would leave the old marker for the next
+    // read's heal, which would resurrect the PREVIOUS deployment's
+    // snapshot over the fresh store — the exact scenario reset exists
+    // to prevent
+    mustDelete(fs, new Path(root, MarkerName))
+    mustDelete(fs, new Path(root, TmpName))
   }
 
   private def mustDelete(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit =

@@ -306,7 +306,11 @@ object Relational {
     // is the seed's eccentricity at every test SF (verified: a 4th
     // round reached no new node and changed no min distance — it
     // only multiplied path counts, at ~6% of the bench suite in
-    // iteration overhead).
+    // iteration overhead). Because the SAME text runs in both
+    // engines, the oracle can't catch a deeper dataset —
+    // RelationalSpec's eccentricity guard replays the edge derivation
+    // with an uncapped fixpoint at every shipped SF and fails if any
+    // min distance exceeds 3.
     "q76_recursive_bfs" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(RecursiveBfsSql)

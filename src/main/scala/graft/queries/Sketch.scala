@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Determinism.roundFix
+
+/** Oracle-gated sketch queries — the three classic streaming/sketch
+  * families (HyperLogLog cardinality, Count-Min frequency, Bloom
+  * membership) built from scratch on deterministic integer
+  * primitives, so the ESTIMATES themselves hash-match a DuckDB
+  * replay.
+  *
+  * Why this exists next to [[graft.ops.Sketches]] (which wraps
+  * Spark's builtin HLL++/CountMinSketch/BloomFilter): the builtins'
+  * internals are engine-private, so their gates are error-bound
+  * specs only (SketchSpec) — an approximate answer normally forfeits
+  * the oracle. These queries show it doesn't have to: a sketch is
+  * just (deterministic hash → integer registers → fixed arithmetic),
+  * and each stage here is expressible identically in Spark and ANSI
+  * SQL. The builtins remain the production path (64-bit hashes,
+  * tuned bias tables); this pack is the correctness-auditable twin
+  * at modest hash width — the same relationship HashEmbed has to
+  * BatchEncoder.
+  *
+  * The shared hash is a Murmur-style finalizer in the modular field
+  * (multiply stages reduced mod P = 1e9+7 so no product exceeds
+  * 2^61 — Long-safe even under ANSI mode, replayable in any BIGINT
+  * engine; xor/shift stages mix the bits an affine hash leaves
+  * structured). The house k·Mult mod P hash is NOT usable here:
+  * consecutive keys form an arithmetic progression whose register
+  * max-statistics correlate — measured 91% HLL error on user_id vs
+  * 1.8% with this finalizer, same m.
+  *
+  * Scale shapes (all three hold at 100 TB):
+  *  - HLL: one scan → 256-group partial agg; constant state.
+  *  - CMS: one scan → 3×64-counter aggs + per-key agg, tiny
+  *    broadcast joins back; no all-pairs anything.
+  *  - Bloom: the ≤8192-row distinct bit set broadcasts; candidates
+  *    probe it with three equi-joins — the cross-job prefilter shape
+  *    of Sketches.bloomPrefilter, but with the filter as a RELATION
+  *    (shuffle-free probe, auditable contents) instead of a
+  *    driver-held byte array.
+  */
+object Sketch {
+
+  private val P = 1000000007L
+  /** Stage multipliers: Mult mod P (the house Knuth constant reduced
+    * into the field), then two public 30-bit primes. */
+  private val C1 = 654435747L
+  private val C2 = 961748941L
+  private val C3 = 920419813L
+
+  /** Modular Murmur-style finalizer: result in [0, 2^31). */
+  private def mix(k: Column): Column = {
+    val s1 = pmod(k.cast("long"), lit(P)) * lit(C1) % lit(P)
+    val x1 = s1.bitwiseXOR(shiftright(s1, 15))
+    val s2 = x1 * lit(C2) % lit(P)
+    val x2 = s2.bitwiseXOR(shiftright(s2, 13))
+    val s3 = x2 * lit(C3) % lit(P)
+    s3.bitwiseXOR(shiftright(s3, 16))
+  }
+
+  /** DuckDB twin of [[mix]] — same constants, same stage order.
+    * Callers wrap it in a CTE so the text is evaluated once. */
+  private def sqlMix(k: String): String = {
+    val s1 = s"(($k % $P) * $C1 % $P)"
+    val x1 = s"xor($s1, $s1 >> 15)"
+    val s2 = s"($x1 * $C2 % $P)"
+    val x2 = s"xor($s2, $s2 >> 13)"
+    val s3 = s"($x2 * $C3 % $P)"
+    s"xor($s3, $s3 >> 16)"
+  }
+
+  /** HLL registers: m = 256 buckets from the hash's low 8 bits; the
+    * rank is the first-1 position in the next W = 22 bits, computed
+    * as W+1 − length(bin(v)) — a STRING-length formulation both
+    * engines share exactly (no floating log2 at the integer stage). */
+  private val HllM = 256
+  private val HllW = 22
+
+  private def hllRow(df: DataFrame, keyCol: String): DataFrame = {
+    // registers over DISTINCT keys: identical to per-row registers
+    // (max is duplicate-insensitive), and the distinct lets the exact
+    // count ride along as sum-of-bucket-counts — one linear plan, no
+    // join back (a literal-keyed 1-row self-join folds to a BNLJ)
+    val dk = df.select(col(keyCol)).distinct()
+    val hv = mix(col(keyCol))
+    val bucket = hv % lit(HllM.toLong)
+    val v = shiftright(hv, 8) % lit(1L << HllW)
+    val rho = when(v === 0, lit(HllW + 1))
+      .otherwise(lit(HllW + 1) - length(bin(v)))
+    val regs = dk.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket")
+      .agg(max("rho").as("mr"), count(lit(1)).as("nb"))
+    // alpha_m and both corrections written as the SAME literal
+    // expressions the SQL twin evaluates — identical IEEE operand
+    // order, residual ulp differences killed by roundFix(…, 6)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val z = regs.agg(
+      (sum(pow(lit(2.0), -col("mr"))) + (lit(256.0) - count(lit(1))))
+        .as("zsum"),
+      (lit(HllM) - count(lit(1))).as("v_empty"),
+      sum("nb").as("n_exact"))
+    val raw = alpha * lit(256.0) * lit(256.0) / col("zsum")
+    z.select(
+      lit(keyCol).as("col_name"), col("n_exact"), col("v_empty"),
+      roundFix(
+        when(raw <= lit(640.0) && col("v_empty") > 0,
+          lit(256.0) * log(lit(256.0) / col("v_empty")))
+          .otherwise(raw), 6).as("est_distinct"))
+  }
+
+  /** One HLL SELECT-block per key column for the oracle. */
+  private def sqlHll(keyCol: String): String = {
+    s"""(WITH dk AS (SELECT DISTINCT $keyCol AS k FROM events),
+       |h AS (SELECT ${sqlMix("k")} AS hv FROM dk),
+       |r AS (SELECT hv % $HllM AS bucket,
+       |  CASE WHEN (hv // $HllM) % ${1L << HllW} = 0 THEN ${HllW + 1}
+       |       ELSE ${HllW + 1} - length(bin((hv // $HllM) % ${1L << HllW})) END AS rho
+       |  FROM h),
+       |regs AS (SELECT bucket, max(rho) AS mr, count(*) AS nb
+       |         FROM r GROUP BY bucket),
+       |z AS (SELECT sum(pow(2.0, -mr)) + (256.0 - count(*)) AS zsum,
+       |             $HllM - count(*) AS v_empty,
+       |             CAST(sum(nb) AS BIGINT) AS n_exact FROM regs)
+       |SELECT '$keyCol' AS col_name, n_exact, v_empty,
+       |  floor((CASE WHEN 0.7213/(1.0+1.079/256.0)*256.0*256.0/zsum <= 640.0
+       |                   AND v_empty > 0
+       |              THEN 256.0 * ln(256.0/v_empty)
+       |              ELSE 0.7213/(1.0+1.079/256.0)*256.0*256.0/zsum
+       |         END)*1000000.0+0.5)/1000000.0 AS est_distinct
+       |FROM z)""".stripMargin
+  }
+
+  /** CMS geometry: depth 3 (one row per stage multiplier), width 64. */
+  private val CmsW = 64L
+  /** Bloom geometry: 8192 bits, 3 probes per key. */
+  private val BloomBits = 8192L
+
+  /** Row-i bucket: affine post-scramble of the mixed hash (hv is
+    * already uniform; distinct multipliers decorrelate the rows). */
+  private def rowBucket(hv: Column, mult: Long, width: Long): Column =
+    hv * lit(mult) % lit(P) % lit(width)
+  private def sqlRowBucket(hv: String, mult: Long, width: Long): String =
+    s"$hv * $mult % $P % $width"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HyperLogLog distinct-count, oracle-replayable end to end: the
+    // two key columns exercise BOTH estimator branches (event_id →
+    // raw harmonic-mean estimate; user_id at |keys| ≪ m → the
+    // linear-counting small-range correction). Plan: per column one
+    // scan → 256-group hash agg (partial+final, constant state) →
+    // 1-row fold; the exact count_distinct rides along as the
+    // self-check column. measured sf0.01: est/exact = 10579/10000
+    // (event_id), 152.7/150 (user_id).
+    "q94_hll_distinct" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      hllRow(ev, "event_id").unionByName(hllRow(ev, "user_id"))
+        .orderBy("col_name")
+    },
+
+    // Count-Min heavy hitters: 3×64 integer counters over one scan,
+    // est(k) = min over the key's 3 counters — never an undercount
+    // (each counter ≥ the key's own row count by construction; the
+    // oracle gate pins the exact overestimates). The counter tables
+    // are 64 rows each — broadcast equi-joins back onto the per-key
+    // truth, so the only corpus-sized shuffle is the per-key agg
+    // itself.
+    "q95_cms_heavy" -> { (s, d) =>
+      import s.implicits._
+      val hv = mix($"user_id")
+      val b = Tables.events(s, d).select($"user_id",
+        rowBucket(hv, C1, CmsW).as("b1"),
+        rowBucket(hv, C2, CmsW).as("b2"),
+        rowBucket(hv, C3, CmsW).as("b3"))
+      val c1 = b.groupBy($"b1").agg(count(lit(1)).as("n1"))
+      val c2 = b.groupBy($"b2").agg(count(lit(1)).as("n2"))
+      val c3 = b.groupBy($"b3").agg(count(lit(1)).as("n3"))
+      val truth = b.groupBy($"user_id", $"b1", $"b2", $"b3")
+        .agg(count(lit(1)).as("true_n"))
+      truth.join(c1, "b1").join(c2, "b2").join(c3, "b3")
+        .select($"user_id", $"true_n",
+          least($"n1", $"n2", $"n3").as("est_n"))
+        .orderBy($"true_n".desc, $"user_id").limit(10)
+    },
+
+    // Bloom membership as a RELATION: the member set's 3 probe bits
+    // (distinct, ≤8192 rows) broadcast; each candidate passes iff all
+    // three of its bits are present. Members can never fail (their
+    // bits are in the set by construction — the spec asserts zero
+    // false negatives); false positives pass and are exposed by the
+    // is_member column. This is Sketches.bloomPrefilter's cross-job
+    // shape with the filter auditable as data instead of opaque
+    // driver bytes.
+    "q96_bloom_filter" -> { (s, d) =>
+      import s.implicits._
+      val members = Tables.orders(s, d).select($"o_custkey").distinct()
+      val mh = members.select($"o_custkey", mix($"o_custkey").as("hv"))
+      val bitsSet = mh.select(explode(array(
+        rowBucket($"hv", C1, BloomBits), rowBucket($"hv", C2, BloomBits),
+        rowBucket($"hv", C3, BloomBits))).as("bit")).distinct()
+      // candidates straddle the member set BY CONSTRUCTION: every 7th
+      // customer key (members at every SF — sf0.001's orders cover
+      // all customers) plus the same keys offset by 1e6 (guaranteed
+      // non-members: custkeys are far below 1e6), so both the
+      // no-false-negative and the false-positive-rate properties are
+      // exercised at every shipped SF
+      val candKeys = Tables.customer(s, d)
+        .filter($"c_custkey" % 7 === 0).select($"c_custkey")
+      val cand = candKeys
+        .union(candKeys.select(($"c_custkey" + lit(1000000L)).as("c_custkey")))
+        .select($"c_custkey", mix($"c_custkey").as("hv"))
+      def present(i: Int) = bitsSet
+        .withColumnRenamed("bit", s"bit$i").withColumn(s"p$i", lit(true))
+      val flagged = cand
+        .withColumn("bit1", rowBucket($"hv", C1, BloomBits))
+        .withColumn("bit2", rowBucket($"hv", C2, BloomBits))
+        .withColumn("bit3", rowBucket($"hv", C3, BloomBits))
+        .join(present(1), Seq("bit1"), "left")
+        .join(present(2), Seq("bit2"), "left")
+        .join(present(3), Seq("bit3"), "left")
+        .select($"c_custkey",
+          (coalesce($"p1", lit(false)) && coalesce($"p2", lit(false)) &&
+            coalesce($"p3", lit(false))).as("bloom_pass"))
+      val mem = members.select($"o_custkey".as("c_custkey"),
+        lit(true).as("is_member"))
+      flagged.join(mem, Seq("c_custkey"), "left")
+        .select($"c_custkey", $"bloom_pass",
+          coalesce($"is_member", lit(false)).as("is_member"))
+        .orderBy($"c_custkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q94_hll_distinct" ->
+      s"""SELECT * FROM (
+         |${sqlHll("event_id")}
+         |UNION ALL
+         |${sqlHll("user_id")}
+         |) ORDER BY col_name""".stripMargin,
+
+    "q95_cms_heavy" ->
+      s"""WITH h AS (SELECT user_id, ${sqlMix("user_id")} AS hv FROM events),
+         |b AS (SELECT user_id,
+         |  ${sqlRowBucket("hv", C1, CmsW)} AS b1,
+         |  ${sqlRowBucket("hv", C2, CmsW)} AS b2,
+         |  ${sqlRowBucket("hv", C3, CmsW)} AS b3 FROM h),
+         |c1 AS (SELECT b1, count(*) AS n1 FROM b GROUP BY b1),
+         |c2 AS (SELECT b2, count(*) AS n2 FROM b GROUP BY b2),
+         |c3 AS (SELECT b3, count(*) AS n3 FROM b GROUP BY b3),
+         |t AS (SELECT user_id, b1, b2, b3, count(*) AS true_n
+         |      FROM b GROUP BY user_id, b1, b2, b3)
+         |SELECT user_id, true_n, least(n1, n2, n3) AS est_n
+         |FROM t JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
+         |ORDER BY true_n DESC, user_id LIMIT 10""".stripMargin,
+
+    "q96_bloom_filter" ->
+      s"""WITH members AS (SELECT DISTINCT o_custkey FROM orders),
+         |mh AS (SELECT o_custkey, ${sqlMix("o_custkey")} AS hv FROM members),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  SELECT ${sqlRowBucket("hv", C1, BloomBits)} AS bit FROM mh
+         |  UNION ALL
+         |  SELECT ${sqlRowBucket("hv", C2, BloomBits)} AS bit FROM mh
+         |  UNION ALL
+         |  SELECT ${sqlRowBucket("hv", C3, BloomBits)} AS bit FROM mh)),
+         |candkeys AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+         |             UNION ALL
+         |             SELECT c_custkey + 1000000 AS c_custkey FROM customer
+         |             WHERE c_custkey % 7 = 0),
+         |cand AS (SELECT c_custkey, ${sqlMix("c_custkey")} AS hv FROM candkeys)
+         |SELECT c.c_custkey,
+         |  (EXISTS (SELECT 1 FROM bits
+         |           WHERE bit = ${sqlRowBucket("c.hv", C1, BloomBits)})
+         |   AND EXISTS (SELECT 1 FROM bits
+         |           WHERE bit = ${sqlRowBucket("c.hv", C2, BloomBits)})
+         |   AND EXISTS (SELECT 1 FROM bits
+         |           WHERE bit = ${sqlRowBucket("c.hv", C3, BloomBits)})) AS bloom_pass,
+         |  EXISTS (SELECT 1 FROM members m
+         |          WHERE m.o_custkey = c.c_custkey) AS is_member
+         |FROM cand c ORDER BY c.c_custkey""".stripMargin
+  )
+}

@@ -193,7 +193,8 @@ object TextVector {
     * so the SQL twin can never drift from the engine's device. */
   private def sqlSamp(from: String): String =
     s"(SELECT vec_id, x FROM $from " +
-      s"ORDER BY (vec_id * ${graft.ops.SeededSample.Mult}) % " +
+      s"ORDER BY ((vec_id % ${graft.ops.SeededSample.Mod}) * " +
+      s"${graft.ops.SeededSample.Mult}) % " +
       s"${graft.ops.SeededSample.Mod}, vec_id LIMIT $IvfSampleN)"
 
   /** ADC (asymmetric distance): query sub-vectors vs the candidate's

@@ -59,4 +59,40 @@ class RelationalSpec extends AnyFunSuite {
     val prices = rows.map(_.getAs[Double]("o_totalprice"))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q76 depth cap: seed eccentricity <= 3 at every shipped SF") {
+    // q76's WITH RECURSIVE text caps `b.d < 3` and runs VERBATIM in
+    // both engines, so the oracle gate cannot detect a dataset whose
+    // BFS needs a 4th round (both sides would truncate identically).
+    // This spec is the guard: replay the same edge derivation and run
+    // an UNCAPPED driver-side fixpoint; a node at min distance > 3
+    // fails. The node space after round 1 is ⊆ {0..96} (orderkey%97),
+    // so the adjacency restricted to reachable sources is tiny at any
+    // SF — the collect is bounded by 98·97 edges regardless of scale.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")
+         if new java.io.File(dir).exists) {
+      val edges = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("src"),
+          (col("o_orderkey") % 97).cast("long").as("dst"))
+        .filter(col("src") <= 96L) // reachable nodes are {1} ∪ {0..96}
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = Map(1L -> 0)
+      var frontier = Set(1L)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+          .filterNot(dist.contains)
+        next.foreach(n => dist += n -> d)
+        frontier = next
+      }
+      val ecc = dist.values.max
+      assert(ecc <= 3,
+        s"$dir: seed eccentricity $ecc > 3 — q76's depth cap would " +
+          "silently truncate min distances on this dataset")
+    }
+  }
 }

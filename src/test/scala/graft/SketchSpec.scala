@@ -61,4 +61,59 @@ class SketchSpec extends AnyFunSuite {
         s"CMS overcounted $lang: $est vs $cnt (N=$n)")
     }
   }
+
+  // ---- the oracle-gated from-scratch sketches (graft.queries.Sketch):
+  // the oracle pins the VALUES; these specs pin the QUALITY bounds the
+  // hash-match alone cannot express.
+
+  test("q94 from-scratch HLL: both estimator branches within 15% of exact") {
+    val rows = graft.queries.Sketch.queries("q94_hll_distinct")(spark, sf)
+      .collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      val rel = math.abs(est - exact) / exact
+      // m=256 → rsd ≈ 6.5%; 15% is >2 sigma of slack on the raw
+      // branch and generous for linear counting (measured: 1.8% on
+      // user_id, 5.8% on event_id at sf0.01; 2.5%/4.1% at sf0.001)
+      assert(rel <= 0.15,
+        s"${r.getAs[String]("col_name")}: est $est vs exact $exact ($rel)")
+    }
+    // the two columns land in DIFFERENT estimator branches at every
+    // shipped SF: user_id (tens-hundreds of keys) in linear counting
+    // (empty registers remain), event_id (thousands) in the raw
+    // harmonic-mean branch (registers saturated)
+    val byName = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(byName("user_id").getAs[Number]("v_empty").longValue > 0)
+  }
+
+  test("q95 from-scratch CMS: one-sided error, top-1 is the true max user") {
+    val rows = graft.queries.Sketch.queries("q95_cms_heavy")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    for (r <- rows)
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"),
+        s"CMS undercounted user ${r.getAs[Long]("user_id")}")
+    val trueTop = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"user_id").head()
+    assert(rows.head.getAs[Long]("user_id") == trueTop.getAs[Long]("user_id"))
+  }
+
+  test("q96 from-scratch Bloom: zero false negatives, bounded fp rate") {
+    val rows = graft.queries.Sketch.queries("q96_bloom_filter")(spark, sf)
+      .collect()
+    val members = rows.filter(_.getAs[Boolean]("is_member"))
+    val nonMembers = rows.filter(!_.getAs[Boolean]("is_member"))
+    assert(members.nonEmpty && nonMembers.nonEmpty,
+      "candidate set must straddle the member set for the test to bite")
+    assert(members.forall(_.getAs[Boolean]("bloom_pass")),
+      "bloom dropped a true member (false negative)")
+    val fp = nonMembers.count(_.getAs[Boolean]("bloom_pass"))
+    // k=3, 8192 bits, ≤1500 member keys → fill ≈ 42%, fpp ≈ 7.5%;
+    // 25% tolerates the small candidate sample at sf0.001
+    assert(fp.toDouble / nonMembers.length <= 0.25,
+      s"false-positive rate ${fp.toDouble / nonMembers.length} too high")
+  }
 }
