@@ -20,19 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with
-    * INTEGER division — ns epoch values (~1.7e18) exceed double's
-    * 2^53 integer precision, so a float path would corrupt
-    * timestamps. Requires `spark.sql.legacy.parquet.nanosAsLong=true`
-    * in the session builder (Verify / Bench / TestSpark all set it;
-    * a table accessor must not mutate session conf as a side
-    * effect). */
+  /** events.ts arrives in two physical layouts across driver data
+    * generations, so dispatch on the ACTUAL scanned type:
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it ([PARQUET_TYPE_ILLEGAL])
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` (Verify /
+    *    Bench / TestSpark all set it; a table accessor must not
+    *    mutate session conf as a side effect). Read nanos as long
+    *    and convert with INTEGER division — ns epoch values (~1.7e18)
+    *    exceed double's 2^53 integer precision, so a float path
+    *    would corrupt timestamps.
+    *  - TIMESTAMP(MICROS) without UTC adjustment: scans as
+    *    TIMESTAMP_NTZ; cast to session-TZ TIMESTAMP (sessions pin
+    *    UTC) so downstream queries see the same LTZ column either
+    *    way and written output stays TIMESTAMP_MICROS-comparable
+    *    with the DuckDB oracle's naive read. */
   def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
