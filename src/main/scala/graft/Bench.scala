@@ -163,6 +163,11 @@ object Bench {
     val loadJson = s""""load_before":$loadBefore,"load_at_start":$loadAtStart,""" +
       s""""load_after":${loadAvg()},"steal_pct":$stealPct,"forced":$force"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir"}""")
+    // Compact trailer AFTER the full line: the driver's artifact
+    // keeps only the output TAIL (BENCH_r09.json lost its own
+    // leading "value" field to 2000-char truncation), so the
+    // headline repeats here where truncation can't reach it.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

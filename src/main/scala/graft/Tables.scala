@@ -35,15 +35,29 @@ object Tables {
     *    way and written output stays TIMESTAMP_MICROS-comparable
     *    with the DuckDB oracle's naive read. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Blanket layout-portability precondition: only the NANOS layout
+    // needs the flag, but it is demanded always so a session that
+    // works on one data generation works on both.
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events " +
+        "(needed only by the TIMESTAMP(NANOS) layout, required blanket for portability)")
+    // The NTZ->LTZ cast below is only identity-preserving when the
+    // session zone is UTC; any other zone silently shifts MICROS
+    // timestamps while the NANOS path stays correct.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "session must pin spark.sql.session.timeZone=UTC to read events " +
+        "(the TIMESTAMP_NTZ->TIMESTAMP cast shifts values under any other zone)")
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => raw
+      // already session-TZ-adjusted MICROS — nothing to normalize
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as unexpected type $other — expected TIMESTAMP(NANOS) " +
+          "(long via nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TextOps
@@ -48,12 +47,12 @@ import graft.ops.TextOps
   * final small aggregation — they pipeline inside whole-stage
   * codegen on the scan, no shuffle of document text at all (q74
   * shuffles only (domain, doc_id) pairs; the blocklist side is
-  * broadcast). q75 shuffles each paragraph row once for the
-  * first-occurrence window — the window partitions on
-  * (polyhash, para) so the sort compares 8-byte hashes before ever
-  * touching string bytes — and once more on doc_id to reassemble;
-  * both are plain hash shuffles that scale linearly with paragraph
-  * count.
+  * broadcast). q75/q93 compute each content key's corpus-wide first
+  * occurrence as a `min(struct(doc_id, pos))` HASH AGGREGATE (never
+  * a window over a content-key partition — see [[paragraphDedup]] /
+  * [[spanDedup]] for the skew rationale); all shuffles are plain
+  * hash shuffles with map-side partial combine that scale linearly
+  * with paragraph/shingle count and tolerate arbitrary key skew.
   */
 object Cleaning {
 
@@ -80,18 +79,32 @@ object Cleaning {
   private val SpanK = 8
 
   /** The q93 chain over any (doc_id, text) frame (spec hook: planted
-    * spans). Scale shape: shingle rows shuffle ONCE on the
-    * (hash, shingle) key for the first-occurrence window (hash leads
-    * the key so the sort compares 8-byte values before string bytes —
-    * q75's device); the window-to-token explode is SpanK× on
-    * REPEATED occurrences only, and those drop-positions aggregate
-    * to one per-doc set — so the only other shuffles are
-    * repeat-bounded, never corpus-token-bounded. Excision itself is
-    * a NARROW pass: the per-doc drop set joins back on doc_id and an
-    * index-filtered array rebuild emits the cleaned text (no
-    * token-level anti-join, no collect_list regroup — both cost a
-    * full corpus-token shuffle in the first cut of this query; the
-    * per-token array_contains probe is bounded by the doc's own
+    * spans). Scale shape: the corpus-wide first occurrence of each
+    * shingle is a `min(struct(doc_id, pos))` HASH AGGREGATE, not a
+    * window — the round-9 rewrite. The window formulation
+    * (`row_number().over(partitionBy(hash, sh))`) sorted every
+    * occurrence of a shingle on ONE reducer, and the key's skew grows
+    * with exactly the duplication this query removes: a license
+    * header in 1% of a 100 TB corpus puts ~10⁸ rows in one window
+    * partition, and AQE cannot split a window. The aggregate computes
+    * the same winner with map-side partial combine (each input
+    * partition reduces a hot key to ONE candidate row before the
+    * shuffle), so content-key skew cannot concentrate rows anywhere.
+    * Non-first occurrences are then marked by joining occurrences
+    * back to the 1-row-per-shingle winners — an equi-join AQE CAN
+    * skew-split, with the 8-byte polyhash leading the join key so
+    * sort-merge compares longs before string bytes. The join-back
+    * recomputes the shingle explode (no DAG-level CSE across the two
+    * sides) — a narrow scan-side pass, linear and pipeline-friendly,
+    * traded deliberately for the skew-immune shuffle shape.
+    * The window-to-token explode is SpanK× on REPEATED occurrences
+    * only, and those drop-positions aggregate to one per-doc set —
+    * so the only other shuffles are repeat-bounded, never
+    * corpus-token-bounded. Excision itself is a NARROW pass: the
+    * per-doc drop set joins back on doc_id and an index-filtered
+    * array rebuild emits the cleaned text (no token-level anti-join,
+    * no collect_list regroup — both cost a full corpus-token shuffle;
+    * the per-token array_contains probe is bounded by the doc's own
     * repeated-span budget). Everything is linear in corpus tokens —
     * the suffix-array result without building a suffix array. */
   private[graft] def spanDedup(docs: DataFrame): DataFrame = {
@@ -106,21 +119,24 @@ object Cleaning {
         TextOps.tokens(coalesce($"text", lit(""))).as("toks"))
     // positional k-shingles: start offsets 0..m-k, the token text of
     // each shingle carried alongside its polyhash (collision safety,
-    // exactly q75's window-key discipline)
+    // exactly q75's key discipline)
     val sh = toks.filter(size($"toks") >= SpanK)
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), size($"toks") - SpanK),
         i => concat_ws(" ", slice($"toks", i + 1, lit(SpanK))))).as(Seq("pos", "sh")))
-    val w = Window
-      .partitionBy(graft.ops.expressions.TextPolyHash($"sh"), $"sh")
-      .orderBy($"doc_id", $"pos")
-    // every occurrence AFTER the corpus-wide first (in (doc_id, pos)
-    // order) marks its SpanK-token window for excision; the union of
-    // marked windows — one SET per doc, sized by the doc's repeated
-    // spans — is exactly the repeated, non-canonical spans
+      .withColumn("h", graft.ops.expressions.TextPolyHash($"sh"))
+    // skew-immune winner per shingle: lexicographic min of
+    // (doc_id, pos) == the first occurrence in (doc_id, pos) order
+    val first = sh
+      .groupBy($"h", $"sh")
+      .agg(min(struct($"doc_id", $"pos")).as("f"))
+    // every occurrence that is NOT the corpus-wide first marks its
+    // SpanK-token window for excision; the union of marked windows —
+    // one SET per doc, sized by the doc's repeated spans — is exactly
+    // the repeated, non-canonical spans
     val dropSets = sh
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" > 1)
+      .join(first, Seq("h", "sh"))
+      .filter(struct($"doc_id", $"pos") =!= $"f")
       .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanK - 1))).as("p"))
       .groupBy($"doc_id").agg(collect_set($"p").as("drop"))
     toks
@@ -132,6 +148,55 @@ object Cleaning {
         size($"drop").cast("bigint").as("n_removed"),
         array_join(filter($"toks",
           (_, i) => !array_contains($"drop", i)), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** The q75 chain over any (doc_id, text) frame (spec hook: planted
+    * duplicates and skew). First occurrence in (doc_id, pos) order
+    * wins — including repeats WITHIN a document (RefinedWeb's
+    * exact-span semantics). The left joins keep empty docs and
+    * fully-deduped docs as rows (n_kept = 0), so the output stays
+    * 1:1 with the corpus.
+    *
+    * Skew-safe first occurrence (round-9 rewrite, same device as
+    * [[spanDedup]]): keep-first needs no window and no join-back at
+    * all — `min(struct(doc_id, pos))` per paragraph IS the surviving
+    * occurrence, so the whole dedup is one hash aggregate with
+    * map-side partial combine. A paragraph repeated across millions
+    * of docs (boilerplate — exactly what this query removes) reduces
+    * to one candidate row per input partition before the shuffle;
+    * the old `row_number()` window sorted that paragraph's entire
+    * occurrence set on one reducer, and AQE cannot split a window
+    * partition. */
+  private[graft] def paragraphDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select($"doc_id")
+    val paras = docs
+      .repartition($"doc_id")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        posexplode(TextOps.chunksOf($"toks", ParaTokens)).as(Seq("pos", "para")))
+    // the 8-byte polyhash joins the group key so hash-agg equality
+    // checks compare longs before paragraph bytes; para stays in the
+    // key for collision safety
+    val kept = paras
+      .groupBy(graft.ops.expressions.TextPolyHash($"para").as("h"), $"para")
+      .agg(min(struct($"doc_id", $"pos")).as("f"))
+      .select($"f.doc_id".as("doc_id"), $"f.pos".as("pos"), $"para")
+    val totals = paras.groupBy($"doc_id").agg(count(lit(1)).as("n_paras"))
+    val rebuilt = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(sort_array(collect_list(struct($"pos", $"para"))),
+          p => p.getField("para")), " ").as("clean_text"))
+    base
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_paras", lit(0L)).as("n_paras"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
       .orderBy($"doc_id")
   }
 
@@ -193,43 +258,10 @@ object Cleaning {
         .orderBy($"domain")
     },
 
-    // Corpus-wide exact paragraph dedup with in-order reassembly.
-    // First occurrence in (doc_id, pos) order wins — including
-    // repeats WITHIN a document (RefinedWeb's exact-span semantics).
-    // The left joins keep empty docs and fully-deduped docs as rows
-    // (n_kept = 0), so the output stays 1:1 with the corpus.
-    "q75_paragraph_dedup" -> { (s, d) =>
-      import s.implicits._
-      val base = Tables.documents(s, d).select($"doc_id")
-      val paras = Tables.documents(s, d)
-        .repartition($"doc_id")
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        .select($"doc_id",
-          posexplode(TextOps.chunksOf($"toks", ParaTokens)).as(Seq("pos", "para")))
-      // window partition key leads with the 8-byte polyhash so the
-      // shuffle+sort compares hashes, not paragraph bytes; the para
-      // column stays in the key for collision safety
-      val w = Window
-        .partitionBy(graft.ops.expressions.TextPolyHash($"para"), $"para")
-        .orderBy($"doc_id", $"pos")
-      val kept = paras
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-      val totals = paras.groupBy($"doc_id").agg(count(lit(1)).as("n_paras"))
-      val rebuilt = kept.groupBy($"doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(sort_array(collect_list(struct($"pos", $"para"))),
-            p => p.getField("para")), " ").as("clean_text"))
-      base
-        .join(totals, Seq("doc_id"), "left")
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"n_paras", lit(0L)).as("n_paras"),
-          coalesce($"n_kept", lit(0L)).as("n_kept"),
-          coalesce($"clean_text", lit("")).as("clean_text"))
-        .orderBy($"doc_id")
-    },
+    // Corpus-wide exact paragraph dedup with in-order reassembly
+    // (class doc; [[paragraphDedup]] for the chain and its skew-safe
+    // first-occurrence shape). Output stays 1:1 with the corpus.
+    "q75_paragraph_dedup" -> { (s, d) => paragraphDedup(Tables.documents(s, d)) },
 
     // Cross-doc repeated-span excision (class doc; [[spanDedup]] for
     // the chain and its scale shape). Output stays 1:1 with the

@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Round-6 cleaning operators: NFC kernel semantics, the q73
   * normalization chain on planted markup, and the q75 paragraph
@@ -53,20 +52,56 @@ class CleaningSpec extends AnyFunSuite {
   }
 
   test("paragraph dedup keeps first occurrence only — within-doc and cross-doc — and reassembles in order") {
-    // doc 1: "a b | c d | a b" (self-repeat) — doc 2: "c d | e f" (cross-doc dup)
-    val paras = Seq(
-      (1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "a b"),
-      (2L, 0, "c d"), (2L, 1, "e f")
-    ).toDF("doc_id", "pos", "para")
-    val w = Window
-      .partitionBy(graft.ops.expressions.TextPolyHash($"para"), $"para")
-      .orderBy($"doc_id", $"pos")
-    val kept = paras.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    val rebuilt = kept.groupBy($"doc_id").agg(
-      array_join(transform(sort_array(collect_list(struct($"pos", $"para"))),
-        p => p.getField("para")), " ").as("clean_text"))
-      .orderBy($"doc_id").collect().map(r => r.getLong(0) -> r.getString(1))
-    assert(rebuilt.toSeq == Seq(1L -> "a b c d", 2L -> "e f"))
+    // ParaTokens=3 chunks — doc 1: "a b x | c d y | a b x"
+    // (self-repeat), doc 2: "c d y | e f z" (cross-doc dup)
+    val docs = Seq(
+      (1L, "a b x c d y a b x"),
+      (2L, "c d y e f z")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.paragraphDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "a b x c d y"),
+      (2L, 2L, 1L, "e f z")))
+  }
+
+  test("paragraph dedup survives planted skew: one paragraph in most of the corpus") {
+    // the round-9 verdict's failure shape: a boilerplate paragraph in
+    // >50% of docs. Correctness here; PlanAuditSpec pins the plan
+    // shape (no content-key window, so no single-reducer sort).
+    val boiler = "all rights reserved"            // one 3-token paragraph
+    val docs = (1L to 200L).map { i =>
+      val unique = s"u${i}a u${i}b u${i}c"
+      if (i % 2 == 1) (i, s"$boiler $unique") else (i, unique)
+    }.toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 (first in (doc_id, pos) order) keeps the boilerplate
+    assert(out(1L) == ((2L, 2L, s"$boiler u1a u1b u1c")))
+    // every later odd doc drops exactly the boilerplate paragraph
+    for (i <- 3L to 199L by 2)
+      assert(out(i) == ((2L, 1L, s"u${i}a u${i}b u${i}c")), s"doc $i: ${out(i)}")
+    // even docs (no boilerplate) are untouched
+    for (i <- 2L to 200L by 2)
+      assert(out(i) == ((1L, 1L, s"u${i}a u${i}b u${i}c")), s"doc $i: ${out(i)}")
+  }
+
+  test("span dedup survives planted skew: one span in most of the corpus") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val span = ws("s", 1, 10)                     // 10 tokens ≥ SpanK=8
+    val docs = (1L to 100L).map { i =>
+      val unique = ws(s"u${i}x", 1, 10)
+      if (i <= 60) (i, s"$span $unique") else (i, unique)
+    }.toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.spanDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((20L, 0L, s"$span ${ws("u1x", 1, 10)}")))
+    for (i <- 2L to 60L)
+      assert(out(i) == ((20L, 10L, ws(s"u${i}x", 1, 10))), s"doc $i: ${out(i)}")
+    for (i <- 61L to 100L)
+      assert(out(i) == ((10L, 0L, ws(s"u${i}x", 1, 10))), s"doc $i: ${out(i)}")
   }
 
   test("span dedup excises planted cross-doc spans exactly once corpus-wide") {

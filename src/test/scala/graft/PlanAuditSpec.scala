@@ -55,6 +55,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q03 reads columns it never uses:\n$q03Scans")
   }
 
+  test("first-occurrence dedup never plans a window over a content-key partition") {
+    // q75/q93's first occurrence is a min(struct) hash aggregate; a
+    // Window reappearing in either plan means the skew-unsafe
+    // row_number-over-(hash, content) formulation crept back — a
+    // boilerplate key would funnel its whole occurrence set onto one
+    // reducer, and AQE cannot split a window partition
+    for (name <- Seq("q75_paragraph_dedup", "q93_span_dedup"))
+      assert(!plans(name).contains("Window"),
+        s"$name plans a window — first occurrence must stay a skew-immune aggregate:\n${plans(name)}")
+  }
+
   test("every query ends in a deterministic total order (oracle-comparable output)") {
     // q02/q85 are keys=[] global aggregates (one row — trivially
     // ordered); q32 is the rows-only multimodal summary (3 rows,
