@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Determinism.roundFix
+import graft.ops.Determinism.{roundFix, Oracles}
 
 /** Oracle-gated sketch queries — the three classic streaming/sketch
   * families (HyperLogLog cardinality, Count-Min frequency, Bloom
@@ -133,6 +133,53 @@ object Sketch {
        |FROM z)""".stripMargin
   }
 
+  /** q97 bottom-k sample size per group: the QuantSampleK rows with
+    * the smallest key hashes form a fixed-size uniform sample of the
+    * group REGARDLESS of its row count (the KMV / bottom-k device) —
+    * bounded per-group state where q42's exact quantiles materialize
+    * a full per-group sorted array. Rank stderr at k=256 is
+    * √(p(1−p)/k) ≈ 3% at the median — the classic sample-quantile
+    * trade. */
+  private val QuantSampleK = 256
+
+  /** The q97 chain over any (g, id, value) frame (spec hook: planted
+    * distributions; id must be unique — it seeds the sample and
+    * breaks rank ties). Scale shape: the bottom-k-by-hash sample runs
+    * on [[graft.plans.TopK.perKey]] — the two-phase partial top-k
+    * operator, so each input partition reduces a group to ≤ k rows
+    * BEFORE the shuffle (skew-immune, no full sort, no content-key
+    * window); the per-group sorted array is then bounded by k, never
+    * by group size, and the exact row count rides along as a plain
+    * partial-combine count. Estimates use q42's interpolation formula
+    * verbatim, so the two queries differ only in what they sort:
+    * q42 the whole group (exact, reducer-bound at 100 TB), q97 a
+    * 256-row sample (approximate, constant state — what a curation
+    * report runs corpus-wide). */
+  private[graft] def sampleQuantiles(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val hashed = rows.select($"g", $"id", $"value", mix($"id").as("hv"))
+    val sampled = graft.plans.TopK.perKey(hashed, Seq("g"),
+      Seq("hv" -> true, "id" -> true), QuantSampleK)
+    def q(p: Double): Column = {
+      val idx = ($"m" - 1).cast("double") * lit(p)
+      val lo = floor(idx).cast("int")
+      val hi = ceil(idx).cast("int")
+      val vlo = element_at($"vs", lo + 1)
+      val vhi = element_at($"vs", hi + 1)
+      vlo + (vhi - vlo) * (idx - floor(idx))
+    }
+    val est = sampled.groupBy($"g")
+      .agg(sort_array(collect_list($"value")).as("vs"))
+      .withColumn("m", size($"vs").cast("bigint"))
+    val totals = hashed.groupBy($"g").agg(count(lit(1)).as("n"))
+    est.join(totals, "g")
+      .select($"g", $"n", $"m".as("n_sample"),
+        roundFix(q(0.5), 6).as("p50_est"),
+        roundFix(q(0.95), 6).as("p95_est"))
+      .orderBy($"g")
+  }
+
   /** CMS geometry: depth 3 (one row per stage multiplier), width 64. */
   private val CmsW = 64L
   /** Bloom geometry: 8192 bits, 3 probes per key. */
@@ -230,6 +277,23 @@ object Sketch {
         .select($"c_custkey", $"bloom_pass",
           coalesce($"is_member", lit(false)).as("is_member"))
         .orderBy($"c_custkey")
+    },
+
+    // Approximate grouped quantiles — the fourth classic sketch
+    // family (class doc at [[sampleQuantiles]]; q42 is the exact
+    // sibling this replaces at scale). The deterministic bottom-k
+    // sample makes the ESTIMATE itself oracle-replayable: both
+    // engines select the identical 256 rows per group (same hash,
+    // same total order), so the interpolated quantiles hash-match.
+    // The exact n rides along as the self-check column; SketchSpec
+    // bounds the estimate's rank error against a planted uniform.
+    "q97_approx_quantiles" -> { (s, d) =>
+      import s.implicits._
+      sampleQuantiles(Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"event_type".as("g"), $"event_id".as("id"), $"value"))
+        .select($"g".as("event_type"), $"n", $"n_sample",
+          $"p50_est", $"p95_est")
     }
   )
 
@@ -280,6 +344,31 @@ object Sketch {
          |           WHERE bit = ${sqlRowBucket("c.hv", C3, BloomBits)})) AS bloom_pass,
          |  EXISTS (SELECT 1 FROM members m
          |          WHERE m.o_custkey = c.c_custkey) AS is_member
-         |FROM cand c ORDER BY c.c_custkey""".stripMargin
+         |FROM cand c ORDER BY c.c_custkey""".stripMargin,
+
+    "q97_approx_quantiles" -> {
+      def q(p: String): String = {
+        val idx = s"(CAST(m - 1 AS DOUBLE) * $p)"
+        val vlo = s"vs[CAST(floor($idx) AS BIGINT) + 1]"
+        val vhi = s"vs[CAST(ceil($idx) AS BIGINT) + 1]"
+        s"$vlo + ($vhi - $vlo) * ($idx - floor($idx))"
+      }
+      s"""WITH e AS (SELECT event_type, event_id, value,
+         |             ${sqlMix("event_id")} AS hv
+         |           FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, value,
+         |        row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY hv, event_id) AS rn
+         |      FROM e),
+         |sm AS (SELECT event_type, list_sort(list(value)) AS vs,
+         |         count(*) AS m
+         |       FROM r WHERE rn <= $QuantSampleK GROUP BY 1),
+         |t AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+         |SELECT sm.event_type, t.n, sm.m AS n_sample,
+         |  ${Oracles.fround(q("0.5"), 6)} AS p50_est,
+         |  ${Oracles.fround(q("0.95"), 6)} AS p95_est
+         |FROM sm JOIN t ON sm.event_type = t.event_type
+         |ORDER BY sm.event_type""".stripMargin
+    }
   )
 }

@@ -116,4 +116,30 @@ class SketchSpec extends AnyFunSuite {
     assert(fp.toDouble / nonMembers.length <= 0.25,
       s"false-positive rate ${fp.toDouble / nonMembers.length} too high")
   }
+
+  test("q97 sample quantiles: bounded rank error on a planted uniform, sample capped at 256") {
+    // 20000 rows, values a pseudo-random permutation of 0..19999
+    // (multiplier coprime to 20000), one group — exact p50 = 9999.5,
+    // p95 = 18999.05. Rank stderr at k=256 is ~3.1% (p50) / ~1.4%
+    // (p95); an 8%-of-range bound is >2.5 sigma yet still proves the
+    // estimate tracks the distribution. Deterministic hash → no flake.
+    val n = 20000
+    val rows = (1 to n).map(i =>
+      ("a", i.toLong, ((i.toLong * 654435747L) % n).toDouble))
+      .toDF("g", "id", "value")
+    val r = graft.queries.Sketch.sampleQuantiles(rows).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == n && r(0).getLong(2) == 256,
+      s"expected n=$n, n_sample=256: ${r(0)}")
+    val (p50, p95) = (r(0).getDouble(3), r(0).getDouble(4))
+    assert(math.abs(p50 - 9999.5) <= 0.08 * n, s"p50 estimate $p50 off")
+    assert(math.abs(p95 - 18999.05) <= 0.08 * n, s"p95 estimate $p95 off")
+    assert(p50 < p95)
+    // a group smaller than the sample cap degrades to EXACT quantiles
+    val small = (1 to 99).map(i => ("b", i.toLong, i.toDouble))
+      .toDF("g", "id", "value")
+    val e = graft.queries.Sketch.sampleQuantiles(small).collect()(0)
+    assert(e.getLong(2) == 99 && e.getDouble(3) == 50.0,
+      s"sub-cap group must be exact: $e")
+  }
 }
