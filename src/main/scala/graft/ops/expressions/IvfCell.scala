@@ -78,3 +78,77 @@ object IvfCell {
   def apply(c: Column, cents: Array[Array[Double]]): Column =
     ColumnShim.column(IvfCell(ColumnShim.expression(c), cents))
 }
+
+/** Top-2 IVF assignment in one pass: array<int> of the vector's two
+  * nearest centroids by cosine — [[IvfCell]]'s argmax plus the
+  * runner-up, for spill-to-2 redundant indexing. Tie semantics match
+  * the two-step oracle twin exactly: the winner is the FIRST index of
+  * the max score; the runner-up is the first index of the max over
+  * the remaining cells (i.e. argmax after masking the winner) — both
+  * enforced by strict `>` updates below. One scan instead of the
+  * score-vector HOF + self-union the first spill cut used (which
+  * recomputed the scan subtree per branch). Same non-zero-norm
+  * precondition as IvfCell. */
+case class IvfCells2(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_cells2 needs array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells2"
+
+  @transient private lazy val centNormSq: Array[Double] =
+    cents.map(c => c.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val x = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      x(d) = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      d += 1
+    }
+    var vNorm = 0.0
+    d = 0
+    while (d < dim) { vNorm += x(d) * x(d); d += 1 }
+    var best = Double.NegativeInfinity
+    var bestJ = 0
+    var second = Double.NegativeInfinity
+    var secondJ = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0.0
+      var k = 0
+      while (k < dim) { dot += x(k) * c(k); k += 1 }
+      val cos = dot / math.sqrt(vNorm) / math.sqrt(centNormSq(j))
+      if (cos > best) {
+        second = best; secondJ = bestJ
+        best = cos; bestJ = j
+      } else if (cos > second) {
+        second = cos; secondJ = j
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(Array(bestJ, secondJ))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells2 =
+    copy(child = newChild)
+}
+
+object IvfCells2 {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, cents: Array[Array[Double]]): Column =
+    ColumnShim.column(IvfCells2(ColumnShim.expression(c), cents))
+}

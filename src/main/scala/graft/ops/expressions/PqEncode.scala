@@ -131,3 +131,65 @@ object PqEncodeWith {
   def apply(c: Column, cb: Array[Array[Array[Double]]]): Column =
     ColumnShim.column(PqEncodeWith(ColumnShim.expression(c), cb))
 }
+
+/** ADC (asymmetric distance computation) kernel: (query residual
+  * array<double>, PQ codes array<int>) → approximate squared L2
+  * against the codebook — Σ_m Σ_i (x[m·sub+i] − cb[m][code_m][i])².
+  * Accumulation is the exact left-to-right two-level fold of the HOF
+  * `aggregate(sequence…)` formulation it replaces (outer acc from
+  * 0.0, inner from 0.0 per sub-space), so results are bit-identical
+  * and the DuckDB oracle's list-fold twin keeps hash-matching —
+  * PropertySpec pins kernel ≡ HOF.
+  *
+  * Why an expression: ADC is the candidate-scoring hot loop (probed
+  * rows × PqM·PqSub flops); the HOF form evaluates ~3·MergeDim
+  * interpreted lambdas + element_at calls per row, and spill-to-2
+  * indexing doubled the rows it runs over. */
+case class PqAdcWith(left: Expression, right: Expression,
+                     cb: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_with needs (array<double>, array<int>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_with"
+
+  override protected def nullSafeEval(x: Any, codes: Any): Any = {
+    val xs = x.asInstanceOf[ArrayData]
+    val cs = codes.asInstanceOf[ArrayData]
+    val m = cb.length
+    val sub = cb(0)(0).length
+    var acc = 0.0
+    var mm = 0
+    while (mm < m) {
+      val cbj = cb(mm)(cs.getInt(mm))
+      var a = 0.0
+      var ii = 0
+      while (ii < sub) {
+        val d = xs.getDouble(mm * sub + ii) - cbj(ii)
+        a = a + d * d
+        ii += 1
+      }
+      acc = acc + a
+      mm += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcWith =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcWith {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(x: Column, codes: Column, cb: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(
+      PqAdcWith(ColumnShim.expression(x), ColumnShim.expression(codes), cb))
+}

@@ -257,21 +257,12 @@ object AnnIndex {
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .parquet(s"$dir/codes")
 
-  /** ADC against a codebook literal — the pqAdcWith fold (nested
-    * ordered aggregates), kept here so the pipeline module has no
-    * dependency on the query pack. */
+  /** ADC against a codebook literal — the shared codegen kernel
+    * ([[graft.ops.expressions.PqAdcWith]]), bit-exact with the
+    * nested-aggregate fold it replaced. */
   private def adc(qx: org.apache.spark.sql.Column,
                   codes: org.apache.spark.sql.Column,
-                  cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
-    val m = cb.length
-    val sub = cb.head.head.length
-    def sq(c: org.apache.spark.sql.Column) = c * c
-    val cbLit = typedLit(cb)
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mm) =>
-      acc + aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (a, i) =>
-        a + sq(element_at(qx, (mm * sub + i + 1).cast("int")) -
-          element_at(element_at(element_at(cbLit, (mm + 1).cast("int")),
-            (element_at(codes, (mm + 1).cast("int")) + 1).cast("int")),
-            (i + 1).cast("int")))))
-  }
+                  cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
+    graft.ops.expressions.PqAdcWith(qx, codes,
+      cb.map(_.map(_.toArray).toArray).toArray)
 }

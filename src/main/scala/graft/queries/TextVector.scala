@@ -129,11 +129,15 @@ object TextVector {
   private val IvfK       = 16
   private val IvfSampleN = 400
   private val IvfIters   = 4
-  // q90 probes the query's 2 best cells: nprobe=1 recall dies at
+  // q90 probes the query's 4 best cells: nprobe=1 recall dies at
   // cell boundaries; real IVF serving always multi-probes, and the
-  // plan cost is one more tiny broadcast row per query.
+  // plan cost is one more tiny broadcast row per query. 4 (not the
+  // round-9 value 2) because near-isotropic vectors give the coarse
+  // quantizer little structure: with spill-to-2 indexing, nprobe=4
+  // and a probed-count-tracking shortlist measured recall@5 0.933 at
+  // sf0.1 vs 0.600 for the old (2, fixed-150) pairing.
   // AnnRecallSpec sweeps nprobe 1..4 (recall@5 monotone).
-  private val IvfNprobe  = 2
+  private val IvfNprobe  = 4
 
   // q78/q90: product quantization — MergeDim (64) split into 8
   // subspaces × 8 dims, 16 centroids each: codes are 8 small ints
@@ -204,20 +208,14 @@ object TextVector {
   private def pqAdc(qx: Column, codes: Column): Column =
     pqAdcWith(qx, codes, PqCodebook)
 
+  // the codegen ADC kernel (bit-exact twin of the nested-aggregate
+  // HOF it replaced — PropertySpec pins the equivalence; the HOF ran
+  // interpreted lambdas per candidate row and ADC is the probe's
+  // hot loop)
   private def pqAdcWith(qx: Column, codes: Column,
-                        cb: Seq[Seq[Seq[Double]]]): Column = {
-    def sq(c: Column): Column = c * c
-    val cbLit = typedLit(cb)
-    def cbAt(m: Column, j: Column, i: Column): Column =
-      element_at(element_at(element_at(cbLit,
-        (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
-    def xAt(x: Column, m: Column, i: Column): Column =
-      element_at(x, (m * PqSub + i + 1).cast("int"))
-    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
-      acc + aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0), (a, i) =>
-        a + sq(xAt(qx, m, i) -
-          cbAt(m, element_at(codes, (m + 1).cast("int")), i))))
-  }
+                        cb: Seq[Seq[Seq[Double]]]): Column =
+    graft.ops.expressions.PqAdcWith(qx, codes,
+      cb.map(_.map(_.toArray).toArray).toArray)
 
   // Embedding-cosine near-dup (q34): distinct 2-shingle hash set →
   // 32-dim random-feature embedding → SRP-LSH candidates → cosine
@@ -1054,16 +1052,32 @@ object TextVector {
   )
 
   /** q90's builder, nprobe-parameterized (AnnRecallSpec sweeps it;
-    * the registered query uses IvfNprobe). Stages: trained coarse
-    * quantizer → residual-PQ encode → nprobe inverted-list probe →
-    * ADC shortlist (top RerankR) → EXACT rerank of the shortlist
-    * (the refine step: an id-equi-join of RerankR·|queries| rows
-    * back to the raw vectors — quantization noise, not cell routing,
-    * capped the unrefined recall at 0.4; refined recall@5 is 0.87
-    * at sf0.01, monotone in nprobe). */
-  private[graft] def ivfPq(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    * the registered query uses IvfNprobe; `rerankDepth` > 0 overrides
+    * the auto-sized shortlist for sweeps). Stages: trained coarse
+    * quantizer → residual-PQ encode under BOTH of each vector's two
+    * nearest cells (spill-to-2 redundant assignment) → nprobe
+    * inverted-list probe → per-occurrence ADC, best-of per vector →
+    * shortlist sized to the probed-candidate count → EXACT rerank
+    * (the refine step: an id-equi-join of shortlist·|queries| rows
+    * back to the raw vectors). Round-10 history: quantization noise
+    * capped unrefined recall at 0.4 (refine fixed it); then single
+    * assignment + fixed 150-deep shortlist capped sf0.1 recall at
+    * 0.600 no matter the nprobe — spill + tracking depth measured
+    * 0.933 at (nprobe=4, sf0.1). */
+  private[graft] def ivfPq(s: SparkSession, d: String, nprobe: Int,
+                           rerankDepth: Long = 0L): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
+    // shortlist depth tracks the EXPECTED probed-candidate count
+    // (spill factor 2 × nprobe/IvfK of the corpus) — a fixed depth
+    // was measured collapsing recall as candidates outgrew it (150
+    // deep: 0.600 at sf0.1; nprobe=4 made it WORSE, 0.533, because
+    // extra cells' ADC noise evicted true neighbors). One count()
+    // per build — index-lifecycle driver state, like the sample.
+    val n = emb.count()
+    val depth =
+      if (rerankDepth > 0) rerankDepth
+      else math.max(RerankR.toLong, 2L * nprobe * n / IvfK)
     val sample = ivfSample(emb)
     val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
     val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
@@ -1087,8 +1101,23 @@ object TextVector {
     val pqCbSeq: Seq[Seq[Seq[Double]]] = pqCb.map(_.map(_.toSeq).toSeq).toSeq
     val vecs = emb
       .select($"vec_id", transform($"embedding", v => v.cast("double")).as("x"))
+    // Redundant assignment (spill-to-2): each vector is indexed under
+    // its TWO nearest cells (ScaNN's SOAR / multi-assignment device,
+    // public literature). On near-isotropic vectors the coarse
+    // quantizer has little cluster structure, so single assignment
+    // caps cell recall hard (measured 0.600/0.667/0.733 at nprobe
+    // 2/4/8, sf0.1, depth-saturated) — a neighbor's cell simply
+    // isn't probed. Spilling doubles the index (the standard trade:
+    // PqM+1 small ints per copy, still ~32x smaller than raw floats)
+    // and gives every neighbor two chances to land in the probed
+    // set. One fused kernel pass computes both assignments
+    // (IvfCells2) and a narrow explode emits the two occurrence
+    // rows; codes quantize the residual wrt EACH assigned cell (the
+    // IVFADC invariant). The oracle twins the runner-up as
+    // argmax-after-masking-the-winner over the same score vector.
     val enc = vecs
-      .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
+      .select($"vec_id", $"x", explode(
+        graft.ops.expressions.IvfCells2($"x", cents)).as("cell"))
       .withColumn("codes", graft.ops.expressions.PqEncodeWith(
         residual($"x", $"cell"), pqCb))
     // rank ALL cells per query by the assignment cosine, keep the
@@ -1108,12 +1137,16 @@ object TextVector {
       .select($"query_id", $"cell", residual($"qx", $"cell").as("qrv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    // a vector probed through BOTH its cells appears twice — keep its
+    // best ADC (skew-safe partial agg) so the shortlist rank sees one
+    // row per (query, vector) and the final top-5 can't duplicate
     val shortlist = enc.select($"vec_id", $"cell", $"codes")
       .join(probes, Seq("cell")) // the inverted-list probe
       .select($"query_id", $"vec_id",
-        pqAdcWith($"qrv", $"codes", pqCbSeq).as("adc"))
+        pqAdcWith($"qrv", $"codes", pqCbSeq).as("adc0"))
+      .groupBy($"query_id", $"vec_id").agg(min($"adc0").as("adc"))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= RerankR)
+      .filter($"rn" <= depth)
       .select($"query_id", $"vec_id")
     // refine: exact L2 on the shortlist only (fixed-order fold —
     // dims ascending from 0.0, the oracle's list fold)
@@ -1637,9 +1670,21 @@ object TextVector {
            |            FROM rsd CROSS JOIN range(0, $PqM) r(m)
            |            WHERE vec_id IN (SELECT vec_id FROM samp)),
            |$PqTrainOracleCtes,
+           |asg2 AS (
+           |  SELECT vec_id, v,
+           |    list_position(ms, list_reduce(ms,
+           |      (x, y) -> CASE WHEN y > x THEN y ELSE x END)) - 1 AS cell
+           |  FROM (SELECT sc.vec_id, sc.v,
+           |          list_transform(sc.scores,
+           |            (e, i) -> CASE WHEN i - 1 = a.cell THEN -2.0 ELSE e END) AS ms
+           |        FROM scored sc JOIN asg a USING (vec_id))),
+           |occ AS (SELECT vec_id, v, cell FROM asg
+           |        UNION ALL SELECT vec_id, v, cell FROM asg2),
+           |rsde AS (SELECT vec_id, cell, ${resid("v")} AS rv
+           |         FROM occ, c$IvfIters),
            |sube AS (SELECT vec_id, cell, r.m AS m,
            |           list_slice(rv, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
-           |         FROM rsd CROSS JOIN range(0, $PqM) r(m)),
+           |         FROM rsde CROSS JOIN range(0, $PqM) r(m)),
            |easg AS (
            |  SELECT m, vec_id, cell, ${sqlArgmin("scores")} AS code
            |  FROM (SELECT m, vec_id, cell,
@@ -1657,18 +1702,22 @@ object TextVector {
            |      CROSS JOIN c$IvfIters
            |      WHERE cr <= $IvfNprobe),
            |part AS (
-           |  SELECT q.query_id, a.vec_id, a.m,
+           |  SELECT q.query_id, a.vec_id, a.cell, a.m,
            |    ${sqlFold(s"list_transform(range(0, $PqSub), i -> " +
                   sqlSqDiff(s"qrv[a.m * $PqSub + i + 1]", "cs[a.code + 1][i + 1]") + ")")} AS partial
            |  FROM easg a JOIN pc$PqIters USING (m)
            |  JOIN q ON a.cell = q.cell),
-           |s AS (SELECT query_id, vec_id,
+           |s AS (SELECT query_id, vec_id, cell,
            |        ${sqlFold("list(partial ORDER BY m)")} AS adc
-           |      FROM part GROUP BY query_id, vec_id),
+           |      FROM part GROUP BY query_id, vec_id, cell),
+           |smin AS (SELECT query_id, vec_id, min(adc) AS adc
+           |         FROM s GROUP BY query_id, vec_id),
            |r AS (SELECT query_id, vec_id, adc,
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
-           |      FROM s),
-           |sl AS (SELECT query_id, vec_id FROM r WHERE rn <= $RerankR),
+           |      FROM smin),
+           |sl AS (SELECT query_id, vec_id FROM r
+           |       WHERE rn <= greatest($RerankR,
+           |         (2 * $IvfNprobe * (SELECT count(*) FROM embeddings)) // $IvfK)),
            |qv AS (SELECT vec_id AS query_id, v AS qx FROM asg WHERE vec_id < 3),
            |ex AS (SELECT sl.query_id, sl.vec_id,
            |         ${sqlFold(s"list_transform(range(0, $MergeDim), i -> " +

@@ -67,10 +67,11 @@ class AnnRecallSpec extends AnyFunSuite {
           f"recall not monotone: np=$npA%d:$a%.3f > np=$npB%d:$b%.3f")
       case _ =>
     }
-    val atDefault = sweep(1)._2 // nprobe=2, the registered query
-    // measured 0.867 with the 150-deep shortlist (0.733/0.867/0.933/
-    // 0.933 over the sweep); floor leaves one-hit margin
-    assert(atDefault >= 0.75, f"q90 recall@5 $atDefault%.2f below 0.75 floor")
+    val atDefault = sweep(3)._2 // nprobe=4, the registered query
+    // measured 0.933 with spill-to-2 + probed-count-tracking
+    // shortlist (0.867/0.933/0.933/0.933 over the sweep); 0.85 floor
+    // leaves one-hit margin (a miss costs 1/15 = 0.067)
+    assert(atDefault >= 0.85, f"q90 recall@5 $atDefault%.2f below 0.85 floor")
     val out = SparkEntry.queries("q90_ivf_pq")(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect()
     assert(out.length == 15, s"3 queries × top-5 expected, got ${out.length}")
@@ -95,13 +96,11 @@ class AnnRecallSpec extends AnyFunSuite {
     val r = got.map { case (q, ids) => (ids intersect exact5(q)).size }.sum
       .toDouble / (got.size * 5)
     info(f"sf0.1 recall@5 = $r%.3f")
-    // 0.600 measured = the CELL-recall ceiling at this scale (the
-    // 150-deep shortlist covers most probed candidates, so refine
-    // recovers everything the probe reaches): near-isotropic unit
-    // vectors give the coarse quantizer little cluster structure, so
-    // neighbors fall in unprobed cells at rate ≈ 1 − nprobe-weighted
-    // cell affinity — the documented IVF trade on clusterless data,
-    // not a quantization defect
-    assert(r >= 0.6, f"q90 recall@5 $r%.2f at sf0.1 below 0.6 floor")
+    // 0.933 measured (round 10). The round-9 value 0.600 was the
+    // single-assignment cell-recall ceiling on clusterless vectors;
+    // spill-to-2 indexing + the probed-count-tracking shortlist
+    // raised it (0.733/0.933/1.000 at nprobe 2/4/8, depth-saturated).
+    // 0.85 floor leaves one-hit margin at 15 result rows.
+    assert(r >= 0.85, f"q90 recall@5 $r%.2f at sf0.1 below 0.85 floor")
   }
 }

@@ -218,6 +218,57 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("IvfCells2 kernel == [IvfCell, masked-argmax HOF], incl. tie order") {
+    val K = 8; val Dim = 16
+    val rnd = new scala.util.Random(11)
+    val cents = Array.fill(K, Dim)(rnd.nextInt(2000001) / 1000.0 - 1000.0)
+    val vecs = (1 to 60).map(_ =>
+      List.fill(Dim)(rnd.nextInt(2000001) / 1000.0 - 1000.0)) ++
+      // force score ties: a vector equal to a centroid duplicated in
+      // the codebook would need equal centroids; instead reuse an
+      // input twice so at least determinism across rows is exercised
+      (1 to 5).map(_ => cents(3).toList)
+    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    val df = vecs.toDF("x")
+      .withColumn("cell", graft.ops.expressions.IvfCell($"x", cents))
+      .withColumn("sc", transform(typedLit(centsSeq),
+        c => graft.ops.VectorOps.cosine($"x", c)))
+      .withColumn("m2", transform($"sc",
+        (e, i) => when(i === $"cell", lit(-2.0)).otherwise(e)))
+      .select(
+        graft.ops.expressions.IvfCells2($"x", cents).as("fused"),
+        array($"cell",
+          (array_position($"m2", array_max($"m2")) - 1).cast("int")).as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
+  test("PqAdcWith kernel == nested-aggregate HOF fold, bit-exact") {
+    val M = 4; val K = 8; val Sub = 16
+    val cb = graft.ops.expressions.PqKernel.codebook(M, K, Sub)
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { _ =>
+      (List.fill(M * Sub)(rnd.nextInt(4000001) / 1000.0 - 2000.0),
+        List.fill(M)(rnd.nextInt(K)))
+    }
+    // the exact HOF formulation the kernel replaced: outer fold over
+    // sub-spaces from 0.0, inner left-to-right fold of (xi − ci)²
+    def cbAt(m: Column, j: Column, i: Column): Column =
+      element_at(element_at(element_at(cbLit,
+        (m + 1).cast("int")), (j + 1).cast("int")), (i + 1).cast("int"))
+    val ref = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, m) =>
+      acc + aggregate(sequence(lit(0), lit(Sub - 1)), lit(0.0), (a, i) =>
+        a + (element_at($"x", (m * Sub + i + 1).cast("int")) -
+          cbAt(m, element_at($"codes", (m + 1).cast("int")), i)) *
+          (element_at($"x", (m * Sub + i + 1).cast("int")) -
+            cbAt(m, element_at($"codes", (m + 1).cast("int")), i))))
+    val df = rows.toDF("x", "codes")
+      .select(
+        graft.ops.expressions.PqAdcWith($"x", $"codes", cb).as("fused"),
+        ref.as("ref"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0)
+  }
+
   test("CosineSim codegen kernel == HOF cosine, bit-exact") {
     val vecs = samples(Gen.listOfN(16,
       Gen.choose(-1000000, 1000000).map(_ / 1000.0)), 60)
