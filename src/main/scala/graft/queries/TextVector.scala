@@ -118,49 +118,71 @@ object TextVector {
   private val AnnBits  = 24
   private val AnnBands = 4
 
-  // IVF (q33, and q90's coarse stage): 16 cells, codebook TRAINED by
+  // IVF (q33, and q90's coarse stage): codebook TRAINED by
   // deterministic Lloyd's k-means (graft.ops.Kmeans) on a SEEDED
   // PSEUDO-RANDOM sample (the IvfSampleN vec_ids ranked first by the
   // hash permutation (vec_id·PermMult) mod HashMod — unbiased unlike
   // the id-prefix slice it replaced, yet fully oracle-replayable) —
   // bounded driver state regardless of corpus size; the oracle
-  // replays training via IvfIters unrolled CTE rounds. Cell count
-  // scales ~√n in production; 16 fits the 500–2000-vector test SFs.
+  // replays training via IvfIters unrolled CTE rounds. q33 keeps the
+  // fixed 16-cell demo codebook; q90 — the serving-shaped query —
+  // sizes nlist ≈ √n like the persisted AnnIndex (ivfCellsFor), so
+  // the probed fraction nprobe/nlist SHRINKS as the corpus grows
+  // instead of the inverted lists growing linearly.
   private val IvfK       = 16
   private val IvfSampleN = 400
   private val IvfIters   = 4
-  // q90 probes the query's 4 best cells: nprobe=1 recall dies at
-  // cell boundaries; real IVF serving always multi-probes, and the
-  // plan cost is one more tiny broadcast row per query. 4 (not the
-  // round-9 value 2) because near-isotropic vectors give the coarse
-  // quantizer little structure: with spill-to-2 indexing, nprobe=4
-  // and a probed-count-tracking shortlist measured recall@5 0.933 at
-  // sf0.1 vs 0.600 for the old (2, fixed-150) pairing.
-  // AnnRecallSpec sweeps nprobe 1..4 (recall@5 monotone).
+  // q90 cell-count policy — nlist = clamp(√n) (AnnIndex.cellsFor's
+  // sizing, mirrored here so the one-shot query demonstrates the
+  // production geometry), sample scaled at ≥16 vectors/cell.
+  private val IvfKMin         = 16
+  private val IvfKMax         = 4096
+  private val IvfSamplePerCell = 16
+  private[graft] def ivfCellsFor(n: Long): Int =
+    math.max(IvfKMin, math.min(IvfKMax, math.sqrt(n.toDouble).toInt))
+  // q90 probe policy: nprobe = max(4, ceil(√nlist)) — with nlist=√n
+  // that is n^(1/4), so the PROBED FRACTION nprobe/nlist = 1/√nlist
+  // shrinks with corpus size (FAISS practice: nprobe grows slowly
+  // with nlist for a fixed recall target) while small corpora keep
+  // the floor of 4 that multi-probe recall needs. nprobe=1 dies at
+  // cell boundaries; spill-to-2 indexing (below) gives each neighbor
+  // two chances to land in the probed set.
+  // AnnRecallSpec sweeps explicit nprobe values (recall@5 monotone
+  // within one-hit ADC-eviction tolerance).
   private val IvfNprobe  = 4
+  private[graft] def ivfNprobeFor(nlist: Int): Int =
+    math.max(IvfNprobe, 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
   // q78/q90: product quantization — MergeDim (64) split into 8
-  // subspaces × 8 dims, 16 centroids each: codes are 8 small ints
-  // (vs 64 floats — the 8× (byte-level 32×) compression that makes
-  // billion-vector ANN fit in executor memory). ADC arithmetic cost
-  // is PqM·PqSub = MergeDim regardless of the split.
-  private val PqM   = 8
-  private val PqK   = 16
-  private val PqSub = MergeDim / PqM
+  // subspaces × 8 dims. q78/q91 keep 16 centroids/subspace (the
+  // demo-compression geometry); q90's RANKING codebook uses
+  // PqKRank=64 centroids/subspace (6 bits × 8 = 48-bit codes):
+  // round 10 measured the 16-centroid ADC too coarse to ORDER
+  // candidates (true neighbors evicted from a fixed shortlist as
+  // soon as the candidate pool outgrew it), and the fix is rank
+  // fidelity, not a deeper shortlist. ADC arithmetic cost is
+  // PqM·PqSub = MergeDim per candidate regardless of PqK (table
+  // lookups); only the one-off codebook training and encode scale
+  // with PqK.
+  private val PqM     = 8
+  private val PqK     = 16
+  private val PqKRank = 64
+  private val PqSub   = MergeDim / PqM
 
-  // q90's refine stage: exact rerank of the top-RerankR ADC
-  // candidates per query (FAISS IndexRefineFlat / ScaNN reorder —
+  // q90's refine stage: exact rerank of the top-`rerankDepthFor(k)`
+  // ADC candidates per query (FAISS IndexRefineFlat / ScaNN reorder —
   // the standard serving answer when quantization noise, not cell
   // routing, caps recall). Cost shape: an id-equi-join of
-  // RerankR·|queries| shortlist rows back to the raw vectors —
-  // bounded, never a rescan. Sizing: the shortlist must track the
-  // probed-candidate count (≈ nprobe·n/IvfK), or ADC noise pushes
-  // true neighbors off it — 25 cleared 0.73 recall at 500 vectors
-  // and collapsed to 0.27 at 2000 (AnnRecallSpec pins both scales);
-  // 150 restores the cell-recall ceiling at every test SF while
-  // remaining a vanishing fraction of a production cell (30k+
-  // vectors at nlist=√n, 1e9-corpus).
-  private val RerankR = 150
+  // depth·|queries| shortlist rows back to the raw vectors —
+  // bounded, never a rescan. Sizing: a CONSTANT multiple of the ask
+  // (20·k), NEVER a corpus fraction — the round-10 depth that
+  // tracked the probed-candidate count reached n/2 at the registered
+  // geometry, i.e. the "shortlist" pruned nothing and the rerank
+  // join grew linearly with the corpus. With the finer PqKRank
+  // codebook doing the ordering, 20·k holds the 0.85 recall floor at
+  // both test scales while the rerank join stays O(k) per query.
+  private val RerankMult = 20
+  private[graft] def rerankDepthFor(k: Int): Int = RerankMult * k
 
   /** Deterministic PQ codebook shared by q78/q90 and their oracles:
     * integer formula → the exact double both engines compute. */
@@ -187,6 +209,15 @@ object TextVector {
 
   private def ivfSample(emb: DataFrame): Array[Array[Double]] =
     ivfSampleDf(emb)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** [[ivfSample]] with a caller-sized depth (q90: the sample scales
+    * with the cell count, ≥ IvfSamplePerCell vectors per centroid). */
+  private def ivfSampleSized(emb: DataFrame, n: Int): Array[Array[Double]] =
+    graft.ops.SeededSample.top(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", n)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -982,18 +1013,18 @@ object TextVector {
     // the PqM-byte PQ codes of their RESIDUAL x − centroid(cell)
     // (the canonical IVFADC form: residuals have far lower variance
     // than raw vectors, so the same code budget quantizes finer),
-    // and a query probes its IvfNprobe best cells (cell ranking =
+    // and a query probes its ivfNprobeFor best cells (cell ranking =
     // the same cosine the quantizer assigns by; the probe is an
     // equi-join on cell id, exactly q33's), shortlisting candidates
     // by ADC between the QUERY's residual against that cell and the
-    // candidate's code centroids, then EXACT-reranking the top
-    // RerankR (the refine step — FAISS IndexRefineFlat / ScaNN
-    // reorder; see ivfPq). At 100 TB this is the IVF-PQ layout FAISS
+    // candidate's code centroids, then EXACT-reranking the CONSTANT
+    // top rerankDepthFor(5) (the refine step — FAISS IndexRefineFlat
+    // / ScaNN reorder; see ivfPq). At 100 TB this is the IVF-PQ layout FAISS
     // serves from RAM: codes far smaller than floats, probe cost
     // nprobe·|cell| not |corpus|, codebooks broadcast driver state,
     // refine a bounded id-join. Residual subtraction is elementwise
     // (zip_with ≡ the oracle's indexed list_transform — bit-exact).
-    "q90_ivf_pq" -> { (s, d) => ivfPq(s, d, IvfNprobe) },
+    "q90_ivf_pq" -> { (s, d) => ivfPq(s, d) },
 
     // PQ with TRAINED codebooks (q78's upgrade, the round-6 verdict's
     // "codebook a production index trains"): per sub-space, the
@@ -1052,34 +1083,38 @@ object TextVector {
   )
 
   /** q90's builder, nprobe-parameterized (AnnRecallSpec sweeps it;
-    * the registered query uses IvfNprobe; `rerankDepth` > 0 overrides
-    * the auto-sized shortlist for sweeps). Stages: trained coarse
-    * quantizer → residual-PQ encode under BOTH of each vector's two
-    * nearest cells (spill-to-2 redundant assignment) → nprobe
-    * inverted-list probe → per-occurrence ADC, best-of per vector →
-    * shortlist sized to the probed-candidate count → EXACT rerank
-    * (the refine step: an id-equi-join of shortlist·|queries| rows
-    * back to the raw vectors). Round-10 history: quantization noise
-    * capped unrefined recall at 0.4 (refine fixed it); then single
-    * assignment + fixed 150-deep shortlist capped sf0.1 recall at
-    * 0.600 no matter the nprobe — spill + tracking depth measured
-    * 0.933 at (nprobe=4, sf0.1). */
-  private[graft] def ivfPq(s: SparkSession, d: String, nprobe: Int,
+    * the registered query uses the ivfNprobeFor policy via nprobe=0;
+    * `rerankDepth` > 0 overrides the constant shortlist for sweeps).
+    * Stages: trained coarse quantizer with nlist = √n cells
+    * (ivfCellsFor — the AnnIndex production sizing, so the probed
+    * fraction shrinks with scale) → residual-PQ encode at PqKRank
+    * centroids/subspace under BOTH of each vector's two nearest
+    * cells (spill-to-2 redundant assignment) → nprobe inverted-list
+    * probe → per-occurrence ADC, best-of per vector → CONSTANT
+    * 20·k shortlist → EXACT rerank (the refine step: an id-equi-join
+    * of 20·k·|queries| rows back to the raw vectors). Round-10/11
+    * history: 16-centroid ADC couldn't order candidates, so round 10
+    * held recall by deepening the shortlist until it reached n/2 —
+    * the rerank was doing the index's job. Round 11 moved the work
+    * where it belongs: a 64-centroid ranking codebook orders
+    * candidates well enough that a depth that NEVER scales with the
+    * corpus (rerankDepthFor) holds the 0.85 floors at both scales. */
+  private[graft] def ivfPq(s: SparkSession, d: String, nprobe: Int = 0,
                            rerankDepth: Long = 0L): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    // shortlist depth tracks the EXPECTED probed-candidate count
-    // (spill factor 2 × nprobe/IvfK of the corpus) — a fixed depth
-    // was measured collapsing recall as candidates outgrew it (150
-    // deep: 0.600 at sf0.1; nprobe=4 made it WORSE, 0.533, because
-    // extra cells' ADC noise evicted true neighbors). One count()
-    // per build — index-lifecycle driver state, like the sample.
+    // one count() per build — index-lifecycle driver state (sizes
+    // nlist and the training sample), like the sample collect; the
+    // persisted AnnIndex caches the same value at build time.
     val n = emb.count()
+    val ivfK = ivfCellsFor(n)
+    val np = if (nprobe > 0) nprobe else ivfNprobeFor(ivfK)
     val depth =
-      if (rerankDepth > 0) rerankDepth
-      else math.max(RerankR.toLong, 2L * nprobe * n / IvfK)
-    val sample = ivfSample(emb)
-    val cents = graft.ops.Kmeans.train(sample, IvfK, IvfIters)
+      if (rerankDepth > 0) rerankDepth else rerankDepthFor(5).toLong
+    val sampleN =
+      math.min(n, math.max(IvfSampleN.toLong, IvfSamplePerCell.toLong * ivfK)).toInt
+    val sample = ivfSampleSized(emb, sampleN)
+    val cents = graft.ops.Kmeans.train(sample, ivfK, IvfIters)
     val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
     def centAt(cell: Column): Column =
       element_at(typedLit(centsSeq), (cell + 1).cast("int"))
@@ -1094,9 +1129,11 @@ object TextVector {
       val cell = graft.ops.Kmeans.assignCell(x, cents, normSq)
       x.zip(cents(cell)).map { case (a, b) => a - b }
     }
+    // RANKING codebook: PqKRank (64) centroids/subspace — the rank
+    // fidelity that lets the constant 20·k shortlist hold recall
     val pqCb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
       graft.ops.Kmeans.trainL2(
-        residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
+        residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqKRank, PqIters)
     }
     val pqCbSeq: Seq[Seq[Seq[Double]]] = pqCb.map(_.map(_.toSeq).toSeq).toSeq
     val vecs = emb
@@ -1133,7 +1170,7 @@ object TextVector {
       .select($"query_id", $"qx", $"cell",
         VectorOps.cosine($"qx", $"cvec").as("sc"))
       .withColumn("cr", row_number().over(wc))
-      .filter($"cr" <= nprobe)
+      .filter($"cr" <= np)
       .select($"query_id", $"cell", residual($"qx", $"cell").as("qrv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"adc", $"vec_id")
@@ -1183,12 +1220,26 @@ object TextVector {
     s"list_position($scores, list_reduce($scores, " +
       s"(p, q) -> CASE WHEN q < p THEN q ELSE p END)) - 1"
 
+  /** Force every CTE in `sql` to evaluate ONCE (`AS MATERIALIZED`):
+    * DuckDB inlines plain CTEs per reference, and the unrolled Lloyd
+    * chains reference each round from the next round AND its
+    * assignment — 2^iters re-evaluations. Inlined, the PqKRank=64
+    * trainer replay took minutes; materialized, the whole q90 oracle
+    * runs in ~3 s. Purely an evaluation hint — results unchanged. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   /** Oracle twin of Kmeans.trainL2 per subspace (q90/q91): expects a
     * CTE `subsamp(vec_id, m, sv)` of sample sub-vectors; emits
     * pc0 → pc$PqIters (all PqM trainings in one chain keyed on m,
     * first-k init, argmin-L2 first-wins, in-order mean folds,
     * emptied cell keeps its centroid). */
-  private lazy val PqTrainOracleCtes: String = {
+  private lazy val PqTrainOracleCtes: String = pqTrainOracleCtes(PqK)
+
+  /** Parameterized on the per-subspace centroid count: q91 replays
+    * the PqK=16 demo training, q90 the PqKRank=64 ranking
+    * codebook. */
+  private def pqTrainOracleCtes(pqK: Int): String = {
     val rounds = (1 to PqIters).map { t =>
       s"""pa$t AS (
          |  SELECT m, vec_id, sv, ${sqlArgmin("scores")} AS cell
@@ -1204,11 +1255,11 @@ object TextVector {
          |  SELECT pc.m,
          |    list(coalesce(list_transform(sv_sum, e -> e / n), cs[j + 1])
          |         ORDER BY j) AS cs
-         |  FROM pc${t - 1} pc CROSS JOIN range(0, $PqK) r(j)
+         |  FROM pc${t - 1} pc CROSS JOIN range(0, $pqK) r(j)
          |  LEFT JOIN pm$t ON pm$t.m = pc.m AND pm$t.cell = r.j
          |  GROUP BY pc.m, pc.cs)""".stripMargin
     }.mkString(",\n")
-    s"""pc0 AS (SELECT m, (list(sv ORDER BY vec_id))[1:$PqK] AS cs
+    s"""pc0 AS (SELECT m, (list(sv ORDER BY vec_id))[1:$pqK] AS cs
        |        FROM subsamp GROUP BY m),
        |$rounds""".stripMargin
   }
@@ -1246,6 +1297,66 @@ object TextVector {
        |  SELECT vec_id, x FROM ${sqlSamp(
             "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)")}),
        |c0 AS (SELECT (list(x ORDER BY vec_id))[1:$IvfK] AS cs FROM samp),
+       |$rounds,
+       |scored AS (
+       |  SELECT vec_id, v,
+       |    list_transform(cs, c -> ${sqlCos("v", "c")}) AS scores
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), c$IvfIters),
+       |asg AS (
+       |  SELECT vec_id, v,
+       |    list_position(scores,
+       |      list_reduce(scores, (x, y) -> CASE WHEN y > x THEN y ELSE x END)) - 1 AS cell
+       |  FROM scored)""".stripMargin
+  }
+
+  /** q90's DYNAMIC-geometry twin of [[IvfOracleCtes]]: same Lloyd
+    * chain, but nlist = clamp(√n) (ivfCellsFor), the sample scaled
+    * at IvfSamplePerCell·nlist (ivfSampleSized), and nprobe =
+    * max(4, ceil(√nlist)) (ivfNprobeFor) are all DERIVED FROM THE
+    * CORPUS inside SQL (`kk`), so the oracle replays the
+    * production-sizing policy rather than a baked constant. `cellid`
+    * stands in for range(0, nlist): a constant range over the k cap
+    * filtered by the derived k (DuckDB table functions want constant
+    * bounds). Ends at `asg` like the static chain. */
+  private lazy val IvfOracleCtesDyn: String = {
+    val rounds = (1 to IvfIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, x,
+         |    list_position(scores, list_reduce(scores,
+         |      (p, q) -> CASE WHEN q > p THEN q ELSE p END)) - 1 AS cell
+         |  FROM (SELECT vec_id, x,
+         |          list_transform(cs, c -> ${sqlCos("x", "c")}) AS scores
+         |        FROM samp, c${t - 1})),
+         |m$t AS (
+         |  SELECT cell, count(*) AS n,
+         |    list_reduce(list(x ORDER BY vec_id),
+         |      (u, v) -> list_transform(u, (e, i) -> e + v[i])) AS sv
+         |  FROM a$t GROUP BY cell),
+         |c$t AS (
+         |  SELECT list(coalesce(list_transform(sv, e -> e / n), cs[j + 1])
+         |              ORDER BY j) AS cs
+         |  FROM c${t - 1} CROSS JOIN cellid r(j)
+         |  LEFT JOIN m$t ON m$t.cell = r.j)""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT k,
+       |         least(n, greatest($IvfSampleN, $IvfSamplePerCell * k)) AS sampn,
+       |         greatest($IvfNprobe, 2 * CAST(ceil(sqrt(k)) AS INT)) AS np
+       |       FROM (SELECT n, greatest($IvfKMin,
+       |               least($IvfKMax, CAST(floor(sqrt(n)) AS INT))) AS k
+       |             FROM nn)),
+       |cellid AS (SELECT j FROM range(0, $IvfKMax) t(j)
+       |           WHERE j < (SELECT k FROM kk)),
+       |samp AS (
+       |  SELECT vec_id, x FROM (
+       |    SELECT vec_id, x, row_number() OVER (ORDER BY
+       |        ((vec_id % ${graft.ops.SeededSample.Mod}) *
+       |         ${graft.ops.SeededSample.Mult}) %
+       |        ${graft.ops.SeededSample.Mod}, vec_id) AS rk
+       |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings))
+       |  WHERE rk <= (SELECT sampn FROM kk)),
+       |c0 AS (SELECT list_slice(list(x ORDER BY vec_id), 1,
+       |               (SELECT k FROM kk)) AS cs FROM samp),
        |$rounds,
        |scored AS (
        |  SELECT vec_id, v,
@@ -1321,7 +1432,7 @@ object TextVector {
         // PqKernel.encodeWith + the ADC fold (per-subspace partials
         // folded in m order from 0.0 — pqAdcWith's nested-aggregate
         // structure).
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        materializeCtes(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
            |samp AS (SELECT vec_id, x FROM ${sqlSamp("e")}),
            |subsamp AS (SELECT vec_id, r.m AS m,
            |              list_slice(x, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
@@ -1349,7 +1460,7 @@ object TextVector {
            |      FROM s)
            |SELECT query_id, vec_id,
            |  CAST(floor(adc*1000000.0 + 0.5) AS BIGINT) AS adc_u, rn
-           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
       "q20_token_overflow" ->
         s"""SELECT doc_id, n_chars, len($toks) AS token_count
@@ -1640,7 +1751,7 @@ object TextVector {
            |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
       "q33_ann_ivf" ->
-        s"""WITH $IvfOracleCtes,
+        materializeCtes(s"""WITH $IvfOracleCtes,
            |q AS (SELECT vec_id AS query_id, v AS q_emb, cell AS q_cell
            |      FROM asg WHERE vec_id < 3),
            |sc AS (SELECT q.query_id, asg.vec_id, ${sqlCos("q.q_emb", "asg.v")} AS cos
@@ -1650,26 +1761,28 @@ object TextVector {
            |                           ORDER BY cos DESC, vec_id) AS rn
            |      FROM sc)
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
-           |ORDER BY query_id, rn""".stripMargin,
+           |ORDER BY query_id, rn""".stripMargin),
 
       "q90_ivf_pq" -> {
-        // q33's trained-IVF CTEs route vectors to cells; PQ codebooks
-        // TRAIN on the sample's residuals v − centroid(cell)
-        // (PqTrainOracleCtes over rsd's sub-vectors — Kmeans.trainL2's
-        // twin), codes quantize every vector's residual, and the
-        // probe joins ON cell (never a cross join) ranking by ADC
-        // between the query's per-cell residual and the trained code
-        // centroids.
+        // The DYNAMIC-geometry trained-IVF CTEs (nlist=√n, scaled
+        // sample, policy nprobe — all derived in `kk`) route vectors
+        // to cells; PQ codebooks TRAIN on the sample's residuals
+        // v − centroid(cell) (pqTrainOracleCtes at PqKRank over rsd's
+        // sub-vectors — Kmeans.trainL2's twin), codes quantize every
+        // vector's residual, and the probe joins ON cell (never a
+        // cross join) ranking by ADC between the query's per-cell
+        // residual and the trained code centroids. The shortlist is
+        // the CONSTANT rerankDepthFor(5) — never a corpus fraction.
         val resid = (x: String) =>
           s"list_transform(range(0, $MergeDim), i -> $x[i + 1] - cs[cell + 1][i + 1])"
-        s"""WITH $IvfOracleCtes,
+        materializeCtes(s"""WITH $IvfOracleCtesDyn,
            |rsd AS (SELECT vec_id, cell, ${resid("v")} AS rv
            |        FROM asg, c$IvfIters),
            |subsamp AS (SELECT vec_id, r.m AS m,
            |              list_slice(rv, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS sv
            |            FROM rsd CROSS JOIN range(0, $PqM) r(m)
            |            WHERE vec_id IN (SELECT vec_id FROM samp)),
-           |$PqTrainOracleCtes,
+           |${pqTrainOracleCtes(PqKRank)},
            |asg2 AS (
            |  SELECT vec_id, v,
            |    list_position(ms, list_reduce(ms,
@@ -1692,7 +1805,7 @@ object TextVector {
            |        FROM sube JOIN pc$PqIters USING (m))),
            |qc AS (SELECT vec_id AS query_id, v AS qx, r.j AS cell,
            |         scores[r.j + 1] AS sc
-           |       FROM scored CROSS JOIN range(0, $IvfK) r(j)
+           |       FROM scored CROSS JOIN cellid r(j)
            |       WHERE vec_id < 3),
            |q AS (SELECT query_id, cell, ${resid("qx")} AS qrv FROM (
            |        SELECT query_id, qx, cell,
@@ -1700,7 +1813,7 @@ object TextVector {
            |                             ORDER BY sc DESC, cell) AS cr
            |        FROM qc)
            |      CROSS JOIN c$IvfIters
-           |      WHERE cr <= $IvfNprobe),
+           |      WHERE cr <= (SELECT np FROM kk)),
            |part AS (
            |  SELECT q.query_id, a.vec_id, a.cell, a.m,
            |    ${sqlFold(s"list_transform(range(0, $PqSub), i -> " +
@@ -1716,8 +1829,7 @@ object TextVector {
            |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
            |      FROM smin),
            |sl AS (SELECT query_id, vec_id FROM r
-           |       WHERE rn <= greatest($RerankR,
-           |         (2 * $IvfNprobe * (SELECT count(*) FROM embeddings)) // $IvfK)),
+           |       WHERE rn <= ${rerankDepthFor(5)}),
            |qv AS (SELECT vec_id AS query_id, v AS qx FROM asg WHERE vec_id < 3),
            |ex AS (SELECT sl.query_id, sl.vec_id,
            |         ${sqlFold(s"list_transform(range(0, $MergeDim), i -> " +
@@ -1729,7 +1841,7 @@ object TextVector {
            |       FROM ex)
            |SELECT query_id, vec_id,
            |  CAST(floor(d2*1000000.0 + 0.5) AS BIGINT) AS d2_u, rn
-           |FROM rr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+           |FROM rr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
       },
 
       "q32_media_features" ->

@@ -53,9 +53,12 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained >= 0.3, f"trained PQ recall $trained%.2f implausibly low")
   }
 
-  test("q90 (IVFADC + exact refine) clears 0.6 and is monotone in nprobe") {
-    // the refine stage reranks the ADC shortlist exactly, so recall
-    // is capped by CELL recall — which can only grow with nprobe
+  test("q90 (IVFADC + exact refine) holds the floor and is monotone in nprobe") {
+    // CELL recall can only grow with nprobe; with the CONSTANT
+    // rerank shortlist (rerankDepthFor — round 11) a larger probed
+    // pool can in principle evict a borderline true neighbor by ADC
+    // noise, so monotonicity is asserted to one-hit tolerance
+    // (1/15 ≈ 0.067), not exactly.
     val sweep = (1 to 4).map { np =>
       np -> recallOf(graft.queries.TextVector.ivfPq(spark, sf, np))
     }
@@ -63,18 +66,31 @@ class AnnRecallSpec extends AnyFunSuite {
       sweep.map { case (np, r) => f"np=$np%d:$r%.3f" }.mkString("  "))
     sweep.sliding(2).foreach {
       case Seq((npA, a), (npB, b)) =>
-        assert(b >= a - 1e-9,
-          f"recall not monotone: np=$npA%d:$a%.3f > np=$npB%d:$b%.3f")
+        assert(b >= a - (1.0 / 15) - 1e-9,
+          f"recall dropped > one hit: np=$npA%d:$a%.3f > np=$npB%d:$b%.3f")
       case _ =>
     }
-    val atDefault = sweep(3)._2 // nprobe=4, the registered query
-    // measured 0.933 with spill-to-2 + probed-count-tracking
-    // shortlist (0.867/0.933/0.933/0.933 over the sweep); 0.85 floor
-    // leaves one-hit margin (a miss costs 1/15 = 0.067)
-    assert(atDefault >= 0.85, f"q90 recall@5 $atDefault%.2f below 0.85 floor")
+    // the REGISTERED query uses the ivfNprobeFor policy (np =
+    // 2·ceil(√nlist) — a probed fraction that shrinks as 2/√nlist)
+    // and the constant shortlist: measured 0.933 at sf0.001
+    // (nlist=22, np=10). 0.85 floor leaves one-hit margin.
+    val atPolicy = recall("q90_ivf_pq")
+    info(f"policy recall@5 = $atPolicy%.3f")
+    assert(atPolicy >= 0.85, f"q90 recall@5 $atPolicy%.2f below 0.85 floor")
     val out = SparkEntry.queries("q90_ivf_pq")(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect()
     assert(out.length == 15, s"3 queries × top-5 expected, got ${out.length}")
+  }
+
+  test("q90 rerank depth is a constant multiple of k, never a corpus fraction") {
+    // round 10's depth tracked the probed-candidate count and reached
+    // n/2 at the registered geometry — the rerank join grew linearly
+    // with the corpus. The depth function now takes ONLY the ask k
+    // (its signature admits no corpus argument): 20·k, so the
+    // exact-refine equi-join is O(k·|queries|) at every scale.
+    (1 to 50).foreach { k =>
+      assert(graft.queries.TextVector.rerankDepthFor(k) == 20 * k)
+    }
   }
 
   test("q90 recall holds at sf0.1 (the bench scale: 4x corpus, same geometry)") {
@@ -96,10 +112,13 @@ class AnnRecallSpec extends AnyFunSuite {
     val r = got.map { case (q, ids) => (ids intersect exact5(q)).size }.sum
       .toDouble / (got.size * 5)
     info(f"sf0.1 recall@5 = $r%.3f")
-    // 0.933 measured (round 10). The round-9 value 0.600 was the
-    // single-assignment cell-recall ceiling on clusterless vectors;
-    // spill-to-2 indexing + the probed-count-tracking shortlist
-    // raised it (0.733/0.933/1.000 at nprobe 2/4/8, depth-saturated).
+    // 0.867 measured (round 11: nlist=√n=44, policy np=14, constant
+    // depth 100). The depth-saturated ceiling at np=14 is 0.933 — the
+    // one-hit gap is a true rank-3 neighbor whose ADC lands at
+    // ~rank 130 of 1270 candidates: on near-isotropic vectors the
+    // candidate d2 spread is small relative to residual-quantization
+    // noise, and NEITHER PqKRank=128 nor PqM=16 moved it (measured),
+    // so the honest fix is not a deeper corpus-fraction shortlist.
     // 0.85 floor leaves one-hit margin at 15 result rows.
     assert(r >= 0.85, f"q90 recall@5 $r%.2f at sf0.1 below 0.85 floor")
   }
