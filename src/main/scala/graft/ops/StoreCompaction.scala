@@ -36,14 +36,18 @@ object StoreCompaction {
 
   /** Fold the `<prefix>=` partitions of `path` into `<prefix>=<target>`
     * holding `merged` (already stripped of the partition column).
-    * No-op when the store has ≤ 1 partition dir. */
+    * No-op when the store has ≤ 1 partition dir, unless `force` —
+    * callers whose merged snapshot DIFFERS from the single partition
+    * (AnnIndex folding tombstones into a compacted store) need the
+    * rewrite to run regardless. */
   def fold(spark: SparkSession, path: String, prefix: String, target: String,
-           merged: => DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+           merged: => DataFrame, partitionCols: Seq[String] = Nil,
+           force: Boolean = false): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     heal(spark, path, prefix)
-    if (partDirs(fs, root, prefix).length <= 1) return
+    if (!force && partDirs(fs, root, prefix).length <= 1) return
     val tmp = new Path(root, TmpName)
     fs.delete(tmp, true)
     val w = merged.write.mode("overwrite")

@@ -36,8 +36,13 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   private val IvfIters = 4
-  private val PqM = 4
-  private val PqK = 8
+  // ranking fidelity (round 11, mirroring the q90 query's fix): 8
+  // sub-spaces × 64 centroids — the 4×8 geometry this replaced left
+  // ADC too coarse to ORDER candidates, so true neighbors fell off
+  // any constant-depth shortlist. Codes are still PqM small ints per
+  // occurrence; only the one-off train/encode cost scales with PqK.
+  private val PqM = 8
+  private val PqK = 64
   private val PqIters = 3
   // cell-count policy: nlist ≈ √N (the standard IVF sizing — cells
   // small enough to probe cheaply, numerous enough that nprobe/nlist
@@ -53,6 +58,14 @@ object AnnIndex {
 
   private[graft] def cellsFor(n: Long): Int =
     math.max(IvfKMin, math.min(IvfKMax, math.sqrt(n.toDouble).toInt))
+
+  /** Probe-count policy (shared shape with the q90 query's
+    * ivfNprobeFor): nprobe = max(4, 2·ceil(√nlist)), so the probed
+    * FRACTION 2/√nlist shrinks as the index grows while small
+    * indexes keep the multi-probe floor recall needs. [[search]]
+    * applies it when the caller passes `nprobe = 0`. */
+  private[graft] def nprobeFor(nlist: Int): Int =
+    math.max(4, 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
   /** Train codebooks on a seeded pseudo-random sample (the sample
     * vec_ids ranked first by the hash permutation — unbiased unlike
@@ -110,20 +123,65 @@ object AnnIndex {
     writeCodes(newVectors, dir, runId, ivf, pq, dynamic = true)
   }
 
+  /** Tombstone-delete `ids`: takedown / right-to-be-forgotten for
+    * indexed vectors. Deletes are a PARTITION of ids under
+    * `dir/tombstones/` — O(|ids|) to record, no touch of `codes/`;
+    * [[search]] anti-joins them out, and the next [[compact]] folds
+    * them away physically (the codes rows are dropped and the
+    * tombstone store cleared). Re-deleting an id (re-delivered
+    * takedown) is idempotent: duplicate tombstone rows change
+    * nothing an anti-join can observe. Deleting an id not in the
+    * index is a no-op by the same algebra. Re-INSERTING a deleted id
+    * requires a post-compaction append — until the fold, the
+    * tombstone outranks any occurrence of the id (documented
+    * lifecycle contract, same quiescence discipline as compact). */
+  def delete(spark: SparkSession, ids: Seq[Long], dir: String): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** `codes` minus tombstoned ids (no-op when none exist). The
+    * tombstone side is tiny relative to the index — Spark broadcasts
+    * the anti-join; the codes scan's partition pruning is
+    * unaffected (the filter is on vec_id, not cell). */
+  private def notDeleted(spark: SparkSession, dir: String,
+                         codes: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) codes
+    else codes.join(
+      broadcast(spark.read.parquet(t.toString).select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
   /** Fold every `run=` partition of `codes/` into a single
     * `run=base` (daily appends otherwise accumulate one partition
-    * per batch forever — [[DedupIndex.compact]]'s discipline).
-    * The merged rows re-partition by `cell`, so the inverted-list
-    * directory layout — and with it the probe-time partition
-    * pruning — is preserved. Swap: write to a hidden temp dir,
-    * delete old runs, rename into place. Run at a QUIESCENT point
-    * (no in-flight ingest): a re-delivered batch appending its
+    * per batch forever — [[DedupIndex.compact]]'s discipline), and
+    * fold TOMBSTONES away: the merged snapshot excludes deleted ids,
+    * and the tombstone store is cleared after the swap commits (a
+    * crash in between is harmless — the lingering tombstones
+    * anti-join rows that no longer exist, and the next compact
+    * clears them). The merged rows re-partition by `cell`, so the
+    * inverted-list directory layout — and with it the probe-time
+    * partition pruning — is preserved. Swap: write to a hidden temp
+    * dir, delete old runs, rename into place. Run at a QUIESCENT
+    * point (no in-flight ingest): a re-delivered batch appending its
     * `run=` after compaction would duplicate its vectors alongside
     * the folded copy. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val path = s"$dir/codes"
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasTombs = fs.exists(tomb)
+    // with tombstones pending the fold must run even over a single
+    // run= partition — the rewrite IS the physical delete
     graft.ops.StoreCompaction.fold(spark, path, "run", "base",
-      spark.read.parquet(path).drop("run"), Seq("cell"))
+      notDeleted(spark, dir, spark.read.parquet(path)).drop("run"),
+      Seq("cell"), force = hasTombs)
+    if (hasTombs && !fs.delete(tomb, true))
+      throw new IllegalStateException(
+        s"compaction: failed to clear tombstones at $tomb")
   }
 
   /** How many `run=` partitions a search currently lists (spec hook
@@ -141,9 +199,13 @@ object AnnIndex {
     * candidates by ADC. The rank filter plans onto TopKPerKeyExec
     * via the WindowTopKRewrite rule. */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
-             k: Int, nprobe: Int = 2): DataFrame = {
+             k: Int, nprobe: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (ivf, pq) = codebooks(spark, dir)
+    // nprobe = 0 (default) applies the [[nprobeFor]] policy against
+    // the PERSISTED cell count — search derives geometry from the
+    // codebooks, never from build-time constants
+    val np = if (nprobe > 0) nprobe else nprobeFor(ivf.length)
     val centsSeq: Seq[Seq[Double]] = ivf.map(_.toSeq).toSeq
     val pqSeq: Seq[Seq[Seq[Double]]] = pq.map(_.map(_.toSeq).toSeq).toSeq
     val wc = Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("cell"))
@@ -153,7 +215,7 @@ object AnnIndex {
       .select(col("query_id"), col("qvec"), col("cell"),
         graft.ops.VectorOps.cosine(col("qvec"), col("cvec")).as("sc"))
       .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nprobe)
+      .filter(col("cr") <= np)
       // the query's residual is PER PROBED CELL (IVFADC)
       .select(col("query_id"), col("cell"),
         zip_with(col("qvec"), centAt(ivf, col("cell")), (a, b) => a - b)
@@ -169,15 +231,19 @@ object AnnIndex {
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
     graft.ops.StoreCompaction.heal(spark, s"$dir/codes", "run")
-    val codesAll = spark.read.parquet(s"$dir/codes")
+    val codesAll = notDeleted(spark, dir, spark.read.parquet(s"$dir/codes"))
     val codes =
       if (cells.length * 2 <= ivf.length) codesAll.filter(col("cell").isin(cells: _*))
       else codesAll
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    // spill-to-2: a vector probed through BOTH its cells appears
+    // twice — keep its best ADC (skew-safe partial agg) so the rank
+    // sees one row per (query, vector) and top-k can't duplicate
     codes
       .join(probes, Seq("cell"))
       .select(col("query_id"), col("vec_id"),
-        adc(col("qrv"), col("codes"), pqSeq).as("adc"))
+        adc(col("qrv"), col("codes"), pqSeq).as("adc0"))
+      .groupBy(col("query_id"), col("vec_id")).agg(min(col("adc0")).as("adc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("adc"), col("rn"))
@@ -200,7 +266,7 @@ object AnnIndex {
     * population quadrupled, because ADC noise pushes true neighbors
     * off a fixed-depth list. */
   def searchRefined(spark: SparkSession, queries: DataFrame, dir: String,
-                    vectors: DataFrame, k: Int, nprobe: Int = 2,
+                    vectors: DataFrame, k: Int, nprobe: Int = 0,
                     shortlist: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val depth = if (shortlist > 0) shortlist else math.max(16 * k, 128)
@@ -244,10 +310,20 @@ object AnnIndex {
                          pq: Array[Array[Array[Double]]],
                          dynamic: Boolean): Unit =
     vectors
-      .select(col("vec_id"),
-        graft.ops.expressions.IvfCell(col("vec"), ivf).as("cell"), col("vec"))
+      // Redundant assignment (spill-to-2, round 11 — the q90 query's
+      // recall fix ported to the persisted path): each vector is
+      // indexed under BOTH of its two nearest cells, so a neighbor
+      // whose best cell the probe misses still has a second chance.
+      // Doubles the index (2 occurrence rows of PqM small ints each —
+      // still far smaller than raw floats); encode stays one fused
+      // kernel pass + a narrow explode, deterministic, so re-delivered
+      // batches land in the same (run, cell) partitions and dynamic
+      // overwrite keeps appends idempotent.
+      .select(col("vec_id"), col("vec"), explode(
+        graft.ops.expressions.IvfCells2(col("vec"), ivf)).as("cell"))
       // canonical IVFADC: codes quantize the RESIDUAL vec − centroid
-      // (lower variance → finer quantization at the same code budget)
+      // of EACH assigned cell (lower variance → finer quantization at
+      // the same code budget)
       .select(col("vec_id"), col("cell"),
         graft.ops.expressions.PqEncodeWith(
           zip_with(col("vec"), centAt(ivf, col("cell")), (a, b) => a - b),

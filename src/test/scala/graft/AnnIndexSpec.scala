@@ -143,10 +143,10 @@ class AnnIndexSpec extends AnyFunSuite {
     Seq((200000L, donor.map(_ + 0.001)))
       .toDF("vec_id", "vec").coalesce(1).write.mode("append").parquet(inDir)
     graft.streaming.AnnIngestStream.runOnce(spark, inDir, dir, ck, schema)
-    assert(spark.read.parquet(s"$dir/codes").count() == before + 1)
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 2)
     // a second pass with nothing new is a no-op
     graft.streaming.AnnIngestStream.runOnce(spark, inDir, dir, ck, schema)
-    assert(spark.read.parquet(s"$dir/codes").count() == before + 1)
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 2)
 
     val q11 = corpus.filter($"vec_id" === 11)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"))
@@ -167,10 +167,10 @@ class AnnIndexSpec extends AnyFunSuite {
     val batch = Seq((100000L, donor.map(_ + 0.001)))
       .toDF("vec_id", "vec")
     AnnIndex.append(spark, batch, dir, "b1")
-    assert(spark.read.parquet(s"$dir/codes").count() == before + 1)
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 2)
     // re-delivery replaces run=b1 instead of duplicating it
     AnnIndex.append(spark, batch, dir, "b1")
-    assert(spark.read.parquet(s"$dir/codes").count() == before + 1,
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 2,
       "re-delivered append duplicated codes")
 
     // the appended near-copy is now served: querying with vector 7
@@ -191,7 +191,7 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.compact(spark, dir)
     assert(AnnIndex.runCount(spark, dir) == 1,
       "compact must fold every run into one")
-    assert(spark.read.parquet(s"$dir/codes").count() == before + 1,
+    assert(spark.read.parquet(s"$dir/codes").count() == before + 2,
       "compact changed the row count")
     val postCompact = AnnIndex.search(spark, q7, dir, k = 5)
       .select($"vec_id", $"rn").as[(Long, Int)].collect().toSet
@@ -202,5 +202,83 @@ class AnnIndexSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
       s"compacted probe scan lost cell pruning:\n$plan")
+  }
+
+  test("indexed serving path clears the q90-class recall floor") {
+    // round 11: the persisted path serves with the SAME recall
+    // machinery the q90 query demonstrates — spill-to-2 occurrence
+    // rows, policy nprobe (2·ceil(√nlist), a shrinking probed
+    // fraction), fine-grained ranking codebook, constant-depth exact
+    // refine. The floor matches AnnRecallSpec's 0.85 at this scale.
+    val dir = tmp("ann-recall")
+    AnnIndex.build(spark, corpus, dir)
+    val vecs = corpus.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def exact5(qid: Long): Set[Long] = {
+      val q = vecs(qid)
+      vecs.toSeq.map { case (id, v) =>
+        (id, q.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val got = AnnIndex.searchRefined(spark, queries, dir, corpus, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val recall = got.map { case (q, ids) => (ids intersect exact5(q)).size }
+      .sum.toDouble / (got.size * 5)
+    info(f"indexed-path recall@5 = $recall%.3f")
+    assert(recall >= 0.85, f"indexed-path recall@5 $recall%.2f below 0.85")
+  }
+
+  test("delete tombstones: unfindable before and after compact, idempotent, physically folded") {
+    val dir = tmp("ann-delete")
+    AnnIndex.build(spark, corpus, dir)
+    val total = spark.read.parquet(s"$dir/codes").count()
+    val q7 = corpus.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    // vector 7 is in the index: finds itself first
+    val pre = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(pre.contains(7L))
+
+    AnnIndex.delete(spark, Seq(7L), dir)
+    // tombstoned: gone from search results (codes untouched — the
+    // delete is O(|ids|), not a store rewrite) — and the slot
+    // backfills, k results still come back
+    val post = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(!post.contains(7L), s"deleted vector still served: ${post.toSeq}")
+    assert(post.length == 5, "tombstone must backfill, not shrink k")
+    assert(spark.read.parquet(s"$dir/codes").count() == total,
+      "delete must not rewrite the code store")
+    // re-delivered takedown: idempotent
+    AnnIndex.delete(spark, Seq(7L), dir)
+    val post2 = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(post2.toSeq == post.toSeq, "re-delete changed results")
+    // refined path honors tombstones too (shortlist is post-filter)
+    val refined = AnnIndex.searchRefined(spark, q7, dir, corpus, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(!refined.contains(7L), "refined search served a deleted vector")
+
+    // compact folds the tombstones away physically: 2 occurrence
+    // rows of vec 7 dropped, tombstone store cleared, results stable
+    AnnIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() == total - 2,
+      "compact did not drop tombstoned occurrence rows")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "compact did not clear the tombstone store")
+    val postCompact = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(postCompact.toSeq == post.toSeq,
+      s"compaction changed post-delete results: ${postCompact.toSeq}")
+    // the store still serves and prunes cells after the forced fold
+    val plan = AnnIndex.search(spark, q7, dir, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"post-delete compacted scan lost cell pruning:\n$plan")
   }
 }
