@@ -93,10 +93,26 @@ object Cleaning {
     * Non-first occurrences are then marked by joining occurrences
     * back to the 1-row-per-shingle winners — an equi-join AQE CAN
     * skew-split, with the 8-byte polyhash leading the join key so
-    * sort-merge compares longs before string bytes. The join-back
-    * recomputes the shingle explode (no DAG-level CSE across the two
-    * sides) — a narrow scan-side pass, linear and pipeline-friendly,
-    * traded deliberately for the skew-immune shuffle shape.
+    * sort-merge compares longs before string bytes. Both the winner
+    * aggregate and the join-back's occurrence side read ONE persisted
+    * copy of the exploded shingle frame (round-10 verdict: without
+    * the cache, Spark has no DAG-level CSE across the two consumers
+    * and the scan → tokenize → explode chain ran twice — the priced
+    * constant of the skew rewrite). The cache is deliberately NOT
+    * repartitioned by the content key — that would concentrate a hot
+    * shingle's whole occurrence set in one cached partition, undoing
+    * the skew fix; it stays in scan-derived (doc_id) partitioning
+    * where the hot key is spread across the corpus, and the
+    * partial-combine / AQE-splittable shuffles downstream do the key
+    * clustering. Lifecycle: session-scoped catalog cache, released
+    * by the Verify/Bench `clearCache()` contract; at 100 TB this
+    * stage runs once as a materialized pipeline artifact (the
+    * [[graft.pipeline.DedupIndex]] pattern), not an in-query cache.
+    * The winner side is also filtered to `cnt > 1` before the
+    * join-back: only repeated shingles can produce excisions, so the
+    * join's right side shrinks from every-distinct-shingle to the
+    * repeated set (boilerplate — tiny by comparison) and unique
+    * shingles' occurrences drop out of the inner join for free.
     * The window-to-token explode is SpanK× on REPEATED occurrences
     * only, and those drop-positions aggregate to one per-doc set —
     * so the only other shuffles are repeat-bounded, never
@@ -113,29 +129,40 @@ object Cleaning {
     // NULL text reads as empty (n_tok=0, clean_text='') — matching
     // the oracle's coalesce path; bare tokens(NULL) would
     // null-propagate into size()=-1 and a NULL rebuild
+    // persisted: consumed by the shingle explode AND the final
+    // rebuild join — one scan + tokenize + doc_id shuffle, not two
+    // (class doc for the cache rationale and lifecycle)
     val toks = docs
       .repartition($"doc_id")
       .select($"doc_id",
         TextOps.tokens(coalesce($"text", lit(""))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // positional k-shingles: start offsets 0..m-k, the token text of
     // each shingle carried alongside its polyhash (collision safety,
-    // exactly q75's key discipline)
+    // exactly q75's key discipline). Persisted: the winner aggregate
+    // and the join-back both pipeline from this one copy.
     val sh = toks.filter(size($"toks") >= SpanK)
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), size($"toks") - SpanK),
         i => concat_ws(" ", slice($"toks", i + 1, lit(SpanK))))).as(Seq("pos", "sh")))
       .withColumn("h", graft.ops.expressions.TextPolyHash($"sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew-immune winner per shingle: lexicographic min of
-    // (doc_id, pos) == the first occurrence in (doc_id, pos) order
+    // (doc_id, pos) == the first occurrence in (doc_id, pos) order;
+    // cnt rides along so the join-back can ignore unique shingles
     val first = sh
       .groupBy($"h", $"sh")
-      .agg(min(struct($"doc_id", $"pos")).as("f"))
+      .agg(min(struct($"doc_id", $"pos")).as("f"),
+        count(lit(1)).as("cnt"))
     // every occurrence that is NOT the corpus-wide first marks its
     // SpanK-token window for excision; the union of marked windows —
     // one SET per doc, sized by the doc's repeated spans — is exactly
-    // the repeated, non-canonical spans
+    // the repeated, non-canonical spans. Only repeated shingles
+    // (cnt > 1) can produce a non-first occurrence, so the inner
+    // join's right side is the repeated set only.
     val dropSets = sh
-      .join(first, Seq("h", "sh"))
+      .join(first.filter($"cnt" > 1).select($"h", $"sh", $"f"),
+        Seq("h", "sh"))
       .filter(struct($"doc_id", $"pos") =!= $"f")
       .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanK - 1))).as("p"))
       .groupBy($"doc_id").agg(collect_set($"p").as("drop"))
@@ -172,11 +199,16 @@ object Cleaning {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select($"doc_id")
+    // persisted: the keep-first aggregate and the per-doc totals both
+    // consume the exploded paragraphs — one scan + tokenize + explode
+    // (same cache rationale/lifecycle as [[spanDedup]]; stays in
+    // doc_id partitioning, never repartitioned by content key)
     val paras = docs
       .repartition($"doc_id")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id",
         posexplode(TextOps.chunksOf($"toks", ParaTokens)).as(Seq("pos", "para")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the 8-byte polyhash joins the group key so hash-agg equality
     // checks compare longs before paragraph bytes; para stays in the
     // key for collision safety

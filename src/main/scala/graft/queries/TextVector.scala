@@ -267,6 +267,109 @@ object TextVector {
   // T5 instruction prefix (run.py:84-92 selects one per --type).
   private val EmbedPrompt = "Represent the document for retrieval:"
 
+  // q24: hard per-bucket cap (round-10 verdict carryover). A
+  // degenerate corpus — 10⁶ byte-identical docs — lands its whole
+  // population in ONE band bucket per band; uncapped all-pairs
+  // expansion emits m(m-1)/2 ≈ 5·10¹¹ candidate pairs from that one
+  // bucket, and the bucket-carry collect_list materializes all 10⁶
+  // member payloads on one reducer. Over-cap buckets therefore
+  // switch to STAR edges: every member pairs with the bucket's
+  // minimum-doc_id member (the hub), whose shingle payload rides the
+  // skew-immune `min(struct(doc_id, hs))` partial aggregate — m-1
+  // pairs per bucket, no collect_list of the hot bucket anywhere,
+  // and the member→hub equi-join is AQE skew-splittable. The star
+  // keeps a genuine mega-cluster connected (every member verifies
+  // against the hub at jaccard ≈ 1), which is all the downstream
+  // connected-components labeling needs — spanning edges, not the
+  // quadratic pair set. Recall trade on MIXED over-cap buckets
+  // (dissimilar docs colliding into one giant bucket): a member only
+  // gets this bucket's edge if it verifies against the hub — but a
+  // bucket that large is band-hash degeneracy, the other Bands-1
+  // bands still vote, and the cap is far above any non-adversarial
+  // bucket (measured max 19 at sf0.1 vs cap 64).
+  private val BucketCap = 64
+
+  /** The q24 chain over any (doc_id, text) frame (spec hook: planted
+    * mega-bucket). Semantics and scale shape in the q24 entry doc;
+    * the over-cap star path in the [[BucketCap]] note. */
+  private[graft] def nearDupPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = lit(HashMod)
+    // ShingleHashes fuses tokenize→shingle→hash→distinct and
+    // MinHashSig fuses the 16 permutation minima, both one codegen
+    // scan — the HOF forms were ~2 s of interpreted
+    // array_join(slice(…)) and ~56M lambda evals at sf0.1. The
+    // shingle SET survives as hashes only: Jaccard over distinct
+    // hash sets equals Jaccard over the shingle strings up to hash
+    // collisions, which both engines compute identically (standard
+    // minhash practice — the verify never needs the strings).
+    val sh = docs
+      // fan out past the single-file scan split (q34 rationale)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
+      // shingle-less docs (<k tokens) are excluded both sides (the
+      // pushed copy of this predicate at the scan is a cheap
+      // codegen kernel, unlike the interpreted HOF it replaced)
+      .filter(size($"hs") > 0)
+      .select($"doc_id", $"hs",
+        graft.ops.expressions.MinHashSig($"hs", NumPerms).as("sig"))
+    // persisted: consumed by the bucket-size/hub aggregate AND the
+    // tagging join below (no DAG-level CSE; the q93 device) —
+    // lifecycle is the Verify/Bench clearCache contract
+    val bands = sh.select(
+      $"doc_id", $"hs",
+      posexplode(transform(
+        sequence(lit(0L), lit(Bands.toLong - 1)),
+        b => aggregate(
+          slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
+          lit(0L),
+          (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket size + hub per bucket, both map-side-combined partial
+    // aggregates — a hot bucket reduces to one row per input
+    // partition before the shuffle; singleton buckets drop here
+    // (they can emit no pair), BEFORE any member payload groups
+    val stats = bands
+      .groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("m"), min(struct($"doc_id", $"hs")).as("hub"))
+      .filter($"m" > 1)
+    val tagged = bands.join(stats, Seq("band_idx", "band_hash"))
+    // Bucket-carry formulation for NORMAL buckets (m ≤ cap):
+    // shingle-hash sets travel WITH the band rows into the groupBy,
+    // so the whole scan→minhash lineage is evaluated ONCE (a band
+    // self-join would recompute it per side — measured 11.3s → ~4s
+    // at sf0.1). Trade-off: shuffle carries Bands× the shingle
+    // payload; with huge payloads (long docs at 100 TB) flip to the
+    // join-back variant (candidates by id only, shingles re-joined
+    // for the verify — q34 demonstrates it). Worst-case small-bucket
+    // expansion is Cap(Cap-1)/2 pairs; bigger buckets take the
+    // star path.
+    val smallPairs = tagged.filter($"m" <= BucketCap)
+      .groupBy($"band_idx", $"band_hash")
+      .agg(collect_list(struct($"doc_id", $"hs")).as("members"))
+      .select(explode(flatten(transform($"members", x =>
+        transform(
+          filter($"members", y => y.getField("doc_id") > x.getField("doc_id")),
+          y => struct(
+            x.getField("doc_id").as("id_a"), x.getField("hs").as("hs_a"),
+            y.getField("doc_id").as("id_b"), y.getField("hs").as("hs_b")))))).as("p"))
+      .select($"p.id_a", $"p.hs_a", $"p.id_b", $"p.hs_b")
+    val starPairs = tagged.filter($"m" > BucketCap)
+      .filter($"doc_id" =!= $"hub.doc_id")
+      .select($"hub.doc_id".as("id_a"), $"hub.hs".as("hs_a"),
+        $"doc_id".as("id_b"), $"hs".as("hs_b"))
+    val pairs = smallPairs.unionByName(starPairs)
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+          size(array_union($"hs_a", $"hs_b")).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= JaccardMin)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1/T1 — token-count overflow filter (the `script512.py` job):
     // scan → codegen'd regexp token count → filter → sort. The
@@ -365,68 +468,13 @@ object TextVector {
     // within buckets. NO all-pairs/cartesian join anywhere: the only
     // joins shuffle on band-hash equality (candidate pairs) and on
     // doc_id (signature lookup), both hash-partitioned — at 100 TB
-    // the candidate set is O(colliding pairs), not O(n²). All hash
-    // arithmetic stays < 2^63 (a_j, h < 1e9+7 ⇒ a_j·h < ~1e18), so
-    // ANSI overflow checking never fires.
+    // the candidate set is O(colliding pairs), not O(n²), and a
+    // degenerate hot bucket is hard-capped to star spanning edges
+    // ([[nearDupPairs]] — the chain + the [[BucketCap]] rationale).
+    // All hash arithmetic stays < 2^63 (a_j, h < 1e9+7 ⇒
+    // a_j·h < ~1e18), so ANSI overflow checking never fires.
     "q24_near_dup" -> { (s, d) =>
-      import s.implicits._
-      val P = lit(HashMod)
-      // ShingleHashes fuses tokenize→shingle→hash→distinct and
-      // MinHashSig fuses the 16 permutation minima, both one codegen
-      // scan — the HOF forms were ~2 s of interpreted
-      // array_join(slice(…)) and ~56M lambda evals at sf0.1. The
-      // shingle SET survives as hashes only: Jaccard over distinct
-      // hash sets equals Jaccard over the shingle strings up to hash
-      // collisions, which both engines compute identically (standard
-      // minhash practice — the verify never needs the strings).
-      val sh = Tables.documents(s, d)
-        // fan out past the single-file scan split (q34 rationale)
-        .repartition($"doc_id")
-        .select($"doc_id",
-          graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
-        // shingle-less docs (<k tokens) are excluded both sides (the
-        // pushed copy of this predicate at the scan is a cheap
-        // codegen kernel, unlike the interpreted HOF it replaced)
-        .filter(size($"hs") > 0)
-        .select($"doc_id", $"hs",
-          graft.ops.expressions.MinHashSig($"hs", NumPerms).as("sig"))
-      val bands = sh.select(
-        $"doc_id", $"hs",
-        posexplode(transform(
-          sequence(lit(0L), lit(Bands.toLong - 1)),
-          b => aggregate(
-            slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
-            lit(0L),
-            (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
-      // Bucket-carry formulation: shingle-hash sets travel WITH the
-      // band rows into the groupBy, so the whole scan→minhash
-      // lineage is evaluated ONCE (a band self-join would recompute
-      // it per side — measured 11.3s → ~4s at sf0.1). Trade-off:
-      // shuffle carries Bands× the shingle payload; with huge
-      // payloads (long docs at 100 TB) flip to the join-back variant
-      // (candidates by id only, shingles re-joined for the verify —
-      // q34 demonstrates it). Worst-case bucket of m colliding docs
-      // emits m(m-1)/2 pairs — inherent to LSH, bounded by band-hash
-      // collision rate (measured max bucket 19 here).
-      val pairs = bands
-        .groupBy($"band_idx", $"band_hash")
-        .agg(collect_list(struct($"doc_id", $"hs")).as("members"))
-        .filter(size($"members") > 1)
-        .select(explode(flatten(transform($"members", x =>
-          transform(
-            filter($"members", y => y.getField("doc_id") > x.getField("doc_id")),
-            y => struct(
-              x.getField("doc_id").as("id_a"), x.getField("hs").as("hs_a"),
-              y.getField("doc_id").as("id_b"), y.getField("hs").as("hs_b")))))).as("p"))
-        .select($"p.id_a", $"p.hs_a", $"p.id_b", $"p.hs_b")
-        .dropDuplicates("id_a", "id_b")
-      pairs
-        .select($"id_a", $"id_b",
-          (size(array_intersect($"hs_a", $"hs_b")).cast("double") /
-            size(array_union($"hs_a", $"hs_b")).cast("double")).as("jaccard"))
-        .filter($"jaccard" >= JaccardMin)
-        .orderBy($"id_a", $"id_b")
-    },
+      nearDupPairs(Tables.documents(s, d)) },
 
     // Similarity search (builder brief): cosine top-k for a broadcast
     // query-vector set, computed as TWO-PHASE top-k — per (query,

@@ -137,6 +137,43 @@ class ClusterSpec extends AnyFunSuite {
     assert(graft.queries.NearDupStage.buildCount == 1, "re-reads must not rebuild")
   }
 
+  test("a planted mega-bucket is hard-capped to spanning star edges, labels still exact") {
+    // 200 byte-identical docs land in ONE band bucket per band —
+    // uncapped all-pairs would emit 200·199/2 = 19 900 verified
+    // pairs; the BucketCap star path must emit O(m) spanning edges
+    // that keep the family connected. A 2-doc identical family
+    // exercises the normal small-bucket path beside it, and unique
+    // singletons must produce no pairs at all.
+    val mega = (0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairFam = Seq(
+      (1000L, "one two three four five six seven eight nine ten"),
+      (1001L, "one two three four five six seven eight nine ten"))
+    val singles = (2000L until 2004L).map(i =>
+      (i, s"lonely${i}a lonely${i}b lonely${i}c lonely${i}d lonely${i}e"))
+    val docs = (mega ++ pairFam ++ singles).toDF("doc_id", "text")
+    val pairs = graft.queries.TextVector.nearDupPairs(docs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+
+    val megaPairs = pairs.filter { case (a, b) => a < 1000L && b < 1000L }
+    // bounded: linear in family size, nowhere near quadratic
+    assert(megaPairs.length < 1000,
+      s"mega-bucket emitted ${megaPairs.length} pairs — cap not applied")
+    assert(megaPairs.nonEmpty, "mega-bucket lost all its edges")
+    // spanning: connected components over the SURVIVING edges must
+    // still label every family member with the family min
+    val labels = cc(megaPairs.toSeq)
+    assert(labels.size == 200 && labels.values.forall(_ == 0L),
+      "capped edges no longer span the mega-cluster")
+    // the small-bucket path still verifies the normal pair
+    assert(pairs.contains((1000L, 1001L)), "normal near-dup pair lost")
+    // no cross-family or singleton edges appear
+    assert(pairs.forall { case (a, b) =>
+      (a < 1000L && b < 1000L) || (a >= 1000L && a < 2000L && b >= 1000L && b < 2000L)
+    }, s"unexpected cross-family/singleton pair")
+    spark.catalog.clearCache() // nearDupPairs persist contract
+  }
+
   test("q64 weighted sampling favors heavy weights and is reproducible") {
     val one = SparkEntry.queries("q64_weighted_sample")(spark, sf01)
       .select($"stratum", $"rn", $"o_orderkey", $"prio_n")
