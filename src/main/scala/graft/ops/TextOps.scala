@@ -34,6 +34,31 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit(TokenPattern), lit(1))
 
+  /** GPT-2-style BPE pre-tokenization (the public convention from
+    * Radford et al. 2019's released tokenizer regex): contraction
+    * suffixes split off as their own pre-tokens ('s 't 're 've 'm
+    * 'll 'd — alternation order matters, they outrank the
+    * punctuation-run class at the apostrophe), then letter runs,
+    * digit runs, and non-space symbol runs. BPE merges never cross a
+    * pre-token boundary, which is what makes trained tables
+    * interchangeable with public GPT-2-family tokenizers. Two
+    * deliberate deviations from the verbatim GPT-2 pattern, both for
+    * cross-engine determinism: ASCII classes instead of \p{L}/\p{N}
+    * (engines ship different Unicode tables; same rationale as
+    * [[TokenPattern]]), and no ` ?` leading-space capture / `\s+(?!\S)`
+    * trailing-space alternative (RE2 has no lookahead, and the
+    * space-marker convention is a display encoding, not a merge
+    * semantic — whitespace here simply separates pre-tokens).
+    * DuckDB twin: regexp_extract_all(text, pattern, 0) with
+    * doubled-apostrophe SQL escaping (graft.queries.TextVector.Sql.preToks). */
+  val PreTokenPattern =
+    s"'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WsClass]+"
+
+  /** preTokens(text): ArrayType(StringType) — the BPE trainer/encoder
+    * word source ([[graft.pipeline.BpeTrainer]]). */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenPattern), lit(0))
+
   /** Token count (T1). DuckDB: len(regexp_extract_all(..)). */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -25,17 +25,24 @@ import graft.ops.TextOps
   * release immediately, and only (merge-pair, count) scalars ever
   * reach the driver.
   *
-  * Conventions: symbols start as the word's characters plus a
+  * Conventions: the word source is the GPT-2 regex PRE-TOKENIZER
+  * ([[graft.ops.TextOps.PreTokenPattern]] — contraction suffixes
+  * split off before letter/digit/symbol runs, so "don't" seeds as
+  * the two pre-tokens "don" and "'t" and no merge can ever bridge
+  * the apostrophe — the public-interop requirement;
+  * `preTokenize = false` recovers the engine's plain tokens()
+  * splitting). Symbols start as the pre-token's characters plus a
   * trailing end-of-word marker `</w>` (the GPT-2/Sennrich
   * convention — vocabularies distinguish the word-final piece
   * "low</w>" from the prefix piece "low" in "lowest", so trained
   * merge tables are interchangeable with public tokenizers; the
-  * marker cannot collide with corpus text because tokens() emits
-  * only alnum runs or single punctuation chars, never the 4-char
+  * marker cannot collide with corpus text because both splitters
+  * emit either alnum-only runs or symbol-only runs, never the 4-char
   * mixed string). `markEow = false` recovers the bare-character
   * seeding (q87's pair-stats convention). Merges never cross word
-  * boundaries — tokens() already split words. Training stops early
-  * when the best pair's weighted count drops below `minFreq`.
+  * boundaries — the pre-tokenizer already split words. Training
+  * stops early when the best pair's weighted count drops below
+  * `minFreq`.
   */
 object BpeTrainer {
 
@@ -52,16 +59,20 @@ object BpeTrainer {
     if (markEow) concat(split(word, ""), array(lit(EowMarker)))
     else split(word, "")
 
+  private def words(contentCol: String, preTokenize: Boolean) =
+    if (preTokenize) TextOps.preTokens(col(contentCol))
+    else TextOps.tokens(col(contentCol))
+
   /** Train up to `nMerges` BPE merges over `docs(contentCol)`.
     * Returns the ordered merge list (the tokenizer's merge table). */
   def train(spark: SparkSession, docs: DataFrame, contentCol: String,
             nMerges: Int, minFreq: Long = 2L,
-            markEow: Boolean = true): Seq[Merge] = {
+            markEow: Boolean = true, preTokenize: Boolean = true): Seq[Merge] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     // THE corpus-scale pass: collapse to the weighted vocabulary.
     // split(word, '') seeds character-level symbols (+ the marker).
     var vocab = docs
-      .select(explode(TextOps.tokens(col(contentCol))).as("word"))
+      .select(explode(words(contentCol, preTokenize)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), seedSymbols(col("word"), markEow).as("symbols"))
       .localCheckpoint()
@@ -112,10 +123,10 @@ object BpeTrainer {
     * carry the `</w>` suffix (strip it to reassemble the raw text).
     * Narrow map over the scan — no shuffle at any corpus size. */
   def encode(docs: DataFrame, contentCol: String, merges: Seq[Merge],
-             markEow: Boolean = true): DataFrame = {
+             markEow: Boolean = true, preTokenize: Boolean = true): DataFrame = {
     val table = merges.map(m => (m.a, m.b))
     docs.withColumn("bpe_tokens",
-      flatten(transform(TextOps.tokens(col(contentCol)),
+      flatten(transform(words(contentCol, preTokenize),
         w => graft.ops.expressions.BpeApply(seedSymbols(w, markEow), table))))
   }
 }

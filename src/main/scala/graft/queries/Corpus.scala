@@ -262,9 +262,13 @@ object Corpus {
     // Iterative BPE TRAINING, oracle-gated (q87 is one round of pair
     // stats; this is the induction loop itself): the first BpeRounds
     // merge decisions (round, pair, weighted count) of
-    // graft.pipeline.BpeTrainer over the corpus, seeding each word's
-    // characters + the </w> end-of-word marker (GPT-2/Sennrich
-    // convention — public-tokenizer-interchangeable). The trainer
+    // graft.pipeline.BpeTrainer over the corpus. Words come from the
+    // GPT-2 regex pre-tokenizer (TextOps.PreTokenPattern — the
+    // DuckDB twin runs the SAME pattern in the words CTE), each
+    // seeding its characters + the </w> end-of-word marker
+    // (GPT-2/Sennrich convention — public-tokenizer-
+    // interchangeable; contraction splits spec-gated in BpeSpec
+    // since the corpus text is apostrophe-free). The trainer
     // executes its distributed rounds eagerly (q63's precedent for
     // eager stages); the DuckDB twin replays every round — pair
     // count, argmax (count desc, pair asc), and the greedy
@@ -349,7 +353,7 @@ object Corpus {
       .mkString("\nUNION ALL\n")
     s"""WITH words AS (
        |  SELECT w AS word, count(*) AS freq
-       |  FROM (SELECT unnest(${Sql.toks("text")}) AS w FROM documents)
+       |  FROM (SELECT unnest(${Sql.preToks("text")}) AS w FROM documents)
        |  GROUP BY 1),
        |v0 AS (
        |  SELECT freq,

@@ -28,6 +28,13 @@ object TextVector {
     def toks(c: String): String =
       s"regexp_extract_all($c, '${TextOps.TokenPattern}', 1)"
 
+    /** preTokens(text) — twin of TextOps.preTokens (GPT-2-style BPE
+      * pre-tokenization; group 0 = the full alternation match). The
+      * contraction alternatives carry apostrophes, so the pattern is
+      * SQL-escaped by doubling them. */
+    def preToks(c: String): String =
+      s"regexp_extract_all($c, '${TextOps.PreTokenPattern.replace("'", "''")}', 0)"
+
     /** Polynomial rolling hash — twin of HashKernel.polyHash
       * (acc*31+codepoint mod 1e9+7, left fold over code points).
       * `(?s)` so RE2's `.` matches newlines too — HashKernel folds

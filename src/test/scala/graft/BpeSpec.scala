@@ -150,6 +150,43 @@ class BpeSpec extends AnyFunSuite {
       s"'lowest' leaked a word-final piece: $enc")
   }
 
+  test("GPT-2 pre-tokenizer splits contractions; training/encode round-trip don't-class inputs") {
+    // the public GPT-2 convention: contraction suffixes are their own
+    // pre-tokens, so no merge can ever bridge the apostrophe
+    val cases = Map(
+      "don't stop" -> Seq("don", "'t", "stop"),
+      "can't've" -> Seq("can", "'t", "'ve"),
+      "it's 'quoted' -- x2y 3.14!" ->
+        Seq("it", "'s", "'", "quoted", "'", "--", "x", "2", "y", "3", ".", "14", "!"),
+      "O'Neill'll say yes" -> Seq("O", "'", "Neill", "'ll", "say", "yes"))
+    val got = cases.keys.toSeq.toDF("text")
+      .select($"text", graft.ops.TextOps.preTokens($"text").as("pt"))
+      .as[(String, Seq[String])].collect().toMap
+    cases.foreach { case (text, want) =>
+      assert(got(text) == want, s"pre-tokens of '$text': ${got(text)} != $want")
+    }
+
+    // train on a contraction-heavy corpus and encode it back: every
+    // pre-token contributes exactly one word-final marker, stripping
+    // markers reassembles the original non-space text, and no piece
+    // ever spans letters AND an apostrophe-suffix (the boundary holds
+    // even though "n't" is the most frequent character sequence)
+    val docs = Seq.fill(12)("don't won't can't shan't").toDF("text")
+    val merges = BpeTrainer.train(spark, docs, "text", nMerges = 10, minFreq = 1L)
+    assert(merges.nonEmpty)
+    assert(merges.exists(m => m.a + m.b == s"'t$Eow"),
+      s"the contraction piece 't$Eow must train as its own vocabulary entry: $merges")
+    assert(!merges.exists(m => (m.a + m.b).matches("[A-Za-z]+'.*")),
+      s"a merge bridged the pre-token boundary: $merges")
+    val enc = BpeTrainer.encode(Seq("don't can't").toDF("text"), "text", merges)
+      .select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc.count(_.endsWith(Eow)) == 4, // don | 't | can | 't
+      s"expected 4 word-final pieces (2 pre-tokens per word): $enc")
+    assert(enc.mkString("").replace(Eow, "") == "don'tcan't",
+      s"pieces do not reassemble the pre-token stream: $enc")
+    assert(enc.contains(s"'t$Eow"), s"'t must encode as the trained piece: $enc")
+  }
+
   test("round 1 of UNMARKED training is exactly q87's top merge pair") {
     val sfDir = "/root/testdata/sf0.001"
     val first = BpeTrainer.train(spark, Tables.documents(spark, sfDir),
