@@ -166,8 +166,11 @@ object Bench {
     // Compact trailer AFTER the full line: the driver's artifact
     // keeps only the output TAIL (BENCH_r09.json lost its own
     // leading "value" field to 2000-char truncation), so the
-    // headline repeats here where truncation can't reach it.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir"}""")
+    // headline repeats here where truncation can't reach it — and
+    // the scalar fields sit LAST so that even if the failed/noisy
+    // lists ever grow past the truncation window, the tail-kept
+    // bytes still carry value/n_queries/n_failed.
+    println(s"""{"metric":"total_summary","failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir","unit":"sec","value":$total,"n_queries":${results.length},"n_failed":${failed.length}}""")
     spark.stop()
   }
 }

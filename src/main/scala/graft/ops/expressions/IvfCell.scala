@@ -92,6 +92,13 @@ object IvfCell {
 case class IvfCells2(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
 
+  // with one centroid both slots resolve to index 0 and the
+  // downstream explode would index the same row under one cell
+  // twice — a geometry error, refused at construction
+  require(cents.length >= 2,
+    s"ivf_cells2 needs >= 2 centroids for distinct (winner, runner-up) " +
+      s"assignment, got ${cents.length}")
+
   @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -165,10 +165,22 @@ case class PqAdcWith(left: Expression, right: Expression,
     val cs = codes.asInstanceOf[ArrayData]
     val m = cb.length
     val sub = cb(0)(0).length
+    // malformed codes fail loudly and by name, not as an
+    // ArrayIndexOutOfBounds deep in eval (the HOF form this kernel
+    // replaced yielded a silent null via element_at)
+    if (cs.numElements() < m)
+      throw new IllegalArgumentException(
+        s"pq_adc_with: codes array has ${cs.numElements()} entries, " +
+          s"codebook expects $m sub-spaces")
     var acc = 0.0
     var mm = 0
     while (mm < m) {
-      val cbj = cb(mm)(cs.getInt(mm))
+      val code = cs.getInt(mm)
+      if (code < 0 || code >= cb(mm).length)
+        throw new IllegalArgumentException(
+          s"pq_adc_with: code $code at sub-space $mm outside codebook " +
+            s"[0, ${cb(mm).length})")
+      val cbj = cb(mm)(code)
       var a = 0.0
       var ii = 0
       while (ii < sub) {
