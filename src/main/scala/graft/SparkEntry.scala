@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
       graft.queries.Search.queries ++ graft.queries.Quality.queries ++
       graft.queries.Clusters.queries ++ graft.queries.Corpus.queries ++
-      graft.queries.Cleaning.queries ++ graft.queries.Sketch.queries
+      graft.queries.Cleaning.queries ++ graft.queries.Sketch.queries ++
+      graft.queries.Learn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.TextVector.oracles ++
       graft.queries.Search.oracles ++ graft.queries.Quality.oracles ++
       graft.queries.Clusters.oracles ++ graft.queries.Corpus.oracles ++
-      graft.queries.Cleaning.oracles ++ graft.queries.Sketch.oracles
+      graft.queries.Cleaning.oracles ++ graft.queries.Sketch.oracles ++
+      graft.queries.Learn.oracles
 }

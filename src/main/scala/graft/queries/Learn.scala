@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Learned-filter queries: classifier training ON the engine (the
+  * curation stage after heuristic quality scores — q26/q51 — and
+  * before corpus-wide filtering; see
+  * [[graft.pipeline.ProbeTrainer]] for the op and its 100-TB
+  * shape).
+  *
+  * q98 trains a 10-class softmax linear probe on the embeddings
+  * table's (embedding, label) pairs — Rounds full-batch GD steps from
+  * zero init — then scores every vector with the trained weights.
+  * The DuckDB oracle replays the ENTIRE training trajectory
+  * (per-round logits, softmax, micro-quantized gradient sums,
+  * weight updates) as unrolled CTEs, so the hash gate certifies the
+  * training DYNAMICS cross-engine, not just a final projection —
+  * the q92 BPE-loop device applied to gradient descent.
+  */
+object Learn {
+
+  import graft.pipeline.ProbeTrainer
+
+  private val K = ProbeTrainer.NumClasses
+  private val R = ProbeTrainer.Rounds
+  private val D = 65 // bias + 64 embedding dims
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_linear_probe" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      // training executes eagerly during construction (q63/q92's
+      // precedent for driver-looped stages); scoring is the
+      // returned lazy plan
+      val (wm, _) = ProbeTrainer.train(emb)
+      ProbeTrainer.score(emb, wm).orderBy($"vec_id")
+    }
+  )
+
+  /** The q98 oracle: R unrolled GD rounds. Weights live as int64
+    * micro-units in per-round (k, j, wm) tables; each round
+    * rebuilds the weight matrix as an ordered list-of-lists (list
+    * aggregation with explicit ORDER BY — never an engine-ordered
+    * SUM), folds per-row logits and softmax denominators in fixed
+    * index order via list_reduce (the exact twin of the Spark
+    * side's zip_with + aggregate), micro-quantizes each gradient
+    * term before the order-independent BIGINT sum, and applies the
+    * same left-assoc floor(lr·g/n + 0.5) update. */
+  private def probeOracle: String = {
+    // exp(w_k · xb) per class, in class order, from a one-row wll
+    // (list-of-lists) CTE joined alongside
+    val ez =
+      "list_transform(wll, wl -> exp(list_reduce(list_prepend(0.0, " +
+        "list_transform(range(1, " + (D + 1) + "), i -> " +
+        "wl[CAST(i AS INTEGER)] * xb[CAST(i AS INTEGER)])), " +
+        "(a, b) -> a + b)))"
+    val den = "list_reduce(list_prepend(0.0, ez), (a, b) -> a + b)"
+    val rounds = (1 to R).map { t =>
+      s"""wl$t AS (SELECT k, list(wm / 1000000.0 ORDER BY j) AS wl
+         |         FROM w${t - 1} GROUP BY k),
+         |wll$t AS (SELECT list(wl ORDER BY k) AS wll FROM wl$t),
+         |p$t AS (SELECT vec_id, y, xb, $ez AS ez FROM e, wll$t),
+         |g$t AS (
+         |  SELECT CAST(u.k AS INTEGER) AS k, CAST(v.j AS INTEGER) AS j,
+         |    SUM(CAST(floor((ez[CAST(u.k AS INTEGER) + 1] / den
+         |        - CASE WHEN y = u.k THEN 1.0 ELSE 0.0 END)
+         |        * xb[CAST(v.j AS INTEGER) + 1] * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS gm
+         |  FROM (SELECT *, $den AS den FROM p$t),
+         |       range(0, $K) u(k), range(0, $D) v(j)
+         |  GROUP BY 1, 2),
+         |w$t AS (
+         |  SELECT w.k, w.j,
+         |    w.wm - CAST(floor(${ProbeTrainer.Lr} * g.gm / n.n + 0.5)
+         |      AS BIGINT) AS wm
+         |  FROM w${t - 1} w JOIN g$t g ON g.k = w.k AND g.j = w.j, n)"""
+        .stripMargin
+    }.mkString(",\n")
+    val maxEz = "list_reduce(ez, (p, q) -> CASE WHEN q > p THEN q ELSE p END)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS INTEGER) AS y,
+       |    list_prepend(1.0, list_transform(embedding,
+       |      v -> CAST(v AS DOUBLE))) AS xb
+       |  FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |w0 AS (SELECT CAST(t.k AS INTEGER) AS k, CAST(u.j AS INTEGER) AS j,
+       |         CAST(0 AS BIGINT) AS wm
+       |       FROM range(0, $K) t(k), range(0, $D) u(j)),
+       |$rounds,
+       |wlF AS (SELECT k, list(wm / 1000000.0 ORDER BY j) AS wl
+       |        FROM w$R GROUP BY k),
+       |wllF AS (SELECT list(wl ORDER BY k) AS wll FROM wlF),
+       |sc AS (SELECT vec_id, y, $ez AS ez FROM e, wllF)
+       |SELECT vec_id, y AS label,
+       |  CAST(list_position(ez, $maxEz) - 1 AS INTEGER) AS pred,
+       |  ${graft.ops.Determinism.Oracles.fround(s"$maxEz / ($den)", 6)} AS score
+       |FROM sc ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB inlines plain CTEs per REFERENCE; an R-round chain where
+    * w_t is referenced by both wl_{t+1} and w_{t+1} re-evaluates the
+    * whole prefix 2^R times (TextVector.materializeCtes rationale —
+    * the un-materialized form here exhausted file handles re-opening
+    * the parquet). Purely an evaluation hint — results unchanged. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  def oracles: Map[String, String] = Map(
+    "q98_linear_probe" -> materializeCtes(probeOracle)
+  )
+}

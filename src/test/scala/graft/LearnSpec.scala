@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.ProbeTrainer
+
+/** ProbeTrainer (graft.pipeline) + q98 — distributed softmax-probe
+  * training pinned against a single-process reference implementing
+  * the same micro-quantized full-batch GD, plus learning floors
+  * (the synthetic labels carry weak linear signal, so the floors
+  * assert clearly-above-chance, not benchmark accuracy).
+  */
+class LearnSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val sf3 = "/root/testdata/sf0.001"
+  private val sf2 = "/root/testdata/sf0.01"
+
+  /** The trainer's exact arithmetic, single-process: int64 micro
+    * weights, ordered-fold logits, per-term floor(x*1e6+0.5)
+    * quantization, floor(lr*g/n+0.5) updates. */
+  private def refTrain(rows: Seq[(Int, Array[Double])], k: Int,
+                       rounds: Int, lr: Double)
+      : (Array[Array[Long]], Seq[Double]) = {
+    val xb = rows.map { case (_, v) => 1.0 +: v }
+    val n = rows.length
+    val d = xb.head.length
+    val wm = Array.fill(k, d)(0L)
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to rounds) {
+      val w = wm.map(_.map(_.toDouble / 1e6))
+      var lossSum = 0L
+      val gm = Array.fill(k, d)(0L)
+      rows.indices.foreach { i =>
+        val x = xb(i)
+        val ez = w.map { wl =>
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += x(j) * wl(j); j += 1 }
+          StrictMath.exp(acc)
+        }
+        val den = ez.foldLeft(0.0)(_ + _)
+        lossSum += math.floor(-StrictMath.log(ez(rows(i)._1) / den) * 1e6 + 0.5).toLong
+        var kk = 0
+        while (kk < k) {
+          val gk = ez(kk) / den - (if (rows(i)._1 == kk) 1.0 else 0.0)
+          var j = 0
+          while (j < d) {
+            gm(kk)(j) += math.floor(gk * x(j) * 1e6 + 0.5).toLong
+            j += 1
+          }
+          kk += 1
+        }
+      }
+      losses += lossSum.toDouble / 1e6 / n
+      for (kk <- 0 until k; j <- 0 until d)
+        wm(kk)(j) -= math.floor(lr * gm(kk)(j).toDouble / n + 0.5).toLong
+    }
+    (wm, losses.result())
+  }
+
+  private def load(sf: String): Seq[(Int, Array[Double])] =
+    Tables.embeddings(spark, sf)
+      .select($"label", transform($"embedding", _.cast("double")))
+      .as[(Int, Array[Double])].collect().toSeq
+
+  test("distributed training matches the single-process reference exactly, loss decreases") {
+    val emb = Tables.embeddings(spark, sf3)
+    val (wm, stats) = ProbeTrainer.train(emb)
+    val (want, refLosses) = refTrain(load(sf3), ProbeTrainer.NumClasses,
+      ProbeTrainer.Rounds, ProbeTrainer.Lr)
+    assert(wm.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+      "trained micro-weights diverge from the reference trajectory")
+    // the distributed per-round loss sums are the reference's
+    val refMicroSums = refLosses // already per-round means
+    assert(stats.length == ProbeTrainer.Rounds)
+    stats.zip(refMicroSums).foreach { case (s, want) =>
+      val got = s.lossMicroSum.toDouble / 1e6 / emb.count()
+      assert(math.abs(got - want) < 1e-9,
+        s"round ${s.rn}: loss $got != reference $want")
+    }
+    // full-batch GD at this lr descends every round
+    val l = stats.map(_.lossMicroSum)
+    assert(l.zip(l.tail).forall { case (a, b) => b < a },
+      s"loss not strictly decreasing: $l")
+  }
+
+  test("the probe learns clearly above chance at both scales") {
+    // 10 balanced classes -> chance 0.10; measured 0.342 (sf0.001)
+    // and 0.39 (sf0.01) at the registered geometry
+    for ((sf, floor) <- Seq(sf3 -> 0.15, sf2 -> 0.15)) {
+      val out = SparkEntry.queries("q98_linear_probe")(spark, sf)
+      val acc = out.select(avg(when($"pred" === $"label", 1.0).otherwise(0.0)))
+        .as[Double].head()
+      assert(acc >= floor, s"$sf: accuracy $acc below floor $floor")
+    }
+  }
+
+  test("scores are calibrated softmax winners: in (1/K, 1], pred in [0, K)") {
+    val out = SparkEntry.queries("q98_linear_probe")(spark, sf3).collect()
+    assert(out.length == Tables.embeddings(spark, sf3).count())
+    out.foreach { r =>
+      val (pred, score) = (r.getAs[Int]("pred"), r.getAs[Double]("score"))
+      assert(pred >= 0 && pred < ProbeTrainer.NumClasses)
+      // the winning class of a K-way softmax carries >= 1/K mass
+      assert(score >= 1.0 / ProbeTrainer.NumClasses - 1e-6 && score <= 1.0,
+        s"vec ${r.getAs[Long]("vec_id")}: winner probability $score out of range")
+    }
+  }
+}

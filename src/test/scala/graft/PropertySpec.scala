@@ -242,6 +242,43 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter($"fused" =!= $"ref").count() == 0)
   }
 
+  test("SoftmaxGradLoss/SoftmaxScore kernels == HOF softmax reference, bit-exact") {
+    val K = 10; val D = 65
+    val rnd = new scala.util.Random(20260814L)
+    val w = Array.fill(K, D)(rnd.nextInt(2000001).toLong - 1000000L)
+      .map(_.map(_.toDouble / 1e6))
+    val wLit = typedLit(w.map(_.toSeq).toSeq)
+    val rows = (1 to 60).map { _ =>
+      (List.fill(D)(rnd.nextInt(2000001) / 1000000.0 - 1.0), rnd.nextInt(K))
+    }
+    // the HOF formulation the kernels replaced: ez via ordered
+    // zip_with + left-assoc aggregate folds, den via ordered fold,
+    // per-cell micro terms via the flat k*D+j indexing
+    val ez = transform(wLit, wl =>
+      exp(aggregate(zip_with($"xb", wl, (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)))
+    val den = aggregate($"ez", lit(0.0), (acc, v) => acc + v)
+    val refCells = flatten(transform($"ez", (e, k) =>
+      transform($"xb", x => floor(
+        (e / $"den" - when($"y" === k, 1.0).otherwise(0.0)) * x * lit(1e6)
+          + lit(0.5)).cast("long")))) // k-major, j-minor == kernel layout
+    val refLoss = floor(-log(element_at($"ez", $"y" + 1) / $"den") *
+      lit(1e6) + lit(0.5)).cast("long")
+    val refPred = (array_position($"ez", array_max($"ez")) - 1).cast("int")
+    val refP = array_max($"ez") / $"den"
+    val df = rows.toDF("xb", "y")
+      .withColumn("ez", ez).withColumn("den", den)
+      .select(
+        graft.ops.expressions.SoftmaxGradLoss($"xb", $"y", w).as("fused"),
+        concat(refCells, array(refLoss)).as("ref"),
+        graft.ops.expressions.SoftmaxScore($"xb", w).as("s"),
+        refPred.as("rp"), refP.as("rq"))
+    assert(df.filter($"fused" =!= $"ref").count() == 0,
+      "gradient/loss cells diverge from the HOF reference")
+    assert(df.filter($"s.pred" =!= $"rp" || $"s.p" =!= $"rq").count() == 0,
+      "score kernel diverges from the HOF reference")
+  }
+
   test("PqAdcWith kernel == nested-aggregate HOF fold, bit-exact") {
     val M = 4; val K = 8; val Sub = 16
     val cb = graft.ops.expressions.PqKernel.codebook(M, K, Sub)
