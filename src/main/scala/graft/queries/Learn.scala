@@ -4,20 +4,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Learned-filter queries: classifier training ON the engine (the
-  * curation stage after heuristic quality scores — q26/q51 — and
-  * before corpus-wide filtering; see
-  * [[graft.pipeline.ProbeTrainer]] for the op and its 100-TB
-  * shape).
+/** Learned-curation queries: the stages that decide WHAT a training
+  * corpus contains, run on the engine itself (after heuristic
+  * quality scores — q26/q51 — and before corpus-wide filtering).
   *
   * q98 trains a 10-class softmax linear probe on the embeddings
   * table's (embedding, label) pairs — Rounds full-batch GD steps from
-  * zero init — then scores every vector with the trained weights.
-  * The DuckDB oracle replays the ENTIRE training trajectory
+  * zero init — then scores every vector with the trained weights
+  * (see [[graft.pipeline.ProbeTrainer]] for the op and its 100-TB
+  * shape). The DuckDB oracle replays the ENTIRE training trajectory
   * (per-round logits, softmax, micro-quantized gradient sums,
   * weight updates) as unrolled CTEs, so the hash gate certifies the
   * training DYNAMICS cross-engine, not just a final projection —
   * the q92 BPE-loop device applied to gradient descent.
+  *
+  * q99 is temperature-based domain-mixture resampling — the
+  * mT5/XLM-R convention for balancing a multi-domain corpus:
+  * sample domain i proportional to (n_i)^τ with τ < 1, which
+  * upweights small domains relative to their raw share. Realized as
+  * deterministic DOWNSAMPLING: rate_i = (n_i/n_min)^(τ−1) ≤ 1, so
+  * the smallest domain is kept whole and larger domains thin toward
+  * the tempered mixture; the keep decision hashes document CONTENT
+  * (the q38 split device), so it is reproducible under
+  * re-partitioning and incremental re-runs. Scale shape: one
+  * map-side-combined count pass, a broadcast of the tiny per-domain
+  * rate table back over the corpus, one narrow filter — nothing
+  * shuffles document text.
   */
 object Learn {
 
@@ -26,6 +38,13 @@ object Learn {
   private val K = ProbeTrainer.NumClasses
   private val R = ProbeTrainer.Rounds
   private val D = 65 // bias + 64 embedding dims
+
+  /** Mixture temperature (mT5's published sampling exponent). The
+    * SQL twin interpolates `TauM1`'s exact double so both engines
+    * raise to the identical exponent (0.7 − 1 is NOT the double
+    * nearest -0.3). */
+  private val Tau = 0.7
+  private val TauM1 = Tau - 1.0
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_linear_probe" -> { (s, d) =>
@@ -36,6 +55,39 @@ object Learn {
       // returned lazy plan
       val (wm, _) = ProbeTrainer.train(emb)
       ProbeTrainer.score(emb, wm).orderBy($"vec_id")
+    },
+
+    // Temperature resampling to a tempered domain mixture (class
+    // doc). rate_micro is the cross-engine contract: pow() may
+    // differ by 1 ulp between libms, absorbed by the micro
+    // rounding; every downstream keep decision compares INTEGERS
+    // (content-hash bucket < rate_micro), so both engines keep
+    // exactly the same documents.
+    "q99_domain_mixture" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.TextOps
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang",
+        TextOps.tokenCount($"text").cast("long").as("n_tok"),
+        TextOps.fingerprint($"text").as("h"))
+      val counts = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val minTok = counts.agg(min($"n_tokens").as("n_min"))
+      // tiny per-domain rate table: one row per lang
+      val rates = counts.crossJoin(broadcast(minTok))
+        .select($"lang", $"n_docs", $"n_tokens",
+          floor(pow($"n_tokens".cast("double") / $"n_min".cast("double"),
+            lit(TauM1)) * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"))
+      val kept = docs
+        .join(broadcast(rates.select($"lang", $"rate_micro")), Seq("lang"))
+        .filter(pmod($"h", lit(1000000L)) < $"rate_micro")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
+      rates.join(kept, Seq("lang"), "left")
+        .select($"lang", $"n_docs", $"n_tokens",
+          ($"rate_micro".cast("double") / lit(1e6)).as("rate"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+        .orderBy($"lang")
     }
   )
 
@@ -108,6 +160,33 @@ object Learn {
     sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
 
   def oracles: Map[String, String] = Map(
-    "q98_linear_probe" -> materializeCtes(probeOracle)
+    "q98_linear_probe" -> materializeCtes(probeOracle),
+
+    "q99_domain_mixture" -> {
+      import TextVector.Sql
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok,
+         |    ${Sql.polyHash("text")} AS h
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |      FROM docs GROUP BY 1),
+         |m AS (SELECT min(n_tokens) AS n_min FROM c),
+         |r AS (SELECT lang, n_docs, n_tokens,
+         |        CAST(floor(power(CAST(n_tokens AS DOUBLE) /
+         |            CAST(n_min AS DOUBLE), $TauM1) * 1000000.0 + 0.5)
+         |          AS BIGINT) AS rate_micro
+         |      FROM c, m),
+         |k AS (SELECT d.lang, count(*) AS n_kept,
+         |        CAST(sum(d.n_tok) AS BIGINT) AS kept_tokens
+         |      FROM docs d JOIN r ON r.lang = d.lang
+         |      WHERE (d.h % 1000000) < r.rate_micro GROUP BY 1)
+         |SELECT r.lang, r.n_docs, r.n_tokens,
+         |  CAST(r.rate_micro AS DOUBLE) / 1000000.0 AS rate,
+         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+         |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin
+    }
   )
 }

