@@ -46,6 +46,72 @@ object Learn {
   private val Tau = 0.7
   private val TauM1 = Tau - 1.0
 
+  // q100 quality floor: sits near the corpus's p15-p20 for each
+  // metric so the stage demonstrably drops SOMETHING on clean
+  // testdata (p25 n_tok = 32, p25 distinct-ratio = 0.36 at sf0.01)
+  // while any real junk — empty, one-token, fully-repetitive docs —
+  // is far below either threshold.
+  private val MinTokens = 25L
+  private val MinDistinctRatio = 0.34
+
+  /** The q100 chain over any (doc_id, lang, text) frame (spec hook:
+    * planted duplicates/junk). The C4/FineWeb curation FUNNEL as one
+    * query — each stage reuses a device already oracle-gated on its
+    * own: exact dedup keeps the min-doc_id copy per content
+    * fingerprint (q23's aggregate, never a window); the quality
+    * floor is two cheap per-doc metrics computed in the same scan
+    * pass; temperature resampling (q99's device, τ and the
+    * micro-rounded integer-compare keep) runs on the SURVIVORS'
+    * per-domain token counts, so the tempered mixture reflects what
+    * dedup+quality left, not the raw crawl. Output is the per-domain
+    * funnel report (raw → deduped → quality → kept), which is what a
+    * curation run actually publishes. Scale shape: one tokenize
+    * scan; the dedup keeper join shuffles (fp, doc_id) pairs only
+    * (AQE-splittable); rates broadcast back; nothing shuffles text. */
+  private[graft] def curationFunnel(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs
+      .select($"doc_id", $"lang",
+        graft.ops.TextOps.fingerprint($"text").as("fp"),
+        graft.ops.TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"lang", $"fp",
+        size($"toks").cast("long").as("n_tok"),
+        when(size($"toks") === 0, 0.0)
+          .otherwise(size(array_distinct($"toks")).cast("double") /
+            size($"toks").cast("double")).as("dr"))
+    val keepers = t.groupBy($"fp").agg(min($"doc_id").as("keeper_id"))
+    val flagged = t.join(keepers, Seq("fp"))
+      .select($"doc_id", $"lang", $"fp", $"n_tok",
+        ($"doc_id" === $"keeper_id").as("is_keeper"),
+        ($"n_tok" >= MinTokens && $"dr" >= MinDistinctRatio).as("is_quality"))
+    val surv = flagged.filter($"is_keeper" && $"is_quality")
+    val survCounts = surv.groupBy($"lang")
+      .agg(count(lit(1)).as("n_quality"), sum($"n_tok").as("q_tokens"))
+    val minTok = survCounts.agg(min($"q_tokens").as("n_min"))
+    val rates = survCounts.crossJoin(broadcast(minTok))
+      .select($"lang", $"n_quality",
+        floor(pow($"q_tokens".cast("double") / $"n_min".cast("double"),
+          lit(TauM1)) * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"))
+    val kept = surv
+      .join(broadcast(rates.select($"lang", $"rate_micro")), Seq("lang"))
+      .filter(pmod($"fp", lit(1000000L)) < $"rate_micro")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
+    val raw = flagged.groupBy($"lang").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when($"is_keeper", 1L).otherwise(0L)).as("n_dedup"))
+    raw
+      .join(rates.select($"lang", $"n_quality", $"rate_micro"), Seq("lang"), "left")
+      .join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_raw", $"n_dedup",
+        coalesce($"n_quality", lit(0L)).as("n_quality"),
+        coalesce($"rate_micro".cast("double") / lit(1e6), lit(0.0)).as("rate"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_linear_probe" -> { (s, d) =>
       import s.implicits._
@@ -88,7 +154,11 @@ object Learn {
           coalesce($"n_kept", lit(0L)).as("n_kept"),
           coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
         .orderBy($"lang")
-    }
+    },
+
+    // End-to-end curation funnel (class doc on [[curationFunnel]]).
+    "q100_curation_funnel" -> { (s, d) =>
+      curationFunnel(Tables.documents(s, d)) }
   )
 
   /** The q98 oracle: R unrolled GD rounds. Weights live as int64
@@ -187,6 +257,48 @@ object Learn {
          |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
          |  coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
          |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin
+    },
+
+    "q100_curation_funnel" -> {
+      import TextVector.Sql
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${Sql.polyHash("text")} AS fp,
+         |    CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok,
+         |    CASE WHEN len(${Sql.toks("text")}) = 0 THEN 0.0
+         |         ELSE CAST(len(list_distinct(${Sql.toks("text")})) AS DOUBLE)
+         |              / CAST(len(${Sql.toks("text")}) AS DOUBLE) END AS dr
+         |  FROM documents),
+         |kk AS (SELECT fp, min(doc_id) AS keeper_id FROM t GROUP BY 1),
+         |f AS (SELECT t.doc_id, t.lang, t.fp, t.n_tok,
+         |        t.doc_id = kk.keeper_id AS is_keeper,
+         |        t.n_tok >= $MinTokens AND t.dr >= $MinDistinctRatio AS is_quality
+         |      FROM t JOIN kk ON kk.fp = t.fp),
+         |s AS (SELECT * FROM f WHERE is_keeper AND is_quality),
+         |sc AS (SELECT lang, count(*) AS n_quality,
+         |         CAST(sum(n_tok) AS BIGINT) AS q_tokens
+         |       FROM s GROUP BY 1),
+         |m AS (SELECT min(q_tokens) AS n_min FROM sc),
+         |r AS (SELECT lang, n_quality,
+         |        CAST(floor(power(CAST(q_tokens AS DOUBLE) /
+         |            CAST(n_min AS DOUBLE), $TauM1) * 1000000.0 + 0.5)
+         |          AS BIGINT) AS rate_micro
+         |      FROM sc, m),
+         |kp AS (SELECT s.lang, count(*) AS n_kept,
+         |         CAST(sum(s.n_tok) AS BIGINT) AS kept_tokens
+         |       FROM s JOIN r ON r.lang = s.lang
+         |       WHERE (s.fp % 1000000) < r.rate_micro GROUP BY 1),
+         |raw AS (SELECT lang, count(*) AS n_raw,
+         |          CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_dedup
+         |        FROM f GROUP BY 1)
+         |SELECT raw.lang, raw.n_raw, raw.n_dedup,
+         |  coalesce(r.n_quality, CAST(0 AS BIGINT)) AS n_quality,
+         |  coalesce(CAST(r.rate_micro AS DOUBLE) / 1000000.0, 0.0) AS rate,
+         |  coalesce(kp.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  coalesce(kp.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+         |FROM raw LEFT JOIN r ON r.lang = raw.lang
+         |LEFT JOIN kp ON kp.lang = raw.lang
+         |ORDER BY raw.lang""".stripMargin
     }
   )
 }

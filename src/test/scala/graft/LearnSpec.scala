@@ -127,6 +127,34 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 funnel: planted duplicates and junk drop at their stage, counts monotone") {
+    def clean(lang: String, id: Long, seed: Int) =
+      (id, lang, (0 until 30).map(i => s"w${seed}x$i").mkString(" "))
+    val en = (0L until 10L).map(i => clean("en", i, i.toInt)) ++ Seq(
+      (100L, "en", (0 until 30).map(i => s"w0x$i").mkString(" ")), // dup of doc 0
+      (101L, "en", ("junk " * 30).trim),                           // repetitive: ratio 1/30
+      (102L, "en", "too short to pass"))                           // 4 tokens
+    val de = (200L until 206L).map(i => clean("de", i, i.toInt))
+    val fr = (300L until 303L).map(i => clean("fr", i, i.toInt))
+    val docs = (en ++ de ++ fr).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Learn.curationFunnel(docs)
+      .select($"lang", $"n_raw", $"n_dedup", $"n_quality", $"rate", $"n_kept")
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: 13 raw, dup drops at dedup, junk+short drop at quality
+    assert(out("en")._2 == 13 && out("en")._3 == 12 && out("en")._4 == 10,
+      s"en funnel wrong: ${out("en")}")
+    // clean langs: nothing drops before mixing
+    assert(out("de")._2 == 6 && out("de")._3 == 6 && out("de")._4 == 6)
+    assert(out("fr")._2 == 3 && out("fr")._3 == 3 && out("fr")._4 == 3)
+    // smallest surviving domain mixes at rate 1 and keeps everything
+    assert(out("fr")._5 == 1.0 && out("fr")._6 == 3, s"fr: ${out("fr")}")
+    // monotone everywhere
+    out.values.foreach { case (lang, raw, dd, q, _, kept) =>
+      assert(raw >= dd && dd >= q && q >= kept, s"$lang funnel not monotone")
+    }
+  }
+
   test("q99 is reproducible and partitioning-invariant: same docs kept on re-run") {
     val a = SparkEntry.queries("q99_domain_mixture")(spark, sf2).collect()
     val b = SparkEntry.queries("q99_domain_mixture")(spark, sf2).collect()

@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // broadcast their ONE-row corpus-statistics aggregate the same way.
   private val intendedBnlj =
     Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal", "q78_pq_ann",
-      "q85_chi2_mix", "q91_pq_trained", "q99_domain_mixture")
+      "q85_chi2_mix", "q91_pq_trained", "q99_domain_mixture",
+      "q100_curation_funnel")
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
