@@ -34,7 +34,7 @@ object SparkEntry {
       graft.queries.Search.queries ++ graft.queries.Quality.queries ++
       graft.queries.Clusters.queries ++ graft.queries.Corpus.queries ++
       graft.queries.Cleaning.queries ++ graft.queries.Sketch.queries ++
-      graft.queries.Learn.queries
+      graft.queries.Learn.queries ++ graft.queries.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
@@ -44,5 +44,5 @@ object SparkEntry {
       graft.queries.Search.oracles ++ graft.queries.Quality.oracles ++
       graft.queries.Clusters.oracles ++ graft.queries.Corpus.oracles ++
       graft.queries.Cleaning.oracles ++ graft.queries.Sketch.oracles ++
-      graft.queries.Learn.oracles
+      graft.queries.Learn.oracles ++ graft.queries.Graph.oracles
 }

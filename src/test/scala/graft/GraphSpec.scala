@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.PageRank
+
+/** PageRank (graft.ops) + q101 — power iteration pinned against a
+  * single-process reference with the identical micro-quantized
+  * arithmetic, plus structural sanity on known graphs.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** The op's exact integer-state arithmetic, single-process. */
+  private def refRank(edges: Seq[(Long, Long)], rounds: Int = PageRank.Rounds,
+                      damping: Double = PageRank.Damping): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val baseMicro = math.floor((1 - damping) / n * 1e6 + 0.5).toLong
+    var rm = nodes.map(_ -> math.floor(1e6 / n + 0.5).toLong).toMap
+    for (_ <- 1 to rounds) {
+      val inflow = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case (s, dst) =>
+        val c = math.floor(
+          rm(s).toDouble / 1e6 / outdeg(s).toDouble * 1e6 + 0.5).toLong
+        inflow(dst) = inflow.getOrElse(dst, 0L) + c
+      }
+      rm = nodes.map(nd => nd -> (baseMicro +
+        math.floor(damping * inflow.getOrElse(nd, 0L).toDouble + 0.5).toLong))
+        .toMap
+    }
+    rm
+  }
+
+  test("distributed ranks match the single-process reference exactly") {
+    val rnd = new scala.util.Random(20260814L)
+    val n = 120
+    val edges = (0L until n.toLong).flatMap { s =>
+      Seq.fill(3)((s, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    }.distinct
+    val got = PageRank.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refRank(edges), "rank trajectories diverge")
+  }
+
+  test("star graph: the hub out-ranks every spoke; rank mass conserved when dangling-free") {
+    // spokes all cite the hub, hub cites every spoke back (no
+    // dangling nodes -> total rank stays ~1 within micro rounding)
+    val spokes = (1L to 30L)
+    val edges = spokes.map(s => (s, 0L)) ++ spokes.map(s => (0L, s))
+    val ranks = PageRank.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val hub = ranks(0L)
+    spokes.foreach(s => assert(hub > ranks(s), s"hub must out-rank spoke $s"))
+    val total = ranks.values.sum.toDouble / 1e6
+    assert(math.abs(total - 1.0) < 0.01, s"rank mass $total drifted from 1")
+  }
+
+  test("q101 ranks the derived citation graph: full cover, positive ranks, total order") {
+    val out = SparkEntry.queries("q101_pagerank")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double)].collect()
+    assert(out.length == Tables.documents(spark, "/root/testdata/sf0.001").count())
+    assert(out.forall(_._2 > 0), "every page holds positive rank")
+    // in-degree skew produces a real spread, not a uniform vector
+    val rs = out.map(_._2)
+    assert(rs.max > rs.min * 1.5, s"no rank spread: [${rs.min}, ${rs.max}]")
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted, "output not node-ordered")
+  }
+}
