@@ -71,6 +71,11 @@ object Learn {
   private[graft] def curationFunnel(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted: the keeper aggregate and the join both consume the
+    // tokenized frame, and the flagged frame feeds THREE aggregates
+    // (raw funnel, survivor counts, kept stats) — without the caches
+    // the scan → tokenize → distinct-ratio chain ran ~6x (the q93
+    // device; lifecycle is the Verify/Bench clearCache contract)
     val t = docs
       .select($"doc_id", $"lang",
         graft.ops.TextOps.fingerprint($"text").as("fp"),
@@ -80,11 +85,13 @@ object Learn {
         when(size($"toks") === 0, 0.0)
           .otherwise(size(array_distinct($"toks")).cast("double") /
             size($"toks").cast("double")).as("dr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = t.groupBy($"fp").agg(min($"doc_id").as("keeper_id"))
     val flagged = t.join(keepers, Seq("fp"))
       .select($"doc_id", $"lang", $"fp", $"n_tok",
         ($"doc_id" === $"keeper_id").as("is_keeper"),
         ($"n_tok" >= MinTokens && $"dr" >= MinDistinctRatio).as("is_quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val surv = flagged.filter($"is_keeper" && $"is_quality")
     val survCounts = surv.groupBy($"lang")
       .agg(count(lit(1)).as("n_quality"), sum($"n_tok").as("q_tokens"))

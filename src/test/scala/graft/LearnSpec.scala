@@ -153,6 +153,7 @@ class LearnSpec extends AnyFunSuite {
     out.values.foreach { case (lang, raw, dd, q, _, kept) =>
       assert(raw >= dd && dd >= q && q >= kept, s"$lang funnel not monotone")
     }
+    spark.catalog.clearCache() // curationFunnel persist contract
   }
 
   test("q99 is reproducible and partitioning-invariant: same docs kept on re-run") {
