@@ -57,6 +57,33 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 0.01, s"rank mass $total drifted from 1")
   }
 
+  test("a power-iteration round plans hash joins + partial aggregation only") {
+    // run()'s checkpointing hides the loop's internals from the
+    // whole-catalog plan audit (the ClusterSpec device): audit one
+    // round's lazy plan here — the src joins must be hash
+    // equi-joins and the dst inflow must partially aggregate before
+    // its exchange (in-degree skew reduces map-side)
+    import org.apache.spark.sql.functions._
+    val edges = (0L until 50L).map(i => (i, (i * 7 + 3) % 50))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("rm", lit(1000L))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val round = edges
+      .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .select(col("dst"), floor(col("rm").cast("double") / lit(1e6) /
+        col("outdeg").cast("double") * lit(1e6) + lit(0.5))
+        .cast("long").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("infl"))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in rank round:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in rank round:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"inflow aggregate lost its map-side combine:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in rank round:\n$plan")
+  }
+
   test("q101 ranks the derived citation graph: full cover, positive ranks, total order") {
     val out = SparkEntry.queries("q101_pagerank")(spark, "/root/testdata/sf0.001")
       .as[(Long, Double)].collect()

@@ -127,6 +127,27 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("a GD round plans the kernel + partial aggregation, no UDF, no join") {
+    // train()'s driver loop hides round internals from the
+    // whole-catalog audit (the ClusterSpec device): one round's
+    // gradient job must be kernel -> explode -> hash aggregate with
+    // map-side combine — the shape that collects 651 longs, not data
+    val base = Tables.embeddings(spark, sf3)
+      .select($"label".cast("int").as("y"),
+        concat(array(lit(1.0)),
+          transform($"embedding", v => v.cast("double"))).as("xb"))
+    val w = Array.fill(ProbeTrainer.NumClasses, 65)(0.001)
+    val round = base
+      .select(posexplode(graft.ops.expressions
+        .SoftmaxGradLoss($"xb", $"y", w)).as(Seq("i", "v")))
+      .groupBy($"i").agg(sum($"v"))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"gradient aggregate lost its map-side combine:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("Join"),
+      s"unexpected operator in the gradient round:\n$plan")
+  }
+
   test("q100 funnel: planted duplicates and junk drop at their stage, counts monotone") {
     def clean(lang: String, id: Long, seed: Int) =
       (id, lang, (0 until 30).map(i => s"w${seed}x$i").mkString(" "))
