@@ -46,6 +46,22 @@ object Learn {
   private val Tau = 0.7
   private val TauM1 = Tau - 1.0
 
+  /** The tempered-rate stage over any per-domain count table
+    * (lang, n_docs, n_tokens): appends `rate_micro` =
+    * floor((n_i/n_min)^(τ−1)·1e6 + 0.5). ONE definition shared by
+    * q99 and the incremental store
+    * ([[graft.pipeline.MixtureMaintenance]]), so maintained rates
+    * and the from-scratch query can never drift. */
+  private[graft] def temperedRates(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val minTok = counts.agg(min($"n_tokens").as("n_min"))
+    counts.crossJoin(broadcast(minTok))
+      .select($"lang", $"n_docs", $"n_tokens",
+        floor(pow($"n_tokens".cast("double") / $"n_min".cast("double"),
+          lit(TauM1)) * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"))
+  }
+
   // q100 quality floor: sits near the corpus's p15-p20 for each
   // metric so the stage demonstrably drops SOMETHING on clean
   // testdata (p25 n_tok = 32, p25 distinct-ratio = 0.36 at sf0.01)
@@ -144,12 +160,9 @@ object Learn {
         TextOps.fingerprint($"text").as("h"))
       val counts = docs.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-      val minTok = counts.agg(min($"n_tokens").as("n_min"))
-      // tiny per-domain rate table: one row per lang
-      val rates = counts.crossJoin(broadcast(minTok))
-        .select($"lang", $"n_docs", $"n_tokens",
-          floor(pow($"n_tokens".cast("double") / $"n_min".cast("double"),
-            lit(TauM1)) * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"))
+      // tiny per-domain rate table: one row per lang (shared with
+      // the incremental store — [[temperedRates]])
+      val rates = temperedRates(counts)
       val kept = docs
         .join(broadcast(rates.select($"lang", $"rate_micro")), Seq("lang"))
         .filter(pmod($"h", lit(1000000L)) < $"rate_micro")
