@@ -53,5 +53,16 @@ object Determinism {
       val p = "1" + ("0" * d) + ".0"
       s"floor(($e)*$p+0.5)/$p"
     }
+
+    /** Rewrite every CTE to `AS MATERIALIZED`: DuckDB inlines plain
+      * CTEs per REFERENCE, so an iterative oracle chain whose round
+      * t references round t−1 from two places re-evaluates the
+      * whole prefix 2^rounds times (k-means/BPE/GD/PageRank
+      * replays). Purely an evaluation hint — results unchanged.
+      * ONE definition (the q90/q92/q98/q101 oracles all lean on
+      * it); the regex assumes `<word> AS (` only introduces CTEs,
+      * which holds across every oracle in the catalog. */
+    def materializeCtes(sql: String): String =
+      sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
   }
 }

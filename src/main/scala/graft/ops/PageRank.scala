@@ -78,6 +78,12 @@ object PageRank {
       backing = next
       ranks = next
     }
+    // the returned frame is itself a checkpoint (LogicalRDD) — the
+    // static node/out-degree tables' blocks can release now (the
+    // ConnectedComponents exit discipline; clearCache() would NOT
+    // free these, they are not catalog cache)
+    ConnectedComponents.releaseCheckpoint(nodes)
+    ConnectedComponents.releaseCheckpoint(outdeg)
     ranks
   }
 }

@@ -97,9 +97,13 @@ object AnnIndex {
       val cell = graft.ops.Kmeans.assignCell(x, ivf, normSq)
       x.zip(ivf(cell)).map { case (a, b) => a - b }
     }
+    // clamp like the IVF cell count above: trainL2 requires
+    // samples >= k, and a valid small corpus (< PqK vectors) must
+    // build a smaller codebook, not crash
+    val pqK = math.min(PqK, residSample.length)
     val pq = Array.tabulate(PqM) { m =>
       graft.ops.Kmeans.trainL2(
-        residSample.map(_.slice(m * sub, (m + 1) * sub)), PqK, PqIters)
+        residSample.map(_.slice(m * sub, (m + 1) * sub)), pqK, PqIters)
     }
     val cbRows =
       ivf.zipWithIndex.map { case (c, j) => ("ivf", 0, j, c.toSeq) } ++

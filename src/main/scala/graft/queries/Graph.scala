@@ -73,6 +73,12 @@ object Graph {
     * identical micro-quantized arithmetic (class doc). */
   private def pagerankOracle: String = {
     val d = graft.ops.PageRank.Damping
+    // (1 − d) PRECOMPUTED in Scala and interpolated: DuckDB parses
+    // "1 - 0.85" in exact DECIMAL (= the double nearest 0.15) while
+    // the Spark driver computes 1 - 0.85 in binary double
+    // (0.15000000000000002) — Learn.TauM1's trap; a 1-micro flip at
+    // boundary corpus sizes would fail the gate
+    val oneMinusD = 1 - d
     val edges = A.zip(B).map { case (a, b) =>
       s"""SELECT doc_id AS src,
          |  ((doc_id * $a + $b) % $P) % greatest(doc_id, 1) AS dst
@@ -92,18 +98,18 @@ object Graph {
          |        FROM c$t GROUP BY 1),
          |r$t AS (
          |  SELECT nd.node,
-         |    CAST(floor((1 - $d) / CAST(n.n AS DOUBLE) * 1000000.0 + 0.5)
+         |    CAST(floor($oneMinusD / CAST(n.n AS DOUBLE) * 1000000.0 + 0.5)
          |      AS BIGINT)
          |    + CAST(floor($d * CAST(coalesce(i.infl, 0) AS DOUBLE) + 0.5)
          |      AS BIGINT) AS rm
          |  FROM nd LEFT JOIN i$t i ON i.dst = nd.node, n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       |e AS (
+    s"""WITH e AS (
        |$edges),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
        |nd AS (SELECT DISTINCT node FROM
        |       (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
        |r0 AS (SELECT node,
        |         CAST(floor(1000000.0 / CAST(n.n AS DOUBLE) + 0.5) AS BIGINT)
        |           AS rm
@@ -113,13 +119,7 @@ object Graph {
        |FROM r${graft.ops.PageRank.Rounds} ORDER BY node""".stripMargin
   }
 
-  /** Same rationale as Learn.materializeCtes: each round references
-    * the previous round's rank table from two CTEs — inlined, the
-    * replay is 2^rounds. */
-  private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
-
   def oracles: Map[String, String] = Map(
-    "q101_pagerank" -> materializeCtes(pagerankOracle)
+    "q101_pagerank" -> graft.ops.Determinism.Oracles.materializeCtes(pagerankOracle)
   )
 }

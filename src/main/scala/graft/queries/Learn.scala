@@ -109,13 +109,12 @@ object Learn {
         ($"n_tok" >= MinTokens && $"dr" >= MinDistinctRatio).as("is_quality"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val surv = flagged.filter($"is_keeper" && $"is_quality")
-    val survCounts = surv.groupBy($"lang")
-      .agg(count(lit(1)).as("n_quality"), sum($"n_tok").as("q_tokens"))
-    val minTok = survCounts.agg(min($"q_tokens").as("n_min"))
-    val rates = survCounts.crossJoin(broadcast(minTok))
-      .select($"lang", $"n_quality",
-        floor(pow($"q_tokens".cast("double") / $"n_min".cast("double"),
-          lit(TauM1)) * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"))
+    // the SHARED tempered-rate stage ([[temperedRates]] — one
+    // formula for q99, q100 and the incremental store), fed the
+    // survivors' counts under its (n_docs, n_tokens) contract
+    val rates = temperedRates(surv.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens")))
+      .select($"lang", $"n_docs".as("n_quality"), $"rate_micro")
     val kept = surv
       .join(broadcast(rates.select($"lang", $"rate_micro")), Seq("lang"))
       .filter(pmod($"fp", lit(1000000L)) < $"rate_micro")
@@ -241,16 +240,8 @@ object Learn {
        |FROM sc ORDER BY vec_id""".stripMargin
   }
 
-  /** DuckDB inlines plain CTEs per REFERENCE; an R-round chain where
-    * w_t is referenced by both wl_{t+1} and w_{t+1} re-evaluates the
-    * whole prefix 2^R times (TextVector.materializeCtes rationale —
-    * the un-materialized form here exhausted file handles re-opening
-    * the parquet). Purely an evaluation hint — results unchanged. */
-  private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
-
   def oracles: Map[String, String] = Map(
-    "q98_linear_probe" -> materializeCtes(probeOracle),
+    "q98_linear_probe" -> graft.ops.Determinism.Oracles.materializeCtes(probeOracle),
 
     "q99_domain_mixture" -> {
       import TextVector.Sql

@@ -147,9 +147,9 @@ object TextVector {
   private val IvfSamplePerCell = 16
   private[graft] def ivfCellsFor(n: Long): Int =
     math.max(IvfKMin, math.min(IvfKMax, math.sqrt(n.toDouble).toInt))
-  // q90 probe policy: nprobe = max(4, ceil(√nlist)) — with nlist=√n
-  // that is n^(1/4), so the PROBED FRACTION nprobe/nlist = 1/√nlist
-  // shrinks with corpus size (FAISS practice: nprobe grows slowly
+  // q90 probe policy: nprobe = max(4, 2·ceil(√nlist)) — with
+  // nlist=√n that is ~2·n^(1/4), so the PROBED FRACTION
+  // nprobe/nlist = 2/√nlist shrinks with corpus size (FAISS practice: nprobe grows slowly
   // with nlist for a fixed recall target) while small corpora keep
   // the floor of 4 that multi-probe recall needs. nprobe=1 dies at
   // cell boundaries; spill-to-2 indexing (below) gives each neighbor
@@ -1185,10 +1185,14 @@ object TextVector {
       x.zip(cents(cell)).map { case (a, b) => a - b }
     }
     // RANKING codebook: PqKRank (64) centroids/subspace — the rank
-    // fidelity that lets the constant 20·k shortlist hold recall
+    // fidelity that lets the constant 20·k shortlist hold recall.
+    // Clamped to the sample size (trainL2 requires samples >= k) so
+    // a tiny-but-valid corpus trains a smaller codebook instead of
+    // crashing; at every gate scale the sample is >= 256.
     val pqCb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
       graft.ops.Kmeans.trainL2(
-        residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqKRank, PqIters)
+        residSample.map(_.slice(m * PqSub, (m + 1) * PqSub)),
+        math.min(PqKRank, residSample.length), PqIters)
     }
     val pqCbSeq: Seq[Seq[Seq[Double]]] = pqCb.map(_.map(_.toSeq).toSeq).toSeq
     val vecs = emb
@@ -1282,7 +1286,7 @@ object TextVector {
     * trainer replay took minutes; materialized, the whole q90 oracle
     * runs in ~3 s. Purely an evaluation hint — results unchanged. */
   private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+    graft.ops.Determinism.Oracles.materializeCtes(sql)
 
   /** Oracle twin of Kmeans.trainL2 per subspace (q90/q91): expects a
     * CTE `subsamp(vec_id, m, sv)` of sample sub-vectors; emits
@@ -1367,7 +1371,7 @@ object TextVector {
   /** q90's DYNAMIC-geometry twin of [[IvfOracleCtes]]: same Lloyd
     * chain, but nlist = clamp(√n) (ivfCellsFor), the sample scaled
     * at IvfSamplePerCell·nlist (ivfSampleSized), and nprobe =
-    * max(4, ceil(√nlist)) (ivfNprobeFor) are all DERIVED FROM THE
+    * max(4, 2·ceil(√nlist)) (ivfNprobeFor) are all DERIVED FROM THE
     * CORPUS inside SQL (`kk`), so the oracle replays the
     * production-sizing policy rather than a baked constant. `cellid`
     * stands in for range(0, nlist): a constant range over the k cap

@@ -100,8 +100,9 @@ class LearnSpec extends AnyFunSuite {
   test("q99 temperature resampling: smallest domain kept whole, mixture provably flattened") {
     for (sf <- Seq(sf3, sf2)) {
       val out = SparkEntry.queries("q99_domain_mixture")(spark, sf)
-        .select($"lang", $"n_tokens", $"rate", $"n_kept", $"kept_tokens")
-        .as[(String, Long, Double, Long, Long)].collect()
+        .select($"lang", $"n_tokens", $"rate", $"n_kept", $"kept_tokens",
+          $"n_docs")
+        .as[(String, Long, Double, Long, Long, Long)].collect()
       assert(out.length >= 3, s"$sf: expected several domains, got ${out.length}")
       // the smallest-token domain downsamples nothing
       val smallest = out.minBy(_._2)
@@ -111,11 +112,12 @@ class LearnSpec extends AnyFunSuite {
       byTok.zip(byTok.tail).foreach { case (a, b) =>
         assert(a._3 >= b._3, s"$sf: rate not monotone: $a vs $b")
       }
-      // realized kept fraction tracks the rate (content-hash thinning
-      // is binomial: allow generous sampling noise on small domains)
-      out.foreach { case (lang, _, rate, nKept, _) =>
-        val nDocs = out.find(_._1 == lang).get
-        assert(nKept >= 0 && nKept <= nDocs._2, s"$sf/$lang kept bounds")
+      // kept docs bounded by the domain's docs; a rate-1 domain
+      // keeps every document (the hash compare cannot drop at 1.0)
+      out.foreach { case (lang, _, rate, nKept, _, nDocs) =>
+        assert(nKept >= 0 && nKept <= nDocs, s"$sf/$lang kept bounds")
+        if (rate == 1.0)
+          assert(nKept == nDocs, s"$sf/$lang: rate-1 domain dropped docs")
       }
       // the TEMPERED mixture is flatter: max/min kept-token ratio
       // strictly below the raw ratio (that is the point of the op)
