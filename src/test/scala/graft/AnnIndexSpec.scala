@@ -35,6 +35,22 @@ class AnnIndexSpec extends AnyFunSuite {
       s"self not ranked first: $firsts")
   }
 
+  test("a corpus smaller than the PQ codebook still builds and serves (clamped training)") {
+    // PqK=64 with 20 vectors: trainL2 requires samples >= k, so the
+    // codebook must clamp to the sample size instead of crashing —
+    // a valid small deployment (fresh product, few embeddings)
+    val dir = tmp("ann-small")
+    val small = corpus.filter($"vec_id" < 20)
+    AnnIndex.build(spark, small, dir)
+    val queries = small.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val out = AnnIndex.search(spark, queries, dir, k = 3).collect()
+    assert(out.length == 6, s"2 queries × top-3, got ${out.length}")
+    val firsts = out.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(firsts == Map(0L -> 0L, 1L -> 1L), s"self not first: $firsts")
+  }
+
   test("search never rescans raw vectors and plans the rank onto TopKPerKey") {
     val dir = tmp("ann-plan")
     AnnIndex.build(spark, corpus, dir)
