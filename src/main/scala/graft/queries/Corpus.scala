@@ -72,6 +72,67 @@ object Corpus {
   // sum; 6 decimals on the emitted mean).
   private val XentDecimals = 6
 
+  // q102: Stupid Backoff score weight (Brants et al. 2007's
+  // published α — the large-LM backoff that skips normalization).
+  private val SbAlpha = 0.4
+
+  /** The q102 chain (spec hook: planted reference/target splits
+    * that force the backoff branch): bigram Stupid-Backoff
+    * surprisal — the CCNet-style perplexity filter one level up
+    * from q72's unigram. The LM trains on a REFERENCE slice (q102
+    * wires the even-doc_id half — the "curated side"; CCNet trains
+    * on Wikipedia and scores the crawl) and scores every target
+    * position: first token and backed-off positions score the
+    * Laplace-smoothed unigram (c+1)/(N+V) (so out-of-vocabulary
+    * tokens get finite surprisal), seen bigrams score
+    * count(prev,cur)/count(prev), and unseen bigrams multiply the
+    * unigram by α — per-doc mean surprisal plus a visible
+    * n_backoff diagnostic. Scale: the reference LM BROADCASTS
+    * (pruned/bounded by construction — a reference model, not the
+    * corpus; flip to hash joins for open vocabularies), scoring is
+    * one narrow pass + per-doc agg; ln micro-rounds through
+    * avgExact (q72's cross-engine argument). */
+  private[graft] def stupidBackoffSurprisal(refDocs: DataFrame,
+                                            docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.Determinism.{avgExact, roundFix}
+    def positions(dd: DataFrame): DataFrame = dd
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("pos", "cur")))
+      .select($"doc_id", $"cur",
+        when($"pos" === 0, lit(null).cast("string"))
+          .otherwise(element_at($"toks", $"pos")).as("prev"))
+    // persisted: the unigram and bigram count aggregates both
+    // consume the reference positions (the q93 device; clearCache
+    // contract)
+    val refPos = positions(refDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = refPos.groupBy($"cur").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum($"cu").as("n"), count(lit(1)).as("v"))
+    val bi = refPos.filter($"prev".isNotNull)
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+    val puni = (coalesce($"cu", lit(0L)).cast("double") + lit(1.0)) /
+      ($"n".cast("double") + $"v".cast("double"))
+    positions(docs)
+      .join(broadcast(uni), Seq("cur"), "left")
+      .join(broadcast(uni.select($"cur".as("prev"), $"cu".as("cp"))),
+        Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        (-log(
+          when($"prev".isNull, puni)
+            .when($"cb".isNotNull, $"cb".cast("double") / $"cp".cast("double"))
+            .otherwise(lit(SbAlpha) * puni))).as("surp"),
+        when($"prev".isNotNull && $"cb".isNull, 1L).otherwise(0L).as("bo"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum($"bo").as("n_backoff"),
+        roundFix(avgExact($"surp"), XentDecimals).as("xent"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Winnowing fingerprint overlap (SIGMOD'03 / MOSS): per-doc
@@ -230,6 +291,16 @@ object Corpus {
         .agg(count(lit(1)).as("n_tok"),
           roundFix(avgExact($"surp"), XentDecimals).as("xent"))
         .orderBy($"doc_id")
+    },
+
+    // Bigram Stupid-Backoff surprisal (class doc on
+    // [[stupidBackoffSurprisal]]): the reference LM is the even-
+    // doc_id half; every document — reference and crawl side alike —
+    // gets (n_tok, n_backoff, xent).
+    "q102_bigram_surprisal" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      stupidBackoffSurprisal(docs.filter(pmod($"doc_id", lit(2L)) === 0), docs)
     },
 
     // BPE merge-pair counting — the TRAINING step of byte-pair
@@ -484,6 +555,41 @@ object Corpus {
          |        -ln(CAST(v.c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS surp
          |      FROM p JOIN v ON p.tok = v.tok CROSS JOIN n)
          |SELECT doc_id, count(*) AS n_tok,
+         |  ${Oracles.fround(Oracles.favg("surp"), XentDecimals)} AS xent
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q102_bigram_surprisal" -> {
+      import graft.ops.Determinism.Oracles
+      val puni = "(CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))"
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, toks[CAST(u.i AS INTEGER)] AS cur,
+         |    CASE WHEN u.i = 1 THEN NULL
+         |         ELSE toks[CAST(u.i AS INTEGER) - 1] END AS prev
+         |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+         |refpos AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+         |uni AS (SELECT cur, count(*) AS cu FROM refpos GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+         |          CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT prev, cur, count(*) AS cb FROM refpos
+         |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |s AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN p.prev IS NULL THEN -ln($puni)
+         |         WHEN b.cb IS NOT NULL THEN
+         |           -ln(CAST(b.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+         |         ELSE -ln(0.4 * ($puni)) END AS surp,
+         |    CASE WHEN p.prev IS NOT NULL AND b.cb IS NULL
+         |         THEN 1 ELSE 0 END AS bo
+         |  FROM pos p
+         |  LEFT JOIN uni u ON u.cur = p.cur
+         |  LEFT JOIN uni u2 ON u2.cur = p.prev
+         |  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(bo) AS BIGINT) AS n_backoff,
          |  ${Oracles.fround(Oracles.favg("surp"), XentDecimals)} AS xent
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }
