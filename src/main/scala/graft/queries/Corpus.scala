@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -79,46 +79,46 @@ object Corpus {
   /** The q102 chain (spec hook: planted reference/target splits
     * that force the backoff branch): bigram Stupid-Backoff
     * surprisal — the CCNet-style perplexity filter one level up
-    * from q72's unigram. The LM trains on a REFERENCE slice (q102
-    * wires the even-doc_id half — the "curated side"; CCNet trains
-    * on Wikipedia and scores the crawl) and scores every target
-    * position: first token and backed-off positions score the
-    * Laplace-smoothed unigram (c+1)/(N+V) (so out-of-vocabulary
-    * tokens get finite surprisal), seen bigrams score
-    * count(prev,cur)/count(prev), and unseen bigrams multiply the
-    * unigram by α — per-doc mean surprisal plus a visible
-    * n_backoff diagnostic. Scale: the reference LM BROADCASTS
-    * (pruned/bounded by construction — a reference model, not the
-    * corpus; flip to hash joins for open vocabularies), scoring is
-    * one narrow pass + per-doc agg; ln micro-rounds through
+    * from q72's unigram. The LM trains on a REFERENCE predicate
+    * over the scored frame (q102 wires the even-doc_id half — the
+    * "curated side"; CCNet trains on Wikipedia and scores the
+    * crawl) and scores every target position: first token and
+    * backed-off positions score the Laplace-smoothed unigram
+    * (c+1)/(N+V) (so out-of-vocabulary tokens get finite
+    * surprisal), seen bigrams score count(prev,cur)/count(prev),
+    * and unseen bigrams multiply the unigram by α — per-doc mean
+    * surprisal plus a visible n_backoff diagnostic. Scale: the
+    * position frame tokenizes ONCE (persisted; the reference rows
+    * are a filter of it, mirroring the oracle's refpos CTE); the
+    * UNIGRAM model broadcasts (Heaps-bounded, q72's argument) but
+    * the BIGRAM table joins by key with no broadcast hint — its
+    * distinct-pair count grows with an open reference and AQE picks
+    * broadcast only when it measures small; ln micro-rounds through
     * avgExact (q72's cross-engine argument). */
-  private[graft] def stupidBackoffSurprisal(refDocs: DataFrame,
-                                            docs: DataFrame): DataFrame = {
+  private[graft] def stupidBackoffSurprisal(docs: DataFrame,
+                                            refPred: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.ops.Determinism.{avgExact, roundFix}
-    def positions(dd: DataFrame): DataFrame = dd
+    val pos = docs
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id", $"toks", posexplode($"toks").as(Seq("pos", "cur")))
       .select($"doc_id", $"cur",
         when($"pos" === 0, lit(null).cast("string"))
           .otherwise(element_at($"toks", $"pos")).as("prev"))
-    // persisted: the unigram and bigram count aggregates both
-    // consume the reference positions (the q93 device; clearCache
-    // contract)
-    val refPos = positions(refDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refPos = pos.filter(refPred)
     val uni = refPos.groupBy($"cur").agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum($"cu").as("n"), count(lit(1)).as("v"))
     val bi = refPos.filter($"prev".isNotNull)
       .groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
     val puni = (coalesce($"cu", lit(0L)).cast("double") + lit(1.0)) /
       ($"n".cast("double") + $"v".cast("double"))
-    positions(docs)
+    pos
       .join(broadcast(uni), Seq("cur"), "left")
       .join(broadcast(uni.select($"cur".as("prev"), $"cu".as("cp"))),
         Seq("prev"), "left")
-      .join(broadcast(bi), Seq("prev", "cur"), "left")
+      .join(bi, Seq("prev", "cur"), "left")
       .crossJoin(broadcast(tot))
       .select($"doc_id",
         (-log(
@@ -299,8 +299,8 @@ object Corpus {
     // gets (n_tok, n_backoff, xent).
     "q102_bigram_surprisal" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      stupidBackoffSurprisal(docs.filter(pmod($"doc_id", lit(2L)) === 0), docs)
+      stupidBackoffSurprisal(Tables.documents(s, d),
+        pmod($"doc_id", lit(2L)) === 0)
     },
 
     // BPE merge-pair counting — the TRAINING step of byte-pair

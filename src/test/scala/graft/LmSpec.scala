@@ -15,14 +15,16 @@ class LmSpec extends AnyFunSuite {
   test("planted LM: unigram, bigram, backoff and OOV branches score exactly") {
     // reference: "the cat sat on the mat" — uni: the:2 cat:1 sat:1
     // on:1 mat:1 (N=6, V=5); bigrams all count 1
-    val ref = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
-    val tgt = Seq(
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), // the reference slice
       (10L, "the cat sat"),  // first-token unigram + two seen bigrams
       (11L, "mat dog the")   // OOV 'dog' + two unseen bigrams
     ).toDF("doc_id", "text")
-    val out = graft.queries.Corpus.stupidBackoffSurprisal(ref, tgt)
+    val out = graft.queries.Corpus
+      .stupidBackoffSurprisal(docs, $"doc_id" === 0L)
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    spark.catalog.clearCache() // position-frame persist contract
 
     def micro(x: Double) = math.floor(x * 1e6 + 0.5)
     def xentOf(surps: Seq[Double]) = {
