@@ -84,6 +84,19 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in rank round:\n$plan")
   }
 
+  test("the citation-edge derivation scans doc_id only — never text") {
+    // q101's final plan is a checkpoint projection, so the
+    // whole-catalog pruning audit cannot see its scan; audit the
+    // edge stage directly — at 100 TB this is the difference
+    // between a metadata pass and a corpus read
+    val plan = graft.queries.Graph
+      .citationEdges(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scan.contains("doc_id") && !scan.contains("text"),
+      s"edge derivation reads more than doc_id:\n$scan")
+  }
+
   test("q101 ranks the derived citation graph: full cover, positive ranks, total order") {
     val out = SparkEntry.queries("q101_pagerank")(spark, "/root/testdata/sf0.001")
       .as[(Long, Double)].collect()

@@ -54,6 +54,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(_.contains("ReadSchema")).mkString("\n")
     assert(!q03Scans.contains("o_comment") && !q03Scans.contains("o_clerk"),
       s"q03 reads columns it never uses:\n$q03Scans")
+    // (q101's returned plan is a checkpoint projection — its
+    // scan-bearing edge derivation is audited in GraphSpec)
+    // q98 scores vectors: label + embedding only, never a text-ish column
+    val q98Scan = plans("q98_linear_probe").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q98Scan.contains("embedding") && q98Scan.contains("label"),
+      s"q98 scan missing its columns:\n$q98Scan")
+    // q102 needs doc_id + text of documents' 5 columns
+    val q102Scan = plans("q102_bigram_surprisal").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q102Scan.contains("text") && !q102Scan.contains("lang") &&
+      !q102Scan.contains("n_chars"),
+      s"q102 scan not pruned to (doc_id, text):\n$q102Scan")
   }
 
   test("first-occurrence dedup never plans a window over a content-key partition") {
