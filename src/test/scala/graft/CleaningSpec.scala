@@ -150,6 +150,66 @@ class CleaningSpec extends AnyFunSuite {
     assert(out(1L)._1 == 3L)
   }
 
+  test("randomized differential: span + paragraph dedup match in-memory references on phrase-built corpora") {
+    // docs are concatenations of phrases drawn from a small pool, so
+    // cross-doc repeated spans (>= 8 tokens) and repeated paragraphs
+    // arise naturally at random offsets — the planted cases above
+    // pin specific shapes, this pins the full semantics on inputs
+    // nobody hand-picked
+    val SpanK = 8      // Cleaning.SpanK
+    val ParaTokens = 3 // Cleaning.ParaTokens
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val pool = Vector.tabulate(8)(p =>
+        Vector.fill(4 + rnd.nextInt(7))(s"w${rnd.nextInt(12)}"))
+      val docs = (0L until 30L).map { id =>
+        val toks = Vector.fill(1 + rnd.nextInt(4))(pool(rnd.nextInt(pool.size)))
+          .flatten
+        (id, toks.mkString(" "))
+      }
+      val byId = docs.toMap.map { case (k, v) =>
+        k -> v.split(" ").filter(_.nonEmpty).toVector }
+
+      // ---- span dedup reference: first occurrence per 8-shingle ----
+      val occ = byId.toSeq.flatMap { case (id, t) =>
+        (0 to t.length - SpanK).map(i => (t.slice(i, i + SpanK).mkString(" "), id, i))
+      }
+      val first = occ.groupBy(_._1).map { case (k, os) =>
+        k -> os.map(o => (o._2, o._3)).min }
+      val drops = occ.filter { case (k, id, p) => first(k) != ((id, p)) }
+        .groupBy(_._2).map { case (id, os) =>
+          id -> os.flatMap(o => o._3 until o._3 + SpanK).toSet }
+      val wantSpan = byId.map { case (id, t) =>
+        val d = drops.getOrElse(id, Set.empty[Int])
+        id -> ((t.length.toLong, d.size.toLong,
+          t.zipWithIndex.collect { case (w, i) if !d(i) => w }.mkString(" ")))
+      }
+      val gotSpan = graft.queries.Cleaning.spanDedup(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotSpan == wantSpan, s"trial $trial: span dedup diverges")
+
+      // ---- paragraph dedup reference: first occurrence per chunk ----
+      val paras = byId.toSeq.flatMap { case (id, t) =>
+        t.grouped(ParaTokens).zipWithIndex.map { case (c, i) =>
+          (c.mkString(" "), id, i) }
+      }
+      val pFirst = paras.groupBy(_._1).map { case (k, os) =>
+        k -> os.map(o => (o._2, o._3)).min }
+      val wantPara = byId.map { case (id, t) =>
+        val kept = paras.filter { case (k, i2, p) =>
+          i2 == id && pFirst(k) == ((id, p)) }.sortBy(_._3)
+        id -> ((math.ceil(t.length / ParaTokens.toDouble).toLong,
+          kept.length.toLong, kept.map(_._1).mkString(" ")))
+      }
+      val gotPara = graft.queries.Cleaning.paragraphDedup(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotPara == wantPara, s"trial $trial: paragraph dedup diverges")
+      spark.catalog.clearCache() // dedup persist contract
+    }
+  }
+
   test("q73/q74/q75 run end-to-end on the sf tables with sane shapes") {
     val norm = SparkEntry.queries("q73_normalize")(spark, sf).collect()
     assert(norm.nonEmpty)

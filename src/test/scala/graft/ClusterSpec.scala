@@ -174,6 +174,38 @@ class ClusterSpec extends AnyFunSuite {
     spark.catalog.clearCache() // nearDupPairs persist contract
   }
 
+  test("randomized soundness: every reported near-dup pair carries its exact Jaccard; identical docs always pair") {
+    // phrase-built corpus: structural overlap at random offsets.
+    // LSH recall is probabilistic, so the fuzz pins SOUNDNESS (a
+    // reported pair's jaccard is the true distinct-3-shingle
+    // jaccard and clears the threshold) plus the one guaranteed
+    // recall case: identical shingle sets share every band.
+    val rnd = new scala.util.Random(20260813L)
+    val pool = Vector.tabulate(6)(_ =>
+      Vector.fill(5 + rnd.nextInt(6))(s"w${rnd.nextInt(10)}"))
+    val base = (0L until 25L).map { id =>
+      (id, Vector.fill(2 + rnd.nextInt(3))(pool(rnd.nextInt(pool.size)))
+        .flatten.mkString(" "))
+    }
+    val clones = Seq((100L, base(3)._2), (101L, base(7)._2)) // exact dups
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val got = graft.queries.TextVector.nearDupPairs(docs)
+      .as[(Long, Long, Double)].collect()
+    def shingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = (base ++ clones).toMap.map { case (k, v) => k -> shingles(v) }
+    got.foreach { case (a, b, j) =>
+      val ref = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      assert(math.abs(j - ref) < 1e-9, s"pair ($a,$b): jaccard $j != exact $ref")
+      assert(j >= 0.5, s"pair ($a,$b) below threshold: $j")
+    }
+    val found = got.map(p => (p._1, p._2)).toSet
+    assert(found.contains((3L, 100L)) && found.contains((7L, 101L)),
+      s"identical docs not detected: $found")
+    spark.catalog.clearCache() // nearDupPairs persist contract
+  }
+
   test("q64 weighted sampling favors heavy weights and is reproducible") {
     val one = SparkEntry.queries("q64_weighted_sample")(spark, sf01)
       .select($"stratum", $"rn", $"o_orderkey", $"prio_n")
