@@ -122,4 +122,16 @@ object StoreCompaction {
                        prefix: String): Array[Path] =
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith(prefix + "="))
+
+  /** How many `<prefix>=` partitions a store currently holds, after
+    * healing any interrupted fold — the compaction-contract spec
+    * hook shared by every run-partitioned store (DedupIndex,
+    * MixtureMaintenance). */
+  private[graft] def runCount(spark: SparkSession, path: String,
+                              prefix: String): Int = {
+    heal(spark, path, prefix)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0 else partDirs(fs, root, prefix).length
+  }
 }

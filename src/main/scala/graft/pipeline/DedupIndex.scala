@@ -150,13 +150,8 @@ object DedupIndex {
 
   /** How many `run=` partitions a screening currently lists (spec
     * hook for the compaction contract). */
-  private[graft] def runCount(spark: SparkSession, dir: String): Int = {
-    graft.ops.StoreCompaction.heal(spark, s"$dir/fingerprints", "run")
-    val root = new org.apache.hadoop.fs.Path(s"$dir/fingerprints")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) 0
-    else fs.listStatus(root).count(_.getPath.getName.startsWith("run="))
-  }
+  private[graft] def runCount(spark: SparkSession, dir: String): Int =
+    graft.ops.StoreCompaction.runCount(spark, s"$dir/fingerprints", "run")
 
   /** Screen a new batch against the index. Returns one row per new
     * document: (doc_id, verdict, match_id, jaccard) with verdict in

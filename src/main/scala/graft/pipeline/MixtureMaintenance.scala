@@ -94,11 +94,6 @@ object MixtureMaintenance {
 
   /** How many `run=` partitions the store currently holds (spec
     * hook for the compaction contract). */
-  private[graft] def runCount(spark: SparkSession, dir: String): Int = {
-    graft.ops.StoreCompaction.heal(spark, countsPath(dir), "run")
-    val root = new org.apache.hadoop.fs.Path(countsPath(dir))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) 0
-    else fs.listStatus(root).count(_.getPath.getName.startsWith("run="))
-  }
+  private[graft] def runCount(spark: SparkSession, dir: String): Int =
+    graft.ops.StoreCompaction.runCount(spark, countsPath(dir), "run")
 }
