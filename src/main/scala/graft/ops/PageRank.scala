@@ -48,11 +48,11 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     // the edge list stays LAZY on purpose: each round re-derives it,
-    // but a link table is a narrow map over a pruned scan — measured
-    // ~30% cheaper than materializing it once (checkpoint write +
-    // block reads cost more than six re-derivations). Callers whose
-    // edges are genuinely expensive to produce should checkpoint
-    // before calling.
+    // but q101's link table is a narrow map over a pruned doc_id
+    // scan, and a checkpointed variant measured no faster (the
+    // materialization write offsets the saved re-derivations).
+    // Callers whose edges are genuinely expensive to produce should
+    // checkpoint before calling.
     val e = edges
     val nodes = e.select($"src".as("node"))
       .union(e.select($"dst".as("node")))
