@@ -76,6 +76,30 @@ class MixtureSpec extends AnyFunSuite {
     assert(v, "unseen domain must default to keep")
   }
 
+  test("currentRates self-heals a crash mid-compaction (the committed window)") {
+    // replay the StoreCompaction protocol by hand to the worst
+    // window — snapshot written, marker committed, old partitions
+    // deleted, CRASH before the rename — then the next rates read
+    // must heal and still match the from-scratch query
+    val dir = tmp("mix-crash")
+    val docs = Tables.documents(spark, sf2)
+    MixtureMaintenance.absorb(spark, docs.filter($"doc_id" < 200), dir, "d1")
+    MixtureMaintenance.absorb(spark, docs.filter($"doc_id" >= 200), dir, "d2")
+    val counts = s"$dir/domain_counts"
+    val fs = new org.apache.hadoop.fs.Path(counts)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(counts).drop("run")
+      .write.parquet(s"$counts/.compact-tmp")
+    val m = fs.create(
+      new org.apache.hadoop.fs.Path(counts, ".compact-commit"), true)
+    m.write("base".getBytes("UTF-8")); m.close()
+    fs.delete(new org.apache.hadoop.fs.Path(counts, "run=d1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(counts, "run=d2"), true)
+    assert(storeRates(dir) == fromScratch(sf2),
+      "rates after crash-window heal diverge")
+    assert(MixtureMaintenance.runCount(spark, dir) == 1)
+  }
+
   test("streaming: per-batch deltas fold in incrementally, re-runs are no-ops") {
     val base = Files.createTempDirectory("graft-mix-stream").toString
     val dir = s"$base/mix"; val inDir = s"$base/in"; val ck = s"$base/ck"
