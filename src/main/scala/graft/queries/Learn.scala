@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -60,6 +60,88 @@ object Learn {
       .select($"lang", $"n_docs", $"n_tokens",
         floor(pow($"n_tokens".cast("double") / $"n_min".cast("double"),
           lit(TauM1)) * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"))
+  }
+
+  // q103: DSIR hashed-unigram importance resampling (Xie et al.,
+  // NeurIPS 2023 — "Data Selection for Language Models via
+  // Importance Resampling"). Features are token hashes folded into
+  // DsirBuckets buckets, so the learned importance model is a
+  // FIXED-SIZE table regardless of vocabulary (the paper's hashed
+  // n-gram device); DsirTopN is the per-domain selection budget.
+  private val DsirBuckets = 256L
+  private val DsirTopN    = 8
+
+  /** The q103 chain over any (doc_id, lang, text) frame (spec hook:
+    * planted target-affine/junk docs). DSIR scores each candidate
+    * document by how much more likely its hashed-unigram features
+    * are under a TARGET distribution than under the RAW pool, then
+    * keeps the top-budget docs per domain:
+    *
+    *   lw(doc) = Σ_positions ln( p̂_t[b] / p̂_r[b] ),
+    *   p̂[b] = (c[b]+1) / (N+B)   (Laplace over B buckets)
+    *
+    * `isTarget` marks the curated side (the paper scores Pile docs
+    * against Wikipedia+books; q103 wires the even-doc_id half — the
+    * q102 reference-slice device); only NON-target docs are scored
+    * and selected. Cross-engine contract: bucket counts are exact
+    * integers, every p̂-ratio is a division of two EXACTLY
+    * representable double products (all factors < 2^26, so the
+    * products are integer-exact in double), and the per-bucket
+    * log-ratio micro-rounds to int64 BEFORE the per-doc sum — the
+    * one ln() call per BUCKET is the only libm touch (1-ulp
+    * divergence absorbed by the rounding, q99's pow argument), and
+    * every per-doc score is a pure BIGINT sum both engines order
+    * identically.
+    *
+    * Scale shape: the position frame is a narrow fused
+    * tokenize+hash kernel pass persisted once for its two consumers
+    * (count pass + scoring pass — the q102 device); bucket counts
+    * map-side-combine to ≤ B rows per partition; the B-row
+    * log-ratio table BROADCASTS back; scoring shuffles one partial
+    * sum per (doc, partition); the per-lang budget rank rides
+    * WindowTopKRewrite onto the bounded-heap TopKPerKey operator.
+    * Document text never shuffles. */
+  private[graft] def dsirSelect(docs: DataFrame, isTarget: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs
+      .select($"doc_id", isTarget.as("tgt"),
+        explode(graft.ops.expressions.TokenHashes($"text")).as("th"))
+      .select($"doc_id", $"tgt", pmod($"th", lit(DsirBuckets)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = pos.filter($"tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
+    val cr = pos.filter(!$"tgt").groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tot = ct.agg(sum($"ct").as("nt")).crossJoin(cr.agg(sum($"cr").as("nr")))
+    // log-ratio over RAW buckets only: every scored position's bucket
+    // is a raw bucket by construction, so the table is closed over
+    // what scoring can look up
+    val lr = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"b",
+        floor(log(
+          ((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") *
+            ($"nr" + lit(DsirBuckets)).cast("double")) /
+          (($"cr" + lit(1L)).cast("double") *
+            ($"nt" + lit(DsirBuckets)).cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("lr_micro"))
+    val scored = pos.filter(!$"tgt")
+      .join(broadcast(lr), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"lr_micro").as("lw_micro"))
+    // roster join restores token-less candidates at their true
+    // neutral score 0 (an empty doc is evidence for neither side)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"lw_micro".desc, $"doc_id")
+    docs.filter(isTarget === false).select($"doc_id", $"lang")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"n_tok", lit(0L)).as("n_tok"),
+        coalesce($"lw_micro", lit(0L)).as("lw_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= DsirTopN)
+      .select($"lang", $"rn".cast("bigint").as("rn"), $"doc_id",
+        $"n_tok", $"lw_micro")
+      .orderBy($"lang", $"rn")
   }
 
   // q100 quality floor: sits near the corpus's p15-p20 for each
@@ -177,7 +259,14 @@ object Learn {
 
     // End-to-end curation funnel (class doc on [[curationFunnel]]).
     "q100_curation_funnel" -> { (s, d) =>
-      curationFunnel(Tables.documents(s, d)) }
+      curationFunnel(Tables.documents(s, d)) },
+
+    // DSIR importance selection (class doc on [[dsirSelect]]): the
+    // even-doc_id half is the curated target, the odd half is the
+    // scored candidate pool.
+    "q103_dsir_select" -> { (s, d) =>
+      import s.implicits._
+      dsirSelect(Tables.documents(s, d), pmod($"doc_id", lit(2L)) === 0L) }
   )
 
   /** The q98 oracle: R unrolled GD rounds. Weights live as int64
@@ -310,6 +399,45 @@ object Learn {
          |FROM raw LEFT JOIN r ON r.lang = raw.lang
          |LEFT JOIN kp ON kp.lang = raw.lang
          |ORDER BY raw.lang""".stripMargin
+    },
+
+    // Twin of [[dsirSelect]]: per-token polyhash (q70's position
+    // device) → bucket counts → the same
+    // exactly-representable-product ratio, ln micro-rounded per
+    // BUCKET, BIGINT-summed per doc, ranked per lang.
+    "q103_dsir_select" -> {
+      import TextVector.Sql
+      val B = DsirBuckets
+      s"""WITH pos AS (
+         |  SELECT doc_id, (doc_id % 2 = 0) AS tgt,
+         |    (${Sql.polyHash("toks[u.i+1]")}) % $B AS b
+         |  FROM (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents) t,
+         |       unnest(range(0, len(toks))) u(i)),
+         |ct AS (SELECT b, count(*) AS ct FROM pos WHERE tgt GROUP BY 1),
+         |cr AS (SELECT b, count(*) AS cr FROM pos WHERE NOT tgt GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
+         |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
+         |lr AS (
+         |  SELECT cr.b,
+         |    CAST(floor(ln(
+         |      (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(nr + $B AS DOUBLE))
+         |      / (CAST(cr.cr + 1 AS DOUBLE) * CAST(nt + $B AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+         |  FROM cr LEFT JOIN ct ON ct.b = cr.b, tot),
+         |sc AS (
+         |  SELECT p.doc_id, count(*) AS n_tok,
+         |    CAST(sum(lr.lr_micro) AS BIGINT) AS lw_micro
+         |  FROM pos p JOIN lr ON lr.b = p.b WHERE NOT p.tgt GROUP BY 1),
+         |r AS (
+         |  SELECT d.lang, d.doc_id,
+         |    coalesce(sc.n_tok, CAST(0 AS BIGINT)) AS n_tok,
+         |    coalesce(sc.lw_micro, CAST(0 AS BIGINT)) AS lw_micro,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY coalesce(sc.lw_micro, CAST(0 AS BIGINT)) DESC, d.doc_id) AS rn
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |  WHERE d.doc_id % 2 = 1)
+         |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_tok, lw_micro
+         |FROM r WHERE rn <= $DsirTopN ORDER BY lang, rn""".stripMargin
     }
   )
 }

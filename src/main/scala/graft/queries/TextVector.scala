@@ -160,6 +160,36 @@ object TextVector {
   private[graft] def ivfNprobeFor(nlist: Int): Int =
     math.max(IvfNprobe, 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
+  // q104 SemDeDup within-cluster duplicate threshold (a demo value —
+  // see the q104 comment; the operator is threshold-parametric).
+  private val SemTau = 0.42
+
+  /** The q104 chain over any (vec_id, embedding) frame (spec hook:
+    * planted duplicate vectors). See the q104 comment for semantics
+    * and scale shape. */
+  private[graft] def semDedup(emb: DataFrame, tau: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = graft.ops.Kmeans.train(ivfSample(emb), IvfK, IvfIters)
+    // persisted: both sides of the pair join + the rollup read it
+    val assigned = emb.select($"vec_id", $"embedding",
+      graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .filter(VectorOps.cosine($"a.embedding", $"b.embedding") >= tau)
+      .select($"b.vec_id".as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dropped"))
+      .select($"cell".cast("bigint").as("cell"), $"n_vecs", $"n_dropped",
+        ($"n_vecs" - $"n_dropped").as("n_kept"))
+      .orderBy($"cell")
+  }
+
   // q78/q90: product quantization — MergeDim (64) split into 8
   // subspaces × 8 dims. q78/q91 keep 16 centroids/subspace (the
   // demo-compression geometry); q90's RANKING codebook uses
@@ -1081,6 +1111,33 @@ object TextVector {
     // (zip_with ≡ the oracle's indexed list_transform — bit-exact).
     "q90_ivf_pq" -> { (s, d) => ivfPq(s, d) },
 
+    // SemDeDup (Abbas et al. 2023, public): SEMANTIC deduplication
+    // in embedding space — k-means clusters the corpus, and only
+    // WITHIN-cluster pairs are compared, so the pairwise cosine work
+    // is n·c/2 (c = cluster size) instead of n²/2: the published
+    // way to near-dedup billion-example embedding corpora (LAION at
+    // 50k clusters). Complements the TEXT near-dup family: q23/q24
+    // /q29/q34 catch lexical overlap; SemDeDup catches semantic
+    // duplicates that share no tokens. The cluster stage is exactly
+    // q33's trained coarse quantizer (seeded-sample Lloyd's k-means,
+    // oracle replays training CTE-for-round); the drop rule is
+    // deterministic keep-first: v drops iff some u < v in its
+    // cluster has cosine ≥ SemTau (the paper keeps per-pair
+    // survivors too, choosing by centroid distance; min-id is the
+    // tie-stable equivalent — documented deviation). Output is the
+    // per-cluster dedup report. Scale shape: assignment is one
+    // narrow kernel pass; the pair join equi-joins ON cell (cells
+    // are independent — embarrassingly parallel, AQE-splittable);
+    // the drop-set join back is id-only. At production geometry
+    // nlist scales with √n (ivfCellsFor, q90's sizing), keeping
+    // per-cell pairwise work at the published cost; the demo wires
+    // q33's 16-cell codebook. SemTau is a demo threshold: the
+    // synthetic embeddings are near-isotropic (max pairwise cosine
+    // 0.60 at sf0.1), so the "duplicate" band sits lower than the
+    // 0.9+ a real embedding model would warrant (OverflowTokens'
+    // testdata argument).
+    "q104_semdedup" -> { (s, d) => semDedup(Tables.embeddings(s, d), SemTau) },
+
     // PQ with TRAINED codebooks (q78's upgrade, the round-6 verdict's
     // "codebook a production index trains"): per sub-space, the
     // seeded sample's sub-vectors train a k=PqK codebook by
@@ -1821,6 +1878,24 @@ object TextVector {
            |      FROM sc)
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin),
+
+      // Twin of q104: the q33 training replay ends at asg(vec_id, v,
+      // cell); within-cell pairs above SemTau mark the larger id
+      // dropped; per-cell rollup.
+      "q104_semdedup" ->
+        materializeCtes(s"""WITH $IvfOracleCtes,
+           |dup AS (SELECT DISTINCT b.vec_id
+           |        FROM asg a JOIN asg b
+           |          ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |        WHERE ${sqlCos("a.v", "b.v")} >= $SemTau)
+           |SELECT CAST(asg.cell AS BIGINT) AS cell,
+           |  count(*) AS n_vecs,
+           |  CAST(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  CAST(count(*) - sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept
+           |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
+           |GROUP BY asg.cell ORDER BY cell""".stripMargin),
 
       "q90_ivf_pq" -> {
         // The DYNAMIC-geometry trained-IVF CTEs (nlist=√n, scaled

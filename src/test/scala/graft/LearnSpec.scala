@@ -185,6 +185,58 @@ class LearnSpec extends AnyFunSuite {
     assert(a.sameElements(b), "re-run diverged — keep decisions are not deterministic")
   }
 
+  test("q103 DSIR: planted branches — target-affine wins, junk negative, empty neutral") {
+    // target half (even ids) speaks a fixed vocabulary; candidates:
+    // one target-affine doc, two junk-vocabulary docs (buckets unseen
+    // in target -> negative log-ratio), one empty doc (neutral 0,
+    // restored by the roster join). Expected order exercises all
+    // three scoring branches.
+    val tgt = (0L until 10L by 2).map(i =>
+      (i, "en", "alpha beta gamma delta epsilon"))
+    val cands = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (3L, "en", "zork mumble frotz plugh"),
+      (5L, "en", "xyzzy grue bletch"),
+      (7L, "en", ""))
+    val docs = (tgt ++ cands).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Learn
+      .dsirSelect(docs, pmod($"doc_id", lit(2L)) === 0L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache() // dsirSelect persist contract
+    assert(out.map(_._3).toSet == Set(1L, 3L, 5L, 7L),
+      s"candidate roster wrong: ${out.toSeq}")
+    val byDoc = out.map(r => r._3 -> r).toMap
+    assert(byDoc(1L)._2 == 1L && byDoc(1L)._5 > 0,
+      s"target-affine doc not ranked first positive: ${byDoc(1L)}")
+    assert(byDoc(7L)._5 == 0L && byDoc(7L)._4 == 0L,
+      s"empty doc not neutral: ${byDoc(7L)}")
+    Seq(3L, 5L).foreach { id =>
+      assert(byDoc(id)._5 < 0, s"junk doc $id not negative: ${byDoc(id)}")
+    }
+    // neutral outranks negative, so the empty doc sits at rn=2
+    assert(byDoc(7L)._2 == 2L, s"empty doc rank: ${byDoc(7L)}")
+  }
+
+  test("q103 respects the per-domain budget, selects only candidates, reruns identically") {
+    val a = SparkEntry.queries("q103_dsir_select")(spark, sf2).collect()
+    val b = SparkEntry.queries("q103_dsir_select")(spark, sf2).collect()
+    spark.catalog.clearCache()
+    assert(a.sameElements(b), "re-run diverged")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 == 1, s"target doc selected: $r")
+    }
+    a.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.length <= 8, s"$lang: budget exceeded (${rows.length})")
+      assert(rows.map(_.getAs[Long]("rn")).sorted.sameElements(
+        (1L to rows.length.toLong)), s"$lang: ranks not contiguous")
+      // within a domain, selection order is by importance weight
+      val lw = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("lw_micro"))
+      assert(lw.zip(lw.tail).forall { case (x, y) => x >= y },
+        s"$lang: lw not descending: ${lw.toSeq}")
+    }
+  }
+
   test("scores are calibrated softmax winners: in (1/K, 1], pred in [0, K)") {
     val out = SparkEntry.queries("q98_linear_probe")(spark, sf3).collect()
     assert(out.length == Tables.embeddings(spark, sf3).count())

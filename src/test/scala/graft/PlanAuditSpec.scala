@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val intendedBnlj =
     Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal", "q78_pq_ann",
       "q85_chi2_mix", "q91_pq_trained", "q99_domain_mixture",
-      "q100_curation_funnel", "q102_bigram_surprisal")
+      "q100_curation_funnel", "q102_bigram_surprisal",
+      "q103_dsir_select") // q103: 1-row (nt, nr) totals broadcast
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)

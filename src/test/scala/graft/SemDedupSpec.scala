@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q104 SemDeDup — planted-duplicate behavior of the factored
+  * [[graft.queries.TextVector.semDedup]] chain (the wired query runs
+  * the same code over the embeddings table and is oracle-gated).
+  */
+class SemDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 20 near-orthogonal base vectors (one-hot in 24 dims, with a
+  // deterministic small off-axis component so no two share an axis
+  // value pattern), plus exact duplicates of the first 5 under
+  // higher ids: a duplicate lands in its original's cell (identical
+  // vector, identical assignment) and scores cosine 1.
+  private def planted(): Seq[(Long, Array[Float])] = {
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(24)(0.0f)
+      v(i % 24) = 1.0f
+      v((i + 7) % 24) = 0.1f + 0.01f * i
+      (i.toLong, v)
+    }
+    val dups = (0 until 5).map(i => (100L + i, base(i)._2.clone))
+    base ++ dups
+  }
+
+  test("planted exact duplicates drop; originals and singletons survive") {
+    val emb = planted().toDF("vec_id", "embedding")
+    val out = graft.queries.TextVector.semDedup(emb, 0.9)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache() // semDedup persist contract
+    // totals: every vector is assigned exactly one cell
+    assert(out.map(_._2).sum == 25, s"cell totals: ${out.toSeq}")
+    // exactly the 5 planted duplicates drop (one-hot originals sit
+    // at cosine < 0.9 from each other; each dup is bit-identical to
+    // its lower-id original, so keep-first drops the dup)
+    assert(out.map(_._3).sum == 5, s"drop counts: ${out.toSeq}")
+    out.foreach { case (cell, n, d, k) =>
+      assert(k == n - d, s"cell $cell: kept $k != $n - $d")
+      assert(d >= 0 && d <= n, s"cell $cell: drop count out of range")
+    }
+  }
+
+  test("threshold above any planted similarity drops nothing") {
+    // tau above cosine 1 is unreachable — the report must show the
+    // corpus untouched (the operator is threshold-parametric)
+    val emb = planted().toDF("vec_id", "embedding")
+    val out = graft.queries.TextVector.semDedup(emb, 1.5)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.map(_._2).sum == 25)
+    assert(out.map(_._3).sum == 0, s"unexpected drops: ${out.toSeq}")
+  }
+
+  test("rerun is deterministic on the real table") {
+    val a = SparkEntry.queries("q104_semdedup")(spark, "/root/testdata/sf0.001").collect()
+    val b = SparkEntry.queries("q104_semdedup")(spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
+    assert(a.sameElements(b), "semDedup re-run diverged")
+    // the report partitions the corpus
+    val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(a.map(_.getAs[Long]("n_vecs")).sum == n)
+  }
+}
