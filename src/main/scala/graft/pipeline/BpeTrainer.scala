@@ -123,10 +123,17 @@ object BpeTrainer {
     * carry the `</w>` suffix (strip it to reassemble the raw text).
     * Narrow map over the scan — no shuffle at any corpus size. */
   def encode(docs: DataFrame, contentCol: String, merges: Seq[Merge],
-             markEow: Boolean = true, preTokenize: Boolean = true): DataFrame = {
-    val table = merges.map(m => (m.a, m.b))
+             markEow: Boolean = true, preTokenize: Boolean = true): DataFrame =
     docs.withColumn("bpe_tokens",
-      flatten(transform(words(contentCol, preTokenize),
-        w => graft.ops.expressions.BpeApply(seedSymbols(w, markEow), table))))
+      encodePieces(words(contentCol, preTokenize), merges, markEow))
+
+  /** [[encode]]'s column form: the BPE pieces of a pre-token ARRAY
+    * column (callers that already materialized the word array — the
+    * chunksOf PERF contract — avoid a second regex pass). */
+  def encodePieces(ws: org.apache.spark.sql.Column, merges: Seq[Merge],
+                   markEow: Boolean = true): org.apache.spark.sql.Column = {
+    val table = merges.map(m => (m.a, m.b))
+    flatten(transform(ws,
+      w => graft.ops.expressions.BpeApply(seedSymbols(w, markEow), table)))
   }
 }

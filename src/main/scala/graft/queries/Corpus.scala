@@ -356,6 +356,41 @@ object Corpus {
         .orderBy($"rn")
     },
 
+    // Tokenizer fertility report (the mBERT/XLM-R-era comparison
+    // metric: average sub-word pieces per word, per language —
+    // fertility near 1 means the vocabulary fits the language;
+    // high fertility means its words shatter and the model pays
+    // sequence length for it). Trains the q92 merge table, then
+    // ENCODES the whole corpus with it (BpeTrainer.encode's
+    // BpeApply kernel — the serving path q92's training loop
+    // produces a table FOR, here oracle-gated end-to-end: the
+    // DuckDB twin replays training and reads each word's piece
+    // count off the final vocab state, which equals merges-in-order
+    // re-application — the invariant BpeSpec pins). Scale: one
+    // regex pass (the word array materializes once and feeds both
+    // the word count and the encode kernel — the chunksOf PERF
+    // contract), narrow per-doc arithmetic, then a 5-row lang
+    // aggregate; the fertility division micro-rounds over exact
+    // BIGINT sums.
+    "q105_bpe_fertility" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = graft.pipeline.BpeTrainer
+        .train(s, docs, "text", BpeRounds, minFreq = 1L)
+      docs
+        .select($"lang", TextOps.preTokens($"text").as("ws"))
+        .select($"lang", size($"ws").cast("long").as("nw"),
+          size(graft.pipeline.BpeTrainer.encodePieces($"ws", merges))
+            .cast("long").as("np"))
+        .groupBy($"lang")
+        .agg(sum($"nw").as("n_words"), sum($"np").as("n_pieces"))
+        .filter($"n_words" > 0L)
+        .select($"lang", $"n_words", $"n_pieces",
+          floor($"n_pieces".cast("double") / $"n_words".cast("double")
+            * lit(1e6) + lit(0.5)).cast("long").as("fertility_micro"))
+        .orderBy($"lang")
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -400,13 +435,22 @@ object Corpus {
     * "aaaa" → [aa][aa] exactly like BpeMergeKernel's cursor scan.
     * Per round: unwrap → split → adjacent-pair counts weighted by
     * word freq → winner (count desc, pair asc) → replace. */
-  private def bpeOracle: String = {
-    val D = "chr(31)"
-    // '␟s1␟␟s2␟…' → [s1, s2, …]: strip the outer brackets, split on
-    // the inner double-bracket seams
-    val syms = s"string_split(wstr[2:length(wstr) - 1], $D || $D)"
+  private val BpeDelim = "chr(31)"
+
+  /** '␟s1␟␟s2␟…' → [s1, s2, …]: strip the outer brackets, split on
+    * the inner double-bracket seams. */
+  private def bpeSyms(wstr: String) =
+    s"string_split($wstr[2:length($wstr) - 1], $BpeDelim || $BpeDelim)"
+
+  /** The shared BPE training-replay CTE chain (q92 reads the
+    * per-round winners w1..wR; q105 reads the final vocab state vR —
+    * which carries `word`, so encode-time piece counts are a lookup,
+    * the merges-in-order ≡ training-state invariant BpeSpec pins).
+    * Ends with words/v0/…/v$BpeRounds in scope. */
+  private def bpeTrainCtes: String = {
+    val D = BpeDelim
     val rounds = (1 to BpeRounds).map { t =>
-      s"""sy$t AS (SELECT freq, $syms AS syms FROM v${t - 1}),
+      s"""sy$t AS (SELECT freq, ${bpeSyms("wstr")} AS syms FROM v${t - 1}),
          |pr$t AS (
          |  SELECT syms[CAST(u.i AS INTEGER)] AS a,
          |         syms[CAST(u.i AS INTEGER) + 1] AS b,
@@ -414,33 +458,64 @@ object Corpus {
          |  FROM sy$t, unnest(range(1, len(syms))) u(i)
          |  GROUP BY 1, 2),
          |w$t AS (SELECT a, b, n FROM pr$t ORDER BY n DESC, a, b LIMIT 1),
-         |v$t AS (SELECT freq,
+         |v$t AS (SELECT word, freq,
          |          replace(wstr, $D || w.a || $D || $D || w.b || $D,
          |                  $D || w.a || w.b || $D) AS wstr
          |        FROM v${t - 1}, w$t w)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds)
-      .map(t => s"SELECT $t AS rn, a, b, n FROM w$t")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w AS word, count(*) AS freq
        |  FROM (SELECT unnest(${Sql.preToks("text")}) AS w FROM documents)
        |  GROUP BY 1),
        |v0 AS (
-       |  SELECT freq,
+       |  SELECT word, freq,
        |    array_to_string(list_transform(range(1, length(word) + 1),
        |      i -> $D || word[i:i] || $D), '')
        |      || $D || '${graft.pipeline.BpeTrainer.EowMarker}' || $D AS wstr
        |  FROM words),
-       |$rounds
-       |SELECT CAST(rn AS BIGINT) AS rn, a, b, n FROM (
-       |$out
-       |) ORDER BY rn""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val out = (1 to BpeRounds)
+      .map(t => s"SELECT $t AS rn, a, b, n FROM w$t")
+      .mkString("\nUNION ALL\n")
+    // NB: composed WITHOUT an outer stripMargin — bpeTrainCtes is
+    // already stripped, and a second pass would eat the leading `|`
+    // of its `||` string-concat continuation lines
+    s"WITH $bpeTrainCtes\n" +
+      s"SELECT CAST(rn AS BIGINT) AS rn, a, b, n FROM (\n$out\n) ORDER BY rn"
   }
 
   def oracles: Map[String, String] = Map(
 
     "q92_bpe_vocab" -> bpeOracle,
+
+    // Twin of q105: replay training ([[bpeTrainCtes]]), read each
+    // distinct word's final piece count off the trained vocab state,
+    // weight by per-lang word-instance counts. The inner join is
+    // total — the vocab IS the corpus's word set — so a lang appears
+    // iff it has at least one word (the Spark side's n_words > 0
+    // filter).
+    "q105_bpe_fertility" -> {
+      // composed without an outer stripMargin (bpeOracle's note)
+      val post =
+        s"""fin AS (SELECT word, CAST(len(${bpeSyms("wstr")}) AS BIGINT) AS np
+           |        FROM v$BpeRounds),
+           |lw AS (SELECT lang, w AS word, count(*) AS c
+           |       FROM (SELECT lang, unnest(${Sql.preToks("text")}) AS w
+           |             FROM documents)
+           |       GROUP BY 1, 2),
+           |agg AS (SELECT lang,
+           |          CAST(sum(c) AS BIGINT) AS n_words,
+           |          CAST(sum(c * np) AS BIGINT) AS n_pieces
+           |        FROM lw JOIN fin ON fin.word = lw.word GROUP BY 1)
+           |SELECT lang, n_words, n_pieces,
+           |  CAST(floor(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+           |    * 1000000.0 + 0.5) AS BIGINT) AS fertility_micro
+           |FROM agg ORDER BY lang""".stripMargin
+      s"WITH $bpeTrainCtes,\n$post"
+    },
 
     "q87_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest(${Sql.toks("text")}) AS tok FROM documents),

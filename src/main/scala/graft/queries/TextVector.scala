@@ -175,10 +175,15 @@ object TextVector {
     val assigned = emb.select($"vec_id", $"embedding",
       graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pair verify is the hot loop (≈ n·c/2 cosines) — the fused
+    // codegen kernel, not the interpreted HOF chain (q34's argument;
+    // bit-exact twin, PropertySpec-pinned). Measured 6.8 → 0.9 s at
+    // sf0.1.
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
-      .filter(VectorOps.cosine($"a.embedding", $"b.embedding") >= tau)
+      .filter(graft.ops.expressions.CosineSim(
+        $"a.embedding", $"b.embedding") >= tau)
       .select($"b.vec_id".as("vec_id")).distinct()
     assigned
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")

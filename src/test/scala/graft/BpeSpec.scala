@@ -126,6 +126,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 fertility report: totals reconcile with an independent word count") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q105_bpe_fertility")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length >= 3, s"expected several langs, got ${out.toSeq}")
+    out.foreach { case (lang, nw, np, fm) =>
+      // every word is at least one piece, so fertility >= 1.0
+      assert(np >= nw && nw > 0, s"$lang: pieces $np < words $nw")
+      assert(fm >= 1000000L, s"$lang: fertility $fm below 1.0")
+      assert(fm == math.floor(np.toDouble / nw.toDouble * 1e6 + 0.5).toLong,
+        s"$lang: fertility column inconsistent with its own sums")
+    }
+    // corpus-wide word total matches an independent pre-token count
+    val total = Tables.documents(spark, sf)
+      .select(size(graft.ops.TextOps.preTokens($"text")).cast("long"))
+      .as[Long].collect().sum
+    assert(out.map(_._2).sum == total,
+      s"word totals ${out.map(_._2).sum} != independent count $total")
+  }
+
   test("end-of-word marker keeps word-final pieces distinct from shared prefixes") {
     // "low" standalone vs "low" as a prefix of "lowest": with the
     // marker, the word-final piece trains as "low</w>" — merges
