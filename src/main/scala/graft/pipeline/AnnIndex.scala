@@ -288,6 +288,45 @@ object AnnIndex {
       .select(col("query_id"), col("vec_id"), col("d2"), col("rn"))
   }
 
+  /** Semantic near-dup screening of an ingest batch against the
+    * persisted index — SemDeDup's decision applied INCREMENTALLY
+    * (the q104 query is the from-scratch corpus form; this is what
+    * a continuous-ingest pipeline actually runs, the
+    * [[DedupIndex.screen]] verdict contract for the
+    * no-shared-tokens case). Each batch vector (vec_id, vec)
+    * fetches its nearest indexed neighbor through the ADC probe +
+    * exact refine ([[searchRefined]]'s bounded id-join shape,
+    * tombstones already excluded) and is a duplicate iff the exact
+    * cosine to that neighbor clears `tau`. Returns every batch row
+    * as (vec_id, dup_of, cos_sim, is_dup) — dup_of/cos_sim NULL
+    * when nothing was probed — so callers drop `is_dup` and
+    * [[append]] the rest. Self-matches are excluded (screening a
+    * vector already indexed under the same id reports its nearest
+    * OTHER neighbor), so a re-delivered screen after its append is
+    * still a meaningful verdict. Nothing O(corpus) per batch:
+    * nprobe inverted lists per query, refine + verify by id. */
+  def screenSemantic(spark: SparkSession, batch: DataFrame, dir: String,
+                     vectors: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = batch.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    // k=2 so an indexed self-copy cannot shadow the true neighbor;
+    // rank re-drawn after the self-filter
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cand_id"))
+    val nn = searchRefined(spark, queries, dir, vectors, k = 2)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("d2"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rr", row_number().over(w))
+      .filter(col("rr") === 1)
+    batch
+      .join(nn.select(col("query_id").as("vec_id"), col("cand_id")), Seq("vec_id"), "left")
+      .join(vectors.select(col("vec_id").as("cand_id"), col("vec").as("cvec")),
+        Seq("cand_id"), "left")
+      .select(col("vec_id"), col("cand_id").as("dup_of"),
+        graft.ops.expressions.CosineSim(col("vec"), col("cvec")).as("cos_sim"))
+      .withColumn("is_dup",
+        coalesce(col("cos_sim") >= tau, lit(false)))
+  }
+
   private def codebooks(spark: SparkSession,
                         dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val rows = spark.read.parquet(s"$dir/codebooks")

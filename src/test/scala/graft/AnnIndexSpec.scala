@@ -247,6 +247,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"indexed-path recall@5 $recall%.2f below 0.85")
   }
 
+  test("screenSemantic: exact copy flags as duplicate, novel vector passes, self-match excluded") {
+    val dir = tmp("ann-screen")
+    val base = corpus.filter($"vec_id" < 100)
+    AnnIndex.build(spark, base, dir)
+    // batch: 9001 = bit-copy of indexed vector 7 (cosine 1 → dup),
+    // 9002 = an indexed vector negated (cosine −1 to its source and
+    // far from everything → unique)
+    val copy = base.filter($"vec_id" === 7L)
+      .select(lit(9001L).as("vec_id"), $"vec")
+    val novel = base.filter($"vec_id" === 11L)
+      .select(lit(9002L).as("vec_id"),
+        transform($"vec", v => -v).as("vec"))
+    val verdicts = AnnIndex
+      .screenSemantic(spark, copy.union(novel), dir, base, tau = 0.95)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(verdicts(9001L)._4 && verdicts(9001L)._2.contains(7L),
+      s"exact copy not flagged against its source: ${verdicts(9001L)}")
+    assert(verdicts(9001L)._3.exists(c => math.abs(c - 1.0) < 1e-9))
+    assert(!verdicts(9002L)._4, s"novel vector flagged: ${verdicts(9002L)}")
+    // screening an ALREADY-INDEXED vector under its own id must not
+    // match itself: vector 7 screens against its nearest OTHER
+    // neighbor (re-delivered screen after append stays meaningful)
+    val self = AnnIndex.screenSemantic(spark,
+        base.filter($"vec_id" === 7L), dir, base, tau = 0.95)
+      .as[(Long, Option[Long], Option[Double], Boolean)].head()
+    assert(!self._2.contains(7L), s"self-match leaked: $self")
+    assert(!self._4, s"near-isotropic corpus: no other neighbor clears 0.95: $self")
+  }
+
   test("delete tombstones: unfindable before and after compact, idempotent, physically folded") {
     val dir = tmp("ann-delete")
     AnnIndex.build(spark, corpus, dir)
