@@ -294,38 +294,67 @@ object AnnIndex {
     * a continuous-ingest pipeline actually runs, the
     * [[DedupIndex.screen]] verdict contract for the
     * no-shared-tokens case). Each batch vector (vec_id, vec)
-    * fetches its nearest indexed neighbor through the ADC probe +
-    * exact refine ([[searchRefined]]'s bounded id-join shape,
-    * tombstones already excluded) and is a duplicate iff the exact
-    * cosine to that neighbor clears `tau`. Returns every batch row
-    * as (vec_id, dup_of, cos_sim, is_dup) — dup_of/cos_sim NULL
-    * when nothing was probed — so callers drop `is_dup` and
-    * [[append]] the rest. Self-matches are excluded (screening a
-    * vector already indexed under the same id reports its nearest
-    * OTHER neighbor), so a re-delivered screen after its append is
-    * still a meaningful verdict. Nothing O(corpus) per batch:
-    * nprobe inverted lists per query, refine + verify by id. */
+    * fetches its refined L2 top-[[ScreenCands]] through the ADC
+    * probe + exact refine ([[searchRefined]]'s bounded id-join
+    * shape, tombstones already excluded); the VERDICT then re-ranks
+    * those candidates by exact COSINE and keeps the best, so an
+    * un-normalized magnitude mismatch within the shortlist
+    * (L2-near but cosine-far, or the reverse) cannot flip the
+    * decision. Like any ANN screen (DedupIndex's LSH bands
+    * included) recall is bounded by the candidate stage — a
+    * cosine-duplicate outside the L2 shortlist is missed; callers
+    * needing the metrics to agree exactly normalize their vectors.
+    * Returns every batch row as (vec_id, dup_of, cos_sim, is_dup)
+    * — dup_of/cos_sim NULL when nothing was probed — so callers
+    * drop `is_dup` and [[append]] the rest. Self-matches are
+    * excluded (screening a vector already indexed under the same
+    * id reports its nearest OTHER neighbor), so a re-delivered
+    * screen after its append is still a meaningful verdict. A
+    * zero-norm vector on either side has no cosine (NaN) and is
+    * never flagged — upstream embedder failures surface instead of
+    * silently dropping. Nothing O(corpus) per batch: nprobe
+    * inverted lists per query, refine + verify by id. */
   def screenSemantic(spark: SparkSession, batch: DataFrame, dir: String,
                      vectors: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = batch.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    // k=2 so an indexed self-copy cannot shadow the true neighbor;
-    // rank re-drawn after the self-filter
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cand_id"))
-    val nn = searchRefined(spark, queries, dir, vectors, k = 2)
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("d2"))
+    // zero-norm batch vectors never reach the probe: search's cell
+    // ranking divides by the query norm (an ANSI divide-by-zero, not
+    // merely NaN), and a normless vector has no cosine to screen BY —
+    // it falls through the left join below to the never-flagged
+    // (NULL, NULL, false) verdict
+    val queries = batch
+      .filter(aggregate(col("vec"), lit(0.0), (a, v) => a + v * v) > 0.0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    // best-cosine-first among the shortlist; NaN cosines (a
+    // zero-norm INDEXED candidate) would sort ABOVE all doubles in
+    // Spark — and NaN >= tau is TRUE in a SQL compare — so they are
+    // filtered before the rank and can neither win the verdict row
+    // nor flag a duplicate
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cand_id"))
+    val nn = searchRefined(spark, queries, dir, vectors, k = ScreenCands)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
       .filter(col("cand_id") =!= col("query_id"))
+      .join(vectors.select(col("vec_id").as("cand_id"), col("vec").as("cvec")),
+        Seq("cand_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.ops.expressions.CosineSim(col("qvec"), col("cvec")).as("cs"))
+      .filter(!isnan(col("cs")))
       .withColumn("rr", row_number().over(w))
       .filter(col("rr") === 1)
     batch
-      .join(nn.select(col("query_id").as("vec_id"), col("cand_id")), Seq("vec_id"), "left")
-      .join(vectors.select(col("vec_id").as("cand_id"), col("vec").as("cvec")),
-        Seq("cand_id"), "left")
+      .join(nn.select(col("query_id").as("vec_id"), col("cand_id"), col("cs")),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), col("cand_id").as("dup_of"),
-        graft.ops.expressions.CosineSim(col("vec"), col("cvec")).as("cos_sim"))
-      .withColumn("is_dup",
-        coalesce(col("cos_sim") >= tau, lit(false)))
+        col("cs").as("cos_sim"))
+      .withColumn("is_dup", coalesce(col("cos_sim") >= tau, lit(false)))
   }
+
+  /** [[screenSemantic]]'s cosine-verify shortlist depth: the L2
+    * candidate stage hands this many refined neighbors to the exact
+    * cosine verdict. */
+  private val ScreenCands = 8
 
   private def codebooks(spark: SparkSession,
                         dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {

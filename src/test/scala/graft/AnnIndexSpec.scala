@@ -251,22 +251,31 @@ class AnnIndexSpec extends AnyFunSuite {
     val dir = tmp("ann-screen")
     val base = corpus.filter($"vec_id" < 100)
     AnnIndex.build(spark, base, dir)
-    // batch: 9001 = bit-copy of indexed vector 7 (cosine 1 → dup),
-    // 9002 = an indexed vector negated (cosine −1 to its source and
-    // far from everything → unique)
+    // batch: 9001 = vector 7 at DOUBLE the magnitude (cosine 1 →
+    // dup, and the verdict must survive the L2 gap the rescale
+    // opens), 9002 = an indexed vector negated (cosine −1 to its
+    // source and far from everything → unique), 9003 = zero-norm
+    // (no cosine — must NOT flag: NaN >= tau is true in SQL, the
+    // guard filters it before the verdict)
     val copy = base.filter($"vec_id" === 7L)
-      .select(lit(9001L).as("vec_id"), $"vec")
+      .select(lit(9001L).as("vec_id"),
+        transform($"vec", v => v * lit(2.0)).as("vec"))
     val novel = base.filter($"vec_id" === 11L)
       .select(lit(9002L).as("vec_id"),
         transform($"vec", v => -v).as("vec"))
+    val zero = base.filter($"vec_id" === 13L)
+      .select(lit(9003L).as("vec_id"),
+        transform($"vec", v => v * lit(0.0)).as("vec"))
     val verdicts = AnnIndex
-      .screenSemantic(spark, copy.union(novel), dir, base, tau = 0.95)
+      .screenSemantic(spark, copy.union(novel).union(zero), dir, base, tau = 0.95)
       .as[(Long, Option[Long], Option[Double], Boolean)].collect()
       .map(r => r._1 -> r).toMap
     assert(verdicts(9001L)._4 && verdicts(9001L)._2.contains(7L),
-      s"exact copy not flagged against its source: ${verdicts(9001L)}")
+      s"rescaled copy not flagged against its source: ${verdicts(9001L)}")
     assert(verdicts(9001L)._3.exists(c => math.abs(c - 1.0) < 1e-9))
     assert(!verdicts(9002L)._4, s"novel vector flagged: ${verdicts(9002L)}")
+    assert(!verdicts(9003L)._4 && verdicts(9003L)._2.isEmpty,
+      s"zero-norm vector flagged as duplicate: ${verdicts(9003L)}")
     // screening an ALREADY-INDEXED vector under its own id must not
     // match itself: vector 7 screens against its nearest OTHER
     // neighbor (re-delivered screen after append stays meaningful)
