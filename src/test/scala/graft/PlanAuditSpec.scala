@@ -68,6 +68,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q102Scan.contains("text") && !q102Scan.contains("lang") &&
       !q102Scan.contains("n_chars"),
       s"q102 scan not pruned to (doc_id, text):\n$q102Scan")
+    // q103 needs doc_id + lang + text, never source/n_chars
+    val q103Scan = plans("q103_dsir_select").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q103Scan.contains("text") && !q103Scan.contains("source") &&
+      !q103Scan.contains("n_chars"),
+      s"q103 scan not pruned to (doc_id, lang, text):\n$q103Scan")
+    // q104 clusters vectors: vec_id + embedding, never label
+    val q104Scan = plans("q104_semdedup").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q104Scan.contains("embedding") && !q104Scan.contains("label"),
+      s"q104 scan not pruned to (vec_id, embedding):\n$q104Scan")
+    // q105 needs lang + text only
+    val q105Scan = plans("q105_bpe_fertility").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q105Scan.contains("text") && !q105Scan.contains("doc_id") &&
+      !q105Scan.contains("n_chars"),
+      s"q105 scan not pruned to (lang, text):\n$q105Scan")
   }
 
   test("first-occurrence dedup never plans a window over a content-key partition") {
