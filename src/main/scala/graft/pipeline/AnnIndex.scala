@@ -203,7 +203,8 @@ object AnnIndex {
     * candidates by ADC. The rank filter plans onto TopKPerKeyExec
     * via the WindowTopKRewrite rule. */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
-             k: Int, nprobe: Int = 0): DataFrame = {
+             k: Int, nprobe: Int = 0,
+             excludeRun: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (ivf, pq) = codebooks(spark, dir)
     // nprobe = 0 (default) applies the [[nprobeFor]] policy against
@@ -235,7 +236,14 @@ object AnnIndex {
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
     graft.ops.StoreCompaction.heal(spark, s"$dir/codes", "run")
-    val codesAll = notDeleted(spark, dir, spark.read.parquet(s"$dir/codes"))
+    // excludeRun: a re-delivered screening batch probes the index
+    // MINUS its own prior append (run= is a partition column, so the
+    // exclusion prunes those directories at the scan) —
+    // DedupIndex.screen's excludeRun discipline
+    val codesBase = spark.read.parquet(s"$dir/codes")
+    val codesRuns = excludeRun.fold(codesBase)(r =>
+      codesBase.filter(col("run") =!= r))
+    val codesAll = notDeleted(spark, dir, codesRuns)
     val codes =
       if (cells.length * 2 <= ivf.length) codesAll.filter(col("cell").isin(cells: _*))
       else codesAll
@@ -271,10 +279,11 @@ object AnnIndex {
     * off a fixed-depth list. */
   def searchRefined(spark: SparkSession, queries: DataFrame, dir: String,
                     vectors: DataFrame, k: Int, nprobe: Int = 0,
-                    shortlist: Int = 0): DataFrame = {
+                    shortlist: Int = 0,
+                    excludeRun: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val depth = if (shortlist > 0) shortlist else math.max(16 * k, 128)
-    val sl = search(spark, queries, dir, depth, nprobe)
+    val sl = search(spark, queries, dir, depth, nprobe, excludeRun)
       .select(col("query_id"), col("vec_id"))
     val d2 = aggregate(
       zip_with(col("vec"), col("qvec"), (a, b) => (a - b) * (a - b)),
@@ -315,7 +324,8 @@ object AnnIndex {
     * silently dropping. Nothing O(corpus) per batch: nprobe
     * inverted lists per query, refine + verify by id. */
   def screenSemantic(spark: SparkSession, batch: DataFrame, dir: String,
-                     vectors: DataFrame, tau: Double): DataFrame = {
+                     vectors: DataFrame, tau: Double,
+                     excludeRun: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // zero-norm batch vectors never reach the probe: search's cell
     // ranking divides by the query norm (an ANSI divide-by-zero, not
@@ -332,7 +342,8 @@ object AnnIndex {
     // nor flag a duplicate
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cand_id"))
-    val nn = searchRefined(spark, queries, dir, vectors, k = ScreenCands)
+    val nn = searchRefined(spark, queries, dir, vectors, k = ScreenCands,
+        excludeRun = excludeRun)
       .select(col("query_id"), col("vec_id").as("cand_id"))
       .filter(col("cand_id") =!= col("query_id"))
       .join(vectors.select(col("vec_id").as("cand_id"), col("vec").as("cvec")),

@@ -286,6 +286,76 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!self._4, s"near-isotropic corpus: no other neighbor clears 0.95: $self")
   }
 
+  test("streaming semantic screen: cross-batch dedup against survivors, re-delivery idempotent") {
+    import graft.streaming.AnnScreenStream
+    val root = Files.createTempDirectory("graft-ann-screen-stream").toString
+    val dir = s"$root/ann"; val inDir = s"$root/in"
+    val outDir = s"$root/verdicts"; val ck = s"$root/ck"
+    val base = corpus.filter($"vec_id" < 100)
+    AnnIndex.build(spark, base, dir)
+    AnnScreenStream.initRaw(spark, base, dir)
+    val schema = corpus.schema
+
+    // batch 0: a rescaled copy of indexed vector 7 (dup) + a novel
+    // negated vector (unique — absorbed as a survivor)
+    val donor7 = base.filter($"vec_id" === 7).select($"vec").as[Seq[Double]].head()
+    val donor11 = base.filter($"vec_id" === 11).select($"vec").as[Seq[Double]].head()
+    Seq((9001L, donor7.map(_ * 2.0)), (9002L, donor11.map(-_)))
+      .toDF("vec_id", "vec").coalesce(1).write.mode("append").parquet(inDir)
+    AnnScreenStream.runOnce(spark, inDir, dir, outDir, ck, schema, tau = 0.95)
+    // batch 1: a copy of the batch-0 SURVIVOR — must dedup against
+    // it, proving later batches screen against earlier absorptions
+    Seq((9005L, donor11.map(-_)))
+      .toDF("vec_id", "vec").coalesce(1).write.mode("append").parquet(inDir)
+    AnnScreenStream.runOnce(spark, inDir, dir, outDir, ck, schema, tau = 0.95)
+
+    val verdicts = spark.read.parquet(outDir)
+      .select($"vec_id", $"dup_of", $"is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(verdicts(9001L)._3 && verdicts(9001L)._2.contains(7L),
+      s"batch-0 copy not flagged: ${verdicts(9001L)}")
+    assert(!verdicts(9002L)._3, s"novel vector flagged: ${verdicts(9002L)}")
+    assert(verdicts(9005L)._3 && verdicts(9005L)._2.contains(9002L),
+      s"batch-1 copy of the survivor not flagged: ${verdicts(9005L)}")
+    // only the survivor was absorbed (spill-2: 2 code rows/vector),
+    // and its raw vector rode along for future refines
+    val codeIds = spark.read.parquet(s"$dir/codes")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(codeIds.contains(9002L) && !codeIds.contains(9001L) &&
+      !codeIds.contains(9005L), s"absorb set wrong")
+    assert(spark.read.parquet(AnnScreenStream.rawDir(dir))
+      .filter($"vec_id" === 9002L).count() == 1, "raw store missing the survivor")
+
+    // re-delivery of batch 0 (same id): identical verdicts, no
+    // duplicated state in either store
+    val b0 = Seq((9001L, donor7.map(_ * 2.0)), (9002L, donor11.map(-_)))
+      .toDF("vec_id", "vec")
+    val codesBefore = spark.read.parquet(s"$dir/codes").count()
+    AnnScreenStream.deliver(spark, b0, 0L, dir, outDir, tau = 0.95)
+    assert(spark.read.parquet(s"$dir/codes").count() == codesBefore,
+      "re-delivery changed the code store")
+    val again = spark.read.parquet(s"$outDir/batch=0")
+      .select($"vec_id", $"dup_of", $"is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(again(9001L)._3 && again(9001L)._2.contains(7L) && !again(9002L)._3,
+      s"re-delivered verdicts diverged: $again")
+
+    // compact folds codes AND the raw side store; verdict state is
+    // still servable afterwards
+    AnnScreenStream.compact(spark, dir)
+    assert(AnnIndex.runCount(spark, dir) == 1)
+    val rawRuns = new java.io.File(AnnScreenStream.rawDir(dir))
+      .listFiles().count(_.getName.startsWith("run="))
+    assert(rawRuns == 1, s"raw store not folded: $rawRuns runs")
+    val post = AnnIndex.screenSemantic(spark,
+        Seq((9009L, donor11.map(-_))).toDF("vec_id", "vec"), dir,
+        spark.read.parquet(AnnScreenStream.rawDir(dir)).select($"vec_id", $"vec"),
+        tau = 0.95)
+      .as[(Long, Option[Long], Option[Double], Boolean)].head()
+    assert(post._4 && post._2.contains(9002L),
+      s"post-compact screen lost the survivor: $post")
+  }
+
   test("delete tombstones: unfindable before and after compact, idempotent, physically folded") {
     val dir = tmp("ann-delete")
     AnnIndex.build(spark, corpus, dir)
