@@ -166,11 +166,23 @@ object TextVector {
 
   /** The q104 chain over any (vec_id, embedding) frame (spec hook:
     * planted duplicate vectors). See the q104 comment for semantics
-    * and scale shape. */
+    * and scale shape. Cluster count scales with √n (ivfCellsFor —
+    * q90/AnnIndex's production sizing): with c = n/nlist ≈ √n
+    * members per cluster, the pairwise stage does n·√n/2 cosines
+    * TOTAL and per-cluster work stays constant as the corpus grows;
+    * a FIXED cluster count would make per-cluster pairwise O(n²) —
+    * the degenerate-geometry class the round-10 verdict flagged on
+    * q90. One count() per build: index-lifecycle driver state, like
+    * ivfPq's. */
   private[graft] def semDedup(emb: DataFrame, tau: Double): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents = graft.ops.Kmeans.train(ivfSample(emb), IvfK, IvfIters)
+    val n = emb.count()
+    val ivfK = ivfCellsFor(n)
+    val sampleN =
+      math.min(n, math.max(IvfSampleN.toLong, IvfSamplePerCell.toLong * ivfK)).toInt
+    val cents = graft.ops.Kmeans.train(ivfSampleSized(emb, sampleN),
+      math.min(ivfK, sampleN), IvfIters)
     // persisted: both sides of the pair join + the rollup read it
     val assigned = emb.select($"vec_id", $"embedding",
       graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
@@ -1133,10 +1145,12 @@ object TextVector {
     // per-cluster dedup report. Scale shape: assignment is one
     // narrow kernel pass; the pair join equi-joins ON cell (cells
     // are independent — embarrassingly parallel, AQE-splittable);
-    // the drop-set join back is id-only. At production geometry
-    // nlist scales with √n (ivfCellsFor, q90's sizing), keeping
-    // per-cell pairwise work at the published cost; the demo wires
-    // q33's 16-cell codebook. SemTau is a demo threshold: the
+    // the drop-set join back is id-only. nlist scales with √n
+    // (ivfCellsFor — q90/AnnIndex's production sizing, and the
+    // oracle derives the same geometry from the corpus in SQL), so
+    // per-cluster pairwise work stays CONSTANT as the corpus grows
+    // and the total is the published n·√n/2. SemTau is a demo
+    // threshold: the
     // synthetic embeddings are near-isotropic (max pairwise cosine
     // 0.60 at sf0.1), so the "duplicate" band sits lower than the
     // 0.9+ a real embedding model would warrant (OverflowTokens'
@@ -1884,11 +1898,12 @@ object TextVector {
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin),
 
-      // Twin of q104: the q33 training replay ends at asg(vec_id, v,
+      // Twin of q104: the DYNAMIC-geometry training replay (nlist =
+      // √n derived in SQL, q90's device) ends at asg(vec_id, v,
       // cell); within-cell pairs above SemTau mark the larger id
       // dropped; per-cell rollup.
       "q104_semdedup" ->
-        materializeCtes(s"""WITH $IvfOracleCtes,
+        materializeCtes(s"""WITH $IvfOracleCtesDyn,
            |dup AS (SELECT DISTINCT b.vec_id
            |        FROM asg a JOIN asg b
            |          ON a.cell = b.cell AND a.vec_id < b.vec_id
