@@ -32,9 +32,18 @@ object CurationExport {
   private val HashMod = 1000000007L
   private val PermMult = 2654435761L
 
-  /** Run the export; returns per-split counts (the run report). */
+  /** Run the export; returns per-split counts (the run report).
+    * `format`: "parquet" (default — typed, splittable, the training
+    * stack's native input) or "jsonl" (JSON Lines, one document per
+    * line — the pretraining-corpus interchange format; Spark's json
+    * sink escapes embedded newlines/quotes/unicode, so a document is
+    * ALWAYS exactly one line and a round-trip read reproduces the
+    * text byte-for-byte — ExportSpec pins it). Both lay out
+    * `split=` partition dirs. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          minQuality: Double = 0.0): DataFrame = {
+          minQuality: Double = 0.0, format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "jsonl",
+      s"unsupported export format '$format' (parquet | jsonl)")
     val labels = graft.queries.NearDupStage.labels(spark, sfDir)
     val drop = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -55,12 +64,25 @@ object CurationExport {
       .select(col("doc_id"), col("lang"), col("text"),
         col("unit_id"), col("quality"), col("split"))
 
-    kept.write.partitionBy("split").mode("overwrite")
+    val w = kept.write.partitionBy("split").mode("overwrite")
       .option("partitionOverwriteMode", "static")
-      .parquet(outDir)
+    if (format == "jsonl") w.json(outDir) else w.parquet(outDir)
 
-    spark.read.parquet(outDir)
+    readBack(spark, outDir, format)
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"))
   }
+
+  /** Read a written export (the report path above; also the
+    * consumer-side entry point — jsonl reads pin the export's schema
+    * instead of inferring, so doc ids stay LONG and a corrupt line
+    * fails loudly rather than widening every column to string). */
+  def readBack(spark: SparkSession, outDir: String,
+               format: String = "parquet"): DataFrame =
+    if (format == "jsonl")
+      spark.read
+        .schema("doc_id LONG, lang STRING, text STRING, unit_id LONG, " +
+          "quality DOUBLE, split STRING")
+        .option("mode", "FAILFAST").json(outDir)
+    else spark.read.parquet(outDir)
 }

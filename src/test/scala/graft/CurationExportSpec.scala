@@ -49,4 +49,30 @@ class CurationExportSpec extends AnyFunSuite {
     val train = split.values.count(_ == "train").toDouble / n
     assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
   }
+
+  test("jsonl export round-trips the parquet artifact exactly (one document per line)") {
+    val root = Files.createTempDirectory("graft-export-jsonl").toString
+    val pq = s"$root/pq"; val jl = s"$root/jl"
+    val rep1 = CurationExport.run(spark, sf, pq).collect()
+    val rep2 = CurationExport.run(spark, sf, jl, format = "jsonl").collect()
+    assert(rep1.sameElements(rep2), "per-split reports diverge across formats")
+    // full-row equality: same docs, same text bytes, same lineage
+    def rows(dir: String, fmt: String) =
+      CurationExport.readBack(spark, dir, fmt)
+        .select($"doc_id", $"lang", $"text", $"unit_id", $"quality", $"split")
+        .as[(Long, String, String, Long, Double, String)]
+        .collect().sortBy(_._1)
+    val a = rows(pq, "parquet"); val b = rows(jl, "jsonl")
+    assert(a.length == b.length && a.sameElements(b),
+      "jsonl round-trip diverges from the parquet artifact")
+    // the format contract: every data file is valid JSON Lines — as
+    // many lines as rows, each parsing independently
+    val files = new java.io.File(jl).listFiles().filter(_.getName.startsWith("split="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty, "no .json part files written")
+    val lineCount = files.map(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().size).sum
+    assert(lineCount == a.length,
+      s"line count $lineCount != ${a.length} docs — a text newline leaked unescaped")
+  }
 }
