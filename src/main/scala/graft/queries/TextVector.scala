@@ -164,6 +164,11 @@ object TextVector {
   // see the q104 comment; the operator is threshold-parametric).
   private val SemTau = 0.42
 
+  // q106: sampled-ground-truth size for the dedup-quality report.
+  // The evaluation cost is bounded by EvalSampleN² REGARDLESS of
+  // corpus size — that bound is the point of sampled evaluation.
+  private val EvalSampleN = 200
+
   /** The q104 chain over any (vec_id, embedding) frame (spec hook:
     * planted duplicate vectors). See the q104 comment for semantics
     * and scale shape. Cluster count scales with √n (ivfCellsFor —
@@ -1157,6 +1162,65 @@ object TextVector {
     // testdata argument).
     "q104_semdedup" -> { (s, d) => semDedup(Tables.embeddings(s, d), SemTau) },
 
+    // Dedup-quality evaluation on a SAMPLED ground truth — the QA
+    // report a curation team publishes next to its dedup run: how
+    // much of the true near-dup set does the LSH candidate stage
+    // actually reach (candidate recall — banding is the lossy step;
+    // the jaccard verify after it is exact), and how selective are
+    // the candidates (precision of the band stage before
+    // verification)? Ground truth = ALL pairs of a seeded
+    // EvalSampleN-doc sample with true shingle-jaccard ≥ the q24
+    // threshold, computed brute-force — tractable exactly BECAUSE it
+    // is sampled: the pairwise stage is EvalSampleN² forever, corpus
+    // size only changes which docs the seeded permutation picks.
+    // Candidates = q24's banding restricted to the same sample. The
+    // truth pair join broadcasts the (tiny, bounded) sample side —
+    // the intendedBnlj pattern; nothing here scales with the corpus
+    // except the one sample scan.
+    "q106_dedup_eval" -> { (s, d) =>
+      import s.implicits._
+      val P = lit(HashMod)
+      val samp = graft.ops.SeededSample.top(
+        Tables.documents(s, d).select($"doc_id", $"text"), "doc_id", EvalSampleN)
+      val sh = samp.repartition($"doc_id")
+        .select($"doc_id",
+          graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
+        .filter(size($"hs") > 0)
+        .select($"doc_id", $"hs",
+          graft.ops.expressions.MinHashSig($"hs", NumPerms).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = sh.as("x")
+        .join(broadcast(sh.as("y")), $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+          (size(array_intersect($"x.hs", $"y.hs")).cast("double") /
+            size(array_union($"x.hs", $"y.hs")).cast("double")).as("j"))
+        .filter($"j" >= JaccardMin)
+        .select($"id_a", $"id_b")
+      val bands = sh.select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0L), lit(Bands.toLong - 1)),
+          b => aggregate(
+            slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
+            lit(0L),
+            (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          $"x.band_idx" === $"y.band_idx" &&
+            $"x.band_hash" === $"y.band_hash" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+        .distinct()
+      val hit = truth.join(cand, Seq("id_a", "id_b"))
+      def micro(num: Column, den: Column): Column =
+        when(den > 0, floor(num.cast("double") / den.cast("double")
+          * lit(1e6) + lit(0.5)).cast("long"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select($"n_truth", $"n_cand", $"n_hit",
+          micro($"n_hit", $"n_truth").as("recall_micro"),
+          micro($"n_hit", $"n_cand").as("precision_micro"))
+    },
+
     // PQ with TRAINED codebooks (q78's upgrade, the round-6 verdict's
     // "codebook a production index trains"): per sub-space, the
     // seeded sample's sub-vectors train a k=PqK codebook by
@@ -1663,6 +1727,48 @@ object TextVector {
            |FROM cand JOIN h a ON cand.id_a = a.doc_id JOIN h b2 ON cand.id_b = b2.doc_id
            |WHERE jaccard >= $JaccardMin
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // Twin of q106: the q24 shingle/minhash/band chain restricted
+      // to the seeded sample (SeededSample's ORDER BY twin), truth by
+      // brute-force pairwise jaccard, one-row metric report.
+      "q106_dedup_eval" ->
+        s"""WITH samp AS (SELECT doc_id, text FROM documents
+           |              ORDER BY (doc_id % ${graft.ops.SeededSample.Mod}) *
+           |                ${graft.ops.SeededSample.Mult} %
+           |                ${graft.ops.SeededSample.Mod}, doc_id
+           |              LIMIT $EvalSampleN),
+           |s AS (SELECT doc_id, ${Sql.shingleSet("text", ShingleK)} AS sh FROM samp),
+           |h AS (SELECT doc_id, list_distinct(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs
+           |      FROM s WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, list_transform(range(0, $NumPerms), j ->
+           |        list_min(list_transform(hs, h ->
+           |          (((j+1)*$PermMult % $HashMod) * h + (j*40503+1) % $HashMod) % $HashMod))) AS sig
+           |      FROM h),
+           |b AS (SELECT doc_id, t.b AS band_idx,
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          sig[t.b*$RowsPerBand+1 : t.b*$RowsPerBand+$RowsPerBand]),
+           |          (acc, v) -> (acc*31+v) % $HashMod) AS band_hash
+           |      FROM g, generate_series(0, ${Bands - 1}) t(b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |         FROM b x JOIN b y ON x.band_idx = y.band_idx
+           |           AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+           |truth AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           |          FROM h x JOIN h y ON x.doc_id < y.doc_id
+           |          WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+           |            / CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+           |            >= $JaccardMin),
+           |hit AS (SELECT t.id_a FROM truth t
+           |        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b),
+           |m AS (SELECT
+           |        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+           |        (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+           |SELECT n_truth, n_cand, n_hit,
+           |  CASE WHEN n_truth > 0 THEN CAST(floor(CAST(n_hit AS DOUBLE)
+           |    / CAST(n_truth AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END AS recall_micro,
+           |  CASE WHEN n_cand > 0 THEN CAST(floor(CAST(n_hit AS DOUBLE)
+           |    / CAST(n_cand AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END AS precision_micro
+           |FROM m""".stripMargin,
 
       "q25_topk_cosine" ->
         s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("q25_topk_cosine", "q43_bm25", "q72_unigram_surprisal", "q78_pq_ann",
       "q85_chi2_mix", "q91_pq_trained", "q99_domain_mixture",
       "q100_curation_funnel", "q102_bigram_surprisal",
-      "q103_dsir_select") // q103: 1-row (nt, nr) totals broadcast
+      "q103_dsir_select", // q103: 1-row (nt, nr) totals broadcast
+      "q106_dedup_eval")  // q106: bounded-sample pair join + 1-row metrics
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
@@ -103,7 +104,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // ordered); q32 is the rows-only multimodal summary (3 rows,
     // sorted anyway)
     val singleRow =
-      Set("q02_forecast_revenue", "q32_media_features", "q85_chi2_mix")
+      Set("q02_forecast_revenue", "q32_media_features", "q85_chi2_mix",
+        "q106_dedup_eval") // one-row metric report
     for ((name, plan) <- plans if !singleRow(name))
       assert(plan.contains("Sort ") || plan.contains("TakeOrderedAndProject"),
         s"$name has no final sort — hash compare would be order-dependent")
