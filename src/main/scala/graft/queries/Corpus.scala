@@ -391,6 +391,45 @@ object Corpus {
         .orderBy($"lang")
     },
 
+    // Corpus snapshot diff — the release-audit report of a versioned
+    // dataset (what changed between corpus v1 and v2: the Delta/
+    // Iceberg table-history question answered engine-side): FULL
+    // OUTER join of two snapshots on doc_id, rows classified
+    // added / removed / changed / unchanged by content FINGERPRINT
+    // compare (never text compare — ids join, fingerprints decide),
+    // rolled up per (lang, status). The two snapshots are derived
+    // in-query from the documents table with engine-portable integer
+    // arithmetic (the q73/q74/q101 derive-dirty-input convention):
+    // v1 drops doc_id ≡ 3 (mod 7) ("added later"), v2 drops
+    // doc_id ≡ 2 (mod 5) ("removed since") and edits the text of
+    // doc_id ≡ 0 (mod 11) ("changed"). Scale shape: both sides scan
+    // once, fingerprint in the scan pass, co-partition on doc_id —
+    // the full outer join is an AQE-splittable sort-merge; only
+    // (doc_id, lang, fp) ever shuffles, and the rollup is a tiny
+    // map-side-combined aggregate. This is also the pack's
+    // oracle-gated FULL OUTER JOIN (the pipeline's cogroup merge
+    // uses one spec-gated; q16/q17 cover except/intersect).
+    "q107_snapshot_diff" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
+      val prev = docs.filter(pmod($"doc_id", lit(7L)) =!= 3L)
+        .select($"doc_id", $"lang",
+          TextOps.fingerprint($"text").as("fp_a"))
+      val cur = docs.filter(pmod($"doc_id", lit(5L)) =!= 2L)
+        .select($"doc_id", $"lang".as("lang_b"),
+          TextOps.fingerprint(
+            when(pmod($"doc_id", lit(11L)) === 0L,
+              concat($"text", lit(" [v2]"))).otherwise($"text")).as("fp_b"))
+      prev.join(cur, Seq("doc_id"), "full_outer")
+        .select(coalesce($"lang", $"lang_b").as("lang"),
+          when($"fp_a".isNull, lit("added"))
+            .when($"fp_b".isNull, lit("removed"))
+            .when($"fp_a" === $"fp_b", lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+        .groupBy($"lang", $"status").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"status")
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -490,6 +529,26 @@ object Corpus {
   def oracles: Map[String, String] = Map(
 
     "q92_bpe_vocab" -> bpeOracle,
+
+    // Twin of q107: same derived snapshots, FULL JOIN, fingerprint
+    // classification, per-(lang, status) rollup.
+    "q107_snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents),
+         |a AS (SELECT doc_id, lang, ${Sql.polyHash("text")} AS fp_a
+         |      FROM d WHERE doc_id % 7 <> 3),
+         |b AS (SELECT doc_id, lang AS lang_b,
+         |        ${Sql.polyHash(
+                    "(CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END)")}
+         |          AS fp_b
+         |      FROM d WHERE doc_id % 5 <> 2),
+         |j AS (SELECT coalesce(a.lang, b.lang_b) AS lang,
+         |        CASE WHEN fp_a IS NULL THEN 'added'
+         |             WHEN fp_b IS NULL THEN 'removed'
+         |             WHEN fp_a = fp_b THEN 'unchanged'
+         |             ELSE 'changed' END AS status
+         |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+         |SELECT lang, status, count(*) AS n FROM j
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Twin of q105: replay training ([[bpeTrainCtes]]), read each
     // distinct word's final piece count off the trained vocab state,
