@@ -87,7 +87,13 @@ object AnnIndex {
       .sortBy(_.getAs[Number](0).longValue)
       .map(_.getSeq[Double](1).toArray)
     val sub = sample.head.length / PqM
-    val ivf = graft.ops.Kmeans.train(sample, math.min(ivfK, sample.length), IvfIters)
+    val ivf0 = graft.ops.Kmeans.train(sample, math.min(ivfK, sample.length), IvfIters)
+    // spill-to-2 indexing needs >= 2 cells (IvfCells2's constructor
+    // require); a 1-vector corpus trains one centroid, so pad by
+    // duplicating it — the vector indexes under both copies, probes
+    // rank both, results are unchanged. A valid tiny deployment must
+    // build, not crash (the PQ clamp's argument below).
+    val ivf = if (ivf0.length < 2) ivf0 ++ ivf0.map(_.clone) else ivf0
     // PQ codebooks train on what they will encode: the sample's
     // RESIDUALS against the trained coarse quantizer (training on
     // raw vectors and encoding residuals measured recall@5 0.2 vs
@@ -136,9 +142,14 @@ object AnnIndex {
     * takedown) is idempotent: duplicate tombstone rows change
     * nothing an anti-join can observe. Deleting an id not in the
     * index is a no-op by the same algebra. Re-INSERTING a deleted id
-    * requires a post-compaction append — until the fold, the
-    * tombstone outranks any occurrence of the id (documented
-    * lifecycle contract, same quiescence discipline as compact). */
+    * requires a [[compact]] call that RETURNED SUCCESSFULLY after
+    * the delete — until then the tombstone outranks any occurrence
+    * of the id. In particular a compact that CRASHED between its
+    * fold commit and its tombstone clear must be re-run before any
+    * re-insert: the leftover (already-applied) tombstones anti-join
+    * nothing that exists and the re-run folds them away, but an
+    * append of the same id UNDER a leftover tombstone would be
+    * silently suppressed (AnnIndexSpec pins the re-run heal). */
   def delete(spark: SparkSession, ids: Seq[Long], dir: String): Unit = {
     import spark.implicits._
     ids.toDF("vec_id").coalesce(1)
@@ -164,9 +175,11 @@ object AnnIndex {
     * per batch forever — [[DedupIndex.compact]]'s discipline), and
     * fold TOMBSTONES away: the merged snapshot excludes deleted ids,
     * and the tombstone store is cleared after the swap commits (a
-    * crash in between is harmless — the lingering tombstones
-    * anti-join rows that no longer exist, and the next compact
-    * clears them). The merged rows re-partition by `cell`, so the
+    * crash in between leaves ALREADY-APPLIED tombstones lingering:
+    * they anti-join rows that no longer exist, and re-running
+    * compact folds-and-clears them — but no append may re-insert a
+    * deleted id until that re-run returns; see [[delete]]'s
+    * lifecycle contract). The merged rows re-partition by `cell`, so the
     * inverted-list directory layout — and with it the probe-time
     * partition pruning — is preserved. Swap: write to a hidden temp
     * dir, delete old runs, rename into place. Run at a QUIESCENT

@@ -58,9 +58,22 @@ object MixtureMaintenance {
     * (lang, n_docs, n_tokens, rate_micro). */
   def currentRates(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.StoreCompaction.heal(spark, countsPath(dir), "run")
-    val folded = spark.read.parquet(countsPath(dir))
-      .groupBy(col("lang"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    // a store with no absorbed runs yet (fresh deployment, or a
+    // screening job racing the first ingest) has EVERY domain unseen:
+    // an empty rate table, so decide's unseen-domain default keeps
+    // everything — the ClusterMaintenance empty-init discipline, not
+    // a PATH_NOT_FOUND crash
+    val p = new org.apache.hadoop.fs.Path(countsPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded =
+      if (!fs.exists(p))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lang STRING, n_docs BIGINT, n_tokens BIGINT"))
+      else spark.read.parquet(countsPath(dir))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     graft.queries.Learn.temperedRates(folded)
   }
 

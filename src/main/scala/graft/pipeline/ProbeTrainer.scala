@@ -85,6 +85,11 @@ object ProbeTrainer {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = emb.count() // one count per training run (sizes the step)
+    // fail loudly and early: an accidentally-empty labeled slice
+    // (wrong predicate, empty ingest day) would otherwise surface as
+    // an unrelated iterator error deep in the round loop — and n
+    // divides the weight update (PageRank.run's empty-graph guard)
+    require(n > 0, "probe training on an empty labeled set")
     // every training round re-reads this projection — one tiny cached frame
     // (labels + vectors), released before returning. Partitioning
     // tracks the LABELED SLICE (~1k rows/partition, capped at the
@@ -128,17 +133,25 @@ object ProbeTrainer {
     * class prediction (argmax logit, first index on ties) and the
     * winning softmax probability, micro-rounded for cross-engine
     * display. Narrow, shuffle-free kernel pass — this is the stage
-    * that runs over the FULL corpus at 100 TB. */
+    * that runs over the FULL corpus at 100 TB, and the full corpus
+    * is UNLABELED by construction (labels are the expensive part):
+    * the `labelCol` column passes through only when the frame has
+    * one (q98's labeled evaluation), otherwise the output simply
+    * omits it. */
   def score(emb: DataFrame, wMicro: Array[Array[Long]],
             idCol: String = "vec_id", labelCol: String = "label",
             vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col(idCol), col(labelCol).cast("int").as("label"),
-        biased(vecCol).as("xb"))
+    val labelCols =
+      if (emb.columns.contains(labelCol))
+        Seq(col(labelCol).cast("int").as("label"))
+      else Seq.empty
+    emb.select(col(idCol) +: labelCols :+ biased(vecCol).as("xb"): _*)
       .withColumn("s",
         graft.ops.expressions.SoftmaxScore($"xb", asDoubles(wMicro)))
-      .select(col(idCol), $"label", $"s.pred".as("pred"),
-        graft.ops.Determinism.roundFix($"s.p", 6).as("score"))
+      .select(col(idCol) +: labelCols.map(_ => $"label") :+
+        $"s.pred".as("pred") :+
+        graft.ops.Determinism.roundFix($"s.p", 6).as("score"): _*)
   }
 }

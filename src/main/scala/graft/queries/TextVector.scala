@@ -267,10 +267,7 @@ object TextVector {
       emb.select(col("vec_id"), col("embedding")), "vec_id", IvfSampleN)
 
   private def ivfSample(emb: DataFrame): Array[Array[Double]] =
-    ivfSampleDf(emb)
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    ivfSampleSized(emb, IvfSampleN)
 
   /** [[ivfSample]] with a caller-sized depth (q90: the sample scales
     * with the cell count, ≥ IvfSamplePerCell vectors per centroid). */
@@ -348,13 +345,43 @@ object TextVector {
   // bucket (measured max 19 at sf0.1 vs cap 64).
   private val BucketCap = 64
 
+  /** The Bands banded hashes of a MinHash signature column — ONE
+    * definition for q24, q106 and the cap-headroom spec (a one-sided
+    * tweak would silently break the query≡oracle contract). */
+  private[graft] def bandHashes(sig: Column): Column =
+    transform(
+      sequence(lit(0L), lit(Bands.toLong - 1)),
+      b => aggregate(
+        slice(sig, (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
+        lit(0L),
+        (acc, v) => (acc * 31 + v) % lit(HashMod)))
+
+  /** Largest band-bucket population of a corpus (spec hook:
+    * ClusterSpec pins that the ORACLE-GATED corpora sit far below
+    * [[BucketCap]], where capped and uncapped semantics coincide —
+    * the q24 oracle replays the UNCAPPED all-pairs form, so its
+    * validity is exactly this headroom; above the cap the planted
+    * mega-bucket spec gates the star path instead). */
+  private[graft] def maxBandBucket(docs: DataFrame): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id",
+        graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
+      .filter(size($"hs") > 0)
+      .select(posexplode(bandHashes(
+        graft.ops.expressions.MinHashSig($"hs", NumPerms)))
+        .as(Seq("band_idx", "band_hash")))
+      .groupBy($"band_idx", $"band_hash").count()
+      .agg(max($"count")).as[Long].head()
+  }
+
   /** The q24 chain over any (doc_id, text) frame (spec hook: planted
     * mega-bucket). Semantics and scale shape in the q24 entry doc;
     * the over-cap star path in the [[BucketCap]] note. */
   private[graft] def nearDupPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val P = lit(HashMod)
     // ShingleHashes fuses tokenize→shingle→hash→distinct and
     // MinHashSig fuses the 16 permutation minima, both one codegen
     // scan — the HOF forms were ~2 s of interpreted
@@ -379,12 +406,7 @@ object TextVector {
     // lifecycle is the Verify/Bench clearCache contract
     val bands = sh.select(
       $"doc_id", $"hs",
-      posexplode(transform(
-        sequence(lit(0L), lit(Bands.toLong - 1)),
-        b => aggregate(
-          slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
-          lit(0L),
-          (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
+      posexplode(bandHashes($"sig")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket size + hub per bucket, both map-side-combined partial
     // aggregates — a hot bucket reduces to one row per input
@@ -1179,7 +1201,6 @@ object TextVector {
     // except the one sample scan.
     "q106_dedup_eval" -> { (s, d) =>
       import s.implicits._
-      val P = lit(HashMod)
       val samp = graft.ops.SeededSample.top(
         Tables.documents(s, d).select($"doc_id", $"text"), "doc_id", EvalSampleN)
       val sh = samp.repartition($"doc_id")
@@ -1197,12 +1218,7 @@ object TextVector {
         .filter($"j" >= JaccardMin)
         .select($"id_a", $"id_b")
       val bands = sh.select($"doc_id",
-        posexplode(transform(
-          sequence(lit(0L), lit(Bands.toLong - 1)),
-          b => aggregate(
-            slice($"sig", (b * RowsPerBand + 1).cast("int"), lit(RowsPerBand)),
-            lit(0L),
-            (acc, v) => (acc * 31 + v) % P))).as(Seq("band_idx", "band_hash")))
+        posexplode(bandHashes($"sig")).as(Seq("band_idx", "band_hash")))
       val cand = bands.as("x")
         .join(bands.as("y"),
           $"x.band_idx" === $"y.band_idx" &&
@@ -1309,7 +1325,11 @@ object TextVector {
     val sampleN =
       math.min(n, math.max(IvfSampleN.toLong, IvfSamplePerCell.toLong * ivfK)).toInt
     val sample = ivfSampleSized(emb, sampleN)
-    val cents = graft.ops.Kmeans.train(sample, ivfK, IvfIters)
+    // clamp like the PQ codebook below (and semDedup): a corpus
+    // smaller than the IvfKMin floor must train a smaller quantizer,
+    // not crash Kmeans' samples >= k require
+    val cents = graft.ops.Kmeans.train(sample,
+      math.min(ivfK, sample.length), IvfIters)
     val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
     def centAt(cell: Column): Column =
       element_at(typedLit(centsSeq), (cell + 1).cast("int"))
@@ -1705,6 +1725,15 @@ object TextVector {
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY id""".stripMargin,
 
+      // NB: this twin replays the UNCAPPED all-pairs banding. Capped
+      // (star-edge) and uncapped semantics coincide exactly while
+      // every band bucket holds <= BucketCap members — ClusterSpec's
+      // headroom case MEASURES the gate corpus against the cap (19
+      // vs 64 at sf0.1), so the oracle's validity is checked, not
+      // assumed; the over-cap star path is gated by the planted
+      // mega-bucket spec instead (an over-cap corpus would also make
+      // this replay's pair CTE quadratic — the exact cost the cap
+      // exists to avoid).
       "q24_near_dup" ->
         s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", ShingleK)} AS sh FROM documents),
            |h AS (SELECT doc_id, list_distinct(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs

@@ -35,6 +35,19 @@ class AnnIndexSpec extends AnyFunSuite {
       s"self not ranked first: $firsts")
   }
 
+  test("a single-vector corpus builds and serves (spill-2 centroid pad)") {
+    // spill-to-2 needs >= 2 cells; one vector trains one centroid,
+    // which build pads by duplication — a valid tiny deployment
+    // (first document of a fresh product) must index, not crash
+    val dir = tmp("ann-one")
+    val one = corpus.filter($"vec_id" === 7L)
+    AnnIndex.build(spark, one, dir)
+    val q = one.select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val out = AnnIndex.search(spark, q, dir, k = 1)
+      .select($"vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(7L), s"lone vector not served: ${out.toSeq}")
+  }
+
   test("a corpus smaller than the PQ codebook still builds and serves (clamped training)") {
     // PqK=64 with 20 vectors: trainL2 requires samples >= k, so the
     // codebook must clamp to the sample size instead of crashing —
@@ -405,5 +418,23 @@ class AnnIndexSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
       s"post-delete compacted scan lost cell pruning:\n$plan")
+
+    // crash window: a compact that committed its fold but died
+    // before the tombstone clear leaves ALREADY-APPLIED tombstones
+    // behind. Simulate the remnant, then prove the contract: search
+    // is unaffected (the ids no longer exist), and RE-RUNNING
+    // compact folds-and-clears the leftovers — the heal the delete()
+    // lifecycle doc requires before any re-insert of the id
+    Seq(7L).toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val withRemnant = AnnIndex.search(spark, q7, dir, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(withRemnant.toSeq == post.toSeq,
+      "leftover applied tombstone changed results")
+    AnnIndex.compact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "compact re-run did not clear the leftover tombstones")
+    assert(spark.read.parquet(s"$dir/codes").count() == total - 2,
+      "compact re-run changed the code store")
   }
 }

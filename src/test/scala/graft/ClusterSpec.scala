@@ -137,6 +137,21 @@ class ClusterSpec extends AnyFunSuite {
     assert(graft.queries.NearDupStage.buildCount == 1, "re-reads must not rebuild")
   }
 
+  test("gate-corpus band buckets sit far below the cap, so the uncapped q24 oracle is valid") {
+    // the q24 DuckDB twin replays UNCAPPED all-pairs banding; capped
+    // and uncapped semantics coincide exactly below BucketCap — this
+    // MEASURES that precondition on the oracle-gated corpora instead
+    // of assuming it (the planted mega-bucket case below gates the
+    // over-cap star path)
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val m = graft.queries.TextVector.maxBandBucket(
+        Tables.documents(spark, sfDir))
+      assert(m <= 64 / 2,
+        s"$sfDir: max band bucket $m within 2x of the 64 cap — " +
+          "the uncapped oracle replay is no longer safely equivalent")
+    }
+  }
+
   test("a planted mega-bucket is hard-capped to spanning star edges, labels still exact") {
     // 200 byte-identical docs land in ONE band bucket per band —
     // uncapped all-pairs would emit 200·199/2 = 19 900 verified

@@ -237,6 +237,29 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("score() runs on an UNLABELED frame — the production full-corpus call") {
+    // labels exist only on the training slice; the corpus being
+    // scored has none, so score must not demand the column
+    val emb = Tables.embeddings(spark, sf3)
+    val (wm, _) = ProbeTrainer.train(emb)
+    val unlabeled = emb.select($"vec_id", $"embedding")
+    val out = ProbeTrainer.score(unlabeled, wm)
+    assert(!out.columns.contains("label"), "phantom label column")
+    val preds = out.select($"vec_id", $"pred").as[(Long, Int)].collect().toMap
+    // identical predictions to the labeled scoring path
+    val labeled = ProbeTrainer.score(emb, wm)
+      .select($"vec_id", $"pred").as[(Long, Int)].collect().toMap
+    assert(preds == labeled, "unlabeled scoring diverged from labeled")
+  }
+
+  test("training an empty labeled slice fails loudly, not deep in the round loop") {
+    val empty = Tables.embeddings(spark, sf3).filter($"vec_id" < 0)
+    val e = intercept[IllegalArgumentException] {
+      ProbeTrainer.train(empty)
+    }
+    assert(e.getMessage.contains("empty labeled set"), e.getMessage)
+  }
+
   test("scores are calibrated softmax winners: in (1/K, 1], pred in [0, K)") {
     val out = SparkEntry.queries("q98_linear_probe")(spark, sf3).collect()
     assert(out.length == Tables.embeddings(spark, sf3).count())

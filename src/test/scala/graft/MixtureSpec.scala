@@ -76,6 +76,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(v, "unseen domain must default to keep")
   }
 
+  test("a fresh store (no absorbed runs) keeps everything instead of crashing") {
+    // decide's own semantics: an unseen domain defaults to keep; a
+    // store with NO runs has every domain unseen — the first-ingest
+    // race must yield keep-all, not PATH_NOT_FOUND
+    val dir = tmp("mixture-fresh")
+    val docs = Seq((1L, "en", "fresh corpus doc"), (2L, "de", "neues dokument"))
+      .toDF("doc_id", "lang", "text")
+    assert(MixtureMaintenance.currentRates(spark, dir).count() == 0)
+    val verdicts = MixtureMaintenance.decide(spark, docs, dir)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(verdicts == Map(1L -> true, 2L -> true),
+      s"fresh store dropped documents: $verdicts")
+  }
+
   test("currentRates self-heals a crash mid-compaction (the committed window)") {
     // replay the StoreCompaction protocol by hand to the worst
     // window — snapshot written, marker committed, old partitions
