@@ -104,22 +104,31 @@ object Learn {
   private[graft] def dsirSelect(docs: DataFrame, isTarget: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted for its two consumers (count pass + scoring pass —
+    // the q102 device; lifecycle is the Verify/Bench clearCache
+    // contract). Scale note: the persist wins at demo scale (the
+    // fused tokenize+hash kernel dominates), but the frame is
+    // O(corpus tokens) — at 100 TB drop the persist and let BOTH
+    // consumers re-run the narrow kernel scan, which is cheaper than
+    // materializing 1.5x the corpus to disk.
     val pos = docs
       .select($"doc_id", isTarget.as("tgt"),
         explode(graft.ops.expressions.TokenHashes($"text")).as("th"))
       .select($"doc_id", $"tgt", pmod($"th", lit(DsirBuckets)).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ct = pos.filter($"tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
-    val cr = pos.filter(!$"tgt").groupBy($"b").agg(count(lit(1)).as("cr"))
-    val tot = ct.agg(sum($"ct").as("nt")).crossJoin(cr.agg(sum($"cr").as("nr")))
+    // BOTH sides' bucket counts in one map-side-combined pass
+    val bc = pos.groupBy($"b").agg(
+      sum(when($"tgt", 1L).otherwise(0L)).as("ct"),
+      sum(when(!$"tgt", 1L).otherwise(0L)).as("cr"))
+    val tot = bc.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
     // log-ratio over RAW buckets only: every scored position's bucket
     // is a raw bucket by construction, so the table is closed over
     // what scoring can look up
-    val lr = cr.join(ct, Seq("b"), "left")
+    val lr = bc.filter($"cr" > 0L)
       .crossJoin(broadcast(tot))
       .select($"b",
         floor(log(
-          ((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") *
+          (($"ct" + lit(1L)).cast("double") *
             ($"nr" + lit(DsirBuckets)).cast("double")) /
           (($"cr" + lit(1L)).cast("double") *
             ($"nt" + lit(DsirBuckets)).cast("double"))) * lit(1e6) + lit(0.5))
