@@ -164,6 +164,9 @@ object TextVector {
   // see the q104 comment; the operator is threshold-parametric).
   private val SemTau = 0.42
 
+  // q108: per-cluster outlier shortlist depth.
+  private val OutlierK = 3
+
   // q106: sampled-ground-truth size for the dedup-quality report.
   // The evaluation cost is bounded by EvalSampleN² REGARDLESS of
   // corpus size — that bound is the point of sampled evaluation.
@@ -179,15 +182,25 @@ object TextVector {
     * the degenerate-geometry class the round-10 verdict flagged on
     * q90. One count() per build: index-lifecycle driver state, like
     * ivfPq's. */
-  private[graft] def semDedup(emb: DataFrame, tau: Double): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
+  /** The dynamic-geometry trained coarse quantizer shared by
+    * q104/q108 (nlist = ivfCellsFor(n), sample scaled at
+    * IvfSamplePerCell per cell, k clamped to the sample — the
+    * oracle twin is IvfOracleCtesDyn's kk/samp/c-chain). One
+    * count() per build: index-lifecycle driver state, ivfPq's
+    * argument. */
+  private def trainedCentsDyn(emb: DataFrame): Array[Array[Double]] = {
     val n = emb.count()
     val ivfK = ivfCellsFor(n)
     val sampleN =
       math.min(n, math.max(IvfSampleN.toLong, IvfSamplePerCell.toLong * ivfK)).toInt
-    val cents = graft.ops.Kmeans.train(ivfSampleSized(emb, sampleN),
+    graft.ops.Kmeans.train(ivfSampleSized(emb, sampleN),
       math.min(ivfK, sampleN), IvfIters)
+  }
+
+  private[graft] def semDedup(emb: DataFrame, tau: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = trainedCentsDyn(emb)
     // persisted: both sides of the pair join + the rollup read it
     val assigned = emb.select($"vec_id", $"embedding",
       graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
@@ -1184,6 +1197,41 @@ object TextVector {
     // testdata argument).
     "q104_semdedup" -> { (s, d) => semDedup(Tables.embeddings(s, d), SemTau) },
 
+    // Semantic outlier detection — SemDeDup's companion filter (the
+    // same paper prunes "semantically redundant" AND flags
+    // low-cluster-affinity points; corrupt embeddings, encoder
+    // failures, and out-of-distribution content all surface as
+    // vectors far from every centroid). Reuses q104's trained
+    // dynamic-geometry quantizer: each vector's cosine to its OWN
+    // centroid is its cluster affinity, and the per-cell bottom-
+    // OutlierK affinity list is the review shortlist a curation run
+    // publishes. Scale shape: one narrow kernel pass (CosineSim
+    // against the broadcast centroid literal), then a per-cell
+    // bottom-k that WindowTopKRewrite plans onto the bounded-heap
+    // TopKPerKey operator — no sort of the corpus, no shuffle of
+    // vectors beyond the rank's (cell, cos, id) rows.
+    "q108_embed_outliers" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = trainedCentsDyn(emb)
+      val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cell").orderBy($"cos", $"vec_id")
+      emb
+        .select($"vec_id",
+          transform($"embedding", v => v.cast("double")).as("x"),
+          graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
+        .select($"vec_id", $"cell",
+          graft.ops.expressions.CosineSim($"x",
+            element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= OutlierK)
+        .select($"cell".cast("bigint").as("cell"),
+          $"rn".cast("bigint").as("rn"), $"vec_id",
+          floor($"cos" * lit(1e6) + lit(0.5)).cast("bigint").as("cos_micro"))
+        .orderBy($"cell", $"rn")
+    },
+
     // Dedup-quality evaluation on a SAMPLED ground truth — the QA
     // report a curation team publishes next to its dedup run: how
     // much of the true near-dup set does the LSH candidate stage
@@ -2051,6 +2099,21 @@ object TextVector {
            |    AS BIGINT) AS n_kept
            |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
            |GROUP BY asg.cell ORDER BY cell""".stripMargin),
+
+      // Twin of q108: the dynamic-geometry training replay, each
+      // vector's cosine to its OWN centroid, per-cell bottom-K.
+      "q108_embed_outliers" ->
+        materializeCtes(s"""WITH $IvfOracleCtesDyn,
+           |sc AS (SELECT vec_id, cell,
+           |         ${sqlCos("v", "cs[cell + 1]")} AS cos
+           |       FROM asg, c$IvfIters),
+           |r AS (SELECT cell, vec_id, cos,
+           |        row_number() OVER (PARTITION BY cell
+           |                           ORDER BY cos, vec_id) AS rn
+           |      FROM sc)
+           |SELECT CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn,
+           |  vec_id, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+           |FROM r WHERE rn <= $OutlierK ORDER BY cell, rn""".stripMargin),
 
       "q90_ivf_pq" -> {
         // The DYNAMIC-geometry trained-IVF CTEs (nlist=√n, scaled
