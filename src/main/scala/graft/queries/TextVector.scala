@@ -197,6 +197,30 @@ object TextVector {
       math.min(ivfK, sampleN), IvfIters)
   }
 
+  /** The q108 chain over any (vec_id, embedding) frame (spec hook:
+    * planted off-distribution vector). See the q108 entry doc. */
+  private[graft] def embedOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = trainedCentsDyn(emb)
+    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cell").orderBy($"cos", $"vec_id")
+    emb
+      .select($"vec_id",
+        transform($"embedding", v => v.cast("double")).as("x"),
+        graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
+      .select($"vec_id", $"cell",
+        graft.ops.expressions.CosineSim($"x",
+          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"cell".cast("bigint").as("cell"),
+        $"rn".cast("bigint").as("rn"), $"vec_id",
+        floor($"cos" * lit(1e6) + lit(0.5)).cast("bigint").as("cos_micro"))
+      .orderBy($"cell", $"rn")
+  }
+
   private[graft] def semDedup(emb: DataFrame, tau: Double): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -1211,26 +1235,7 @@ object TextVector {
     // TopKPerKey operator — no sort of the corpus, no shuffle of
     // vectors beyond the rank's (cell, cos, id) rows.
     "q108_embed_outliers" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val cents = trainedCentsDyn(emb)
-      val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"cell").orderBy($"cos", $"vec_id")
-      emb
-        .select($"vec_id",
-          transform($"embedding", v => v.cast("double")).as("x"),
-          graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
-        .select($"vec_id", $"cell",
-          graft.ops.expressions.CosineSim($"x",
-            element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= OutlierK)
-        .select($"cell".cast("bigint").as("cell"),
-          $"rn".cast("bigint").as("rn"), $"vec_id",
-          floor($"cos" * lit(1e6) + lit(0.5)).cast("bigint").as("cos_micro"))
-        .orderBy($"cell", $"rn")
-    },
+      embedOutliers(Tables.embeddings(s, d), OutlierK) },
 
     // Dedup-quality evaluation on a SAMPLED ground truth — the QA
     // report a curation team publishes next to its dedup run: how

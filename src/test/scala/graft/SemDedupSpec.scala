@@ -54,6 +54,31 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 0, s"unexpected drops: ${out.toSeq}")
   }
 
+  test("q108 outliers: a vector in the corpus's negative half-space ranks worst in its cell") {
+    // 30 clustered base vectors near axis e0/e1, plus one planted
+    // far-off-distribution vector pointing AWAY from both clusters:
+    // whatever cell it lands in, its centroid affinity is the lowest
+    // there, so the shortlist must surface it at rn=1
+    val base = (0 until 30).map { i =>
+      val v = Array.fill(8)(0.05f)
+      v(i % 2) = 1.0f
+      (i.toLong, v)
+    }
+    val off = {
+      val v = Array.fill(8)(-1.0f)
+      (999L, v)
+    }
+    val emb = (base :+ off).toDF("vec_id", "embedding")
+    val out = graft.queries.TextVector.embedOutliers(emb, 1)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.exists(r => r._3 == 999L && r._2 == 1L),
+      s"planted outlier not surfaced at rn=1: ${out.toSeq}")
+    // affinity of the planted outlier is the worst in the report
+    val worst = out.minBy(_._4)
+    assert(worst._3 == 999L, s"outlier not worst-affinity: ${out.toSeq}")
+  }
+
   test("rerun is deterministic on the real table") {
     val a = SparkEntry.queries("q104_semdedup")(spark, "/root/testdata/sf0.001").collect()
     val b = SparkEntry.queries("q104_semdedup")(spark, "/root/testdata/sf0.001").collect()
