@@ -217,6 +217,51 @@ class LearnSpec extends AnyFunSuite {
     assert(byDoc(7L)._2 == 2L, s"empty doc rank: ${byDoc(7L)}")
   }
 
+  test("q103 randomized differential: selection matches a single-process reference") {
+    // seeded random corpus with overlapping target/raw vocabularies;
+    // the reference replays the exact arithmetic (per-token polyhash
+    // buckets, Laplace ratio, micro-rounded ln, integer sums, rank)
+    import org.apache.spark.unsafe.types.UTF8String
+    val B = 256L; val topN = 8 // DsirBuckets / DsirTopN
+    val rnd = new scala.util.Random(12345)
+    val langs = Seq("en", "de", "fr")
+    val vocab = (0 until 25).map(i => s"w$i")
+    val docs: Seq[(Long, String, String)] = (0L until 48L).map { id =>
+      val lang = langs(rnd.nextInt(langs.length))
+      val nw = rnd.nextInt(13) // 0..12 words; 0 = empty doc
+      val pool = if (id % 2 == 0) vocab.take(15) else vocab.drop(5)
+      (id, lang, Seq.fill(nw)(pool(rnd.nextInt(pool.length))).mkString(" "))
+    }
+    def toks(t: String): Seq[String] =
+      raw"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]".r.findAllIn(t).toSeq
+    def bucket(w: String): Long =
+      graft.ops.expressions.HashKernel.polyHash(UTF8String.fromString(w)) % B
+    val pos = docs.flatMap { case (id, _, t) =>
+      toks(t).map(w => (id, id % 2 == 0, bucket(w))) }
+    val ct = pos.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cr = pos.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nt = ct.values.sum; val nr = cr.values.sum
+    val lr = cr.map { case (b, c) =>
+      b -> math.floor(math.log(
+        ((ct.getOrElse(b, 0L) + 1).toDouble * (nr + B).toDouble) /
+          ((c + 1).toDouble * (nt + B).toDouble)) * 1e6 + 0.5).toLong }
+    val scored = pos.filterNot(_._2).groupBy(_._1).view
+      .mapValues(ps => (ps.size.toLong, ps.map(p => lr(p._3)).sum)).toMap
+    val want = docs.filter(_._1 % 2 == 1)
+      .map { case (id, lang, _) =>
+        val (ntk, lw) = scored.getOrElse(id, (0L, 0L)); (lang, id, ntk, lw) }
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(topN).zipWithIndex
+          .map { case ((l, id, ntk, lw), i) => (l, (i + 1).toLong, id, ntk, lw) }
+      }.sortBy(r => (r._1, r._2))
+    val got = graft.queries.Learn
+      .dsirSelect(docs.toDF("doc_id", "lang", "text"),
+        pmod($"doc_id", lit(2L)) === 0L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got == want, s"differential mismatch:\n got: $got\nwant: $want")
+  }
+
   test("q103 respects the per-domain budget, selects only candidates, reruns identically") {
     val a = SparkEntry.queries("q103_dsir_select")(spark, sf2).collect()
     val b = SparkEntry.queries("q103_dsir_select")(spark, sf2).collect()

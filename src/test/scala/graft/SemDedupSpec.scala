@@ -79,6 +79,56 @@ class SemDedupSpec extends AnyFunSuite {
     assert(worst._3 == 999L, s"outlier not worst-affinity: ${out.toSeq}")
   }
 
+  test("randomized differential: report matches a single-process reference") {
+    // seeded random vectors + planted duplicate pairs; the reference
+    // replays the exact chain — seeded-sample order, Lloyd training,
+    // cosine cell assignment, keep-first within-cell pairwise drop
+    val rnd = new scala.util.Random(4242)
+    val base: Seq[(Long, Array[Float])] = (0L until 50L).map { id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dups = Seq(200L -> base(3)._2.clone, 201L -> base(17)._2.clone)
+    val all = base ++ dups
+    val tau = 0.9
+
+    // reference: SeededSample order -> sample -> Kmeans.train ->
+    // assignCell -> pairwise keep-first -> per-cell rollup
+    val n = all.length.toLong
+    val ivfK = graft.queries.TextVector.ivfCellsFor(n)
+    val sampleN = math.min(n, math.max(400L, 16L * ivfK)).toInt
+    val sample = all
+      .sortBy { case (id, _) =>
+        ((id % graft.ops.SeededSample.Mod) * graft.ops.SeededSample.Mult %
+          graft.ops.SeededSample.Mod, id) }
+      .take(sampleN).sortBy(_._1).map(_._2.map(_.toDouble))
+    val cents = graft.ops.Kmeans.train(sample.toArray,
+      math.min(ivfK, sampleN), 4)
+    val normSq = cents.map(c => c.foldLeft(0.0)((a, v) => a + v * v))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val assigned = all.map { case (id, v) =>
+      (id, v.map(_.toDouble),
+        graft.ops.Kmeans.assignCell(v.map(_.toDouble), cents, normSq)) }
+    val dropped = (for {
+      (ia, va, ca) <- assigned
+      (ib, vb, cb) <- assigned
+      if ca == cb && ia < ib && cos(va, vb) >= tau
+    } yield ib).toSet
+    val want = assigned.groupBy(_._3).toSeq.map { case (cell, members) =>
+      val d = members.count(m => dropped(m._1)).toLong
+      (cell.toLong, members.size.toLong, d, members.size - d)
+    }.sortBy(_._1)
+
+    val got = graft.queries.TextVector
+      .semDedup(all.toDF("vec_id", "embedding"), tau)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got == want, s"differential mismatch:\n got: $got\nwant: $want")
+  }
+
   test("rerun is deterministic on the real table") {
     val a = SparkEntry.queries("q104_semdedup")(spark, "/root/testdata/sf0.001").collect()
     val b = SparkEntry.queries("q104_semdedup")(spark, "/root/testdata/sf0.001").collect()
