@@ -167,6 +167,9 @@ object TextVector {
   // q108: per-cluster outlier shortlist depth.
   private val OutlierK = 3
 
+  // q109: late-interaction retrieval depth.
+  private val LateTopK = 5
+
   // q106: sampled-ground-truth size for the dedup-quality report.
   // The evaluation cost is bounded by EvalSampleN² REGARDLESS of
   // corpus size — that bound is the point of sampled evaluation.
@@ -1237,6 +1240,53 @@ object TextVector {
     "q108_embed_outliers" -> { (s, d) =>
       embedOutliers(Tables.embeddings(s, d), OutlierK) },
 
+    // Late-interaction (multi-vector) retrieval — ColBERT's MaxSim
+    // scoring (Khattab & Zaharia 2020, public) over per-CHUNK
+    // vectors: score(q, d) = Σ_{query chunks} max_{doc chunks}
+    // cos(qc, dc). Single-vector retrieval (q25/q30/q33/q90) pools a
+    // document to one point and loses which PART matched; late
+    // interaction keeps a vector per chunk and lets each query chunk
+    // pick its best-matching document chunk — the retrieval paradigm
+    // between bi-encoders and cross-encoders. Chunk vectors reuse
+    // q21's tokenize→chunk→HashEmbed device; queries are the first 3
+    // documents' chunk sets (the q25/q33 query convention). Scale
+    // shape: the tiny query-chunk set broadcasts against the chunk
+    // scan (q25's intentional BNLJ — each doc-chunk row scores all
+    // query chunks in one codegen pass); the MaxSim max and the
+    // per-(query, doc) sum are BOTH map-side-combined hash
+    // aggregates (each max micro-rounds to int64 BEFORE the sum, so
+    // the double addition order never matters); the final rank rides
+    // TopKPerKey. Nothing shuffles text or vectors — only
+    // (query, doc, qi, cos-micro) rows.
+    "q109_late_interaction" -> { (s, d) =>
+      import s.implicits._
+      val chunks = Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          posexplode(TextOps.chunksOf($"toks", ChunkTokens)).as(Seq("pos", "chunk")))
+        .select($"doc_id", $"pos",
+          graft.ops.expressions.HashEmbed($"chunk", EmbedDim).as("v"))
+      val qcs = broadcast(chunks.filter($"doc_id" < 3)
+        .select($"doc_id".as("query_id"), $"pos".as("qi"), $"v".as("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id")
+      chunks
+        .join(qcs) // every doc chunk scores every query chunk
+        .select($"query_id", $"qi", $"doc_id",
+          graft.ops.expressions.CosineSim($"v", $"qv").as("cos"))
+        .groupBy($"query_id", $"doc_id", $"qi")
+        .agg(max($"cos").as("mx"))
+        .groupBy($"query_id", $"doc_id")
+        .agg(sum(floor($"mx" * lit(1e6) + lit(0.5)).cast("bigint"))
+          .as("score_micro"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= LateTopK)
+        .select($"query_id", $"rn".cast("bigint").as("rn"), $"doc_id",
+          $"score_micro")
+        .orderBy($"query_id", $"rn")
+    },
+
     // Dedup-quality evaluation on a SAMPLED ground truth — the QA
     // report a curation team publishes next to its dedup run: how
     // much of the true near-dup set does the LSH candidate stage
@@ -2104,6 +2154,32 @@ object TextVector {
            |    AS BIGINT) AS n_kept
            |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
            |GROUP BY asg.cell ORDER BY cell""".stripMargin),
+
+      // Twin of q109: same chunk/embed devices, MaxSim as
+      // max-then-micro-rounded-integer-sum, per-query rank.
+      "q109_late_interaction" ->
+        s"""WITH t AS (SELECT doc_id, ${Sql.chunks("text", ChunkTokens)} AS cs
+           |           FROM documents),
+           |dv AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+           |         ${Sql.embed("cs[u.i+1]", EmbedDim)} AS v
+           |       FROM t, unnest(range(0, len(cs))) u(i)),
+           |qv AS (SELECT doc_id AS query_id, pos AS qi, v AS qv
+           |       FROM dv WHERE doc_id < 3),
+           |sc AS (SELECT q.query_id, q.qi, d.doc_id,
+           |         ${sqlCos("d.v", "q.qv")} AS cos
+           |       FROM dv d, qv q),
+           |mx AS (SELECT query_id, doc_id, qi, max(cos) AS mx
+           |       FROM sc GROUP BY 1, 2, 3),
+           |sm AS (SELECT query_id, doc_id,
+           |         CAST(sum(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT))
+           |           AS BIGINT) AS score_micro
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score_micro,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score_micro DESC, doc_id) AS rn
+           |      FROM sm)
+           |SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, score_micro
+           |FROM r WHERE rn <= $LateTopK ORDER BY query_id, rn""".stripMargin,
 
       // Twin of q108: the dynamic-geometry training replay, each
       // vector's cosine to its OWN centroid, per-cell bottom-K.

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q85_chi2_mix", "q91_pq_trained", "q99_domain_mixture",
       "q100_curation_funnel", "q102_bigram_surprisal",
       "q103_dsir_select", // q103: 1-row (nt, nr) totals broadcast
-      "q106_dedup_eval")  // q106: bounded-sample pair join + 1-row metrics
+      "q106_dedup_eval",  // q106: bounded-sample pair join + 1-row metrics
+      "q109_late_interaction") // q109: tiny query-chunk set vs the scan
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
