@@ -17,18 +17,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Cache contract: a few builders (q29, q34, q68) `.cache()` a small
-    * derived stage that the returned plan references several times
-    * (Spark has no DAG-level CSE across multi-referenced DataFrames).
-    * The cache is owned by the returned plan's lifetime — a harness
-    * that executes MANY entries from this map must call
-    * `spark.catalog.clearCache()` between (or after) queries, as
-    * Verify and Bench do, or cached blocks accumulate across the run.
-    * The q63/q65 builders additionally EXECUTE jobs during
-    * construction (the connected-components convergence loop —
-    * graft.queries.Clusters scaladoc); builders return correct
-    * plans either way, but plan-only consumers should expect those
-    * two to take query-execution time. */
+    * Cache contract: several builders (q24/q29/q34/q68/q75/q93/
+    * q100/q103/q104/q106) persist a derived stage that the returned
+    * plan references several times (Spark has no DAG-level CSE
+    * across multi-referenced DataFrames). The cache is owned by the
+    * returned plan's lifetime — a harness that executes MANY entries
+    * from this map must call `spark.catalog.clearCache()` between
+    * (or after) queries, as Verify and Bench do, or cached blocks
+    * accumulate across the run. Builders with a driver-looped or
+    * index-lifecycle stage (q63/q65 connected components, q90/q92/
+    * q98/q101/q104/q105/q108 training/counting) additionally EXECUTE
+    * jobs during construction; they return correct plans either way,
+    * but plan-only consumers should expect query-execution time. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextVector.queries ++
       graft.queries.Search.queries ++ graft.queries.Quality.queries ++
