@@ -200,12 +200,27 @@ object TextVector {
       math.min(ivfK, sampleN), IvfIters)
   }
 
+  // ONE dynamic-geometry training run per (session, corpus dir) for
+  // the q104/q108 query builders — the NearDupStage/BpeStage memo
+  // device (a production index trains its quantizer once and every
+  // consumer reads it; the codebook is bounded driver state). The
+  // spec hooks (semDedup/embedOutliers over arbitrary frames) stay
+  // un-memoized.
+  private val centsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Array[Array[Double]]]
+  private def trainedCentsFor(s: SparkSession, d: String): Array[Array[Double]] = {
+    centsCache.keys.filter(_._1.sparkContext.isStopped).foreach(centsCache.remove)
+    centsCache.getOrElseUpdate((s, d), trainedCentsDyn(Tables.embeddings(s, d)))
+  }
+
   /** The q108 chain over any (vec_id, embedding) frame (spec hook:
     * planted off-distribution vector). See the q108 entry doc. */
-  private[graft] def embedOutliers(emb: DataFrame, k: Int): DataFrame = {
+  private[graft] def embedOutliers(emb: DataFrame, k: Int,
+                                   cents0: Option[Array[Array[Double]]] = None): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents = trainedCentsDyn(emb)
+    val cents = cents0.getOrElse(trainedCentsDyn(emb))
     val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cell").orderBy($"cos", $"vec_id")
@@ -224,10 +239,11 @@ object TextVector {
       .orderBy($"cell", $"rn")
   }
 
-  private[graft] def semDedup(emb: DataFrame, tau: Double): DataFrame = {
+  private[graft] def semDedup(emb: DataFrame, tau: Double,
+                              cents0: Option[Array[Array[Double]]] = None): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents = trainedCentsDyn(emb)
+    val cents = cents0.getOrElse(trainedCentsDyn(emb))
     // persisted: both sides of the pair join + the rollup read it
     val assigned = emb.select($"vec_id", $"embedding",
       graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
@@ -1222,7 +1238,8 @@ object TextVector {
     // 0.60 at sf0.1), so the "duplicate" band sits lower than the
     // 0.9+ a real embedding model would warrant (OverflowTokens'
     // testdata argument).
-    "q104_semdedup" -> { (s, d) => semDedup(Tables.embeddings(s, d), SemTau) },
+    "q104_semdedup" -> { (s, d) =>
+      semDedup(Tables.embeddings(s, d), SemTau, Some(trainedCentsFor(s, d))) },
 
     // Semantic outlier detection — SemDeDup's companion filter (the
     // same paper prunes "semantically redundant" AND flags
@@ -1238,7 +1255,8 @@ object TextVector {
     // TopKPerKey operator — no sort of the corpus, no shuffle of
     // vectors beyond the rank's (cell, cos, id) rows.
     "q108_embed_outliers" -> { (s, d) =>
-      embedOutliers(Tables.embeddings(s, d), OutlierK) },
+      embedOutliers(Tables.embeddings(s, d), OutlierK,
+        Some(trainedCentsFor(s, d))) },
 
     // Late-interaction (multi-vector) retrieval — ColBERT's MaxSim
     // scoring (Khattab & Zaharia 2020, public) over per-CHUNK
