@@ -290,10 +290,15 @@ object AnnIndex {
     * the q90 twin) collapsing recall 0.73 → 0.27 when cell
     * population quadrupled, because ADC noise pushes true neighbors
     * off a fixed-depth list. */
+  /** `keepVec = true` appends the candidate's raw vector as
+    * `cand_vec` — callers needing it (screenSemantic's cosine
+    * verdict) then skip a SECOND join of the O(corpus) vector table
+    * the refine already paid for. */
   def searchRefined(spark: SparkSession, queries: DataFrame, dir: String,
                     vectors: DataFrame, k: Int, nprobe: Int = 0,
                     shortlist: Int = 0,
-                    excludeRun: Option[String] = None): DataFrame = {
+                    excludeRun: Option[String] = None,
+                    keepVec: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val depth = if (shortlist > 0) shortlist else math.max(16 * k, 128)
     val sl = search(spark, queries, dir, depth, nprobe, excludeRun)
@@ -302,12 +307,14 @@ object AnnIndex {
       zip_with(col("vec"), col("qvec"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, v) => acc + v)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val vecCols = if (keepVec) Seq(col("vec").as("cand_vec")) else Seq.empty
     sl.join(vectors.select(col("vec_id"), col("vec")), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
-      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .select(Seq(col("query_id"), col("vec_id"), d2.as("d2")) ++ vecCols: _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("d2"), col("rn"))
+      .select(Seq(col("query_id"), col("vec_id"), col("d2"), col("rn")) ++
+        vecCols.map(_ => col("cand_vec")): _*)
   }
 
   /** Semantic near-dup screening of an ingest batch against the
@@ -355,15 +362,15 @@ object AnnIndex {
     // nor flag a duplicate
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cand_id"))
+    // keepVec rides the candidate's raw vector out of the refine, so
+    // the cosine verdict needs NO second join of the vector table
     val nn = searchRefined(spark, queries, dir, vectors, k = ScreenCands,
-        excludeRun = excludeRun)
-      .select(col("query_id"), col("vec_id").as("cand_id"))
+        excludeRun = excludeRun, keepVec = true)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cand_vec"))
       .filter(col("cand_id") =!= col("query_id"))
-      .join(vectors.select(col("vec_id").as("cand_id"), col("vec").as("cvec")),
-        Seq("cand_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
-        graft.ops.expressions.CosineSim(col("qvec"), col("cvec")).as("cs"))
+        graft.ops.expressions.CosineSim(col("qvec"), col("cand_vec")).as("cs"))
       .filter(!isnan(col("cs")))
       .withColumn("rr", row_number().over(w))
       .filter(col("rr") === 1)

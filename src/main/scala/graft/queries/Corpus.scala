@@ -738,25 +738,17 @@ object Corpus {
   * corpus snapshots are addressed by path. */
 object BpeStage {
 
-  private val cache =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String),
-        Seq[graft.pipeline.BpeTrainer.Merge]]
-  private val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val stage =
+    new graft.ops.SessionStage[Seq[graft.pipeline.BpeTrainer.Merge]]((s, d) =>
+      graft.pipeline.BpeTrainer.train(
+        s, graft.Tables.documents(s, d), "text", Corpus.BpeRounds, minFreq = 1L))
 
   def merges(s: org.apache.spark.sql.SparkSession,
-             d: String): Seq[graft.pipeline.BpeTrainer.Merge] = {
-    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((s, d), {
-      builds.incrementAndGet()
-      graft.pipeline.BpeTrainer.train(
-        s, graft.Tables.documents(s, d), "text", Corpus.BpeRounds, minFreq = 1L)
-    })
-  }
+             d: String): Seq[graft.pipeline.BpeTrainer.Merge] = stage.get(s, d)
 
   /** How many times training actually executed (spec hook). */
-  def buildCount: Int = builds.get()
+  def buildCount: Int = stage.buildCount
 
   /** Drop cached tables (test isolation). */
-  private[graft] def reset(): Unit = { cache.clear(); builds.set(0) }
+  private[graft] def reset(): Unit = stage.reset()
 }

@@ -459,22 +459,14 @@ object Learn {
   * path). */
 object ProbeStage {
 
-  private val cache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), Array[Array[Long]]]
-  private val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val stage = new graft.ops.SessionStage[Array[Array[Long]]]((s, d) =>
+    graft.pipeline.ProbeTrainer.train(graft.Tables.embeddings(s, d))._1)
 
-  def trained(s: SparkSession, d: String): Array[Array[Long]] = {
-    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((s, d), {
-      builds.incrementAndGet()
-      graft.pipeline.ProbeTrainer.train(graft.Tables.embeddings(s, d))._1
-    })
-  }
+  def trained(s: SparkSession, d: String): Array[Array[Long]] = stage.get(s, d)
 
   /** How many times training actually executed (spec hook). */
-  def buildCount: Int = builds.get()
+  def buildCount: Int = stage.buildCount
 
   /** Drop cached weights (test isolation). */
-  private[graft] def reset(): Unit = { cache.clear(); builds.set(0) }
+  private[graft] def reset(): Unit = stage.reset()
 }

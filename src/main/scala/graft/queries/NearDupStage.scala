@@ -40,30 +40,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object NearDupStage {
 
-  private val cache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-  private val builds = new AtomicInteger(0)
+  private val stage = new graft.ops.SessionStage[DataFrame]((s, d) => {
+    val pairs = TextVector.queries("q24_near_dup")(s, d)
+      .select("id_a", "id_b")
+    graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+  })
 
   /** Connected-component labels (id, label) over q24's verified
     * near-dup pairs — label = min doc_id of the near-dup cluster;
     * one row per clustered doc. First call per (session, dir) runs
     * the full chain; later calls return the materialized table. */
-  def labels(s: SparkSession, d: String): DataFrame = {
-    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((s, d), {
-      builds.incrementAndGet()
-      val pairs = TextVector.queries("q24_near_dup")(s, d)
-        .select("id_a", "id_b")
-      graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
-    })
-  }
+  def labels(s: SparkSession, d: String): DataFrame = stage.get(s, d)
 
   /** How many times the chain actually executed (spec hook: three
     * consumers, one build). */
-  def buildCount: Int = builds.get()
+  def buildCount: Int = stage.buildCount
 
   /** Drop cached stages (test isolation; the checkpointed blocks are
     * released with their session). */
-  private[graft] def reset(): Unit = { cache.clear(); builds.set(0) }
+  private[graft] def reset(): Unit = stage.reset()
 }

@@ -201,18 +201,15 @@ object TextVector {
   }
 
   // ONE dynamic-geometry training run per (session, corpus dir) for
-  // the q104/q108 query builders — the NearDupStage/BpeStage memo
-  // device (a production index trains its quantizer once and every
-  // consumer reads it; the codebook is bounded driver state). The
-  // spec hooks (semDedup/embedOutliers over arbitrary frames) stay
-  // un-memoized.
-  private val centsCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), Array[Array[Double]]]
-  private def trainedCentsFor(s: SparkSession, d: String): Array[Array[Double]] = {
-    centsCache.keys.filter(_._1.sparkContext.isStopped).foreach(centsCache.remove)
-    centsCache.getOrElseUpdate((s, d), trainedCentsDyn(Tables.embeddings(s, d)))
-  }
+  // the q104/q108 query builders — graft.ops.SessionStage (a
+  // production index trains its quantizer once and every consumer
+  // reads it; the codebook is bounded driver state). The spec hooks
+  // (semDedup/embedOutliers over arbitrary frames) stay un-memoized.
+  private val centsStage =
+    new graft.ops.SessionStage[Array[Array[Double]]]((s, d) =>
+      trainedCentsDyn(Tables.embeddings(s, d)))
+  private def trainedCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    centsStage.get(s, d)
 
   /** The q108 chain over any (vec_id, embedding) frame (spec hook:
     * planted off-distribution vector). See the q108 entry doc. */
@@ -230,7 +227,13 @@ object TextVector {
         graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
       .select($"vec_id", $"cell",
         graft.ops.expressions.CosineSim($"x",
-          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos"))
+          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos0"))
+      // a zero-norm vector has NO affinity (NaN) — and NaN sorts
+      // ABOVE every real cosine in both engines, which would hide
+      // the MOST corrupt vector class from the bottom-K shortlist.
+      // Map it to the -2 sentinel (cosine lives in [-1, 1]) so
+      // encoder failures rank FIRST in the review list.
+      .withColumn("cos", when(isnan($"cos0"), lit(-2.0)).otherwise($"cos0"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
       .select($"cell".cast("bigint").as("cell"),
@@ -248,15 +251,21 @@ object TextVector {
     val assigned = emb.select($"vec_id", $"embedding",
       graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the pair verify is the hot loop (≈ n·c/2 cosines) — the fused
+    // the pair verify is the hot loop (≈ n·√n/2 cosines) — the fused
     // codegen kernel, not the interpreted HOF chain (q34's argument;
     // bit-exact twin, PropertySpec-pinned). Measured 6.8 → 0.9 s at
-    // sf0.1.
+    // sf0.1. The isnan guard is load-bearing: a zero-norm embedding
+    // (encoder failure) has NaN cosine to EVERY cellmate, and both
+    // engines treat NaN as greater than any double — unguarded, one
+    // corrupt low-id vector would flag its whole cell as duplicates
+    // (the screenSemantic trap, AnnIndex's class doc; q108 surfaces
+    // such vectors for review instead).
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
-      .filter(graft.ops.expressions.CosineSim(
-        $"a.embedding", $"b.embedding") >= tau)
+      .withColumn("cs", graft.ops.expressions.CosineSim(
+        $"a.embedding", $"b.embedding"))
+      .filter(!isnan($"cs") && $"cs" >= tau)
       .select($"b.vec_id".as("vec_id")).distinct()
     assigned
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
@@ -399,7 +408,7 @@ object TextVector {
   // bucket that large is band-hash degeneracy, the other Bands-1
   // bands still vote, and the cap is far above any non-adversarial
   // bucket (measured max 19 at sf0.1 vs cap 64).
-  private val BucketCap = 64
+  private[graft] val BucketCap = 64
 
   /** The Bands banded hashes of a MinHash signature column — ONE
     * definition for q24, q106 and the cap-headroom spec (a one-sided
@@ -2160,10 +2169,11 @@ object TextVector {
       // dropped; per-cell rollup.
       "q104_semdedup" ->
         materializeCtes(s"""WITH $IvfOracleCtesDyn,
-           |dup AS (SELECT DISTINCT b.vec_id
-           |        FROM asg a JOIN asg b
-           |          ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |        WHERE ${sqlCos("a.v", "b.v")} >= $SemTau)
+           |dup AS (SELECT DISTINCT vec_id FROM (
+           |          SELECT b.vec_id AS vec_id, ${sqlCos("a.v", "b.v")} AS cs
+           |          FROM asg a JOIN asg b
+           |            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           |        WHERE NOT isnan(cs) AND cs >= $SemTau)
            |SELECT CAST(asg.cell AS BIGINT) AS cell,
            |  count(*) AS n_vecs,
            |  CAST(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -2204,8 +2214,10 @@ object TextVector {
       "q108_embed_outliers" ->
         materializeCtes(s"""WITH $IvfOracleCtesDyn,
            |sc AS (SELECT vec_id, cell,
-           |         ${sqlCos("v", "cs[cell + 1]")} AS cos
-           |       FROM asg, c$IvfIters),
+           |         CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END AS cos
+           |       FROM (SELECT vec_id, cell,
+           |               ${sqlCos("v", "cs[cell + 1]")} AS cos0
+           |             FROM asg, c$IvfIters)),
            |r AS (SELECT cell, vec_id, cos,
            |        row_number() OVER (PARTITION BY cell
            |                           ORDER BY cos, vec_id) AS rn

@@ -143,11 +143,12 @@ class ClusterSpec extends AnyFunSuite {
     // MEASURES that precondition on the oracle-gated corpora instead
     // of assuming it (the planted mega-bucket case below gates the
     // over-cap star path)
+    val cap = graft.queries.TextVector.BucketCap
     for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val m = graft.queries.TextVector.maxBandBucket(
         Tables.documents(spark, sfDir))
-      assert(m <= 64 / 2,
-        s"$sfDir: max band bucket $m within 2x of the 64 cap — " +
+      assert(m <= cap / 2,
+        s"$sfDir: max band bucket $m within 2x of the $cap cap — " +
           "the uncapped oracle replay is no longer safely equivalent")
     }
   }
