@@ -294,8 +294,57 @@ object Sketch {
         .select($"event_type".as("g"), $"event_id".as("id"), $"value"))
         .select($"g".as("event_type"), $"n", $"n_sample",
           $"p50_est", $"p95_est")
+    },
+
+    // Adaptive quality floor — the q97 sketch put to its curation
+    // use: real pipelines drop "the worst FloorP of each domain",
+    // not "quality < 0.4", because score distributions differ per
+    // language/source; the cutoff must come from the corpus itself.
+    // The per-domain p20 threshold derives from the KMV bottom-k
+    // sample (constant per-group state at any corpus size — q42's
+    // exact per-group sort is the reducer-bound alternative), then
+    // broadcasts back over one quality-kernel pass for the keep
+    // decision. Both engines select the identical sample rows and
+    // interpolate identically, so the THRESHOLD and every keep
+    // verdict hash-match. Output: per-domain report (n_docs,
+    // thr_micro, n_kept). Token-less docs are out of scope of a
+    // quality floor and are excluded both sides.
+    "q110_adaptive_floor" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id", $"lang",
+          graft.ops.expressions.TextStats($"text").as("st"))
+        .select($"doc_id", $"lang",
+          $"st".getField("quality").as("quality"),
+          $"st".getField("n_tokens").as("nt"))
+        .filter($"nt" > 0L)
+        // two consumers: the sample and the keep pass (clearCache
+        // lifecycle as everywhere)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hashed = docs.select($"lang", $"doc_id", $"quality",
+        mix($"doc_id").as("hv"))
+      val sampled = graft.plans.TopK.perKey(hashed, Seq("lang"),
+        Seq("hv" -> true, "doc_id" -> true), QuantSampleK)
+      val est = sampled.groupBy($"lang")
+        .agg(sort_array(collect_list($"quality")).as("vs"))
+        .withColumn("m", size($"vs").cast("bigint"))
+      val idx = ($"m" - 1).cast("double") * lit(FloorP)
+      val thrExpr = element_at($"vs", floor(idx).cast("int") + 1) +
+        (element_at($"vs", ceil(idx).cast("int") + 1) -
+          element_at($"vs", floor(idx).cast("int") + 1)) * (idx - floor(idx))
+      val thr = est.select($"lang", thrExpr.as("thr"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          floor(max($"thr") * lit(1e6) + lit(0.5)).cast("long").as("thr_micro"),
+          sum(when($"quality" >= $"thr", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"lang")
     }
   )
+
+  /** q110's floor percentile: drop the worst 20% of each domain. */
+  private val FloorP = 0.2
 
   val oracles: Map[String, String] = Map(
 
@@ -369,6 +418,39 @@ object Sketch {
          |  ${Oracles.fround(q("0.95"), 6)} AS p95_est
          |FROM sm JOIN t ON sm.event_type = t.event_type
          |ORDER BY sm.event_type""".stripMargin
+    },
+
+    // Twin of q110: same sample selection and interpolation over the
+    // quality column (Sql.quality ≡ the TextStats kernel — the
+    // q26/q39/q41 contract), then the keep count under the derived
+    // threshold.
+    "q110_adaptive_floor" -> {
+      def q(p: String): String = {
+        val idx = s"(CAST(m - 1 AS DOUBLE) * $p)"
+        val vlo = s"vs[CAST(floor($idx) AS BIGINT) + 1]"
+        val vhi = s"vs[CAST(ceil($idx) AS BIGINT) + 1]"
+        s"$vlo + ($vhi - $vlo) * ($idx - floor($idx))"
+      }
+      s"""WITH d AS (SELECT doc_id, lang, ${TextVector.Sql.toks("text")} AS toks
+         |           FROM documents),
+         |e AS (SELECT doc_id, lang,
+         |        ${TextVector.Sql.quality("toks")} AS quality,
+         |        ${sqlMix("doc_id")} AS hv
+         |      FROM d WHERE len(toks) > 0),
+         |r AS (SELECT lang, quality,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY hv, doc_id) AS rn
+         |      FROM e),
+         |sm AS (SELECT lang, list_sort(list(quality)) AS vs,
+         |         count(*) AS m
+         |       FROM r WHERE rn <= $QuantSampleK GROUP BY 1),
+         |th AS (SELECT lang, ${q("0.2")} AS thr FROM sm)
+         |SELECT e.lang, count(*) AS n_docs,
+         |  CAST(floor(max(th.thr) * 1000000.0 + 0.5) AS BIGINT) AS thr_micro,
+         |  CAST(sum(CASE WHEN e.quality >= th.thr THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept
+         |FROM e JOIN th ON th.lang = e.lang
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }
