@@ -441,6 +441,180 @@ object TextVector {
       .agg(max($"count")).as[Long].head()
   }
 
+  /** Largest band-bucket population of the q29 SimHash banding (spec
+    * hook — unlike q24's [[maxBandBucket]] headroom contract, the
+    * q29/q34 oracles replay the CAPPED rule, so this measures WHICH
+    * regime the gate corpora exercise, not oracle validity:
+    * ClusterSpec documents simhash buckets below the cap at gate
+    * scales — the planted mega-bucket spec covers q29's star path —
+    * while [[maxEmbedBucket]] shows q34's star path firing under
+    * the oracle gate itself). */
+  private[graft] def maxSimhashBucket(docs: DataFrame): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", graft.ops.expressions.SimHashBands(
+        graft.ops.expressions.TokenHashes($"text")).as("bands"))
+      .select(posexplode($"bands").as(Seq("band_idx", "band_val")))
+      .groupBy($"band_idx", $"band_val").count()
+      .agg(max($"count")).as[Long].head()
+  }
+
+  /** Largest band-bucket population of the q34 SRP banding (spec
+    * hook — regime telemetry, see [[maxSimhashBucket]]: gate-corpus
+    * buckets measured ABOVE the cap here, which is what makes the
+    * capped oracle twin, not a headroom argument, the q34
+    * correctness contract). */
+  private[graft] def maxEmbedBucket(docs: DataFrame): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id",
+        sort_array(graft.ops.expressions.ShingleHashes($"text", DedupShingleK)).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id",
+        graft.ops.expressions.FeatureEmbed($"hs", DedupDim).as("v"))
+      .select(posexplode(
+        graft.ops.expressions.SrpBands($"v", DedupBits, DedupBands))
+        .as(Seq("band_idx", "band_val")))
+      .groupBy($"band_idx", $"band_val").count()
+      .agg(max($"count")).as[Long].head()
+  }
+
+  /** The q24 [[BucketCap]] device for the JOIN-BACK band families
+    * (q29 SimHash, q34 embed-cosine): candidates from a band
+    * self-join restricted to buckets with ≤ cap members, plus STAR
+    * edges (min-id hub → member) for over-cap buckets. Bucket size
+    * and hub are ONE map-side-combined aggregate — a degenerate
+    * mega-bucket (10⁶ identical docs in one band bucket) reduces to
+    * one row per input partition before the shuffle, emits m−1 hub
+    * edges instead of ~m²/2 pairs, and never funnels member payloads
+    * to a reducer (the join-back fetches vectors AFTER the distinct,
+    * so even the star edges shuffle as bare id pairs). The hub edge
+    * then passes the family's own verify (hamming for q29, cosine
+    * for q34), exactly as q24's star edges verify by Jaccard — a
+    * genuine mega-cluster stays connected for downstream labeling,
+    * while mixed degenerate buckets keep the other bands' votes
+    * (the [[BucketCap]] recall note).
+    *
+    * `bands` = (doc_id, band_idx, band_val); returns distinct
+    * (id_a, id_b) with id_a < id_b (hub = bucket min doc_id, so
+    * star edges satisfy the invariant by construction). */
+  private def cappedBandCandidates(bands: DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val stats = bands
+      .groupBy($"band_idx", $"band_val")
+      .agg(count(lit(1)).as("m"), min($"doc_id").as("hub_id"))
+      .filter($"m" > 1) // singleton buckets emit no pair
+    val tagged = bands.join(stats, Seq("band_idx", "band_val"))
+    val small = tagged.filter($"m" <= BucketCap)
+      .select($"doc_id", $"band_idx", $"band_val")
+    val smallCand = small.as("x")
+      .join(small.as("y"),
+        $"x.band_idx" === $"y.band_idx" && $"x.band_val" === $"y.band_val" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+    val starCand = tagged
+      .filter($"m" > BucketCap && $"doc_id" =!= $"hub_id")
+      .select($"hub_id".as("id_a"), $"doc_id".as("id_b"))
+    smallCand.unionByName(starCand).distinct()
+  }
+
+  /** The q29 chain over any (doc_id, text) frame (spec hook: planted
+    * mega-bucket). Banded SimHash candidates through
+    * [[cappedBandCandidates]], exact-hamming verify; scale shape in
+    * the q29 entry doc. Persist contract: caches the band table —
+    * callers clear via the Verify/Bench clearCache contract. */
+  private[graft] def simhashDupPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // TokenHashes fuses tokenize+hash in one codegen'd scan (no
+    // regex, no intermediate token array) — property-tested equal
+    // to transform(tokens(text), polyHash).
+    val bandsDf = docs
+      // fan out past the single-file scan split, and persist: the
+      // band table (doc_id + 4 longs) is referenced 3× below and
+      // each reference would otherwise re-run the fused scan
+      // (q34 rationale)
+      .repartition($"doc_id")
+      .select($"doc_id", graft.ops.expressions.SimHashBands(
+        graft.ops.expressions.TokenHashes($"text")).as("bands"))
+      .cache()
+    val exploded = bandsDf.select($"doc_id",
+      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    cappedBandCandidates(exploded)
+      .join(bandsDf.select($"doc_id".as("id_a"), $"bands".as("bands_a")), "id_a")
+      .join(bandsDf.select($"doc_id".as("id_b"), $"bands".as("bands_b")), "id_b")
+      .select($"id_a", $"id_b",
+        aggregate(
+          zip_with($"bands_a", $"bands_b",
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The q34 chain over any (doc_id, text) frame (spec hook: planted
+    * mega-bucket). Shingle-hash random-feature embedding, SRP-band
+    * candidates through [[cappedBandCandidates]], exact-cosine
+    * verify; semantics and scale shape in the q34 entry doc. Persist
+    * contract: caches the embedding table — callers clear via the
+    * Verify/Bench clearCache contract. */
+  private[graft] def embedDupPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val emb = docs
+      // the demo corpus is one parquet file = ONE input split; the
+      // shingle+embed stage is CPU-heavy per row, so fan it out
+      // across cores first (at 100 TB the scan has plentiful
+      // splits and this repartition is dropped)
+      .repartition($"doc_id")
+      // Shingle-less docs (<k tokens) are excluded EXPLICITLY: they
+      // embed to the zero vector and their pairs score cosine NaN,
+      // and Spark SQL (like DuckDB) sorts NaN ABOVE all doubles —
+      // `NaN >= 0.9` is TRUE in a SQL filter — so without this
+      // filter empty docs would pair with each other while the
+      // oracle's `WHERE len(sh) > 0` drops them. The pushed copy of
+      // this predicate at the scan is a cheap codegen kernel (q24's
+      // note). The per-dim feature SUM is order-dependent in IEEE
+      // doubles and list_distinct's output order is
+      // engine-specific — sort the hash set so both engines fold
+      // in the same order.
+      .select($"doc_id",
+        sort_array(graft.ops.expressions.ShingleHashes($"text", DedupShingleK)).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id",
+        graft.ops.expressions.FeatureEmbed($"hs", DedupDim).as("v"))
+      // the embedding table is referenced 4× below (both band-join
+      // sides + both vector join-backs) and Spark has no DAG-level
+      // CSE — persist it once. It is ~270 B/doc (id + 32 doubles),
+      // 4 orders smaller than the text it derives from, so
+      // MEMORY_AND_DISK holds it even at corpus scale — the same
+      // stage a production pipeline would materialize.
+      .cache()
+    val bands = emb.select($"doc_id",
+      posexplode(graft.ops.expressions.SrpBands($"v", DedupBits, DedupBands))
+        .as(Seq("band_idx", "band_val")))
+    // band-equality SELF-JOIN for small-bucket candidates (same
+    // shape as the oracle SQL and q29): whole-stage-codegen join +
+    // filter. The bucket-carry groupBy/flatten form pays interpreted
+    // lambda pair expansion INSIDE each bucket — with an 871-doc
+    // cluster that is ~12M single-threaded lambda evals (this switch
+    // plus the cached embed stage: 17 s → ~1.5 s at sf0.1). Buckets
+    // past BucketCap take the star path (cappedBandCandidates).
+    cappedBandCandidates(bands)
+      .join(emb.select($"doc_id".as("id_a"), $"v".as("v_a")), "id_a")
+      .join(emb.select($"doc_id".as("id_b"), $"v".as("v_b")), "id_b")
+      // codegen'd cosine (CosineSim ≡ VectorOps.cosine bit-for-bit)
+      // — the verify stage touches every candidate pair, and three
+      // interpreted HOF reductions per pair dominated the query
+      .select($"id_a", $"id_b",
+        graft.ops.expressions.CosineSim($"v_a", $"v_b").as("cos"))
+      .filter($"cos" >= DedupCosMin)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** The q24 chain over any (doc_id, text) frame (spec hook: planted
     * mega-bucket). Semantics and scale shape in the q24 entry doc;
     * the over-cap star path in the [[BucketCap]] note. */
@@ -816,40 +990,17 @@ object TextVector {
     // SimHash near-dup (builder brief, second dedup family): 64-bit
     // simhash computed by a codegen'd Catalyst expression as 4×16-bit
     // band values; LSH candidates on band equality (pigeonhole: any
-    // pair at hamming ≤ 3 shares a band — recall 1.0, no all-pairs
-    // join); verify exact hamming over the band arrays.
+    // pair at hamming ≤ 3 shares a band — recall 1.0 below the
+    // bucket cap, no all-pairs join); over-cap buckets take the q24
+    // star-edge path (cappedBandCandidates); verify exact hamming
+    // over the band arrays. Unlike q24 (whose headroom makes the
+    // uncapped oracle valid), the q29/q34 twins replay the CAPPED
+    // candidate rule CTE-for-CTE — the star path itself is
+    // oracle-gated, no headroom precondition (measured gate-corpus
+    // buckets: simhash 53/46, embed 86/89 at sf0.001/sf0.01 vs
+    // cap 64 — q34's star path actually fires under the gate).
     "q29_simhash_dedup" -> { (s, d) =>
-      import s.implicits._
-      // TokenHashes fuses tokenize+hash in one codegen'd scan (no
-      // regex, no intermediate token array) — property-tested equal
-      // to transform(tokens(text), polyHash).
-      val bandsDf = Tables.documents(s, d)
-        // fan out past the single-file scan split, and persist: the
-        // band table (doc_id + 4 longs) is referenced 3× below and
-        // each reference would otherwise re-run the fused scan
-        // (q34 rationale)
-        .repartition($"doc_id")
-        .select($"doc_id", graft.ops.expressions.SimHashBands(
-          graft.ops.expressions.TokenHashes($"text")).as("bands"))
-        .cache()
-      val exploded = bandsDf.select($"doc_id",
-        posexplode($"bands").as(Seq("band_idx", "band_val")))
-      val cand = exploded.as("x")
-        .join(exploded.as("y"),
-          $"x.band_idx" === $"y.band_idx" && $"x.band_val" === $"y.band_val" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-        .distinct()
-      cand
-        .join(bandsDf.select($"doc_id".as("id_a"), $"bands".as("bands_a")), "id_a")
-        .join(bandsDf.select($"doc_id".as("id_b"), $"bands".as("bands_b")), "id_b")
-        .select($"id_a", $"id_b",
-          aggregate(
-            zip_with($"bands_a", $"bands_b",
-              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-            lit(0L), (acc, v) => acc + v).as("hamming"))
-        .filter($"hamming" <= 3)
-        .orderBy($"id_a", $"id_b")
+      simhashDupPairs(Tables.documents(s, d))
     },
 
     // LSH-bucketed approximate similarity search (builder brief: the
@@ -921,66 +1072,16 @@ object TextVector {
     // candidates → exact cosine verify. No all-pairs join anywhere.
     // This is the JOIN-BACK variant (q24's comment documents the
     // trade-off): the corpus has near-dup CLUSTERS (measured max
-    // bucket 871 docs at sf0.1 ⇒ ~8M raw candidate pairs), so pairs
-    // shuffle as bare (id_a, id_b) — the vectors rejoin AFTER the
-    // distinct (the bucket-carry form moved 2×32 doubles through the
-    // same 8M-row shuffle, measured ~4.5 GB vs ~128 MB).
+    // bucket 871 docs at sf0.1 ⇒ ~8M raw candidate pairs uncapped),
+    // so pairs shuffle as bare (id_a, id_b) — the vectors rejoin
+    // AFTER the distinct. Buckets past BucketCap now take the star
+    // path (cappedBandCandidates), so that 871-doc degenerate bucket
+    // emits 870 hub edges instead of ~380k pairs; the oracle replays
+    // the CAPPED candidate rule (see the q29 entry note) — the gate
+    // corpora hold 86/89-member buckets, so the star path is
+    // exercised and oracle-gated at BOTH gate scales.
     "q34_embed_dup" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.documents(s, d)
-        // the demo corpus is one parquet file = ONE input split; the
-        // shingle+embed stage is CPU-heavy per row, so fan it out
-        // across cores first (at 100 TB the scan has plentiful
-        // splits and this repartition is dropped)
-        .repartition($"doc_id")
-        // Shingle-less docs (<k tokens) are excluded EXPLICITLY: they
-        // embed to the zero vector and their pairs score cosine NaN,
-        // and Spark SQL (like DuckDB) sorts NaN ABOVE all doubles —
-        // `NaN >= 0.9` is TRUE in a SQL filter — so without this
-        // filter empty docs would pair with each other while the
-        // oracle's `WHERE len(sh) > 0` drops them. The pushed copy of
-        // this predicate at the scan is a cheap codegen kernel (q24's
-        // note). The per-dim feature SUM is order-dependent in IEEE
-        // doubles and list_distinct's output order is
-        // engine-specific — sort the hash set so both engines fold
-        // in the same order.
-        .select($"doc_id",
-          sort_array(graft.ops.expressions.ShingleHashes($"text", DedupShingleK)).as("hs"))
-        .filter(size($"hs") > 0)
-        .select($"doc_id",
-          graft.ops.expressions.FeatureEmbed($"hs", DedupDim).as("v"))
-        // the embedding table is referenced 4× below (both band-join
-        // sides + both vector join-backs) and Spark has no DAG-level
-        // CSE — persist it once. It is ~270 B/doc (id + 32 doubles),
-        // 4 orders smaller than the text it derives from, so
-        // MEMORY_AND_DISK holds it even at corpus scale — the same
-        // stage a production pipeline would materialize.
-        .cache()
-      val bands = emb.select($"doc_id",
-        posexplode(graft.ops.expressions.SrpBands($"v", DedupBits, DedupBands))
-          .as(Seq("band_idx", "band_val")))
-      // band-equality SELF-JOIN for candidates (same shape as the
-      // oracle SQL and q29): whole-stage-codegen join + filter. The
-      // bucket-carry groupBy/flatten form pays interpreted-lambda
-      // pair expansion INSIDE each bucket — with an 871-doc cluster
-      // that is ~12M single-threaded lambda evals (this switch plus
-      // the cached embed stage: 17 s → ~1.5 s at sf0.1).
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          $"x.band_idx" === $"y.band_idx" && $"x.band_val" === $"y.band_val" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      cand
-        .join(emb.select($"doc_id".as("id_a"), $"v".as("v_a")), "id_a")
-        .join(emb.select($"doc_id".as("id_b"), $"v".as("v_b")), "id_b")
-        // codegen'd cosine (CosineSim ≡ VectorOps.cosine bit-for-bit)
-        // — the verify stage touches every candidate pair, and three
-        // interpreted HOF reductions per pair dominated the query
-        .select($"id_a", $"id_b",
-          graft.ops.expressions.CosineSim($"v_a", $"v_b").as("cos"))
-        .filter($"cos" >= DedupCosMin)
-        .orderBy($"id_a", $"id_b")
+      embedDupPairs(Tables.documents(s, d))
     },
 
     // T5 (run.py:139): instruction prompt-pair construction — the
@@ -2048,9 +2149,21 @@ object TextVector {
            |        FROM documents)),
            |e AS (SELECT doc_id, t.b AS band_idx, bands[t.b+1] AS band_val
            |      FROM bsrc, generate_series(0, 3) t(b)),
-           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |         FROM e x JOIN e y ON x.band_idx = y.band_idx
-           |           AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+           |stats AS (SELECT band_idx, band_val, count(*) AS m, min(doc_id) AS hub_id
+           |          FROM e GROUP BY band_idx, band_val HAVING count(*) > 1),
+           |small AS (SELECT e.doc_id, e.band_idx, e.band_val
+           |          FROM e JOIN stats s ON e.band_idx = s.band_idx
+           |            AND e.band_val = s.band_val
+           |          WHERE s.m <= $BucketCap),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM (
+           |          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           |          FROM small x JOIN small y ON x.band_idx = y.band_idx
+           |            AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+           |          UNION ALL
+           |          SELECT s.hub_id AS id_a, e.doc_id AS id_b
+           |          FROM e JOIN stats s ON e.band_idx = s.band_idx
+           |            AND e.band_val = s.band_val
+           |          WHERE s.m > $BucketCap AND e.doc_id <> s.hub_id))
            |SELECT id_a, id_b,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
            |    list_transform(list_zip(a.bands, b2.bands),
@@ -2134,9 +2247,21 @@ object TextVector {
            |        FROM (SELECT doc_id, v, $bitsSql AS bits FROM e)),
            |b AS (SELECT doc_id, t.b AS band_idx, bands[t.b+1] AS band_val
            |      FROM sig, generate_series(0, ${DedupBands - 1}) t(b)),
-           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |         FROM b x JOIN b y ON x.band_idx = y.band_idx
-           |           AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+           |stats AS (SELECT band_idx, band_val, count(*) AS m, min(doc_id) AS hub_id
+           |          FROM b GROUP BY band_idx, band_val HAVING count(*) > 1),
+           |small AS (SELECT b.doc_id, b.band_idx, b.band_val
+           |          FROM b JOIN stats s ON b.band_idx = s.band_idx
+           |            AND b.band_val = s.band_val
+           |          WHERE s.m <= $BucketCap),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM (
+           |          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           |          FROM small x JOIN small y ON x.band_idx = y.band_idx
+           |            AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+           |          UNION ALL
+           |          SELECT s.hub_id AS id_a, b.doc_id AS id_b
+           |          FROM b JOIN stats s ON b.band_idx = s.band_idx
+           |            AND b.band_val = s.band_val
+           |          WHERE s.m > $BucketCap AND b.doc_id <> s.hub_id))
            |SELECT id_a, id_b,
            |  ${Sql.dot("a.v", "b2.v")} / sqrt(${Sql.dot("a.v", "a.v")})
            |    / sqrt(${Sql.dot("b2.v", "b2.v")}) AS cos

@@ -190,6 +190,80 @@ class ClusterSpec extends AnyFunSuite {
     spark.catalog.clearCache() // nearDupPairs persist contract
   }
 
+  test("q29/q34 gate corpora exercise the regimes their capped oracles claim") {
+    // The q29/q34 oracle twins replay the CAPPED candidate rule (no
+    // headroom precondition, unlike q24). This pins the measured
+    // regime facts the entry comments state: SimHash buckets sit
+    // below the cap at gate scales (q29's star path is covered by
+    // the planted case below, not the gate), while the SRP banding
+    // holds over-cap buckets at BOTH gate scales — i.e. q34's star
+    // path fires under, and is verified by, the oracle gate itself.
+    val cap = graft.queries.TextVector.BucketCap
+    for (sfDir <- Seq("/root/testdata/sf0.001", sf01)) {
+      val docs = Tables.documents(spark, sfDir)
+      val sh = graft.queries.TextVector.maxSimhashBucket(docs)
+      assert(sh <= cap,
+        s"$sfDir: simhash max bucket $sh crossed the $cap cap — q29's " +
+          "gate now exercises the star path; update the entry comment")
+      val em = graft.queries.TextVector.maxEmbedBucket(docs)
+      assert(em > cap,
+        s"$sfDir: embed max bucket $em no longer exceeds the $cap cap — " +
+          "q34's star path is no longer oracle-exercised")
+    }
+  }
+
+  test("q29: a planted mega-bucket is hard-capped to spanning star edges") {
+    // 200 byte-identical docs share all 4 simhash bands — one
+    // mega-bucket per band. Uncapped the band self-join emits
+    // 200·199/2 = 19 900 verified pairs; the BucketCap star path
+    // must emit O(m) hub edges that keep the family connected
+    // (hamming 0 vs the hub, so every star edge verifies).
+    val mega = (0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairFam = Seq(
+      (1000L, "one two three four five six seven eight nine ten"),
+      (1001L, "one two three four five six seven eight nine ten"))
+    val singles = (2000L until 2004L).map(i =>
+      (i, s"lonely${i}a lonely${i}b lonely${i}c lonely${i}d lonely${i}e"))
+    val docs = (mega ++ pairFam ++ singles).toDF("doc_id", "text")
+    val pairs = graft.queries.TextVector.simhashDupPairs(docs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val megaPairs = pairs.filter { case (a, b) => a < 1000L && b < 1000L }
+    assert(megaPairs.length < 1000,
+      s"mega-bucket emitted ${megaPairs.length} pairs — cap not applied")
+    assert(megaPairs.nonEmpty, "mega-bucket lost all its edges")
+    val labels = cc(megaPairs.toSeq)
+    assert(labels.size == 200 && labels.values.forall(_ == 0L),
+      "capped edges no longer span the mega-cluster")
+    assert(pairs.contains((1000L, 1001L)), "normal near-dup pair lost")
+    spark.catalog.clearCache() // simhashDupPairs persist contract
+  }
+
+  test("q34: a planted mega-bucket is hard-capped to spanning star edges") {
+    // identical texts → identical shingle sets → identical feature
+    // embeddings → all DedupBands SRP buckets collapse to one
+    // mega-bucket each; star edges verify at cosine 1.0.
+    val mega = (0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairFam = Seq(
+      (1000L, "one two three four five six seven eight nine ten"),
+      (1001L, "one two three four five six seven eight nine ten"))
+    val singles = (2000L until 2004L).map(i =>
+      (i, s"lonely${i}a lonely${i}b lonely${i}c lonely${i}d lonely${i}e"))
+    val docs = (mega ++ pairFam ++ singles).toDF("doc_id", "text")
+    val pairs = graft.queries.TextVector.embedDupPairs(docs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val megaPairs = pairs.filter { case (a, b) => a < 1000L && b < 1000L }
+    assert(megaPairs.length < 1000,
+      s"mega-bucket emitted ${megaPairs.length} pairs — cap not applied")
+    assert(megaPairs.nonEmpty, "mega-bucket lost all its edges")
+    val labels = cc(megaPairs.toSeq)
+    assert(labels.size == 200 && labels.values.forall(_ == 0L),
+      "capped edges no longer span the mega-cluster")
+    assert(pairs.contains((1000L, 1001L)), "normal near-dup pair lost")
+    spark.catalog.clearCache() // embedDupPairs persist contract
+  }
+
   test("randomized soundness: every reported near-dup pair carries its exact Jaccard; identical docs always pair") {
     // phrase-built corpus: structural overlap at random offsets.
     // LSH recall is probabilistic, so the fuzz pins SOUNDNESS (a
