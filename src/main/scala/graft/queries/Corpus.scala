@@ -150,15 +150,30 @@ object Corpus {
     "q68_winnow_overlap" -> { (s, d) =>
       import s.implicits._
       // fan out past the single-file scan split for the kernel pass;
-      // cache the tiny (doc_id, fp) table — referenced 3× below
-      // (both join sides + per-doc counts; no DAG-level CSE)
-      val kept = Tables.documents(s, d)
+      // persist the raw (doc_id, fp) table — referenced by the df
+      // aggregate AND the keep join below (no DAG-level CSE), and
+      // it is 2 longs/row
+      val fps = Tables.documents(s, d)
         .repartition($"doc_id")
         .select($"doc_id",
           explode(graft.ops.expressions.WinnowFingerprints($"text", WinnowK, WinnowW))
             .as("fp"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"fp")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // document frequency via groupBy + join-back (the q75/q93
+      // skew device), NOT count().over(Window.partitionBy(fp)): the
+      // aggregate map-side-combines a hot fingerprint to one row per
+      // input partition before the shuffle, and an over-cap fp's
+      // occurrence rows are DROPPED as they stream through the inner
+      // join (keepFps excludes the fp) — no reducer ever holds a hot
+      // fingerprint's occurrence set, and AQE can split the join
+      // where a window partition cannot be split.
+      val keepFps = fps.groupBy($"fp")
+        .agg(count(lit(1)).as("df"))
         .filter($"df" <= WinnowMaxDf)
+        .select($"fp")
+      // cache the surviving (doc_id, fp) table — referenced 3× below
+      // (both pair-join sides + per-doc counts)
+      val kept = fps.join(keepFps, "fp")
         .select($"doc_id", $"fp")
         .cache()
       val cnt = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
@@ -210,14 +225,22 @@ object Corpus {
     // frequency — what q43's BM25 would SCAN at serving time,
     // materialized here as a build job. Positions come from one
     // fused posexplode(TokenHashes) pass; postings group by
-    // (term, doc) with map-side partial aggregation; df is a window
-    // over the already-(term,doc)-grouped rows — O(postings) state,
-    // partitioned by term, which is exactly how a 100-TB index build
-    // shards. The 1-in-7 term sample is deterministic (hash mod),
-    // not a rand() — re-runs and engines agree.
+    // (term, doc) with map-side partial aggregation; df comes from a
+    // groupBy(term) aggregate joined back onto the postings (the
+    // q75/q93 skew device — a window over partitionBy(th) would
+    // funnel a stop-term's whole posting list to one reducer, and
+    // AQE cannot split a window partition; the join-back aggregate
+    // map-side-combines and the equi-join is AQE skew-splittable).
+    // O(postings) state, partitioned by term, which is exactly how a
+    // 100-TB index build shards. The 1-in-7 term sample is
+    // deterministic (hash mod), not a rand() — re-runs and engines
+    // agree.
     "q70_inverted_index" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
+      // persisted: the posting table feeds the df aggregate AND the
+      // join-back (no DAG-level CSE); lifecycle is the Verify/Bench
+      // clearCache contract
+      val postings = Tables.documents(s, d)
         .repartition($"doc_id")
         .select($"doc_id",
           posexplode(graft.ops.expressions.TokenHashes($"text")).as(Seq("pos", "th")))
@@ -227,7 +250,9 @@ object Corpus {
           concat_ws(",",
             transform(sort_array(collect_list($"pos")), _.cast("string")))
             .as("positions"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"th")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfs = postings.groupBy($"th").agg(count(lit(1)).as("df"))
+      postings.join(dfs, "th")
         .select($"th", $"doc_id", $"tf", $"df", $"positions")
         .orderBy($"th", $"doc_id")
     },

@@ -89,15 +89,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q105 scan not pruned to (lang, text):\n$q105Scan")
   }
 
-  test("first-occurrence dedup never plans a window over a content-key partition") {
-    // q75/q93's first occurrence is a min(struct) hash aggregate; a
-    // Window reappearing in either plan means the skew-unsafe
-    // row_number-over-(hash, content) formulation crept back — a
+  test("content-key per-group state never plans a window over a content-key partition") {
+    // q75/q93's first occurrence is a min(struct) hash aggregate and
+    // q68/q70's document frequency is a groupBy + join-back; a
+    // Window reappearing in any of these plans means a skew-unsafe
+    // over-(hash/fingerprint/term) formulation crept back — a
     // boilerplate key would funnel its whole occurrence set onto one
     // reducer, and AQE cannot split a window partition
-    for (name <- Seq("q75_paragraph_dedup", "q93_span_dedup"))
+    for (name <- Seq("q75_paragraph_dedup", "q93_span_dedup",
+        "q68_winnow_overlap", "q70_inverted_index"))
       assert(!plans(name).contains("Window"),
-        s"$name plans a window — first occurrence must stay a skew-immune aggregate:\n${plans(name)}")
+        s"$name plans a window — per-content-key state must stay a skew-immune aggregate:\n${plans(name)}")
   }
 
   test("every query ends in a deterministic total order (oracle-comparable output)") {
