@@ -85,12 +85,17 @@ object Learn {
     * q102 reference-slice device); only NON-target docs are scored
     * and selected. Cross-engine contract: bucket counts are exact
     * integers, every p̂-ratio is a division of two EXACTLY
-    * representable double products (all factors < 2^26, so the
-    * products are integer-exact in double), and the per-bucket
-    * log-ratio micro-rounds to int64 BEFORE the per-doc sum — the
-    * one ln() call per BUCKET is the only libm touch (1-ulp
-    * divergence absorbed by the rounding, q99's pow argument), and
-    * every per-doc score is a pure BIGINT sum both engines order
+    * representable double products ON THE GATED CORPORA (factors
+    * < 2^26 there, so (c+1)·(N+B) stays under 2^53 and is
+    * integer-exact in double — at production token counts beyond
+    * ~2^26 the products round and the ratio inputs lose bit-exact
+    * cross-engine agreement, though the micro-rounded ln absorbs
+    * everything short of a value sitting within 1 ulp of a
+    * 0.5e-6 rounding boundary), and the per-bucket log-ratio
+    * micro-rounds to int64 BEFORE the per-doc sum — the one ln()
+    * call per BUCKET is the only libm touch (1-ulp divergence
+    * absorbed by the rounding, q99's pow argument), and every
+    * per-doc score is a pure BIGINT sum both engines order
     * identically.
     *
     * Scale shape: the position frame is a narrow fused

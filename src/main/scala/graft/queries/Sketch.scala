@@ -444,7 +444,7 @@ object Sketch {
          |sm AS (SELECT lang, list_sort(list(quality)) AS vs,
          |         count(*) AS m
          |       FROM r WHERE rn <= $QuantSampleK GROUP BY 1),
-         |th AS (SELECT lang, ${q("0.2")} AS thr FROM sm)
+         |th AS (SELECT lang, ${q(FloorP.toString)} AS thr FROM sm)
          |SELECT e.lang, count(*) AS n_docs,
          |  CAST(floor(max(th.thr) * 1000000.0 + 0.5) AS BIGINT) AS thr_micro,
          |  CAST(sum(CASE WHEN e.quality >= th.thr THEN 1 ELSE 0 END)

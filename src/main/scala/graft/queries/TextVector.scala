@@ -1764,7 +1764,12 @@ object TextVector {
     * at IvfSamplePerCell·nlist (ivfSampleSized), and nprobe =
     * max(4, 2·ceil(√nlist)) (ivfNprobeFor) are all DERIVED FROM THE
     * CORPUS inside SQL (`kk`), so the oracle replays the
-    * production-sizing policy rather than a baked constant. `cellid`
+    * production-sizing policy rather than a baked constant. `kk`
+    * also clamps k to the sample size (least(k, sampn)), mirroring
+    * the Spark side's min(ivfK, sample.length) — without it a
+    * sub-IvfKMin corpus would grow NULL centroid slots over the
+    * Lloyd rounds while Spark trains min(k, sample) centroids; np
+    * stays derived from the UNCLAMPED k on both sides. `cellid`
     * stands in for range(0, nlist): a constant range over the k cap
     * filtered by the derived k (DuckDB table functions want constant
     * bounds). Ends at `asg` like the static chain. */
@@ -1789,12 +1794,13 @@ object TextVector {
          |  LEFT JOIN m$t ON m$t.cell = r.j)""".stripMargin
     }.mkString(",\n")
     s"""nn AS (SELECT count(*) AS n FROM embeddings),
-       |kk AS (SELECT k,
-       |         least(n, greatest($IvfSampleN, $IvfSamplePerCell * k)) AS sampn,
+       |kk AS (SELECT least(k, sampn) AS k, sampn,
        |         greatest($IvfNprobe, 2 * CAST(ceil(sqrt(k)) AS INT)) AS np
-       |       FROM (SELECT n, greatest($IvfKMin,
+       |       FROM (SELECT k,
+       |               least(n, greatest($IvfSampleN, $IvfSamplePerCell * k)) AS sampn
+       |             FROM (SELECT n, greatest($IvfKMin,
        |               least($IvfKMax, CAST(floor(sqrt(n)) AS INT))) AS k
-       |             FROM nn)),
+       |             FROM nn))),
        |cellid AS (SELECT j FROM range(0, $IvfKMax) t(j)
        |           WHERE j < (SELECT k FROM kk)),
        |samp AS (

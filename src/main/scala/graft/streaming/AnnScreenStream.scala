@@ -95,11 +95,20 @@ object AnnScreenStream {
         verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         val uniques = b.join(
           verdicts.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
-        AnnIndex.append(spark, uniques, indexDir, s"b$batchId")
+        // raw store FIRST, codes second: a crash between the two
+        // writes must leave an orphan that is HARMLESS until the
+        // batch re-delivers. An orphan raw row is never shortlisted
+        // (search shortlists from codes), but an orphan CODE row's
+        // vec_id would silently drop out of searchRefined's raw
+        // inner-join — a later duplicate of the absorbed vector
+        // would screen as unique inside the crash window. Both
+        // writes are run-partitioned overwrites, so re-delivery
+        // replaces the orphan idempotently either way.
         uniques.withColumn("run", lit(s"b$batchId"))
           .write.partitionBy("run").mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(rawDir(indexDir))
+        AnnIndex.append(spark, uniques, indexDir, s"b$batchId")
       } finally verdicts.unpersist()
     } finally b.unpersist()
   }
