@@ -4,59 +4,118 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The curation END PRODUCT as a materialized artifact: one job that
-  * composes the engine's dedup → quality → split stages and WRITES
-  * the training corpus, instead of answering queries about it
-  * (q67 reports the cleaned corpus, q65 the split; a training run
-  * consumes files). Output layout: parquet partitioned by `split`
-  * (train/val/test), one row per surviving document with its
-  * near-dup cluster id and quality score attached — the lineage
-  * columns an audit needs.
+  * composes the engine's dedup → quality → mixture → split stages
+  * and WRITES the training corpus, instead of answering queries
+  * about it (q67 reports the cleaned corpus, q65 the split, q110 the
+  * floor, q99 the rates; a training run consumes files). Output
+  * layout: parquet partitioned by `split` (train/val/test), one row
+  * per surviving document with its near-dup cluster id and quality
+  * score attached — the lineage columns an audit needs.
   *
   * Stage shapes (each individually proven by its query twin):
   *   1. near-dup clusters from [[graft.queries.NearDupStage]] (the
   *      shared LSH → connected-components label table);
   *   2. keep = cluster representatives only (q67: broadcast drop-set
   *      anti-join — the corpus scan never shuffles);
-  *   3. quality floor via the fused TextStats kernel (q26/q39's
-  *      score, one codegen pass);
-  *   4. split = hash of the CLUSTER id, 80/10/10 (q65: no near-dup
+  *   3. quality floor = the ADAPTIVE per-domain p20 threshold
+  *      (q110's [[graft.queries.Sketch.adaptiveFloorThresholds]]
+  *      stage — the corpus's own quantiles, not a fixed constant;
+  *      token-less docs are out of scope of a quality floor and of a
+  *      training corpus, so the quality stage drops them);
+  *   4. mixture = [[MixtureMaintenance.decideWith]] keep verdicts —
+  *      rates from the maintained store when `mixtureDir` is given
+  *      (the production path: ingest maintains, export consumes), or
+  *      derived from THIS corpus's own quality survivors through the
+  *      shared [[graft.queries.Learn.temperedRates]] stage (the q100
+  *      funnel semantics) when the export runs self-contained;
+  *   5. split = hash of the CLUSTER id, 80/10/10 (q65: no near-dup
   *      pair ever straddles train/test);
-  *   5. write partitioned by split — static overwrite, so re-running
+  *   6. write partitioned by split — static overwrite, so re-running
   *      the export is idempotent.
   *
+  * [[funnel]] publishes the q100-style per-domain report (raw →
+  * dedup → quality → kept) from the SAME stage chain, so the written
+  * artifact and the run report cannot disagree — ExportSpec
+  * reconciles the corpus on disk against it.
+  *
   * At 100 TB: one corpus scan for the label stage (shared, not
-  * per-consumer), one for the export; everything between is
-  * id-width. */
+  * per-consumer), one for the export; everything between is id-width
+  * (thresholds and rates are O(domains) broadcasts, mixture verdicts
+  * shuffle (doc_id, lang, hash) only). */
 object CurationExport {
 
   private val HashMod = 1000000007L
   private val PermMult = 2654435761L
 
-  /** Run the export; returns per-split counts (the run report).
-    * `format`: "parquet" (default — typed, splittable, the training
-    * stack's native input) or "jsonl" (JSON Lines, one document per
-    * line — the pretraining-corpus interchange format; Spark's json
-    * sink escapes embedded newlines/quotes/unicode, so a document is
-    * ALWAYS exactly one line and a round-trip read reproduces the
-    * text byte-for-byte — ExportSpec pins it). Both lay out
-    * `split=` partition dirs. */
-  def run(spark: SparkSession, sfDir: String, outDir: String,
-          minQuality: Double = 0.0, format: String = "parquet"): DataFrame = {
-    require(format == "parquet" || format == "jsonl",
-      s"unsupported export format '$format' (parquet | jsonl)")
+  /** The shared stage chain. `reps` = cluster representatives with
+    * quality/lineage columns (persisted — feeds the threshold
+    * sample, the floor filter, and the funnel's dedup count);
+    * `surv` = quality survivors (persisted — feeds the rate
+    * aggregate, the verdict join, the write, and the funnel);
+    * `kept` = mixture survivors. Callers release via
+    * [[Stages#unpersist]]. */
+  private case class Stages(reps: DataFrame, surv: DataFrame, kept: DataFrame) {
+    def unpersist(): Unit = { reps.unpersist(); surv.unpersist() }
+  }
+
+  private def build(spark: SparkSession, sfDir: String,
+                    mixtureDir: Option[String]): Stages = {
     val labels = graft.queries.NearDupStage.labels(spark, sfDir)
     val drop = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     val clusters = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
-    val h = pmod(col("unit_id"), lit(HashMod)) * lit(PermMult) % lit(HashMod)
-    val kept = graft.Tables.documents(spark, sfDir)
+    // cluster representatives, scored by the fused TextStats kernel
+    // (one codegen pass)
+    val reps = graft.Tables.documents(spark, sfDir)
       .join(drop, Seq("doc_id"), "left_anti")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("quality",
-        graft.ops.expressions.TextStats(col("text")).getField("quality"))
-      .filter(col("quality") >= minQuality)
+      .withColumn("st", graft.ops.expressions.TextStats(col("text")))
+      .select(col("doc_id"), col("lang"), col("text"), col("unit_id"),
+        col("st").getField("quality").as("quality"),
+        col("st").getField("n_tokens").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val inScope = reps.filter(col("n_tok") > 0L)
+    val thr = graft.queries.Sketch.adaptiveFloorThresholds(
+      inScope.select(col("lang"), col("doc_id"), col("quality")))
+    val surv = inScope
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("quality") >= col("thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val rates = mixtureDir match {
+      case Some(d) => MixtureMaintenance.currentRates(spark, d)
+      case None => graft.queries.Learn.temperedRates(
+        surv.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
+    }
+    val keep = MixtureMaintenance
+      .decideWith(surv.select(col("doc_id"), col("lang"), col("text")), rates)
+      .filter(col("keep")).select(col("doc_id"))
+    Stages(reps, surv, surv.join(keep, Seq("doc_id")))
+  }
+
+  /** Run the export; returns per-split counts (the run report).
+    * `mixtureDir`: an existing [[MixtureMaintenance]] store to take
+    * tempered rates from; None derives rates from this corpus's own
+    * quality survivors (class doc, stage 4). `format`: "parquet"
+    * (default — typed, splittable, the training stack's native
+    * input) or "jsonl" (JSON Lines, one document per line — the
+    * pretraining-corpus interchange format; Spark's json sink
+    * escapes embedded newlines/quotes/unicode, so a document is
+    * ALWAYS exactly one line and a round-trip read reproduces the
+    * text byte-for-byte — ExportSpec pins it). Both lay out
+    * `split=` partition dirs. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          mixtureDir: Option[String] = None,
+          format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "jsonl",
+      s"unsupported export format '$format' (parquet | jsonl)")
+    val st = build(spark, sfDir, mixtureDir)
+    val h = pmod(col("unit_id"), lit(HashMod)) * lit(PermMult) % lit(HashMod)
+    val kept = st.kept
       .withColumn("split",
         when(pmod(h, lit(10L)) < 8, "train")
           .when(pmod(h, lit(10L)) === 8, "val")
@@ -67,10 +126,42 @@ object CurationExport {
     val w = kept.write.partitionBy("split").mode("overwrite")
       .option("partitionOverwriteMode", "static")
     if (format == "jsonl") w.json(outDir) else w.parquet(outDir)
+    st.unpersist()
 
     readBack(spark, outDir, format)
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"))
+  }
+
+  /** The q100-style per-domain funnel report for an export
+    * configuration: (lang, n_raw, n_dedup, n_quality, n_kept),
+    * computed from the SAME stage chain [[run]] writes with. n_raw
+    * counts the corpus, n_dedup the cluster representatives (q67's
+    * number), n_quality the adaptive-floor survivors, n_kept the
+    * mixture survivors — what lands on disk. */
+  def funnel(spark: SparkSession, sfDir: String,
+             mixtureDir: Option[String] = None): DataFrame = {
+    val st = build(spark, sfDir, mixtureDir)
+    val raw = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    val out = raw
+      .join(st.reps.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
+        Seq("lang"), "left")
+      .join(st.surv.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
+        Seq("lang"), "left")
+      .join(st.kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+        Seq("lang"), "left")
+      .select(col("lang"),
+        col("n_raw"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+    // materialize before releasing the stage persists the plan reads
+    val rows = out.collect()
+    st.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
   }
 
   /** Read a written export (the report path above; also the

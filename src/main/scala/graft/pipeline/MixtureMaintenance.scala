@@ -90,18 +90,26 @@ object MixtureMaintenance {
     * the CURRENT rates: (doc_id, lang, keep). The rate table is
     * O(domains) — broadcast; the doc side is one narrow pass
     * (content hash + integer compare), no text shuffle. */
-  def decide(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
-    val rates = currentRates(spark, dir).select(col("lang"), col("rate_micro"))
+  def decide(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    decideWith(docs,
+      currentRates(spark, dir).select(col("lang"), col("rate_micro")))
+
+  /** The keep decision under a GIVEN (lang, rate_micro) table — the
+    * ONE formula shared by [[decide]] (persisted-store rates) and
+    * self-contained consumers that derive rates from the corpus at
+    * hand ([[CurationExport]] without a store): content-hash integer
+    * compare, rate table broadcast, no text shuffle. */
+  def decideWith(docs: DataFrame, rates: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
         TextOps.fingerprint(col("text")).as("h"))
-      .join(broadcast(rates), Seq("lang"), "left")
+      .join(broadcast(rates.select(col("lang"), col("rate_micro"))),
+        Seq("lang"), "left")
       .select(col("doc_id"), col("lang"),
         // a domain never absorbed has no rate: keep (rate 1) — a
         // brand-new domain is by definition the smallest
         coalesce(pmod(col("h"), lit(1000000L)) < col("rate_micro"),
           lit(true)).as("keep"))
-  }
 
   /** Fold all `run=` deltas into one `run=base` (crash-recoverable;
     * run at a quiescent point — [[DedupIndex.compact]]'s contract). */

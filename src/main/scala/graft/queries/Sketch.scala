@@ -322,18 +322,7 @@ object Sketch {
         // two consumers: the sample and the keep pass (clearCache
         // lifecycle as everywhere)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hashed = docs.select($"lang", $"doc_id", $"quality",
-        mix($"doc_id").as("hv"))
-      val sampled = graft.plans.TopK.perKey(hashed, Seq("lang"),
-        Seq("hv" -> true, "doc_id" -> true), QuantSampleK)
-      val est = sampled.groupBy($"lang")
-        .agg(sort_array(collect_list($"quality")).as("vs"))
-        .withColumn("m", size($"vs").cast("bigint"))
-      val idx = ($"m" - 1).cast("double") * lit(FloorP)
-      val thrExpr = element_at($"vs", floor(idx).cast("int") + 1) +
-        (element_at($"vs", ceil(idx).cast("int") + 1) -
-          element_at($"vs", floor(idx).cast("int") + 1)) * (idx - floor(idx))
-      val thr = est.select($"lang", thrExpr.as("thr"))
+      val thr = adaptiveFloorThresholds(docs)
       docs.join(broadcast(thr), Seq("lang"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -342,6 +331,30 @@ object Sketch {
         .orderBy($"lang")
     }
   )
+
+  /** The q110 threshold stage, factored for consumers
+    * ([[graft.pipeline.CurationExport]] uses it as its production
+    * quality floor): per-domain FloorP-quantile thresholds from the
+    * deterministic KMV bottom-k sample. Input: (lang, doc_id,
+    * quality) with token-less docs already excluded; output:
+    * (lang, thr) — O(domains) rows, broadcastable. ONE definition —
+    * the query, its oracle, and the export cannot drift. */
+  private[graft] def adaptiveFloorThresholds(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val hashed = scored.select($"lang", $"doc_id", $"quality",
+      mix($"doc_id").as("hv"))
+    val sampled = graft.plans.TopK.perKey(hashed, Seq("lang"),
+      Seq("hv" -> true, "doc_id" -> true), QuantSampleK)
+    val est = sampled.groupBy($"lang")
+      .agg(sort_array(collect_list($"quality")).as("vs"))
+      .withColumn("m", size($"vs").cast("bigint"))
+    val idx = ($"m" - 1).cast("double") * lit(FloorP)
+    val thrExpr = element_at($"vs", floor(idx).cast("int") + 1) +
+      (element_at($"vs", ceil(idx).cast("int") + 1) -
+        element_at($"vs", floor(idx).cast("int") + 1)) * (idx - floor(idx))
+    est.select($"lang", thrExpr.as("thr"))
+  }
 
   /** q110's floor percentile: drop the worst 20% of each domain. */
   private val FloorP = 0.2

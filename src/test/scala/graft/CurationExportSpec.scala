@@ -6,24 +6,40 @@ import graft.pipeline.CurationExport
 import java.nio.file.Files
 
 /** CurationExport (graft.pipeline) — the materialized end product
-  * must agree with the queries that define its stages: q67's keep
-  * counts, q65's leakage-safety, and idempotent re-runs.
+  * must agree with the queries that define its stages: the q100-style
+  * funnel report, q67's dedup counts, q65's leakage-safety, the
+  * adaptive floor + mixture stages, and idempotent re-runs.
   */
 class CurationExportSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  test("export agrees with q67 keep counts, is leakage-safe, and re-runs idempotently") {
+  test("export reconciles with its funnel report, is leakage-safe, and re-runs idempotently") {
     val outDir = Files.createTempDirectory("graft-export").toString + "/corpus"
     CurationExport.run(spark, sf, outDir)
 
-    // stage agreement: per-language survivor counts == q67's report
+    // the q100-style funnel over the same corpus: per-domain kept
+    // counts on DISK must equal the report's n_kept, the dedup stage
+    // must equal q67's published number, and the stages must be
+    // monotone (raw ≥ dedup ≥ quality ≥ kept) with the adaptive
+    // floor actually engaged
+    val funnel = CurationExport.funnel(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
     val got = spark.read.parquet(outDir)
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    val want = SparkEntry.queries("q67_dedup_keep")(spark, sf)
+    assert(got == funnel.map(f => f._1 -> f._5).toMap,
+      s"written corpus diverges from funnel n_kept: $got vs ${funnel.toSeq}")
+    val q67 = SparkEntry.queries("q67_dedup_keep")(spark, sf)
       .select($"lang", $"n_kept").as[(String, Long)].collect().toMap
-    assert(got == want, s"export counts diverge from q67: $got vs $want")
+    assert(funnel.map(f => f._1 -> f._3).toMap == q67,
+      s"funnel n_dedup diverges from q67: ${funnel.toSeq} vs $q67")
+    funnel.foreach { case (lang, raw, dedup, quality, kept) =>
+      assert(raw >= dedup && dedup >= quality && quality >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$quality/$kept")
+    }
+    assert(funnel.map(_._4).sum < funnel.map(_._3).sum,
+      "adaptive floor dropped nothing — stage not engaged")
 
     // leakage-safety: no near-dup pair straddles splits (q65's law,
     // re-checked on the WRITTEN artifact)
@@ -48,6 +64,42 @@ class CurationExportSpec extends AnyFunSuite {
     val n = split.size
     val train = split.values.count(_ == "train").toDouble / n
     assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
+  }
+
+  test("mixtureDir plumbs maintained rates into the export") {
+    val root = Files.createTempDirectory("graft-export-mix").toString
+    // an EMPTY maintained store: every domain is unseen, so decide's
+    // keep-all default applies — the export must keep every quality
+    // survivor (n_kept == n_quality), unlike the self-contained path
+    // where the corpus's own tempered rates throttle large domains
+    val emptyStore = s"$root/store"
+    CurationExport.run(spark, sf, s"$root/corpus", mixtureDir = Some(emptyStore))
+    val viaStore = CurationExport.funnel(spark, sf, Some(emptyStore))
+      .as[(String, Long, Long, Long, Long)].collect()
+    viaStore.foreach { case (lang, _, _, quality, kept) =>
+      assert(kept == quality,
+        s"$lang: empty store must keep all quality survivors ($kept != $quality)")
+    }
+    val onDisk = spark.read.parquet(s"$root/corpus")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(onDisk == viaStore.map(f => f._1 -> f._5).toMap)
+    // a store absorbed from this corpus reproduces the
+    // self-contained path's rates... up to the population they are
+    // computed over (absorb sees the raw batch, self-contained sees
+    // quality survivors) — so pin only that the stage THROTTLES:
+    // after absorbing a heavily skewed synthetic count table the
+    // export keeps fewer docs of the dominant domain
+    graft.pipeline.MixtureMaintenance.absorb(spark,
+      Seq.tabulate(4000)(i => (i.toLong, "en", s"filler text $i"))
+        .toDF("doc_id", "lang", "text"),
+      emptyStore, "seed")
+    val throttled = CurationExport.funnel(spark, sf, Some(emptyStore))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._5).toMap
+    val en = viaStore.find(_._1 == "en")
+    assert(en.isEmpty || throttled("en") <= en.get._5,
+      "absorbed skew did not throttle the dominant domain")
   }
 
   test("jsonl export round-trips the parquet artifact exactly (one document per line)") {
