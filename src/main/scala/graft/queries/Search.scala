@@ -32,6 +32,151 @@ object Search {
     Seq("smal ring", "bleu bolt", "ho gear", "largee widget", "redd rod")
   private val FuzzyMaxDist = 2
 
+  /** One BM25 term contribution — ONE definition for q43 and q111's
+    * lexical ranker (and [[sqlBm25Contrib]] is its DuckDB twin; a
+    * one-sided tweak would silently break the query≡oracle
+    * contract). `n`/`sumdl` are the broadcast corpus stats, `dl` the
+    * document length. */
+  private def bm25Contrib(tf: Column, df: Column, n: Column,
+                          sumdl: Column, dl: Column): Column = {
+    val idf = log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    when(tf > 0,
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl / (sumdl / n))))
+      .otherwise(lit(0.0))
+  }
+
+  /** DuckDB twin of [[bm25Contrib]] over column names `tf`/`df` with
+    * stats columns n/sumdl/dl in scope. */
+  private def sqlBm25Contrib(tf: String, df: String): String =
+    s"""CASE WHEN $tf > 0 THEN
+       |  ln((n - $df + CAST(0.5 AS DOUBLE)) / ($df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+       |  * ($tf * CAST(${K1 + 1.0} AS DOUBLE))
+       |  / ($tf + CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($B AS DOUBLE)
+       |       + CAST($B AS DOUBLE) * dl / (sumdl / n)))
+       |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
+  /** Hybrid retrieval (q111): RRF constant k=60 (Cormack, Clarke &
+    * Buettcher, SIGIR 2009 — rank fusion is robust to the constant),
+    * per-ranker pool depth, and fused result size. */
+  private val RrfK     = 60
+  private val RrfDepth = 20
+  private val RrfTopN  = 10
+  /** Dimension of the bag-of-words random-feature doc embedding the
+    * semantic ranker scores against (q34's FeatureEmbed device over
+    * DISTINCT token hashes — cosine tracks token-set overlap; the
+    * public stand-in for a learned dense encoder, per SURVEY §7.1). */
+  private val SemDim = 32
+  /** Fixed query phrases (q43's Terms convention — mid-frequency
+    * testdata vocabulary; a deployment would parameterize). */
+  private[graft] val RrfQueries: Seq[(Int, String)] = Seq(
+    (0, "vector merge"), (1, "stream filter key"), (2, "hash join order"))
+
+  /** The q111 chain over any (doc_id, text) frame (spec hook:
+    * planted-recall corpus). Reciprocal-rank fusion of the engine's
+    * two retrieval families:
+    *
+    *   lexical  = q43's BM25 over each query's terms (shared
+    *              [[bm25Contrib]] formula, micro-rounded int64);
+    *   semantic = cosine against the bag-of-words FeatureEmbed
+    *              (exact brute-force scan — q25's baseline; at scale
+    *              the ranker swaps to AnnIndex.searchRefined, and
+    *              the fusion below consumes (query_id, doc_id, rank)
+    *              unchanged — ranker choice is a plug point);
+    *   fused    = Σ_rankers 1/(RrfK + rank) over each ranker's
+    *              top-RrfDepth pool, top-RrfTopN per query.
+    *
+    * Scale shape: ONE corpus pass computes dl, per-term tf and the
+    * doc embedding (persisted for the two ranker consumers); corpus
+    * stats are a 1-row broadcast; each ranker ends in the
+    * bounded-heap TopKPerKey (never a whole-corpus window); the
+    * fusion joins two O(queries·depth) id-width rank tables —
+    * nothing downstream of the scan is O(corpus) except the two
+    * ranker passes themselves. Determinism: ranks come from
+    * (score desc, doc_id) total orders; the RRF sum is two IEEE
+    * divisions of exact inputs folded in fixed ranker order, then
+    * nano-rounded — both engines bit-agree. */
+  private[graft] def hybridRrf(docs: DataFrame,
+                               queries: Seq[(Int, String)] = RrfQueries): DataFrame = {
+    val (lex, sem) = rrfRankers(docs, queries)
+    rrfFuse(lex, sem)
+  }
+
+  /** The two rank tables q111 fuses — (lexical(query_id, doc_id,
+    * lrank), semantic(query_id, doc_id, srank)), each top-RrfDepth
+    * per query (spec hook: the recall law is stated over these). */
+  private[graft] def rrfRankers(docs: DataFrame,
+                                queries: Seq[(Int, String)]): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2.split(' ')).distinct
+    // one scan pass: dl + per-term tf + sorted-distinct-token-hash
+    // embedding (sort_array: the per-dim feature fold is
+    // order-dependent in IEEE doubles — q34's note). Token-less docs
+    // are out of retrieval scope both sides (zero-norm embeddings
+    // score cosine NaN, and NaN sorts ABOVE all doubles in BOTH
+    // engines' descending ranks — exclude, don't guard).
+    val base = docs
+      .repartition($"doc_id")
+      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id" +:
+        size($"toks").cast("double").as("dl") +:
+        graft.ops.expressions.FeatureEmbed(
+          sort_array(array_distinct(graft.ops.expressions.TokenHashes($"text"))),
+          SemDim).as("v") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter($"toks", x => x === lit(t))).cast("double").as(s"tf$i")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statCols = count(lit(1)).cast("double").as("n") +:
+      sum($"dl").as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val lexAll = queries.map { case (qid, phrase) =>
+      val contrib = phrase.split(' ').toSeq.map { t =>
+        val i = terms.indexOf(t)
+        bm25Contrib(col(s"tf$i"), col(s"df$i"), $"n", $"sumdl", $"dl")
+      }.reduce(_ + _)
+      scored.select(lit(qid.toLong).as("query_id"), $"doc_id",
+        floor(contrib * lit(1e6) + lit(0.5)).cast("bigint").as("score_u"))
+        .filter($"score_u" > 0)
+    }.reduce(_ unionByName _)
+    val lex = graft.plans.TopK.perKey(lexAll, Seq("query_id"),
+      Seq("score_u" -> false, "doc_id" -> true), RrfDepth, rankCol = "lrank")
+    val qdf = broadcast(
+      queries.map { case (q, p) => (q.toLong, p) }.toDF("query_id", "qtext")
+        .select($"query_id", graft.ops.expressions.FeatureEmbed(
+          sort_array(array_distinct(graft.ops.expressions.TokenHashes($"qtext"))),
+          SemDim).as("qv")))
+    val semAll = base.select($"doc_id", $"v").crossJoin(qdf)
+      .select($"query_id", $"doc_id",
+        graft.ops.expressions.CosineSim($"qv", $"v").as("cos"))
+    val sem = graft.plans.TopK.perKey(semAll, Seq("query_id"),
+      Seq("cos" -> false, "doc_id" -> true), RrfDepth, rankCol = "srank")
+    (lex, sem)
+  }
+
+  /** RRF fusion of the two rank tables (the plug point: any ranker
+    * producing (query_id, doc_id, rank) fuses here unchanged). */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val spark = lex.sparkSession
+    import spark.implicits._
+    val fused = lex.select($"query_id", $"doc_id", $"lrank")
+      .join(sem.select($"query_id", $"doc_id", $"srank"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        floor((coalesce(lit(1.0) / (lit(RrfK) + $"lrank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"srank"), lit(0.0))) * lit(1e9) +
+          lit(0.5)).cast("bigint").as("rrf_nano"))
+    graft.plans.TopK.perKey(fused, Seq("query_id"),
+      Seq("rrf_nano" -> false, "doc_id" -> true), RrfTopN, rankCol = "rn")
+      .select($"query_id", $"doc_id", $"rrf_nano", $"rn".cast("bigint").as("rn"))
+      .orderBy($"query_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BM25 keyword retrieval, inverted-index style but expressed as
@@ -62,14 +207,8 @@ object Search {
         Terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
       val stats = base.agg(statCols.head, statCols.tail: _*)
-      val avgdl = $"sumdl" / $"n"
       val contribs = Terms.indices.map { i =>
-        val tf = col(s"tf$i"); val df = col(s"df$i")
-        val idf = log(($"n" - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
-        when(tf > 0,
-          idf * (tf * lit(K1 + 1.0)) /
-            (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"dl" / avgdl)))
-          .otherwise(lit(0.0))
+        bm25Contrib(col(s"tf$i"), col(s"df$i"), $"n", $"sumdl", $"dl")
       }
       base.crossJoin(broadcast(stats))
         .select($"doc_id", $"dl".cast("bigint").as("dl"),
@@ -366,6 +505,13 @@ object Search {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(LateralSql)
+    },
+
+    // Hybrid lexical+semantic retrieval (class doc on [[hybridRrf]]):
+    // the fusion every retrieval consumer of a BM25 index (q43/q70)
+    // plus an ANN path (q25/q90/AnnIndex) asks for first.
+    "q111_hybrid_rrf" -> { (s, d) =>
+      hybridRrf(Tables.documents(s, d))
     }
   )
 
@@ -412,14 +558,8 @@ object Search {
         val dfSelects = Terms.indices.map(i =>
           s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
           .mkString(", ")
-        val contribs = Terms.indices.map { i =>
-          s"""CASE WHEN tf$i > 0 THEN
-             |  ln((n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-             |  * (tf$i * CAST(${K1 + 1.0} AS DOUBLE))
-             |  / (tf$i + CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($B AS DOUBLE)
-             |       + CAST($B AS DOUBLE) * dl / (sumdl / n)))
-             |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
-        }.mkString(" + ")
+        val contribs = Terms.indices.map(i =>
+          sqlBm25Contrib(s"tf$i", s"df$i")).mkString(" + ")
         s"""WITH base AS (
            |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfSelects
            |  FROM (SELECT doc_id, $toks AS toks FROM documents)
@@ -431,6 +571,74 @@ object Search {
            |FROM base, stats
            |WHERE CAST(floor(($contribs) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) > 0
            |ORDER BY score_u DESC, doc_id LIMIT 10""".stripMargin
+      },
+
+      // Twin of q111 (hybridRrf): q43's BM25 per query phrase, the
+      // q34-style FeatureEmbed cosine over sorted distinct token
+      // hashes, row_number ranks (the TopKPerKey contract — TopKSpec
+      // pins rank equivalence), and the RRF fold in fixed ranker
+      // order.
+      "q111_hybrid_rrf" -> {
+        val terms = RrfQueries.flatMap(_._2.split(' ')).distinct
+        val tfSelects = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+        }.mkString(", ")
+        val dfSelects = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(", ")
+        // twin of FeatureEmbed(·, SemDim) over a hash-list alias
+        def fe(hs: String): String =
+          s"""list_transform(range(0, $SemDim), i ->
+             |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform($hs, h ->
+             |      CAST((h + (i+1)*2654435761) % 1000000007 AS DOUBLE)/1000000007.0*2.0-1.0)),
+             |    (a, b) -> a + b))""".stripMargin
+        val qVals = RrfQueries.map { case (q, p) => s"($q, '$p')" }.mkString(", ")
+        val lexUnion = RrfQueries.map { case (qid, phrase) =>
+          val c = phrase.split(' ').toSeq.map(t =>
+            sqlBm25Contrib(s"tf${terms.indexOf(t)}", s"df${terms.indexOf(t)}"))
+            .mkString(" + ")
+          s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+             |  CAST(floor(($c) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_u
+             |FROM base, stats""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH base AS (
+           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |    list_sort(list_distinct(list_transform(toks, t -> ${TextVector.Sql.polyHash("t")}))) AS hs,
+           |    $tfSelects
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+           |  WHERE len(toks) > 0
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfSelects FROM base
+           |), docv AS (SELECT doc_id, ${fe("hs")} AS v FROM base),
+           |qe AS (SELECT CAST(query_id AS BIGINT) AS query_id, ${fe("qhs")} AS qv
+           |       FROM (SELECT query_id,
+           |               list_sort(list_distinct(list_transform(${TextVector.Sql.toks("qtext")}, t -> ${TextVector.Sql.polyHash("t")}))) AS qhs
+           |             FROM (VALUES $qVals) q(query_id, qtext))),
+           |lexall AS ($lexUnion),
+           |lex AS (SELECT query_id, doc_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS lrank
+           |        FROM lexall WHERE score_u > 0),
+           |sem AS (SELECT query_id, doc_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS srank
+           |        FROM (SELECT qe.query_id, docv.doc_id,
+           |                ${TextVector.Sql.dot("qe.qv", "docv.v")}
+           |                  / sqrt(${TextVector.Sql.dot("qe.qv", "qe.qv")})
+           |                  / sqrt(${TextVector.Sql.dot("docv.v", "docv.v")}) AS cos
+           |              FROM docv CROSS JOIN qe)),
+           |fused AS (
+           |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+           |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+           |    CAST(floor((coalesce(1.0/($RrfK + l.lrank), 0.0)
+           |      + coalesce(1.0/($RrfK + s.srank), 0.0)) * 1000000000.0 + 0.5) AS BIGINT) AS rrf_nano
+           |  FROM (SELECT * FROM lex WHERE lrank <= $RrfDepth) l
+           |  FULL OUTER JOIN (SELECT * FROM sem WHERE srank <= $RrfDepth) s
+           |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+           |r AS (SELECT query_id, doc_id, rrf_nano,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rn
+           |      FROM fused)
+           |SELECT query_id, doc_id, rrf_nano, rn FROM r WHERE rn <= $RrfTopN
+           |ORDER BY query_id, rn""".stripMargin
       },
 
       "q44_fuzzy_join" -> {

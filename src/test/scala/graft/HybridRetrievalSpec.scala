@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** q111 hybrid retrieval (graft.queries.Search.hybridRrf) — the RRF
+  * law on a planted corpus: fusing the two rankers never loses the
+  * recall of the better one, and strictly beats the lexical ranker
+  * when a relevant doc shares NO query term (the paraphrase case
+  * rank fusion exists for). Everything here is deterministic (hash
+  * embeddings, fixed tie-breaks), so the planted ranks are stable.
+  */
+class HybridRetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // planted corpus for query "alpha beta":
+  //   doc 1 (X): exactly the query's token set — top of BOTH rankers;
+  //   doc 2 (L): both terms ×3 plus four pads — lexical #2; semantic
+  //     scores it by set geometry (≈ 0.91), below doc 3;
+  //   doc 3 (S): 30 tokens sharing NO query term — the paraphrase
+  //     stand-in: lexical scores it ZERO (it cannot appear in the
+  //     BM25 pool at all), while the set-geometry embedding puts it
+  //     at ≈ 0.97, semantic #2;
+  //   docs 100.. : 8-token noise (cosine ≈ 0.45, far below truth).
+  private val query = Seq((0, "alpha beta"))
+  private def noiseDoc(i: Long): (Long, String) =
+    (i, (0 until 8).map(j => s"junk${i}x$j").mkString(" "))
+  private val docs = (Seq(
+    (1L, "alpha beta alpha beta"),
+    (2L, "alpha alpha alpha beta beta beta sm0 sm1 sm2 sm3"),
+    (3L, (0 until 30).map(j => s"mid$j").mkString(" "))) ++
+    (100L until 140L).map(noiseDoc)
+  ).toDF("doc_id", "text")
+  private val truth = Set(1L, 2L, 3L)
+
+  test("fused recall >= max single-ranker recall, strictly beating the lexical ranker") {
+    val (lexDf, semDf) = graft.queries.Search.rrfRankers(docs, query)
+    val lex10 = lexDf.filter($"lrank" <= 10).select($"doc_id")
+      .as[Long].collect().toSet
+    val sem10 = semDf.filter($"srank" <= 10).select($"doc_id")
+      .as[Long].collect().toSet
+    val fused10 = graft.queries.Search.hybridRrf(docs, query)
+      .select($"doc_id").as[Long].collect().toSet
+    def recall(top: Set[Long]) = (top & truth).size.toDouble / truth.size
+    assert(recall(fused10) >= math.max(recall(lex10), recall(sem10)),
+      s"fusion lost recall: fused=$fused10 lex=$lex10 sem=$sem10")
+    // the planted shape: lexical CANNOT see the no-term doc 3 (BM25
+    // pools only score_u > 0), semantic ranks it #2 — so the fusion
+    // strictly improves on lexical and recovers full recall
+    assert(!lex10.contains(3L), "doc 3 shares no term — must be absent from the BM25 pool")
+    assert(recall(lex10) < 1.0 && recall(fused10) == 1.0,
+      s"expected fusion to rescue the paraphrase doc: lex=$lex10 fused=$fused10")
+    val srank = semDf.select($"doc_id", $"srank").as[(Long, Int)].collect().toMap
+    assert(srank(3L) < srank(2L),
+      s"semantic should prefer the paraphrase doc 3 over the diluted doc 2: $srank")
+    // agreement wins: the doc topping both rankers tops the fusion
+    val lrank = lexDf.select($"doc_id", $"lrank").as[(Long, Int)].collect().toMap
+    assert(lrank(1L) == 1 && srank(1L) == 1)
+    val fusedRanks = graft.queries.Search.hybridRrf(docs, query)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+    assert(fusedRanks(1L) == 1L, s"doc topping both rankers is not fused #1: $fusedRanks")
+    // and no noise doc outranks any relevant doc in the fusion
+    val worstRelevant = truth.map(fusedRanks).max
+    val bestNoise = fusedRanks.collect { case (id, rn) if !truth(id) => rn }
+      .reduceOption(_ min _).getOrElse(Long.MaxValue)
+    assert(worstRelevant < bestNoise,
+      s"a noise doc outranks a relevant doc: $fusedRanks")
+    spark.catalog.clearCache() // hybridRrf persist contract
+  }
+}
