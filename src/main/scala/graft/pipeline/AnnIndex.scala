@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * (one narrow kernel pass) against the FROZEN codebooks — the
   * standard production trade: cell balance drifts as the
   * distribution moves, and a periodic [[build]] re-trains, exactly
-  * like `DedupIndex.build` vs `.append`. [[search]] probes
+  * like `DedupIndex.build` vs `.append` ([[cellStats]] measures the
+  * drift and [[needsRebuild]] is the re-train trigger — the
+  * promise is monitored, not aspirational). [[search]] probes
   * nprobe cells per query (equi-join on cell) and ranks by ADC on a
   * `TopKPerKey`-planned rank filter — no crossJoin, no full scan.
   */
@@ -210,6 +212,56 @@ object AnnIndex {
     if (!fs.exists(root)) 0
     else fs.listStatus(root).count(_.getPath.getName.startsWith("run="))
   }
+
+  /** Drift trigger for [[needsRebuild]]: re-train when the fullest
+    * cell holds more than DriftFactor× its balanced share of the
+    * live code rows. At balance every cell holds ≈ 1/nlist of the
+    * occurrences; a probe reads nprobe/nlist of the index. A cell at
+    * F× balanced share makes any probe touching it pay F× the
+    * balanced candidate cost, AND (the recall half of the trade)
+    * means the frozen quantizer is splitting the drifted mass so
+    * coarsely that ADC ordering inside the mega-cell degrades. The
+    * measured regimes (AnnIndexSpec's drift case, gate corpus):
+    * freshly trained on its own near-isotropic distribution ≈ 1.3×
+    * balanced; re-trained on a corpus CONTAINING a hot direction
+    * cone ≈ 2.2× (cosine k-means legitimately leaves lumpier cells
+    * when the mass is lumpy); frozen codebooks fed a drifted ingest
+    * ≥ 3.3× and growing with the drift volume. 3.0 sits between the
+    * healthy-retrained and frozen-drifted regimes. */
+  private[graft] val DriftFactor = 3.0
+
+  /** Cell-occupancy telemetry over the LIVE codes (tombstones
+    * excluded): (nRows, nCellsOccupied, nCellsTotal, maxCellShare).
+    * One O(cells) map-side-combined aggregate on the id-width codes
+    * table — never touches raw vectors, safe to run per ingest
+    * batch. The class doc's "periodic [[build]] re-trains" promise
+    * gets its trigger here: [[append]] encodes against FROZEN
+    * codebooks, so a drifted ingest distribution concentrates into
+    * few cells; [[needsRebuild]] says when that drift warrants the
+    * re-train (from the raw-vector side store an ingest pipeline
+    * keeps — [[graft.streaming.AnnScreenStream]]'s rawDir). */
+  final case class CellStats(nRows: Long, nCellsOccupied: Long,
+                             nCellsTotal: Int, maxCellShare: Double)
+
+  def cellStats(spark: SparkSession, dir: String): CellStats = {
+    graft.ops.StoreCompaction.heal(spark, s"$dir/codes", "run")
+    val (ivf, _) = codebooks(spark, dir)
+    val per = notDeleted(spark, dir, spark.read.parquet(s"$dir/codes"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m")), lit(0L)).as("n"),
+        count(lit(1)).as("occ"), coalesce(max(col("m")), lit(0L)).as("mx"))
+      .head()
+    val n = per.getLong(0)
+    CellStats(n, per.getLong(1), ivf.length,
+      if (n == 0) 0.0 else per.getLong(2).toDouble / n)
+  }
+
+  /** True when cell balance has drifted past [[DriftFactor]]× the
+    * balanced share — the documented signal to re-[[build]] from the
+    * raw store at a quiescent point (same contract as [[compact]]). */
+  def needsRebuild(stats: CellStats): Boolean =
+    stats.nRows > 0 &&
+      stats.maxCellShare > DriftFactor / stats.nCellsTotal
 
   /** Top-k ADC search for a query set (query_id, qvec): rank cells
     * per query, probe the top `nprobe` inverted lists, rank
