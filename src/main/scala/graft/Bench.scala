@@ -162,7 +162,13 @@ object Bench {
       else -1.0
     val loadJson = s""""load_before":$loadBefore,"load_at_start":$loadAtStart,""" +
       s""""load_after":${loadAvg()},"steal_pct":$stealPct,"forced":$force"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir"}""")
+    // memoized-training disclosure: these queries' timed numbers
+    // measure the consumer path only (their SessionStage memo was
+    // built in the untimed warmup) — see SparkEntry.trainedStageQueries
+    val trainedJson = SparkEntry.trainedStageQueries.values.flatten.toSeq
+      .filter(names.contains).sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noisy":$noisyJson,"trained_stages":$trainedJson,$loadJson,"sf":"$sfDir"}""")
     // Compact trailer AFTER the full line: the driver's artifact
     // keeps only the output TAIL (BENCH_r09.json lost its own
     // leading "value" field to 2000-char truncation), so the
@@ -170,7 +176,7 @@ object Bench {
     // the scalar fields sit LAST so that even if the failed/noisy
     // lists ever grow past the truncation window, the tail-kept
     // bytes still carry value/n_queries/n_failed.
-    println(s"""{"metric":"total_summary","failed":$failedJson,"noisy":$noisyJson,$loadJson,"sf":"$sfDir","unit":"sec","value":$total,"n_queries":${results.length},"n_failed":${failed.length}}""")
+    println(s"""{"metric":"total_summary","failed":$failedJson,"noisy":$noisyJson,"trained_stages":$trainedJson,$loadJson,"sf":"$sfDir","unit":"sec","value":$total,"n_queries":${results.length},"n_failed":${failed.length}}""")
     spark.stop()
   }
 }

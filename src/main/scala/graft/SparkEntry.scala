@@ -36,6 +36,24 @@ object SparkEntry {
       graft.queries.Cleaning.queries ++ graft.queries.Sketch.queries ++
       graft.queries.Learn.queries ++ graft.queries.Graph.queries
 
+  /** Queries whose builder reads a [[graft.ops.SessionStage]] memo —
+    * a per-(session, corpus) trained artifact (near-dup labels, BPE
+    * merge table, probe weights, q104/q108's quantizer) built ONCE
+    * and shared by every consumer. Bench semantics disclosure: the
+    * memo is built during Bench's UNTIMED warmup pass, so these
+    * queries' timed numbers measure the CONSUMER path only — the
+    * documented production shape (train once, read many; the
+    * correctness gate replays full training every run). Bench names
+    * them in its JSON (`trained_stages`) so round-over-round
+    * comparisons cannot misread memoization as a faster trainer.
+    * Keyed by stage, asserted by the buildCount specs
+    * (ClusterSpec/BpeSpec/LearnSpec/SemDedupSpec). */
+  val trainedStageQueries: Map[String, Seq[String]] = Map(
+    "near_dup_labels" -> Seq("q63_dedup_clusters", "q65_leakage_split", "q67_dedup_keep"),
+    "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
+    "probe_weights" -> Seq("q98_linear_probe"),
+    "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the
     * driver's rows-only check. */
