@@ -37,7 +37,7 @@ object Search {
     * one-sided tweak would silently break the query≡oracle
     * contract). `n`/`sumdl` are the broadcast corpus stats, `dl` the
     * document length. */
-  private def bm25Contrib(tf: Column, df: Column, n: Column,
+  private[graft] def bm25Contrib(tf: Column, df: Column, n: Column,
                           sumdl: Column, dl: Column): Column = {
     val idf = log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
     when(tf > 0,
@@ -59,14 +59,14 @@ object Search {
   /** Hybrid retrieval (q111): RRF constant k=60 (Cormack, Clarke &
     * Buettcher, SIGIR 2009 — rank fusion is robust to the constant),
     * per-ranker pool depth, and fused result size. */
-  private val RrfK     = 60
-  private val RrfDepth = 20
+  private[graft] val RrfK     = 60
+  private[graft] val RrfDepth = 20
   private val RrfTopN  = 10
   /** Dimension of the bag-of-words random-feature doc embedding the
     * semantic ranker scores against (q34's FeatureEmbed device over
     * DISTINCT token hashes — cosine tracks token-set overlap; the
     * public stand-in for a learned dense encoder, per SURVEY §7.1). */
-  private val SemDim = 32
+  private[graft] val SemDim = 32
   /** Fixed query phrases (q43's Terms convention — mid-frequency
     * testdata vocabulary; a deployment would parameterize). */
   private[graft] val RrfQueries: Seq[(Int, String)] = Seq(
@@ -160,8 +160,11 @@ object Search {
   }
 
   /** RRF fusion of the two rank tables (the plug point: any ranker
-    * producing (query_id, doc_id, rank) fuses here unchanged). */
-  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    * producing (query_id, doc_id, rank) fuses here unchanged —
+    * [[graft.pipeline.HybridRetrieval]] feeds it store-served
+    * rankers with its own fused size). */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame,
+                             topN: Int = RrfTopN): DataFrame = {
     val spark = lex.sparkSession
     import spark.implicits._
     val fused = lex.select($"query_id", $"doc_id", $"lrank")
@@ -172,7 +175,7 @@ object Search {
           coalesce(lit(1.0) / (lit(RrfK) + $"srank"), lit(0.0))) * lit(1e9) +
           lit(0.5)).cast("bigint").as("rrf_nano"))
     graft.plans.TopK.perKey(fused, Seq("query_id"),
-      Seq("rrf_nano" -> false, "doc_id" -> true), RrfTopN, rankCol = "rn")
+      Seq("rrf_nano" -> false, "doc_id" -> true), topN, rankCol = "rn")
       .select($"query_id", $"doc_id", $"rrf_nano", $"rn".cast("bigint").as("rn"))
       .orderBy($"query_id", $"rn")
   }

@@ -34,6 +34,62 @@ class HybridRetrievalSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
   private val truth = Set(1L, 2L, 3L)
 
+  test("served store path (HybridRetrieval) reproduces the fusion law on the planted corpus") {
+    // build-once/serve-many twin of q111: posting store + AnnIndex
+    // replace the in-plan rankers; the fusion and its guarantees
+    // must survive the swap
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid").toString + "/idx"
+    graft.pipeline.HybridRetrieval.build(spark, docs, dir)
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val served = graft.pipeline.HybridRetrieval.search(spark, qdf, dir)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+    assert(truth.subsetOf(served.keySet),
+      s"served fusion missed a relevant doc: $served")
+    assert(served(1L) == 1L,
+      s"doc topping both rankers is not served #1: $served")
+    // the paraphrase doc arrives through the SEMANTIC store (it has
+    // no postings row for either query term by construction)
+    val worstRelevant = truth.map(served).max
+    val bestNoise = served.collect { case (id, rn) if !truth(id) => rn }
+      .reduceOption(_ min _).getOrElse(Long.MaxValue)
+    assert(worstRelevant < bestNoise, s"noise outranks relevant: $served")
+  }
+
+  test("served lexical scan prunes to the query terms' postings buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-p").toString + "/idx"
+    graft.pipeline.HybridRetrieval.build(spark, docs, dir)
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val plan = graft.pipeline.HybridRetrieval.lexPlan(spark, qdf, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      s"postings scan has no tb partition filter:\n$plan")
+  }
+
+  test("served fusion agrees with q111's in-memory fusion on the gate corpus") {
+    // the ANN ranker is approximate where q111's is a brute-force
+    // scan — unit-normalized vectors make the refine rank the cosine
+    // rank, so on the gate corpus the served top-10 should agree
+    // almost everywhere; pin a 0.7 overlap floor per query
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-g").toString + "/idx"
+    val corpus = Tables.documents(spark, sf)
+    graft.pipeline.HybridRetrieval.build(spark, corpus, dir)
+    val rq = graft.queries.Search.RrfQueries
+    val qdf = rq.map { case (q, p) => (q.toLong, p) }.toDF("query_id", "qtext")
+    val served = graft.pipeline.HybridRetrieval.search(spark, qdf, dir)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val inMem = graft.queries.Search.hybridRrf(corpus, rq)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    for ((q, _) <- rq.map(x => (x._1.toLong, x._2))) {
+      val ov = (served(q) intersect inMem(q)).size.toDouble /
+        math.max(served(q).size, inMem(q).size)
+      info(f"query $q served-vs-q111 top-10 overlap $ov%.2f")
+      assert(ov >= 0.7, f"query $q: served/in-memory overlap $ov%.2f below 0.7")
+    }
+    spark.catalog.clearCache() // hybridRrf persist contract
+  }
+
   test("fused recall >= max single-ranker recall, strictly beating the lexical ranker") {
     val (lexDf, semDf) = graft.queries.Search.rrfRankers(docs, query)
     val lex10 = lexDf.filter($"lrank" <= 10).select($"doc_id")
