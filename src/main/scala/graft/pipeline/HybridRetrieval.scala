@@ -1,45 +1,58 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted hybrid retrieval — the SERVED form of q111: build the
-  * two ranker indexes once, then answer (query_id, qtext) batches by
-  * RRF-fusing ranks read from the stores, never rescanning the
-  * corpus. q111 is the from-scratch query twin (brute-force semantic
-  * scan, in-plan BM25); this is what a retrieval consumer of the
-  * engine actually deploys, with `AnnIndex` supplying the semantic
-  * ranker exactly where q111's class doc declares the plug point.
+  * two ranker indexes once, absorb ingest batches incrementally,
+  * and answer (query_id, qtext) batches by RRF-fusing ranks read
+  * from the stores, never rescanning the corpus. q111 is the
+  * from-scratch query twin (brute-force semantic scan, in-plan
+  * BM25); this is what a retrieval consumer of the engine actually
+  * deploys, with [[AnnIndex]] supplying the semantic ranker exactly
+  * where q111's class doc declares the plug point.
   *
-  * Layout (parquet under `dir`):
-  *   - `postings/` (th, doc_id, tf, dl, df), hive-partitioned on
-  *     `tb` = th mod TermBuckets — a query batch touches only its
-  *     terms' buckets (static partition pruning, the inverted-list
-  *     discipline `AnnIndex` applies to cells);
-  *   - `stats/` — one row (n, sumdl): the BM25 corpus statistics;
+  * Layout (parquet under `dir`, every store `run=`-partitioned on
+  * the [[DedupIndex]]/[[AnnIndex]] idempotency discipline —
+  * re-delivered batches replace their own partition):
+  *   - `postings/` (th, doc_id, tf, dl), hive-partitioned on
+  *     (run, tb = th mod TermBuckets) — a query batch touches only
+  *     its terms' buckets (static partition pruning, the
+  *     inverted-list discipline `AnnIndex` applies to cells);
+  *   - `termstats/` (th, df) per-run DELTAS, same (run, tb) layout —
+  *     document frequency folds as an integer sum over runs, so the
+  *     serve-time df of a query's terms is EXACT at any append
+  *     count (read pruned to the same buckets);
+  *   - `stats/` (n, sumdl) per-run deltas — corpus size and total
+  *     document length fold the same way (dl is integral, so the
+  *     folded sums are exact);
   *   - `ann/` — an [[AnnIndex]] over the per-doc bag-of-words
-  *     embeddings; `raw/` — the raw embedding side store its refine
-  *     joins ([[graft.streaming.AnnScreenStream]]'s discipline).
+  *     embeddings; `raw/` — the run-partitioned raw embedding side
+  *     store its refine joins ([[graft.streaming.AnnScreenStream]]'s
+  *     discipline, including raw-BEFORE-codes append ordering).
   *
   * Embeddings are L2-NORMALIZED at build and query time, so the
   * ANN's L2 ranking coincides with q111's cosine ranking (for unit
   * vectors, ‖a−b‖² = 2−2·cos — monotone), instead of approximating
-  * it. Postings df/stats and the ANN codebooks freeze at build (the
-  * documented [[AnnIndex]] trade — drift telemetry and the periodic
-  * re-build cadence apply to both stores alike).
+  * it. The asymmetric freshness trade is explicit: the LEXICAL
+  * ranker is exactly incremental (df/stats fold as integer deltas —
+  * a fresh build and any append sequence serve identical BM25
+  * scores), while the ANN side encodes appends against FROZEN
+  * codebooks ([[AnnIndex]]'s documented trade, monitored by its
+  * `cellStats`/`needsRebuild` telemetry).
   *
-  * Scale shape: build is one corpus pass (tokens + embedding) +
-  * the q70-style skew-free df join-back; serving moves O(query-term
-  * postings) + O(nprobe cells) rows, ranks both sides on the
-  * bounded-heap TopKPerKey/refine machinery, and fuses two
-  * O(queries·depth) id-width rank tables with
-  * [[graft.queries.Search.rrfFuse]] — the ONE fusion definition
-  * shared with q111. */
+  * Scale shape: build/append is one batch pass (tokens + embedding)
+  * with map-side-combined per-batch aggregates — nothing O(corpus)
+  * per append; serving moves O(query-term postings) + O(nprobe
+  * cells) rows, ranks both sides on the bounded-heap
+  * TopKPerKey/refine machinery, and fuses two O(queries·depth)
+  * id-width rank tables with [[graft.queries.Search.rrfFuse]] — the
+  * ONE fusion definition shared with q111. */
 object HybridRetrieval {
 
   private val TermBuckets = 64
 
-  private def tokenHashes(c: org.apache.spark.sql.Column) =
+  private def tokenHashes(c: Column) =
     array_distinct(graft.ops.expressions.TokenHashes(c))
 
   /** Unit-normalized bag-of-words embedding of a text column
@@ -49,7 +62,7 @@ object HybridRetrieval {
     * under ANSI mode an unguarded 0.0/0.0 THROWS rather than
     * yielding NaN — the VectorOps.cosine lesson); callers filter
     * nulls out of the vector stores. */
-  private def unitEmbed(c: org.apache.spark.sql.Column) = {
+  private def unitEmbed(c: Column) = {
     val v = graft.ops.expressions.FeatureEmbed(
       sort_array(tokenHashes(c)), graft.queries.Search.SemDim)
     val norm = sqrt(aggregate(transform(v, x => x * x),
@@ -58,12 +71,11 @@ object HybridRetrieval {
       .otherwise(lit(null))
   }
 
-  /** One corpus pass builds all four stores. Token-less docs are out
-    * of retrieval scope (q111's contract); zero-norm embeddings
-    * (astronomically rare for non-empty hash sets) are excluded from
-    * the vector stores the same way. */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    val prepared = docs
+  /** One narrow pass over a (doc_id, text) batch: dl, unit
+    * embedding, token hashes. Token-less docs are out of retrieval
+    * scope (q111's contract). */
+  private def prepare(docs: DataFrame): DataFrame =
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("text"),
         graft.ops.TextOps.tokens(col("text")).as("toks"))
@@ -72,68 +84,118 @@ object HybridRetrieval {
         size(col("toks")).cast("double").as("dl"),
         unitEmbed(col("text")).as("vec"),
         graft.ops.expressions.TokenHashes(col("text")).as("ths"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // postings with df via groupBy + join-back (q70's skew-free
-    // device — a stop-term's posting list map-side-combines and the
-    // equi-join is AQE-splittable, no content-key window)
+
+  /** Land one batch's lexical stores under `run=<runId>`. All three
+    * writes are per-batch aggregates of THIS batch only (map-side
+    * combined; the df delta is a groupBy count — q70's skew-free
+    * shape, no content-key window anywhere). */
+  private def writeLexical(prepared: DataFrame, dir: String,
+                           runId: String, dynamic: Boolean): Unit = {
+    val mode = if (dynamic) "dynamic" else "static"
     val postings = prepared
       .select(col("doc_id"), col("dl"), explode(col("ths")).as("th"))
       .groupBy(col("th"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfs = postings.groupBy(col("th")).agg(count(lit(1)).as("df"))
-    postings.join(dfs, "th")
+    postings
+      .withColumn("run", lit(runId))
       .withColumn("tb", pmod(col("th"), lit(TermBuckets.toLong)))
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
-    prepared
-      .agg(count(lit(1)).cast("double").as("n"), sum(col("dl")).as("sumdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    val vecs = prepared
-      .filter(col("vec").isNotNull)
-      .select(col("doc_id").as("vec_id"), col("vec"))
-    vecs.write.mode("overwrite").parquet(s"$dir/raw")
-    AnnIndex.build(spark, vecs, s"$dir/ann")
+      .write.partitionBy("run", "tb").mode("overwrite")
+      .option("partitionOverwriteMode", mode).parquet(s"$dir/postings")
+    postings.groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .withColumn("run", lit(runId))
+      .withColumn("tb", pmod(col("th"), lit(TermBuckets.toLong)))
+      .write.partitionBy("run", "tb").mode("overwrite")
+      .option("partitionOverwriteMode", mode).parquet(s"$dir/termstats")
     postings.unpersist()
+    prepared
+      .agg(count(lit(1)).as("n"),
+        sum(col("dl")).cast("bigint").as("sumdl"))
+      .withColumn("run", lit(runId))
+      .coalesce(1)
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", mode).parquet(s"$dir/stats")
+  }
+
+  private def vecsOf(prepared: DataFrame): DataFrame =
+    prepared.filter(col("vec").isNotNull)
+      .select(col("doc_id").as("vec_id"), col("vec"))
+
+  /** Build all stores from scratch (static overwrite — a re-build
+    * replaces any prior runs, the [[AnnIndex.build]] contract). */
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val prepared = prepare(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeLexical(prepared, dir, "base", dynamic = false)
+    val vecs = vecsOf(prepared)
+    vecs.withColumn("run", lit("base"))
+      .write.partitionBy("run").mode("overwrite").parquet(s"$dir/raw")
+    AnnIndex.build(spark, vecs, s"$dir/ann")
     prepared.unpersist()
+  }
+
+  /** Absorb one ingest batch under `run=<runId>` — idempotent under
+    * re-delivery (every store partition-overwrites itself), nothing
+    * O(corpus). Lexical df/stats stay EXACT (integer deltas); the
+    * ANN side encodes against frozen codebooks (class doc trade).
+    * Raw store lands BEFORE codes: a crash between the writes leaves
+    * a harmless orphan raw partition, never orphan codes whose
+    * shortlisted ids would silently drop from the refine join. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+             runId: String): Unit = {
+    Seq("postings", "termstats", "stats", "raw")
+      .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
+    val prepared = prepare(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeLexical(prepared, dir, runId, dynamic = true)
+    vecsOf(prepared).withColumn("run", lit(runId))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/raw")
+    AnnIndex.append(spark, vecsOf(prepared), s"$dir/ann", runId)
+    prepared.unpersist()
+  }
+
+  /** Fold every store's `run=` partitions to one (daily appends
+    * otherwise accumulate a partition per batch forever — the
+    * [[DedupIndex.compact]] discipline; run at a quiescent point).
+    * Delta stores (termstats/stats) fold by CONCATENATION — the
+    * serve-time integer sums read identically before and after. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    graft.ops.StoreCompaction.fold(spark, s"$dir/postings", "run", "base",
+      spark.read.parquet(s"$dir/postings").drop("run"), Seq("tb"))
+    graft.ops.StoreCompaction.fold(spark, s"$dir/termstats", "run", "base",
+      spark.read.parquet(s"$dir/termstats").drop("run")
+        .groupBy(col("th"), col("tb")).agg(sum(col("df")).as("df"))
+        .select(col("th"), col("df"), col("tb")), Seq("tb"))
+    graft.ops.StoreCompaction.fold(spark, s"$dir/stats", "run", "base",
+      spark.read.parquet(s"$dir/stats").drop("run")
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")),
+      Nil)
+    graft.ops.StoreCompaction.fold(spark, s"$dir/raw", "run", "base",
+      spark.read.parquet(s"$dir/raw").drop("run"), Nil)
+    AnnIndex.compact(spark, s"$dir/ann")
   }
 
   /** Serve a query batch: (query_id LONG, qtext STRING) →
     * (query_id, doc_id, rrf_nano, rn), top-`k` fused per query.
     *
     * Lexical: the batch's term hashes collect to the driver (bounded
-    * — a query batch is human-sized) and prune the postings scan to
-    * their `tb` buckets; matched postings score the shared
-    * bm25Contrib formula, micro-rounded PER TERM so the per-doc
-    * BIGINT sum is shuffle-order-free, and rank on TopKPerKey.
-    * Semantic: unit query embeddings through
-    * [[AnnIndex.searchRefined]] against the stored codes + raw side
-    * store — for unit vectors the exact-L2 refine rank IS the cosine
-    * rank. Fusion: [[graft.queries.Search.rrfFuse]]. A query whose
-    * terms none of the corpus contains simply has no lexical pool —
-    * the semantic ranker still serves it (q111's paraphrase law,
-    * held by the served path too). */
+    * — a query batch is human-sized) and prune the postings AND
+    * termstats scans to their `tb` buckets; df folds by summing the
+    * pruned deltas; matched postings score the shared bm25Contrib
+    * formula, micro-rounded PER TERM so the per-doc BIGINT sum is
+    * shuffle-order-free, and rank on TopKPerKey. Semantic: unit
+    * query embeddings through [[AnnIndex.searchRefined]] against the
+    * stored codes + raw side store — for unit vectors the exact-L2
+    * refine rank IS the cosine rank. Fusion:
+    * [[graft.queries.Search.rrfFuse]]. A query whose terms none of
+    * the corpus contains simply has no lexical pool — the semantic
+    * ranker still serves it (q111's paraphrase law, held by the
+    * served path too). */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
              k: Int = 10): DataFrame = {
-    import spark.implicits._
     val depth = graft.queries.Search.RrfDepth
-    val qt = queries
-      .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
-    val terms = qt.select(col("th")).distinct().as[Long].collect()
-    val buckets = terms.map(_ % TermBuckets).distinct
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val (n, sumdl) = (st.getDouble(0), st.getDouble(1))
-    val matched = spark.read.parquet(s"$dir/postings")
-      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
-      .join(broadcast(qt), "th")
-    val contrib = graft.queries.Search.bm25Contrib(
-      col("tf").cast("double"), col("df").cast("double"),
-      lit(n), lit(sumdl), col("dl"))
-    val lexAll = matched
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(floor(contrib * lit(1e6) + lit(0.5)).cast("bigint")).as("score_u"))
-      .filter(col("score_u") > 0)
-    val lex = graft.plans.TopK.perKey(lexAll, Seq("query_id"),
-      Seq("score_u" -> false, "doc_id" -> true), depth, rankCol = "lrank")
+    val lex = lexRanks(spark, queries, dir)
     val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
       .filter(col("qvec").isNotNull)
     val raw = spark.read.parquet(s"$dir/raw")
@@ -143,7 +205,42 @@ object HybridRetrieval {
     graft.queries.Search.rrfFuse(lex, sem, topN = k)
   }
 
-  /** The lexical-ranker plan over the stores (spec hook: partition
+  /** The served lexical rank table (query_id, doc_id, score_u,
+    * lrank) — the half of [[search]] whose scores are EXACTLY
+    * incremental (spec hook: a fresh build and any append sequence
+    * over the same corpus must produce identical rows). */
+  private[graft] def lexRanks(spark: SparkSession, queries: DataFrame,
+                              dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("postings", "termstats", "stats", "raw")
+      .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
+    val qt = queries
+      .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
+    val terms = qt.select(col("th")).distinct().as[Long].collect()
+    val buckets = terms.map(_ % TermBuckets).distinct
+    val st = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
+    val (n, sumdl) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
+    val dfs = spark.read.parquet(s"$dir/termstats")
+      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
+      .groupBy(col("th")).agg(sum(col("df")).as("df"))
+    val matched = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
+      .join(broadcast(qt), "th")
+      .join(broadcast(dfs), "th")
+    val contrib = graft.queries.Search.bm25Contrib(
+      col("tf").cast("double"), col("df").cast("double"),
+      lit(n), lit(sumdl), col("dl"))
+    val lexAll = matched
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(floor(contrib * lit(1e6) + lit(0.5)).cast("bigint")).as("score_u"))
+      .filter(col("score_u") > 0)
+    graft.plans.TopK.perKey(lexAll, Seq("query_id"),
+      Seq("score_u" -> false, "doc_id" -> true),
+      graft.queries.Search.RrfDepth, rankCol = "lrank")
+  }
+
+  /** The lexical-ranker scan over the stores (spec hook: partition
     * pruning — the postings scan must read only the query terms'
     * `tb` buckets). */
   private[graft] def lexPlan(spark: SparkSession, queries: DataFrame,

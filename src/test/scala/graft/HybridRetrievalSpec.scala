@@ -55,6 +55,50 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(worstRelevant < bestNoise, s"noise outranks relevant: $served")
   }
 
+  test("append is exactly incremental for the lexical ranker, idempotent, and makes the batch searchable") {
+    import graft.pipeline.HybridRetrieval
+    val root = java.nio.file.Files.createTempDirectory("graft-hybrid-inc").toString
+    val batchB = Seq(
+      (5000L, "alpha beta nova0 nova1"),
+      (5001L, "nova2 nova3 nova4 nova5")).toDF("doc_id", "text")
+    val qdf = Seq((0L, "alpha beta"), (1L, "nova2")).toDF("query_id", "qtext")
+
+    // incremental vs from-scratch: the lexical rank tables must be
+    // IDENTICAL rows (df/stats fold as integer deltas — the class
+    // doc's exactness claim, which the frozen-codebook ANN side
+    // deliberately does not make)
+    HybridRetrieval.build(spark, docs, s"$root/inc")
+    HybridRetrieval.append(spark, batchB, s"$root/inc", "b1")
+    HybridRetrieval.build(spark, docs.unionByName(batchB), s"$root/fresh")
+    def lexRows(dir: String) =
+      HybridRetrieval.lexRanks(spark, qdf, dir)
+        .select($"query_id", $"doc_id", $"score_u", $"lrank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val inc = lexRows(s"$root/inc")
+    assert(inc == lexRows(s"$root/fresh"),
+      "appended lexical ranks diverge from a fresh build over the union")
+
+    // re-delivered batch replaces itself
+    HybridRetrieval.append(spark, batchB, s"$root/inc", "b1")
+    assert(lexRows(s"$root/inc") == inc, "re-delivery changed the store")
+
+    // the appended docs serve through BOTH rankers: doc 5000 scores
+    // lexically for "alpha beta"; "nova2" matches only batch docs
+    val fused = HybridRetrieval.search(spark, qdf, s"$root/inc")
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    assert(fused(0L).contains(5000L), s"appended doc not fused for q0: $fused")
+    assert(fused(1L).contains(5001L), s"nova-term doc not found: $fused")
+
+    // compact folds every store to one run and serving is unchanged
+    HybridRetrieval.compact(spark, s"$root/inc")
+    assert(lexRows(s"$root/inc") == inc, "compaction changed lexical ranks")
+    val fused2 = HybridRetrieval.search(spark, qdf, s"$root/inc")
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    assert(fused2 == fused, "compaction changed the fused results")
+  }
+
   test("served lexical scan prunes to the query terms' postings buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-p").toString + "/idx"
     graft.pipeline.HybridRetrieval.build(spark, docs, dir)
