@@ -210,6 +210,10 @@ object TextVector {
       trainedCentsDyn(Tables.embeddings(s, d)))
   private def trainedCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
     centsStage.get(s, d)
+  /** Spec hooks for the shared-quantizer memo (TrainedStageSpec pins
+    * the one-build contract SparkEntry.trainedStageQueries declares). */
+  private[graft] def centsStageBuildCount: Int = centsStage.buildCount
+  private[graft] def centsStageReset(): Unit = centsStage.reset()
 
   /** The q108 chain over any (vec_id, embedding) frame (spec hook:
     * planted off-distribution vector). See the q108 entry doc. */

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkEntry.trainedStageQueries — the bench's memoized-training
+  * disclosure must describe reality: every declared query exists,
+  * and each declared stage builds ONCE however many of its declared
+  * consumers run (ClusterSpec and BpeSpec pin the near-dup and BPE
+  * stages; this covers the remaining two and the map itself).
+  */
+class TrainedStageSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared trained-stage query is a real catalog query") {
+    val declared = SparkEntry.trainedStageQueries.values.flatten.toSet
+    val unknown = declared -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"trainedStageQueries names unknown queries: $unknown")
+  }
+
+  test("probe weights train once for q98 however many times it runs") {
+    graft.queries.ProbeStage.reset()
+    SparkEntry.queries("q98_linear_probe")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q98_linear_probe")(spark, sf).foreach(_ => ())
+    assert(graft.queries.ProbeStage.buildCount == 1,
+      s"probe trained ${graft.queries.ProbeStage.buildCount} times")
+    spark.catalog.clearCache()
+  }
+
+  test("the shared quantizer trains once for its two consumers (q104, q108)") {
+    graft.queries.TextVector.centsStageReset()
+    SparkEntry.queries("q104_semdedup")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q108_embed_outliers")(spark, sf).foreach(_ => ())
+    assert(graft.queries.TextVector.centsStageBuildCount == 1,
+      s"quantizer trained ${graft.queries.TextVector.centsStageBuildCount} times")
+    spark.catalog.clearCache()
+  }
+}
