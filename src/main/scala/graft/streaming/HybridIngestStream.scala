@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.pipeline.HybridRetrieval
+
+/** Continuous document ingest into the served hybrid-retrieval
+  * store: each arriving micro-batch of documents lands as one
+  * [[HybridRetrieval.append]] run — postings, df/stat deltas, raw
+  * vectors (BEFORE codes) and the ANN codes, all keyed
+  * `run=b<batchId>` so an at-least-once re-delivery replaces its own
+  * partitions instead of double-counting df ([[DedupScreenStream]]'s
+  * delivery discipline). Searches running against the store see each
+  * batch's lexical side EXACTLY (integer-delta folds) as its commits
+  * land; the ANN side carries [[graft.pipeline.AnnIndex]]'s frozen-
+  * codebook trade, monitored by its drift telemetry.
+  */
+object HybridIngestStream {
+
+  /** One checkpointed pass over whatever document files are new in
+    * `inDir` (Trigger.AvailableNow). The store at `dir` must exist
+    * ([[HybridRetrieval.build]]). Schema: (doc_id long,
+    * text string). */
+  def runOnce(spark: SparkSession, inDir: String, dir: String,
+              checkpointDir: String, schema: StructType): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        HybridRetrieval.append(spark,
+          batch.select(col("doc_id"), col("text")), dir, s"b$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

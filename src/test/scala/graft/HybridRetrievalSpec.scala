@@ -99,6 +99,42 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(fused2 == fused, "compaction changed the fused results")
   }
 
+  test("a single-document store builds and serves (tiny-deployment floor)") {
+    // the AnnIndex spill-2 centroid pad + clamped codebooks must
+    // carry through the composed store: a fresh product's first doc
+    // must index and be findable, not crash
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-one").toString + "/idx"
+    val one = Seq((42L, "alpha beta gamma")).toDF("doc_id", "text")
+    graft.pipeline.HybridRetrieval.build(spark, one, dir)
+    val got = graft.pipeline.HybridRetrieval.search(spark,
+        Seq((0L, "alpha")).toDF("query_id", "qtext"), dir)
+      .select($"doc_id").as[Long].collect()
+    assert(got.toSeq == Seq(42L), s"lone document not served: ${got.toSeq}")
+  }
+
+  test("streaming ingest: new document files index incrementally and serve exactly") {
+    import graft.pipeline.HybridRetrieval
+    val root = java.nio.file.Files.createTempDirectory("graft-hybrid-s").toString
+    val dir = s"$root/idx"; val inDir = s"$root/in"; val ck = s"$root/ck"
+    HybridRetrieval.build(spark, docs, dir)
+    val batch = Seq((6000L, "alpha beta wave0 wave1")).toDF("doc_id", "text")
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    graft.streaming.HybridIngestStream.runOnce(spark, inDir, dir, ck, schema)
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val fused = HybridRetrieval.search(spark, qdf, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fused.contains(6000L), s"streamed doc not fused: $fused")
+    // a second pass with no new files is a no-op (checkpoint holds)
+    val lexBefore = HybridRetrieval.lexRanks(spark, qdf, dir)
+      .select($"doc_id", $"score_u").as[(Long, Long)].collect().toSet
+    graft.streaming.HybridIngestStream.runOnce(spark, inDir, dir, ck, schema)
+    val lexAfter = HybridRetrieval.lexRanks(spark, qdf, dir)
+      .select($"doc_id", $"score_u").as[(Long, Long)].collect().toSet
+    assert(lexAfter == lexBefore, "no-op re-pass changed the store")
+  }
+
   test("served lexical scan prunes to the query terms' postings buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-p").toString + "/idx"
     graft.pipeline.HybridRetrieval.build(spark, docs, dir)
