@@ -224,9 +224,41 @@ object DedupIndex {
       .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
     val bands = runs(s"$dir/bands")
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
-    val cand = bandsOf(derived)
-      .join(bands, Seq("band_idx", "band_hash"))
-      .select(col("doc_id"), col("corpus_id")).distinct()
+    // Hard per-bucket cap on the INDEX side (q24/q29/q34's BucketCap
+    // device, serving-probe form): a boilerplate flood puts ~10⁶
+    // copies in one index bucket (build() indexes a corpus that may
+    // legitimately hold them; the screened-doc probe store
+    // accumulates every non-unique ever screened), and an uncapped
+    // probe would emit bucket-size candidates PER MATCHING BATCH DOC
+    // — per-batch cost linear in the flood. Over-cap buckets answer
+    // with their min-id HUB only: the verify still decides the
+    // verdict (an identical batch doc verifies against the hub at
+    // jaccard ≈ 1) and a hub edge keeps cluster maintenance
+    // connected to the family (spanning, not exhaustive — the
+    // nearEdgesAgainst bridge contract degrades to one edge per
+    // over-cap bucket, with the other bands still voting for mixed
+    // buckets, q24's recall argument). Shape: bucket stats reduce
+    // map-side over ONLY the batch's buckets (broadcast probe), the
+    // over-cap bucket ids broadcast back, and the index bands are
+    // never shuffled — two broadcast-probe streams over the same
+    // scan the uncapped join already paid.
+    val batchBands = bandsOf(derived)
+    val bStats = bands
+      .join(broadcast(batchBands.select(col("band_idx"), col("band_hash")).distinct()),
+        Seq("band_idx", "band_hash"))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("m"), min(col("corpus_id")).as("hub_id"))
+    val cap = graft.queries.TextVector.BucketCap
+    val smallB = batchBands
+      .join(broadcast(bStats.filter(col("m") <= cap)
+        .select(col("band_idx"), col("band_hash"))),
+        Seq("band_idx", "band_hash"))
+    val candSmall = bands.join(broadcast(smallB), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("corpus_id"))
+    val candStar = batchBands
+      .join(broadcast(bStats.filter(col("m") > cap)), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("hub_id").as("corpus_id"))
+    val cand = candSmall.unionByName(candStar).distinct()
     cand
       .join(derived.select(col("doc_id"), col("hs")), Seq("doc_id"))
       .join(shs, Seq("corpus_id"))
@@ -239,7 +271,10 @@ object DedupIndex {
   /** All verified near-dup edges between a new batch and the indexed
     * corpus: (id_a = batch doc, id_b = corpus doc). Same LSH
     * candidates + exact-Jaccard verify as [[screen]]'s near path,
-    * WITHOUT the best-match reduction. */
+    * WITHOUT the best-match reduction. Over-cap index buckets
+    * contribute their hub edge only (the BucketCap note in
+    * `verifiedAgainst`) — spanning connectivity for cluster
+    * maintenance, not the exhaustive pair set. */
   def nearEdgesAgainst(spark: SparkSession, newDocs: DataFrame, dir: String,
                        excludeRun: Option[String] = None): DataFrame =
     verifiedAgainst(spark, withDerived(newDocs), dir, excludeRun)

@@ -80,6 +80,47 @@ class DedupIndexSpec extends AnyFunSuite {
       redelivery(0).getLong(2) == 20000L)
   }
 
+  test("a flooded index bucket answers probes with its hub only; verdicts and connectivity survive") {
+    // boilerplate flood: 200 byte-identical docs indexed (build()
+    // indexes whatever the corpus holds; the screened-doc probe
+    // store accumulates the same shape) — an uncapped probe of that
+    // bucket would emit 200 candidates per matching batch doc and
+    // grow linearly with the flood. The capped probe must answer
+    // with the bucket's min-id hub, keep the verdict, and keep the
+    // cluster bridge.
+    val dir = tmp("dedup-flood")
+    val mega = (0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val normal = Seq(
+      (1000L, "one two three four five six seven eight nine ten"))
+    DedupIndex.build(spark, (mega ++ normal).toDF("doc_id", "text"), dir)
+
+    val batch = Seq(
+      // same boilerplate — must flag against the flood, via the hub
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // near-dup of the normal doc — the small-bucket path
+      (9001L, "one two three four five six seven eight nine ten extra"),
+      (9002L, "totally novel qqz wwx eey rrt yyu")).toDF("doc_id", "text")
+
+    val edges = DedupIndex.nearEdgesAgainst(spark, batch, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val floodEdges = edges.filter { case (a, b) => a == 9000L && b < 1000L }
+    assert(floodEdges.nonEmpty, "boilerplate batch doc lost its bridge")
+    assert(floodEdges.length <= 8,
+      s"flooded bucket emitted ${floodEdges.length} edges — probe cap not applied")
+    assert(floodEdges.forall(_._2 == 0L),
+      s"over-cap bucket must answer with its min-id hub: ${floodEdges.toSeq}")
+    assert(edges.contains((9001L, 1000L)), "small-bucket near edge lost")
+
+    val verdicts = DedupIndex.screen(spark, batch, dir)
+      .select($"doc_id", $"verdict", $"match_id")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(verdicts(9000L)._2 == "exact" && verdicts(9000L)._3.contains(0L),
+      s"boilerplate verdict wrong: ${verdicts(9000L)}")
+    assert(verdicts(9001L)._2 == "near" && verdicts(9001L)._3.contains(1000L))
+    assert(verdicts(9002L)._2 == "unique")
+  }
+
   test("nearEdgesWithin reproduces q24's verified pair set exactly") {
     // ClusterMaintenance's equivalence-to-from-scratch argument rests
     // on the edge generators using q24's chain; pin it on real data
