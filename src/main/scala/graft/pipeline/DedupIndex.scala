@@ -288,14 +288,14 @@ object DedupIndex {
   def nearEdgesWithin(spark: SparkSession, docs: DataFrame): DataFrame = {
     val derived = withDerived(docs).cache()
     try {
-      val bs = bandsOf(derived)
-      val cand = bs.as("x")
-        .join(bs.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+      // intra-batch candidates through the SHARED capped device
+      // (q24/q29/q34's star-edge rule): a catch-up delivery carrying
+      // a boilerplate flood would otherwise expand one band bucket
+      // into ~batch²/2 pairs; over-cap buckets emit min-id hub edges
+      // only, which is all the downstream labeling needs
+      val cand = graft.queries.TextVector.cappedBandCandidates(
+        bandsOf(derived).select(col("doc_id"), col("band_idx"),
+          col("band_hash").as("band_val")))
       cand
         .join(derived.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
         .join(derived.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))

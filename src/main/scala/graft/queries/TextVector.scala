@@ -503,8 +503,10 @@ object TextVector {
     *
     * `bands` = (doc_id, band_idx, band_val); returns distinct
     * (id_a, id_b) with id_a < id_b (hub = bucket min doc_id, so
-    * star edges satisfy the invariant by construction). */
-  private def cappedBandCandidates(bands: DataFrame): DataFrame = {
+    * star edges satisfy the invariant by construction). Shared with
+    * [[graft.pipeline.DedupIndex.nearEdgesWithin]] — the intra-batch
+    * edge set of the streaming screen takes the same cap. */
+  private[graft] def cappedBandCandidates(bands: DataFrame): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
     val stats = bands

@@ -121,6 +121,28 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(verdicts(9002L)._2 == "unique")
   }
 
+  test("a flooded batch's intra-batch edges are hard-capped to spanning stars") {
+    // a catch-up delivery carrying 200 identical docs: uncapped the
+    // within-batch band self-join would verify 19 900 pairs; the
+    // shared star device must emit O(batch) edges that still span
+    // the family for labeling
+    val mega = (0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val singles = Seq(
+      (1000L, "one two three four five six seven eight nine ten"))
+    val edges = DedupIndex.nearEdgesWithin(spark,
+        (mega ++ singles).toDF("doc_id", "text"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val megaEdges = edges.filter { case (a, b) => a < 1000L && b < 1000L }
+    assert(megaEdges.length < 1000,
+      s"flood batch emitted ${megaEdges.length} intra-batch edges — cap not applied")
+    val labels = graft.ops.ConnectedComponents
+      .run(megaEdges.toSeq.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0L),
+      "capped intra-batch edges no longer span the flood family")
+  }
+
   test("nearEdgesWithin reproduces q24's verified pair set exactly") {
     // ClusterMaintenance's equivalence-to-from-scratch argument rests
     // on the edge generators using q24's chain; pin it on real data
