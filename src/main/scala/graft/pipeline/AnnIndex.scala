@@ -258,7 +258,14 @@ object AnnIndex {
 
   /** True when cell balance has drifted past [[DriftFactor]]× the
     * balanced share — the documented signal to re-[[build]] from the
-    * raw store at a quiescent point (same contract as [[compact]]). */
+    * raw store at a quiescent point (same contract as [[compact]]).
+    * Defined for indexes with more than [[DriftFactor]] cells: at
+    * ≤ 3 cells the threshold share exceeds what spill-to-2
+    * occupancy can produce, so the trigger never fires — which is
+    * the right answer there, not a gap: a 2–3-cell index holds at
+    * most a few hundred vectors, every probe reads most of it
+    * regardless of balance, and a re-[[build]] costs nothing
+    * whenever the operator wants one. */
   def needsRebuild(stats: CellStats): Boolean =
     stats.nRows > 0 &&
       stats.maxCellShare > DriftFactor / stats.nCellsTotal

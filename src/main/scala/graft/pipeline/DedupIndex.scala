@@ -243,11 +243,16 @@ object DedupIndex {
     // never shuffled — two broadcast-probe streams over the same
     // scan the uncapped join already paid.
     val batchBands = bandsOf(derived)
+    // materialized once (localCheckpoint — the frame is bounded by
+    // the BATCH's bucket count): both the small-bucket and over-cap
+    // broadcasts below derive from it, which would otherwise rescan
+    // the index bands store per derivation
     val bStats = bands
       .join(broadcast(batchBands.select(col("band_idx"), col("band_hash")).distinct()),
         Seq("band_idx", "band_hash"))
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("m"), min(col("corpus_id")).as("hub_id"))
+      .localCheckpoint()
     val cap = graft.queries.TextVector.BucketCap
     val smallB = batchBands
       .join(broadcast(bStats.filter(col("m") <= cap)

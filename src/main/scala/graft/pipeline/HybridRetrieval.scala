@@ -63,8 +63,7 @@ object HybridRetrieval {
     * yielding NaN — the VectorOps.cosine lesson); callers filter
     * nulls out of the vector stores. */
   private def unitEmbed(c: Column) = {
-    val v = graft.ops.expressions.FeatureEmbed(
-      sort_array(tokenHashes(c)), graft.queries.Search.SemDim)
+    val v = graft.queries.Search.bowEmbed(c) // the ONE encoder (q111's)
     val norm = sqrt(aggregate(transform(v, x => x * x),
       lit(0.0), (a, b) => a + b))
     when(norm > lit(0.0), transform(v, x => x / norm))
@@ -194,8 +193,11 @@ object HybridRetrieval {
     * served path too). */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
              k: Int = 10): DataFrame = {
-    val depth = graft.queries.Search.RrfDepth
-    val lex = lexRanks(spark, queries, dir)
+    // pool depth scales with the requested k: fixed RrfDepth pools
+    // would silently cap the fusion at 2·RrfDepth distinct docs per
+    // query however large a k the caller asked for
+    val depth = math.max(graft.queries.Search.RrfDepth, k)
+    val lex = lexRanks(spark, queries, dir, depth)
     val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
       .filter(col("qvec").isNotNull)
     val raw = spark.read.parquet(s"$dir/raw")
@@ -210,22 +212,15 @@ object HybridRetrieval {
     * incremental (spec hook: a fresh build and any append sequence
     * over the same corpus must produce identical rows). */
   private[graft] def lexRanks(spark: SparkSession, queries: DataFrame,
-                              dir: String): DataFrame = {
-    import spark.implicits._
-    Seq("postings", "termstats", "stats", "raw")
-      .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
-    val qt = queries
-      .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
-    val terms = qt.select(col("th")).distinct().as[Long].collect()
-    val buckets = terms.map(_ % TermBuckets).distinct
+                              dir: String,
+                              depth: Int = graft.queries.Search.RrfDepth): DataFrame = {
+    val (qt, pruned) = prunedPostings(spark, queries, dir)
     val st = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
     val (n, sumdl) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
-    val dfs = spark.read.parquet(s"$dir/termstats")
-      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
+    val dfs = prunedScan(spark, qt, s"$dir/termstats")
       .groupBy(col("th")).agg(sum(col("df")).as("df"))
-    val matched = spark.read.parquet(s"$dir/postings")
-      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
+    val matched = pruned
       .join(broadcast(qt), "th")
       .join(broadcast(dfs), "th")
     val contrib = graft.queries.Search.bm25Contrib(
@@ -236,21 +231,35 @@ object HybridRetrieval {
       .agg(sum(floor(contrib * lit(1e6) + lit(0.5)).cast("bigint")).as("score_u"))
       .filter(col("score_u") > 0)
     graft.plans.TopK.perKey(lexAll, Seq("query_id"),
-      Seq("score_u" -> false, "doc_id" -> true),
-      graft.queries.Search.RrfDepth, rankCol = "lrank")
+      Seq("score_u" -> false, "doc_id" -> true), depth, rankCol = "lrank")
+  }
+
+  /** ONE definition of the term-pruned store read (lexRanks AND the
+    * plan-pin spec hook go through it, so the pinned scan shape IS
+    * the serving shape): heal-first, then filter a `tb`-partitioned
+    * store down to the query batch's term buckets. */
+  private def prunedScan(spark: SparkSession, qt: DataFrame,
+                         path: String): DataFrame = {
+    import spark.implicits._
+    val terms = qt.select(col("th")).distinct().as[Long].collect()
+    val buckets = terms.map(_ % TermBuckets).distinct
+    spark.read.parquet(path)
+      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
+  }
+
+  private def prunedPostings(spark: SparkSession, queries: DataFrame,
+                             dir: String): (DataFrame, DataFrame) = {
+    Seq("postings", "termstats", "stats", "raw")
+      .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
+    val qt = queries
+      .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
+    (qt, prunedScan(spark, qt, s"$dir/postings"))
   }
 
   /** The lexical-ranker scan over the stores (spec hook: partition
     * pruning — the postings scan must read only the query terms'
-    * `tb` buckets). */
+    * `tb` buckets; same heal + pruning code path as serving). */
   private[graft] def lexPlan(spark: SparkSession, queries: DataFrame,
-                             dir: String): DataFrame = {
-    import spark.implicits._
-    val qt = queries
-      .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
-    val terms = qt.select(col("th")).distinct().as[Long].collect()
-    val buckets = terms.map(_ % TermBuckets).distinct
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
-  }
+                             dir: String): DataFrame =
+    prunedPostings(spark, queries, dir)._2
 }

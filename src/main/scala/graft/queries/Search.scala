@@ -67,6 +67,17 @@ object Search {
     * DISTINCT token hashes — cosine tracks token-set overlap; the
     * public stand-in for a learned dense encoder, per SURVEY §7.1). */
   private[graft] val SemDim = 32
+
+  /** The ONE bag-of-words encoder definition — q111's doc side,
+    * q111's query side, and [[graft.pipeline.HybridRetrieval]]'s
+    * stores all embed through here (sort_array: the per-dim feature
+    * fold is order-dependent in IEEE doubles — q34's note); a
+    * one-sided tweak would silently break the served-path ≡ q111
+    * rank contract. */
+  private[graft] def bowEmbed(c: Column): Column =
+    graft.ops.expressions.FeatureEmbed(
+      sort_array(array_distinct(graft.ops.expressions.TokenHashes(c))),
+      SemDim)
   /** Fixed query phrases (q43's Terms convention — mid-frequency
     * testdata vocabulary; a deployment would parameterize). */
   private[graft] val RrfQueries: Seq[(Int, String)] = Seq(
@@ -122,9 +133,7 @@ object Search {
       .filter(size($"toks") > 0)
       .select($"doc_id" +:
         size($"toks").cast("double").as("dl") +:
-        graft.ops.expressions.FeatureEmbed(
-          sort_array(array_distinct(graft.ops.expressions.TokenHashes($"text"))),
-          SemDim).as("v") +:
+        bowEmbed($"text").as("v") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter($"toks", x => x === lit(t))).cast("double").as(s"tf$i")
         }: _*)
@@ -148,9 +157,7 @@ object Search {
       Seq("score_u" -> false, "doc_id" -> true), RrfDepth, rankCol = "lrank")
     val qdf = broadcast(
       queries.map { case (q, p) => (q.toLong, p) }.toDF("query_id", "qtext")
-        .select($"query_id", graft.ops.expressions.FeatureEmbed(
-          sort_array(array_distinct(graft.ops.expressions.TokenHashes($"qtext"))),
-          SemDim).as("qv")))
+        .select($"query_id", bowEmbed($"qtext").as("qv")))
     val semAll = base.select($"doc_id", $"v").crossJoin(qdf)
       .select($"query_id", $"doc_id",
         graft.ops.expressions.CosineSim($"qv", $"v").as("cos"))

@@ -16,6 +16,16 @@ import graft.pipeline.HybridRetrieval
   * batch's lexical side EXACTLY (integer-delta folds) as its commits
   * land; the ANN side carries [[graft.pipeline.AnnIndex]]'s frozen-
   * codebook trade, monitored by its drift telemetry.
+  *
+  * ID contract: the `run=` keying makes SAME-batch re-execution
+  * idempotent, but a producer that re-drops already-absorbed
+  * documents as NEW files delivers them under a new batch id and the
+  * store counts them twice (inflated df/n/sumdl, duplicate raw
+  * rows). Cross-run uniqueness of doc_ids is the producer's
+  * obligation — the same contract every `append`-family store in
+  * this engine states — and a content-dedup front (screen with
+  * [[DedupScreenStream]] before ingesting here) is the engine's own
+  * tool for producers that cannot promise it.
   */
 object HybridIngestStream {
 
