@@ -124,6 +124,46 @@ object TextVector {
   // SRP-LSH (q30): 24 signature bits in 4 bands of 6.
   private val AnnBits  = 24
   private val AnnBands = 4
+  // q112: ANN candidate-stage evaluation — the retrieval twin of
+  // q106's dedup QA (sampled exact truth vs the LSH candidate set,
+  // published as a per-query recall report).
+  private val AnnEvalQueryN = 8
+  private val AnnEvalTopK   = 5
+
+  /** Shared SRP-LSH signature + candidate CTE chain (sig → q → qb →
+    * cb → cand) for the q30/q112 twins — ONE definition of the
+    * signature and band-join SQL (`qn` = query-vector count; a
+    * one-sided tweak would silently break the two queries'
+    * candidate-stage agreement). */
+  private def srpCandCtes(qn: Int): String = {
+    val r = AnnBits / AnnBands
+    // Twin of VectorOps.srpBits + packBands over a DOUBLE[] `v`.
+    val bandsSql =
+      s"""list_transform(range(0, $AnnBands), b ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, $r), p -> bits[b*$r+p+1] * (CAST(1 AS BIGINT) << p))),
+         |    (acc, v) -> acc + v))""".stripMargin
+    val bitsSql =
+      s"""list_transform(range(0, $AnnBits), i ->
+         |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(0, $MergeDim), dd ->
+         |      v[dd+1] * (CAST((i*$MergeDim+dd+1)*$PermMult % $HashMod AS DOUBLE)
+         |                 /1000000007.0*2.0-1.0))),
+         |    (acc, p) -> acc + p) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)""".stripMargin
+    s"""sig AS (
+       |  SELECT vec_id, v AS embedding, $bandsSql AS bands
+       |  FROM (SELECT vec_id, v, $bitsSql AS bits
+       |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bands AS q_bands
+       |      FROM sig WHERE vec_id < $qn),
+       |qb AS (SELECT query_id, t.b AS band_idx, q_bands[t.b+1] AS band_val
+       |       FROM q, generate_series(0, ${AnnBands - 1}) t(b)),
+       |cb AS (SELECT vec_id, t.b AS band_idx, bands[t.b+1] AS band_val
+       |       FROM sig, generate_series(0, ${AnnBands - 1}) t(b)),
+       |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+       |         FROM cb JOIN qb ON cb.band_idx = qb.band_idx
+       |                        AND cb.band_val = qb.band_val)""".stripMargin
+  }
 
   // IVF (q33, and q90's coarse stage): codebook TRAINED by
   // deterministic Lloyd's k-means (graft.ops.Kmeans) on a SEEDED
@@ -1038,6 +1078,55 @@ object TextVector {
         .filter($"rn" <= 5)
         .select($"query_id", $"vec_id", $"cos", $"rn".cast("bigint").as("rn"))
         .orderBy($"query_id", $"rn")
+    },
+
+    // ANN candidate-stage evaluation (q106's sampled-QA device for
+    // the RETRIEVAL family): exact cosine top-AnnEvalTopK per sampled
+    // query = TRUTH; q30's SRP-band candidate set = the stage under
+    // test; per-query report (n_cand, n_hit, recall_micro) — the
+    // number a team publishes next to its ANN serving config to
+    // justify bands/bits choices. Cost: truth is one broadcast
+    // query-set pass over the corpus (bounded by AnnEvalQueryN
+    // FOREVER — corpus growth changes the scan length, not the
+    // output size); candidates and both count joins are id-width.
+    "q112_ann_eval" -> { (s, d) =>
+      import s.implicits._
+      // signature table feeds the query set, the candidate bands AND
+      // the exact-truth scan (no DAG-level CSE) — persist; lifecycle
+      // is the Verify/Bench clearCache contract
+      val sig = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          graft.ops.expressions.SrpBands($"embedding", AnnBits, AnnBands).as("bands"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = sig.filter($"vec_id" < AnnEvalQueryN)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+          $"bands".as("q_bands"))
+      val qBands = qs.select($"query_id",
+        posexplode($"q_bands").as(Seq("band_idx", "band_val")))
+      val cBands = sig.select($"vec_id",
+        posexplode($"bands").as(Seq("band_idx", "band_val")))
+      // referenced by the per-query count AND the hit join
+      val cand = cBands.join(broadcast(qBands), Seq("band_idx", "band_val"))
+        .select($"query_id", $"vec_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = graft.plans.TopK.perKey(
+        sig.select($"vec_id", $"embedding")
+          .join(broadcast(qs.select($"query_id", $"q_emb")))
+          .select($"query_id", $"vec_id",
+            VectorOps.cosine($"q_emb", $"embedding").as("cos")),
+        Seq("query_id"), Seq("cos" -> false, "vec_id" -> true),
+        AnnEvalTopK, rankCol = "rn")
+        .select($"query_id", $"vec_id")
+      val nc = cand.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
+      val nh = truth.join(cand, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      nc.join(nh, Seq("query_id"), "left")
+        .select($"query_id", $"n_cand",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          floor(coalesce($"n_hit", lit(0L)).cast("double") /
+            lit(AnnEvalTopK.toDouble) * lit(1e6) + lit(0.5))
+            .cast("bigint").as("recall_micro"))
+        .orderBy($"query_id")
     },
 
     // IVF-style approximate similarity search (builder brief's other
@@ -2187,34 +2276,8 @@ object TextVector {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
-      "q30_ann_lsh" -> {
-        val r = AnnBits / AnnBands
-        // Twin of VectorOps.srpBits + packBands over a DOUBLE[] `v`.
-        val bandsSql =
-          s"""list_transform(range(0, $AnnBands), b ->
-             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |    list_transform(range(0, $r), p -> bits[b*$r+p+1] * (CAST(1 AS BIGINT) << p))),
-             |    (acc, v) -> acc + v))""".stripMargin
-        val bitsSql =
-          s"""list_transform(range(0, $AnnBits), i ->
-             |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |    list_transform(range(0, $MergeDim), dd ->
-             |      v[dd+1] * (CAST((i*$MergeDim+dd+1)*$PermMult % $HashMod AS DOUBLE)
-             |                 /1000000007.0*2.0-1.0))),
-             |    (acc, p) -> acc + p) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)""".stripMargin
-        s"""WITH sig AS (
-           |  SELECT vec_id, v AS embedding, $bandsSql AS bands
-           |  FROM (SELECT vec_id, v, $bitsSql AS bits
-           |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
-           |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bands AS q_bands
-           |      FROM sig WHERE vec_id < 3),
-           |qb AS (SELECT query_id, t.b AS band_idx, q_bands[t.b+1] AS band_val
-           |       FROM q, generate_series(0, ${AnnBands - 1}) t(b)),
-           |cb AS (SELECT vec_id, t.b AS band_idx, bands[t.b+1] AS band_val
-           |       FROM sig, generate_series(0, ${AnnBands - 1}) t(b)),
-           |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
-           |         FROM cb JOIN qb ON cb.band_idx = qb.band_idx
-           |                        AND cb.band_val = qb.band_val),
+      "q30_ann_lsh" ->
+        s"""WITH ${srpCandCtes(3)},
            |sc AS (SELECT cand.query_id, cand.vec_id,
            |         ${Sql.dot("q.q_emb", "s.embedding")}
            |           / sqrt(${Sql.dot("q.q_emb", "q.q_emb")})
@@ -2226,8 +2289,33 @@ object TextVector {
            |                           ORDER BY cos DESC, vec_id) AS rn
            |      FROM sc)
            |SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
-           |ORDER BY query_id, rn""".stripMargin
-      },
+           |ORDER BY query_id, rn""".stripMargin,
+
+      // Twin of q112: the q30 candidate chain at the eval query
+      // count, exact truth by full-scan row_number, bounded-count
+      // report joins.
+      "q112_ann_eval" ->
+        s"""WITH ${srpCandCtes(AnnEvalQueryN)},
+           |sc AS (SELECT q.query_id, s.vec_id,
+           |         ${Sql.dot("q.q_emb", "s.embedding")}
+           |           / sqrt(${Sql.dot("q.q_emb", "q.q_emb")})
+           |           / sqrt(${Sql.dot("s.embedding", "s.embedding")}) AS cos
+           |       FROM sig s, q),
+           |r AS (SELECT query_id, vec_id,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, vec_id) AS rn
+           |      FROM sc),
+           |truth AS (SELECT query_id, vec_id FROM r WHERE rn <= $AnnEvalTopK),
+           |nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+           |nh AS (SELECT t.query_id, count(*) AS n_hit FROM truth t
+           |       JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+           |       GROUP BY 1)
+           |SELECT nc.query_id, nc.n_cand,
+           |  coalesce(nh.n_hit, 0) AS n_hit,
+           |  CAST(floor(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / $AnnEvalTopK.0
+           |    * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
+           |FROM nc LEFT JOIN nh ON nh.query_id = nc.query_id
+           |ORDER BY nc.query_id""".stripMargin,
 
       "q34_embed_dup" -> {
         val r = DedupBits / DedupBands

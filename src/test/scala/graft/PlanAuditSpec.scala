@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q103_dsir_select", // q103: 1-row (nt, nr) totals broadcast
       "q106_dedup_eval",  // q106: bounded-sample pair join + 1-row metrics
       "q109_late_interaction", // q109: tiny query-chunk set vs the scan
-      "q111_hybrid_rrf") // q111: 1-row stats + 3-row query set, both broadcast
+      "q111_hybrid_rrf", // q111: 1-row stats + 3-row query set, both broadcast
+      "q112_ann_eval") // q112: 8-row eval query set vs the scan (exact truth)
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
