@@ -1044,7 +1044,10 @@ object TextVector {
     // candidate rule CTE-for-CTE — the star path itself is
     // oracle-gated, no headroom precondition (measured gate-corpus
     // buckets: simhash 53/46, embed 86/89 at sf0.001/sf0.01 vs
-    // cap 64 — q34's star path actually fires under the gate).
+    // cap 64 — q34's star path actually fires under the gate). Also
+    // hand-replayed against the capped twins at sf0.1, where the
+    // 483-member simhash and 871-member SRP buckets both take the
+    // star path (1461/1370 output rows, hash-match).
     "q29_simhash_dedup" -> { (s, d) =>
       simhashDupPairs(Tables.documents(s, d))
     },
