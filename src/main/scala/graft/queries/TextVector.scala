@@ -165,6 +165,36 @@ object TextVector {
        |                        AND cb.band_val = qb.band_val)""".stripMargin
   }
 
+  /** Spark twin of [[srpCandCtes]] — ONE definition of the SRP
+    * signature + band-join candidate chain on the ENGINE side too
+    * (q30 serves top-k from it; q112 evaluates it — a tweak to the
+    * candidate rule that reached only one of the two would silently
+    * invalidate q112's premise that it measures q30's stage).
+    * Returns (sig, qs, cand); `persist` caches sig and cand for
+    * builders that reference them more than once (lifecycle: the
+    * Verify/Bench clearCache contract documented on SparkEntry). */
+  private def srpCandFrames(s: SparkSession, d: String, qn: Int,
+                            persist: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigRaw = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        graft.ops.expressions.SrpBands($"embedding", AnnBits, AnnBands).as("bands"))
+    val sig = if (persist) sigRaw.persist(lvl) else sigRaw
+    val qs = sig.filter($"vec_id" < qn)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"bands".as("q_bands"))
+    val qBands = qs.select($"query_id",
+      posexplode($"q_bands").as(Seq("band_idx", "band_val")))
+    val cBands = sig.select($"vec_id",
+      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val candRaw = cBands.join(broadcast(qBands), Seq("band_idx", "band_val"))
+      .select($"query_id", $"vec_id").distinct()
+    val cand = if (persist) candRaw.persist(lvl) else candRaw
+    (sig, qs, cand)
+  }
+
   // IVF (q33, and q90's coarse stage): codebook TRAINED by
   // deterministic Lloyd's k-means (graft.ops.Kmeans) on a SEEDED
   // PSEUDO-RANDOM sample (the IvfSampleN vec_ids ranked first by the
@@ -1059,17 +1089,7 @@ object TextVector {
     // that pruning, not salting, is what bounds the reducer here.
     "q30_ann_lsh" -> { (s, d) =>
       import s.implicits._
-      val sig = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding",
-          graft.ops.expressions.SrpBands($"embedding", AnnBits, AnnBands).as("bands"))
-      val qs = sig.filter($"vec_id" < 3)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bands")
-      val qBands = qs.select($"query_id",
-        posexplode($"bands").as(Seq("band_idx", "band_val")))
-      val cBands = sig.select($"vec_id",
-        posexplode($"bands").as(Seq("band_idx", "band_val")))
-      val cand = cBands.join(broadcast(qBands), Seq("band_idx", "band_val"))
-        .select($"query_id", $"vec_id").distinct()
+      val (sig, qs, cand) = srpCandFrames(s, d, 3, persist = false)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
       cand
@@ -1086,35 +1106,28 @@ object TextVector {
     // ANN candidate-stage evaluation (q106's sampled-QA device for
     // the RETRIEVAL family): exact cosine top-AnnEvalTopK per sampled
     // query = TRUTH; q30's SRP-band candidate set = the stage under
-    // test; per-query report (n_cand, n_hit, recall_micro) — the
-    // number a team publishes next to its ANN serving config to
-    // justify bands/bits choices. Cost: truth is one broadcast
-    // query-set pass over the corpus (bounded by AnnEvalQueryN
-    // FOREVER — corpus growth changes the scan length, not the
-    // output size); candidates and both count joins are id-width.
+    // test (srpCandFrames — ONE candidate-rule definition with q30);
+    // per-query report (n_cand, n_hit, recall_micro) — the number a
+    // team publishes next to its ANN serving config to justify
+    // bands/bits choices. Standard recall@k semantics: the query
+    // point is excluded from BOTH truth and candidates — self
+    // matches every band trivially, so counting it would floor
+    // recall at 1/k even for a band config that retrieves no real
+    // neighbor. Cost: truth is one broadcast query-set pass over the
+    // corpus (bounded by AnnEvalQueryN FOREVER — corpus growth
+    // changes the scan length, not the output size); candidates and
+    // both count joins are id-width. sig and cand are persisted
+    // (each referenced twice; no DAG-level CSE) — lifecycle is the
+    // Verify/Bench clearCache contract.
     "q112_ann_eval" -> { (s, d) =>
       import s.implicits._
-      // signature table feeds the query set, the candidate bands AND
-      // the exact-truth scan (no DAG-level CSE) — persist; lifecycle
-      // is the Verify/Bench clearCache contract
-      val sig = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding",
-          graft.ops.expressions.SrpBands($"embedding", AnnBits, AnnBands).as("bands"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val qs = sig.filter($"vec_id" < AnnEvalQueryN)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-          $"bands".as("q_bands"))
-      val qBands = qs.select($"query_id",
-        posexplode($"q_bands").as(Seq("band_idx", "band_val")))
-      val cBands = sig.select($"vec_id",
-        posexplode($"bands").as(Seq("band_idx", "band_val")))
-      // referenced by the per-query count AND the hit join
-      val cand = cBands.join(broadcast(qBands), Seq("band_idx", "band_val"))
-        .select($"query_id", $"vec_id").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (sig, qs, cand0) =
+        srpCandFrames(s, d, AnnEvalQueryN, persist = true)
+      val cand = cand0.filter($"vec_id" =!= $"query_id")
       val truth = graft.plans.TopK.perKey(
         sig.select($"vec_id", $"embedding")
           .join(broadcast(qs.select($"query_id", $"q_emb")))
+          .filter($"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id",
             VectorOps.cosine($"q_emb", $"embedding").as("cos")),
         Seq("query_id"), Seq("cos" -> false, "vec_id" -> true),
@@ -1123,8 +1136,14 @@ object TextVector {
       val nc = cand.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
       val nh = truth.join(cand, Seq("query_id", "vec_id"))
         .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-      nc.join(nh, Seq("query_id"), "left")
-        .select($"query_id", $"n_cand",
+      // report driven by the query set: with self excluded, a query
+      // whose bands retrieve nothing has NO cand row — it must still
+      // report (0, 0, 0), not vanish
+      qs.select($"query_id")
+        .join(nc, Seq("query_id"), "left")
+        .join(nh, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"n_cand", lit(0L)).as("n_cand"),
           coalesce($"n_hit", lit(0L)).as("n_hit"),
           floor(coalesce($"n_hit", lit(0L)).cast("double") /
             lit(AnnEvalTopK.toDouble) * lit(1e6) + lit(0.5))
@@ -2296,29 +2315,35 @@ object TextVector {
 
       // Twin of q112: the q30 candidate chain at the eval query
       // count, exact truth by full-scan row_number, bounded-count
-      // report joins.
+      // report joins. Self excluded from truth AND candidates
+      // (standard recall@k — see the builder comment); report driven
+      // by the query set so a zero-candidate query still reports.
       "q112_ann_eval" ->
         s"""WITH ${srpCandCtes(AnnEvalQueryN)},
+           |cand2 AS (SELECT query_id, vec_id FROM cand
+           |          WHERE vec_id <> query_id),
            |sc AS (SELECT q.query_id, s.vec_id,
            |         ${Sql.dot("q.q_emb", "s.embedding")}
            |           / sqrt(${Sql.dot("q.q_emb", "q.q_emb")})
            |           / sqrt(${Sql.dot("s.embedding", "s.embedding")}) AS cos
-           |       FROM sig s, q),
+           |       FROM sig s, q WHERE s.vec_id <> q.query_id),
            |r AS (SELECT query_id, vec_id,
            |        row_number() OVER (PARTITION BY query_id
            |                           ORDER BY cos DESC, vec_id) AS rn
            |      FROM sc),
            |truth AS (SELECT query_id, vec_id FROM r WHERE rn <= $AnnEvalTopK),
-           |nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+           |nc AS (SELECT query_id, count(*) AS n_cand FROM cand2 GROUP BY 1),
            |nh AS (SELECT t.query_id, count(*) AS n_hit FROM truth t
-           |       JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+           |       JOIN cand2 c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
            |       GROUP BY 1)
-           |SELECT nc.query_id, nc.n_cand,
+           |SELECT q.query_id,
+           |  coalesce(nc.n_cand, 0) AS n_cand,
            |  coalesce(nh.n_hit, 0) AS n_hit,
            |  CAST(floor(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / $AnnEvalTopK.0
            |    * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
-           |FROM nc LEFT JOIN nh ON nh.query_id = nc.query_id
-           |ORDER BY nc.query_id""".stripMargin,
+           |FROM q LEFT JOIN nc ON nc.query_id = q.query_id
+           |       LEFT JOIN nh ON nh.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin,
 
       "q34_embed_dup" -> {
         val r = DedupBits / DedupBands
