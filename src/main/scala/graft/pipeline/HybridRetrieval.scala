@@ -214,11 +214,11 @@ object HybridRetrieval {
   private[graft] def lexRanks(spark: SparkSession, queries: DataFrame,
                               dir: String,
                               depth: Int = graft.queries.Search.RrfDepth): DataFrame = {
-    val (qt, pruned) = prunedPostings(spark, queries, dir)
+    val (qt, terms, pruned) = prunedPostings(spark, queries, dir)
     val st = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
     val (n, sumdl) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
-    val dfs = prunedScan(spark, qt, s"$dir/termstats")
+    val dfs = prunedScan(spark, terms, s"$dir/termstats")
       .groupBy(col("th")).agg(sum(col("df")).as("df"))
     val matched = pruned
       .join(broadcast(qt), "th")
@@ -236,24 +236,30 @@ object HybridRetrieval {
 
   /** ONE definition of the term-pruned store read (lexRanks AND the
     * plan-pin spec hook go through it, so the pinned scan shape IS
-    * the serving shape): heal-first, then filter a `tb`-partitioned
-    * store down to the query batch's term buckets. */
-  private def prunedScan(spark: SparkSession, qt: DataFrame,
+    * the serving shape): filter a `tb`-partitioned store down to the
+    * query batch's terms. Takes the ALREADY-COLLECTED term array —
+    * the one driver-side collect in [[prunedPostings]] feeds both
+    * the postings and the termstats scans (a collect per scan would
+    * re-execute the query batch's upstream plan per store, and a
+    * non-deterministic batch could even prune the two stores
+    * inconsistently, silently dropping terms' df rows). */
+  private def prunedScan(spark: SparkSession, terms: Array[Long],
                          path: String): DataFrame = {
-    import spark.implicits._
-    val terms = qt.select(col("th")).distinct().as[Long].collect()
     val buckets = terms.map(_ % TermBuckets).distinct
     spark.read.parquet(path)
       .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
   }
 
   private def prunedPostings(spark: SparkSession, queries: DataFrame,
-                             dir: String): (DataFrame, DataFrame) = {
+                             dir: String)
+      : (DataFrame, Array[Long], DataFrame) = {
+    import spark.implicits._
     Seq("postings", "termstats", "stats", "raw")
       .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
     val qt = queries
       .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
-    (qt, prunedScan(spark, qt, s"$dir/postings"))
+    val terms = qt.select(col("th")).distinct().as[Long].collect()
+    (qt, terms, prunedScan(spark, terms, s"$dir/postings"))
   }
 
   /** The lexical-ranker scan over the stores (spec hook: partition
@@ -261,5 +267,5 @@ object HybridRetrieval {
     * `tb` buckets; same heal + pruning code path as serving). */
   private[graft] def lexPlan(spark: SparkSession, queries: DataFrame,
                              dir: String): DataFrame =
-    prunedPostings(spark, queries, dir)._2
+    prunedPostings(spark, queries, dir)._3
 }
