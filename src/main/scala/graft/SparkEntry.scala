@@ -51,7 +51,7 @@ object SparkEntry {
   val trainedStageQueries: Map[String, Seq[String]] = Map(
     "near_dup_labels" -> Seq("q63_dedup_clusters", "q65_leakage_split", "q67_dedup_keep"),
     "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
-    "probe_weights" -> Seq("q98_linear_probe"),
+    "probe_weights" -> Seq("q98_linear_probe", "q113_probe_calibration"),
     "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB

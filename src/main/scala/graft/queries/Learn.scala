@@ -71,6 +71,12 @@ object Learn {
   private val DsirBuckets = 256L
   private val DsirTopN    = 8
 
+  // q113: reliability-diagram binning (Guo et al. 2017's ECE
+  // convention — 10 equal-width confidence bins; the top edge folds
+  // into the last bin). Width in micro-units so binning is integer.
+  private val CalibBins     = 10
+  private val BinWidthMicro = 100000L
+
   /** The q103 chain over any (doc_id, lang, text) frame (spec hook:
     * planted target-affine/junk docs). DSIR scores each candidate
     * document by how much more likely its hashed-unigram features
@@ -280,8 +286,56 @@ object Learn {
     // scored candidate pool.
     "q103_dsir_select" -> { (s, d) =>
       import s.implicits._
-      dsirSelect(Tables.documents(s, d), pmod($"doc_id", lit(2L)) === 0L) }
+      dsirSelect(Tables.documents(s, d), pmod($"doc_id", lit(2L)) === 0L) },
+
+    // Probe-calibration report (q106/q112's sampled-QA device turned
+    // on the LEARNED scorer itself): reliability bins over q98's
+    // trained head — the diagram (Guo et al. 2017, "On Calibration
+    // of Modern Neural Networks") a curation team reads before
+    // gating documents at a confidence threshold; an over-confident
+    // probe silently floods the kept set with misclassified docs.
+    // Integerized cross-engine: confidence recovers the EXACT micro
+    // integer from q98's 6-dp score (both engines hold the
+    // bit-identical double, so floor(score·1e6+0.5) agrees), bins by
+    // floor over width 1e5 (quotients at bin boundaries are exact
+    // integers, representable in double, so IEEE division hits them
+    // exactly — no boundary drift), and per-bin accuracy / mean
+    // confidence are integer-ratio floors both engines compute on
+    // identical operands. ECE is one further fold the consumer does
+    // over the 10 rows. Scale shape: the scoring kernel pass (probe
+    // weights are broadcast literals, memoized driver state —
+    // trainedStageQueries) plus ONE map-side-combined aggregate into
+    // ≤ CalibBins groups; nothing else moves.
+    "q113_probe_calibration" -> { (s, d) =>
+      val wm = ProbeStage.trained(s, d)
+      calibrationBins(ProbeTrainer.score(Tables.embeddings(s, d), wm))
+    }
   )
+
+  /** The q113 binning stage over any (label, pred, score) frame
+    * (spec hook: hand-built scored frames with known bin accuracy /
+    * confidence — LearnSpec). `score` is a 6-dp micro-rounded
+    * double per the ProbeTrainer.score contract. */
+  private[graft] def calibrationBins(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select($"label", $"pred",
+        floor($"score" * lit(1e6) + lit(0.5)).as("sm"))
+      .select($"label", $"pred", $"sm",
+        least(floor($"sm" / lit(BinWidthMicro.toDouble)),
+          lit((CalibBins - 1).toLong)).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"),
+        sum($"sm").as("conf_sum"))
+      .select($"bin", $"n", $"n_correct",
+        floor($"conf_sum".cast("double") / $"n".cast("double") + lit(0.5))
+          .as("mean_conf_micro"),
+        floor($"n_correct".cast("double") / $"n".cast("double") * lit(1e6)
+          + lit(0.5)).as("acc_micro"))
+      .orderBy($"bin")
+  }
 
   /** The q98 oracle: R unrolled GD rounds. Weights live as int64
     * micro-units in per-round (k, j, wm) tables; each round
@@ -345,6 +399,27 @@ object Learn {
 
   def oracles: Map[String, String] = Map(
     "q98_linear_probe" -> graft.ops.Determinism.Oracles.materializeCtes(probeOracle),
+
+    // Twin of q113: the FULL q98 training replay as a derived table
+    // (so the calibration gate certifies the same trajectory), then
+    // the identical integer binning. NB: composed by concatenation —
+    // probeOracle is already margin-stripped (the double-stripMargin
+    // trap, see bpeOracle's note in Corpus.scala).
+    "q113_probe_calibration" -> graft.ops.Determinism.Oracles.materializeCtes(
+      "WITH sc AS (SELECT label, pred, " +
+        "CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sm " +
+        "FROM (\n" + probeOracle + "\n) p0),\n" +
+        s"b AS (SELECT least(CAST(floor(CAST(sm AS DOUBLE) / $BinWidthMicro.0) " +
+        s"AS BIGINT), ${CalibBins - 1}) AS bin, " +
+        "CASE WHEN pred = label THEN 1 ELSE 0 END AS ok, sm FROM sc),\n" +
+        "g AS (SELECT bin, count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct, " +
+        "CAST(sum(sm) AS BIGINT) AS conf_sum FROM b GROUP BY 1)\n" +
+        "SELECT bin, n, n_correct, " +
+        "CAST(floor(CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) " +
+        "AS BIGINT) AS mean_conf_micro, " +
+        "CAST(floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "* 1000000.0 + 0.5) AS BIGINT) AS acc_micro " +
+        "FROM g ORDER BY bin"),
 
     "q99_domain_mixture" -> {
       import TextVector.Sql
