@@ -329,8 +329,63 @@ object Sketch {
           floor(max($"thr") * lit(1e6) + lit(0.5)).cast("long").as("thr_micro"),
           sum(when($"quality" >= $"thr", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"lang")
+    },
+
+    // Per-class embedding diversity WITHOUT a pairwise join: the
+    // mean squared pairwise L2 distance obeys the variance identity
+    //   (1/n²)·Σᵢ Σⱼ ||xᵢ−xⱼ||² = 2·( E||x||² − ||E x||² ),
+    // so a statistic that reads as O(n²) per group (the reason
+    // diversity reports usually subsample) is exactly computable in
+    // ONE pass: per-row squared norms and per-dimension sums, each
+    // micro-quantized BEFORE the order-free BIGINT aggregation (the
+    // Determinism convention), then a fixed-order 64-term fold over
+    // the per-group dimension sums rebuilds ||E x||². Published use:
+    // corpus diversity reports next to q108's outlier table — a
+    // collapsed or near-duplicate-heavy class scores low;
+    // SemDeDup-style pruning (q104) raises it. Scale shape: the
+    // dim explode emits 64 id-free (label, dim, xm) rows per vector
+    // into a map-side-combined agg whose output is 64·|classes|
+    // rows FOREVER; the squared-dim fold stays double (a BIGINT
+    // Σdsum² would overflow int64 at n ≈ 10⁴ per class — measured
+    // bound, not a guess); no sampling cap at any corpus size.
+    "q114_embed_diversity" -> { (s, d) =>
+      import s.implicits._
+      embedDiversity(Tables.embeddings(s, d).select($"label", $"embedding"))
     }
   )
+
+  /** The q114 stage over any (label, embedding) frame (spec hook:
+    * planted collapsed / antipodal classes with closed-form
+    * diversity — SketchSpec). See the q114 entry comment for the
+    * identity and the scale shape. */
+  private[graft] def embedDiversity(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val stats = emb.select($"label",
+        floor(graft.ops.VectorOps.normSq($"embedding") * lit(1e6) + lit(0.5))
+          .as("sqm"))
+      .groupBy($"label").agg(count(lit(1)).as("n"), sum($"sqm").as("sq_sum"))
+    val dims = emb
+      .select($"label",
+        posexplode(graft.ops.VectorOps.toDouble($"embedding"))
+          .as(Seq("dim", "x")))
+      .select($"label", $"dim", floor($"x" * lit(1e6) + lit(0.5)).as("xm"))
+      .groupBy($"label", $"dim").agg(sum($"xm").as("dsum"))
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"dim", $"dsum"))).as("ds"))
+    val nD = $"n".cast("double")
+    stats.join(dims, Seq("label"))
+      .withColumn("mu_sq", aggregate($"ds", lit(0.0), (acc, p) =>
+        acc + (p.getField("dsum").cast("double") / (nD * lit(1e6))) *
+          (p.getField("dsum").cast("double") / (nD * lit(1e6)))))
+      .withColumn("m2", $"sq_sum".cast("double") / lit(1e6) / nD)
+      .select($"label".cast("bigint").as("label"), $"n",
+        floor($"m2" * lit(1e6) + lit(0.5)).as("mean_sqnorm_micro"),
+        floor($"mu_sq" * lit(1e6) + lit(0.5)).as("mu_sqnorm_micro"),
+        floor((lit(2.0) * ($"m2" - $"mu_sq")) * lit(1e6) + lit(0.5))
+          .as("diversity_micro"))
+      .orderBy($"label")
+  }
 
   /** The q110 threshold stage, factored for consumers
     * ([[graft.pipeline.CurationExport]] uses it as its production
@@ -464,6 +519,40 @@ object Sketch {
          |    AS BIGINT) AS n_kept
          |FROM e JOIN th ON th.lang = e.lang
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // Twin of q114: identical quantize-then-BIGINT-sum stages, the
+    // per-row squared norm via the shared Sql.dot fold, and the same
+    // fixed-order (dim ASC) squared-mean fold over the per-class
+    // dimension sums.
+    "q114_embed_diversity" -> {
+      val dot = TextVector.Sql.dot("v", "v")
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |st AS (SELECT label, count(*) AS n,
+         |         CAST(sum(CAST(floor(($dot) * 1000000.0 + 0.5) AS BIGINT))
+         |           AS BIGINT) AS sq_sum
+         |       FROM e GROUP BY 1),
+         |bd AS (SELECT label, u.i AS dim,
+         |         CAST(sum(CAST(floor(v[CAST(u.i AS INTEGER) + 1] * 1000000.0
+         |           + 0.5) AS BIGINT)) AS BIGINT) AS dsum
+         |       FROM e, unnest(range(0, len(v))) u(i) GROUP BY 1, 2),
+         |dl AS (SELECT label, list(dsum ORDER BY dim) AS ds FROM bd GROUP BY 1),
+         |f AS (SELECT st.label, st.n,
+         |        CAST(st.sq_sum AS DOUBLE) / 1000000.0 / CAST(st.n AS DOUBLE)
+         |          AS m2,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(dl.ds, w ->
+         |            (CAST(w AS DOUBLE) / (CAST(st.n AS DOUBLE) * 1000000.0))
+         |            * (CAST(w AS DOUBLE) / (CAST(st.n AS DOUBLE) * 1000000.0)))),
+         |          (a, b) -> a + b) AS mu_sq
+         |      FROM st JOIN dl ON dl.label = st.label)
+         |SELECT label, n,
+         |  CAST(floor(m2 * 1000000.0 + 0.5) AS BIGINT) AS mean_sqnorm_micro,
+         |  CAST(floor(mu_sq * 1000000.0 + 0.5) AS BIGINT) AS mu_sqnorm_micro,
+         |  CAST(floor((2.0 * (m2 - mu_sq)) * 1000000.0 + 0.5) AS BIGINT)
+         |    AS diversity_micro
+         |FROM f ORDER BY label""".stripMargin
     }
   )
 }

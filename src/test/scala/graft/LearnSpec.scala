@@ -305,6 +305,21 @@ class LearnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty labeled set"), e.getMessage)
   }
 
+  test("q113 calibration bins: hand-built scored frame yields known bins, accuracy, confidence") {
+    // 4 rows at confidence 0.25 (bin 2), half correct; 2 rows at the
+    // 1.0 top edge — which must FOLD into the last bin (9), not open
+    // an 11th bin — half correct.
+    val scored = Seq(
+      (0, 0, 0.25), (0, 0, 0.25), (0, 1, 0.25), (0, 1, 0.25),
+      (3, 3, 1.0), (3, 4, 1.0)).toDF("label", "pred", "score")
+    val r = graft.queries.Learn.calibrationBins(scored)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (2L, 4L, 2L, 250000L, 500000L),
+      (9L, 2L, 1L, 1000000L, 500000L)), r.toSeq.toString)
+  }
+
   test("scores are calibrated softmax winners: in (1/K, 1], pred in [0, K)") {
     val out = SparkEntry.queries("q98_linear_probe")(spark, sf3).collect()
     assert(out.length == Tables.embeddings(spark, sf3).count())

@@ -142,4 +142,26 @@ class SketchSpec extends AnyFunSuite {
     assert(e.getLong(2) == 99 && e.getDouble(3) == 50.0,
       s"sub-cap group must be exact: $e")
   }
+
+  test("q114 diversity: collapsed class = 0, antipodal halves = closed-form 2, dedup raises it") {
+    // The variance identity's closed forms on planted unit vectors:
+    // label 0 — four identical copies: E||x||² = ||μ||² = 1 → 0;
+    // label 1 — halves at ±e1: μ = 0 → 2·E||x||² = 2;
+    // label 2 — 3:1 at ±e1: μ = 0.5·e1 → 2·(1 − 0.25) = 1.5.
+    val mk = (s: Float) => Array(s, 0f, 0f, 0f)
+    val rows = Seq(
+      (0, mk(1f)), (0, mk(1f)), (0, mk(1f)), (0, mk(1f)),
+      (1, mk(1f)), (1, mk(1f)), (1, mk(-1f)), (1, mk(-1f)),
+      (2, mk(1f)), (2, mk(1f)), (2, mk(1f)), (2, mk(-1f)))
+      .toDF("label", "embedding")
+    val r = graft.queries.Sketch.embedDiversity(rows)
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(r == Map(0L -> 0L, 1L -> 2000000L, 2L -> 1500000L), r.toString)
+    // dedup (the q104 use case) RAISES the skewed class's diversity:
+    // collapsing label 2's three +e1 copies to one gives the
+    // antipodal closed form 2
+    val deduped = Seq((2, mk(1f)), (2, mk(-1f))).toDF("label", "embedding")
+    val d = graft.queries.Sketch.embedDiversity(deduped).collect()(0)
+    assert(d.getLong(4) == 2000000L, d.toString)
+  }
 }
