@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.
     *
     * Cache contract: several builders (q24/q29/q34/q68/q75/q93/
-    * q100/q103/q104/q106/q112) persist a derived stage that the returned
+    * q100/q103/q104/q106/q112/q115) persist a derived stage that the returned
     * plan references several times (Spark has no DAG-level CSE
     * across multi-referenced DataFrames). The cache is owned by the
     * returned plan's lifetime — a harness that executes MANY entries
@@ -52,7 +52,8 @@ object SparkEntry {
     "near_dup_labels" -> Seq("q63_dedup_clusters", "q65_leakage_split", "q67_dedup_keep"),
     "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
     "probe_weights" -> Seq("q98_linear_probe", "q113_probe_calibration"),
-    "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers"))
+    "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers",
+      "q115_corpus_map"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the

@@ -351,6 +351,54 @@ object TextVector {
       .orderBy($"cell")
   }
 
+  /** The q115 chain over any (vec_id, label, embedding) frame (spec
+    * hook: planted pure/mixed/tied clusters against an explicit
+    * codebook). See the q115 entry comment for semantics and scale
+    * shape. */
+  private[graft] def corpusMap(emb: DataFrame,
+                               cents0: Option[Array[Array[Double]]] = None): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = cents0.getOrElse(
+      trainedCentsDyn(emb.select($"vec_id", $"embedding")))
+    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    // ONE kernel pass (assign + own-centroid affinity, q108's NaN→−2
+    // sentinel for zero-norm encoder failures), persisted for its
+    // two consumers (label counts + cohesion; clearCache lifecycle)
+    val assigned = emb
+      .select($"vec_id", $"label".cast("long").as("label"),
+        transform($"embedding", v => v.cast("double")).as("x"),
+        graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
+      .select($"vec_id", $"label", $"cell",
+        graft.ops.expressions.CosineSim($"x",
+          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos0"))
+      .select($"vec_id", $"label", $"cell",
+        floor(when(isnan($"cos0"), lit(-2.0)).otherwise($"cos0") * lit(1e6)
+          + lit(0.5)).as("cosm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byLab = assigned.groupBy($"cell", $"label").agg(count(lit(1)).as("cnt"))
+    // dominant label via the skew-immune min(struct) argmax (largest
+    // count, ties to the smallest label) — never a window over rows
+    val top = byLab.groupBy($"cell").agg(
+      min(struct((-$"cnt").as("neg"), $"label".as("lab"))).as("m"),
+      sum($"cnt").as("n"))
+      .select($"cell", $"n", $"m.lab".as("top_label"), (-$"m.neg").as("n_top"))
+    val coh = assigned.groupBy($"cell").agg(sum($"cosm").as("cos_sum"))
+    // corpus total off the tiny per-cell frame, not a third scan
+    val total = top.agg(sum($"n").as("total"))
+    top.join(coh, Seq("cell"))
+      .crossJoin(broadcast(total))
+      .select($"cell".cast("bigint").as("cell"), $"n",
+        floor($"n".cast("double") / $"total".cast("double") * lit(1e6)
+          + lit(0.5)).as("share_micro"),
+        $"top_label", $"n_top",
+        floor($"n_top".cast("double") / $"n".cast("double") * lit(1e6)
+          + lit(0.5)).as("purity_micro"),
+        floor($"cos_sum".cast("double") / $"n".cast("double") + lit(0.5))
+          .as("cohesion_micro"))
+      .orderBy($"cell")
+  }
+
   // q78/q90: product quantization — MergeDim (64) split into 8
   // subspaces × 8 dims. q78/q91 keep 16 centroids/subspace (the
   // demo-compression geometry); q90's RANKING codebook uses
@@ -1485,6 +1533,30 @@ object TextVector {
       embedOutliers(Tables.embeddings(s, d), OutlierK,
         Some(trainedCentsFor(s, d))) },
 
+    // Corpus cartography (the "what is IN my corpus" map a curation
+    // team reads first — the Nomic-Atlas/embedding-atlas style
+    // report, integerized): one row per trained-quantizer cell with
+    // occupancy (n, share), the dominant class and its purity, and
+    // cohesion (mean cosine affinity to the cell's own centroid).
+    // Low-purity cells show class overlap; low-cohesion cells are
+    // diffuse regions (q108's outliers tell you WHICH vectors);
+    // share × cells is the same balance telemetry AnnIndex.stats
+    // publishes for serving. Reuses the SHARED √n-cell quantizer
+    // memo (q104/q108's SessionStage — one training per corpus,
+    // trainedStageQueries) and q108's NaN→−2 sentinel. Scale shape:
+    // ONE kernel pass (assign + own-centroid cosine), two
+    // map-side-combined aggregates over (cell[, label]) id-width
+    // rows — ≤ nlist·classes intermediate rows FOREVER; the dominant
+    // label is the skew-immune min(struct) argmax, never a per-row
+    // window; the 1-row total broadcasts (intentional BNLJ, plan
+    // audit allowlist).
+    "q115_corpus_map" -> { (s, d) =>
+      import s.implicits._
+      corpusMap(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding"),
+        Some(trainedCentsFor(s, d)))
+    },
+
     // Late-interaction (multi-vector) retrieval — ColBERT's MaxSim
     // scoring (Khattab & Zaharia 2020, public) over per-CHUNK
     // vectors: score(q, d) = Σ_{query chunks} max_{doc chunks}
@@ -2478,6 +2550,41 @@ object TextVector {
            |SELECT CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn,
            |  vec_id, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
            |FROM r WHERE rn <= $OutlierK ORDER BY cell, rn""".stripMargin),
+
+      // Twin of q115: the shared dynamic-quantizer chain, q108's
+      // sentinel'd own-centroid cosine, label counts, and a
+      // row_number argmax replaying the engine's (cnt DESC, label)
+      // tie-break over the tiny per-(cell,label) frame.
+      "q115_corpus_map" ->
+        materializeCtes(s"""WITH $IvfOracleCtesDyn,
+           |sc AS (SELECT a.vec_id, CAST(e.label AS BIGINT) AS label, a.cell,
+           |         CAST(floor((CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END)
+           |           * 1000000.0 + 0.5) AS BIGINT) AS cosm
+           |       FROM (SELECT vec_id, cell,
+           |               ${sqlCos("v", "cs[cell + 1]")} AS cos0
+           |             FROM asg, c$IvfIters) a
+           |       JOIN embeddings e ON e.vec_id = a.vec_id),
+           |bl AS (SELECT cell, label, count(*) AS cnt FROM sc GROUP BY 1, 2),
+           |tp AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n FROM bl GROUP BY 1),
+           |tl AS (SELECT cell, label AS top_label, cnt AS n_top FROM (
+           |         SELECT cell, label, cnt,
+           |           row_number() OVER (PARTITION BY cell
+           |                              ORDER BY cnt DESC, label) AS rn
+           |         FROM bl) WHERE rn = 1),
+           |co AS (SELECT cell, CAST(sum(cosm) AS BIGINT) AS cos_sum
+           |       FROM sc GROUP BY 1),
+           |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tp)
+           |SELECT CAST(tp.cell AS BIGINT) AS cell, tp.n,
+           |  CAST(floor(CAST(tp.n AS DOUBLE) / CAST(tt.total AS DOUBLE)
+           |    * 1000000.0 + 0.5) AS BIGINT) AS share_micro,
+           |  tl.top_label, tl.n_top,
+           |  CAST(floor(CAST(tl.n_top AS DOUBLE) / CAST(tp.n AS DOUBLE)
+           |    * 1000000.0 + 0.5) AS BIGINT) AS purity_micro,
+           |  CAST(floor(CAST(co.cos_sum AS DOUBLE) / CAST(tp.n AS DOUBLE) + 0.5)
+           |    AS BIGINT) AS cohesion_micro
+           |FROM tp JOIN tl ON tl.cell = tp.cell
+           |        JOIN co ON co.cell = tp.cell, tt
+           |ORDER BY cell""".stripMargin),
 
       "q90_ivf_pq" -> {
         // The DYNAMIC-geometry trained-IVF CTEs (nlist=√n, scaled

@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q106_dedup_eval",  // q106: bounded-sample pair join + 1-row metrics
       "q109_late_interaction", // q109: tiny query-chunk set vs the scan
       "q111_hybrid_rrf", // q111: 1-row stats + 3-row query set, both broadcast
-      "q112_ann_eval") // q112: 8-row eval query set vs the scan (exact truth)
+      "q112_ann_eval", // q112: 8-row eval query set vs the scan (exact truth)
+      "q115_corpus_map") // q115: 1-row corpus total broadcast
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)

@@ -138,4 +138,23 @@ class SemDedupSpec extends AnyFunSuite {
     val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
     assert(a.map(_.getAs[Long]("n_vecs")).sum == n)
   }
+
+  test("q115 corpus map: planted clusters give exact share, purity, tie-break, cohesion") {
+    // explicit 2-cell codebook; cell 0 holds labels (0,0,1) on the
+    // +e1 axis (scaled copies — cosine to centroid exactly 1), cell
+    // 1 holds a 1-1 label TIE (7 vs 5), which must resolve to the
+    // SMALLEST label per the min(struct) argmax contract
+    val e = (i: Int, s: Float) => { val v = Array.fill(4)(0.0f); v(i) = s; v }
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val rows = Seq(
+      (0L, 0L, e(0, 1f)), (1L, 0L, e(0, 2f)), (2L, 1L, e(0, 1f)),
+      (10L, 7L, e(1, 1f)), (11L, 5L, e(1, 3f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.queries.TextVector.corpusMap(rows, Some(cents))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache() // corpusMap persist contract
+    assert(out.toSeq == Seq(
+      (0L, 3L, 600000L, 0L, 2L, 666667L, 1000000L),
+      (1L, 2L, 400000L, 5L, 1L, 500000L, 1000000L)), out.toSeq.toString)
+  }
 }
