@@ -133,6 +133,66 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  // q116: distribution-drift bucket count (q103's fixed-size
+  // hashed-unigram device — the model is B counters per side
+  // regardless of vocabulary).
+  private val DriftBuckets = 256L
+
+  /** The q116 chain over two (lang, text) snapshot frames (spec
+    * hook: planted identical halves ⇒ exactly 0, disjoint-vocab
+    * halves ⇒ near ln 2). Per-lang Jensen–Shannon divergence
+    * between the snapshots' hashed-unigram distributions — the
+    * monitor that answers "did the ingest distribution SHIFT", the
+    * question q107's row-level diff cannot (a million routine edits
+    * and a topical shift both show as "changed"). JSD (Lin 1991)
+    * over Laplace-smoothed B-bucket distributions:
+    *   JSD = ½·Σ_b [ p_b·ln(p_b/m_b) + q_b·ln(q_b/m_b) ],
+    *   m = ½(p+q) — symmetric, bounded by ln 2, defined even for
+    * disjoint support (where KL diverges). Cross-engine: counts are
+    * exact integers over the FULL lang×B grid (absent buckets still
+    * carry Laplace mass — dropping them would understate the
+    * divergence), p/q/m are identical expression trees over those
+    * integers, and each bucket's term nano-rounds to int64 BEFORE
+    * the per-lang sum (the q102/q103 ln discipline). Scale shape:
+    * one fused tokenize+hash kernel pass per side map-side-combined
+    * into ≤ langs·B rows, a tiny grid join, broadcast totals —
+    * document text never shuffles and the model state is B counters
+    * per (lang, side) FOREVER. */
+  private[graft] def distDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val s = prev.sparkSession
+    import s.implicits._
+    def counts(df: DataFrame, side: String) = df
+      .select($"lang",
+        explode(graft.ops.expressions.TokenHashes($"text")).as("th"))
+      .select($"lang", pmod($"th", lit(DriftBuckets)).as("b"))
+      .groupBy($"lang", $"b").agg(count(lit(1)).as(side))
+    val co = counts(prev, "co")
+    val cn = counts(cur, "cn")
+    val langs = prev.select($"lang").union(cur.select($"lang")).distinct()
+    val grid = langs.select($"lang",
+      explode(sequence(lit(0L), lit(DriftBuckets - 1))).as("b"))
+    val joined = grid
+      .join(co, Seq("lang", "b"), "left")
+      .join(cn, Seq("lang", "b"), "left")
+      .select($"lang", $"b",
+        coalesce($"co", lit(0L)).as("co"), coalesce($"cn", lit(0L)).as("cn"))
+    val tot = joined.groupBy($"lang")
+      .agg(sum($"co").as("no"), sum($"cn").as("nn"))
+    val po = ($"co" + lit(1L)).cast("double") /
+      ($"no" + lit(DriftBuckets)).cast("double")
+    val pn = ($"cn" + lit(1L)).cast("double") /
+      ($"nn" + lit(DriftBuckets)).cast("double")
+    val m = (po + pn) / lit(2.0)
+    val term = (po * log(po / m) + pn * log(pn / m)) * lit(0.5)
+    joined.join(broadcast(tot), Seq("lang"))
+      .select($"lang", $"no", $"nn",
+        floor(term * lit(1e9) + lit(0.5)).as("tn"))
+      .groupBy($"lang")
+      .agg(max($"no").as("n_old"), max($"nn").as("n_new"),
+        sum($"tn").as("jsd_nano"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Winnowing fingerprint overlap (SIGMOD'03 / MOSS): per-doc
@@ -453,6 +513,22 @@ object Corpus {
         .orderBy($"lang", $"status")
     },
 
+    // Distribution drift between q107's derived snapshots (class doc
+    // on [[distDrift]]): q107 reports WHICH docs changed; q116
+    // reports whether the corpus DISTRIBUTION moved — the release
+    // gate a training-data team actually sets thresholds on.
+    "q116_dist_drift" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
+      val prev = docs.filter(pmod($"doc_id", lit(7L)) =!= 3L)
+        .select($"lang", $"text")
+      val cur = docs.filter(pmod($"doc_id", lit(5L)) =!= 2L)
+        .select($"lang",
+          when(pmod($"doc_id", lit(11L)) === 0L,
+            concat($"text", lit(" [v2]"))).otherwise($"text").as("text"))
+      distDrift(prev, cur)
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -572,6 +648,50 @@ object Corpus {
          |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
          |SELECT lang, status, count(*) AS n FROM j
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Twin of q116: q107's snapshot derivations, per-token
+    // hash-bucket counts (the q103 position device), the FULL
+    // lang×B grid, and the identical p/q/m expression trees with
+    // each bucket's JS term nano-rounded before the BIGINT sum.
+    "q116_dist_drift" -> {
+      val B = DriftBuckets
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents),
+         |o AS (SELECT lang, (${Sql.polyHash("toks[u.i+1]")}) % $B AS b
+         |      FROM (SELECT lang, ${Sql.toks("text")} AS toks
+         |            FROM d WHERE doc_id % 7 <> 3) t,
+         |           unnest(range(0, len(toks))) u(i)),
+         |nw AS (SELECT lang, (${Sql.polyHash("toks[u.i+1]")}) % $B AS b
+         |       FROM (SELECT lang, ${Sql.toks(
+                   "(CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END)")}
+         |               AS toks
+         |             FROM d WHERE doc_id % 5 <> 2) t,
+         |            unnest(range(0, len(toks))) u(i)),
+         |co AS (SELECT lang, b, count(*) AS co FROM o GROUP BY 1, 2),
+         |cn AS (SELECT lang, b, count(*) AS cn FROM nw GROUP BY 1, 2),
+         |langs AS (SELECT DISTINCT lang FROM (
+         |            SELECT lang FROM d WHERE doc_id % 7 <> 3
+         |            UNION ALL SELECT lang FROM d WHERE doc_id % 5 <> 2)),
+         |grid AS (SELECT l.lang, t.b FROM langs l, range(0, $B) t(b)),
+         |j AS (SELECT g.lang, g.b,
+         |        coalesce(co.co, CAST(0 AS BIGINT)) AS co,
+         |        coalesce(cn.cn, CAST(0 AS BIGINT)) AS cn
+         |      FROM grid g LEFT JOIN co ON co.lang = g.lang AND co.b = g.b
+         |                  LEFT JOIN cn ON cn.lang = g.lang AND cn.b = g.b),
+         |tt AS (SELECT lang, CAST(sum(co) AS BIGINT) AS no,
+         |         CAST(sum(cn) AS BIGINT) AS nn
+         |       FROM j GROUP BY 1),
+         |pq AS (SELECT j.lang, tt.no, tt.nn,
+         |         CAST(j.co + 1 AS DOUBLE) / CAST(tt.no + $B AS DOUBLE) AS po,
+         |         CAST(j.cn + 1 AS DOUBLE) / CAST(tt.nn + $B AS DOUBLE) AS pn
+         |       FROM j JOIN tt ON tt.lang = j.lang),
+         |tm AS (SELECT lang, no, nn,
+         |         CAST(floor((po * ln(po / m) + pn * ln(pn / m)) * 0.5
+         |           * 1000000000.0 + 0.5) AS BIGINT) AS tn
+         |       FROM (SELECT *, (po + pn) / 2.0 AS m FROM pq))
+         |SELECT lang, max(no) AS n_old, max(nn) AS n_new,
+         |  CAST(sum(tn) AS BIGINT) AS jsd_nano
+         |FROM tm GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // Twin of q105: replay training ([[bpeTrainCtes]]), read each
     // distinct word's final piece count off the trained vocab state,
