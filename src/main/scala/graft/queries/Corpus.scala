@@ -171,11 +171,17 @@ object Corpus {
     val langs = prev.select($"lang").union(cur.select($"lang")).distinct()
     val grid = langs.select($"lang",
       explode(sequence(lit(0L), lit(DriftBuckets - 1))).as("b"))
+    // persisted: the totals aggregate AND the final join both read
+    // this frame, and its subtree holds the two tokenize+hash corpus
+    // scans (no DAG-level CSE — without the persist each scan plans
+    // twice); the cached frame itself is ≤ langs·B id-width rows
+    // (clearCache lifecycle as everywhere)
     val joined = grid
       .join(co, Seq("lang", "b"), "left")
       .join(cn, Seq("lang", "b"), "left")
       .select($"lang", $"b",
         coalesce($"co", lit(0L)).as("co"), coalesce($"cn", lit(0L)).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = joined.groupBy($"lang")
       .agg(sum($"co").as("no"), sum($"cn").as("nn"))
     val po = ($"co" + lit(1L)).cast("double") /

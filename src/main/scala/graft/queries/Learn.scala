@@ -405,13 +405,17 @@ object Learn {
     // the identical integer binning. NB: composed by concatenation —
     // probeOracle is already margin-stripped (the double-stripMargin
     // trap, see bpeOracle's note in Corpus.scala).
+    // NB: the outer CTE is `scm`, NOT `sc` — the embedded
+    // probeOracle already defines a CTE named `sc`, and reusing the
+    // name would lean on nested-WITH innermost-binding resolution (a
+    // silent-rebind hazard if anyone ever flattens the subquery).
     "q113_probe_calibration" -> graft.ops.Determinism.Oracles.materializeCtes(
-      "WITH sc AS (SELECT label, pred, " +
+      "WITH scm AS (SELECT label, pred, " +
         "CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sm " +
         "FROM (\n" + probeOracle + "\n) p0),\n" +
         s"b AS (SELECT least(CAST(floor(CAST(sm AS DOUBLE) / $BinWidthMicro.0) " +
         s"AS BIGINT), ${CalibBins - 1}) AS bin, " +
-        "CASE WHEN pred = label THEN 1 ELSE 0 END AS ok, sm FROM sc),\n" +
+        "CASE WHEN pred = label THEN 1 ELSE 0 END AS ok, sm FROM scm),\n" +
         "g AS (SELECT bin, count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct, " +
         "CAST(sum(sm) AS BIGINT) AS conf_sum FROM b GROUP BY 1)\n" +
         "SELECT bin, n, n_correct, " +

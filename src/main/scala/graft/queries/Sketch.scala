@@ -382,7 +382,12 @@ object Sketch {
       .select($"label".cast("bigint").as("label"), $"n",
         floor($"m2" * lit(1e6) + lit(0.5)).as("mean_sqnorm_micro"),
         floor($"mu_sq" * lit(1e6) + lit(0.5)).as("mu_sqnorm_micro"),
-        floor((lit(2.0) * ($"m2" - $"mu_sq")) * lit(1e6) + lit(0.5))
+        // clamped at 0: m2 and mu_sq carry INDEPENDENT quantization
+        // errors (per-row norms vs per-coordinate sums), so a
+        // collapsed class can land at −1 micro — an impossible value
+        // for a nonnegative statistic; both engines clamp
+        greatest(lit(0L),
+          floor((lit(2.0) * ($"m2" - $"mu_sq")) * lit(1e6) + lit(0.5)))
           .as("diversity_micro"))
       .orderBy($"label")
   }
@@ -550,7 +555,8 @@ object Sketch {
          |SELECT label, n,
          |  CAST(floor(m2 * 1000000.0 + 0.5) AS BIGINT) AS mean_sqnorm_micro,
          |  CAST(floor(mu_sq * 1000000.0 + 0.5) AS BIGINT) AS mu_sqnorm_micro,
-         |  CAST(floor((2.0 * (m2 - mu_sq)) * 1000000.0 + 0.5) AS BIGINT)
+         |  greatest(CAST(0 AS BIGINT),
+         |    CAST(floor((2.0 * (m2 - mu_sq)) * 1000000.0 + 0.5) AS BIGINT))
          |    AS diversity_micro
          |FROM f ORDER BY label""".stripMargin
     }

@@ -285,6 +285,33 @@ object TextVector {
   private[graft] def centsStageBuildCount: Int = centsStage.buildCount
   private[graft] def centsStageReset(): Unit = centsStage.reset()
 
+  /** Shared assign + own-centroid affinity stage (q108 AND q115 —
+    * ONE definition of the IvfCell assignment, centroid lookup, and
+    * the NaN→−2 sentinel; a one-sided tweak would silently diverge
+    * the two reports' notion of affinity): appends (cell, cos) to
+    * `emb`'s non-embedding columns. The sentinel is load-bearing: a
+    * zero-norm vector (encoder failure) has NO affinity (NaN), and
+    * NaN sorts ABOVE every real cosine in both engines, which would
+    * hide the MOST corrupt vector class from q108's bottom-K
+    * shortlist and inflate q115's cohesion. −2 (cosine lives in
+    * [−1, 1]) ranks encoder failures FIRST in the review list. */
+  private def ownCentroidAffinity(emb: DataFrame,
+                                  cents: Array[Array[Double]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    val keep = emb.columns.filterNot(_ == "embedding").map(col).toSeq
+    emb
+      .select(keep :+
+        transform($"embedding", v => v.cast("double")).as("x") :+
+        graft.ops.expressions.IvfCell($"embedding", cents).as("cell"): _*)
+      .select(keep :+ $"cell" :+
+        graft.ops.expressions.CosineSim($"x",
+          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos0"): _*)
+      .select(keep :+ $"cell" :+
+        when(isnan($"cos0"), lit(-2.0)).otherwise($"cos0").as("cos"): _*)
+  }
+
   /** The q108 chain over any (vec_id, embedding) frame (spec hook:
     * planted off-distribution vector). See the q108 entry doc. */
   private[graft] def embedOutliers(emb: DataFrame, k: Int,
@@ -292,22 +319,9 @@ object TextVector {
     val s = emb.sparkSession
     import s.implicits._
     val cents = cents0.getOrElse(trainedCentsDyn(emb))
-    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cell").orderBy($"cos", $"vec_id")
-    emb
-      .select($"vec_id",
-        transform($"embedding", v => v.cast("double")).as("x"),
-        graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
-      .select($"vec_id", $"cell",
-        graft.ops.expressions.CosineSim($"x",
-          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos0"))
-      // a zero-norm vector has NO affinity (NaN) — and NaN sorts
-      // ABOVE every real cosine in both engines, which would hide
-      // the MOST corrupt vector class from the bottom-K shortlist.
-      // Map it to the -2 sentinel (cosine lives in [-1, 1]) so
-      // encoder failures rank FIRST in the review list.
-      .withColumn("cos", when(isnan($"cos0"), lit(-2.0)).otherwise($"cos0"))
+    ownCentroidAffinity(emb.select($"vec_id", $"embedding"), cents)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
       .select($"cell".cast("bigint").as("cell"),
@@ -361,20 +375,15 @@ object TextVector {
     import s.implicits._
     val cents = cents0.getOrElse(
       trainedCentsDyn(emb.select($"vec_id", $"embedding")))
-    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
-    // ONE kernel pass (assign + own-centroid affinity, q108's NaN→−2
-    // sentinel for zero-norm encoder failures), persisted for its
-    // two consumers (label counts + cohesion; clearCache lifecycle)
-    val assigned = emb
-      .select($"vec_id", $"label".cast("long").as("label"),
-        transform($"embedding", v => v.cast("double")).as("x"),
-        graft.ops.expressions.IvfCell($"embedding", cents).as("cell"))
-      .select($"vec_id", $"label", $"cell",
-        graft.ops.expressions.CosineSim($"x",
-          element_at(typedLit(centsSeq), ($"cell" + 1).cast("int"))).as("cos0"))
-      .select($"vec_id", $"label", $"cell",
-        floor(when(isnan($"cos0"), lit(-2.0)).otherwise($"cos0") * lit(1e6)
-          + lit(0.5)).as("cosm"))
+    // ONE kernel pass (the SHARED ownCentroidAffinity stage — q108's
+    // assignment and sentinel, one definition), persisted for its
+    // two consumers (label counts + cohesion; clearCache lifecycle).
+    // vec_id is deliberately NOT carried: no consumer reads it, and
+    // the persisted frame is id-free (label, cell, cosm) width.
+    val assigned = ownCentroidAffinity(
+        emb.select($"label".cast("long").as("label"), $"embedding"), cents)
+      .select($"label", $"cell",
+        floor($"cos" * lit(1e6) + lit(0.5)).as("cosm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byLab = assigned.groupBy($"cell", $"label").agg(count(lit(1)).as("cnt"))
     // dominant label via the skew-immune min(struct) argmax (largest

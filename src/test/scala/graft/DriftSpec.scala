@@ -12,10 +12,11 @@ class DriftSpec extends AnyFunSuite {
 
   private def drift(prev: Seq[(String, String)],
                     cur: Seq[(String, String)]): Map[String, (Long, Long, Long)] =
-    graft.queries.Corpus.distDrift(
+    try graft.queries.Corpus.distDrift(
         prev.toDF("lang", "text"), cur.toDF("lang", "text"))
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    finally spark.catalog.clearCache() // distDrift persist contract
 
   test("identical snapshots diverge exactly zero; disjoint vocab approaches ln 2") {
     // lang "same": byte-identical halves — every bucket has
