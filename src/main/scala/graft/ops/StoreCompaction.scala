@@ -123,6 +123,25 @@ object StoreCompaction {
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith(prefix + "="))
 
+  /** Whether `path` holds ANY committed parquet data file — the
+    * empty-store probe shared by the delta stores' read entry points
+    * (MixtureMaintenance, DriftMonitor). Two empty shapes, neither a
+    * crash: no dir at all, and a dir whose first write is still in
+    * flight (only `_temporary` exists — spark.read would fail schema
+    * inference), so the probe walks for a committed `.parquet` file,
+    * not fs.exists. */
+  private[graft] def hasParquetData(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) !n.startsWith("_") && !n.startsWith(".") && walk(st.getPath)
+        else n.endsWith(".parquet")
+      }
+    walk(root)
+  }
+
   /** How many `<prefix>=` partitions a store currently holds, after
     * healing any interrupted fold — the compaction-contract spec
     * hook shared by every run-partitioned store (DedupIndex,

@@ -62,20 +62,9 @@ object MixtureMaintenance {
     // screening job racing the first ingest) has EVERY domain unseen:
     // an empty rate table, so decide's unseen-domain default keeps
     // everything — the ClusterMaintenance empty-init discipline, not
-    // a crash. The empty case has TWO shapes: no dir at all, and a
-    // dir whose first absorb is still in flight (only `_temporary`
-    // exists — spark.read would fail schema inference), so the probe
-    // is "any committed parquet data file", not fs.exists.
-    val p = new org.apache.hadoop.fs.Path(countsPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasData(dir: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(dir) && fs.listStatus(dir).exists { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) !n.startsWith("_") && !n.startsWith(".") && hasData(st.getPath)
-        else n.endsWith(".parquet")
-      }
+    // a crash (probe semantics: StoreCompaction.hasParquetData).
     val folded =
-      if (!hasData(p))
+      if (!graft.ops.StoreCompaction.hasParquetData(spark, countsPath(dir)))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(

@@ -135,8 +135,21 @@ object Corpus {
 
   // q116: distribution-drift bucket count (q103's fixed-size
   // hashed-unigram device — the model is B counters per side
-  // regardless of vocabulary).
-  private val DriftBuckets = 256L
+  // regardless of vocabulary). Shared with the incremental store
+  // ([[graft.pipeline.DriftMonitor]]).
+  private[graft] val DriftBuckets = 256L
+
+  /** The q116 bucket-count stage over any (lang, text) frame — ONE
+    * definition for the query's two sides AND the incremental
+    * store's [[graft.pipeline.DriftMonitor.absorb]], so maintained
+    * counts and the from-scratch query can never drift. Output:
+    * (lang, b, `as`). */
+  private[graft] def bucketCounts(docs: DataFrame, as: String): DataFrame =
+    docs
+      .select(col("lang"),
+        explode(graft.ops.expressions.TokenHashes(col("text"))).as("th"))
+      .select(col("lang"), pmod(col("th"), lit(DriftBuckets)).as("b"))
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as(as))
 
   /** The q116 chain over two (lang, text) snapshot frames (spec
     * hook: planted identical halves ⇒ exactly 0, disjoint-vocab
@@ -161,14 +174,22 @@ object Corpus {
   private[graft] def distDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
     val s = prev.sparkSession
     import s.implicits._
-    def counts(df: DataFrame, side: String) = df
-      .select($"lang",
-        explode(graft.ops.expressions.TokenHashes($"text")).as("th"))
-      .select($"lang", pmod($"th", lit(DriftBuckets)).as("b"))
-      .groupBy($"lang", $"b").agg(count(lit(1)).as(side))
-    val co = counts(prev, "co")
-    val cn = counts(cur, "cn")
-    val langs = prev.select($"lang").union(cur.select($"lang")).distinct()
+    jsdFromCounts(bucketCounts(prev, "co"), bucketCounts(cur, "cn"),
+      prev.select($"lang").union(cur.select($"lang")).distinct())
+  }
+
+  /** The q116 divergence stage over already-aggregated bucket
+    * counts — ONE formula shared by [[distDrift]] (which derives
+    * both sides from document scans) and the incremental store
+    * ([[graft.pipeline.DriftMonitor.report]], which folds persisted
+    * deltas). `co`/`cn` are (lang, b, co)/(lang, b, cn); `langs`
+    * names every domain the report must cover (a lang absent from
+    * one side's counts still reports — its distribution is all
+    * Laplace mass). */
+  private[graft] def jsdFromCounts(co: DataFrame, cn: DataFrame,
+                                   langs: DataFrame): DataFrame = {
+    val s = co.sparkSession
+    import s.implicits._
     val grid = langs.select($"lang",
       explode(sequence(lit(0L), lit(DriftBuckets - 1))).as("b"))
     // persisted: the totals aggregate AND the final join both read

@@ -64,4 +64,72 @@ class DriftSpec extends AnyFunSuite {
     assert(oldN == 2L && newN == 0L, out.toString)
     assert(jsd > 0L, s"one-sided lang must register positive drift: $out")
   }
+
+  // ---- DriftMonitor: the incremental form of q116 ----
+
+  import graft.pipeline.DriftMonitor
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/drift"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+    try df.as[(String, Long, Long, Long)].collect().toSeq.sorted
+    finally spark.catalog.clearCache() // jsdFromCounts persist contract
+
+  test("monitor: absorbed deltas + rebase reproduce the from-scratch stage exactly") {
+    val dir = tmp("mon-eq")
+    val a1 = Seq(("en", "alpha beta gamma"), ("de", "eins zwei drei"))
+      .toDF("lang", "text")
+    val a2 = Seq(("en", "alpha alpha delta epsilon")).toDF("lang", "text")
+    val b3 = Seq(("en", "omega sigma theta omega"), ("fr", "un deux trois"))
+      .toDF("lang", "text")
+    DriftMonitor.absorb(spark, a1, dir, "r1")
+    DriftMonitor.absorb(spark, a2, dir, "r2")
+    DriftMonitor.rebase(spark, dir) // reference := a1 + a2
+    DriftMonitor.absorb(spark, b3, dir, "r3")
+    val got = rows(DriftMonitor.report(spark, dir))
+    // integer counts → the folded store and the document scans feed
+    // the SAME divergence stage identical inputs: every column must
+    // match EXACTLY, not approximately
+    val want = rows(graft.queries.Corpus.distDrift(
+      a1.union(a2), a1.union(a2).union(b3)))
+    assert(got == want, s"monitor diverged from q116:\n got: $got\nwant: $want")
+    assert(got.exists(_._4 > 0L), s"the shifted batch must register: $got")
+  }
+
+  test("monitor: rebase zeroes the report; redelivery and compaction preserve it") {
+    val dir = tmp("mon-lifecycle")
+    val a = Seq(("en", "alpha beta gamma alpha")).toDF("lang", "text")
+    val b = Seq(("en", "omega sigma theta"), ("de", "eins zwei"))
+      .toDF("lang", "text")
+    DriftMonitor.absorb(spark, a, dir, "r1")
+    DriftMonitor.rebase(spark, dir)
+    DriftMonitor.absorb(spark, b, dir, "r2")
+    val drifted = rows(DriftMonitor.report(spark, dir))
+    assert(drifted.exists(_._4 > 0L), drifted.toString)
+    // "we retrained — new normal": reference := current, divergence
+    // is EXACTLY zero for every lang (p == q == m, ln(1) = 0.0)
+    DriftMonitor.rebase(spark, dir)
+    val rebased = rows(DriftMonitor.report(spark, dir))
+    assert(rebased.nonEmpty && rebased.forall(_._4 == 0L), rebased.toString)
+    assert(rebased.forall(r => r._2 == r._3), rebased.toString)
+    // at-least-once delivery: re-running a runId replaces, not doubles
+    DriftMonitor.absorb(spark, b, dir, "r2")
+    assert(rows(DriftMonitor.report(spark, dir)) == rebased,
+      "re-delivered batch changed the report")
+    // compaction folds runs without changing any answer
+    assert(DriftMonitor.runCount(spark, dir) == 2)
+    DriftMonitor.compact(spark, dir)
+    assert(DriftMonitor.runCount(spark, dir) == 1)
+    assert(rows(DriftMonitor.report(spark, dir)) == rebased,
+      "compaction changed the report")
+  }
+
+  test("monitor: no reference yet reports empty — monitoring starts at the first rebase") {
+    val dir = tmp("mon-fresh")
+    DriftMonitor.absorb(spark,
+      Seq(("en", "alpha beta")).toDF("lang", "text"), dir, "r1")
+    assert(DriftMonitor.report(spark, dir).count() == 0L)
+    spark.catalog.clearCache()
+  }
 }
