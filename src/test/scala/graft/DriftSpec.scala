@@ -125,6 +125,30 @@ class DriftSpec extends AnyFunSuite {
       "compaction changed the report")
   }
 
+  test("streaming: per-batch deltas fold in incrementally, re-runs are no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-stream").toString
+    val dir = s"$base/drift"; val inDir = s"$base/in"; val ck = s"$base/ck"
+    val ref = Seq(("en", "alpha beta gamma alpha"), ("de", "eins zwei"))
+      .toDF("lang", "text")
+    val s1 = Seq(("en", "alpha beta delta")).toDF("lang", "text")
+    val s2 = Seq(("en", "omega sigma"), ("fr", "un deux")).toDF("lang", "text")
+    DriftMonitor.absorb(spark, ref, dir, "seed")
+    DriftMonitor.rebase(spark, dir)
+    val schema = s1.schema
+    s1.coalesce(1).write.mode("append").parquet(inDir)
+    s2.coalesce(1).write.mode("append").parquet(inDir)
+    graft.streaming.DriftStream.runOnce(spark, inDir, dir, ck, schema)
+    val got = rows(DriftMonitor.report(spark, dir))
+    // streamed store ≡ the from-scratch q116 stage over the same corpora
+    val want = rows(graft.queries.Corpus.distDrift(
+      ref, ref.union(s1).union(s2)))
+    assert(got == want, s"streamed deltas diverge:\n got: $got\nwant: $want")
+    // nothing new: a second pass changes nothing
+    graft.streaming.DriftStream.runOnce(spark, inDir, dir, ck, schema)
+    assert(rows(DriftMonitor.report(spark, dir)) == want,
+      "idle re-run mutated the store")
+  }
+
   test("monitor: no reference yet reports empty — monitoring starts at the first rebase") {
     val dir = tmp("mon-fresh")
     DriftMonitor.absorb(spark,
