@@ -18,19 +18,20 @@ class TrainedStageSpec extends AnyFunSuite {
       s"trainedStageQueries names unknown queries: $unknown")
   }
 
-  test("probe weights train once for q98 however many times it runs") {
+  test("probe weights train once for its two consumers (q98, q113)") {
     graft.queries.ProbeStage.reset()
     SparkEntry.queries("q98_linear_probe")(spark, sf).foreach(_ => ())
-    SparkEntry.queries("q98_linear_probe")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q113_probe_calibration")(spark, sf).foreach(_ => ())
     assert(graft.queries.ProbeStage.buildCount == 1,
       s"probe trained ${graft.queries.ProbeStage.buildCount} times")
     spark.catalog.clearCache()
   }
 
-  test("the shared quantizer trains once for its two consumers (q104, q108)") {
+  test("the shared quantizer trains once for its three consumers (q104, q108, q115)") {
     graft.queries.TextVector.centsStageReset()
     SparkEntry.queries("q104_semdedup")(spark, sf).foreach(_ => ())
     SparkEntry.queries("q108_embed_outliers")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q115_corpus_map")(spark, sf).foreach(_ => ())
     assert(graft.queries.TextVector.centsStageBuildCount == 1,
       s"quantizer trained ${graft.queries.TextVector.centsStageBuildCount} times")
     spark.catalog.clearCache()
