@@ -90,6 +90,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q105Scan.contains("text") && !q105Scan.contains("doc_id") &&
       !q105Scan.contains("n_chars"),
       s"q105 scan not pruned to (lang, text):\n$q105Scan")
+    // q114 aggregates vectors per class: label + embedding, never vec_id
+    val q114Scan = plans("q114_embed_diversity").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q114Scan.contains("embedding") && !q114Scan.contains("vec_id"),
+      s"q114 scan not pruned to (label, embedding):\n$q114Scan")
+    // q116 needs doc_id + lang + text, never source/n_chars
+    val q116Scan = plans("q116_dist_drift").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q116Scan.contains("text") && !q116Scan.contains("source") &&
+      !q116Scan.contains("n_chars"),
+      s"q116 scan not pruned to (doc_id, lang, text):\n$q116Scan")
   }
 
   test("content-key per-group state never plans a window over a content-key partition") {
