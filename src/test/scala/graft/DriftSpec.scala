@@ -65,6 +65,42 @@ class DriftSpec extends AnyFunSuite {
     assert(jsd > 0L, s"one-sided lang must register positive drift: $out")
   }
 
+  test("the staged divergence equals a literal single-process JSD") {
+    // plain-Scala reimplementation of the whole chain (tokenize →
+    // polyHash → bucket → Laplace → JSD over all 256 buckets) on
+    // corpora that exercise shared AND disjoint vocab — the
+    // distributed stage must agree to within the nano rounding of
+    // its 256 per-bucket terms.
+    import org.apache.spark.unsafe.types.UTF8String
+    val B = 256
+    val prev = Seq(("a", "alpha beta gamma delta alpha beta"),
+      ("b", "eins zwei drei vier eins zwei drei"))
+    val cur = Seq(("a", "alpha beta omega sigma alpha theta"),
+      ("b", "eins zwei drei vier eins zwei drei"))
+    def buckets(docs: Seq[(String, String)]): Map[(String, Int), Long] =
+      docs.flatMap { case (lang, text) =>
+        graft.ops.TextOps.TokenPattern.r.findAllMatchIn(text).map(m =>
+          (lang, (graft.ops.expressions.HashKernel
+            .polyHash(UTF8String.fromString(m.group(1))) % B).toInt))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (co, cn) = (buckets(prev), buckets(cur))
+    val want = prev.map(_._1).distinct.sorted.map { lang =>
+      val no = co.collect { case ((l, _), n) if l == lang => n }.sum
+      val nn = cn.collect { case ((l, _), n) if l == lang => n }.sum
+      val jsd = (0 until B).map { b =>
+        val po = (co.getOrElse((lang, b), 0L) + 1).toDouble / (no + B)
+        val pn = (cn.getOrElse((lang, b), 0L) + 1).toDouble / (nn + B)
+        val m = (po + pn) / 2.0
+        math.floor((po * math.log(po / m) + pn * math.log(pn / m)) * 0.5
+          * 1e9 + 0.5).toLong
+      }.sum
+      lang -> jsd
+    }.toMap
+    val got = drift(prev, cur).map { case (l, (_, _, j)) => l -> j }
+    assert(got == want, s"staged vs literal JSD:\n got: $got\nwant: $want")
+    assert(got("a") > 0L && got("b") == 0L, got.toString)
+  }
+
   // ---- DriftMonitor: the incremental form of q116 ----
 
   import graft.pipeline.DriftMonitor

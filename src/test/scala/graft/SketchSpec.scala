@@ -164,4 +164,32 @@ class SketchSpec extends AnyFunSuite {
     val d = graft.queries.Sketch.embedDiversity(deduped).collect()(0)
     assert(d.getLong(4) == 2000000L, d.toString)
   }
+
+  test("q114's variance identity equals literal brute-force mean pairwise distance") {
+    // the identity replaces the O(n²) pair scan — prove it AGAINST
+    // that scan on deterministic pseudo-random vectors (the hash
+    // permutation, no RNG). Tolerance: coordinates and norms each
+    // quantize at 0.5 micro before aggregation, compounding to a
+    // few micro on the final statistic.
+    val dim = 8
+    val vecs = (0 until 40).map { i =>
+      val label = i % 3
+      val v = Array.tabulate(dim) { d =>
+        ((((i * dim + d + 1).toLong * 2654435761L) % 1000000007L).toFloat
+          / 1000000007.0f) * 2.0f - 1.0f
+      }
+      (label, v)
+    }
+    val got = graft.queries.Sketch.embedDiversity(vecs.toDF("label", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    vecs.groupBy(_._1).foreach { case (label, members) =>
+      val xs = members.map(_._2.map(_.toDouble))
+      val n = xs.length
+      val brute = (for (a <- xs; b <- xs) yield
+        a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum).sum / (n.toDouble * n)
+      val bruteMicro = math.round(brute * 1e6)
+      assert(math.abs(got(label.toLong) - bruteMicro) <= 10L,
+        s"label $label: identity ${got(label.toLong)} vs brute $bruteMicro")
+    }
+  }
 }
