@@ -40,11 +40,21 @@ object DriftMonitor {
 
   /** Absorb one ingest batch: one scan of the BATCH aggregates its
     * (lang, bucket) token counts through the SHARED q116 count
-    * stage and lands them under `run=<runId>`. */
+    * stage and lands them under `run=<runId>`. A zero-count ROSTER
+    * row (b = −1) per batch lang rides along: a lang whose documents
+    * produced no tokens leaves no count row, but q116's from-scratch
+    * stage derives its lang grid from the DOCUMENT frames and
+    * reports such a lang at (0, 0, 0) — the store must preserve that
+    * membership or the monitor silently diverges from the query on
+    * degenerate input. Roster rows never join the bucket grid
+    * (b ∈ [0, B)) and carry zero mass; they only widen the lang
+    * union [[report]] covers. */
   def absorb(spark: SparkSession, docs: DataFrame, dir: String,
              runId: String): Unit = {
     graft.ops.StoreCompaction.heal(spark, countsPath(dir), "run")
     graft.queries.Corpus.bucketCounts(docs, "n")
+      .unionByName(docs.select(col("lang")).distinct()
+        .select(col("lang"), lit(-1L).as("b"), lit(0L).as("n")))
       .write.mode("overwrite").parquet(s"${countsPath(dir)}/run=$runId")
   }
 
@@ -82,19 +92,30 @@ object DriftMonitor {
 
   /** Per-lang drift report (lang, n_old, n_new, jsd_nano): the
     * reference distribution vs the current folded counts, through
-    * the exact q116 divergence stage. Old = reference, new =
-    * current. No reference yet → empty report. */
+    * the exact q116 divergence stage (persistGrid = false — here the
+    * doubly-consumed grid subtree is two tiny aggregated-parquet
+    * folds, not q116's corpus scans, so a monitoring endpoint polled
+    * in a long-lived session carries no cache obligation). Old =
+    * reference, new = current; roster rows widen the lang union so
+    * token-less langs still report. No reference yet → empty report
+    * — and that early return does exactly ONE heal + probe of the
+    * reference store, nothing on the counts store. */
   def report(spark: SparkSession, dir: String): DataFrame = {
-    val ref = foldedCounts(spark, refPath(dir), "co")
-    val cur = foldedCounts(spark, countsPath(dir), "cn")
+    graft.ops.StoreCompaction.heal(spark, refPath(dir), "run")
     if (!graft.ops.StoreCompaction.hasParquetData(spark, refPath(dir)))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "lang STRING, n_old BIGINT, n_new BIGINT, jsd_nano BIGINT"))
-    else
+    else {
+      // healed and probed non-empty above — read directly
+      val ref = spark.read.parquet(refPath(dir))
+        .groupBy(col("lang"), col("b")).agg(sum(col("n")).as("co"))
+      val cur = foldedCounts(spark, countsPath(dir), "cn")
       graft.queries.Corpus.jsdFromCounts(ref, cur,
-        ref.select(col("lang")).union(cur.select(col("lang"))).distinct())
+        ref.select(col("lang")).union(cur.select(col("lang"))).distinct(),
+        persistGrid = false)
+    }
   }
 
   /** Fold all count-run deltas into one `run=base`

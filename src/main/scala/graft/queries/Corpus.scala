@@ -185,9 +185,15 @@ object Corpus {
     * deltas). `co`/`cn` are (lang, b, co)/(lang, b, cn); `langs`
     * names every domain the report must cover (a lang absent from
     * one side's counts still reports — its distribution is all
-    * Laplace mass). */
+    * Laplace mass). `persistGrid` caches the doubly-consumed grid
+    * frame: true for distDrift, whose grid subtree holds the two
+    * tokenize+hash CORPUS scans; false for the incremental store,
+    * where it is two tiny aggregated-parquet folds and the persist
+    * would only saddle a polled monitoring endpoint with a
+    * cache-lifecycle obligation. */
   private[graft] def jsdFromCounts(co: DataFrame, cn: DataFrame,
-                                   langs: DataFrame): DataFrame = {
+                                   langs: DataFrame,
+                                   persistGrid: Boolean = true): DataFrame = {
     val s = co.sparkSession
     import s.implicits._
     val grid = langs.select($"lang",
@@ -197,12 +203,15 @@ object Corpus {
     // scans (no DAG-level CSE — without the persist each scan plans
     // twice); the cached frame itself is ≤ langs·B id-width rows
     // (clearCache lifecycle as everywhere)
-    val joined = grid
+    val joinedRaw = grid
       .join(co, Seq("lang", "b"), "left")
       .join(cn, Seq("lang", "b"), "left")
       .select($"lang", $"b",
         coalesce($"co", lit(0L)).as("co"), coalesce($"cn", lit(0L)).as("cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined =
+      if (persistGrid)
+        joinedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else joinedRaw
     val tot = joined.groupBy($"lang")
       .agg(sum($"co").as("no"), sum($"cn").as("nn"))
     val po = ($"co" + lit(1L)).cast("double") /

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 import graft.pipeline.AnnIndex
 
@@ -28,16 +27,10 @@ object AnnIngestStream {
     * array<double>). */
   def runOnce(spark: SparkSession, inDir: String, indexDir: String,
               checkpointDir: String, schema: StructType): Unit = {
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    FileIngest.runOnce(spark, inDir, checkpointDir, schema) {
+      (batch, batchId) =>
         AnnIndex.append(spark,
           batch.select(col("vec_id"), col("vec")), indexDir, s"b$batchId")
-      }
-      .start()
-    q.awaitTermination()
+    }
   }
 }

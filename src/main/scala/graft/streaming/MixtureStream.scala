@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 import graft.pipeline.MixtureMaintenance
 
@@ -23,17 +22,11 @@ object MixtureStream {
     * string, text string). */
   def runOnce(spark: SparkSession, inDir: String, storeDir: String,
               checkpointDir: String, schema: StructType): Unit = {
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    FileIngest.runOnce(spark, inDir, checkpointDir, schema) {
+      (batch, batchId) =>
         MixtureMaintenance.absorb(spark,
           batch.select(col("doc_id"), col("lang"), col("text")),
           storeDir, s"b$batchId")
-      }
-      .start()
-    q.awaitTermination()
+    }
   }
 }

@@ -114,8 +114,12 @@ class DriftSpec extends AnyFunSuite {
 
   test("monitor: absorbed deltas + rebase reproduce the from-scratch stage exactly") {
     val dir = tmp("mon-eq")
-    val a1 = Seq(("en", "alpha beta gamma"), ("de", "eins zwei drei"))
-      .toDF("lang", "text")
+    // "ws" is the degenerate membership case: whitespace-only text
+    // yields NO tokens, so only the store's roster rows can keep the
+    // lang in the report — q116's from-scratch stage derives langs
+    // from the document frames and reports it at (0, 0, 0)
+    val a1 = Seq(("en", "alpha beta gamma"), ("de", "eins zwei drei"),
+      ("ws", "   ")).toDF("lang", "text")
     val a2 = Seq(("en", "alpha alpha delta epsilon")).toDF("lang", "text")
     val b3 = Seq(("en", "omega sigma theta omega"), ("fr", "un deux trois"))
       .toDF("lang", "text")
@@ -131,6 +135,8 @@ class DriftSpec extends AnyFunSuite {
       a1.union(a2), a1.union(a2).union(b3)))
     assert(got == want, s"monitor diverged from q116:\n got: $got\nwant: $want")
     assert(got.exists(_._4 > 0L), s"the shifted batch must register: $got")
+    assert(got.contains(("ws", 0L, 0L, 0L)),
+      s"token-less lang must survive via roster rows: $got")
   }
 
   test("monitor: rebase zeroes the report; redelivery and compaction preserve it") {
