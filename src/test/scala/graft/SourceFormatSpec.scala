@@ -35,6 +35,42 @@ class SourceFormatSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("JSONL quarantine ingest: torn lines route raw to the store, good rows flow typed") {
+    import org.apache.spark.sql.types._
+    val base = tmp("jsonl-quar")
+    val in = s"$base/in"; val quar = s"$base/quarantine"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // 3 good lines, 2 corrupt: a torn (truncated) line and plain garbage
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "beta"}""",
+      """{"doc_id": 3, "te""",
+      """not json at all""",
+      """{"doc_id": 4, "text": "gamma"}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val good = graft.sources.JsonlIngest.readWithQuarantine(
+      spark, in, schema, quar, "r1")
+    assert(good.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (4L, "gamma")))
+    // quarantined lines are the raw bytes, verbatim — repairable
+    val bad = graft.sources.JsonlIngest.quarantined(spark, quar)
+      .as[String].collect().sorted.toSeq
+    assert(bad == Seq("""not json at all""", """{"doc_id": 3, "te"""), bad.toString)
+    // at-least-once re-delivery replaces its own run, never doubles
+    graft.sources.JsonlIngest.readWithQuarantine(spark, in, schema, quar, "r1")
+      .foreach(_ => ())
+    assert(graft.sources.JsonlIngest.quarantined(spark, quar).count() == 2L)
+    // the FAILFAST stance on the same file dies — the two postures
+    // are deliberately different tools
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").json(in).collect()
+    }
+    spark.catalog.clearCache() // readWithQuarantine cache contract
+  }
+
   test("sketch aggregates: approx_count_distinct within rsd of exact; approx quantiles ordered") {
     val o = Tables.orders(spark, sf)
     val exact = o.select(countDistinct($"o_custkey")).collect()(0).getLong(0)
