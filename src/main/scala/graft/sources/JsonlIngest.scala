@@ -37,14 +37,31 @@ object JsonlIngest {
     * good rows with the corrupt column dropped. */
   def readWithQuarantine(spark: SparkSession, path: String,
                          schema: StructType, quarantineDir: String,
-                         runId: String): DataFrame = {
+                         runId: String): DataFrame =
+    quarantined(spark, path, schema, quarantineDir, runId,
+      r => r.json(path))
+
+  /** The CSV twin — same parser channel
+    * (`columnNameOfCorruptRecord`), same store discipline. CSV
+    * drops additionally tear by losing quoting, so the quarantine
+    * preserves the unparsed line the same way. */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+                            schema: StructType, quarantineDir: String,
+                            runId: String, header: Boolean = true): DataFrame =
+    quarantined(spark, path, schema, quarantineDir, runId,
+      r => r.option("header", header.toString).csv(path))
+
+  private def quarantined(spark: SparkSession, path: String,
+                          schema: StructType, quarantineDir: String,
+                          runId: String,
+                          load: org.apache.spark.sql.DataFrameReader => DataFrame)
+      : DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare $CorruptCol — it is the parser's channel")
-    val raw = spark.read
-      .schema(schema.add(CorruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+    val raw = load(spark.read
+        .schema(schema.add(CorruptCol, StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol))
       .cache()
     raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))

@@ -71,6 +71,29 @@ class SourceFormatSpec extends AnyFunSuite {
     spark.catalog.clearCache() // readWithQuarantine cache contract
   }
 
+  test("CSV quarantine twin: type-torn lines route raw, good rows flow typed") {
+    import org.apache.spark.sql.types._
+    val base = tmp("csv-quar")
+    val in = s"$base/in"; val quar = s"$base/quarantine"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val lines = Seq(
+      "doc_id,text",
+      "1,alpha",
+      "x,beta", // doc_id not a long — the parser tears the line
+      "2,\"gamma, quoted\"")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/part-0.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val good = graft.sources.JsonlIngest.readCsvWithQuarantine(
+      spark, in, schema, quar, "r1")
+    assert(good.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "alpha"), (2L, "gamma, quoted")))
+    assert(graft.sources.JsonlIngest.quarantined(spark, quar)
+      .as[String].collect().toSeq == Seq("x,beta"))
+    spark.catalog.clearCache() // readCsvWithQuarantine cache contract
+  }
+
   test("sketch aggregates: approx_count_distinct within rsd of exact; approx quantiles ordered") {
     val o = Tables.orders(spark, sf)
     val exact = o.select(countDistinct($"o_custkey")).collect()(0).getLong(0)
