@@ -51,24 +51,37 @@ class SourceFormatSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
+    // fresh store: the repair queue reads empty, not a crash
+    assert(graft.sources.JsonlIngest.quarantined(spark, quar).count() == 0L)
     val good = graft.sources.JsonlIngest.readWithQuarantine(
       spark, in, schema, quar, "r1")
     assert(good.as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "alpha"), (2L, "beta"), (4L, "gamma")))
-    // quarantined lines are the raw bytes, verbatim — repairable
+    // quarantined lines are the raw bytes, verbatim — repairable —
+    // tagged with the delivery they came from
     val bad = graft.sources.JsonlIngest.quarantined(spark, quar)
-      .as[String].collect().sorted.toSeq
-    assert(bad == Seq("""not json at all""", """{"doc_id": 3, "te"""), bad.toString)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(bad == Seq(("r1", """not json at all"""),
+      ("r1", """{"doc_id": 3, "te""")), bad.toString)
     // at-least-once re-delivery replaces its own run, never doubles
     graft.sources.JsonlIngest.readWithQuarantine(spark, in, schema, quar, "r1")
       .foreach(_ => ())
     assert(graft.sources.JsonlIngest.quarantined(spark, quar).count() == 2L)
+    // a SECOND delivery accumulates alongside, keyed by its own run
+    val in2 = s"$base/in2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/part-0.jsonl"),
+      "{\"torn".getBytes("UTF-8"))
+    graft.sources.JsonlIngest.readWithQuarantine(spark, in2, schema, quar, "r2")
+      .foreach(_ => ())
+    assert(graft.sources.JsonlIngest.quarantined(spark, quar)
+      .as[(String, String)].collect().sorted.toSeq ==
+      (bad :+ (("r2", "{\"torn"))).sorted, "second run must accumulate")
     // the FAILFAST stance on the same file dies — the two postures
     // are deliberately different tools
     intercept[org.apache.spark.SparkException] {
       spark.read.schema(schema).option("mode", "FAILFAST").json(in).collect()
     }
-    spark.catalog.clearCache() // readWithQuarantine cache contract
   }
 
   test("CSV quarantine twin: type-torn lines route raw, good rows flow typed") {
@@ -89,9 +102,9 @@ class SourceFormatSpec extends AnyFunSuite {
       spark, in, schema, quar, "r1")
     assert(good.as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "alpha"), (2L, "gamma, quoted")))
+    // the header line is NOT quarantined; the torn line is, verbatim
     assert(graft.sources.JsonlIngest.quarantined(spark, quar)
-      .as[String].collect().toSeq == Seq("x,beta"))
-    spark.catalog.clearCache() // readCsvWithQuarantine cache contract
+      .as[(String, String)].collect().toSeq == Seq(("r1", "x,beta")))
   }
 
   test("sketch aggregates: approx_count_distinct within rsd of exact; approx quantiles ordered") {
