@@ -69,15 +69,26 @@ object Search {
   private[graft] val SemDim = 32
 
   /** The ONE bag-of-words encoder definition — q111's doc side,
-    * q111's query side, and [[graft.pipeline.HybridRetrieval]]'s
-    * stores all embed through here (sort_array: the per-dim feature
-    * fold is order-dependent in IEEE doubles — q34's note); a
-    * one-sided tweak would silently break the served-path ≡ q111
-    * rank contract. */
+    * q111's query side, q117's both sides, and
+    * [[graft.pipeline.HybridRetrieval]]'s stores all embed through
+    * here (sort_array: the per-dim feature fold is order-dependent in
+    * IEEE doubles — q34's note); a one-sided tweak would silently
+    * break the served-path ≡ q111 rank contract. */
   private[graft] def bowEmbed(c: Column): Column =
     graft.ops.expressions.FeatureEmbed(
       sort_array(array_distinct(graft.ops.expressions.TokenHashes(c))),
       SemDim)
+
+  /** DuckDB twin of [[bowEmbed]]'s FeatureEmbed fold over a
+    * sorted-hash-list alias — ONE definition for the q111 and q117
+    * oracles (a one-sided tweak would silently break the two
+    * retrieval twins' shared-encoder contract). */
+  private def sqlFeatEmbed(hs: String): String =
+    s"""list_transform(range(0, $SemDim), i ->
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform($hs, h ->
+       |      CAST((h + (i+1)*2654435761) % 1000000007 AS DOUBLE)/1000000007.0*2.0-1.0)),
+       |    (a, b) -> a + b))""".stripMargin
   /** Fixed query phrases (q43's Terms convention — mid-frequency
     * testdata vocabulary; a deployment would parameterize). */
   private[graft] val RrfQueries: Seq[(Int, String)] = Seq(
@@ -164,6 +175,58 @@ object Search {
     val sem = graft.plans.TopK.perKey(semAll, Seq("query_id"),
       Seq("cos" -> false, "doc_id" -> true), RrfDepth, rankCol = "srank")
     (lex, sem)
+  }
+
+  /** q117: hard negatives kept per query. */
+  private[graft] val HnTopK = 10
+
+  /** The q117 chain over any (doc_id, text) frame (spec hook:
+    * planted term-sharing / lexically-blind corpora). Hard-negative
+    * mining for contrastive retrieval training (the DPR/ANCE recipe,
+    * Karpukhin et al. 2020; Xiong et al. 2021: train the dense
+    * retriever on negatives that LOOK relevant to the current
+    * scorer): for each query, the top-[[HnTopK]] docs by embedding
+    * cosine among documents sharing ZERO query terms — semantically
+    * close yet lexically blind, exactly the negatives a BM25-mined
+    * training set never surfaces (any term-sharing doc is a
+    * potential false negative, so it is excluded OUTRIGHT rather
+    * than score-thresholded — the conservative published filter).
+    *
+    * Scale shape: ONE corpus pass computes tokens + the bag-of-words
+    * embedding ([[bowEmbed]] — the shared encoder, so mined
+    * negatives are hard for the SAME geometry q111/HybridRetrieval
+    * serve); queries broadcast with their term sets; the term filter
+    * drops candidates BEFORE the cosine kernel; ranking is the
+    * bounded-heap TopKPerKey, never a whole-corpus window. Nothing
+    * downstream of the scan is O(corpus) except the scoring pass
+    * itself. At serving scale the candidate generator swaps to
+    * AnnIndex.searchRefined with the term filter as a post-check —
+    * the emitted (query_id, doc_id, rank) contract is unchanged.
+    * Determinism: ranks order by the NANO-ROUNDED cosine (exact
+    * int64 both engines) with doc_id tiebreak — a total order, so
+    * cross-engine rank agreement needs no ulp argument at all. */
+  private[graft] def hardNegatives(docs: DataFrame,
+                                   queries: Seq[(Int, String)] = RrfQueries): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .repartition($"doc_id")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"),
+        bowEmbed($"text").as("v"))
+      .filter(size($"toks") > 0)
+    val qdf = broadcast(
+      queries.map { case (q, p) => (q.toLong, p) }.toDF("query_id", "qtext")
+        .select($"query_id", bowEmbed($"qtext").as("qv"),
+          array_distinct(TextOps.tokens($"qtext")).as("qtoks")))
+    val cand = base.crossJoin(qdf)
+      .filter(size(array_intersect($"toks", $"qtoks")) === 0)
+      .select($"query_id", $"doc_id",
+        floor(graft.ops.expressions.CosineSim($"qv", $"v") * lit(1e9) + lit(0.5))
+          .cast("bigint").as("cos_nano"))
+    graft.plans.TopK.perKey(cand, Seq("query_id"),
+      Seq("cos_nano" -> false, "doc_id" -> true), HnTopK, rankCol = "rn")
+      .select($"query_id", $"doc_id", $"cos_nano", $"rn".cast("bigint").as("rn"))
+      .orderBy($"query_id", $"rn")
   }
 
   /** RRF fusion of the two rank tables (the plug point: any ranker
@@ -522,6 +585,14 @@ object Search {
     // plus an ANN path (q25/q90/AnnIndex) asks for first.
     "q111_hybrid_rrf" -> { (s, d) =>
       hybridRrf(Tables.documents(s, d))
+    },
+
+    // Hard-negative mining (class doc on [[hardNegatives]]): the
+    // training-data product of the retrieval family — q111 serves
+    // with the rankers; q117 mines the contrastive pairs that would
+    // TRAIN the dense side.
+    "q117_hard_negatives" -> { (s, d) =>
+      hardNegatives(Tables.documents(s, d))
     }
   )
 
@@ -596,13 +667,7 @@ object Search {
         val dfSelects = terms.indices.map(i =>
           s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
           .mkString(", ")
-        // twin of FeatureEmbed(·, SemDim) over a hash-list alias
-        def fe(hs: String): String =
-          s"""list_transform(range(0, $SemDim), i ->
-             |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |    list_transform($hs, h ->
-             |      CAST((h + (i+1)*2654435761) % 1000000007 AS DOUBLE)/1000000007.0*2.0-1.0)),
-             |    (a, b) -> a + b))""".stripMargin
+        def fe(hs: String): String = sqlFeatEmbed(hs)
         val qVals = RrfQueries.map { case (q, p) => s"($q, '$p')" }.mkString(", ")
         val lexUnion = RrfQueries.map { case (qid, phrase) =>
           val c = phrase.split(' ').toSeq.map(t =>
@@ -648,6 +713,41 @@ object Search {
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rn
            |      FROM fused)
            |SELECT query_id, doc_id, rrf_nano, rn FROM r WHERE rn <= $RrfTopN
+           |ORDER BY query_id, rn""".stripMargin
+      },
+
+      // Twin of q117 (hardNegatives): the q111 doc/query embedding
+      // CTEs (shared sqlFeatEmbed twin), the zero-shared-term filter
+      // as len(list_intersect) = 0, nano-rounded cosine, row_number
+      // ranks (the TopKPerKey contract — TopKSpec pins rank
+      // equivalence).
+      "q117_hard_negatives" -> {
+        val qVals = RrfQueries.map { case (q, p) => s"($q, '$p')" }.mkString(", ")
+        val ph = TextVector.Sql.polyHash("t")
+        s"""WITH base AS (
+           |  SELECT doc_id, toks,
+           |    list_sort(list_distinct(list_transform(toks, t -> $ph))) AS hs
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+           |  WHERE len(toks) > 0
+           |), docv AS (SELECT doc_id, toks, ${sqlFeatEmbed("hs")} AS v FROM base),
+           |q AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+           |        list_distinct(qtoks) AS qtoks, ${sqlFeatEmbed("qhs")} AS qv
+           |      FROM (SELECT query_id, qtoks,
+           |              list_sort(list_distinct(list_transform(qtoks, t -> $ph))) AS qhs
+           |            FROM (SELECT query_id, ${TextVector.Sql.toks("qtext")} AS qtoks
+           |                  FROM (VALUES $qVals) vq(query_id, qtext)))),
+           |sc AS (SELECT q.query_id, d.doc_id,
+           |         CAST(floor((${TextVector.Sql.dot("q.qv", "d.v")}
+           |             / sqrt(${TextVector.Sql.dot("q.qv", "q.qv")})
+           |             / sqrt(${TextVector.Sql.dot("d.v", "d.v")}))
+           |           * 1000000000.0 + 0.5) AS BIGINT) AS cos_nano
+           |       FROM docv d CROSS JOIN q
+           |       WHERE len(list_intersect(d.toks, q.qtoks)) = 0),
+           |r AS (SELECT query_id, doc_id, cos_nano,
+           |        CAST(row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cos_nano DESC, doc_id) AS BIGINT) AS rn
+           |      FROM sc)
+           |SELECT query_id, doc_id, cos_nano, rn FROM r WHERE rn <= $HnTopK
            |ORDER BY query_id, rn""".stripMargin
       },
 

@@ -170,6 +170,33 @@ class HybridRetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache() // hybridRrf persist contract
   }
 
+  test("hard-negative mining excludes every term-sharing doc and ranks the paraphrase first") {
+    // q117 (Search.hardNegatives) on the q111 planted corpus: docs 1
+    // and 2 share query terms — excluded OUTRIGHT no matter how high
+    // they'd score; doc 3 (the no-term paraphrase, cosine ≈ 0.97 by
+    // set geometry) must be the #1 mined negative over the ≈ 0.45
+    // noise docs
+    val mined = graft.queries.Search.hardNegatives(docs, query)
+      .select($"doc_id", $"cos_nano", $"rn").as[(Long, Long, Long)].collect()
+    val byDoc = mined.map(r => r._1 -> r._3).toMap
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L),
+      s"term-sharing docs must never be mined as negatives: $byDoc")
+    assert(byDoc(3L) == 1L, s"paraphrase doc should be the hardest negative: $byDoc")
+    // the universal contract: NO mined negative contains a query term
+    val qtoks = Set("alpha", "beta")
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    for ((id, _, _) <- mined)
+      assert(texts(id).split(' ').toSet.intersect(qtoks).isEmpty,
+        s"doc $id shares a query term yet was mined")
+    // dense ranks over descending nano-cosine, exactly HnTopK rows
+    // (41 eligible docs > HnTopK)
+    assert(mined.map(_._3).toSeq.sorted ==
+      (1L to graft.queries.Search.HnTopK.toLong),
+      s"ranks not dense 1..k: ${mined.map(_._3).toSeq.sorted}")
+    assert(mined.sortBy(_._3).map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      "mined negatives not in descending cosine order")
+  }
+
   test("fused recall >= max single-ranker recall, strictly beating the lexical ranker") {
     val (lexDf, semDf) = graft.queries.Search.rrfRankers(docs, query)
     val lex10 = lexDf.filter($"lrank" <= 10).select($"doc_id")
