@@ -77,6 +77,42 @@ object Multimodal {
     Inference.mapBatched(media, batchSize, new StubFeatureEncoder(dim)).toDF()
   }
 
+  /** Exact dedup over opaque payload BYTES (q118; spec hook:
+    * planted duplicate payloads) — content-addressable-storage
+    * accounting for a media lake: group by (kind, sha256(payload)),
+    * report per kind how many objects exist, how many are distinct,
+    * how many groups have duplicates, and how many bytes a
+    * dedup-by-content store would reclaim (every copy past the
+    * first). The cryptographic hash is the right tool here — unlike
+    * the text family's polyhash fingerprints, media dedup keys get
+    * persisted as object-store addresses, so collision resistance is
+    * part of the contract.
+    *
+    * Scale shape: the ONLY pass over payload bytes is the map-side
+    * hash projection — the shuffle moves (kind, 64-hex-char hash,
+    * byte count) rows, never payloads, and the groupBy map-side-
+    * combines identical objects within each input partition first. A
+    * degenerate corpus (one viral image re-uploaded 10⁹ times)
+    * concentrates one GROUP key but its rows are id-width and the
+    * per-kind rollup is 3 rows — nothing holds an occurrence SET
+    * anywhere. Takes (kind, payload) so planted frames and derived
+    * manifests share the chain. */
+  def dedupReport(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val groups = media
+      .select(col("kind"), sha2(col("payload"), 256).as("h"),
+        length(col("payload")).cast("long").as("nb"))
+      .groupBy(col("kind"), col("h"))
+      .agg(count(lit(1)).as("cnt"), max(col("nb")).as("nb"))
+    groups.groupBy(col("kind"))
+      .agg(sum(col("cnt")).as("n_objects"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_groups"),
+        sum((col("cnt") - 1) * col("nb")).as("reclaim_bytes"))
+      .orderBy(col("kind"))
+  }
+
   /** Resize plumbing for `image` payloads: recompute the metadata to
     * the target box (aspect-preserving fit, integer arithmetic —
     * exactly what a real resize records) and re-sample the payload to

@@ -1308,6 +1308,25 @@ object TextVector {
         .orderBy($"media_id")
     },
 
+    // Media exact dedup (class doc on Multimodal.dedupReport): the
+    // multimodal member of the dedup family — same re-upload shared
+    // byte-for-byte under several object ids, found by content hash.
+    // The manifest derives re-uploads deterministically from the
+    // documents table (the q107 derive-dirty-input convention: media
+    // with media_id ≡ 0 mod 3 gains one extra copy, ≡ 0 mod 7
+    // another — both ≡ 0 mod 21 means three copies of that object).
+    "q118_media_dedup" -> { (s, d) =>
+      import s.implicits._
+      val manifest = graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+        .toDF()
+        .select($"kind", $"payload",
+          explode(sequence(lit(0L),
+            when(pmod($"media_id", lit(3L)) === 0L, 1L).otherwise(0L) +
+              when(pmod($"media_id", lit(7L)) === 0L, 1L).otherwise(0L)))
+            .as("copy"))
+      graft.multimodal.Multimodal.dedupReport(manifest)
+    },
+
     // Deterministic train/val/test split (corpus-curation op): the
     // split is a pure function of CONTENT hash — stable under
     // re-partitioning, re-ordering, incremental re-runs, and engine
@@ -2723,6 +2742,31 @@ object TextVector {
            |SELECT media_id, count(*) AS n_frames,
            |  CAST(sum(fb) AS BIGINT) AS frame_bytes
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Twin of q118 (Multimodal.dedupReport over the re-upload
+      // manifest): the q32 manifest derivation + the mod-3/mod-7
+      // copy rule, grouped by (kind, sha256) — DuckDB's sha256 over
+      // the VARCHAR hashes its utf8 bytes, exactly the bytes
+      // payload := text.cast(binary) carries on the Spark side. The
+      // hash itself never reaches the output, so only group IDENTITY
+      // must agree.
+      "q118_media_dedup" ->
+        s"""WITH m AS (SELECT doc_id,
+           |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+           |               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |             text
+           |           FROM documents),
+           |u AS (SELECT kind, text FROM m,
+           |        unnest(range(0, 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+           |                          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)) c(i)),
+           |g AS (SELECT kind, sha256(text) AS h, count(*) AS cnt,
+           |        max(octet_length(encode(text))) AS nb
+           |      FROM u GROUP BY 1, 2)
+           |SELECT kind, CAST(sum(cnt) AS BIGINT) AS n_objects,
+           |  count(*) AS n_distinct,
+           |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+           |  CAST(sum((cnt - 1) * nb) AS BIGINT) AS reclaim_bytes
+           |FROM g GROUP BY kind ORDER BY kind""".stripMargin,
 
       "q40_source_mix" ->
         s"""SELECT source, count(*) AS n_kept

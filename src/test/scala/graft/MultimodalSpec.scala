@@ -36,6 +36,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0, "payload byte count drifted from n_chars (ascii text)")
   }
 
+  test("payload dedup report: byte-identical copies group, one-byte edits and cross-kind twins do not") {
+    // q118's chain on a planted manifest: object A uploaded 3× as
+    // image, once more as audio (same bytes, different kind — a
+    // content-addressable store scoped per kind keeps both); object
+    // B once; object C = B with ONE byte flipped (must not group)
+    val a = "payload-A-0123456789".getBytes("UTF-8")
+    val b = "payload-B-0123456789".getBytes("UTF-8")
+    val c = b.clone(); c(c.length - 1) = '8'
+    val manifest = Seq(
+      ("image", a), ("image", a), ("image", a), ("audio", a),
+      ("image", b), ("image", c)
+    ).toDF("kind", "payload")
+    val rep = Multimodal.dedupReport(manifest).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // image: 5 objects, 3 distinct (a, b, c), 1 dup group, 2 extra
+    // copies of the 20-byte a reclaimable
+    assert(rep("image") == ((5L, 3L, 1L, 2L * a.length)), s"image row: $rep")
+    // audio: the cross-kind twin stays its own singleton group
+    assert(rep("audio") == ((1L, 1L, 0L, 0L)), s"audio row: $rep")
+  }
+
   test("encoder sees bounded batches and the tail batch is flushed (L2 regression)") {
     // 10 rows, batch 4 → batches of 4,4,2 — the 2-row tail must
     // arrive (run.py dropped it; we must not)
