@@ -66,6 +66,9 @@ object Corpus {
   // one unrolled CTE block; the trainer itself is unbounded)
   private[queries] val BpeRounds = 6
 
+  // q119: keywords kept per document.
+  private val TfidfTopK = 3
+
   private val P = 1000000007L
 
   // q72: surprisal output rounding (micro-units inside the exact
@@ -383,6 +386,43 @@ object Corpus {
         .agg(count(lit(1)).as("n_copies"), min($"n_tok").as("n_tokens"))
         .filter($"n_copies" >= 2)
         .orderBy($"chunk_hash")
+    },
+
+    // TF-IDF keyword extraction: each document's top-TfidfTopK terms
+    // by tf · ln(N/df) — the classic salience score (Spärck Jones
+    // 1972) that powers topic labels, facet browsing, and the
+    // lightweight doc descriptors curation dashboards key on. Scale
+    // shape: term frequencies come from one map-side-combined
+    // groupBy over the exploded scan; document frequency is the
+    // groupBy + join-back device (q70's argument verbatim — a
+    // count().over(partitionBy(tok)) window would funnel a stop
+    // word's whole posting set onto one reducer, and AQE cannot
+    // split a window partition; the equi-join back IS splittable);
+    // N broadcasts as one row; ranking is the bounded-heap
+    // TopKPerKey over the MICRO-ROUNDED score (exact int64 both
+    // engines — rank agreement needs no ulp argument). A stop word
+    // in every doc scores ln(1) = 0 and sinks by construction.
+    "q119_tfidf_keywords" -> { (s, d) =>
+      import s.implicits._
+      // persisted: the tf table feeds the df aggregate AND the
+      // score join (no DAG-level CSE); Verify/Bench clearCache
+      // lifecycle as everywhere
+      val tf = Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfs = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val nDocs = broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n")))
+      val scored = tf.join(dfs, "tok").crossJoin(nDocs)
+        .select($"doc_id", $"tok",
+          floor($"tf".cast("double") * log($"n" / $"df".cast("double"))
+            * lit(1e6) + lit(0.5)).cast("bigint").as("tfidf_micro"))
+      graft.plans.TopK.perKey(scored, Seq("doc_id"),
+          Seq("tfidf_micro" -> false, "tok" -> true), TfidfTopK, rankCol = "rn")
+        .select($"doc_id", $"tok", $"tfidf_micro", $"rn".cast("bigint").as("rn"))
+        .orderBy($"doc_id", $"rn")
     },
 
     // Unigram-LM surprisal scoring (statistical quality filter, next
@@ -857,6 +897,27 @@ object Corpus {
          |  CAST(min(n_tok) AS BIGINT) AS n_tokens
          |FROM h GROUP BY chunk_hash HAVING count(*) >= 2
          |ORDER BY chunk_hash""".stripMargin,
+
+    // Twin of q119: tf/df as exact counts, ln micro-rounded into the
+    // ranked score, row_number ranks (the TopKPerKey contract —
+    // TopKSpec pins rank equivalence).
+    "q119_tfidf_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${Sql.toks("text")}) AS tok
+         |           FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |sc AS (SELECT doc_id, tf.tok,
+         |         CAST(floor(CAST(tf.tf AS DOUBLE)
+         |             * ln(n.n / CAST(dfs.df AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro
+         |       FROM tf JOIN dfs ON dfs.tok = tf.tok CROSS JOIN n),
+         |r AS (SELECT doc_id, tok, tfidf_micro,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY tfidf_micro DESC, tok) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT doc_id, tok, tfidf_micro, rn FROM r WHERE rn <= $TfidfTopK
+         |ORDER BY doc_id, rn""".stripMargin,
 
     "q72_unigram_surprisal" -> {
       import graft.ops.Determinism.Oracles

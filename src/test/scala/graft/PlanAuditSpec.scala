@@ -28,7 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q109_late_interaction", // q109: tiny query-chunk set vs the scan
       "q111_hybrid_rrf", // q111: 1-row stats + 3-row query set, both broadcast
       "q112_ann_eval", // q112: 8-row eval query set vs the scan (exact truth)
-      "q115_corpus_map") // q115: 1-row corpus total broadcast
+      "q115_corpus_map", // q115: 1-row corpus total broadcast
+      "q117_hard_negatives", // q117: 3-row query set vs the scan
+      "q119_tfidf_keywords") // q119: 1-row doc-count broadcast
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
@@ -111,7 +113,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // boilerplate key would funnel its whole occurrence set onto one
     // reducer, and AQE cannot split a window partition
     for (name <- Seq("q75_paragraph_dedup", "q93_span_dedup",
-        "q68_winnow_overlap", "q70_inverted_index"))
+        "q68_winnow_overlap", "q70_inverted_index", "q119_tfidf_keywords"))
       assert(!plans(name).contains("Window"),
         s"$name plans a window — per-content-key state must stay a skew-immune aggregate:\n${plans(name)}")
   }
