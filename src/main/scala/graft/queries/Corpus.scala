@@ -933,41 +933,52 @@ object Corpus {
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
-    "q102_bigram_surprisal" -> {
-      import graft.ops.Determinism.Oracles
-      val puni = "(CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / " +
-        "(CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))"
-      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
-         |pos AS (
-         |  SELECT doc_id, toks[CAST(u.i AS INTEGER)] AS cur,
-         |    CASE WHEN u.i = 1 THEN NULL
-         |         ELSE toks[CAST(u.i AS INTEGER) - 1] END AS prev
-         |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
-         |refpos AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
-         |uni AS (SELECT cur, count(*) AS cu FROM refpos GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
-         |          CAST(count(*) AS BIGINT) AS v FROM uni),
-         |bi AS (SELECT prev, cur, count(*) AS cb FROM refpos
-         |       WHERE prev IS NOT NULL GROUP BY 1, 2),
-         |s AS (
-         |  SELECT p.doc_id,
-         |    CASE WHEN p.prev IS NULL THEN -ln($puni)
-         |         WHEN b.cb IS NOT NULL THEN
-         |           -ln(CAST(b.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
-         |         ELSE -ln(0.4 * ($puni)) END AS surp,
-         |    CASE WHEN p.prev IS NOT NULL AND b.cb IS NULL
-         |         THEN 1 ELSE 0 END AS bo
-         |  FROM pos p
-         |  LEFT JOIN uni u ON u.cur = p.cur
-         |  LEFT JOIN uni u2 ON u2.cur = p.prev
-         |  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
-         |  CROSS JOIN tot)
-         |SELECT doc_id, count(*) AS n_tok,
-         |  CAST(sum(bo) AS BIGINT) AS n_backoff,
-         |  ${Oracles.fround(Oracles.favg("surp"), XentDecimals)} AS xent
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    "q102_bigram_surprisal" ->
+      // composed without an outer stripMargin (bpeOracle's note)
+      (s"WITH $sbOracleCtes\n" +
+        "SELECT doc_id, n_tok, n_backoff, xent FROM sb ORDER BY doc_id")
   )
+
+  /** The q102 scoring replay (t → pos → refpos → uni → tot → bi →
+    * s → sb), ending with sb(doc_id, n_tok, n_backoff, xent) in
+    * scope — ONE definition for the q102 oracle and q120's split
+    * replay (a one-sided tweak would silently break the LM-scoring
+    * twins' agreement). Already stripped — compose with plain
+    * concatenation (bpeOracle's note). */
+  private[queries] def sbOracleCtes: String = {
+    import graft.ops.Determinism.Oracles
+    val puni = "(CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / " +
+      "(CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))"
+    s"""t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, toks[CAST(u.i AS INTEGER)] AS cur,
+       |    CASE WHEN u.i = 1 THEN NULL
+       |         ELSE toks[CAST(u.i AS INTEGER) - 1] END AS prev
+       |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+       |refpos AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+       |uni AS (SELECT cur, count(*) AS cu FROM refpos GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+       |          CAST(count(*) AS BIGINT) AS v FROM uni),
+       |bi AS (SELECT prev, cur, count(*) AS cb FROM refpos
+       |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |s AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN p.prev IS NULL THEN -ln($puni)
+       |         WHEN b.cb IS NOT NULL THEN
+       |           -ln(CAST(b.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+       |         ELSE -ln(0.4 * ($puni)) END AS surp,
+       |    CASE WHEN p.prev IS NOT NULL AND b.cb IS NULL
+       |         THEN 1 ELSE 0 END AS bo
+       |  FROM pos p
+       |  LEFT JOIN uni u ON u.cur = p.cur
+       |  LEFT JOIN uni u2 ON u2.cur = p.prev
+       |  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+       |  CROSS JOIN tot),
+       |sb AS (SELECT doc_id, count(*) AS n_tok,
+       |         CAST(sum(bo) AS BIGINT) AS n_backoff,
+       |         ${Oracles.fround(Oracles.favg("surp"), XentDecimals)} AS xent
+       |       FROM s GROUP BY doc_id)""".stripMargin
+  }
 }
 
 /** The trained BPE merge table shared by q92 and q105 — ONE training

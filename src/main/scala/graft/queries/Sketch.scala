@@ -331,6 +331,28 @@ object Sketch {
         .orderBy($"lang")
     },
 
+    // CCNet-style perplexity split (Wenzek et al., LREC 2020): label
+    // every document head / middle / tail by PER-DOMAIN terciles of
+    // its reference-LM surprisal — the published recipe keeps head
+    // (closest to the curated reference), samples middle, drops
+    // tail, and the cuts must come from each language's own score
+    // distribution (absolute perplexity is not comparable across
+    // languages). Composes two gated stages: q102's Stupid-Backoff
+    // scorer supplies xent; q110's KMV bottom-k device supplies the
+    // per-domain 1/3–2/3 cutpoints with constant per-group state
+    // (CCNet itself hand-tunes the cut fractions; the tercile is the
+    // symmetric default). Both engines select the identical sample
+    // rows, interpolate identically over exact 6-dp scores, and
+    // label by the same comparisons — the report (n_docs, mean
+    // surprisal per (lang, bucket)) hash-matches. Scale shape: the
+    // scorer's shape is q102's; downstream of it everything is
+    // id-width — the sample is the bounded-heap TopKPerKey, the
+    // threshold table is O(domains) broadcast back, the rollup
+    // map-side-combines to ≤ 3·domains rows.
+    "q120_perplexity_split" -> { (s, d) =>
+      perplexitySplit(Tables.documents(s, d))
+    },
+
     // Per-class embedding diversity WITHOUT a pairwise join: the
     // mean squared pairwise L2 distance obeys the variance identity
     //   (1/n²)·Σᵢ Σⱼ ||xᵢ−xⱼ||² = 2·( E||x||² − ||E x||² ),
@@ -390,6 +412,49 @@ object Sketch {
           floor((lit(2.0) * ($"m2" - $"mu_sq")) * lit(1e6) + lit(0.5)))
           .as("diversity_micro"))
       .orderBy($"label")
+  }
+
+  /** The q120 chain over any (doc_id, lang, text) frame (spec hook:
+    * planted two-language corpus with separated score strata — see
+    * the q120 entry comment for the recipe, scale shape, and
+    * cross-engine argument). Reference predicate is q102's even-half
+    * convention. */
+  private[graft] def perplexitySplit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.Determinism.{avgExact, roundFix}
+    val sb = Corpus.stupidBackoffSurprisal(docs,
+      pmod($"doc_id", lit(2L)) === 0)
+    // persisted: the scored frame feeds the KMV sample AND the
+    // label pass (clearCache lifecycle as everywhere)
+    val scored = sb.select($"doc_id", $"xent")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .withColumn("hv", mix($"doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = graft.plans.TopK.perKey(scored, Seq("lang"),
+      Seq("hv" -> true, "doc_id" -> true), QuantSampleK)
+    val est = sampled.groupBy($"lang")
+      .agg(sort_array(collect_list($"xent")).as("vs"))
+      .withColumn("m", size($"vs").cast("bigint"))
+    def thr(p: Column): Column = {
+      val idx = ($"m" - 1).cast("double") * p
+      element_at($"vs", floor(idx).cast("int") + 1) +
+        (element_at($"vs", ceil(idx).cast("int") + 1) -
+          element_at($"vs", floor(idx).cast("int") + 1)) * (idx - floor(idx))
+    }
+    val th = est.select($"lang",
+      thr(lit(1.0) / lit(3.0)).as("t1"),
+      thr(lit(2.0) / lit(3.0)).as("t2"))
+    scored.join(broadcast(th), Seq("lang"))
+      .select($"lang",
+        when($"xent" < $"t1", "head")
+          .when($"xent" < $"t2", "middle")
+          .otherwise("tail").as("bucket"),
+        $"xent")
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        roundFix(avgExact($"xent"), 6).as("mean_xent"))
+      .orderBy($"lang", $"bucket")
   }
 
   /** The q110 threshold stage, factored for consumers
@@ -491,6 +556,43 @@ object Sketch {
          |  ${Oracles.fround(q("0.95"), 6)} AS p95_est
          |FROM sm JOIN t ON sm.event_type = t.event_type
          |ORDER BY sm.event_type""".stripMargin
+    },
+
+    // Twin of q120: q102's scoring replay (Corpus.sbOracleCtes — ONE
+    // definition with the q102 oracle), the q110 sample/interpolation
+    // device at the 1/3–2/3 cutpoints, identical label comparisons,
+    // exact-sum bucket means.
+    "q120_perplexity_split" -> {
+      def q(p: String): String = {
+        val idx = s"(CAST(m - 1 AS DOUBLE) * $p)"
+        val vlo = s"vs[CAST(floor($idx) AS BIGINT) + 1]"
+        val vhi = s"vs[CAST(ceil($idx) AS BIGINT) + 1]"
+        s"$vlo + ($vhi - $vlo) * ($idx - floor($idx))"
+      }
+      // composed without an outer stripMargin (Corpus.bpeOracle's
+      // note); CTE names stay clear of the embedded chain's
+      // (t/pos/refpos/uni/tot/bi/s/sb — the q113 rebind lesson)
+      "WITH " + Corpus.sbOracleCtes + ",\n" +
+        s"""sc AS (SELECT sb.doc_id, d2.lang, sb.xent,
+           |          ${sqlMix("sb.doc_id")} AS hv
+           |        FROM sb JOIN (SELECT doc_id, lang FROM documents) d2
+           |          ON d2.doc_id = sb.doc_id),
+           |r AS (SELECT lang, doc_id, xent,
+           |        row_number() OVER (PARTITION BY lang
+           |                           ORDER BY hv, doc_id) AS rn
+           |      FROM sc),
+           |sm AS (SELECT lang, list_sort(list(xent)) AS vs, count(*) AS m
+           |       FROM r WHERE rn <= $QuantSampleK GROUP BY 1),
+           |th AS (SELECT lang, ${q("(CAST(1.0 AS DOUBLE)/3.0)")} AS t1,
+           |         ${q("(CAST(2.0 AS DOUBLE)/3.0)")} AS t2 FROM sm),
+           |lab AS (SELECT sc.lang,
+           |          CASE WHEN sc.xent < th.t1 THEN 'head'
+           |               WHEN sc.xent < th.t2 THEN 'middle'
+           |               ELSE 'tail' END AS bucket, sc.xent
+           |        FROM sc JOIN th ON th.lang = sc.lang)
+           |SELECT lang, bucket, count(*) AS n_docs,
+           |  ${Oracles.fround(Oracles.favg("xent"), 6)} AS mean_xent
+           |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     // Twin of q110: same sample selection and interpolation over the

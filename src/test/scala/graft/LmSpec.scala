@@ -42,6 +42,45 @@ class LmSpec extends AnyFunSuite {
     assert(out(11L) == ((3L, 2L, want11)), s"doc 11: ${out(11L)} != $want11")
   }
 
+  test("perplexity split: buckets partition each language and means order head < middle < tail") {
+    // q120 (Sketch.perplexitySplit) on a planted two-lang corpus:
+    // per lang, 12 docs in three clean surprisal strata — reference
+    // docs (even ids) score seen bigrams (low), odd docs mix seen /
+    // backoff / OOV tokens to spread scores. The law under test is
+    // structural (the oracle gates exact values): the three buckets
+    // PARTITION the language's docs and their mean surprisals are
+    // strictly ordered.
+    // every doc scores a DISTINCT xent (terciles over ties can empty
+    // a bucket — the first cut of this spec planted 8-way-tied lows
+    // and head came out empty): reference docs (even i) repeat the
+    // same seen bigrams at different lengths, odd docs append i
+    // distinct OOV tokens to a seen prefix
+    def doc(lang: String, i: Long, text: String) =
+      (lang.hashCode.toLong * 100 + i, lang, text)
+    val mk = (lang: String, pad: String) => (0L until 12L).map { i =>
+      val t =
+        if (i % 2 == 0) Seq.fill(i.toInt / 2 + 2)(s"$pad extra").mkString(" ")
+        else s"$pad extra " +
+          (0L until i).map(j => s"oov$lang$i$j").mkString(" ")
+      doc(lang, i, t)
+    }
+    val docs = (mk("en", "en0") ++ mk("fr", "fr0"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Sketch.perplexitySplit(docs)
+      .as[(String, String, Long, Double)].collect()
+    spark.catalog.clearCache() // scored-frame persist contract
+    for (lang <- Seq("en", "fr")) {
+      val rows = out.filter(_._1 == lang).map(r => r._2 -> (r._3, r._4)).toMap
+      assert(rows.keySet == Set("head", "middle", "tail"),
+        s"$lang buckets incomplete: $rows")
+      assert(rows.values.map(_._1).sum == 12L,
+        s"$lang buckets do not partition the docs: $rows")
+      assert(rows("head")._2 < rows("middle")._2 &&
+        rows("middle")._2 < rows("tail")._2,
+        s"$lang bucket means not ordered: $rows")
+    }
+  }
+
   test("q102 on the corpus: reference-side docs never back off, scores well-formed") {
     val out = SparkEntry.queries("q102_bigram_surprisal")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double)].collect()

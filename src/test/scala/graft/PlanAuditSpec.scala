@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q112_ann_eval", // q112: 8-row eval query set vs the scan (exact truth)
       "q115_corpus_map", // q115: 1-row corpus total broadcast
       "q117_hard_negatives", // q117: 3-row query set vs the scan
-      "q119_tfidf_keywords") // q119: 1-row doc-count broadcast
+      "q119_tfidf_keywords", // q119: 1-row doc-count broadcast
+      "q120_perplexity_split") // q120: q102's 1-row LM totals broadcast
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
