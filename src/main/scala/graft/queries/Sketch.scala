@@ -161,23 +161,35 @@ object Sketch {
     val hashed = rows.select($"g", $"id", $"value", mix($"id").as("hv"))
     val sampled = graft.plans.TopK.perKey(hashed, Seq("g"),
       Seq("hv" -> true, "id" -> true), QuantSampleK)
-    def q(p: Double): Column = {
-      val idx = ($"m" - 1).cast("double") * lit(p)
-      val lo = floor(idx).cast("int")
-      val hi = ceil(idx).cast("int")
-      val vlo = element_at($"vs", lo + 1)
-      val vhi = element_at($"vs", hi + 1)
-      vlo + (vhi - vlo) * (idx - floor(idx))
-    }
     val est = sampled.groupBy($"g")
       .agg(sort_array(collect_list($"value")).as("vs"))
       .withColumn("m", size($"vs").cast("bigint"))
     val totals = hashed.groupBy($"g").agg(count(lit(1)).as("n"))
     est.join(totals, "g")
       .select($"g", $"n", $"m".as("n_sample"),
-        roundFix(q(0.5), 6).as("p50_est"),
-        roundFix(q(0.95), 6).as("p95_est"))
+        roundFix(interpAt(lit(0.5)), 6).as("p50_est"),
+        roundFix(interpAt(lit(0.95)), 6).as("p95_est"))
       .orderBy($"g")
+  }
+
+  /** Linear interpolation at percentile p over a KMV sample row
+    * (columns `vs`: sorted value array, `m`: BIGINT sample size) —
+    * ONE expression tree for every sample-quantile consumer
+    * (q97/q110/q120), with [[sqlInterp]] as its DuckDB twin. A
+    * one-sided reassociation of the arithmetic can therefore never
+    * break a single query's cross-engine hash in isolation. */
+  private def interpAt(p: Column): Column = {
+    val idx = (col("m") - 1).cast("double") * p
+    val vlo = element_at(col("vs"), floor(idx).cast("int") + 1)
+    val vhi = element_at(col("vs"), ceil(idx).cast("int") + 1)
+    vlo + (vhi - vlo) * (idx - floor(idx))
+  }
+  /** DuckDB twin of [[interpAt]] over the same (vs, m) CTE row. */
+  private def sqlInterp(p: String): String = {
+    val idx = s"(CAST(m - 1 AS DOUBLE) * $p)"
+    val vlo = s"vs[CAST(floor($idx) AS BIGINT) + 1]"
+    val vhi = s"vs[CAST(ceil($idx) AS BIGINT) + 1]"
+    s"$vlo + ($vhi - $vlo) * ($idx - floor($idx))"
   }
 
   /** CMS geometry: depth 3 (one row per stage multiplier), width 64. */
@@ -436,15 +448,9 @@ object Sketch {
     val est = sampled.groupBy($"lang")
       .agg(sort_array(collect_list($"xent")).as("vs"))
       .withColumn("m", size($"vs").cast("bigint"))
-    def thr(p: Column): Column = {
-      val idx = ($"m" - 1).cast("double") * p
-      element_at($"vs", floor(idx).cast("int") + 1) +
-        (element_at($"vs", ceil(idx).cast("int") + 1) -
-          element_at($"vs", floor(idx).cast("int") + 1)) * (idx - floor(idx))
-    }
     val th = est.select($"lang",
-      thr(lit(1.0) / lit(3.0)).as("t1"),
-      thr(lit(2.0) / lit(3.0)).as("t2"))
+      interpAt(lit(1.0) / lit(3.0)).as("t1"),
+      interpAt(lit(2.0) / lit(3.0)).as("t2"))
     scored.join(broadcast(th), Seq("lang"))
       .select($"lang",
         when($"xent" < $"t1", "head")
@@ -474,11 +480,7 @@ object Sketch {
     val est = sampled.groupBy($"lang")
       .agg(sort_array(collect_list($"quality")).as("vs"))
       .withColumn("m", size($"vs").cast("bigint"))
-    val idx = ($"m" - 1).cast("double") * lit(FloorP)
-    val thrExpr = element_at($"vs", floor(idx).cast("int") + 1) +
-      (element_at($"vs", ceil(idx).cast("int") + 1) -
-        element_at($"vs", floor(idx).cast("int") + 1)) * (idx - floor(idx))
-    est.select($"lang", thrExpr.as("thr"))
+    est.select($"lang", interpAt(lit(FloorP)).as("thr"))
   }
 
   /** q110's floor percentile: drop the worst 20% of each domain. */
@@ -534,12 +536,6 @@ object Sketch {
          |FROM cand c ORDER BY c.c_custkey""".stripMargin,
 
     "q97_approx_quantiles" -> {
-      def q(p: String): String = {
-        val idx = s"(CAST(m - 1 AS DOUBLE) * $p)"
-        val vlo = s"vs[CAST(floor($idx) AS BIGINT) + 1]"
-        val vhi = s"vs[CAST(ceil($idx) AS BIGINT) + 1]"
-        s"$vlo + ($vhi - $vlo) * ($idx - floor($idx))"
-      }
       s"""WITH e AS (SELECT event_type, event_id, value,
          |             ${sqlMix("event_id")} AS hv
          |           FROM events WHERE value IS NOT NULL),
@@ -552,8 +548,8 @@ object Sketch {
          |       FROM r WHERE rn <= $QuantSampleK GROUP BY 1),
          |t AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
          |SELECT sm.event_type, t.n, sm.m AS n_sample,
-         |  ${Oracles.fround(q("0.5"), 6)} AS p50_est,
-         |  ${Oracles.fround(q("0.95"), 6)} AS p95_est
+         |  ${Oracles.fround(sqlInterp("0.5"), 6)} AS p50_est,
+         |  ${Oracles.fround(sqlInterp("0.95"), 6)} AS p95_est
          |FROM sm JOIN t ON sm.event_type = t.event_type
          |ORDER BY sm.event_type""".stripMargin
     },
