@@ -274,9 +274,17 @@ object AnnIndex {
     * per query, probe the top `nprobe` inverted lists, rank
     * candidates by ADC. The rank filter plans onto TopKPerKeyExec
     * via the WindowTopKRewrite rule. */
+  /** `exclude`: optional PER-QUERY exclusion set (query_id, vec_id)
+    * anti-joined out BEFORE the rank filter — the structural form of
+    * "top-k among eligible docs" (self-hit suppression, hard-negative
+    * mining's term-sharer exclusion, already-labeled training docs).
+    * Post-filtering a top-k can return FEWER than k however deep the
+    * pool when the exclusion set crowds the metric's head; excluding
+    * before the rank cannot. */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
              k: Int, nprobe: Int = 0,
-             excludeRun: Option[String] = None): DataFrame = {
+             excludeRun: Option[String] = None,
+             exclude: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (ivf, pq) = codebooks(spark, dir)
     // nprobe = 0 (default) applies the [[nprobeFor]] policy against
@@ -323,11 +331,14 @@ object AnnIndex {
     // spill-to-2: a vector probed through BOTH its cells appears
     // twice — keep its best ADC (skew-safe partial agg) so the rank
     // sees one row per (query, vector) and top-k can't duplicate
-    codes
+    val adcRanked = codes
       .join(probes, Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         adc(col("qrv"), col("codes"), pqSeq).as("adc0"))
       .groupBy(col("query_id"), col("vec_id")).agg(min(col("adc0")).as("adc"))
+    exclude.fold(adcRanked)(ex =>
+        adcRanked.join(ex.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("adc"), col("rn"))
@@ -357,10 +368,11 @@ object AnnIndex {
                     vectors: DataFrame, k: Int, nprobe: Int = 0,
                     shortlist: Int = 0,
                     excludeRun: Option[String] = None,
-                    keepVec: Boolean = false): DataFrame = {
+                    keepVec: Boolean = false,
+                    exclude: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val depth = if (shortlist > 0) shortlist else math.max(16 * k, 128)
-    val sl = search(spark, queries, dir, depth, nprobe, excludeRun)
+    val sl = search(spark, queries, dir, depth, nprobe, excludeRun, exclude)
       .select(col("query_id"), col("vec_id"))
     val d2 = aggregate(
       zip_with(col("vec"), col("qvec"), (a, b) => (a - b) * (a - b)),

@@ -38,7 +38,18 @@ object DedupIndex {
   private val JaccardMin = 0.5
   private val HashMod = 1000000007L
 
-  private def withDerived(docs: DataFrame): DataFrame = {
+  // Probe-side broadcast budget for [[verifiedAgainst]]: the capped
+  // probe plan broadcasts frames bounded by the BATCH's band count
+  // (batchBands, bStats, smallB are all ≤ it). A daily batch fits
+  // easily (8 band rows/doc → ~128k docs under this bound); a
+  // catch-up FLOOD — the very scenario the index-side cap defends
+  // against — could exceed driver/broadcast memory, so above the
+  // bound the probe drops the hints and degrades to plain shuffle
+  // joins: identical rows, cost linear in the batch (the pre-cap
+  // plan shape). ~1M band rows ≈ tens of MB serialized.
+  private val ProbeBroadcastMaxBands = 1L << 20
+
+  private[graft] def withDerived(docs: DataFrame): DataFrame = {
     // the exact-dup key is (polyhash, byte length): one ~2^30-range
     // polyhash alone would birthday-collide from ~10^4.5 docs, and a
     // false "exact" verdict silently drops a document — the length
@@ -213,8 +224,9 @@ object DedupIndex {
     * match) and [[nearEdgesAgainst]] (which needs the FULL edge set:
     * cluster maintenance must see a batch doc that bridges TWO
     * existing clusters, not just its best match). */
-  private def verifiedAgainst(spark: SparkSession, derived: DataFrame,
-                              dir: String, excludeRun: Option[String]): DataFrame = {
+  private[graft] def verifiedAgainst(spark: SparkSession, derived: DataFrame,
+                              dir: String, excludeRun: Option[String],
+                              broadcastMaxBands: Long = ProbeBroadcastMaxBands): DataFrame = {
     healAll(spark, dir) // complete any interrupted compaction first
     def runs(path: String): DataFrame = {
       val df = spark.read.parquet(path)
@@ -243,25 +255,31 @@ object DedupIndex {
     // never shuffled — two broadcast-probe streams over the same
     // scan the uncapped join already paid.
     val batchBands = bandsOf(derived)
+    // broadcast-or-shuffle gate (ProbeBroadcastMaxBands): every
+    // probe-side frame below is bounded by this count, so ONE
+    // measurement decides the whole plan's join strategy
+    val probeHint: DataFrame => DataFrame =
+      if (batchBands.count() <= broadcastMaxBands) df => broadcast(df)
+      else identity
     // materialized once (localCheckpoint — the frame is bounded by
     // the BATCH's bucket count): both the small-bucket and over-cap
     // broadcasts below derive from it, which would otherwise rescan
     // the index bands store per derivation
     val bStats = bands
-      .join(broadcast(batchBands.select(col("band_idx"), col("band_hash")).distinct()),
+      .join(probeHint(batchBands.select(col("band_idx"), col("band_hash")).distinct()),
         Seq("band_idx", "band_hash"))
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("m"), min(col("corpus_id")).as("hub_id"))
       .localCheckpoint()
     val cap = graft.queries.TextVector.BucketCap
     val smallB = batchBands
-      .join(broadcast(bStats.filter(col("m") <= cap)
+      .join(probeHint(bStats.filter(col("m") <= cap)
         .select(col("band_idx"), col("band_hash"))),
         Seq("band_idx", "band_hash"))
-    val candSmall = bands.join(broadcast(smallB), Seq("band_idx", "band_hash"))
+    val candSmall = bands.join(probeHint(smallB), Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("corpus_id"))
     val candStar = batchBands
-      .join(broadcast(bStats.filter(col("m") > cap)), Seq("band_idx", "band_hash"))
+      .join(probeHint(bStats.filter(col("m") > cap)), Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("hub_id").as("corpus_id"))
     val cand = candSmall.unionByName(candStar).distinct()
     cand

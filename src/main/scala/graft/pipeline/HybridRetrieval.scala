@@ -129,7 +129,19 @@ object HybridRetrieval {
     val vecs = vecsOf(prepared)
     vecs.withColumn("run", lit("base"))
       .write.partitionBy("run").mode("overwrite").parquet(s"$dir/raw")
-    AnnIndex.build(spark, vecs, s"$dir/ann")
+    // a corpus can be ENTIRELY token-less (a fresh deployment whose
+    // first delivery is boilerplate): the raw store still lands
+    // (zero-row but schema-bearing — the house write convention), the
+    // ANN store is DEFERRED until vectors exist ([[append]]
+    // bootstraps it), and a REBUILD over such a corpus clears any
+    // stale ANN state a prior build left (serving would otherwise
+    // shortlist phantom ids — harmless after the raw refine join,
+    // but dead weight every probe)
+    if (vecs.isEmpty) {
+      val ann = new org.apache.hadoop.fs.Path(s"$dir/ann")
+      val fs = ann.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(ann)) fs.delete(ann, true)
+    } else AnnIndex.build(spark, vecs, s"$dir/ann")
     prepared.unpersist()
   }
 
@@ -147,10 +159,28 @@ object HybridRetrieval {
     val prepared = prepare(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeLexical(prepared, dir, runId, dynamic = true)
-    vecsOf(prepared).withColumn("run", lit(runId))
+    val vecs = vecsOf(prepared)
+    vecs.withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/raw")
-    AnnIndex.append(spark, vecsOf(prepared), s"$dir/ann", runId)
+    if (!vecs.isEmpty) {
+      if (graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
+        AnnIndex.append(spark, vecs, s"$dir/ann", runId)
+      else {
+        // DEFERRED BOOTSTRAP: the store was built before any vectors
+        // existed ([[build]]'s token-less-corpus posture) — train the
+        // codebooks on this first vectored batch, then RE-KEY its
+        // codes to this delivery's run id: build writes codes under
+        // run=base, which a re-delivered batch's dynamic overwrite of
+        // run=<runId> would DUPLICATE rather than replace. One extra
+        // encode of one batch, once per store lifetime.
+        AnnIndex.build(spark, vecs, s"$dir/ann")
+        val codes = new org.apache.hadoop.fs.Path(s"$dir/ann/codes")
+        val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(codes)) fs.delete(codes, true)
+        AnnIndex.append(spark, vecs, s"$dir/ann", runId)
+      }
+    }
     prepared.unpersist()
   }
 
@@ -190,7 +220,11 @@ object HybridRetrieval {
     * [[graft.queries.Search.rrfFuse]]. A query whose terms none of
     * the corpus contains simply has no lexical pool — the semantic
     * ranker still serves it (q111's paraphrase law, held by the
-    * served path too). */
+    * served path too). A query absent from BOTH pools (token-less
+    * qtext: no lexical terms AND a null-filtered embedding) returns
+    * ZERO rows rather than a marker row — rrfFuse's documented
+    * no-results convention; left-join to the query set for
+    * per-query accounting. */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
              k: Int = 10): DataFrame = {
     // pool depth scales with the requested k: fixed RrfDepth pools
@@ -200,11 +234,85 @@ object HybridRetrieval {
     val lex = lexRanks(spark, queries, dir, depth)
     val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
       .filter(col("qvec").isNotNull)
-    val raw = spark.read.parquet(s"$dir/raw")
-    val sem = AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw, k = depth)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rn").cast("int").as("srank"))
+    // a store with no vectored delivery yet has NO ann state (build's
+    // token-less posture) — an empty semantic pool, lexical-only
+    // fusion, never a missing-path crash
+    val sem =
+      if (!graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
+        qv.select(col("query_id"), col("query_id").as("doc_id"),
+          lit(1).as("srank")).filter(lit(false))
+      else {
+        val raw = spark.read.parquet(s"$dir/raw")
+        AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw, k = depth)
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            col("rn").cast("int").as("srank"))
+      }
     graft.queries.Search.rrfFuse(lex, sem, topN = k)
+  }
+
+  /** Store-served hard-negative mining — q117's DPR/ANCE miner with
+    * its candidate generator routed through the persisted
+    * [[AnnIndex]] (the upgrade path q117's class doc declares): per
+    * query, the top-`k` docs by shared-encoder cosine among docs
+    * sharing ZERO query terms.
+    *
+    * Three store reads, no corpus rescan:
+    *   - zero-shared-term exclusion: answered by the POSTINGS store
+    *     (a doc sharing a query term owns a postings row under that
+    *     term's hash — id-width rows off the term-pruned scan, the
+    *     document text is never re-tokenized) and pushed INTO the
+    *     candidate stage via [[AnnIndex.search]]'s per-query
+    *     `exclude` anti-join. Pushing it matters structurally: hard
+    *     negatives are BY DEFINITION not the query's nearest
+    *     neighbors — under a lexical-overlap encoder the cosine HEAD
+    *     is exactly the term-sharing docs — so a post-filtered
+    *     pool returns fewer than k however deep the pool (measured
+    *     on the gate corpus: 464–485 of 500 docs share a term;
+    *     post-filtering a depth-200 pool kept 2/10 of the brute
+    *     top-k; excluding before the rank keeps the floor);
+    *   - candidates: exhaustive-ADC over the COMPRESSED codes
+    *     (`nprobe` defaults to every cell — mining is an offline,
+    *     recall-sensitive batch job, and an all-cell ADC pass still
+    *     reads PqM-byte codes instead of raw vectors and never
+    *     touches text; serving-style cell pruning remains available
+    *     through `nprobe` for latency-bound callers), shortlisted at
+    *     `depth` (default 5·k), `keepVec` so the refine join's raw
+    *     vectors feed the rerank for free;
+    *   - exact-cosine rerank on the bounded-heap TopKPerKey over the
+    *     NANO-ROUNDED cosine (q117's total-order discipline).
+    *
+    * Output contract = q117's (query_id, doc_id, cos_nano, rn); cos
+    * here is over the store's UNIT-normalized vectors —
+    * rank-identical to q117's unnormalized cosine (scale
+    * invariance), nano values differ by the normalization. Cost per
+    * query set: one codes pass + bounded refine instead of q117's
+    * full-text scan — the shape a 10⁵-query production miner needs
+    * (HybridRetrievalSpec pins planted-corpus equivalence to the
+    * brute miner and a recall floor on the gate corpus). */
+  def hardNegatives(spark: SparkSession, queries: DataFrame, dir: String,
+                    k: Int = graft.queries.Search.HnTopK,
+                    depth: Int = 0, nprobe: Int = Int.MaxValue): DataFrame = {
+    val d = if (depth > 0) depth else 5 * k
+    val (qt, _, pruned) = prunedPostings(spark, queries, dir)
+    val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    val sharers = pruned.select(col("th"), col("doc_id"))
+      .join(broadcast(qt), "th")
+      .select(col("query_id"), col("doc_id").as("vec_id")).distinct()
+    val raw = spark.read.parquet(s"$dir/raw")
+    val cand = AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw,
+        k = d, nprobe = nprobe, keepVec = true, exclude = Some(sharers))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cand_vec"))
+    val scored = cand
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        floor(graft.ops.expressions.CosineSim(col("qvec"), col("cand_vec")) *
+          lit(1e9) + lit(0.5)).cast("bigint").as("cos_nano"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq("cos_nano" -> false, "doc_id" -> true), k, rankCol = "rn")
+      .select(col("query_id"), col("doc_id"), col("cos_nano"),
+        col("rn").cast("bigint").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** The served lexical rank table (query_id, doc_id, score_u,
@@ -214,10 +322,23 @@ object HybridRetrieval {
   private[graft] def lexRanks(spark: SparkSession, queries: DataFrame,
                               dir: String,
                               depth: Int = graft.queries.Search.RrfDepth): DataFrame = {
-    val (qt, terms, pruned) = prunedPostings(spark, queries, dir)
+    // coalesced: a store built/appended from ONLY empty or token-less
+    // batches wrote null sum(dl) aggregates (and n = 0); getLong on
+    // that null is an NPE, and n = 0 would NaN every BM25 idf — so
+    // the lexical ranker short-circuits to an EMPTY pool and search()
+    // degrades to semantic-only fusion (the q111 paraphrase law's
+    // posture: absent ranker pools weaken ranking, never crash it)
     val st = spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sumdl")), lit(0L)).as("sumdl")).head()
     val (n, sumdl) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
+    if (n == 0)
+      return graft.plans.TopK.perKey(
+        queries.select(col("query_id"), lit(0L).as("doc_id"),
+          lit(0L).as("score_u")).filter(lit(false)),
+        Seq("query_id"), Seq("score_u" -> false, "doc_id" -> true),
+        depth, rankCol = "lrank")
+    val (qt, terms, pruned) = prunedPostings(spark, queries, dir)
     val dfs = prunedScan(spark, terms, s"$dir/termstats")
       .groupBy(col("th")).agg(sum(col("df")).as("df"))
     val matched = pruned

@@ -199,9 +199,14 @@ object Search {
     * drops candidates BEFORE the cosine kernel; ranking is the
     * bounded-heap TopKPerKey, never a whole-corpus window. Nothing
     * downstream of the scan is O(corpus) except the scoring pass
-    * itself. At serving scale the candidate generator swaps to
-    * AnnIndex.searchRefined with the term filter as a post-check —
-    * the emitted (query_id, doc_id, rank) contract is unchanged.
+    * itself. At mining scale the store-served twin is
+    * [[graft.pipeline.HybridRetrieval.hardNegatives]] — AnnIndex
+    * candidates with the term-sharer set EXCLUDED INSIDE the rank
+    * (a post-check filter returns under-full results when sharers
+    * crowd the cosine head, which under this encoder they always
+    * do); the emitted (query_id, doc_id, rank) contract is
+    * unchanged, and this brute pass stays the truth its recall is
+    * measured against.
     * Determinism: ranks order by the NANO-ROUNDED cosine (exact
     * int64 both engines) with doc_id tiebreak — a total order, so
     * cross-engine rank agreement needs no ulp argument at all. */
@@ -232,7 +237,19 @@ object Search {
   /** RRF fusion of the two rank tables (the plug point: any ranker
     * producing (query_id, doc_id, rank) fuses here unchanged —
     * [[graft.pipeline.HybridRetrieval]] feeds it store-served
-    * rankers with its own fused size). */
+    * rankers with its own fused size).
+    *
+    * Contract: a query_id absent from BOTH pools (e.g. a token-less
+    * query — no lexical terms, null-filtered embedding) is OMITTED
+    * from the fused output, the retrieval convention for "no
+    * results" — deliberately unlike q112's evaluation report, which
+    * left-joins back to the query set because an EVALUATION must
+    * account for every query (a metric that silently drops
+    * zero-candidate queries overstates recall; a result list with a
+    * null-doc marker row would just be a sentinel API). Callers
+    * needing per-query accounting left-join this output to their
+    * query set (HybridRetrievalSpec pins the no-throw/zero-row
+    * serving of a token-less query). */
   private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame,
                              topN: Int = RrfTopN): DataFrame = {
     val spark = lex.sparkSession

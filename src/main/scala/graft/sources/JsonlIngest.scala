@@ -57,23 +57,46 @@ object JsonlIngest {
 
   /** The CSV twin — same parser channel, same store discipline. CSV
     * drops additionally tear by losing quoting or type-mangling a
-    * field; the quarantine preserves the unparsed line the same
-    * way. With `header = true` the text-side probe skips lines
-    * equal to the schema's plain header rendering
-    * (`f1,f2,...` — the form this engine's own CSV writes emit). */
+    * field; the quarantine preserves the unparsed line the same way.
+    *
+    * Header contract (`header = true`): a line is a header iff its
+    * COMMA-SPLIT TOKENS — trimmed, unquoted, lower-cased — equal the
+    * declared field names in order. That predicate is applied to
+    * EVERY line of EVERY file on BOTH sides (one definition, two
+    * plans), which fixes the two failure modes of byte-equality +
+    * Spark's skip-first-line: a delivery whose header varies in
+    * spacing/quoting/case no longer quarantines a spurious 'corrupt'
+    * row, and a file that LACKS a header no longer silently loses
+    * its first data line to the reader's header skip (the good side
+    * parses raw lines itself — nothing is positional-skipped).
+    * Out-of-contract deliveries stay VISIBLE, not silent: a
+    * reordered or renamed header line fails the predicate and lands
+    * in quarantine for the operator to inspect (column order is
+    * positional against `schema` — no reader can detect reordered
+    * DATA). Records are line-scoped (no multiline quoted fields) —
+    * the same contract the JSONL path and the raw-text probe already
+    * imposed. */
   def readCsvWithQuarantine(spark: SparkSession, path: String,
                             schema: StructType, quarantineDir: String,
                             runId: String, header: Boolean = true): DataFrame = {
     val wc = withCorrupt(schema)
-    val headerLine = schema.fieldNames.mkString(",")
-    val raw = spark.read.text(path)
-    val probed = (if (header) raw.filter(col("value") =!= headerLine) else raw)
-      .filter(from_csv(col("value"), wc, ParseOpts)
-        .getField(CorruptCol).isNotNull)
-    writeQuarantine(probed, quarantineDir, runId)
-    spark.read.schema(wc).options(ParseOpts)
-      .option("header", header.toString).csv(path)
-      .filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val isHeader =
+      transform(split(col("value"), ","),
+        t => lower(regexp_replace(trim(t), "^\"|\"$", ""))) ===
+        array(schema.fieldNames.map(f => lit(f.toLowerCase)): _*)
+    // blank lines are layout, not data (the csv reader's own
+    // ignore-empty-lines posture) — neither typed nor quarantined
+    val raw = spark.read.text(path).filter(length(col("value")) > 0)
+    val body = if (header) raw.filter(!isHeader) else raw
+    val parsed = body
+      .select(col("value"), from_csv(col("value"), wc, ParseOpts).as("r"))
+    writeQuarantine(
+      parsed.filter(col("r").getField(CorruptCol).isNotNull)
+        .select(col("value")),
+      quarantineDir, runId)
+    parsed.filter(col("r").getField(CorruptCol).isNull)
+      .select(schema.fieldNames.toSeq
+        .map(f => col("r").getField(f).as(f)): _*)
   }
 
   /** The quarantined raw lines across every absorbed run, with the

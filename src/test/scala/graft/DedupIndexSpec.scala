@@ -143,6 +143,35 @@ class DedupIndexSpec extends AnyFunSuite {
       "capped intra-batch edges no longer span the flood family")
   }
 
+  test("probe broadcast fallback: shuffle-join plan emits identical verified pairs") {
+    // a catch-up flood can carry more batch band rows than the
+    // broadcast budget; above ProbeBroadcastMaxBands the probe drops
+    // its broadcast hints and runs the same joins as shuffles. The
+    // two plans must agree row-for-row — including the over-cap hub
+    // edges — on a corpus that exercises BOTH bucket regimes.
+    val dir = tmp("dedup-fallback")
+    val mega = (0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val normal = Seq(
+      (1000L, "one two three four five six seven eight nine ten"))
+    DedupIndex.build(spark, (mega ++ normal).toDF("doc_id", "text"), dir)
+    val batch = Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "one two three four five six seven eight nine ten extra"),
+      (9002L, "totally novel qqz wwx eey rrt yyu")).toDF("doc_id", "text")
+    val derived = DedupIndex.withDerived(batch)
+    def pairs(maxBands: Long) =
+      DedupIndex.verifiedAgainst(spark, derived, dir, None, maxBands)
+        .select($"doc_id", $"corpus_id",
+          floor($"jaccard" * lit(1e6) + lit(0.5)).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val viaBroadcast = pairs(Long.MaxValue)
+    val viaShuffle = pairs(0L)
+    assert(viaBroadcast.nonEmpty && viaShuffle == viaBroadcast,
+      s"fallback diverged: only-bcast=${viaBroadcast -- viaShuffle}, " +
+        s"only-shuffle=${viaShuffle -- viaBroadcast}")
+  }
+
   test("nearEdgesWithin reproduces q24's verified pair set exactly") {
     // ClusterMaintenance's equivalence-to-from-scratch argument rests
     // on the edge generators using q24's chain; pin it on real data

@@ -112,6 +112,53 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(42L), s"lone document not served: ${got.toSeq}")
   }
 
+  test("a token-less store serves empty (semantic-only degrade), and a token-less query returns zero rows") {
+    import graft.pipeline.HybridRetrieval
+    // EVERY delivery token-less: writeLexical's stats aggregate is
+    // (n=0, sumdl=null) — serving must coalesce + short-circuit the
+    // lexical ranker (empty pool), not NPE on getLong
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-empty").toString + "/idx"
+    val tokenless = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    HybridRetrieval.build(spark, tokenless, dir)
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    assert(HybridRetrieval.lexRanks(spark, qdf, dir).collect().isEmpty,
+      "token-less store must serve an empty lexical pool")
+    assert(HybridRetrieval.search(spark, qdf, dir).collect().isEmpty,
+      "nothing indexed — the fused result is empty, not a crash")
+
+    // deferred ANN bootstrap: the first VECTORED batch trains the
+    // codebooks and serves through both rankers; re-delivery is
+    // idempotent (the bootstrap codes are keyed to the delivery)
+    val vectored = Seq(
+      (10L, "alpha beta alpha beta"),
+      (11L, (0 until 12).map(j => s"pad$j").mkString(" "))).toDF("doc_id", "text")
+    HybridRetrieval.append(spark, vectored, dir, "b1")
+    val served = HybridRetrieval.search(spark, qdf, dir)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect()
+    assert(served.map(_._1).contains(10L),
+      s"bootstrap batch not served: ${served.toSeq}")
+    HybridRetrieval.append(spark, vectored, dir, "b1")
+    val served2 = HybridRetrieval.search(spark, qdf, dir)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect()
+    assert(served2.sorted.toSeq == served.sorted.toSeq,
+      "re-delivered bootstrap batch changed serving")
+    assert(served2.map(_._1).distinct.length == served2.length,
+      s"duplicate doc in fused output: ${served2.toSeq}")
+
+    // a REAL store + a token-less query: the query is absent from
+    // both pools and is OMITTED (rrfFuse's documented no-results
+    // convention) while the well-formed query still serves
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hybrid-noq").toString + "/idx"
+    HybridRetrieval.build(spark, docs, dir2)
+    val mixed = Seq((0L, "alpha beta"), (1L, " ")).toDF("query_id", "qtext")
+    val byQ = HybridRetrieval.search(spark, mixed, dir2)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1)
+    assert(byQ.contains(0L) && byQ(0L).nonEmpty, "well-formed query lost")
+    assert(!byQ.contains(1L),
+      "token-less query must be omitted per the no-results convention")
+  }
+
   test("streaming ingest: new document files index incrementally and serve exactly") {
     import graft.pipeline.HybridRetrieval
     val root = java.nio.file.Files.createTempDirectory("graft-hybrid-s").toString
@@ -195,6 +242,49 @@ class HybridRetrievalSpec extends AnyFunSuite {
       s"ranks not dense 1..k: ${mined.map(_._3).toSeq.sorted}")
     assert(mined.sortBy(_._3).map(_._2).sliding(2).forall(p => p(0) >= p(1)),
       "mined negatives not in descending cosine order")
+  }
+
+  test("ANN-served hard negatives: planted-corpus equivalence to the brute miner, recall floor on the gate corpus") {
+    import graft.pipeline.HybridRetrieval
+    // planted corpus, depth >= corpus: the candidate generator sees
+    // every doc, so the ONLY difference from the brute miner is the
+    // store plumbing — exclusion set, ids and ranks must be IDENTICAL
+    val dir = java.nio.file.Files.createTempDirectory("graft-hn-ann").toString + "/idx"
+    HybridRetrieval.build(spark, docs, dir)
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val served = HybridRetrieval.hardNegatives(spark, qdf, dir, depth = 64)
+      .select($"query_id", $"doc_id", $"rn")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = graft.queries.Search.hardNegatives(docs, Seq((0, "alpha beta")))
+      .select($"query_id", $"doc_id", $"rn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty && served == brute,
+      s"only-served=${served -- brute}, only-brute=${brute -- served}")
+
+    // gate corpus, default depth: the ANN path trades exactness for
+    // O(probe) cost — it must keep a healthy share of the brute
+    // miner's true top-k per query
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hn-gate").toString + "/idx"
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    HybridRetrieval.build(spark, corpus, dir2)
+    val qs = graft.queries.Search.RrfQueries
+    val qdf2 = qs.map { case (q, p) => (q.toLong, p) }.toDF("query_id", "qtext")
+    val servedG = HybridRetrieval.hardNegatives(spark, qdf2, dir2)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val bruteG = graft.queries.Search.hardNegatives(corpus, qs)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val recalls = bruteG.toSeq.sortBy(_._1).map { case (q, truthSet) =>
+      val got = servedG.getOrElse(q, Set.empty)
+      q -> (got & truthSet).size.toDouble / truthSet.size
+    }
+    info(recalls.map { case (q, r) => f"q$q=$r%.2f" }
+      .mkString("ANN-mined recall vs brute: ", "  ", ""))
+    // measured 1.00/1.00/1.00 (exhaustive-ADC candidates + exact
+    // refine leave only PQ shortlist noise); floor left with margin
+    for ((q, recall) <- recalls)
+      assert(recall >= 0.8, f"query $q ANN-mined recall $recall%.2f below floor")
   }
 
   test("fused recall >= max single-ranker recall, strictly beating the lexical ranker") {

@@ -107,6 +107,35 @@ class SourceFormatSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSeq == Seq(("r1", "x,beta")))
   }
 
+  test("CSV header contract: variant headers skip cleanly; a headerless file keeps its first data line") {
+    import org.apache.spark.sql.types._
+    val base = tmp("csv-hdr")
+    val in = s"$base/in"; val quar = s"$base/quarantine"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // file A: header with quotes, spaces and case drift — parsed-token
+    // predicate must recognize it (byte-equality would quarantine it)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.csv"),
+      Seq("\"Doc_ID\" , \"TEXT\"", "1,alpha", "", "2,beta")
+        .mkString("\n").getBytes("UTF-8"))
+    // file B: NO header — its first line is DATA and must survive
+    // (the csv reader's header=true would silently swallow it)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.csv"),
+      Seq("3,gamma", "4,delta").mkString("\n").getBytes("UTF-8"))
+    // file C: a reordered header is OUT of contract — visible in
+    // quarantine, never silently dropped
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/c.csv"),
+      Seq("text,doc_id", "5,epsilon").mkString("\n").getBytes("UTF-8"))
+    val good = graft.sources.JsonlIngest.readCsvWithQuarantine(
+      spark, in, schema, quar, "r1")
+    assert(good.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+        (4L, "delta"), (5L, "epsilon")))
+    assert(graft.sources.JsonlIngest.quarantined(spark, quar)
+      .as[(String, String)].collect().toSeq == Seq(("r1", "text,doc_id")))
+  }
+
   test("sketch aggregates: approx_count_distinct within rsd of exact; approx quantiles ordered") {
     val o = Tables.orders(spark, sf)
     val exact = o.select(countDistinct($"o_custkey")).collect()(0).getLong(0)
