@@ -226,7 +226,7 @@ object HybridRetrieval {
     * no-results convention; left-join to the query set for
     * per-query accounting. */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
-             k: Int = 10): DataFrame = {
+             k: Int = 10, denseExact: Boolean = false): DataFrame = {
     // pool depth scales with the requested k: fixed RrfDepth pools
     // would silently cap the fusion at 2·RrfDepth distinct docs per
     // query however large a k the caller asked for
@@ -241,7 +241,24 @@ object HybridRetrieval {
       if (!graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
         qv.select(col("query_id"), col("query_id").as("doc_id"),
           lit(1).as("srank")).filter(lit(false))
-      else {
+      else if (denseExact) {
+        // EXACT dense mode: brute cosine over the persisted raw
+        // vectors with q111's ranking device (raw-double cosine,
+        // doc_id tiebreak, bounded-heap TopKPerKey) — one pass over
+        // the VECTOR store, the text is still never rescanned. This
+        // is the mode a recall-evaluation harness runs next to the
+        // ANN default: served-exact RRF reproduces q111's rows
+        // (HybridRetrievalSpec pins row equivalence on the gate
+        // corpus), so any serving divergence is attributable to the
+        // ANN ranker alone.
+        val semAll = spark.read.parquet(s"$dir/raw")
+          .select(col("vec_id").as("doc_id"), col("vec"))
+          .crossJoin(broadcast(qv))
+          .select(col("query_id"), col("doc_id"),
+            graft.ops.expressions.CosineSim(col("qvec"), col("vec")).as("cos"))
+        graft.plans.TopK.perKey(semAll, Seq("query_id"),
+          Seq("cos" -> false, "doc_id" -> true), depth, rankCol = "srank")
+      } else {
         val raw = spark.read.parquet(s"$dir/raw")
         AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw, k = depth)
           .select(col("query_id"), col("vec_id").as("doc_id"),

@@ -217,6 +217,30 @@ class HybridRetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache() // hybridRrf persist contract
   }
 
+  test("exact dense mode: store-served RRF reproduces q111's rows on the gate corpus") {
+    // denseExact swaps the ANN ranker for a brute pass over the
+    // persisted raw vectors with q111's exact ranking device — the
+    // served fusion must then be ROW-equivalent to the from-scratch
+    // q111 (query_id, doc_id, rrf_nano, rn all equal), which pins
+    // the lexical store's BM25 as exactly q111's too and makes any
+    // default-mode divergence attributable to the ANN ranker alone
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-x").toString + "/idx"
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    graft.pipeline.HybridRetrieval.build(spark, corpus, dir)
+    val rq = graft.queries.Search.RrfQueries
+    val qdf = rq.map { case (q, p) => (q.toLong, p) }.toDF("query_id", "qtext")
+    val served = graft.pipeline.HybridRetrieval
+      .search(spark, qdf, dir, denseExact = true)
+      .select($"query_id", $"doc_id", $"rrf_nano", $"rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val q111 = graft.queries.Search.hybridRrf(corpus, rq)
+      .select($"query_id", $"doc_id", $"rrf_nano", $"rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(q111.nonEmpty && served == q111,
+      s"only-served=${served -- q111}, only-q111=${q111 -- served}")
+    spark.catalog.clearCache() // hybridRrf persist contract
+  }
+
   test("hard-negative mining excludes every term-sharing doc and ranks the paraphrase first") {
     // q117 (Search.hardNegatives) on the q111 planted corpus: docs 1
     // and 2 share query terms — excluded OUTRIGHT no matter how high
