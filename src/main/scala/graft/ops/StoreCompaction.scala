@@ -153,4 +153,47 @@ object StoreCompaction {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) 0 else partDirs(fs, root, prefix).length
   }
+
+  /** Compaction-cadence telemetry of one `<prefix>=`-partitioned
+    * store: accumulated partitions, committed data files, bytes. */
+  case class StoreStats(partitions: Int, files: Long, bytes: Long)
+
+  /** Default absorb-count threshold for [[needsCompaction]]: every
+    * read of a run-partitioned store lists all partitions and opens
+    * every file's footer, so planning cost grows linearly with
+    * absorbed deliveries while the data does not — a month of daily
+    * appends is the documented tolerance before an operator should
+    * schedule a quiescent [[fold]] (the measured fold-equivalence
+    * contract means WHEN is purely a read-latency trade, never a
+    * correctness one). The same number serves every store in the
+    * family (DedupIndex, AnnIndex codes/raw, HybridRetrieval,
+    * MixtureMaintenance, DriftMonitor, JsonlIngest quarantine) —
+    * AnnIndex's cell-balance telemetry answers the orthogonal
+    * question of when to RE-TRAIN, not when to fold. */
+  val CompactAfterRuns = 32
+
+  /** Walk the store (healing any interrupted fold first) and report
+    * [[StoreStats]] — the metric an operator watches to schedule
+    * compaction, the fold twin of AnnIndex's `cellStats`. */
+  def stats(spark: SparkSession, path: String, prefix: String): StoreStats = {
+    heal(spark, path, prefix)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return StoreStats(0, 0L, 0L)
+    var files = 0L; var bytes = 0L
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath) }
+      else if (n.endsWith(".parquet")) { files += 1; bytes += st.getLen }
+    }
+    val parts = partDirs(fs, root, prefix)
+    parts.foreach(walk)
+    StoreStats(parts.length, files, bytes)
+  }
+
+  /** True once the store has absorbed more than `threshold` runs —
+    * the operator's cue to schedule a quiescent [[fold]]. */
+  def needsCompaction(spark: SparkSession, path: String, prefix: String,
+                      threshold: Int = CompactAfterRuns): Boolean =
+    stats(spark, path, prefix).partitions > threshold
 }

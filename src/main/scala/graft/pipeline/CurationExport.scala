@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   *      stage — the corpus's own quantiles, not a fixed constant;
   *      token-less docs are out of scope of a quality floor and of a
   *      training corpus, so the quality stage drops them);
+  *  3b. OPTIONAL probe score = the trained-classifier filter
+  *      (FineWeb-Edu's actual curation step: a linear probe on
+  *      frozen embeddings scores every doc and curation keeps the
+  *      high scorers — q98's trained head, persisted via
+  *      [[ProbeTrainer.save]]): score the corpus embeddings with
+  *      the stored head, keep docs predicted into `keepClasses`
+  *      with confidence ≥ `minScore`; a doc with no embedding row
+  *      is OUT of a classifier stage's scope and drops VISIBLY
+  *      (the funnel's n_probe accounts for it). The kept score
+  *      rides along as the `probe_score` lineage column (null when
+  *      the stage is off);
   *   4. mixture = [[MixtureMaintenance.decideWith]] keep verdicts —
   *      rates from the maintained store when `mixtureDir` is given
   *      (the production path: ingest maintains, export consumes), or
@@ -47,19 +58,30 @@ object CurationExport {
   private val HashMod = 1000000007L
   private val PermMult = 2654435761L
 
+  /** Configuration of the optional stage-3b classifier filter: a
+    * head persisted by [[ProbeTrainer.save]] under `dir`; keep docs
+    * whose predicted class is in `keepClasses` with confidence
+    * (predicted-class softmax probability, 6-dp) ≥ `minScore`. */
+  case class ProbeStage(dir: String, keepClasses: Set[Int],
+                        minScore: Double = 0.0)
+
   /** The shared stage chain. `reps` = cluster representatives with
     * quality/lineage columns (persisted — feeds the threshold
     * sample, the floor filter, and the funnel's dedup count);
-    * `surv` = quality survivors (persisted — feeds the rate
-    * aggregate, the verdict join, the write, and the funnel);
-    * `kept` = mixture survivors. Callers release via
-    * [[Stages#unpersist]]. */
-  private case class Stages(reps: DataFrame, surv: DataFrame, kept: DataFrame) {
+    * `surv` = quality survivors (persisted — feeds the write and
+    * the funnel); `probed` = probe-stage survivors (≡ surv with a
+    * null probe_score when the stage is off; feeds the rate
+    * aggregate and the verdict join — mixture rates are computed
+    * over what actually ENTERS the mixture stage); `kept` = mixture
+    * survivors. Callers release via [[Stages#unpersist]]. */
+  private case class Stages(reps: DataFrame, surv: DataFrame,
+                            probed: DataFrame, kept: DataFrame) {
     def unpersist(): Unit = { reps.unpersist(); surv.unpersist() }
   }
 
   private def build(spark: SparkSession, sfDir: String,
-                    mixtureDir: Option[String]): Stages = {
+                    mixtureDir: Option[String],
+                    probe: Option[ProbeStage]): Stages = {
     val labels = graft.queries.NearDupStage.labels(spark, sfDir)
     val drop = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -85,16 +107,34 @@ object CurationExport {
       .filter(col("quality") >= col("thr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // stage 3b: classifier filter over the corpus embeddings — an
+    // id-width (doc_id, pred, score) pass joined back on doc_id; the
+    // corpus text never reaches the probe
+    val probed = probe match {
+      case None => surv.withColumn("probe_score", lit(null).cast("double"))
+      case Some(p) =>
+        val w = ProbeTrainer.load(spark, p.dir)
+        val scored = ProbeTrainer
+          .score(graft.Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding")), w)
+          .select(col("vec_id").as("doc_id"), col("pred"), col("score"))
+        surv.join(scored, Seq("doc_id")) // unscored docs: out of scope
+          .filter(col("pred").isin(p.keepClasses.toSeq.map(Int.box): _*) &&
+            col("score") >= p.minScore)
+          .withColumn("probe_score", col("score"))
+          .drop("pred", "score")
+    }
+
     val rates = mixtureDir match {
       case Some(d) => MixtureMaintenance.currentRates(spark, d)
       case None => graft.queries.Learn.temperedRates(
-        surv.groupBy(col("lang"))
+        probed.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
     }
     val keep = MixtureMaintenance
-      .decideWith(surv.select(col("doc_id"), col("lang"), col("text")), rates)
+      .decideWith(probed.select(col("doc_id"), col("lang"), col("text")), rates)
       .filter(col("keep")).select(col("doc_id"))
-    Stages(reps, surv, surv.join(keep, Seq("doc_id")))
+    Stages(reps, surv, probed, probed.join(keep, Seq("doc_id")))
   }
 
   /** Run the export; returns per-split counts (the run report).
@@ -110,10 +150,11 @@ object CurationExport {
     * `split=` partition dirs. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           mixtureDir: Option[String] = None,
-          format: String = "parquet"): DataFrame = {
+          format: String = "parquet",
+          probe: Option[ProbeStage] = None): DataFrame = {
     require(format == "parquet" || format == "jsonl",
       s"unsupported export format '$format' (parquet | jsonl)")
-    val st = build(spark, sfDir, mixtureDir)
+    val st = build(spark, sfDir, mixtureDir, probe)
     val h = pmod(col("unit_id"), lit(HashMod)) * lit(PermMult) % lit(HashMod)
     val kept = st.kept
       .withColumn("split",
@@ -121,7 +162,7 @@ object CurationExport {
           .when(pmod(h, lit(10L)) === 8, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("lang"), col("text"),
-        col("unit_id"), col("quality"), col("split"))
+        col("unit_id"), col("quality"), col("probe_score"), col("split"))
 
     val w = kept.write.partitionBy("split").mode("overwrite")
       .option("partitionOverwriteMode", "static")
@@ -134,14 +175,17 @@ object CurationExport {
   }
 
   /** The q100-style per-domain funnel report for an export
-    * configuration: (lang, n_raw, n_dedup, n_quality, n_kept),
-    * computed from the SAME stage chain [[run]] writes with. n_raw
-    * counts the corpus, n_dedup the cluster representatives (q67's
-    * number), n_quality the adaptive-floor survivors, n_kept the
-    * mixture survivors — what lands on disk. */
+    * configuration: (lang, n_raw, n_dedup, n_quality, n_probe,
+    * n_kept), computed from the SAME stage chain [[run]] writes
+    * with. n_raw counts the corpus, n_dedup the cluster
+    * representatives (q67's number), n_quality the adaptive-floor
+    * survivors, n_probe the classifier-stage survivors (≡ n_quality
+    * when the stage is off), n_kept the mixture survivors — what
+    * lands on disk. */
   def funnel(spark: SparkSession, sfDir: String,
-             mixtureDir: Option[String] = None): DataFrame = {
-    val st = build(spark, sfDir, mixtureDir)
+             mixtureDir: Option[String] = None,
+             probe: Option[ProbeStage] = None): DataFrame = {
+    val st = build(spark, sfDir, mixtureDir, probe)
     val raw = graft.Tables.documents(spark, sfDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
     val out = raw
@@ -149,12 +193,15 @@ object CurationExport {
         Seq("lang"), "left")
       .join(st.surv.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
         Seq("lang"), "left")
+      .join(st.probed.groupBy(col("lang")).agg(count(lit(1)).as("n_probe")),
+        Seq("lang"), "left")
       .join(st.kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
         Seq("lang"), "left")
       .select(col("lang"),
         col("n_raw"),
         coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_probe"), lit(0L)).as("n_probe"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy(col("lang"))
     // materialize before releasing the stage persists the plan reads
@@ -173,7 +220,7 @@ object CurationExport {
     if (format == "jsonl")
       spark.read
         .schema("doc_id LONG, lang STRING, text STRING, unit_id LONG, " +
-          "quality DOUBLE, split STRING")
+          "quality DOUBLE, probe_score DOUBLE, split STRING")
         .option("mode", "FAILFAST").json(outDir)
     else spark.read.parquet(outDir)
 }

@@ -138,6 +138,22 @@ object ProbeTrainer {
     * the `labelCol` column passes through only when the frame has
     * one (q98's labeled evaluation), otherwise the output simply
     * omits it. */
+  /** Persist a trained head (k rows of (j, int64-micro weight list))
+    * — the store [[graft.pipeline.CurationExport]]'s probe stage
+    * loads; micro-units on disk keep the round-trip exact. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           wMicro: Array[Array[Long]], dir: String): Unit = {
+    import spark.implicits._
+    wMicro.zipWithIndex.map { case (row, j) => (j, row.toSeq) }.toSeq
+      .toDF("j", "wm").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a head persisted by [[save]] — exact inverse. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): Array[Array[Long]] =
+    spark.read.parquet(dir).select(col("j"), col("wm")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray)
+
   def score(emb: DataFrame, wMicro: Array[Array[Long]],
             idCol: String = "vec_id", labelCol: String = "label",
             vecCol: String = "embedding"): DataFrame = {

@@ -15,14 +15,19 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * land in a quarantine store, raw bytes preserved verbatim for
   * repair and re-ingest, while the good rows flow on typed.
   *
-  * Scale shape: TWO scans, NO corpus cache. The good side is one
-  * PERMISSIVE typed read filtered on the parser's own
-  * corrupt-record channel; the quarantine side is a raw text scan
-  * probed by the same parser (`from_json`/`from_csv` with the same
-  * PERMISSIVE options — one parser definition, two plans). The
-  * obvious one-scan alternative caches the ENTIRE typed delivery
-  * just to legalize the corrupt-only projection (Spark disallows a
-  * lazy scan projecting only the internal corrupt column) — at
+  * ONE parser-channel definition ([[jsonChannel]]/[[csvChannel]]):
+  * a raw-lines frame in, (typed good rows, quarantine lines) out.
+  * The batch readers here and the streaming twin
+  * ([[graft.streaming.JsonlIngestStream]]) both run it, so batch
+  * and streamed ingest of the same delivery are the same parse by
+  * construction, not by convention. Records are line-scoped (no
+  * multiline JSON or quoted-newline CSV) — the line IS the unit of
+  * quarantine.
+  *
+  * Scale shape: TWO scans, NO corpus cache. The quarantine side is
+  * written eagerly; the good side is a second lazy pass over the
+  * same lines. The obvious one-scan alternative caches the ENTIRE
+  * typed delivery just to legalize the corrupt-only projection — at
   * crawl scale that pulls the full corpus through the block manager
   * before the first good row is consumed; a second file scan is the
   * cheaper trade and leaves no cache-lifecycle obligation.
@@ -37,6 +42,56 @@ object JsonlIngest {
   private val ParseOpts =
     Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
 
+  /** The JSONL parser channel over a raw-lines frame (column
+    * `value`): (typed good rows, quarantine lines). Blank lines are
+    * layout, not data — neither typed nor quarantined (the file
+    * readers' own ignore-empty posture). */
+  private[graft] def jsonChannel(lines: DataFrame,
+                                 schema: StructType): (DataFrame, DataFrame) = {
+    val wc = withCorrupt(schema)
+    val parsed = lines.filter(length(col("value")) > 0)
+      .select(col("value"), from_json(col("value"), wc, ParseOpts).as("r"))
+    split2(parsed, schema)
+  }
+
+  /** The CSV twin of [[jsonChannel]] — same channel contract. CSV
+    * drops additionally tear by losing quoting or type-mangling a
+    * field; the quarantine preserves the unparsed line the same way.
+    *
+    * Header contract (`header = true`): a line is a header iff its
+    * COMMA-SPLIT TOKENS — trimmed, unquoted, lower-cased — equal the
+    * declared field names in order. The predicate applies to EVERY
+    * line (there is no per-file "first line" in a line channel),
+    * which fixes the two failure modes of byte-equality + the csv
+    * reader's skip-first-line: a header that varies in spacing/
+    * quoting/case no longer quarantines a spurious 'corrupt' row,
+    * and a file that LACKS a header no longer silently loses its
+    * first data line to the reader's positional skip. Out-of-contract
+    * deliveries stay VISIBLE, not silent: a reordered or renamed
+    * header line fails the predicate and lands in quarantine for the
+    * operator to inspect (column order is positional against
+    * `schema` — no reader can detect reordered DATA). */
+  private[graft] def csvChannel(lines: DataFrame, schema: StructType,
+                                header: Boolean): (DataFrame, DataFrame) = {
+    val wc = withCorrupt(schema)
+    val isHeader =
+      transform(split(col("value"), ","),
+        t => lower(regexp_replace(trim(t), "^\"|\"$", ""))) ===
+        array(schema.fieldNames.map(f => lit(f.toLowerCase)): _*)
+    val body = lines.filter(length(col("value")) > 0)
+    val parsed = (if (header) body.filter(!isHeader) else body)
+      .select(col("value"), from_csv(col("value"), wc, ParseOpts).as("r"))
+    split2(parsed, schema)
+  }
+
+  private def split2(parsed: DataFrame,
+                     schema: StructType): (DataFrame, DataFrame) =
+    (parsed.filter(col("r").getField(CorruptCol).isNull)
+       .select(schema.fieldNames.toSeq
+         .map(f => col("r").getField(f).as(f)): _*),
+     parsed.filter(col("r").getField(CorruptCol).isNotNull)
+       .select(col("value")))
+
   /** Read `path` as JSON-lines against `schema`; malformed lines
     * land verbatim under `quarantineDir/run=<runId>` (column
     * `raw_line`, written EAGERLY so the quarantine exists even if
@@ -45,58 +100,19 @@ object JsonlIngest {
   def readWithQuarantine(spark: SparkSession, path: String,
                          schema: StructType, quarantineDir: String,
                          runId: String): DataFrame = {
-    val wc = withCorrupt(schema)
-    writeQuarantine(
-      spark.read.text(path)
-        .filter(from_json(col("value"), wc, ParseOpts)
-          .getField(CorruptCol).isNotNull),
-      quarantineDir, runId)
-    spark.read.schema(wc).options(ParseOpts).json(path)
-      .filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val (good, bad) = jsonChannel(spark.read.text(path), schema)
+    writeQuarantine(bad, quarantineDir, runId)
+    good
   }
 
-  /** The CSV twin — same parser channel, same store discipline. CSV
-    * drops additionally tear by losing quoting or type-mangling a
-    * field; the quarantine preserves the unparsed line the same way.
-    *
-    * Header contract (`header = true`): a line is a header iff its
-    * COMMA-SPLIT TOKENS — trimmed, unquoted, lower-cased — equal the
-    * declared field names in order. That predicate is applied to
-    * EVERY line of EVERY file on BOTH sides (one definition, two
-    * plans), which fixes the two failure modes of byte-equality +
-    * Spark's skip-first-line: a delivery whose header varies in
-    * spacing/quoting/case no longer quarantines a spurious 'corrupt'
-    * row, and a file that LACKS a header no longer silently loses
-    * its first data line to the reader's header skip (the good side
-    * parses raw lines itself — nothing is positional-skipped).
-    * Out-of-contract deliveries stay VISIBLE, not silent: a
-    * reordered or renamed header line fails the predicate and lands
-    * in quarantine for the operator to inspect (column order is
-    * positional against `schema` — no reader can detect reordered
-    * DATA). Records are line-scoped (no multiline quoted fields) —
-    * the same contract the JSONL path and the raw-text probe already
-    * imposed. */
+  /** The CSV twin — same parser channel, same store discipline (see
+    * [[csvChannel]] for the header contract). */
   def readCsvWithQuarantine(spark: SparkSession, path: String,
                             schema: StructType, quarantineDir: String,
                             runId: String, header: Boolean = true): DataFrame = {
-    val wc = withCorrupt(schema)
-    val isHeader =
-      transform(split(col("value"), ","),
-        t => lower(regexp_replace(trim(t), "^\"|\"$", ""))) ===
-        array(schema.fieldNames.map(f => lit(f.toLowerCase)): _*)
-    // blank lines are layout, not data (the csv reader's own
-    // ignore-empty-lines posture) — neither typed nor quarantined
-    val raw = spark.read.text(path).filter(length(col("value")) > 0)
-    val body = if (header) raw.filter(!isHeader) else raw
-    val parsed = body
-      .select(col("value"), from_csv(col("value"), wc, ParseOpts).as("r"))
-    writeQuarantine(
-      parsed.filter(col("r").getField(CorruptCol).isNotNull)
-        .select(col("value")),
-      quarantineDir, runId)
-    parsed.filter(col("r").getField(CorruptCol).isNull)
-      .select(schema.fieldNames.toSeq
-        .map(f => col("r").getField(f).as(f)): _*)
+    val (good, bad) = csvChannel(spark.read.text(path), schema, header)
+    writeQuarantine(bad, quarantineDir, runId)
+    good
   }
 
   /** The quarantined raw lines across every absorbed run, with the
@@ -117,8 +133,8 @@ object JsonlIngest {
     schema.add(CorruptCol, StringType)
   }
 
-  private def writeQuarantine(badLines: DataFrame, quarantineDir: String,
-                              runId: String): Unit =
+  private[graft] def writeQuarantine(badLines: DataFrame, quarantineDir: String,
+                                     runId: String): Unit =
     badLines.select(col("value").as("raw_line"))
       .write.mode("overwrite").parquet(s"$quarantineDir/run=$runId")
 }

@@ -18,9 +18,21 @@ import org.apache.spark.sql.types.StructType
 private[streaming] object FileIngest {
 
   def runOnce(spark: SparkSession, inDir: String, checkpointDir: String,
-              schema: StructType)(onBatch: (DataFrame, Long) => Unit): Unit = {
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
+              schema: StructType)(onBatch: (DataFrame, Long) => Unit): Unit =
+    drain(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir), checkpointDir)(onBatch)
+
+  /** The RAW-LINES form of the same discipline — for sources whose
+    * unit of quarantine is the unparsed line
+    * ([[JsonlIngestStream]]), where a schema-pinned reader would
+    * swallow exactly the torn bytes the absorb needs to keep. */
+  def runOnceText(spark: SparkSession, inDir: String, checkpointDir: String)
+                 (onBatch: (DataFrame, Long) => Unit): Unit =
+    drain(spark.readStream
+      .option("maxFilesPerTrigger", "1").text(inDir), checkpointDir)(onBatch)
+
+  private def drain(stream: DataFrame, checkpointDir: String)
+                   (onBatch: (DataFrame, Long) => Unit): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

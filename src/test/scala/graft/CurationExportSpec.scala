@@ -24,22 +24,28 @@ class CurationExportSpec extends AnyFunSuite {
     // monotone (raw ≥ dedup ≥ quality ≥ kept) with the adaptive
     // floor actually engaged
     val funnel = CurationExport.funnel(spark, sf)
-      .as[(String, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long)].collect()
     val got = spark.read.parquet(outDir)
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(got == funnel.map(f => f._1 -> f._5).toMap,
+    assert(got == funnel.map(f => f._1 -> f._6).toMap,
       s"written corpus diverges from funnel n_kept: $got vs ${funnel.toSeq}")
     val q67 = SparkEntry.queries("q67_dedup_keep")(spark, sf)
       .select($"lang", $"n_kept").as[(String, Long)].collect().toMap
     assert(funnel.map(f => f._1 -> f._3).toMap == q67,
       s"funnel n_dedup diverges from q67: ${funnel.toSeq} vs $q67")
-    funnel.foreach { case (lang, raw, dedup, quality, kept) =>
-      assert(raw >= dedup && dedup >= quality && quality >= kept,
-        s"$lang funnel not monotone: $raw/$dedup/$quality/$kept")
+    funnel.foreach { case (lang, raw, dedup, quality, probe, kept) =>
+      assert(raw >= dedup && dedup >= quality && quality >= probe &&
+        probe >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$quality/$probe/$kept")
+      assert(probe == quality,
+        s"$lang: probe stage off must pass quality survivors through")
     }
     assert(funnel.map(_._4).sum < funnel.map(_._3).sum,
       "adaptive floor dropped nothing — stage not engaged")
+    // probe stage off: the lineage column rides along as null
+    assert(spark.read.parquet(outDir)
+      .filter($"probe_score".isNotNull).count() == 0L)
 
     // leakage-safety: no near-dup pair straddles splits (q65's law,
     // re-checked on the WRITTEN artifact)
@@ -75,15 +81,15 @@ class CurationExportSpec extends AnyFunSuite {
     val emptyStore = s"$root/store"
     CurationExport.run(spark, sf, s"$root/corpus", mixtureDir = Some(emptyStore))
     val viaStore = CurationExport.funnel(spark, sf, Some(emptyStore))
-      .as[(String, Long, Long, Long, Long)].collect()
-    viaStore.foreach { case (lang, _, _, quality, kept) =>
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    viaStore.foreach { case (lang, _, _, quality, _, kept) =>
       assert(kept == quality,
         s"$lang: empty store must keep all quality survivors ($kept != $quality)")
     }
     val onDisk = spark.read.parquet(s"$root/corpus")
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(onDisk == viaStore.map(f => f._1 -> f._5).toMap)
+    assert(onDisk == viaStore.map(f => f._1 -> f._6).toMap)
     // a store absorbed from this corpus reproduces the
     // self-contained path's rates... up to the population they are
     // computed over (absorb sees the raw batch, self-contained sees
@@ -95,11 +101,64 @@ class CurationExportSpec extends AnyFunSuite {
         .toDF("doc_id", "lang", "text"),
       emptyStore, "seed")
     val throttled = CurationExport.funnel(spark, sf, Some(emptyStore))
-      .as[(String, Long, Long, Long, Long)].collect()
-      .map(f => f._1 -> f._5).toMap
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._6).toMap
     val en = viaStore.find(_._1 == "en")
-    assert(en.isEmpty || throttled("en") <= en.get._5,
+    assert(en.isEmpty || throttled("en") <= en.get._6,
       "absorbed skew did not throttle the dominant domain")
+  }
+
+  test("probe-score stage: classifier routes docs, funnel reconciles, lineage rides, re-run idempotent") {
+    import graft.pipeline.{CurationExport, ProbeTrainer}
+    val root = Files.createTempDirectory("graft-export-probe").toString
+    val probeDir = s"$root/head"; val outDir = s"$root/corpus"
+    // train q98's head on the corpus embeddings, persist, and verify
+    // the store round-trips the weights exactly (micro-units on disk)
+    val (w, _) = ProbeTrainer.train(Tables.embeddings(spark, sf))
+    ProbeTrainer.save(spark, w, probeDir)
+    assert(ProbeTrainer.load(spark, probeDir).map(_.toSeq).toSeq ==
+      w.map(_.toSeq).toSeq, "persisted head diverges from the trained one")
+
+    val stage = CurationExport.ProbeStage(probeDir, keepClasses = Set(0, 1, 2, 3, 4))
+    CurationExport.run(spark, sf, outDir, probe = Some(stage))
+    val funnel = CurationExport.funnel(spark, sf, probe = Some(stage))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    funnel.foreach { case (lang, raw, dedup, quality, probe, kept) =>
+      assert(raw >= dedup && dedup >= quality && quality >= probe &&
+        probe >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$quality/$probe/$kept")
+    }
+    assert(funnel.map(_._5).sum < funnel.map(_._4).sum,
+      "probe stage dropped nothing — not engaged")
+    assert(funnel.map(_._5).sum > 0, "probe stage dropped everything")
+
+    // routing: every written doc must be one the classifier predicts
+    // into a keep class, and its lineage score must equal the
+    // classifier's own confidence for that doc
+    val expected = ProbeTrainer
+      .score(Tables.embeddings(spark, sf).select($"vec_id", $"embedding"), w)
+      .filter($"pred".isin(stage.keepClasses.toSeq.map(Int.box): _*) &&
+        $"score" >= stage.minScore)
+      .select($"vec_id".as("doc_id"), $"score")
+      .as[(Long, Double)].collect().toMap
+    val written = spark.read.parquet(outDir)
+      .select($"doc_id", $"probe_score").as[(Long, Double)].collect()
+    assert(written.nonEmpty)
+    written.foreach { case (id, ps) =>
+      assert(expected.contains(id), s"doc $id written but classifier rejects it")
+      assert(expected(id) == ps, s"doc $id lineage score $ps != classifier ${expected(id)}")
+    }
+    // funnel n_probe == quality survivors the classifier keeps
+    val qualityIds = CurationExport.funnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._4).toMap
+    assert(funnel.map(f => f._1 -> f._5).toMap.values.sum <=
+      qualityIds.values.sum)
+
+    // re-run idempotent
+    val first = spark.read.parquet(outDir).count()
+    CurationExport.run(spark, sf, outDir, probe = Some(stage))
+    assert(spark.read.parquet(outDir).count() == first)
   }
 
   test("jsonl export round-trips the parquet artifact exactly (one document per line)") {

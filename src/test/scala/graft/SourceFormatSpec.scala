@@ -136,6 +136,44 @@ class SourceFormatSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSeq == Seq(("r1", "text,doc_id")))
   }
 
+  test("streaming quarantine ingest: streamed == batch on the same delivery, re-delivery idempotent") {
+    import org.apache.spark.sql.types._
+    val base = tmp("jsonl-stream")
+    val in = s"$base/in"; val good = s"$base/good"
+    val quar = s"$base/quarantine"; val ck = s"$base/ck"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 3, "te""",
+      """{"doc_id": 2, "text": "beta"}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/drop-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    graft.streaming.JsonlIngestStream.runOnce(spark, in, good, quar, ck, schema)
+    def goodSet = graft.streaming.JsonlIngestStream.goodRows(spark, good, schema)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    def badSet = graft.sources.JsonlIngest.quarantined(spark, quar)
+      .select($"raw_line").as[String].collect().toSet
+    // streamed == batch ingest of the same delivery (ONE channel)
+    val batchGood = graft.sources.JsonlIngest.readWithQuarantine(
+        spark, in, schema, s"$base/quar-batch", "r1")
+      .as[(Long, String)].collect().toSet
+    assert(goodSet == batchGood, s"streamed=$goodSet batch=$batchGood")
+    assert(badSet == Set("""{"doc_id": 3, "te"""))
+    // a second pass with no new files is a no-op (checkpoint holds)
+    graft.streaming.JsonlIngestStream.runOnce(spark, in, good, quar, ck, schema)
+    assert(goodSet == batchGood && badSet.size == 1, "no-op re-pass changed stores")
+    // re-delivery (fresh checkpoint, same files): batch ids replay
+    // and every run=b<id> partition REPLACES itself
+    val fs = new org.apache.hadoop.fs.Path(ck)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    graft.streaming.JsonlIngestStream.runOnce(spark, in, good, quar, ck, schema)
+    assert(goodSet == batchGood && badSet.size == 1,
+      "re-delivered batch duplicated rows")
+  }
+
   test("sketch aggregates: approx_count_distinct within rsd of exact; approx quantiles ordered") {
     val o = Tables.orders(spark, sf)
     val exact = o.select(countDistinct($"o_custkey")).collect()(0).getLong(0)
