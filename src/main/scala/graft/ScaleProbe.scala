@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scaling probe for the dedup/ANN family — the measurement
+  * behind the README scaling notes' exponent table. Synthesizes a
+  * corpus ~10× sf0.1 (same schema, DETERMINISTIC hash-driven
+  * generator — no RNG state, so re-runs measure the same corpus)
+  * with planted duplicate structure (5% exact-copy families, 5%
+  * near-dup perturbations off the same template pool — a generator
+  * with no dup families would let the near-dup queries' candidate
+  * stages degenerate to empty and the probe would measure nothing),
+  * then times the six scale-sensitive queries at sf0.1 and at the
+  * synthetic 10× and reports the measured growth exponent
+  * ln(t₁₀ₓ/t₁ₓ)/ln(10) per query.
+  *
+  * Reading the exponents: 1.0 = linear, 1.5 = the n·√n bound
+  * SemDeDup claims, 2.0 = quadratic (a scale-killer — the probe
+  * prints a FLAG). Fixed per-job overhead deflates exponents at
+  * these sizes (a constant-cost query measures ≈ 0), so the
+  * interesting direction is the UPPER side only.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [workDir]"` (default
+  * /tmp/graft-scaleprobe). Prints one table row per query plus a
+  * JSON line for machine reading.
+  */
+object ScaleProbe {
+
+  private val Words = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val Langs = Seq("en", "zh", "es", "fr", "de")
+  private val Templates = 64 // dup-family pool size
+
+  /** Deterministic word at (seed, i): the same splittable-hash
+    * device the engine's kernels use (multiply-shift over a fixed
+    * odd constant), mapped into the pool. */
+  private def wordAt(seed: org.apache.spark.sql.Column,
+                     i: org.apache.spark.sql.Column) = {
+    val h = pmod(hash(seed * lit(2654435761L) + i), lit(Words.length))
+    element_at(typedLit(Words), (h + lit(1)).cast("int"))
+  }
+
+  private def textOf(seed: org.apache.spark.sql.Column,
+                     nWords: org.apache.spark.sql.Column) =
+    concat_ws(" ", transform(sequence(lit(0L), nWords - lit(1)),
+      i => wordAt(seed, i)))
+
+  /** Write documents.parquet + embeddings.parquet mirroring the
+    * testdata shapes (5 000 docs ≈ 300 chars / 2 000 × 64-dim vecs
+    * at sf0.1 → `mult` times that here). */
+  def generate(spark: SparkSession, dir: String, mult: Int): Unit = {
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val base = spark.range(nDocs).select(col("id").as("doc_id"))
+    val mode = pmod(col("doc_id"), lit(20L))
+    val tid = pmod(hash(col("doc_id")), lit(Templates.toLong)) // family
+    val bodyLen = lit(40L) + pmod(hash(col("doc_id") + lit(7L)), lit(50L))
+    val tmplLen = lit(40L) + pmod(hash(tid + lit(7L)), lit(50L))
+    val text =
+      when(mode === 7L, textOf(tid, tmplLen)) // exact-copy family
+        .when(mode === 8L, // near-dup: template + a tiny unique tail
+          concat(textOf(tid, tmplLen), lit(" "), wordAt(col("doc_id"), lit(-1L))))
+        .otherwise(textOf(col("doc_id"), bodyLen))
+    base.select(col("doc_id"), text.as("text"),
+        element_at(typedLit(Langs),
+          (pmod(hash(col("doc_id") + lit(3L)), lit(Langs.length)) + lit(1))
+            .cast("int")).as("lang"),
+        concat(lit("src"),
+          pmod(hash(col("doc_id") + lit(11L)), lit(20L))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0L), lit(63L)), j =>
+          ((pmod(hash(col("id") * lit(31L) + j), lit(1000000L)).cast("double")
+            / lit(1000000.0)) - lit(0.5)).cast("float")).as("embedding"),
+        pmod(hash(col("id") + lit(5L)), lit(10L)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private val Probed = Seq("q24_near_dup", "q29_simhash_dedup",
+    "q34_embed_dup", "q93_span_dedup", "q104_semdedup", "q90_ivf_pq")
+
+  /** Wall seconds for one full execution (all rows materialized);
+    * best of `reps` — the scaling signal wants the floor, not the
+    * contention tail. */
+  private def time(spark: SparkSession, name: String, dir: String,
+                   reps: Int = 2): Double =
+    (1 to reps).map { _ =>
+      // full chain including training: of the probed six only q104
+      // consumes a SessionStage memo (the shared ivf quantizer) —
+      // reset it so every rep pays the whole pipeline, which is the
+      // thing whose scaling is being measured
+      graft.queries.TextVector.centsStageReset()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft-scaleprobe")
+    val baseDir = "/root/testdata/sf0.1"
+    val mult = 10
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = s"$work/sf1x$mult"
+    generate(spark, big, mult)
+
+    // one untimed warmup at the SMALL scale only (JIT/codegen —
+    // Bench's device); the big scale then pays data, not compiler
+    Probed.foreach(n => SparkEntry.queries(n)(spark, baseDir).foreach(_ => ()))
+
+    val rows = Probed.map { n =>
+      val t1 = time(spark, n, baseDir)
+      val t10 = time(spark, n, big)
+      val exp = math.log(t10 / t1) / math.log(mult.toDouble)
+      (n, t1, t10, t10 / t1, exp)
+    }
+    println(f"${"query"}%-16s ${"t_sf0.1"}%8s ${"t_10x"}%8s ${"ratio"}%7s ${"exponent"}%9s")
+    rows.foreach { case (n, t1, t10, r, e) =>
+      val flag = if (e >= 1.8) "  <<< FLAG: ~quadratic growth" else ""
+      println(f"$n%-16s $t1%8.2f $t10%8.2f $r%7.2f $e%9.2f$flag")
+    }
+    val json = rows.map { case (n, t1, t10, _, e) =>
+      f"""\"$n\":{\"t1\":$t1%.3f,\"t10\":$t10%.3f,\"exp\":$e%.3f}"""
+    }.mkString("{\"mult\":" + mult + ",", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
