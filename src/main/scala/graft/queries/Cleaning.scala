@@ -298,8 +298,67 @@ object Cleaning {
     // Cross-doc repeated-span excision (class doc; [[spanDedup]] for
     // the chain and its scale shape). Output stays 1:1 with the
     // corpus: (doc_id, n_tok, n_removed, clean_text).
-    "q93_span_dedup" -> { (s, d) => spanDedup(Tables.documents(s, d)) }
+    "q93_span_dedup" -> { (s, d) => spanDedup(Tables.documents(s, d)) },
+
+    // Benchmark DECONTAMINATION scan (GPT-3's appendix-C recipe,
+    // Brown et al. 2020; every serious pretraining run repeats it):
+    // find every training document sharing a ≥ DecontK-token n-gram
+    // with a held-out evaluation set, so those docs can be dropped
+    // (or the eval items discarded) BEFORE training — a model
+    // scoring a benchmark it memorized is the costliest silent
+    // failure a data pipeline can ship. n-gram membership is the
+    // q24/q93 shingle-hash device; the eval set derives
+    // deterministically from the corpus (the q107/q118
+    // derive-dirty-input convention — testdata ships no benchmark,
+    // so the gate plants one whose contamination provably exists:
+    // spans lifted from the three longest docs, which the scan must
+    // then rediscover in their donors AND in any near-dup of a
+    // donor). Output: (eval_id, doc_id, n_shared) — one row per
+    // contaminated (eval item, training doc) pair with the shared
+    // distinct-n-gram count.
+    //
+    // Scale shape: ONE shingle pass over the corpus (the q93
+    // kernel), exploded to (hash, doc_id) and joined against the
+    // BROADCAST eval-set hashes (an eval suite is thousands of
+    // items — driver-bounded by construction); the count map-side
+    // combines per (eval_id, doc_id); nothing is ever O(corpus²)
+    // and the corpus text shuffles nowhere. A production run swaps
+    // the derived eval frame for the real benchmark table — the
+    // chain is [[decontamination]]'s, unchanged.
+    "q121_decontamination" -> { (s, d) =>
+      decontamination(Tables.documents(s, d))
+    }
   )
+
+  // q121: n-gram width (GPT-3 used 13-grams of its BPE stream; 8
+  // word-grams is the same statistic at the testdata's vocabulary),
+  // eval-set size, and the planted span (1-based token start/len)
+  // lifted from each donor doc.
+  private val DecontK = 8
+  private val DecontEvalN = 3
+  private val DecontSpanFrom = 4
+  private val DecontSpanLen = 16
+
+  /** The q121 chain over any (doc_id, text, n_chars) frame (spec
+    * hook: planted donor/near-dup corpus — CleaningSpec). See the
+    * q121 entry comment for the recipe and scale shape. */
+  private[graft] def decontamination(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val eval = docs.orderBy($"n_chars".desc, $"doc_id").limit(DecontEvalN)
+      .select($"doc_id".as("eval_id"),
+        array_join(
+          slice(TextOps.tokens($"text"), DecontSpanFrom, DecontSpanLen), " ")
+          .as("etext"))
+      .select($"eval_id",
+        explode(graft.ops.expressions.ShingleHashes($"etext", DecontK)).as("sh"))
+    val corpus = docs.select($"doc_id",
+      explode(graft.ops.expressions.ShingleHashes($"text", DecontK)).as("sh"))
+    corpus.join(broadcast(eval), Seq("sh"))
+      .groupBy($"eval_id", $"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"eval_id", $"doc_id")
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -400,6 +459,28 @@ object Cleaning {
          |FROM t
          |LEFT JOIN a ON t.doc_id = a.doc_id
          |LEFT JOIN rb ON t.doc_id = rb.doc_id
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Twin of q121: same eval-set derivation (longest docs, fixed
+    // token span), same distinct-shingle-hash device as the q24
+    // oracle's h CTE.
+    "q121_decontamination" ->
+      s"""WITH ev0 AS (SELECT doc_id, text FROM documents
+         |             ORDER BY n_chars DESC, doc_id LIMIT $DecontEvalN),
+         |ev1 AS (SELECT doc_id AS eval_id,
+         |          array_to_string((${Sql.toks("text")})
+         |            [$DecontSpanFrom : ${DecontSpanFrom + DecontSpanLen - 1}], ' ')
+         |            AS etext
+         |        FROM ev0),
+         |evs AS (SELECT eval_id, unnest(list_distinct(list_transform(
+         |          ${Sql.shingleSet("etext", DecontK)}, t -> ${Sql.polyHash("t")}))) AS sh
+         |        FROM ev1),
+         |ds AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         ${Sql.shingleSet("text", DecontK)}, t -> ${Sql.polyHash("t")}))) AS sh
+         |       FROM documents)
+         |SELECT evs.eval_id, ds.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ds JOIN evs USING (sh)
+         |GROUP BY evs.eval_id, ds.doc_id
+         |ORDER BY evs.eval_id, ds.doc_id""".stripMargin
   )
 }

@@ -605,6 +605,30 @@ object Corpus {
       distDrift(prev, cur)
     },
 
+    // n-gram NOVELTY profile (memorization-risk report): per doc,
+    // how many of its distinct NovK-grams appear in at least one
+    // OTHER document — the repeated-text exposure statistic behind
+    // memorization analyses (Lee et al. 2022's dedup paper measures
+    // exactly this overlap class; Carlini et al. 2022 ties
+    // extraction risk to training-data repetition). A doc scoring
+    // low novelty is boilerplate/template mass the dedup family
+    // (q23/q24/q93) should be catching — this is the AUDIT view of
+    // the same signal, published next to the funnel rather than
+    // acted on. Output 1:1 with the corpus (the q93 convention):
+    // (doc_id, n_grams, n_shared, novelty_micro), novelty null for
+    // docs too short to carry a NovK-gram.
+    //
+    // Scale shape: ONE shingle pass (the q24/q93/q121 kernel)
+    // persisted for its two consumers; the gram document-frequency
+    // is a map-side-combined groupBy and the per-doc rollup is the
+    // q70/q119 JOIN-BACK device — never a window over a content-key
+    // partition (a corpus-wide boilerplate gram puts every doc in
+    // one partition; the hash join + AQE absorb that skew, a window
+    // cannot). Everything after the scan is id/hash-width.
+    "q123_ngram_novelty" -> { (s, d) =>
+      ngramNovelty(Tables.documents(s, d))
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -636,6 +660,36 @@ object Corpus {
         .orderBy($"zfile")
     }
   )
+
+  /** q123: n-gram width of the novelty profile (matches q121's
+    * decontamination gram and q93's span threshold — one boilerplate
+    * granularity across the repeated-text family). */
+  private val NovK = 8
+
+  /** The q123 chain over any (doc_id, text) frame (spec hook:
+    * planted template/unique docs — LmSpec). See the q123 entry
+    * comment for the recipe and scale shape. */
+  private[graft] def ngramNovelty(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select($"doc_id",
+        explode(graft.ops.expressions.ShingleHashes($"text", NovK)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfs, Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" > 1L, 1L).otherwise(0L)).as("n_shared"))
+    docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        when(coalesce($"n_grams", lit(0L)) > 0L,
+          floor((lit(1.0) - $"n_shared".cast("double") /
+            $"n_grams".cast("double")) * lit(1e6) + lit(0.5)).cast("bigint"))
+          .as("novelty_micro"))
+      .orderBy($"doc_id")
+  }
 
   /** q92's oracle: unrolled BPE training rounds. Words seed as their
     * characters plus the `</w>` end-of-word symbol (BpeTrainer's
@@ -901,6 +955,27 @@ object Corpus {
     // Twin of q119: tf/df as exact counts, ln micro-rounded into the
     // ranked score, row_number ranks (the TopKPerKey contract —
     // TopKSpec pins rank equivalence).
+    // Twin of q123: same distinct-shingle-hash device as the q24/
+    // q121 oracles, df + join-back in plain SQL.
+    "q123_ngram_novelty" ->
+      s"""WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         ${Sql.shingleSet("text", NovK)}, t -> ${Sql.polyHash("t")}))) AS sh
+         |       FROM documents),
+         |dfs AS (SELECT sh, count(*) AS df FROM s GROUP BY sh),
+         |per AS (SELECT doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_grams,
+         |          CAST(sum(CASE WHEN dfs.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |        FROM s JOIN dfs USING (sh) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |  coalesce(per.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         |  CASE WHEN coalesce(per.n_grams, CAST(0 AS BIGINT)) > 0 THEN
+         |    CAST(floor((CAST(1.0 AS DOUBLE)
+         |        - CAST(per.n_shared AS DOUBLE) / CAST(per.n_grams AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) END AS novelty_micro
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q119_tfidf_keywords" ->
       s"""WITH t AS (SELECT doc_id, unnest(${Sql.toks("text")}) AS tok
          |           FROM documents),

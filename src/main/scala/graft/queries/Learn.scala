@@ -309,8 +309,41 @@ object Learn {
     "q113_probe_calibration" -> { (s, d) =>
       val wm = ProbeStage.trained(s, d)
       calibrationBins(ProbeTrainer.score(Tables.embeddings(s, d), wm))
+    },
+
+    // Stratified annotation-batch sampler: k docs PER DOMAIN by the
+    // engine's seeded hash permutation (graft.ops.SeededSample's
+    // rank — deterministic across engines and re-runs, unbiased
+    // w.r.t. id order). This is the sampler that feeds q98's probe
+    // trainer its labeled slice: labels are the expensive part of
+    // learned curation (FineWeb-Edu annotates ~500k of billions),
+    // and an UNstratified sample of a skewed corpus starves minority
+    // domains of labels exactly where the classifier needs them —
+    // the q110/q120 per-domain discipline applied to sample
+    // selection. Output: (lang, doc_id, rn ≤ SampleK), the
+    // annotation worklist.
+    //
+    // Scale shape: one narrow projection (lang, doc_id, hash rank)
+    // into the bounded-heap TopKPerKey — per-partition heaps of k,
+    // never a window over a domain partition (a 90%-English corpus
+    // would put 90% of rows in one window partition; the heap's
+    // partial aggregation absorbs exactly that skew). Nothing else
+    // moves; text is never read.
+    "q122_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val ph = pmod($"doc_id", lit(graft.ops.SeededSample.Mod)) *
+        lit(graft.ops.SeededSample.Mult) % lit(graft.ops.SeededSample.Mod)
+      graft.plans.TopK.perKey(
+        Tables.documents(s, d).select($"lang", $"doc_id", ph.as("ph")),
+        Seq("lang"), Seq("ph" -> true, "doc_id" -> true), SampleK,
+        rankCol = "rn")
+        .select($"lang", $"doc_id", $"rn".cast("bigint").as("rn"))
+        .orderBy($"lang", $"rn")
     }
   )
+
+  /** q122: per-domain annotation-batch size. */
+  private val SampleK = 20
 
   /** The q113 binning stage over any (label, pred, score) frame
     * (spec hook: hand-built scored frames with known bin accuracy /
@@ -531,7 +564,20 @@ object Learn {
          |  WHERE d.doc_id % 2 = 1)
          |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_tok, lw_micro
          |FROM r WHERE rn <= $DsirTopN ORDER BY lang, rn""".stripMargin
-    }
+    },
+
+    // Twin of q122: SeededSample's documented SQL replay, one
+    // row_number per domain (fine in the oracle engine — the
+    // skew argument is about the Spark plan, not DuckDB).
+    "q122_stratified_sample" ->
+      s"""SELECT lang, doc_id, rn FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id % ${graft.ops.SeededSample.Mod}) *
+         |        ${graft.ops.SeededSample.Mult} % ${graft.ops.SeededSample.Mod},
+         |        doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin
   )
 }
 

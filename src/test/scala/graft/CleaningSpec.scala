@@ -104,6 +104,56 @@ class CleaningSpec extends AnyFunSuite {
       assert(out(i) == ((10L, 0L, ws(s"u${i}x", 1, 10))), s"doc $i: ${out(i)}")
   }
 
+  test("decontamination finds planted eval spans in donors, copies and embedders — and nowhere else") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    // q121 derives its eval set from the 3 LONGEST docs, span =
+    // tokens 4..19. Plant: donors 1-3 (longest), doc 10 = exact copy
+    // of donor 1, doc 11 embeds donor 2's eval span mid-text, docs
+    // 20+ unrelated. The scan must flag (eval, donor) for all three,
+    // plus (eval1, 10) and (eval2, 11), and nothing else.
+    val donors = (1L to 3L).map(i => (i, ws(s"d$i", 1, 40)))
+    val copy = Seq((10L, ws("d1", 1, 40)))
+    val span2 = ws("d2", 4, 19) // donor 2's eval span (tokens 4..19)
+    val embedder = Seq((11L, ws("x", 1, 6) + " " + span2 + " " + ws("y", 1, 6)))
+    val noise = (20L to 30L).map(i => (i, ws(s"n$i", 1, 20)))
+    val docs = (donors ++ copy ++ embedder ++ noise).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val got = graft.queries.Cleaning.decontamination(docs)
+      .select(col("eval_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 2L), (3L, 3L), (1L, 10L), (2L, 11L)),
+      s"contamination set wrong: $got")
+    // the shared-gram count is the span's full gram set for an exact
+    // copy: 16-token span -> 9 distinct 8-grams
+    val full = graft.queries.Cleaning.decontamination(docs)
+      .filter(col("eval_id") === 2L && col("doc_id") === 11L)
+      .select(col("n_shared")).as[Long].head()
+    assert(full == 9L, s"embedded span should share all 9 grams, got $full")
+  }
+
+  test("n-gram novelty: template docs score 0, unique docs 1e6, short docs null") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val template = ws("t", 1, 12)
+    val docs = Seq(
+      (1L, template), (2L, template), (3L, template), // boilerplate family
+      (4L, ws("u", 1, 12)),                           // fully novel
+      (5L, ws("v", 1, 7)),                            // too short for an 8-gram
+      (6L, template + " " + ws("w", 1, 8))            // half template, half novel
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Corpus.ngramNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) == ((5L, 5L, 0L)) && out(2L) == out(1L) && out(3L) == out(1L),
+      s"template docs must share every gram: ${out(1L)}")
+    assert(out(4L) == ((5L, 0L, 1000000L)), s"novel doc: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, -1L)), s"short doc must be null-scoped: ${out(5L)}")
+    // doc 6: 20 tokens -> 13 grams; the 5 pure-template grams are
+    // shared, the 8 straddling-or-new grams are unique to doc 6
+    assert(out(6L)._1 == 13L && out(6L)._2 == 5L, s"mixed doc: ${out(6L)}")
+    spark.catalog.clearCache() // ngramNovelty persist contract
+  }
+
   test("span dedup excises planted cross-doc spans exactly once corpus-wide") {
     def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
     val span = ws("s", 1, 50)    // the 50-token boilerplate block
