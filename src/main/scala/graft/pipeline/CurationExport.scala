@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *      shared LSH → connected-components label table);
   *   2. keep = cluster representatives only (q67: broadcast drop-set
   *      anti-join — the corpus scan never shuffles);
+  *  2b. OPTIONAL benchmark decontamination = q121's n-gram overlap
+  *      scan ([[graft.queries.Cleaning.decontaminationAgainst]])
+  *      against a caller-supplied (eval_id, etext) benchmark frame;
+  *      contaminated docs drop VISIBLY (funnel n_decontam);
   *   3. quality floor = the ADAPTIVE per-domain p20 threshold
   *      (q110's [[graft.queries.Sketch.adaptiveFloorThresholds]]
   *      stage — the corpus's own quantiles, not a fixed constant;
@@ -68,20 +72,23 @@ object CurationExport {
   /** The shared stage chain. `reps` = cluster representatives with
     * quality/lineage columns (persisted — feeds the threshold
     * sample, the floor filter, and the funnel's dedup count);
-    * `surv` = quality survivors (persisted — feeds the write and
-    * the funnel); `probed` = probe-stage survivors (≡ surv with a
-    * null probe_score when the stage is off; feeds the rate
-    * aggregate and the verdict join — mixture rates are computed
-    * over what actually ENTERS the mixture stage); `kept` = mixture
-    * survivors. Callers release via [[Stages#unpersist]]. */
-  private case class Stages(reps: DataFrame, surv: DataFrame,
+    * `decon` = decontamination survivors (≡ reps when no eval set —
+    * stage 2b below); `surv` = quality survivors (persisted — feeds
+    * the write and the funnel); `probed` = probe-stage survivors
+    * (≡ surv with a null probe_score when the stage is off; feeds
+    * the rate aggregate and the verdict join — mixture rates are
+    * computed over what actually ENTERS the mixture stage); `kept`
+    * = mixture survivors. Callers release via [[Stages#unpersist]]. */
+  private case class Stages(reps: DataFrame, decon: DataFrame,
+                            surv: DataFrame,
                             probed: DataFrame, kept: DataFrame) {
     def unpersist(): Unit = { reps.unpersist(); surv.unpersist() }
   }
 
   private def build(spark: SparkSession, sfDir: String,
                     mixtureDir: Option[String],
-                    probe: Option[ProbeStage]): Stages = {
+                    probe: Option[ProbeStage],
+                    evalSet: Option[DataFrame]): Stages = {
     val labels = graft.queries.NearDupStage.labels(spark, sfDir)
     val drop = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -99,7 +106,23 @@ object CurationExport {
         col("st").getField("n_tokens").as("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val inScope = reps.filter(col("n_tok") > 0L)
+    // stage 2b: benchmark DECONTAMINATION (q121's scan — GPT-3
+    // appendix C: a doc sharing a long n-gram with the eval suite is
+    // dropped BEFORE training). One shingle pass over the
+    // representatives against the broadcast eval hashes; the
+    // contaminated id set is bounded by real contamination, so it
+    // localCheckpoints (id-width) and anti-joins — visible in the
+    // funnel as n_decontam, never a silent drop.
+    val decon = evalSet match {
+      case None => reps
+      case Some(ev) =>
+        val bad = graft.queries.Cleaning
+          .decontaminationAgainst(reps.select(col("doc_id"), col("text")), ev)
+          .select(col("doc_id")).distinct().localCheckpoint()
+        reps.join(bad, Seq("doc_id"), "left_anti")
+    }
+
+    val inScope = decon.filter(col("n_tok") > 0L)
     val thr = graft.queries.Sketch.adaptiveFloorThresholds(
       inScope.select(col("lang"), col("doc_id"), col("quality")))
     val surv = inScope
@@ -134,7 +157,7 @@ object CurationExport {
     val keep = MixtureMaintenance
       .decideWith(probed.select(col("doc_id"), col("lang"), col("text")), rates)
       .filter(col("keep")).select(col("doc_id"))
-    Stages(reps, surv, probed, probed.join(keep, Seq("doc_id")))
+    Stages(reps, decon, surv, probed, probed.join(keep, Seq("doc_id")))
   }
 
   /** Run the export; returns per-split counts (the run report).
@@ -151,10 +174,11 @@ object CurationExport {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           mixtureDir: Option[String] = None,
           format: String = "parquet",
-          probe: Option[ProbeStage] = None): DataFrame = {
+          probe: Option[ProbeStage] = None,
+          evalSet: Option[DataFrame] = None): DataFrame = {
     require(format == "parquet" || format == "jsonl",
       s"unsupported export format '$format' (parquet | jsonl)")
-    val st = build(spark, sfDir, mixtureDir, probe)
+    val st = build(spark, sfDir, mixtureDir, probe, evalSet)
     val h = pmod(col("unit_id"), lit(HashMod)) * lit(PermMult) % lit(HashMod)
     val kept = st.kept
       .withColumn("split",
@@ -175,21 +199,25 @@ object CurationExport {
   }
 
   /** The q100-style per-domain funnel report for an export
-    * configuration: (lang, n_raw, n_dedup, n_quality, n_probe,
-    * n_kept), computed from the SAME stage chain [[run]] writes
-    * with. n_raw counts the corpus, n_dedup the cluster
-    * representatives (q67's number), n_quality the adaptive-floor
-    * survivors, n_probe the classifier-stage survivors (≡ n_quality
-    * when the stage is off), n_kept the mixture survivors — what
-    * lands on disk. */
+    * configuration: (lang, n_raw, n_dedup, n_decontam, n_quality,
+    * n_probe, n_kept), computed from the SAME stage chain [[run]]
+    * writes with. n_raw counts the corpus, n_dedup the cluster
+    * representatives (q67's number), n_decontam the benchmark-
+    * decontamination survivors (≡ n_dedup when no eval set),
+    * n_quality the adaptive-floor survivors, n_probe the
+    * classifier-stage survivors (≡ n_quality when the stage is
+    * off), n_kept the mixture survivors — what lands on disk. */
   def funnel(spark: SparkSession, sfDir: String,
              mixtureDir: Option[String] = None,
-             probe: Option[ProbeStage] = None): DataFrame = {
-    val st = build(spark, sfDir, mixtureDir, probe)
+             probe: Option[ProbeStage] = None,
+             evalSet: Option[DataFrame] = None): DataFrame = {
+    val st = build(spark, sfDir, mixtureDir, probe, evalSet)
     val raw = graft.Tables.documents(spark, sfDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
     val out = raw
       .join(st.reps.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
+        Seq("lang"), "left")
+      .join(st.decon.groupBy(col("lang")).agg(count(lit(1)).as("n_decontam")),
         Seq("lang"), "left")
       .join(st.surv.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
         Seq("lang"), "left")
@@ -200,6 +228,7 @@ object CurationExport {
       .select(col("lang"),
         col("n_raw"),
         coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_probe"), lit(0L)).as("n_probe"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))

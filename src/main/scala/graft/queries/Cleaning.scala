@@ -327,8 +327,61 @@ object Cleaning {
     // chain is [[decontamination]]'s, unchanged.
     "q121_decontamination" -> { (s, d) =>
       decontamination(Tables.documents(s, d))
+    },
+
+    // PII scrubbing (the BigScience/ROOTS + FineWeb hygiene stage —
+    // regex detection and masking of emails/phone numbers before a
+    // corpus ships): per doc, detected counts per PII class and the
+    // polyhash of the MASKED text, so the oracle gates the exact
+    // masked bytes without the output hauling the corpus. Testdata
+    // is clean, so the gate derives its dirty input in-query (the
+    // q73/q74 convention — same derivation in the oracle): a third
+    // of docs gain an email, a third a phone number. Regexes use
+    // spelled-out character classes only (TextOps.WsClass rationale
+    // — the one dialect-safe form across java.util.regex and RE2).
+    //
+    // Scale shape: pure narrow map — detect + mask + hash pipeline
+    // inside whole-stage codegen on the scan; output 1:1 id-width
+    // with the corpus, no shuffle of document text at all (the q73
+    // shape; a production run keeps the masked text column and
+    // writes it instead of hashing).
+    "q124_pii_scrub" -> { (s, d) =>
+      piiScrub(withPii(Tables.documents(s, d)))
     }
   )
+
+  // q124: detection patterns (email / NANP-style phone). Shared
+  // constants so the Spark plan and the DuckDB twin compile the
+  // SAME pattern strings.
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{2,6}"
+
+  /** q124's dirty-input derivation (the testdata ships no PII). */
+  private[graft] def withPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      when(pmod(col("doc_id"), lit(4L)) === 1L,
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com now")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2L,
+          concat(col("text"), lit(" call +1-555-0"),
+            pmod(col("doc_id"), lit(100L)).cast("string"), lit(" today")))
+        .otherwise(col("text")).as("text"))
+
+  /** The q124 chain over any (doc_id, text) frame (spec hook:
+    * planted multi-PII docs — CleaningSpec). Mask order is fixed
+    * (emails, then phones) — the classes cannot overlap, but a
+    * fixed order keeps the masked bytes engine-independent by
+    * construction rather than by argument. */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        TextOps.fingerprint(
+          regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("clean_hash"))
+      .orderBy(col("doc_id"))
 
   // q121: n-gram width (GPT-3 used 13-grams of its BPE stream; 8
   // word-grams is the same statistic at the testdata's vocabulary),
@@ -341,23 +394,35 @@ object Cleaning {
 
   /** The q121 chain over any (doc_id, text, n_chars) frame (spec
     * hook: planted donor/near-dup corpus — CleaningSpec). See the
-    * q121 entry comment for the recipe and scale shape. */
+    * q121 entry comment for the recipe and scale shape; the gate's
+    * eval set derives from the corpus, the general scan is
+    * [[decontaminationAgainst]]. */
   private[graft] def decontamination(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val eval = docs.orderBy($"n_chars".desc, $"doc_id").limit(DecontEvalN)
+    val evalItems = docs.orderBy($"n_chars".desc, $"doc_id").limit(DecontEvalN)
       .select($"doc_id".as("eval_id"),
         array_join(
           slice(TextOps.tokens($"text"), DecontSpanFrom, DecontSpanLen), " ")
           .as("etext"))
-      .select($"eval_id",
-        explode(graft.ops.expressions.ShingleHashes($"etext", DecontK)).as("sh"))
-    val corpus = docs.select($"doc_id",
-      explode(graft.ops.expressions.ShingleHashes($"text", DecontK)).as("sh"))
+    decontaminationAgainst(docs, evalItems)
+  }
+
+  /** The general scan: contaminated (eval_id, doc_id, n_shared)
+    * pairs between any corpus and any (eval_id, etext) benchmark
+    * frame — what a production run and
+    * [[graft.pipeline.CurationExport]]'s decontamination stage
+    * call. */
+  private[graft] def decontaminationAgainst(docs: DataFrame,
+                                            evalItems: DataFrame): DataFrame = {
+    val eval = evalItems.select(col("eval_id"),
+      explode(graft.ops.expressions.ShingleHashes(col("etext"), DecontK)).as("sh"))
+    val corpus = docs.select(col("doc_id"),
+      explode(graft.ops.expressions.ShingleHashes(col("text"), DecontK)).as("sh"))
     corpus.join(broadcast(eval), Seq("sh"))
-      .groupBy($"eval_id", $"doc_id")
+      .groupBy(col("eval_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy($"eval_id", $"doc_id")
+      .orderBy(col("eval_id"), col("doc_id"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -481,6 +546,26 @@ object Cleaning {
          |SELECT evs.eval_id, ds.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM ds JOIN evs USING (sh)
          |GROUP BY evs.eval_id, ds.doc_id
-         |ORDER BY evs.eval_id, ds.doc_id""".stripMargin
+         |ORDER BY evs.eval_id, ds.doc_id""".stripMargin,
+
+    // Twin of q124: same dirty-input derivation, same pattern
+    // strings, global-flag replaces, polyhash over the masked bytes.
+    "q124_pii_scrub" -> {
+      val masked =
+        s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), " +
+          s"'$PhoneRe', '<PHONE>', 'g')"
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 1 THEN text || ' contact u' ||
+         |         CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+         |       WHEN doc_id % 4 = 2 THEN text || ' call +1-555-0' ||
+         |         CAST(doc_id % 100 AS VARCHAR) || ' today'
+         |       ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe', 0)) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe', 0)) AS BIGINT) AS n_phones,
+         |  ${Sql.polyHash(masked)} AS clean_hash
+         |FROM p ORDER BY doc_id""".stripMargin
+    }
   )
 }

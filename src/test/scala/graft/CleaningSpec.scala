@@ -154,6 +154,26 @@ class CleaningSpec extends AnyFunSuite {
     spark.catalog.clearCache() // ngramNovelty persist contract
   }
 
+  test("PII scrub: multi-PII docs count and mask exactly, clean text untouched") {
+    val docs = Seq(
+      (1L, "write to ann.b@corp.example.com or bob9@x.co soon call +1-555-0199 ok"),
+      (2L, "no pii here at all"),
+      (3L, "+44-202-555 overseas and u7@mail.example.com")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.piiScrub(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def h(s: String): Long =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.ops.TextOps.fingerprint(col("t"))).as[Long].head()
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L, s"doc 1 counts: ${out(1L)}")
+    assert(out(1L)._3 == h("write to <EMAIL> or <EMAIL> soon call <PHONE> ok"))
+    assert(out(2L) == ((0L, 0L, h("no pii here at all"))),
+      "clean doc must pass through byte-identical")
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1L, s"doc 3 counts: ${out(3L)}")
+    assert(out(3L)._3 == h("<PHONE> overseas and <EMAIL>"))
+  }
+
   test("span dedup excises planted cross-doc spans exactly once corpus-wide") {
     def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
     val span = ws("s", 1, 50)    // the 50-token boilerplate block

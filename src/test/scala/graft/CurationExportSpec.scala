@@ -24,24 +24,26 @@ class CurationExportSpec extends AnyFunSuite {
     // monotone (raw ≥ dedup ≥ quality ≥ kept) with the adaptive
     // floor actually engaged
     val funnel = CurationExport.funnel(spark, sf)
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
     val got = spark.read.parquet(outDir)
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(got == funnel.map(f => f._1 -> f._6).toMap,
+    assert(got == funnel.map(f => f._1 -> f._7).toMap,
       s"written corpus diverges from funnel n_kept: $got vs ${funnel.toSeq}")
     val q67 = SparkEntry.queries("q67_dedup_keep")(spark, sf)
       .select($"lang", $"n_kept").as[(String, Long)].collect().toMap
     assert(funnel.map(f => f._1 -> f._3).toMap == q67,
       s"funnel n_dedup diverges from q67: ${funnel.toSeq} vs $q67")
-    funnel.foreach { case (lang, raw, dedup, quality, probe, kept) =>
-      assert(raw >= dedup && dedup >= quality && quality >= probe &&
-        probe >= kept,
-        s"$lang funnel not monotone: $raw/$dedup/$quality/$probe/$kept")
+    funnel.foreach { case (lang, raw, dedup, decontam, quality, probe, kept) =>
+      assert(raw >= dedup && dedup >= decontam && decontam >= quality &&
+        quality >= probe && probe >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$decontam/$quality/$probe/$kept")
+      assert(decontam == dedup,
+        s"$lang: decontamination off must pass representatives through")
       assert(probe == quality,
         s"$lang: probe stage off must pass quality survivors through")
     }
-    assert(funnel.map(_._4).sum < funnel.map(_._3).sum,
+    assert(funnel.map(_._5).sum < funnel.map(_._4).sum,
       "adaptive floor dropped nothing — stage not engaged")
     // probe stage off: the lineage column rides along as null
     assert(spark.read.parquet(outDir)
@@ -81,15 +83,15 @@ class CurationExportSpec extends AnyFunSuite {
     val emptyStore = s"$root/store"
     CurationExport.run(spark, sf, s"$root/corpus", mixtureDir = Some(emptyStore))
     val viaStore = CurationExport.funnel(spark, sf, Some(emptyStore))
-      .as[(String, Long, Long, Long, Long, Long)].collect()
-    viaStore.foreach { case (lang, _, _, quality, _, kept) =>
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    viaStore.foreach { case (lang, _, _, _, quality, _, kept) =>
       assert(kept == quality,
         s"$lang: empty store must keep all quality survivors ($kept != $quality)")
     }
     val onDisk = spark.read.parquet(s"$root/corpus")
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(onDisk == viaStore.map(f => f._1 -> f._6).toMap)
+    assert(onDisk == viaStore.map(f => f._1 -> f._7).toMap)
     // a store absorbed from this corpus reproduces the
     // self-contained path's rates... up to the population they are
     // computed over (absorb sees the raw batch, self-contained sees
@@ -101,10 +103,10 @@ class CurationExportSpec extends AnyFunSuite {
         .toDF("doc_id", "lang", "text"),
       emptyStore, "seed")
     val throttled = CurationExport.funnel(spark, sf, Some(emptyStore))
-      .as[(String, Long, Long, Long, Long, Long)].collect()
-      .map(f => f._1 -> f._6).toMap
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._7).toMap
     val en = viaStore.find(_._1 == "en")
-    assert(en.isEmpty || throttled("en") <= en.get._6,
+    assert(en.isEmpty || throttled("en") <= en.get._7,
       "absorbed skew did not throttle the dominant domain")
   }
 
@@ -122,15 +124,15 @@ class CurationExportSpec extends AnyFunSuite {
     val stage = CurationExport.ProbeStage(probeDir, keepClasses = Set(0, 1, 2, 3, 4))
     CurationExport.run(spark, sf, outDir, probe = Some(stage))
     val funnel = CurationExport.funnel(spark, sf, probe = Some(stage))
-      .as[(String, Long, Long, Long, Long, Long)].collect()
-    funnel.foreach { case (lang, raw, dedup, quality, probe, kept) =>
-      assert(raw >= dedup && dedup >= quality && quality >= probe &&
-        probe >= kept,
-        s"$lang funnel not monotone: $raw/$dedup/$quality/$probe/$kept")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    funnel.foreach { case (lang, raw, dedup, decontam, quality, probe, kept) =>
+      assert(raw >= dedup && dedup >= decontam && decontam >= quality &&
+        quality >= probe && probe >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$decontam/$quality/$probe/$kept")
     }
-    assert(funnel.map(_._5).sum < funnel.map(_._4).sum,
+    assert(funnel.map(_._6).sum < funnel.map(_._5).sum,
       "probe stage dropped nothing — not engaged")
-    assert(funnel.map(_._5).sum > 0, "probe stage dropped everything")
+    assert(funnel.map(_._6).sum > 0, "probe stage dropped everything")
 
     // routing: every written doc must be one the classifier predicts
     // into a keep class, and its lineage score must equal the
@@ -150,15 +152,45 @@ class CurationExportSpec extends AnyFunSuite {
     }
     // funnel n_probe == quality survivors the classifier keeps
     val qualityIds = CurationExport.funnel(spark, sf)
-      .as[(String, Long, Long, Long, Long, Long)].collect()
-      .map(f => f._1 -> f._4).toMap
-    assert(funnel.map(f => f._1 -> f._5).toMap.values.sum <=
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._5).toMap
+    assert(funnel.map(f => f._1 -> f._6).toMap.values.sum <=
       qualityIds.values.sum)
 
     // re-run idempotent
     val first = spark.read.parquet(outDir).count()
     CurationExport.run(spark, sf, outDir, probe = Some(stage))
     assert(spark.read.parquet(outDir).count() == first)
+  }
+
+  test("decontamination stage: eval-contaminated docs drop visibly, funnel reconciles, None is pass-through") {
+    import graft.pipeline.CurationExport
+    val root = Files.createTempDirectory("graft-export-decon").toString
+    // derive an eval set KNOWN to contaminate: q121's own derivation
+    // (spans lifted from the three longest docs) — those donors (and
+    // any doc sharing the span) must vanish from the artifact
+    val contaminated = SparkEntry.queries("q121_decontamination")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty)
+    val evalSet = Tables.documents(spark, sf)
+      .orderBy($"n_chars".desc, $"doc_id").limit(3)
+      .select($"doc_id".as("eval_id"),
+        array_join(slice(graft.ops.TextOps.tokens($"text"), 4, 16), " ")
+          .as("etext"))
+    CurationExport.run(spark, sf, s"$root/corpus", evalSet = Some(evalSet))
+    val written = spark.read.parquet(s"$root/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((written & contaminated).isEmpty,
+      s"contaminated docs shipped: ${written & contaminated}")
+    // funnel: the stage is engaged and the report reconciles with disk
+    val funnel = CurationExport.funnel(spark, sf, evalSet = Some(evalSet))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(funnel.map(_._4).sum < funnel.map(_._3).sum,
+      "decontamination dropped nothing — stage not engaged")
+    val onDisk = spark.read.parquet(s"$root/corpus")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(onDisk == funnel.map(f => f._1 -> f._7).toMap.filter(_._2 > 0))
   }
 
   test("jsonl export round-trips the parquet artifact exactly (one document per line)") {
