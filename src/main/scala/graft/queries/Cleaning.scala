@@ -347,8 +347,48 @@ object Cleaning {
     // writes it instead of hashing).
     "q124_pii_scrub" -> { (s, d) =>
       piiScrub(withPii(Tables.documents(s, d)))
+    },
+
+    // Boilerplate n-gram table: the top spans by DOCUMENT frequency
+    // corpus-wide — the review table an operator reads BEFORE
+    // running q93's excision (is that repeated span a license
+    // header, a nav bar, or load-bearing content?) and the audit
+    // companion to q123's per-doc novelty score (q123 says HOW MUCH
+    // of a doc is repeated text; this says WHICH text). Output:
+    // top-BoilerK grams by (docs sharing it desc, gram asc) with
+    // total occurrence count — the gram STRING itself rides in the
+    // report, because a review table of hashes reviews nothing.
+    //
+    // Scale shape: one shingle pass explodes DISTINCT-per-doc gram
+    // strings into a map-side-combined (gram → n_docs, n_occur)
+    // aggregate (per-doc occurrence counts fold in the same pass);
+    // the global top-K is a TakeOrdered over the aggregated gram
+    // table, never a sort of the corpus. Gram strings shuffle —
+    // span-width rows, the q75 paragraph trade — but only between
+    // the scan and ONE combine.
+    "q126_boilerplate_grams" -> { (s, d) =>
+      boilerplateGrams(Tables.documents(s, d))
     }
   )
+
+  /** q126: report size. The gram width is q93's SpanK — one
+    * boilerplate granularity across the repeated-text family. */
+  private val BoilerK = 20
+
+  /** The q126 chain over any (doc_id, text) frame (spec hook:
+    * planted template corpus — CleaningSpec). */
+  private[graft] def boilerplateGrams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", explode(TextOps.shingles($"text", SpanK)).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("occ"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n_docs"), sum($"occ").as("n_occur"))
+      .filter($"n_docs" > 1)
+      .orderBy($"n_docs".desc, $"gram")
+      .limit(BoilerK)
+  }
 
   // q124: detection patterns (email / NANP-style phone). Shared
   // constants so the Spark plan and the DuckDB twin compile the
@@ -566,6 +606,22 @@ object Cleaning {
          |  CAST(len(regexp_extract_all(text, '$PhoneRe', 0)) AS BIGINT) AS n_phones,
          |  ${Sql.polyHash(masked)} AS clean_hash
          |FROM p ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Twin of q126: non-distinct gram positions (q93's g CTE shape),
+    // per-doc occurrence fold, doc-frequency rank.
+    "q126_boilerplate_grams" ->
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, array_to_string(toks[u.i + 1 : u.i + $SpanK], ' ') AS gram
+         |      FROM t, unnest(range(0, len(toks) - ${SpanK - 1})) u(i)
+         |      WHERE len(toks) >= $SpanK),
+         |p AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS occ
+         |      FROM g GROUP BY doc_id, gram),
+         |a AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(occ) AS BIGINT) AS n_occur
+         |      FROM p GROUP BY gram)
+         |SELECT gram, n_docs, n_occur FROM a
+         |WHERE n_docs > 1
+         |ORDER BY n_docs DESC, gram LIMIT $BoilerK""".stripMargin
   )
 }

@@ -629,6 +629,28 @@ object Corpus {
       ngramNovelty(Tables.documents(s, d))
     },
 
+    // PMI collocation extraction (Church & Hanks 1990 — the corpus
+    // phrase table): top bigrams per language by pointwise mutual
+    // information ln(p(ab)/(p(a)p(b))) with a minimum-count floor
+    // (rare pairs have unboundedly noisy PMI — the published
+    // mitigation). What a curation team reads to spot templated
+    // collocations and to seed tokenizer merge candidates (BPE's
+    // q92 objective IS frequent-pair compression). Determinism: the
+    // PMI ratio is ONE double expression with a fixed association
+    // order in both engines (exact int operands cast to double, ln
+    // last — the q43 libm-ulp argument), micro-rounded BEFORE the
+    // rank with (w1, w2) tie order.
+    //
+    // Scale shape: one tokenize pass explodes to (lang, w1, w2)
+    // bigram rows that map-side combine; unigram counts and the two
+    // per-lang totals are the same shape; the joins move
+    // token-width count rows only, and ranking is bounded-heap
+    // TopKPerKey per lang. Nothing after the scan is O(corpus) but
+    // the count shuffles themselves.
+    "q125_pmi_bigrams" -> { (s, d) =>
+      pmiBigrams(Tables.documents(s, d))
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -660,6 +682,57 @@ object Corpus {
         .orderBy($"zfile")
     }
   )
+
+  /** q125: minimum bigram count (PMI noise floor) and per-lang
+    * report size. */
+  private val PmiMinCount = 5
+  private val PmiTopK = 5
+
+  /** The q125 chain over any (lang, text) frame (spec hook: planted
+    * collocation corpus — LmSpec). See the q125 entry comment. */
+  private[graft] def pmiBigrams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toked = docs
+      .select($"lang", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") > 1)
+    // adjacent pairs: zip the token array with its own tail — one
+    // narrow map, no positional explode-then-self-join
+    val bi = toked.select($"lang",
+        explode(arrays_zip(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1))).as("p"))
+      .select($"lang", $"p".getField("0").as("w1"), $"p".getField("1").as("w2"))
+      .groupBy($"lang", $"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= PmiMinCount)
+    val uni = docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = uni.groupBy($"lang").agg(sum($"c").as("n_uni"))
+    // total bigram mass per lang = Σ_docs (len−1) over the >1-token
+    // docs — closed form off the token counts, NOT a sum of the
+    // count-floored bi frame (p(ab) must be a probability over ALL
+    // bigram occurrences, not just the frequent ones)
+    val nbi = toked.groupBy($"lang")
+      .agg((sum(size($"toks")) - count(lit(1))).as("n_bi"))
+    val scored = bi
+      .join(uni.select($"lang", $"w".as("w1"), $"c".as("c_a")), Seq("lang", "w1"))
+      .join(uni.select($"lang", $"w".as("w2"), $"c".as("c_b")), Seq("lang", "w2"))
+      .join(broadcast(totals), Seq("lang"))
+      .join(broadcast(nbi), Seq("lang"))
+      .select($"lang", $"w1", $"w2", $"n_ab",
+        floor(log(($"n_ab".cast("double") * $"n_uni".cast("double") *
+          $"n_uni".cast("double")) /
+          ($"n_bi".cast("double") * $"c_a".cast("double") *
+            $"c_b".cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("bigint").as("pmi_micro"))
+    graft.plans.TopK.perKey(scored, Seq("lang"),
+      Seq("pmi_micro" -> false, "w1" -> true, "w2" -> true), PmiTopK,
+      rankCol = "rn")
+      .select($"lang", $"w1", $"w2", $"n_ab", $"pmi_micro",
+        $"rn".cast("bigint").as("rn"))
+      .orderBy($"lang", $"rn")
+  }
 
   /** q123: n-gram width of the novelty profile (matches q121's
     * decontamination gram and q93's span threshold — one boilerplate
@@ -955,6 +1028,40 @@ object Corpus {
     // Twin of q119: tf/df as exact counts, ln micro-rounded into the
     // ranked score, row_number ranks (the TopKPerKey contract —
     // TopKSpec pins rank equivalence).
+    // Twin of q125: identical association order inside the ln (the
+    // operands are exact integers cast to double; ln's 1-ulp libm
+    // divergence is absorbed by the micro rounding — q43's note).
+    "q125_pmi_bigrams" ->
+      s"""WITH t AS (SELECT lang, ${Sql.toks("text")} AS toks FROM documents
+         |           WHERE len(${Sql.toks("text")}) > 1),
+         |bi0 AS (SELECT lang, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+         |        FROM t, unnest(range(0, len(toks) - 1)) u(i)),
+         |bi AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM bi0 GROUP BY lang, w1, w2 HAVING count(*) >= $PmiMinCount),
+         |uni AS (SELECT lang, unnest(${Sql.toks("text")}) AS w FROM documents),
+         |u1 AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY lang, w),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_uni FROM u1 GROUP BY lang),
+         |nb AS (SELECT lang, CAST(sum(len(toks)) - count(*) AS BIGINT) AS n_bi
+         |       FROM t GROUP BY lang),
+         |sc AS (SELECT bi.lang, bi.w1, bi.w2, bi.n_ab,
+         |         CAST(floor(ln(
+         |           (CAST(bi.n_ab AS DOUBLE) * CAST(tot.n_uni AS DOUBLE)
+         |              * CAST(tot.n_uni AS DOUBLE))
+         |           / (CAST(nb.n_bi AS DOUBLE) * CAST(a.c AS DOUBLE)
+         |              * CAST(b.c AS DOUBLE)))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+         |       FROM bi
+         |       JOIN u1 a ON a.lang = bi.lang AND a.w = bi.w1
+         |       JOIN u1 b ON b.lang = bi.lang AND b.w = bi.w2
+         |       JOIN tot ON tot.lang = bi.lang
+         |       JOIN nb ON nb.lang = bi.lang),
+         |r AS (SELECT lang, w1, w2, n_ab, pmi_micro,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT lang, w1, w2, n_ab, pmi_micro, rn FROM r
+         |WHERE rn <= $PmiTopK ORDER BY lang, rn""".stripMargin,
+
     // Twin of q123: same distinct-shingle-hash device as the q24/
     // q121 oracles, df + join-back in plain SQL.
     "q123_ngram_novelty" ->

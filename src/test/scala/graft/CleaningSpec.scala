@@ -154,6 +154,25 @@ class CleaningSpec extends AnyFunSuite {
     spark.catalog.clearCache() // ngramNovelty persist contract
   }
 
+  test("boilerplate gram table: cross-doc template tops the report, within-doc repeats excluded") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val template = ws("t", 1, 8) // exactly one 8-gram
+    val docs = Seq(
+      (1L, template + " " + ws("a", 1, 4)),
+      (2L, ws("b", 1, 4) + " " + template),
+      (3L, template),
+      (4L, ws("r", 1, 8) + " " + ws("r", 1, 8)), // within-doc repeat only
+      (5L, ws("u", 1, 20))                       // unique grams
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.boilerplateGrams(docs)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty && out.head == ((template, 3L, 3L)),
+      s"template must top the table: ${out.toSeq}")
+    assert(out.forall(_._2 > 1), "n_docs == 1 rows must be excluded")
+    assert(!out.exists(_._1.startsWith("r1 ")),
+      "a within-doc repeat is not cross-doc boilerplate")
+  }
+
   test("PII scrub: multi-PII docs count and mask exactly, clean text untouched") {
     val docs = Seq(
       (1L, "write to ann.b@corp.example.com or bob9@x.co soon call +1-555-0199 ok"),

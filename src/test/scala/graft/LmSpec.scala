@@ -12,6 +12,24 @@ class LmSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("PMI collocations: a planted always-together pair tops its language, rare pairs floored out") {
+    // 6 docs of "qq zz aa<i> ab<i>": bigram (qq,zz) count 6 clears
+    // the >=5 floor, every other bigram counts 1 and is floored out.
+    // Closed form: c(qq)=c(zz)=6, n_uni=24, n_bi=3*6=18 ->
+    // pmi = ln(6*24*24 / (18*6*6)) = ln(16/3)
+    val docs = (1L to 6L).map(i => ("en", s"qq zz aa$i ab$i"))
+      .toDF("lang", "text")
+    val out = graft.queries.Corpus.pmiBigrams(docs)
+      .select($"lang", $"w1", $"w2", $"n_ab", $"pmi_micro", $"rn")
+      .as[(String, String, String, Long, Long, Long)].collect()
+    assert(out.length == 1, s"only the floored pair reports: ${out.toSeq}")
+    val (lang, w1, w2, nab, pmi, rn) = out.head
+    assert((lang, w1, w2, nab, rn) == (("en", "qq", "zz", 6L, 1L)))
+    val expect = math.floor(math.log(6.0 * 24 * 24 / (18.0 * 6 * 6)) * 1e6 + 0.5).toLong
+    assert(math.abs(pmi - expect) <= 1L, s"pmi $pmi vs closed-form $expect")
+    spark.catalog.clearCache() // pmiBigrams persist contract
+  }
+
   test("planted LM: unigram, bigram, backoff and OOV branches score exactly") {
     // reference: "the cat sat on the mat" — uni: the:2 cat:1 sat:1
     // on:1 mat:1 (N=6, V=5); bigrams all count 1
