@@ -381,7 +381,11 @@ object Cleaning {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select($"doc_id", explode(TextOps.shingles($"text", SpanK)).as("gram"))
+      // toks MATERIALIZED before the shingle HOF (chunksOf's PERF
+      // note: an inline tokens(text) re-tokenizes the whole text
+      // once per window — measured here 6.4 s → 0.5 s at sf0.1)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(TextOps.shinglesOf($"toks", SpanK)).as("gram"))
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("occ"))
       .groupBy($"gram")
       .agg(count(lit(1)).as("n_docs"), sum($"occ").as("n_occur"))

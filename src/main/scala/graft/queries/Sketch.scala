@@ -365,6 +365,33 @@ object Sketch {
       perplexitySplit(Tables.documents(s, d))
     },
 
+    // Weighted sampling WITHOUT replacement (the Efraimidis &
+    // Spirakis 2006 k-sample, realized as an integer TOKEN RACE):
+    // give every (doc, token-slot) a permuted integer hash and let
+    // each doc's clock be the MIN over its slots — the doc holding
+    // the corpus-wide minimum wins with probability w/Σw EXACTLY
+    // (the min lands uniformly over token slots), and the k smallest
+    // clocks are the without-replacement sample. Weight = token
+    // count, the curation use: a token-budget-proportional subsample
+    // preserves the token-mass distribution where q122's uniform
+    // stratified draw (deliberately) does not — the two samplers
+    // answer different questions and ship side by side. The float
+    // formulation (−ln(u)/w exponential clocks) was BUILT AND
+    // REJECTED here: resolving clocks that span [1e−12, 20] needs a
+    // 1e17 fixed point, which puts ln's 1-ulp libm noise IN THE
+    // RANKED DIGITS — the exact failure the q43/Determinism doctrine
+    // exists to prevent. The race is pure int64 arithmetic (the
+    // MinHash permutation family's form), bit-identical anywhere.
+    //
+    // Scale shape: one pass computes per-doc slot-hash minima (a
+    // fold over the token count — O(corpus tokens), the tokenize
+    // cost's shape); global top-k is a TakeOrdered (per-partition
+    // heads + driver merge), never a global sort; the final
+    // row_number runs over k rows.
+    "q127_weighted_sample" -> { (s, d) =>
+      weightedSample(Tables.documents(s, d))
+    },
+
     // Per-class embedding diversity WITHOUT a pairwise join: the
     // mean squared pairwise L2 distance obeys the variance identity
     //   (1/n²)·Σᵢ Σⱼ ||xᵢ−xⱼ||² = 2·( E||x||² − ||E x||² ),
@@ -424,6 +451,34 @@ object Sketch {
           floor((lit(2.0) * ($"m2" - $"mu_sq")) * lit(1e6) + lit(0.5)))
           .as("diversity_micro"))
       .orderBy($"label")
+  }
+
+  /** q127: sample size. */
+  private val WSampleK = 20
+
+  /** The q127 chain over any (doc_id, text) frame (spec hook:
+    * planted heavy/light corpus — SketchSpec). Slot hash =
+    * ((doc_id mod P)·Mult + t) mod P · Mult mod P — the MinHash
+    * permutation family's integer form, every operand < 2.66e18 so
+    * no int64 wrap under ANSI. */
+  private[graft] def weightedSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.SeededSample.{Mod, Mult}
+    val clock = array_min(transform(sequence(lit(1L), $"w"),
+      t => (pmod(pmod($"doc_id", lit(Mod)) * lit(Mult) + t, lit(Mod)) *
+        lit(Mult)) % lit(Mod)))
+    val top = docs
+      .select($"doc_id", graft.ops.TextOps.tokenCount($"text")
+        .cast("bigint").as("w"))
+      .filter($"w" > 0L)
+      .select($"doc_id", $"w", clock.as("clock"))
+      .orderBy($"clock", $"doc_id").limit(WSampleK)
+    top.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"clock", $"doc_id")).cast("bigint"))
+      .select($"rn", $"doc_id", $"w", $"clock")
+      .orderBy($"rn")
   }
 
   /** The q120 chain over any (doc_id, lang, text) frame (spec hook:
@@ -509,6 +564,24 @@ object Sketch {
          |SELECT user_id, true_n, least(n1, n2, n3) AS est_n
          |FROM t JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
          |ORDER BY true_n DESC, user_id LIMIT 10""".stripMargin,
+
+    // Twin of q127: same integer slot-hash race — pure int64
+    // arithmetic, no float anywhere.
+    "q127_weighted_sample" -> {
+      import graft.ops.SeededSample.{Mod, Mult}
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(${TextVector.Sql.toks("text")}) AS BIGINT) AS w
+         |           FROM documents),
+         |c AS (SELECT doc_id, w,
+         |        list_min(list_transform(range(1, w + 1), t ->
+         |          ((doc_id % $Mod) * $Mult + t) % $Mod * $Mult % $Mod)) AS clock
+         |      FROM t WHERE w > 0),
+         |r AS (SELECT doc_id, w, clock,
+         |        CAST(row_number() OVER (ORDER BY clock, doc_id) AS BIGINT) AS rn
+         |      FROM c)
+         |SELECT rn, doc_id, w, clock FROM r
+         |WHERE rn <= $WSampleK ORDER BY rn""".stripMargin
+    },
 
     "q96_bloom_filter" ->
       s"""WITH members AS (SELECT DISTINCT o_custkey FROM orders),

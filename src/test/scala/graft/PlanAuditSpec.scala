@@ -114,7 +114,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // boilerplate key would funnel its whole occurrence set onto one
     // reducer, and AQE cannot split a window partition
     for (name <- Seq("q75_paragraph_dedup", "q93_span_dedup",
-        "q68_winnow_overlap", "q70_inverted_index", "q119_tfidf_keywords"))
+        "q68_winnow_overlap", "q70_inverted_index", "q119_tfidf_keywords",
+        "q121_decontamination", "q123_ngram_novelty", "q125_pmi_bigrams",
+        "q126_boilerplate_grams"))
       assert(!plans(name).contains("Window"),
         s"$name plans a window — per-content-key state must stay a skew-immune aggregate:\n${plans(name)}")
   }

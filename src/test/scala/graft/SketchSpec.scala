@@ -143,6 +143,32 @@ class SketchSpec extends AnyFunSuite {
       s"sub-cap group must be exact: $e")
   }
 
+  test("q127 weighted sample matches the integer token-race clocks computed independently") {
+    import graft.ops.SeededSample.{Mod, Mult}
+    // 5 heavy docs (200 tokens) among 60 light ones (2 tokens): a
+    // heavy doc's clock is the min over 100x more slots, so the
+    // top-20 should be weight-tilted; the exact expected list is
+    // computed HERE with the same integer formula — pure int64, so
+    // the comparison is EXACT (the rejected float formulation needed
+    // an ulp band; see the q127 entry comment)
+    val docs = ((1L to 5L).map(i => (i, (0 until 200).map(j => s"h${i}w$j").mkString(" "))) ++
+      (100L to 159L).map(i => (i, s"l${i}a l${i}b"))).toDF("doc_id", "text")
+    val got = graft.queries.Sketch.weightedSample(docs)
+      .select($"rn", $"doc_id", $"w", $"clock")
+      .as[(Long, Long, Long, Long)].collect()
+    def clock(id: Long, w: Long): Long =
+      (1L to w).map(t => ((id % Mod) * Mult + t) % Mod * Mult % Mod).min
+    val expected = ((1L to 5L).map(i => (i, 200L)) ++
+      (100L to 159L).map(i => (i, 2L)))
+      .map { case (id, w) => (id, w, clock(id, w)) }
+      .sortBy(t => (t._3, t._1)).take(20)
+      .zipWithIndex.map { case ((id, w, c), i) => (i + 1L, id, w, c) }
+    assert(got.toSeq == expected,
+      s"sample diverges from independent clocks:\n got=${got.toSeq}\n exp=$expected")
+    assert(got.count(_._2 <= 5L) == 5,
+      "all heavy docs should make a 20-slot sample at 100x weight")
+  }
+
   test("q114 diversity: collapsed class = 0, antipodal halves = closed-form 2, dedup raises it") {
     // The variance identity's closed forms on planted unit vectors:
     // label 0 — four identical copies: E||x||² = ||μ||² = 1 → 0;
