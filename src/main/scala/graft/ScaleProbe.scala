@@ -82,7 +82,10 @@ object ScaleProbe {
   }
 
   private val Probed = Seq("q24_near_dup", "q29_simhash_dedup",
-    "q34_embed_dup", "q93_span_dedup", "q104_semdedup", "q90_ivf_pq")
+    "q34_embed_dup", "q93_span_dedup", "q104_semdedup", "q90_ivf_pq",
+    // round-13 additions: the new shingle-heavy text-analysis ops
+    "q121_decontamination", "q123_ngram_novelty", "q125_pmi_bigrams",
+    "q126_boilerplate_grams")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

@@ -49,7 +49,8 @@ object SparkEntry {
     * Keyed by stage, asserted by the buildCount specs
     * (ClusterSpec/BpeSpec/LearnSpec/SemDedupSpec). */
   val trainedStageQueries: Map[String, Seq[String]] = Map(
-    "near_dup_labels" -> Seq("q63_dedup_clusters", "q65_leakage_split", "q67_dedup_keep"),
+    "near_dup_labels" -> Seq("q63_dedup_clusters", "q65_leakage_split",
+      "q67_dedup_keep", "q128_source_redundancy"),
     "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
     "probe_weights" -> Seq("q98_linear_probe", "q113_probe_calibration"),
     "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers",

@@ -114,6 +114,33 @@ object Clusters {
         .orderBy($"lang")
     },
 
+    // Per-SOURCE redundancy report: which crawl/provider is
+    // delivering documents the corpus already has — the
+    // source-procurement view of the same label table q67 consumes
+    // (q67 answers "what survives per language"; this answers
+    // "which source to renegotiate"). A source whose dup rate is
+    // high duplicates OTHER sources or itself either way its
+    // marginal token value is low — the report published next to
+    // the q100 funnel when a team decides where the next crawl
+    // budget goes. Same scale shape as q67: the drop set is a tiny
+    // broadcast, the corpus scan never shuffles, the rollup
+    // map-side combines to O(sources) rows.
+    "q128_source_redundancy" -> { (s, d) =>
+      import s.implicits._
+      val drop = NearDupStage.labels(s, d)
+        .filter($"id" =!= $"label")
+        .select($"id".as("doc_id"), lit(1L).as("isdup"))
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"isdup", lit(0L))).as("n_dup"),
+          floor(sum(coalesce($"isdup", lit(0L))).cast("double") /
+            count(lit(1)).cast("double") * lit(1e6) + lit(0.5))
+            .cast("bigint").as("dup_rate_micro"))
+        .orderBy($"source")
+    },
+
     // Leakage-safe train/val/test split: the unit of assignment is
     // the near-dup CLUSTER, not the document — two near-duplicate
     // docs must never straddle train and test, or the held-out set
@@ -198,6 +225,19 @@ object Clusters {
          |WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+
+    // Twin of q128: the same label replay, rolled up by source.
+    "q128_source_redundancy" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |dup AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(floor(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS dup_rate_micro
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     "q65_leakage_split" ->
       s"""WITH RECURSIVE $CcCtes,
