@@ -311,6 +311,38 @@ object Learn {
       calibrationBins(ProbeTrainer.score(Tables.embeddings(s, d), wm))
     },
 
+    // Top principal component of the embedding table by FIXED-STEP
+    // power iteration — the statistic behind embedding whitening
+    // ("All-but-the-top", Mu & Viswanath 2018: subtracting the mean
+    // and the top PCs measurably improves similarity search; the
+    // q108/q115 geometry family's missing diagnostic). Output: one
+    // row per dimension with the per-dim mean, the unit top-PC
+    // coordinate, and the PC's variance (Rayleigh estimate) riding
+    // as a constant column — what a retrieval team inspects before
+    // deciding to whiten, and the direction the whitening transform
+    // subtracts. The result is DEFINED as the PcIters-step iterate
+    // from the fixed start (1/√64,…) — like q92's BPE rounds and
+    // q98's GD trajectory, the oracle replays the whole dynamics
+    // (per-iteration matvec, micro-quantized term sums, fixed-order
+    // norm fold, micro-rounded re-normalization), so the gate
+    // certifies the iteration itself, not just a final projection.
+    //
+    // Determinism: the mean comes from q114's per-dim int64 micro
+    // sums; each matvec's row dot folds in dimension order (the
+    // VectorOps.dot convention); the z-accumulation quantizes every
+    // (row, dim) term to int64 micro BEFORE the order-free sum; the
+    // iterate re-normalizes to MICRO-ROUNDED coordinates each step
+    // so both engines carry identical v into the next round.
+    //
+    // Scale shape (the ProbeTrainer argument): each iteration is ONE
+    // map-side-combined aggregation collecting exactly 64 longs to
+    // the driver; the iterate rides back as a broadcast literal;
+    // nothing in the loop is O(corpus) driver state. Cost: PcIters
+    // passes over an (n × 64) table.
+    "q129_top_pc" -> { (s, d) =>
+      topPc(Tables.embeddings(s, d))
+    },
+
     // Stratified annotation-batch sampler: k docs PER DOMAIN by the
     // engine's seeded hash permutation (graft.ops.SeededSample's
     // rank — deterministic across engines and re-runs, unbiased
@@ -344,6 +376,61 @@ object Learn {
 
   /** q122: per-domain annotation-batch size. */
   private val SampleK = 20
+
+  /** q129: power-iteration steps and embedding width. 8 steps from
+    * the fixed uniform start separate the testdata's top eigenvalue
+    * cleanly (LearnSpec's planted-direction case converges to
+    * |cos| > 0.999); the output is DEFINED as the 8-step iterate. */
+  private val PcIters = 8
+  private val PcDims = 64
+
+  /** The q129 chain over any (embedding) frame (spec hook: planted
+    * dominant-direction table — LearnSpec). See the entry comment
+    * for the determinism and scale story. */
+  private[graft] def topPc(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val x = emb.select(graft.ops.VectorOps.toDouble(col("embedding")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = x.count()
+    require(n > 0, "topPc on an empty embedding table")
+    val dsums = x.select(posexplode($"x").as(Seq("dim", "xv")))
+      .select($"dim", floor($"xv" * lit(1e6) + lit(0.5)).cast("bigint").as("xm"))
+      .groupBy($"dim").agg(sum($"xm").as("dsum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mu = Array.tabulate(PcDims)(d0 =>
+      dsums.getOrElse(d0, 0L).toDouble / (n * 1e6))
+    // v0 = (1/√64, …): 0.125 is exactly representable, ‖v0‖ = 1
+    var vm = Array.fill(PcDims)(125000L)
+    var lambdaMicro = 0L
+    for (_ <- 1 to PcIters) {
+      val muLit = typedLit(mu.toSeq)
+      val vLit = typedLit(vm.map(_.toDouble / 1e6).toSeq)
+      val cCol = zip_with($"x", muLit, (a, b) => a - b)
+      val yCol = aggregate(zip_with(cCol, vLit, (a, b) => a * b),
+        lit(0.0), (acc, p) => acc + p)
+      val zs = x.select(yCol.as("y"), cCol.as("c"))
+        .select($"y", posexplode($"c").as(Seq("dim", "cv")))
+        .select($"dim",
+          floor($"y" * $"cv" * lit(1e6) + lit(0.5)).cast("bigint").as("t"))
+        .groupBy($"dim").agg(sum($"t").as("zs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val z = Array.tabulate(PcDims)(d0 => zs.getOrElse(d0, 0L).toDouble / 1e6)
+      val norm = math.sqrt(z.foldLeft(0.0)((acc, zd) => acc + zd * zd))
+      // fail loudly on a zero-variance table (all vectors identical
+      // after centering): a principal DIRECTION does not exist, and
+      // silently iterating on NaN would surface as an unrelated
+      // downstream error (ProbeTrainer's empty-set posture)
+      require(norm > 0.0, "topPc: zero-variance embeddings — no principal direction")
+      lambdaMicro = math.floor(norm / n * 1e6 + 0.5).toLong
+      vm = z.map(zd => math.floor(zd / norm * 1e6 + 0.5).toLong)
+    }
+    x.unpersist()
+    (0 until PcDims).map { d0 =>
+      (d0.toLong, math.floor(mu(d0) * 1e6 + 0.5).toLong, vm(d0), lambdaMicro)
+    }.toDF("dim", "mean_micro", "pc_micro", "lambda_micro")
+      .coalesce(1).orderBy($"dim")
+  }
 
   /** The q113 binning stage over any (label, pred, score) frame
     * (spec hook: hand-built scored frames with known bin accuracy /
@@ -564,6 +651,56 @@ object Learn {
          |  WHERE d.doc_id % 2 = 1)
          |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_tok, lw_micro
          |FROM r WHERE rn <= $DsirTopN ORDER BY lang, rn""".stripMargin
+    },
+
+    // Twin of q129: the full power-iteration trajectory as unrolled
+    // materialized CTEs (the q98 device). Per iteration: row dots
+    // fold in dim order over (cv·v) lists, z terms micro-quantize to
+    // int64 before the order-free sum, the norm folds squared
+    // coordinates in dim order, and the iterate re-enters as
+    // micro-rounded doubles — operand-for-operand the Spark loop.
+    "q129_top_pc" -> graft.ops.Determinism.Oracles.materializeCtes {
+      val iters = (1 to PcIters).map { k =>
+        s"""y$k AS (SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list(cv * v ORDER BY dim)), (a, b) -> a + b) AS y
+           |        FROM c JOIN v${k - 1} USING (dim) GROUP BY vec_id),
+           |z$k AS (SELECT dim,
+           |          CAST(sum(CAST(floor(y * cv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS zs
+           |        FROM c JOIN y$k USING (vec_id) GROUP BY dim),
+           |nr$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list((CAST(zs AS DOUBLE) / 1000000.0) * (CAST(zs AS DOUBLE) / 1000000.0)
+           |             ORDER BY dim)), (a, b) -> a + b)) AS nrm FROM z$k),
+           |v$k AS (SELECT dim,
+           |          CAST(CAST(floor(CAST(zs AS DOUBLE) / 1000000.0
+           |            / (SELECT nrm FROM nr$k) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+           |            / 1000000.0 AS v FROM z$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |ed AS (SELECT vec_id, CAST(u.d AS INTEGER) AS dim, x[u.d + 1] AS xv
+         |       FROM e, unnest(range(0, $PcDims)) u(d)),
+         |dm AS (SELECT dim,
+         |         CAST(sum(CAST(floor(xv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dsum
+         |       FROM ed GROUP BY dim),
+         |mu AS (SELECT dim, CAST(dsum AS DOUBLE)
+         |         / (CAST((SELECT n FROM cnt) AS DOUBLE) * 1000000.0) AS m
+         |       FROM dm),
+         |c AS (SELECT ed.vec_id, ed.dim, ed.xv - mu.m AS cv
+         |      FROM ed JOIN mu USING (dim)),
+         |v0 AS (SELECT CAST(u.d AS INTEGER) AS dim, CAST(0.125 AS DOUBLE) AS v
+         |       FROM unnest(range(0, $PcDims)) u(d)),
+         |$iters,
+         |pc AS (SELECT dim,
+         |         CAST(floor(CAST(zs AS DOUBLE) / 1000000.0
+         |           / (SELECT nrm FROM nr$PcIters) * 1000000.0 + 0.5) AS BIGINT) AS pc_micro
+         |       FROM z$PcIters),
+         |lam AS (SELECT CAST(floor((SELECT nrm FROM nr$PcIters)
+         |          / CAST((SELECT n FROM cnt) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro)
+         |SELECT CAST(mu.dim AS BIGINT) AS dim,
+         |  CAST(floor(mu.m * 1000000.0 + 0.5) AS BIGINT) AS mean_micro,
+         |  pc.pc_micro, lam.lambda_micro
+         |FROM mu JOIN pc USING (dim) CROSS JOIN lam
+         |ORDER BY dim""".stripMargin
     },
 
     // Twin of q122: SeededSample's documented SQL replay, one

@@ -282,6 +282,43 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 top-PC: planted dominant direction recovered, mean exact, lambda matches the planted variance") {
+    // 420 vectors (20 full cycles of the 21 s-values) = mean (0.1
+    // per dim) + s_i * axis, where axis is
+    // the unit diag(8,..,8,1,..,1)/norm-ish direction: plant ALL
+    // variance along ONE known unit direction, so the 8-step iterate
+    // must align with it and lambda must equal Var(s) along it
+    val dims = 64
+    val axis0 = Array.tabulate(dims)(d => if (d < 8) 1.0 else 0.0)
+    val nrm = math.sqrt(axis0.map(a => a * a).sum)
+    val axis = axis0.map(_ / nrm)
+    val rows = (0 until 420).map { i =>
+      val s = (i % 21 - 10) / 50.0 // in [-0.2, 0.2], mean 0, known var
+      Tuple1(Array.tabulate(dims)(d => (0.1 + s * axis(d)).toFloat).toSeq)
+    }
+    val emb = rows.toDF("embedding")
+    val out = graft.queries.Learn.topPc(emb)
+      .select($"dim", $"mean_micro", $"pc_micro", $"lambda_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == dims)
+    // mean: 0.1 everywhere plus s-mean*axis (s-mean = 0 by symmetry)
+    out.foreach { case (d, m, _, _) =>
+      assert(math.abs(m - 100000L) <= 3L, s"dim $d mean_micro $m != ~100000")
+    }
+    // direction: |cos(pc, axis)| > 0.999
+    val pc = out.map(_._3.toDouble / 1e6)
+    val cos = pc.zip(axis).map { case (a, b) => a * b }.sum /
+      math.sqrt(pc.map(a => a * a).sum)
+    assert(math.abs(cos) > 0.999, f"planted axis not recovered: |cos|=$cos%.4f")
+    // lambda = mean squared projection = Var(s): s uniform over
+    // {-10..10}/50 -> E[s^2] = (2/21)*sum_{1..10}(k/50)^2 = 0.0147...
+    val varS = (1 to 10).map(k => math.pow(k / 50.0, 2)).sum * 2 / 21
+    val lam = out.head._4.toDouble / 1e6
+    assert(math.abs(lam - varS) < 0.001,
+      f"lambda $lam%.4f != planted variance $varS%.4f")
+    spark.catalog.clearCache() // topPc persist contract
+  }
+
   test("score() runs on an UNLABELED frame — the production full-corpus call") {
     // labels exist only on the training slice; the corpus being
     // scored has none, so score must not demand the column
