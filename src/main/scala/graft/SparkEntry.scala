@@ -54,7 +54,8 @@ object SparkEntry {
     "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
     "probe_weights" -> Seq("q98_linear_probe", "q113_probe_calibration"),
     "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers",
-      "q115_corpus_map"))
+      "q115_corpus_map"),
+    "pc_fit" -> Seq("q129_top_pc", "q130_whiten"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the

@@ -340,7 +340,31 @@ object Learn {
     // nothing in the loop is O(corpus) driver state. Cost: PcIters
     // passes over an (n × 64) table.
     "q129_top_pc" -> { (s, d) =>
-      topPc(Tables.embeddings(s, d))
+      pcFrame(s, pcStage.get(s, d))
+    },
+
+    // Whitening APPLIED — the transform q129 diagnoses: per vector,
+    // subtract the corpus mean and remove the top-PC component
+    // ("all-but-the-top", Mu & Viswanath 2018). Output per vec_id:
+    // the original norm, the projection onto the top PC (the
+    // coordinate the transform deletes), and the residual norm —
+    // the before/after geometry a retrieval team reads to see how
+    // much of each vector the common direction owned. The fit comes
+    // from the SAME memoized pcStage as q129 (one training pass,
+    // two readers — the trained-stage convention).
+    //
+    // Determinism: no cross-row float sums at all — every fold is
+    // per-row in dimension order (norm, projection, residual), the
+    // fit enters as micro-rounded literals, outputs micro-round at
+    // the boundary; the DuckDB twin replays the trajectory CTEs and
+    // the identical fold chain.
+    //
+    // Scale shape: ONE narrow pass over the embedding table with the
+    // fit broadcast as literals — no shuffle, no explode; the
+    // whitened-corpus write is this select with the arithmetic kept
+    // and the rounding dropped.
+    "q130_whiten" -> { (s, d) =>
+      whitenWith(Tables.embeddings(s, d), pcStage.get(s, d))
     },
 
     // Stratified annotation-batch sampler: k docs PER DOMAIN by the
@@ -384,10 +408,19 @@ object Learn {
   private val PcIters = 8
   private val PcDims = 64
 
-  /** The q129 chain over any (embedding) frame (spec hook: planted
-    * dominant-direction table — LearnSpec). See the entry comment
-    * for the determinism and scale story. */
-  private[graft] def topPc(emb: DataFrame): DataFrame = {
+  /** The fitted q129 state: row count, per-dim mean (exact doubles
+    * derived from int64 micro sums), the micro-rounded top-PC
+    * iterate, and the Rayleigh variance estimate. Shared by q129
+    * (the diagnostic table) and q130 (the applied whitening) via
+    * [[pcStage]] — the fit is the trained artifact, the queries are
+    * its two readers. */
+  private[graft] final case class PcFit(
+      n: Long, mu: Array[Double], vm: Array[Long], lambdaMicro: Long)
+
+  /** The q129 power iteration over any (embedding) frame (spec hook:
+    * planted dominant-direction table — LearnSpec). See the q129
+    * entry comment for the determinism and scale story. */
+  private[graft] def pcFit(emb: DataFrame): PcFit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val x = emb.select(graft.ops.VectorOps.toDouble(col("embedding")).as("x"))
@@ -426,10 +459,104 @@ object Learn {
       vm = z.map(zd => math.floor(zd / norm * 1e6 + 0.5).toLong)
     }
     x.unpersist()
+    PcFit(n, mu, vm, lambdaMicro)
+  }
+
+  /** One fit per (session, corpus dir) — q129 and q130 read the
+    * same trained iterate, mirroring how a production pipeline fits
+    * the whitening stats once and both the diagnostic report and
+    * the transform consume them (disclosed in
+    * `SparkEntry.trainedStageQueries`). */
+  private val pcStage = new graft.ops.SessionStage[PcFit]((s, d) =>
+    pcFit(Tables.embeddings(s, d)))
+
+  private[graft] def pcStageBuilds: Int = pcStage.buildCount
+  private[graft] def pcStageReset(): Unit = pcStage.reset()
+
+  /** The q129 output frame from a fit. */
+  private def pcFrame(spark: SparkSession, fit: PcFit): DataFrame = {
+    import spark.implicits._
     (0 until PcDims).map { d0 =>
-      (d0.toLong, math.floor(mu(d0) * 1e6 + 0.5).toLong, vm(d0), lambdaMicro)
+      (d0.toLong, math.floor(fit.mu(d0) * 1e6 + 0.5).toLong, fit.vm(d0),
+        fit.lambdaMicro)
     }.toDF("dim", "mean_micro", "pc_micro", "lambda_micro")
       .coalesce(1).orderBy($"dim")
+  }
+
+  /** The q129 chain over any (embedding) frame (spec hook —
+    * LearnSpec's planted-direction case). */
+  private[graft] def topPc(emb: DataFrame): DataFrame =
+    pcFrame(emb.sparkSession, pcFit(emb))
+
+  /** The q130 transform over any (vec_id, embedding) frame given a
+    * fit (spec hook: LearnSpec's planted corpus, where the residual
+    * must vanish). Pure per-row arithmetic: every fold runs in
+    * dimension order (the VectorOps.dot convention), outputs
+    * micro-round at the boundary — bit-identical to the DuckDB
+    * twin's list_reduce chain. */
+  private[graft] def whitenWith(emb: DataFrame, fit: PcFit): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val muLit = typedLit(fit.mu.toSeq)
+    val vLit = typedLit(fit.vm.map(_.toDouble / 1e6).toSeq)
+    val x = graft.ops.VectorOps.toDouble(col("embedding"))
+    emb.select($"vec_id", x.as("x"), zip_with(x, muLit, (a, b) => a - b).as("c"))
+      .select($"vec_id", $"x", $"c",
+        aggregate(zip_with($"c", vLit, (a, b) => a * b),
+          lit(0.0), (acc, p) => acc + p).as("proj"))
+      .select($"vec_id",
+        floor(sqrt(aggregate(transform($"x", a => a * a),
+          lit(0.0), (acc, t) => acc + t)) * lit(1e6) + lit(0.5))
+          .cast("bigint").as("norm_micro"),
+        floor($"proj" * lit(1e6) + lit(0.5)).cast("bigint").as("proj_micro"),
+        floor(sqrt(aggregate(
+          zip_with($"c", vLit, (cv, vv) =>
+            (cv - $"proj" * vv) * (cv - $"proj" * vv)),
+          lit(0.0), (acc, t) => acc + t)) * lit(1e6) + lit(0.5))
+          .cast("bigint").as("resid_micro"))
+      .orderBy($"vec_id")
+  }
+
+  /** Un-memoized q130 chain (spec hook). */
+  private[graft] def whitenReport(emb: DataFrame): DataFrame =
+    whitenWith(emb, pcFit(emb))
+
+  /** Shared WITH-body of the q129/q130 oracles: the centered table
+    * (e/cnt/ed/dm/mu/c), the fixed start v0, and the full
+    * PcIters-step trajectory — v$PcIters is the fitted iterate both
+    * queries consume. Composed by plain concatenation downstream
+    * (NB nested stripMargin — see bpeOracle). */
+  private def pcChainSql: String = {
+    val iters = (1 to PcIters).map { k =>
+      s"""y$k AS (SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(cv * v ORDER BY dim)), (a, b) -> a + b) AS y
+         |        FROM c JOIN v${k - 1} USING (dim) GROUP BY vec_id),
+         |z$k AS (SELECT dim,
+         |          CAST(sum(CAST(floor(y * cv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS zs
+         |        FROM c JOIN y$k USING (vec_id) GROUP BY dim),
+         |nr$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list((CAST(zs AS DOUBLE) / 1000000.0) * (CAST(zs AS DOUBLE) / 1000000.0)
+         |             ORDER BY dim)), (a, b) -> a + b)) AS nrm FROM z$k),
+         |v$k AS (SELECT dim,
+         |          CAST(CAST(floor(CAST(zs AS DOUBLE) / 1000000.0
+         |            / (SELECT nrm FROM nr$k) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         |            / 1000000.0 AS v FROM z$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |ed AS (SELECT vec_id, CAST(u.d AS INTEGER) AS dim, x[u.d + 1] AS xv
+       |       FROM e, unnest(range(0, $PcDims)) u(d)),
+       |dm AS (SELECT dim,
+       |         CAST(sum(CAST(floor(xv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dsum
+       |       FROM ed GROUP BY dim),
+       |mu AS (SELECT dim, CAST(dsum AS DOUBLE)
+       |         / (CAST((SELECT n FROM cnt) AS DOUBLE) * 1000000.0) AS m
+       |       FROM dm),
+       |c AS (SELECT ed.vec_id, ed.dim, ed.xv - mu.m AS cv
+       |      FROM ed JOIN mu USING (dim)),
+       |v0 AS (SELECT CAST(u.d AS INTEGER) AS dim, CAST(0.125 AS DOUBLE) AS v
+       |       FROM unnest(range(0, $PcDims)) u(d)),
+       |""".stripMargin + iters
   }
 
   /** The q113 binning stage over any (label, pred, score) frame
@@ -659,38 +786,9 @@ object Learn {
     // int64 before the order-free sum, the norm folds squared
     // coordinates in dim order, and the iterate re-enters as
     // micro-rounded doubles — operand-for-operand the Spark loop.
-    "q129_top_pc" -> graft.ops.Determinism.Oracles.materializeCtes {
-      val iters = (1 to PcIters).map { k =>
-        s"""y$k AS (SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |          list(cv * v ORDER BY dim)), (a, b) -> a + b) AS y
-           |        FROM c JOIN v${k - 1} USING (dim) GROUP BY vec_id),
-           |z$k AS (SELECT dim,
-           |          CAST(sum(CAST(floor(y * cv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS zs
-           |        FROM c JOIN y$k USING (vec_id) GROUP BY dim),
-           |nr$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list((CAST(zs AS DOUBLE) / 1000000.0) * (CAST(zs AS DOUBLE) / 1000000.0)
-           |             ORDER BY dim)), (a, b) -> a + b)) AS nrm FROM z$k),
-           |v$k AS (SELECT dim,
-           |          CAST(CAST(floor(CAST(zs AS DOUBLE) / 1000000.0
-           |            / (SELECT nrm FROM nr$k) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
-           |            / 1000000.0 AS v FROM z$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-         |ed AS (SELECT vec_id, CAST(u.d AS INTEGER) AS dim, x[u.d + 1] AS xv
-         |       FROM e, unnest(range(0, $PcDims)) u(d)),
-         |dm AS (SELECT dim,
-         |         CAST(sum(CAST(floor(xv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dsum
-         |       FROM ed GROUP BY dim),
-         |mu AS (SELECT dim, CAST(dsum AS DOUBLE)
-         |         / (CAST((SELECT n FROM cnt) AS DOUBLE) * 1000000.0) AS m
-         |       FROM dm),
-         |c AS (SELECT ed.vec_id, ed.dim, ed.xv - mu.m AS cv
-         |      FROM ed JOIN mu USING (dim)),
-         |v0 AS (SELECT CAST(u.d AS INTEGER) AS dim, CAST(0.125 AS DOUBLE) AS v
-         |       FROM unnest(range(0, $PcDims)) u(d)),
-         |$iters,
-         |pc AS (SELECT dim,
+    "q129_top_pc" -> graft.ops.Determinism.Oracles.materializeCtes(
+      "WITH " + pcChainSql + ",\n" +
+      s"""pc AS (SELECT dim,
          |         CAST(floor(CAST(zs AS DOUBLE) / 1000000.0
          |           / (SELECT nrm FROM nr$PcIters) * 1000000.0 + 0.5) AS BIGINT) AS pc_micro
          |       FROM z$PcIters),
@@ -700,8 +798,31 @@ object Learn {
          |  CAST(floor(mu.m * 1000000.0 + 0.5) AS BIGINT) AS mean_micro,
          |  pc.pc_micro, lam.lambda_micro
          |FROM mu JOIN pc USING (dim) CROSS JOIN lam
-         |ORDER BY dim""".stripMargin
-    },
+         |ORDER BY dim""".stripMargin),
+
+    // Twin of q130: the trajectory chain fixes v$PcIters, then the
+    // per-row folds (norm over xv², projection over cv·v, residual
+    // over (cv − proj·v)²) run ORDER BY dim through list_reduce —
+    // the exact operand tree of the Spark transform/zip_with chain.
+    "q130_whiten" -> graft.ops.Determinism.Oracles.materializeCtes(
+      "WITH " + pcChainSql + ",\n" +
+      s"""pr AS (SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(cv * v ORDER BY dim)), (a, b) -> a + b) AS proj
+         |      FROM c JOIN v$PcIters USING (dim) GROUP BY vec_id),
+         |n0 AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(xv * xv ORDER BY dim)), (a, b) -> a + b)) AS nrm0
+         |      FROM ed GROUP BY vec_id),
+         |rs AS (SELECT c.vec_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list((cv - pr.proj * v) * (cv - pr.proj * v) ORDER BY dim)),
+         |        (a, b) -> a + b)) AS nrmr
+         |      FROM c JOIN v$PcIters USING (dim) JOIN pr ON pr.vec_id = c.vec_id
+         |      GROUP BY c.vec_id)
+         |SELECT n0.vec_id,
+         |  CAST(floor(nrm0 * 1000000.0 + 0.5) AS BIGINT) AS norm_micro,
+         |  CAST(floor(proj * 1000000.0 + 0.5) AS BIGINT) AS proj_micro,
+         |  CAST(floor(nrmr * 1000000.0 + 0.5) AS BIGINT) AS resid_micro
+         |FROM n0 JOIN pr USING (vec_id) JOIN rs USING (vec_id)
+         |ORDER BY vec_id""".stripMargin),
 
     // Twin of q122: SeededSample's documented SQL replay, one
     // row_number per domain (fine in the oracle engine — the

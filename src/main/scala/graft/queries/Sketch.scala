@@ -412,8 +412,63 @@ object Sketch {
     "q114_embed_diversity" -> { (s, d) =>
       import s.implicits._
       embedDiversity(Tables.embeddings(s, d).select($"label", $"embedding"))
+    },
+
+    // Int8 scalar quantization report — the decision table for
+    // compressing the embedding store 4× (float32 → int8, the
+    // standard serving-layer trick next to q90's PQ, which
+    // compresses harder but lossier). Per-dim SYMMETRIC scale
+    // s_d = max|x_d|/127 (the ONNX/FAISS ScalarQuantizer
+    // convention); report per dim: the max-abs calibration stat,
+    // how many values saturate (|code| = 127 — heavy-tailed dims
+    // saturate more and argue for clipping calibration instead),
+    // and the reconstruction SSE — what a serving team reads to
+    // decide int8-vs-PQ per deployment.
+    //
+    // Determinism: the calibration stat is a MAX (order-free and
+    // exact in fp — no summation ambiguity), codes are integer
+    // floor(x/s + 0.5) clamps, and the only float aggregate (SSE)
+    // pico-quantizes each term to int64 before the order-free sum.
+    //
+    // Scale shape: two narrow passes over the table (max-abs, then
+    // code+error), each a posexplode into a map-side-combined agg
+    // whose output is 64 rows; the 64-row calibration table rides
+    // back as a broadcast join — nothing O(corpus) at the driver,
+    // no wide shuffle (id-free explode rows).
+    "q131_int8_quant" -> { (s, d) =>
+      import s.implicits._
+      int8Quant(Tables.embeddings(s, d).select($"embedding"))
     }
   )
+
+  /** The q131 chain over any (embedding) frame (spec hook: planted
+    * exactly-representable / saturating / constant-zero dims —
+    * SketchSpec). See the entry comment for the conventions. */
+  private[graft] def int8Quant(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ed = emb.select(
+      posexplode(graft.ops.VectorOps.toDouble($"embedding"))
+        .as(Seq("dim", "xv")))
+    val ma = ed.groupBy($"dim").agg(max(abs($"xv")).as("ma"))
+    ed.join(broadcast(ma), Seq("dim"))
+      .select($"dim", $"xv", $"ma", ($"ma" / lit(127.0)).as("sc"))
+      // CaseWhen evaluates lazily, so the ma = 0 (constant-zero dim)
+      // branch never executes the ANSI-throwing x/0 division
+      .select($"dim", $"xv", $"ma", $"sc",
+        when($"ma" === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor($"xv" / $"sc" + lit(0.5))))).as("code"))
+      .select($"dim", $"ma", $"code",
+        ($"xv" - $"code".cast("double") * $"sc").as("e"))
+      .groupBy($"dim", $"ma")
+      .agg(sum(when(abs($"code") === 127L, 1L).otherwise(0L)).as("n_sat"),
+        sum(floor($"e" * $"e" * lit(1e12) + lit(0.5))).as("sse_pico"))
+      .select($"dim".cast("bigint").as("dim"),
+        floor($"ma" * lit(1e6) + lit(0.5)).as("maxabs_micro"),
+        $"n_sat", $"sse_pico")
+      .orderBy($"dim")
+  }
 
   /** The q114 stage over any (label, embedding) frame (spec hook:
     * planted collapsed / antipodal classes with closed-form
@@ -730,6 +785,29 @@ object Sketch {
          |    CAST(floor((2.0 * (m2 - mu_sq)) * 1000000.0 + 0.5) AS BIGINT))
          |    AS diversity_micro
          |FROM f ORDER BY label""".stripMargin
-    }
+    },
+
+    // Twin of q131: max-abs is exact (no fp-sum ambiguity), the code
+    // is the same lazy-CASE clamp chain, and the SSE pico-quantizes
+    // each term before the order-free BIGINT sum.
+    "q131_int8_quant" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ed AS (SELECT CAST(u.i AS INTEGER) AS dim,
+         |         v[CAST(u.i AS INTEGER) + 1] AS xv
+         |       FROM e, unnest(range(0, len(v))) u(i)),
+         |ma AS (SELECT dim, max(abs(xv)) AS ma FROM ed GROUP BY dim),
+         |cd AS (SELECT ed.dim, xv, ma.ma,
+         |         CASE WHEN ma.ma = 0.0 THEN CAST(0 AS BIGINT)
+         |           ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+         |             CAST(floor(xv / (ma.ma / 127.0) + 0.5) AS BIGINT))) END AS code
+         |       FROM ed JOIN ma USING (dim)),
+         |er AS (SELECT dim, ma, code,
+         |         xv - CAST(code AS DOUBLE) * (ma / 127.0) AS e FROM cd)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(floor(ma * 1000000.0 + 0.5) AS BIGINT) AS maxabs_micro,
+         |  CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+         |  CAST(sum(CAST(floor(e * e * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS sse_pico
+         |FROM er GROUP BY dim, ma ORDER BY dim""".stripMargin
   )
 }

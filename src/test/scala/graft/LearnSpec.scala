@@ -319,6 +319,41 @@ class LearnSpec extends AnyFunSuite {
     spark.catalog.clearCache() // topPc persist contract
   }
 
+  test("q130 whitening: planted variance vanishes from the residual, projection recovers s") {
+    // same construction as the q129 case: every vector is EXACTLY
+    // mean + s_i·axis, so removing mean + top-PC must leave a
+    // near-zero residual and proj must recover ±s_i (global sign
+    // free — the iterate's sign is data-determined but consistent)
+    val dims = 64
+    val axis0 = Array.tabulate(dims)(d => if (d < 8) 1.0 else 0.0)
+    val nrm = math.sqrt(axis0.map(a => a * a).sum)
+    val axis = axis0.map(_ / nrm)
+    val rows = (0 until 420).map { i =>
+      val s = (i % 21 - 10) / 50.0
+      (i.toLong, Array.tabulate(dims)(d => (0.1 + s * axis(d)).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.queries.Learn.whitenReport(emb)
+      .select($"vec_id", $"norm_micro", $"proj_micro", $"resid_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 420)
+    // the corpus is rank-1 around its mean: whitening removes ALL of
+    // it (residual ≤ the iterate's micro-rounding, not a fraction)
+    val maxResid = out.map(_._4).max
+    assert(maxResid <= 10L, s"rank-1 corpus left resid_micro $maxResid")
+    // projection = ±s_i uniformly: one global sign, micro-accurate
+    val sgns = out.collect { case (id, _, p, _) if (id % 21).toInt != 10 =>
+      math.signum(p.toDouble) * math.signum((id % 21 - 10).toDouble)
+    }.distinct
+    assert(sgns.length == 1, s"projection sign not uniform: $sgns")
+    out.foreach { case (id, _, p, _) =>
+      val s = ((id % 21) - 10) / 50.0
+      assert(math.abs(math.abs(p) - math.abs(s) * 1e6) <= 200,
+        s"vec $id |proj_micro|=${math.abs(p)} != |s|*1e6=${math.abs(s) * 1e6}")
+    }
+    spark.catalog.clearCache() // pcFit persist contract
+  }
+
   test("score() runs on an UNLABELED frame — the production full-corpus call") {
     // labels exist only on the training slice; the corpus being
     // scored has none, so score must not demand the column

@@ -218,4 +218,31 @@ class SketchSpec extends AnyFunSuite {
         s"label $label: identity ${got(label.toLong)} vs brute $bruteMicro")
     }
   }
+
+  test("q131 int8 quant: exact-grid dim reconstructs losslessly, saturation counted, zero dim inert") {
+    // dim 0: values ON the int8 grid (k/127) — codes recover k
+    //        exactly, SSE = 0, both extremes saturate;
+    // dim 1: off-grid values — max still saturates (by construction
+    //        the calibration point codes to ±127), SSE > 0;
+    // dim 2: constant zero — scale 0, everything maps to code 0, no
+    //        saturation, no error (and no ANSI divide-by-zero)
+    val rows = Seq(
+      Array(1.0f, 0.3f, 0.0f),
+      Array(64f / 127f, -0.7f, 0.0f),
+      Array(-1.0f, 0.11f, 0.0f))
+    val out = graft.queries.Sketch.int8Quant(rows.map(r => Tuple1(r.toSeq))
+        .toDF("embedding"))
+      .select($"dim", $"maxabs_micro", $"n_sat", $"sse_pico")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 3)
+    val (_, ma0, sat0, sse0) = out(0)
+    assert(ma0 == 1000000L && sat0 == 2L && sse0 == 0L,
+      s"grid dim: $ma0 $sat0 $sse0")
+    val (_, ma1, sat1, sse1) = out(1)
+    assert(ma1 == 700000L && sat1 == 1L && sse1 > 0L,
+      s"off-grid dim: $ma1 $sat1 $sse1")
+    val (_, ma2, sat2, sse2) = out(2)
+    assert(ma2 == 0L && sat2 == 0L && sse2 == 0L,
+      s"zero dim: $ma2 $sat2 $sse2")
+  }
 }

@@ -27,6 +27,15 @@ class TrainedStageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the PC fit builds once for its two consumers (q129, q130)") {
+    graft.queries.Learn.pcStageReset()
+    SparkEntry.queries("q129_top_pc")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q130_whiten")(spark, sf).foreach(_ => ())
+    assert(graft.queries.Learn.pcStageBuilds == 1,
+      s"PC fit ran ${graft.queries.Learn.pcStageBuilds} times")
+    spark.catalog.clearCache()
+  }
+
   test("the shared quantizer trains once for its three consumers (q104, q108, q115)") {
     graft.queries.TextVector.centsStageReset()
     SparkEntry.queries("q104_semdedup")(spark, sf).foreach(_ => ())
