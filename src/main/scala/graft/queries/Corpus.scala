@@ -58,6 +58,10 @@ object Corpus {
   // demonstration index small; df is computed on the sampled terms.
   private val IdxSampleMod = 7L
 
+  // q133: token budget per training shard (the engine's 512 motif;
+  // ~3 shards per source at the gate scales, ~26 at sf0.1).
+  private val PackTokens = 512L
+
   // q71: expected chunk length = CdcMod tokens (boundary when
   // tokenhash % CdcMod == 0).
   private val CdcMod = 16L
@@ -317,6 +321,27 @@ object Corpus {
         .select($"shard_id", $"slot".cast("bigint").as("slot"),
           $"doc_id", $"h", $"n_docs", $"n_tokens")
         .orderBy($"shard_id", $"slot")
+    },
+
+    // Token-budget shard packing — the export layout job that turns
+    // a curated corpus into ~equal-token training shards (K3's
+    // re-shard op at token granularity; q69 is its hash-balanced
+    // sibling — that one balances COUNTS destroying locality, this
+    // one preserves within-source order and balances TOKENS, which
+    // is what a sequential training reader wants). Contract: a doc
+    // belongs to the shard where its token OFFSET starts (running
+    // sum per source, doc_id order), so a shard can exceed the
+    // budget by at most its last document — the standard packing
+    // discipline. Output: one row per (source, shard) with doc/token
+    // totals and the id span — the shard manifest.
+    //
+    // Scale shape: one tokenize pass; the running sum is a window
+    // PARTITIONED BY source (parallel across sources, sorted within
+    // — the shape a 100-TB export already needs for deterministic
+    // shard content); manifest rows aggregate map-side to
+    // O(sources · shards). Integer-exact throughout.
+    "q133_token_packing" -> { (s, d) =>
+      tokenPacking(Tables.documents(s, d))
     },
 
     // Inverted-index build (retrieval side of the engine): term →
@@ -683,6 +708,27 @@ object Corpus {
     }
   )
 
+  /** The q133 chain over any (source, doc_id, text) frame (spec
+    * hook: planted token counts with closed-form shard boundaries —
+    * LmSpec). See the entry comment for the packing contract. */
+  private[graft] def tokenPacking(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"source", $"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      .select($"source", $"doc_id", $"n_tok",
+        (sum($"n_tok").over(w) - $"n_tok").as("off"))
+      .select($"source", $"doc_id", $"n_tok",
+        floor($"off".cast("double") / lit(PackTokens.toDouble)).as("shard"))
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"shard")
+  }
+
   /** q125: minimum bigram count (PMI noise floor) and per-lang
     * report size. */
   private val PmiMinCount = 5
@@ -991,6 +1037,26 @@ object Corpus {
          |FROM r JOIN tot t ON r.shard_id = t.shard_id
          |WHERE r.slot <= $HeadSlots
          |ORDER BY r.shard_id, slot""".stripMargin,
+
+    // Twin of q133: same per-source running sum (ROWS UNBOUNDED
+    // PRECEDING, doc_id order), same start-offset shard rule, all
+    // integer except the one floor-div both engines share.
+    "q133_token_packing" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |             CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |o AS (SELECT source, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tok AS off
+         |      FROM t),
+         |a AS (SELECT source,
+         |        CAST(floor(CAST(off AS DOUBLE) / $PackTokens.0) AS BIGINT) AS shard,
+         |        doc_id, n_tok
+         |      FROM o)
+         |SELECT source, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM a GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
 
     "q70_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),

@@ -367,6 +367,29 @@ object Learn {
       whitenWith(Tables.embeddings(s, d), pcStage.get(s, d))
     },
 
+    // Classifier-threshold sweep — the curve a curation team reads
+    // before fixing the probe-score cutoff (the FineWeb-Edu
+    // ablation table): for every OCCUPIED 6-dp score value, how
+    // many documents and tokens survive a "keep score ≥ s"
+    // filter. One row per distinct score with exact cumulative
+    // docs/tokens from the top — pick any row, and its cum_* IS
+    // the corpus you'd train on at that threshold. Consumes the
+    // memoized probe weights (third reader next to q98/q113) and
+    // the shared tokenizer's counts.
+    //
+    // Scale shape: token counting is the only corpus-scale pass
+    // (map-side-combined agg keyed by the 6-dp score — ≤ 1e6+1
+    // distinct keys FOREVER, no skew risk: a hot score value still
+    // combines map-side); the running sum then runs over the
+    // aggregated table, so the single-partition window touches
+    // O(distinct scores) rows, never O(corpus). Integer-exact
+    // everywhere (counts and token sums — no float aggregation).
+    "q132_threshold_sweep" -> { (s, d) =>
+      thresholdSweep(
+        ProbeTrainer.score(Tables.embeddings(s, d), ProbeStage.trained(s, d)),
+        Tables.documents(s, d))
+    },
+
     // Stratified annotation-batch sampler: k docs PER DOMAIN by the
     // engine's seeded hash permutation (graft.ops.SeededSample's
     // rank — deterministic across engines and re-runs, unbiased
@@ -521,6 +544,33 @@ object Learn {
   private[graft] def whitenReport(emb: DataFrame): DataFrame =
     whitenWith(emb, pcFit(emb))
 
+  /** The q132 sweep over any scored frame (vec_id, score — the
+    * ProbeTrainer.score 6-dp contract) joined to any (doc_id, text)
+    * corpus (spec hook: planted scores/token counts with closed-form
+    * cumulatives — LearnSpec). Inner join: the sweep covers the
+    * scored ∩ textful population, the corpus the filter would
+    * actually run on. */
+  private[graft] def thresholdSweep(scored: DataFrame, docs: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id",
+      graft.ops.TextOps.tokenCount($"text").cast("bigint").as("n_tok"))
+    val byScore = scored
+      .select($"vec_id", floor($"score" * lit(1e6) + lit(0.5)).as("sm"))
+      .join(toks, $"vec_id" === $"doc_id")
+      .groupBy($"sm")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    // the running sum sees the AGGREGATED table — single-partition
+    // window over ≤ 1e6+1 rows regardless of corpus size
+    val w = Window.orderBy($"sm".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore.select($"sm".as("score_micro"), $"n_docs", $"n_tokens",
+        sum($"n_docs").over(w).as("cum_docs"),
+        sum($"n_tokens").over(w).as("cum_tokens"))
+      .orderBy($"score_micro".desc)
+  }
+
   /** Shared WITH-body of the q129/q130 oracles: the centered table
     * (e/cnt/ed/dm/mu/c), the fixed start v0, and the full
     * PcIters-step trajectory — v$PcIters is the fitted iterate both
@@ -671,6 +721,26 @@ object Learn {
         "CAST(floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) " +
         "* 1000000.0 + 0.5) AS BIGINT) AS acc_micro " +
         "FROM g ORDER BY bin"),
+
+    // Twin of q132: the full q98 training replay as a derived table
+    // (the q113 device — concatenation-composed, outer CTE names
+    // disjoint from the embedded chain's e/n/w*/wl*/wll*/p*/g*/sc),
+    // the shared tokenizer's counts, then integer-exact grouping and
+    // the top-down running sum over the aggregated score table.
+    "q132_threshold_sweep" -> graft.ops.Determinism.Oracles.materializeCtes(
+      "WITH tkc AS (SELECT doc_id, CAST(len(" +
+        TextVector.Sql.toks("text") + ") AS BIGINT) AS n_tok FROM documents),\n" +
+        "jn AS (SELECT CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sm, " +
+        "n_tok FROM (\n" + probeOracle + "\n) p0 " +
+        "JOIN tkc ON tkc.doc_id = p0.vec_id),\n" +
+        "gb AS (SELECT sm, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM jn GROUP BY 1)\n" +
+        "SELECT sm AS score_micro, n_docs, n_tokens, " +
+        "CAST(sum(n_docs) OVER (ORDER BY sm DESC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum_docs, " +
+        "CAST(sum(n_tokens) OVER (ORDER BY sm DESC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum_tokens " +
+        "FROM gb ORDER BY score_micro DESC"),
 
     "q99_domain_mixture" -> {
       import TextVector.Sql

@@ -354,6 +354,29 @@ class LearnSpec extends AnyFunSuite {
     spark.catalog.clearCache() // pcFit persist contract
   }
 
+  test("q132 sweep: closed-form cumulatives, ties merge, unscored/textless docs excluded") {
+    // scores planted at three distinct 6-dp values with a tie;
+    // token counts chosen so every cumulative is hand-checkable
+    val scored = Seq(
+      (1L, 0.9),  // 2 tokens
+      (2L, 0.5),  // 3 tokens
+      (3L, 0.5),  // 5 tokens
+      (4L, 0.1),  // 7 tokens
+      (9L, 0.8)   // no matching document text — must be excluded
+    ).toDF("vec_id", "score")
+    val docs = Seq(
+      (1L, "a a"), (2L, "b b b"), (3L, "c c c c c"), (4L, "d d d d d d d"),
+      (8L, "unscored text")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Learn.thresholdSweep(scored, docs)
+      .select($"score_micro", $"n_docs", $"n_tokens", $"cum_docs", $"cum_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (900000L, 1L, 2L, 1L, 2L),
+      (500000L, 2L, 8L, 3L, 10L),
+      (100000L, 1L, 7L, 4L, 17L)))
+  }
+
   test("score() runs on an UNLABELED frame — the production full-corpus call") {
     // labels exist only on the training slice; the corpus being
     // scored has none, so score must not demand the column

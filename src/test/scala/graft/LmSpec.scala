@@ -112,4 +112,27 @@ class LmSpec extends AnyFunSuite {
       if (id % 2 == 0) assert(nBo == 0, s"reference doc $id backed off")
     }
   }
+
+  test("q133 packing: start-offset rule, one-doc overshoot only, sources independent") {
+    // source A: token counts 300,300,300,100,600 -> offsets
+    // 0,300,600,900,1000 -> shards 0,0,1,1,1 (budget 512): shard 0
+    // holds 600 tokens (over budget by its LAST doc only), shard 1
+    // the rest. source B: a single tiny doc -> one shard.
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, doc(300)), ("A", 2L, doc(300)), ("A", 3L, doc(300)),
+      ("A", 4L, doc(100)), ("A", 5L, doc(600)),
+      ("B", 9L, doc(7))
+    ).toDF("source", "doc_id", "text")
+    val out = graft.queries.Corpus.tokenPacking(docs)
+      .select($"source", $"shard", $"n_docs", $"n_tokens",
+        $"first_doc", $"last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 0L, 2L, 600L, 1L, 2L),
+      ("A", 1L, 3L, 1000L, 3L, 5L),
+      ("B", 0L, 1L, 7L, 9L, 9L)))
+    // manifest reconciles: every doc in exactly one shard
+    assert(out.map(_._3).sum == 6L)
+  }
 }
