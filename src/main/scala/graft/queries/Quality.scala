@@ -37,6 +37,20 @@ object Quality {
   /** Sequence-packing token budget per training sequence. */
   private val PackBudget = 512
 
+  /** q134 heuristic-gate cut points (C4/Gopher-style; public rule
+    * FAMILY, corpus-tuned values — Gopher's 50..100k word band and
+    * ≥2-stopword floor scale to this corpus's 10–99-token docs as
+    * below; measured fail rates at both gate scales: 105/106 short,
+    * 47/43 long, 59/66 length-band, 150/165 stopword, ~52% pass).
+    * The mean-token-length band is in TENTHS of a char so every rule
+    * comparison stays integer (sum_len·10 vs bound·n — no float
+    * boundary anywhere). */
+  private val GateMinTok  = 30L
+  private val GateMaxTok  = 90L
+  private val GateLenLo   = 42L // mean token length ≥ 4.2 chars
+  private val GateLenHi   = 48L // mean token length ≤ 4.8 chars
+  private val GateMinStop = 5L
+
   /** Chunk width for the generator-form chunker (same as q21's). */
   private val ChunkN = 16
 
@@ -299,6 +313,27 @@ object Quality {
         .orderBy($"o_orderpriority")
     },
 
+    // Heuristic quality-gate ablation report (the C4 — Raffel et
+    // al. 2020 — and Gopher — Rae et al. 2021 — rule family): for
+    // each rule, how many docs/tokens it would drop, plus the
+    // surviving corpus under ALL rules — the table a curation team
+    // reads before enabling a rule set (overlaps included: each
+    // rule's row counts its own failures independently, the
+    // standard ablation reading; the pass_all row is the
+    // conjunction). Rules here: token count in [30,90], mean token
+    // length in [4.2,4.8] chars, ≥5 stopword hits (the shared en
+    // dict). Complements q26 (per-doc raw stats) and q51
+    // (repetition): this is the RULE-level rollup.
+    //
+    // Scale shape: ONE narrow pass — token HOFs inside whole-stage
+    // codegen (no explode, no token shuffle), global sums map-side
+    // combine to a single row, stack() unpivots to O(rules) rows at
+    // the driver boundary. Every comparison is INTEGER (tenths
+    // trick), so the oracle is exact by construction.
+    "q134_heuristic_gate" -> { (s, d) =>
+      heuristicGate(Tables.documents(s, d))
+    },
+
     "q61_exact_stats" -> { (s, d) =>
       import s.implicits._
       val cust = Tables.customer(s, d)
@@ -338,6 +373,43 @@ object Quality {
       s.sql(SubquerySql)
     }
   )
+
+  /** The q134 rule rollup over any (text) frame (spec hook: planted
+    * docs with hand-countable rule failures — CleaningSpec). See the
+    * entry comment for the rule set; rule ids carry an ordinal
+    * prefix so lexicographic ORDER BY rule is the display order. */
+  private[graft] def heuristicGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stop = TextOps.LangDicts.head._2
+    val t = docs
+      .select(TextOps.tokens($"text").as("toks"))
+      .select(size($"toks").cast("long").as("n_tok"),
+        aggregate($"toks", lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("sum_len"),
+        size(filter($"toks", x => x.isInCollection(stop))).cast("long")
+          .as("n_stop"))
+    val f = t.select($"n_tok",
+      ($"n_tok" < GateMinTok).as("f_short"),
+      ($"n_tok" > GateMaxTok).as("f_long"),
+      ($"sum_len" * 10 < lit(GateLenLo) * $"n_tok" ||
+        $"sum_len" * 10 > lit(GateLenHi) * $"n_tok").as("f_len"),
+      ($"n_stop" < GateMinStop).as("f_stop"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column) = sum(when(c, $"n_tok").otherwise(0L))
+    val pass = !$"f_short" && !$"f_long" && !$"f_len" && !$"f_stop"
+    f.agg(
+        cnt($"f_short").as("c1"), tok($"f_short").as("t1"),
+        cnt($"f_long").as("c2"), tok($"f_long").as("t2"),
+        cnt($"f_len").as("c3"), tok($"f_len").as("t3"),
+        cnt($"f_stop").as("c4"), tok($"f_stop").as("t4"),
+        cnt(pass).as("c5"), tok(pass).as("t5"))
+      .selectExpr(
+        "stack(5, '1_min_tokens', c1, t1, '2_max_tokens', c2, t2, " +
+          "'3_mean_token_len', c3, t3, '4_stopword_min', c4, t4, " +
+          "'5_pass_all', c5, t5) AS (rule, n_docs, n_tokens)")
+      .orderBy($"rule")
+  }
 
   /** Runs verbatim in both engines (ANSI subset — the Spark side
     * executes this exact text too). */
@@ -381,6 +453,47 @@ object Quality {
          |  (CAST(top_bigram AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) > $TopBigramFracMax
          |   OR CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) > $TopTokenFracMax) AS repetitive
          |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // Twin of q134: same token HOFs, same integer tenths-band rules,
+    // single-row sums unpivoted by UNION ALL.
+    "q134_heuristic_gate" -> {
+      val stopLits = TextOps.LangDicts.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT ${TSql.toks("text")} AS toks FROM documents),
+         |f AS (SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+         |        CAST(list_reduce(list_prepend(0, list_transform(toks,
+         |          x -> len(x))), (a, b) -> a + b) AS BIGINT) AS sum_len,
+         |        CAST(len(list_filter(toks,
+         |          x -> list_contains($stopLits, x))) AS BIGINT) AS n_stop
+         |      FROM t),
+         |g AS (SELECT n_tok,
+         |        n_tok < $GateMinTok AS f_short,
+         |        n_tok > $GateMaxTok AS f_long,
+         |        (sum_len*10 < $GateLenLo*n_tok
+         |         OR sum_len*10 > $GateLenHi*n_tok) AS f_len,
+         |        n_stop < $GateMinStop AS f_stop
+         |      FROM f),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(sum(CASE WHEN f_short THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+         |  CAST(sum(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |  CAST(sum(CASE WHEN f_long THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+         |  CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |  CAST(sum(CASE WHEN f_len THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+         |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |  CAST(sum(CASE WHEN f_stop THEN n_tok ELSE 0 END) AS BIGINT) AS t4,
+         |  CAST(sum(CASE WHEN NOT f_short AND NOT f_long AND NOT f_len
+         |    AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         |  CAST(sum(CASE WHEN NOT f_short AND NOT f_long AND NOT f_len
+         |    AND NOT f_stop THEN n_tok ELSE 0 END) AS BIGINT) AS t5
+         |  FROM g)
+         |SELECT '1_min_tokens' AS rule, c1 AS n_docs, t1 AS n_tokens FROM a
+         |UNION ALL SELECT '2_max_tokens', c2, t2 FROM a
+         |UNION ALL SELECT '3_mean_token_len', c3, t3 FROM a
+         |UNION ALL SELECT '4_stopword_min', c4, t4 FROM a
+         |UNION ALL SELECT '5_pass_all', c5, t5 FROM a
+         |ORDER BY rule""".stripMargin
     },
 
     "q52_pii_scrub" ->

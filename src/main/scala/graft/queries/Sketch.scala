@@ -438,8 +438,64 @@ object Sketch {
     "q131_int8_quant" -> { (s, d) =>
       import s.implicits._
       int8Quant(Tables.embeddings(s, d).select($"embedding"))
+    },
+
+    // Robust per-source length fences — median ± 3·MAD (the robust
+    // z-score / Hampel-filter convention, Leys et al. 2013) over
+    // token counts: the outlier gate a curation team runs per
+    // provider BEFORE trusting mean/stddev stats that the outliers
+    // themselves corrupt. Medians are EXACT lower medians computed
+    // from the per-source length HISTOGRAM (the q132 device): the
+    // corpus-scale work is one tokenize pass map-side-combining to
+    // O(sources × distinct lengths) rows; every window after that
+    // runs over the aggregated histogram, partitioned by source —
+    // never O(corpus) through a window. Integer-exact throughout
+    // (lower median, integer MAD, integer fences: no interpolation,
+    // no float boundary).
+    "q135_mad_fences" -> { (s, d) =>
+      madFences(Tables.documents(s, d))
     }
   )
+
+  /** The q135 chain over any (source, text) frame (spec hook:
+    * planted token counts with hand-computed medians/MADs —
+    * SketchSpec). Lower median = min value whose running histogram
+    * count reaches ceil(n/2) (2·cum ≥ n in integers). */
+  private[graft] def madFences(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = docs
+      .select($"source", graft.ops.TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      .groupBy($"source", $"n_tok").agg(count(lit(1)).as("c"))
+    // lower median of a per-source histogram (value col -> med col)
+    def lowerMedian(hist: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"source").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"source")
+      hist
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(wAll))
+        .filter($"cum" * 2 >= $"n")
+        .groupBy($"source", $"n")
+        .agg(min(col(v)).as(out))
+    }
+    val med = lowerMedian(h, "n_tok", "med")              // (source, n, med)
+    val devH = h.join(med.select($"source", $"med"), Seq("source"))
+      .select($"source", abs($"n_tok" - $"med").as("dev"), $"c")
+      .groupBy($"source", $"dev").agg(sum($"c").as("c"))
+    val mad = lowerMedian(devH, "dev", "mad")
+      .select($"source", $"mad")
+    val fences = med.join(mad, Seq("source"))
+      .select($"source", $"n".as("n_docs"), $"med", $"mad",
+        ($"med" - lit(3L) * $"mad").as("lo"),
+        ($"med" + lit(3L) * $"mad").as("hi"))
+    h.join(fences, Seq("source"))
+      .groupBy($"source", $"n_docs", $"med", $"mad", $"lo", $"hi")
+      .agg(sum(when($"n_tok" < $"lo", $"c").otherwise(0L)).as("n_low"),
+        sum(when($"n_tok" > $"hi", $"c").otherwise(0L)).as("n_high"))
+      .orderBy($"source")
+  }
 
   /** The q131 chain over any (embedding) frame (spec hook: planted
     * exactly-representable / saturating / constant-zero dims —
@@ -786,6 +842,42 @@ object Sketch {
          |    AS diversity_micro
          |FROM f ORDER BY label""".stripMargin
     },
+
+    // Twin of q135: same histogram → running-count lower medians
+    // (2·cum ≥ n), same integer fences.
+    "q135_mad_fences" ->
+      s"""WITH t AS (SELECT source,
+         |             CAST(len(${TextVector.Sql.toks("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |h AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS c
+         |      FROM t GROUP BY 1, 2),
+         |m0 AS (SELECT source, n_tok,
+         |         sum(c) OVER (PARTITION BY source ORDER BY n_tok
+         |           ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(c) OVER (PARTITION BY source) AS n FROM h),
+         |med AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |          CAST(min(n_tok) AS BIGINT) AS med
+         |        FROM m0 WHERE 2*cum >= n GROUP BY source),
+         |dh AS (SELECT h.source, abs(h.n_tok - med.med) AS dev,
+         |         CAST(sum(c) AS BIGINT) AS c
+         |       FROM h JOIN med ON h.source = med.source GROUP BY 1, 2),
+         |m1 AS (SELECT source, dev,
+         |         sum(c) OVER (PARTITION BY source ORDER BY dev
+         |           ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(c) OVER (PARTITION BY source) AS n FROM dh),
+         |mad AS (SELECT source, CAST(min(dev) AS BIGINT) AS mad
+         |        FROM m1 WHERE 2*cum >= n GROUP BY source),
+         |f AS (SELECT med.source, n_docs, med.med, mad.mad,
+         |        med.med - 3*mad.mad AS lo, med.med + 3*mad.mad AS hi
+         |      FROM med JOIN mad ON med.source = mad.source)
+         |SELECT f.source, n_docs, med, mad, lo, hi,
+         |  CAST(sum(CASE WHEN h.n_tok < lo THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_low,
+         |  CAST(sum(CASE WHEN h.n_tok > hi THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_high
+         |FROM f JOIN h ON f.source = h.source
+         |GROUP BY 1, 2, 3, 4, 5, 6
+         |ORDER BY f.source""".stripMargin,
 
     // Twin of q131: max-abs is exact (no fp-sum ambiguity), the code
     // is the same lazy-CASE clamp chain, and the SSE pico-quantizes

@@ -319,6 +319,37 @@ class CleaningSpec extends AnyFunSuite {
     assert(dedup.map(r => r.getLong(1) - r.getLong(2)).sum > 0)
   }
 
+  test("q134 gate: per-rule counts on a planted corpus, pass_all is the conjunction") {
+    // five planted docs (rule overlaps counted independently — the
+    // ablation reading):
+    //  d1: 5 'value' tokens   -> fails min_tokens AND mean_token_len
+    //                            (mean 5.0 > 4.8); 5 stop hits so
+    //                            stopword_min passes
+    //  d2: 95 'value' tokens  -> fails max_tokens + mean_token_len
+    //  d3: 40 'a' tokens      -> mean 1.0 < 4.2 fails mean_token_len
+    //                            ('a' IS a stopword: 40 hits, passes)
+    //  d4: 40 'xxxx' tokens   -> mean 4.0 < 4.2 fails len; 0
+    //                            stopwords fails stopword_min
+    //  d5: 20 'value'+20 'fast' -> 40 toks, mean 4.5, 40 stop hits
+    //                            -> passes everything
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      rep("value", 5),
+      rep("value", 95),
+      rep("a", 40),
+      rep("xxxx", 40),
+      rep("value", 20) + " " + rep("fast", 20)
+    ).toDF("text")
+    val out = graft.queries.Quality.heuristicGate(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("1_min_tokens", 1L, 5L),        // d1
+      ("2_max_tokens", 1L, 95L),       // d2
+      ("3_mean_token_len", 4L, 180L),  // d1 + d2 + d3 + d4
+      ("4_stopword_min", 1L, 40L),     // d4
+      ("5_pass_all", 1L, 40L)))        // d5
+  }
+
   test("q93 plan: excision is a narrow array rebuild, not a token-level regroup") {
     // the round-8 rewrite replaced the corpus-token anti-join +
     // collect_list regroup with a per-doc drop-set join and an

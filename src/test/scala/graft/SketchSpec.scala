@@ -245,4 +245,27 @@ class SketchSpec extends AnyFunSuite {
     assert(ma2 == 0L && sat2 == 0L && sse2 == 0L,
       s"zero dim: $ma2 $sat2 $sse2")
   }
+
+  test("q135 fences: hand-computed lower medians and MAD, singleton source degenerate") {
+    // source X token counts 10,12,12,13,50: lower median = 12
+    // (n=5, rank 3), deviations {2,0,0,1,38} -> sorted 0,0,1,2,38,
+    // MAD = 1; fences [9,15]: nothing below, one above (50).
+    // source Y: a single 7-token doc -> med 7, MAD 0, fences
+    // degenerate to [7,7], no outliers (the n=1 corner: 2*cum >= n
+    // picks the only row; MAD 0 must not flag the doc itself).
+    def doc(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    val docs = Seq(
+      ("X", doc(10)), ("X", doc(12)), ("X", doc(12)), ("X", doc(13)),
+      ("X", doc(50)),
+      ("Y", doc(7))
+    ).toDF("source", "text")
+    val out = graft.queries.Sketch.madFences(docs)
+      .select($"source", $"n_docs", $"med", $"mad", $"lo", $"hi",
+        $"n_low", $"n_high")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("X", 5L, 12L, 1L, 9L, 15L, 0L, 1L),
+      ("Y", 1L, 7L, 0L, 7L, 7L, 0L, 0L)))
+  }
 }
