@@ -77,6 +77,15 @@ object Learn {
   private val CalibBins     = 10
   private val BinWidthMicro = 100000L
 
+  /** q136 training token budget as a fraction of the corpus
+    * (budget = total·19 div 20 — integer, so both engines agree
+    * exactly). 19/20 is chosen so the gate corpora exercise BOTH
+    * branches: 7–8 of the 20 near-equal sources cap at sf0.01/0.001
+    * (measured) — a high budget relative to supply is exactly the
+    * regime where caps bind (the LLaMA table's >1-epoch sources). */
+  private val BudgetNum = 19L
+  private val BudgetDen = 20L
+
   /** The q103 chain over any (doc_id, lang, text) frame (spec hook:
     * planted target-affine/junk docs). DSIR scores each candidate
     * document by how much more likely its hashed-unigram features
@@ -280,6 +289,28 @@ object Learn {
     // End-to-end curation funnel (class doc on [[curationFunnel]]).
     "q100_curation_funnel" -> { (s, d) =>
       curationFunnel(Tables.documents(s, d)) },
+
+    // Token-budget allocation across sources — the "epochs per
+    // source" table (the LLaMA/RedPajama data-mixture decision):
+    // given a training budget (19/20 of the corpus here), give every
+    // source an equal share, capped at what it HAS; freed budget
+    // redistributes among the uncapped — max-min fair allocation
+    // (water-filling). Solved in CLOSED FORM, no iteration: sort
+    // sources by availability ascending; source i is capped iff
+    // avail_i·(remaining sources) ≤ remaining budget — with prefix
+    // sums this is one window pass, the standard greedy proof.
+    // epochs_micro = alloc·1e6 div avail reads as how many passes
+    // over the source the budget implies (1e6 = exactly one epoch).
+    //
+    // Scale shape: ONE corpus tokenize pass map-side-combining to
+    // O(sources) rows; every window after that runs over the
+    // O(sources) table (single partition of ≤ thousands of rows —
+    // the q132 aggregated-window argument). Integer-exact
+    // throughout: integer budget, integer cross-multiplied cap
+    // test, integer div allocations — no float anywhere.
+    "q136_token_alloc" -> { (s, d) =>
+      tokenAlloc(Tables.documents(s, d))
+    },
 
     // DSIR importance selection (class doc on [[dsirSelect]]): the
     // even-doc_id half is the curated target, the odd half is the
@@ -571,6 +602,51 @@ object Learn {
       .orderBy($"score_micro".desc)
   }
 
+  /** The q136 allocation over any (source, text) frame (spec hook:
+    * planted availabilities with a hand-computed water level —
+    * LearnSpec). Cap test: with sources sorted ascending by
+    * (avail, source), source i is capped iff
+    * avail_i·(S−i+1) ≤ B−(cum_a−avail_i) — all int64
+    * cross-multiplication, safe to ~10^12-token corpora per source
+    * at the 10^6 epoch scale (document before raising EpochScale).
+    * Zero-avail sources cap at 0 and report 0 epochs (the CASE
+    * guard keeps ANSI div-by-zero out of the plan). */
+  private[graft] def tokenAlloc(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val avail = docs
+      .select($"source",
+        graft.ops.TextOps.tokenCount($"text").cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("avail"))
+    // O(sources) rows from here on — the single-partition windows
+    // never see the corpus
+    val wOrd = Window.orderBy($"avail", $"source")
+    val wAll = Window.partitionBy()
+    val g = avail
+      .withColumn("cum_a",
+        sum($"avail").over(wOrd
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"avail").over(wAll))
+      .withColumn("s", count(lit(1)).over(wAll))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("b", expr(s"(total * $BudgetNum) div $BudgetDen"))
+      .withColumn("capped",
+        $"avail" * ($"s" - $"i" + 1L) <= $"b" - ($"cum_a" - $"avail"))
+    val caps = g.agg(
+      coalesce(sum(when($"capped", $"avail")), lit(0L)).as("a_cap"),
+      coalesce(sum(when($"capped", 1L)), lit(0L)).as("k"))
+    g.crossJoin(broadcast(caps))
+      .withColumn("alloc",
+        when($"capped", $"avail")
+          .otherwise(expr("(b - a_cap) div (s - k)")))
+      .select($"source", $"avail".as("avail_tokens"),
+        $"alloc".as("alloc_tokens"), $"capped",
+        when($"avail" > 0L, expr("(alloc * 1000000) div avail"))
+          .otherwise(lit(0L)).as("epochs_micro"))
+      .orderBy($"source")
+  }
+
   /** Shared WITH-body of the q129/q130 oracles: the centered table
     * (e/cnt/ed/dm/mu/c), the fixed start v0, and the full
     * PcIters-step trajectory — v$PcIters is the fitted iterate both
@@ -768,6 +844,41 @@ object Learn {
          |  coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
          |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin
     },
+
+    // Twin of q136: same prefix-sum cap test (pure int64
+    // cross-multiplication), same integer div allocations.
+    "q136_token_alloc" ->
+      s"""WITH t AS (SELECT source,
+         |             CAST(len(${TextVector.Sql.toks("text")}) AS BIGINT) AS n
+         |           FROM documents),
+         |a AS (SELECT source, CAST(sum(n) AS BIGINT) AS avail
+         |      FROM t GROUP BY 1),
+         |g AS (SELECT source, avail,
+         |        CAST(sum(avail) OVER (ORDER BY avail, source
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         |        CAST(sum(avail) OVER () AS BIGINT) AS total,
+         |        CAST(count(*) OVER () AS BIGINT) AS s,
+         |        CAST(row_number() OVER (ORDER BY avail, source)
+         |          AS BIGINT) AS i
+         |      FROM a),
+         |c AS (SELECT *, (total * $BudgetNum) // $BudgetDen AS b FROM g),
+         |f AS (SELECT *,
+         |        (avail * (s - i + 1) <= b - (cum_a - avail)) AS capped
+         |      FROM c),
+         |x AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN capped THEN avail END), 0)
+         |    AS BIGINT) AS a_cap,
+         |  CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+         |    AS BIGINT) AS k FROM f),
+         |al AS (SELECT source, avail, capped, b, s, k,
+         |         CASE WHEN capped THEN avail
+         |           ELSE (b - a_cap) // (s - k) END AS alloc
+         |       FROM f, x)
+         |SELECT source, avail AS avail_tokens, alloc AS alloc_tokens,
+         |  capped,
+         |  CASE WHEN avail > 0 THEN (alloc * 1000000) // avail
+         |    ELSE CAST(0 AS BIGINT) END AS epochs_micro
+         |FROM al ORDER BY source""".stripMargin,
 
     "q100_curation_funnel" -> {
       import TextVector.Sql

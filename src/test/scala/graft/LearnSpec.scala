@@ -377,6 +377,29 @@ class LearnSpec extends AnyFunSuite {
       (100000L, 1L, 7L, 4L, 17L)))
   }
 
+  test("q136 alloc: water level lands between caps, zero-avail source inert, budget conserved") {
+    // avail Z=0, A=10, B=20, C=100, D=270 -> total 400, budget
+    // 400·19 div 20 = 380. Ascending greedy: Z,A,B capped
+    // trivially; C capped because 100·2 <= 380-30; D uncapped
+    // (270 > 250) -> level = 380-130 = 250. Epochs: capped sources
+    // exactly 1e6; D = 250e6 div 270 = 925925 (floor).
+    def doc(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    val docs = Seq(
+      ("Z", ""), ("A", doc(10)), ("B", doc(20)), ("C", doc(100)),
+      ("D", doc(270))
+    ).toDF("source", "text")
+    val out = graft.queries.Learn.tokenAlloc(docs)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 10L, 10L, true, 1000000L),
+      ("B", 20L, 20L, true, 1000000L),
+      ("C", 100L, 100L, true, 1000000L),
+      ("D", 270L, 250L, false, 925925L),
+      ("Z", 0L, 0L, true, 0L)))
+    // allocation exactly exhausts the 380-token budget
+    assert(out.map(_._3).sum == 380L)
+  }
+
   test("score() runs on an UNLABELED frame — the production full-corpus call") {
     // labels exist only on the training slice; the corpus being
     // scored has none, so score must not demand the column

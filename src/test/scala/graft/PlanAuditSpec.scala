@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q115_corpus_map", // q115: 1-row corpus total broadcast
       "q117_hard_negatives", // q117: 3-row query set vs the scan
       "q119_tfidf_keywords", // q119: 1-row doc-count broadcast
-      "q120_perplexity_split") // q120: q102's 1-row LM totals broadcast
+      "q120_perplexity_split", // q120: q102's 1-row LM totals broadcast
+      "q136_token_alloc") // q136: 1-row (a_cap, k) broadcast over O(sources)
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)
