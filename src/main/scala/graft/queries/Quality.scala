@@ -334,6 +334,26 @@ object Quality {
       heuristicGate(Tables.documents(s, d))
     },
 
+    // Character-distribution entropy per document — the cheap
+    // repetition/degeneracy signal real pipelines compute as a
+    // compression-ratio proxy (a doc whose chars concentrate on few
+    // symbols compresses well and reads as boilerplate/degenerate;
+    // cf. RefinedWeb/Dolma's compression-based filters, which this
+    // approximates without a codec dependency). Per doc:
+    // H = -Σ p ln p over the code-point histogram in micro-nats,
+    // via the [[graft.ops.expressions.CharEntropy]] codegen kernel
+    // — ONE narrow pass, no explode, no shuffle (the per-string
+    // histogram lives inside the kernel; the declarative explode→
+    // groupBy form would shuffle corpus CHARACTERS). Low values =
+    // repetitive; 'aaaa…' scores exactly 0.
+    "q137_char_entropy" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", length($"text").cast("long").as("n_chars"),
+          graft.ops.expressions.CharEntropy($"text").as("entropy_micro"))
+        .orderBy($"doc_id")
+    },
+
     "q61_exact_stats" -> { (s, d) =>
       import s.implicits._
       val cust = Tables.customer(s, d)
@@ -495,6 +515,30 @@ object Quality {
          |UNION ALL SELECT '5_pass_all', c5, t5 FROM a
          |ORDER BY rule""".stripMargin
     },
+
+    // Twin of q137: explicit histogram replay — each p·ln p term
+    // micro-quantized BEFORE the per-doc integer sum (order-free,
+    // the kernel's contract), docs driven from the corpus via left
+    // join so a theoretical zero-char doc reports 0 instead of
+    // vanishing (the q112 keep-zero convention).
+    "q137_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, u.ch FROM
+         |  (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs
+         |   FROM documents) t, unnest(cs) u(ch)),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |      FROM ch GROUP BY 1),
+         |h AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |      FROM ch GROUP BY 1, 2),
+         |e AS (SELECT h.doc_id,
+         |        CAST(sum(CAST(floor(
+         |          -((CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+         |            * ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)))*1000000.0
+         |          + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+         |      FROM h JOIN n USING (doc_id) GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+         |  coalesce(e.entropy_micro, CAST(0 AS BIGINT)) AS entropy_micro
+         |FROM documents d LEFT JOIN e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q52_pii_scrub" ->
       s"""SELECT c_custkey,

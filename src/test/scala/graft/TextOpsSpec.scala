@@ -98,4 +98,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(0) != rows(2), "different text should differ")
     assert(rows.flatten.forall(x => x >= -1.0 && x < 1.0))
   }
+
+  test("CharEntropy kernel: closed forms, quantize-THEN-sum contract, degenerates, SQL parity") {
+    def h(s: String): Long =
+      Seq(s).toDF("t")
+        .select(graft.ops.expressions.CharEntropy($"t")).collect()(0).getLong(0)
+    // constant string: p = 1, ln 1 = 0 — exactly zero entropy
+    assert(h("aaaaaa") == 0L)
+    assert(h("x") == 0L)
+    assert(h("") == 0L)
+    // two equiprobable chars: each term -(0.5·ln 0.5)·1e6 =
+    // 346573.59… quantizes to 346574, sum 693148 — NOT
+    // round(ln 2·1e6) = 693147: the contract quantizes terms
+    // before summing (order-free exactness beats last-digit purism)
+    assert(h("ab") == 693148L)
+    assert(h("aabb") == 693148L)  // same distribution, same value
+    // four equiprobable: 4 · quantize(-(0.25·ln 0.25)·1e6) =
+    // 4 · 346574 (term value identical to the p=0.5 case: funny
+    // coincidence of 0.25·ln 4 = 0.5·ln 2)
+    assert(h("abcd") == 4 * 346574L)
+    // null propagates; SQL registry path agrees with the Column API
+    val viaSql = Seq("entropy test").toDF("t")
+      .selectExpr("char_entropy(t)").collect()(0).getLong(0)
+    assert(viaSql == h("entropy test"))
+    val n = Seq[String](null).toDF("t")
+      .select(graft.ops.expressions.CharEntropy($"t")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
