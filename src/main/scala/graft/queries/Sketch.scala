@@ -440,6 +440,31 @@ object Sketch {
       int8Quant(Tables.embeddings(s, d).select($"embedding"))
     },
 
+    // Pairwise source-overlap matrix — estimated shingle-set
+    // Jaccard between every provider pair from per-source KMV
+    // (bottom-k) sketches: the crawl-procurement view ABOVE q128
+    // (q128 says how redundant each source is with the corpus;
+    // this says WHICH PAIRS duplicate each other, i.e. which feed
+    // to cut). Estimator: per source, the OverlapK smallest mixed
+    // shingle hashes form a uniform set sample; for a pair, take
+    // the bottom-k of the sketch UNION and count members present
+    // in both sketches — the classic KMV union-resemblance device
+    // (Beyer et al. 2007, Bar-Yossef et al. 2002), DETERMINISTIC
+    // given the hash, so the oracle replays it exactly (the q94/q95
+    // auditable-sketch doctrine: approximate answer, exact gate).
+    //
+    // Scale shape: the only corpus-scale pass is shingle-hash →
+    // distinct → bottom-k via TopK.perKey (per-partition partial
+    // top-k BEFORE the shuffle — skew-immune, ≤ k rows per source
+    // cross the wire). Everything pairwise runs on the O(sources·k)
+    // sketch table: sources² pairs × 2k rows — thousands, not
+    // corpus-sized; at 10⁴ sources you'd shard the pair loop, the
+    // sketch pass is unchanged. Every pair reports (q112's
+    // keep-zero convention) via the left join back to the pair set.
+    "q138_source_overlap" -> { (s, d) =>
+      sourceOverlap(Tables.documents(s, d))
+    },
+
     // Robust per-source length fences — median ± 3·MAD (the robust
     // z-score / Hampel-filter convention, Leys et al. 2013) over
     // token counts: the outlier gate a curation team runs per
@@ -456,6 +481,60 @@ object Sketch {
       madFences(Tables.documents(s, d))
     }
   )
+
+  /** q138 sketch size (bottom-k per source) and shingle width. At
+    * k=128 the resemblance stderr is ≈ √(J(1−J)/k) ≤ 4.4% — the
+    * report-grade trade; the GATE is exact either way because both
+    * engines replay the same deterministic sketch. */
+  private val OverlapK = 128
+  private val OverlapShingleW = 3
+
+  /** The q138 chain over any (source, text) frame (spec hook:
+    * planted shingle sets with closed-form sketch intersections —
+    * SketchSpec). Every (s1 < s2) pair reports; a pair with an
+    * empty union reports zeros. */
+  private[graft] def sourceOverlap(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select($"source", explode(
+        graft.ops.expressions.ShingleHashes($"text", OverlapShingleW)).as("h0"))
+      .select($"source", mix($"h0").as("h"))
+      .distinct()
+    val sk = graft.plans.TopK.perKey(sh, Seq("source"),
+        Seq("h" -> true), OverlapK)
+      .select($"source", $"h")
+    // O(sources·k) rows from here on; pair set from the CORPUS so
+    // shingle-less sources still report
+    val srcs = docs.select($"source").distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+    val r1 = pairs.join(sk, $"source" === $"s1")
+      .select($"s1", $"s2", $"h", lit(1).as("side"))
+    val r2 = pairs.join(sk, $"source" === $"s2")
+      .select($"s1", $"s2", $"h", lit(2).as("side"))
+    val byH = r1.unionByName(r2)
+      .groupBy($"s1", $"s2", $"h")
+      .agg((max(when($"side" === 1, 1).otherwise(0)) === 1 &&
+        max(when($"side" === 2, 1).otherwise(0)) === 1).as("in_both"))
+    val w = Window.partitionBy($"s1", $"s2").orderBy($"h")
+    val agg = byH
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= OverlapK)
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("u_size"),
+        sum(when($"in_both", 1L).otherwise(0L)).as("n_inter"))
+    pairs.join(agg, Seq("s1", "s2"), "left")
+      .select($"s1", $"s2",
+        coalesce($"u_size", lit(0L)).as("u_size"),
+        coalesce($"n_inter", lit(0L)).as("n_inter"))
+      .withColumn("jaccard_micro",
+        when($"u_size" > 0L, expr("(n_inter * 1000000) div u_size"))
+          .otherwise(lit(0L)))
+      .orderBy($"s1", $"s2")
+  }
 
   /** The q135 chain over any (source, text) frame (spec hook:
     * planted token counts with hand-computed medians/MADs —
