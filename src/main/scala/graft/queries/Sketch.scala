@@ -958,6 +958,50 @@ object Sketch {
          |GROUP BY 1, 2, 3, 4, 5, 6
          |ORDER BY f.source""".stripMargin,
 
+    // Twin of q138: same mixed distinct-shingle sketch, bottom-k per
+    // source via the q97 row_number-over-hash device, union bottom-k
+    // membership counts. h is unique per source (DISTINCT after the
+    // mix) and per pair (GROUP BY s1,s2,h), so the ORDER BY h ranks
+    // are tie-free — the sketch is deterministic in both engines.
+    "q138_source_overlap" ->
+      s"""WITH s0 AS (SELECT source, unnest(list_distinct(list_transform(
+         |          ${TextVector.Sql.shingleSet("text", OverlapShingleW)},
+         |          t -> ${TextVector.Sql.polyHash("t")}))) AS h0
+         |        FROM documents),
+         |sh AS (SELECT DISTINCT source, ${sqlMix("h0")} AS h FROM s0),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h, row_number() OVER (
+         |           PARTITION BY source ORDER BY h) AS rn FROM sh)
+         |       WHERE rn <= $OverlapK),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |pairs AS (SELECT a.source AS s1, b.source AS s2
+         |          FROM srcs a JOIN srcs b ON a.source < b.source),
+         |r AS (SELECT p.s1, p.s2, sk.h, 1 AS side
+         |      FROM pairs p JOIN sk ON sk.source = p.s1
+         |      UNION ALL
+         |      SELECT p.s1, p.s2, sk.h, 2 AS side
+         |      FROM pairs p JOIN sk ON sk.source = p.s2),
+         |byh AS (SELECT s1, s2, h,
+         |          (max(CASE WHEN side = 1 THEN 1 ELSE 0 END) = 1 AND
+         |           max(CASE WHEN side = 2 THEN 1 ELSE 0 END) = 1)
+         |            AS in_both
+         |        FROM r GROUP BY s1, s2, h),
+         |rk AS (SELECT s1, s2, in_both, row_number() OVER (
+         |         PARTITION BY s1, s2 ORDER BY h) AS rn FROM byh),
+         |agg AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS u_size,
+         |          CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_inter
+         |        FROM rk WHERE rn <= $OverlapK GROUP BY s1, s2)
+         |SELECT p.s1, p.s2,
+         |  coalesce(agg.u_size, CAST(0 AS BIGINT)) AS u_size,
+         |  coalesce(agg.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+         |  CASE WHEN coalesce(agg.u_size, CAST(0 AS BIGINT)) > 0
+         |    THEN (coalesce(agg.n_inter, CAST(0 AS BIGINT)) * 1000000)
+         |         // coalesce(agg.u_size, CAST(1 AS BIGINT))
+         |    ELSE CAST(0 AS BIGINT) END AS jaccard_micro
+         |FROM pairs p LEFT JOIN agg USING (s1, s2)
+         |ORDER BY s1, s2""".stripMargin,
+
     // Twin of q131: max-abs is exact (no fp-sum ambiguity), the code
     // is the same lazy-CASE clamp chain, and the SSE pico-quantizes
     // each term before the order-free BIGINT sum.

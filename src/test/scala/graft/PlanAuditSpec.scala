@@ -32,7 +32,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q117_hard_negatives", // q117: 3-row query set vs the scan
       "q119_tfidf_keywords", // q119: 1-row doc-count broadcast
       "q120_perplexity_split", // q120: q102's 1-row LM totals broadcast
-      "q136_token_alloc") // q136: 1-row (a_cap, k) broadcast over O(sources)
+      "q136_token_alloc", // q136: 1-row (a_cap, k) broadcast over O(sources)
+      "q138_source_overlap") // q138: O(sources)² pair generator over the
+                             // distinct-source list — both sides tiny by
+                             // construction; the corpus-scale pass is the
+                             // TopK.perKey sketch, never this join
 
   test("no query plans a cartesian product") {
     for ((name, plan) <- plans)

@@ -246,6 +246,45 @@ class SketchSpec extends AnyFunSuite {
       s"zero dim: $ma2 $sat2 $sse2")
   }
 
+  test("q138 overlap: planted shingle sets with closed-form sketch intersections") {
+    // Below the k=128 cap KMV degenerates to the EXACT distinct
+    // shingle sets, so every expectation is closed-form:
+    //   A "a b c d"  -> 3-shingles {a b c, b c d}
+    //   B "a b c e"  -> {a b c, b c e}   |A∩B|=1, |A∪B|=3
+    //   C "x y"      -> <3 tokens, NO shingles (empty sketch)
+    //   F "z z"      -> empty sketch too -> (C,F) exercises the
+    //                   left-join keep-zero path (no union rows)
+    // At the cap: D and E share one 200-distinct-token text ->
+    // 198 shingles each, identical sets, so their bottom-128
+    // sketches are identical whatever the hash order: union
+    // bottom-128 has all members in both (128, 128, J=1.0). Any
+    // disjoint pair against D/E unions to >=128 rows -> u_size
+    // pinned at the cap with 0 intersections.
+    val big = (1 to 200).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "a b c e"), ("C", "x y"),
+      ("D", big), ("E", big), ("F", "z z")
+    ).toDF("source", "text")
+    val out = graft.queries.Sketch.sourceOverlap(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", "B", 3L, 1L, 333333L),
+      ("A", "C", 2L, 0L, 0L),
+      ("A", "D", 128L, 0L, 0L),
+      ("A", "E", 128L, 0L, 0L),
+      ("A", "F", 2L, 0L, 0L),
+      ("B", "C", 2L, 0L, 0L),
+      ("B", "D", 128L, 0L, 0L),
+      ("B", "E", 128L, 0L, 0L),
+      ("B", "F", 2L, 0L, 0L),
+      ("C", "D", 128L, 0L, 0L),
+      ("C", "E", 128L, 0L, 0L),
+      ("C", "F", 0L, 0L, 0L),
+      ("D", "E", 128L, 128L, 1000000L),
+      ("D", "F", 128L, 0L, 0L),
+      ("E", "F", 128L, 0L, 0L)))
+  }
+
   test("q135 fences: hand-computed lower medians and MAD, singleton source degenerate") {
     // source X token counts 10,12,12,13,50: lower median = 12
     // (n=5, rank 3), deviations {2,0,0,1,38} -> sorted 0,0,1,2,38,
