@@ -167,22 +167,12 @@ object Quality {
     // shuffle-once analog of greedy sequence packing (a doc whose
     // tokens straddle a boundary opens the next sequence; budget
     // overflow within a sequence is the concat-and-split convention).
-    // One window shuffle on lang, then a groupBy on (lang, seq_id)
-    // that AQE coalesces; no driver-side loop, no per-bin state.
+    // The prefix sum is PrefixSum.exclusive's two-phase scan (q133
+    // shares it): a dominant language must never funnel the raw
+    // corpus through ONE window partition. Then a groupBy on
+    // (lang, seq_id) that AQE coalesces; no driver-side loop.
     "q54_seq_pack" -> { (s, d) =>
-      import s.implicits._
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      Tables.documents(s, d)
-        .select($"doc_id", $"lang",
-          TextOps.tokenCount($"text").cast("long").as("n_tok"))
-        .withColumn("cum", sum($"n_tok").over(w))
-        .withColumn("seq_id",
-          floor(($"cum" - $"n_tok").cast("double") / lit(PackBudget.toDouble))
-            .cast("long"))
-        .groupBy($"lang", $"seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy($"lang", $"seq_id")
+      seqPack(Tables.documents(s, d))
     },
 
     // The chunker as a Catalyst Generator (UDTF): one (pos, chunk)
@@ -393,6 +383,27 @@ object Quality {
       s.sql(SubquerySql)
     }
   )
+
+  /** The q54 chain over any (doc_id, lang, text) frame (spec hook:
+    * LmSpec's multi-bucket ≡ single-window equality plant). Token-
+    * budget sequence packing by exclusive-prefix-sum binning; the
+    * running sum is the two-phase skew-free scan (see PrefixSum). */
+  private[graft] def seqPack(docs: DataFrame,
+      bucketWidth: Long = graft.ops.PrefixSum.DefaultBucketWidth): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs
+      .select($"doc_id", $"lang",
+        TextOps.tokenCount($"text").cast("long").as("n_tok"))
+    graft.ops.PrefixSum.exclusive(counted,
+        "lang", "doc_id", "n_tok", "off", bucketWidth)
+      .withColumn("seq_id",
+        floor($"off".cast("double") / lit(PackBudget.toDouble)).cast("long"))
+      .groupBy($"lang", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"seq_id")
+  }
 
   /** The q134 rule rollup over any (text) frame (spec hook: planted
     * docs with hand-countable rule failures — CleaningSpec). See the
