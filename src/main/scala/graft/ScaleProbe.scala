@@ -85,7 +85,12 @@ object ScaleProbe {
     "q34_embed_dup", "q93_span_dedup", "q104_semdedup", "q90_ivf_pq",
     // round-13 additions: the new shingle-heavy text-analysis ops
     "q121_decontamination", "q123_ngram_novelty", "q125_pmi_bigrams",
-    "q126_boilerplate_grams")
+    "q126_boilerplate_grams",
+    // round-14 additions: the two-phase prefix-sum packers (their
+    // exponent is the de-skew fix's receipt), the MAD fences, the
+    // char-entropy kernel, and the KMV source-overlap sketch
+    "q133_token_packing", "q54_seq_pack", "q135_mad_fences",
+    "q137_char_entropy", "q138_source_overlap")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

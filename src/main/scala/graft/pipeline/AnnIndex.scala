@@ -75,9 +75,24 @@ object AnnIndex {
     * corpus, persist both. Cell count and sample size scale with the
     * corpus ([[cellsFor]]). */
   def build(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
+    train(spark, vectors, dir)
+    val (ivf, pq) = codebooks(spark, dir)
+    writeCodes(vectors, dir, "base", ivf, pq, dynamic = false)
+  }
+
+  /** Train + persist the codebooks WITHOUT encoding any codes — the
+    * deferred-bootstrap half of [[build]]. A caller that wants the
+    * first batch's codes under its own `run=` id (idempotent
+    * re-delivery — [[HybridRetrieval.append]]) trains here and then
+    * [[append]]s: build's own `run=base` codes would need a
+    * delete-and-re-key whose crash window strands a codebooks store
+    * with zero codes (the round-13 advisor's silent-recall-loss
+    * hazard). After `train` alone the store is a valid
+    * zero-vector index: searches return empty, appends encode. */
+  def train(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
     import spark.implicits._
     val n = vectors.count()
-    require(n > 0, "AnnIndex.build on an empty vector table")
+    require(n > 0, "AnnIndex.train on an empty vector table")
     val ivfK = cellsFor(n)
     val sampleN = math.min(n, math.max(SampleFloor.toLong,
       ivfK.toLong * SamplePerCell)).toInt
@@ -120,7 +135,6 @@ object AnnIndex {
         }
     cbRows.toSeq.toDF("part", "m", "j", "c")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    writeCodes(vectors, dir, "base", ivf, pq, dynamic = false)
   }
 
   /** Encode one ingest batch against the FROZEN codebooks and append

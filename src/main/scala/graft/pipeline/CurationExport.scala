@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   *      scan ([[graft.queries.Cleaning.decontaminationAgainst]])
   *      against a caller-supplied (eval_id, etext) benchmark frame;
   *      contaminated docs drop VISIBLY (funnel n_decontam);
+  *  2c. OPTIONAL heuristic rule gate = q134's C4/Gopher-style hard
+  *      cuts ([[graft.queries.Quality.heuristicFlagged]]), applied
+  *      BEFORE the statistical floor so the corpus's own quantiles
+  *      are never fit on rule-violating junk; funnel n_heuristic;
   *   3. quality floor = the ADAPTIVE per-domain p20 threshold
   *      (q110's [[graft.queries.Sketch.adaptiveFloorThresholds]]
   *      stage — the corpus's own quantiles, not a fixed constant;
@@ -45,6 +49,9 @@ import org.apache.spark.sql.functions._
   *      funnel semantics) when the export runs self-contained;
   *   5. split = hash of the CLUSTER id, 80/10/10 (q65: no near-dup
   *      pair ever straddles train/test);
+  *  5b. OPTIONAL PII scrub = q124's masks applied to the text that
+  *      lands on disk (a transform, not a drop — counts unchanged;
+  *      the per-doc masked-span count exports as `n_pii`);
   *   6. write partitioned by split — static overwrite, so re-running
   *      the export is idempotent.
   *
@@ -80,7 +87,7 @@ object CurationExport {
     * computed over what actually ENTERS the mixture stage); `kept`
     * = mixture survivors. Callers release via [[Stages#unpersist]]. */
   private case class Stages(reps: DataFrame, decon: DataFrame,
-                            surv: DataFrame,
+                            gated: DataFrame, surv: DataFrame,
                             probed: DataFrame, kept: DataFrame) {
     def unpersist(): Unit = { reps.unpersist(); surv.unpersist() }
   }
@@ -88,7 +95,8 @@ object CurationExport {
   private def build(spark: SparkSession, sfDir: String,
                     mixtureDir: Option[String],
                     probe: Option[ProbeStage],
-                    evalSet: Option[DataFrame]): Stages = {
+                    evalSet: Option[DataFrame],
+                    heuristic: Boolean): Stages = {
     val labels = graft.queries.NearDupStage.labels(spark, sfDir)
     val drop = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -122,7 +130,21 @@ object CurationExport {
         reps.join(bad, Seq("doc_id"), "left_anti")
     }
 
-    val inScope = decon.filter(col("n_tok") > 0L)
+    // stage 2c: OPTIONAL heuristic rule gate (q134's family — C4/
+    // Gopher-style hard cuts BEFORE the statistical floor, the
+    // production curation order: rules prune the junk the corpus's
+    // own quantiles should never be fit on). Row-level flags from
+    // the SAME shared derivation the q134 report rolls up, one
+    // codegen pass, no shuffle; dropped docs stay visible as the
+    // funnel's n_heuristic.
+    val gated =
+      if (!heuristic) decon
+      else graft.queries.Quality.heuristicFlagged(decon)
+        .filter(!col("f_short") && !col("f_long") &&
+          !col("f_len") && !col("f_stop"))
+        .drop("__n_tok", "f_short", "f_long", "f_len", "f_stop")
+
+    val inScope = gated.filter(col("n_tok") > 0L)
     val thr = graft.queries.Sketch.adaptiveFloorThresholds(
       inScope.select(col("lang"), col("doc_id"), col("quality")))
     val surv = inScope
@@ -157,7 +179,7 @@ object CurationExport {
     val keep = MixtureMaintenance
       .decideWith(probed.select(col("doc_id"), col("lang"), col("text")), rates)
       .filter(col("keep")).select(col("doc_id"))
-    Stages(reps, decon, surv, probed, probed.join(keep, Seq("doc_id")))
+    Stages(reps, decon, gated, surv, probed, probed.join(keep, Seq("doc_id")))
   }
 
   /** Run the export; returns per-split counts (the run report).
@@ -175,18 +197,33 @@ object CurationExport {
           mixtureDir: Option[String] = None,
           format: String = "parquet",
           probe: Option[ProbeStage] = None,
-          evalSet: Option[DataFrame] = None): DataFrame = {
+          evalSet: Option[DataFrame] = None,
+          heuristic: Boolean = false,
+          scrubPii: Boolean = false): DataFrame = {
     require(format == "parquet" || format == "jsonl",
       s"unsupported export format '$format' (parquet | jsonl)")
-    val st = build(spark, sfDir, mixtureDir, probe, evalSet)
+    val st = build(spark, sfDir, mixtureDir, probe, evalSet, heuristic)
     val h = pmod(col("unit_id"), lit(HashMod)) * lit(PermMult) % lit(HashMod)
-    val kept = st.kept
+    // stage 5b: OPTIONAL PII scrub (q124's masks — emails/phones →
+    // typed placeholders) applied to the text that lands on disk; a
+    // scrub is a TRANSFORM, not a drop, so counts are unchanged and
+    // the per-doc masked-span count rides along as the n_pii lineage
+    // column (null when the stage is off — probe_score's convention).
+    // Masking the KEPT rows only: every upstream stage (quality
+    // score, dedup fingerprints, mixture hash) saw the original
+    // bytes, and only the exported artifact is scrubbed.
+    val scrubbed =
+      if (scrubPii) st.kept
+        .withColumn("n_pii", graft.queries.Cleaning.piiCount(col("text")))
+        .withColumn("text", graft.queries.Cleaning.piiMasked(col("text")))
+      else st.kept.withColumn("n_pii", lit(null).cast("bigint"))
+    val kept = scrubbed
       .withColumn("split",
         when(pmod(h, lit(10L)) < 8, "train")
           .when(pmod(h, lit(10L)) === 8, "val")
           .otherwise("test"))
-      .select(col("doc_id"), col("lang"), col("text"),
-        col("unit_id"), col("quality"), col("probe_score"), col("split"))
+      .select(col("doc_id"), col("lang"), col("text"), col("unit_id"),
+        col("quality"), col("probe_score"), col("n_pii"), col("split"))
 
     val w = kept.write.partitionBy("split").mode("overwrite")
       .option("partitionOverwriteMode", "static")
@@ -199,25 +236,30 @@ object CurationExport {
   }
 
   /** The q100-style per-domain funnel report for an export
-    * configuration: (lang, n_raw, n_dedup, n_decontam, n_quality,
-    * n_probe, n_kept), computed from the SAME stage chain [[run]]
-    * writes with. n_raw counts the corpus, n_dedup the cluster
-    * representatives (q67's number), n_decontam the benchmark-
-    * decontamination survivors (≡ n_dedup when no eval set),
-    * n_quality the adaptive-floor survivors, n_probe the
-    * classifier-stage survivors (≡ n_quality when the stage is
-    * off), n_kept the mixture survivors — what lands on disk. */
+    * configuration: (lang, n_raw, n_dedup, n_decontam, n_heuristic,
+    * n_quality, n_probe, n_kept), computed from the SAME stage chain
+    * [[run]] writes with. n_raw counts the corpus, n_dedup the
+    * cluster representatives (q67's number), n_decontam the
+    * benchmark-decontamination survivors (≡ n_dedup when no eval
+    * set), n_heuristic the rule-gate survivors (≡ n_decontam when
+    * the gate is off), n_quality the adaptive-floor survivors,
+    * n_probe the classifier-stage survivors (≡ n_quality when the
+    * stage is off), n_kept the mixture survivors — what lands on
+    * disk. */
   def funnel(spark: SparkSession, sfDir: String,
              mixtureDir: Option[String] = None,
              probe: Option[ProbeStage] = None,
-             evalSet: Option[DataFrame] = None): DataFrame = {
-    val st = build(spark, sfDir, mixtureDir, probe, evalSet)
+             evalSet: Option[DataFrame] = None,
+             heuristic: Boolean = false): DataFrame = {
+    val st = build(spark, sfDir, mixtureDir, probe, evalSet, heuristic)
     val raw = graft.Tables.documents(spark, sfDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
     val out = raw
       .join(st.reps.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
         Seq("lang"), "left")
       .join(st.decon.groupBy(col("lang")).agg(count(lit(1)).as("n_decontam")),
+        Seq("lang"), "left")
+      .join(st.gated.groupBy(col("lang")).agg(count(lit(1)).as("n_heuristic")),
         Seq("lang"), "left")
       .join(st.surv.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
         Seq("lang"), "left")
@@ -229,6 +271,7 @@ object CurationExport {
         col("n_raw"),
         coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
         coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
+        coalesce(col("n_heuristic"), lit(0L)).as("n_heuristic"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_probe"), lit(0L)).as("n_probe"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
@@ -249,7 +292,7 @@ object CurationExport {
     if (format == "jsonl")
       spark.read
         .schema("doc_id LONG, lang STRING, text STRING, unit_id LONG, " +
-          "quality DOUBLE, probe_score DOUBLE, split STRING")
+          "quality DOUBLE, probe_score DOUBLE, n_pii LONG, split STRING")
         .option("mode", "FAILFAST").json(outDir)
     else spark.read.parquet(outDir)
 }

@@ -254,7 +254,11 @@ object DedupIndex {
     // over-cap bucket ids broadcast back, and the index bands are
     // never shuffled — two broadcast-probe streams over the same
     // scan the uncapped join already paid.
-    val batchBands = bandsOf(derived)
+    // materialized (localCheckpoint, the bStats treatment): the
+    // gating count below would otherwise compute the batch's
+    // tokenize+minhash derivation once, then every downstream join
+    // would RE-derive it — several band passes per probe
+    val batchBands = bandsOf(derived).localCheckpoint()
     // broadcast-or-shuffle gate (ProbeBroadcastMaxBands): every
     // probe-side frame below is bounded by this count, so ONE
     // measurement decides the whole plan's join strategy

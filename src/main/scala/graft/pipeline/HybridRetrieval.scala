@@ -62,7 +62,7 @@ object HybridRetrieval {
     * under ANSI mode an unguarded 0.0/0.0 THROWS rather than
     * yielding NaN — the VectorOps.cosine lesson); callers filter
     * nulls out of the vector stores. */
-  private def unitEmbed(c: Column) = {
+  private[graft] def unitEmbed(c: Column) = {
     val v = graft.queries.Search.bowEmbed(c) // the ONE encoder (q111's)
     val norm = sqrt(aggregate(transform(v, x => x * x),
       lit(0.0), (a, b) => a + b))
@@ -150,8 +150,10 @@ object HybridRetrieval {
     * O(corpus). Lexical df/stats stay EXACT (integer deltas); the
     * ANN side encodes against frozen codebooks (class doc trade).
     * Raw store lands BEFORE codes: a crash between the writes leaves
-    * a harmless orphan raw partition, never orphan codes whose
-    * shortlisted ids would silently drop from the refine join. */
+    * an orphan raw partition — never orphan codes whose shortlisted
+    * ids would silently drop from the refine join — and the NEXT
+    * append's heal loop encodes that orphan from the raw store, so
+    * the crash costs recall only until the next delivery. */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
              runId: String): Unit = {
     Seq("postings", "termstats", "stats", "raw")
@@ -164,24 +166,48 @@ object HybridRetrieval {
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/raw")
     if (!vecs.isEmpty) {
-      if (graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
-        AnnIndex.append(spark, vecs, s"$dir/ann", runId)
-      else {
-        // DEFERRED BOOTSTRAP: the store was built before any vectors
-        // existed ([[build]]'s token-less-corpus posture) — train the
-        // codebooks on this first vectored batch, then RE-KEY its
-        // codes to this delivery's run id: build writes codes under
-        // run=base, which a re-delivered batch's dynamic overwrite of
-        // run=<runId> would DUPLICATE rather than replace. One extra
-        // encode of one batch, once per store lifetime.
-        AnnIndex.build(spark, vecs, s"$dir/ann")
-        val codes = new org.apache.hadoop.fs.Path(s"$dir/ann/codes")
-        val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(codes)) fs.delete(codes, true)
-        AnnIndex.append(spark, vecs, s"$dir/ann", runId)
+      // DEFERRED BOOTSTRAP: the store was built before any vectors
+      // existed ([[build]]'s token-less-corpus posture) — train the
+      // codebooks on this first vectored batch. Train ONLY: build's
+      // run=base codes would need a delete-and-re-key to this
+      // delivery's run id, and a crash between the delete and the
+      // re-append strands a codebooks store with zero codes that
+      // every later append treats as bootstrapped — the first
+      // batch's vectors silently never encode (round-13 advisor).
+      if (!graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
+        AnnIndex.train(spark, vecs, s"$dir/ann")
+      // HEAL-ON-APPEND (the store family's heal-on-read discipline,
+      // applied to the raw→codes invariant): encode every raw run
+      // the codes store lacks, from the raw side store. This single
+      // loop IS the encode of the current delivery (its raw run
+      // landed above, codes can't have it yet) AND the repair of any
+      // prior delivery whose encode crashed after its raw write —
+      // codebooks-present-but-run-unencoded is no longer a terminal
+      // state. O(missing runs): steady state re-reads one run's
+      // vectors from parquet instead of the in-memory frame; the
+      // uniform read path is what makes the crash recovery free.
+      val missing = runsOf(spark, s"$dir/raw") --
+        runsOf(spark, s"$dir/ann/codes")
+      missing.toSeq.sorted.foreach { r =>
+        AnnIndex.append(spark,
+          spark.read.parquet(s"$dir/raw").where(col("run") === r)
+            .select(col("vec_id"), col("vec")),
+          s"$dir/ann", r)
       }
     }
     prepared.unpersist()
+  }
+
+  /** The `run=` partition values present under `path` (directory
+    * listing only — no data read). Heals first so a crashed
+    * compaction's staging state never masks or duplicates a run. */
+  private def runsOf(spark: SparkSession, path: String): Set[String] = {
+    graft.ops.StoreCompaction.heal(spark, path, "run")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("run=")).map(_.stripPrefix("run=")).toSet
   }
 
   /** Fold every store's `run=` partitions to one (daily appends

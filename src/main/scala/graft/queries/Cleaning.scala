@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TextOps
@@ -411,20 +411,28 @@ object Cleaning {
             pmod(col("doc_id"), lit(100L)).cast("string"), lit(" today")))
         .otherwise(col("text")).as("text"))
 
+  /** Masked text at ROW level (emails then phones — the classes
+    * cannot overlap, but a fixed order keeps the masked bytes
+    * engine-independent by construction) — shared by the q124 report
+    * and [[graft.pipeline.CurationExport]]'s scrub stage. */
+  private[graft] def piiMasked(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Matched-span count at row level (the scrub stage's lineage). */
+  private[graft] def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("bigint")
+
   /** The q124 chain over any (doc_id, text) frame (spec hook:
-    * planted multi-PII docs — CleaningSpec). Mask order is fixed
-    * (emails, then phones) — the classes cannot overlap, but a
-    * fixed order keeps the masked bytes engine-independent by
-    * construction rather than by argument. */
+    * planted multi-PII docs — CleaningSpec). */
   private[graft] def piiScrub(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
           .cast("bigint").as("n_emails"),
         size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
           .cast("bigint").as("n_phones"),
-        TextOps.fingerprint(
-          regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>")).as("clean_hash"))
+        TextOps.fingerprint(piiMasked(col("text"))).as("clean_hash"))
       .orderBy(col("doc_id"))
 
   // q121: n-gram width (GPT-3 used 13-grams of its BPE stream; 8

@@ -606,19 +606,33 @@ object Learn {
     * planted availabilities with a hand-computed water level —
     * LearnSpec). Cap test: with sources sorted ascending by
     * (avail, source), source i is capped iff
-    * avail_i·(S−i+1) ≤ B−(cum_a−avail_i) — all int64
-    * cross-multiplication, safe to ~10^12-token corpora per source
-    * at the 10^6 epoch scale (document before raising EpochScale).
+    * avail_i·(S−i+1) ≤ B−(cum_a−avail_i). Every cross-
+    * multiplication (the cap test, the budget fraction, the
+    * epochs_micro scale-up) runs in DECIMAL(38,0) — an int64
+    * product overflows (ANSI throw) once avail·sources or
+    * alloc·10^6 crosses 2^63, i.e. around 10^12–10^13 tokens per
+    * source, squarely inside production-corpus range (round-13
+    * advisor). Decimal keeps the same integers at every scale a
+    * BIGINT avail can represent; the quotients fold back to BIGINT.
     * Zero-avail sources cap at 0 and report 0 epochs (the CASE
     * guard keeps ANSI div-by-zero out of the plan). */
   private[graft] def tokenAlloc(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val avail = docs
+    allocOf(docs
       .select($"source",
         graft.ops.TextOps.tokenCount($"text").cast("long").as("n"))
-      .groupBy($"source").agg(sum($"n").as("avail"))
+      .groupBy($"source").agg(sum($"n").as("avail")))
+  }
+
+  /** The allocation over an already-aggregated (source, avail)
+    * frame — split out so LearnSpec can plant petatoken-range
+    * availabilities (unreachable through literal text) and pin the
+    * decimal arithmetic against closed-form water levels. */
+  private[graft] def allocOf(avail: DataFrame): DataFrame = {
+    val spark = avail.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     // O(sources) rows from here on — the single-partition windows
     // never see the corpus
     val wOrd = Window.orderBy($"avail", $"source")
@@ -630,9 +644,11 @@ object Learn {
       .withColumn("total", sum($"avail").over(wAll))
       .withColumn("s", count(lit(1)).over(wAll))
       .withColumn("i", row_number().over(wOrd).cast("long"))
-      .withColumn("b", expr(s"(total * $BudgetNum) div $BudgetDen"))
-      .withColumn("capped",
-        $"avail" * ($"s" - $"i" + 1L) <= $"b" - ($"cum_a" - $"avail"))
+      .withColumn("b", expr(
+        s"CAST((CAST(total AS DECIMAL(38,0)) * $BudgetNum) DIV $BudgetDen AS BIGINT)"))
+      .withColumn("capped", expr(
+        "CAST(avail AS DECIMAL(38,0)) * (s - i + 1)" +
+          " <= CAST(b AS DECIMAL(38,0)) - cum_a + avail"))
     val caps = g.agg(
       coalesce(sum(when($"capped", $"avail")), lit(0L)).as("a_cap"),
       coalesce(sum(when($"capped", 1L)), lit(0L)).as("k"))
@@ -642,7 +658,8 @@ object Learn {
           .otherwise(expr("(b - a_cap) div (s - k)")))
       .select($"source", $"avail".as("avail_tokens"),
         $"alloc".as("alloc_tokens"), $"capped",
-        when($"avail" > 0L, expr("(alloc * 1000000) div avail"))
+        when($"avail" > 0L, expr(
+            "CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) DIV avail AS BIGINT)"))
           .otherwise(lit(0L)).as("epochs_micro"))
       .orderBy($"source")
   }

@@ -405,27 +405,38 @@ object Quality {
       .orderBy($"lang", $"seq_id")
   }
 
-  /** The q134 rule rollup over any (text) frame (spec hook: planted
-    * docs with hand-countable rule failures — CleaningSpec). See the
-    * entry comment for the rule set; rule ids carry an ordinal
-    * prefix so lexicographic ORDER BY rule is the display order. */
-  private[graft] def heuristicGate(docs: DataFrame): DataFrame = {
+  /** The q134 rule family at ROW level: appends the per-doc flag
+    * columns (f_short, f_long, f_len, f_stop) plus `__n_tok` to
+    * `docs`, every other column passing through — shared by the
+    * [[heuristicGate]] rollup and
+    * [[graft.pipeline.CurationExport]]'s gate stage, so the report
+    * and the artifact apply the SAME rules by construction. */
+  private[graft] def heuristicFlagged(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val stop = TextOps.LangDicts.head._2
-    val t = docs
-      .select(TextOps.tokens($"text").as("toks"))
-      .select(size($"toks").cast("long").as("n_tok"),
-        aggregate($"toks", lit(0L), (acc, x) => acc + length(x).cast("long"))
-          .as("sum_len"),
-        size(filter($"toks", x => x.isInCollection(stop))).cast("long")
-          .as("n_stop"))
-    val f = t.select($"n_tok",
-      ($"n_tok" < GateMinTok).as("f_short"),
-      ($"n_tok" > GateMaxTok).as("f_long"),
-      ($"sum_len" * 10 < lit(GateLenLo) * $"n_tok" ||
-        $"sum_len" * 10 > lit(GateLenHi) * $"n_tok").as("f_len"),
-      ($"n_stop" < GateMinStop).as("f_stop"))
+    docs
+      .withColumn("__toks", TextOps.tokens($"text"))
+      .withColumn("__n_tok", size($"__toks").cast("long"))
+      .withColumn("__sum_len",
+        aggregate($"__toks", lit(0L), (acc, x) => acc + length(x).cast("long")))
+      .withColumn("__n_stop",
+        size(filter($"__toks", x => x.isInCollection(stop))).cast("long"))
+      .withColumn("f_short", $"__n_tok" < GateMinTok)
+      .withColumn("f_long", $"__n_tok" > GateMaxTok)
+      .withColumn("f_len",
+        $"__sum_len" * 10 < lit(GateLenLo) * $"__n_tok" ||
+          $"__sum_len" * 10 > lit(GateLenHi) * $"__n_tok")
+      .withColumn("f_stop", $"__n_stop" < GateMinStop)
+      .drop("__toks", "__sum_len", "__n_stop")
+  }
+
+  private[graft] def heuristicGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = heuristicFlagged(docs.select($"text"))
+      .withColumnRenamed("__n_tok", "n_tok")
+      .select($"n_tok", $"f_short", $"f_long", $"f_len", $"f_stop")
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     def tok(c: Column) = sum(when(c, $"n_tok").otherwise(0L))
     val pass = !$"f_short" && !$"f_long" && !$"f_len" && !$"f_stop"

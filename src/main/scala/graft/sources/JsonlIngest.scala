@@ -70,7 +70,17 @@ object JsonlIngest {
     * deliveries stay VISIBLE, not silent: a reordered or renamed
     * header line fails the predicate and lands in quarantine for the
     * operator to inspect (column order is positional against
-    * `schema` — no reader can detect reordered DATA). */
+    * `schema` — no reader can detect reordered DATA).
+    *
+    * Collision corner (all-string schemas): a legitimate DATA row
+    * whose tokens equal the field names also satisfies the
+    * predicate. A line channel has no line numbers to tell it from
+    * the real header, so the channel drops exactly ONE
+    * header-matching line per file (deterministically: the raw-min,
+    * with ties identical) and QUARANTINES the rest — collided data
+    * rows surface in the repair queue rather than vanishing
+    * (round-13 advisor). A well-formed delivery has exactly one
+    * match per file and quarantines nothing. */
   private[graft] def csvChannel(lines: DataFrame, schema: StructType,
                                 header: Boolean): (DataFrame, DataFrame) = {
     val wc = withCorrupt(schema)
@@ -81,7 +91,20 @@ object JsonlIngest {
     val body = lines.filter(length(col("value")) > 0)
     val parsed = (if (header) body.filter(!isHeader) else body)
       .select(col("value"), from_csv(col("value"), wc, ParseOpts).as("r"))
-    split2(parsed, schema)
+    val (good, bad) = split2(parsed, schema)
+    if (!header) (good, bad)
+    else {
+      // header-matching lines BEYOND the first per file: O(headers)
+      // rows reach the window (the filter precedes it), so the
+      // per-file sort is bounded by the collision count, not the file
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__f")).orderBy(col("value"))
+      val excess = body.filter(isHeader)
+        .withColumn("__f", input_file_name())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1).select(col("value"))
+      (good, bad.union(excess))
+    }
   }
 
   private def split2(parsed: DataFrame,

@@ -24,26 +24,28 @@ class CurationExportSpec extends AnyFunSuite {
     // monotone (raw ≥ dedup ≥ quality ≥ kept) with the adaptive
     // floor actually engaged
     val funnel = CurationExport.funnel(spark, sf)
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
     val got = spark.read.parquet(outDir)
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(got == funnel.map(f => f._1 -> f._7).toMap,
+    assert(got == funnel.map(f => f._1 -> f._8).toMap,
       s"written corpus diverges from funnel n_kept: $got vs ${funnel.toSeq}")
     val q67 = SparkEntry.queries("q67_dedup_keep")(spark, sf)
       .select($"lang", $"n_kept").as[(String, Long)].collect().toMap
     assert(funnel.map(f => f._1 -> f._3).toMap == q67,
       s"funnel n_dedup diverges from q67: ${funnel.toSeq} vs $q67")
-    funnel.foreach { case (lang, raw, dedup, decontam, quality, probe, kept) =>
-      assert(raw >= dedup && dedup >= decontam && decontam >= quality &&
-        quality >= probe && probe >= kept,
-        s"$lang funnel not monotone: $raw/$dedup/$decontam/$quality/$probe/$kept")
+    funnel.foreach { case (lang, raw, dedup, decontam, heur, quality, probe, kept) =>
+      assert(raw >= dedup && dedup >= decontam && decontam >= heur &&
+        heur >= quality && quality >= probe && probe >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$decontam/$heur/$quality/$probe/$kept")
       assert(decontam == dedup,
         s"$lang: decontamination off must pass representatives through")
+      assert(heur == decontam,
+        s"$lang: heuristic gate off must pass decontam survivors through")
       assert(probe == quality,
         s"$lang: probe stage off must pass quality survivors through")
     }
-    assert(funnel.map(_._5).sum < funnel.map(_._4).sum,
+    assert(funnel.map(_._6).sum < funnel.map(_._5).sum,
       "adaptive floor dropped nothing — stage not engaged")
     // probe stage off: the lineage column rides along as null
     assert(spark.read.parquet(outDir)
@@ -83,15 +85,15 @@ class CurationExportSpec extends AnyFunSuite {
     val emptyStore = s"$root/store"
     CurationExport.run(spark, sf, s"$root/corpus", mixtureDir = Some(emptyStore))
     val viaStore = CurationExport.funnel(spark, sf, Some(emptyStore))
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
-    viaStore.foreach { case (lang, _, _, _, quality, _, kept) =>
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    viaStore.foreach { case (lang, _, _, _, _, quality, _, kept) =>
       assert(kept == quality,
         s"$lang: empty store must keep all quality survivors ($kept != $quality)")
     }
     val onDisk = spark.read.parquet(s"$root/corpus")
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(onDisk == viaStore.map(f => f._1 -> f._7).toMap)
+    assert(onDisk == viaStore.map(f => f._1 -> f._8).toMap)
     // a store absorbed from this corpus reproduces the
     // self-contained path's rates... up to the population they are
     // computed over (absorb sees the raw batch, self-contained sees
@@ -103,10 +105,10 @@ class CurationExportSpec extends AnyFunSuite {
         .toDF("doc_id", "lang", "text"),
       emptyStore, "seed")
     val throttled = CurationExport.funnel(spark, sf, Some(emptyStore))
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
-      .map(f => f._1 -> f._7).toMap
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._8).toMap
     val en = viaStore.find(_._1 == "en")
-    assert(en.isEmpty || throttled("en") <= en.get._7,
+    assert(en.isEmpty || throttled("en") <= en.get._8,
       "absorbed skew did not throttle the dominant domain")
   }
 
@@ -124,15 +126,15 @@ class CurationExportSpec extends AnyFunSuite {
     val stage = CurationExport.ProbeStage(probeDir, keepClasses = Set(0, 1, 2, 3, 4))
     CurationExport.run(spark, sf, outDir, probe = Some(stage))
     val funnel = CurationExport.funnel(spark, sf, probe = Some(stage))
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
-    funnel.foreach { case (lang, raw, dedup, decontam, quality, probe, kept) =>
-      assert(raw >= dedup && dedup >= decontam && decontam >= quality &&
-        quality >= probe && probe >= kept,
-        s"$lang funnel not monotone: $raw/$dedup/$decontam/$quality/$probe/$kept")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    funnel.foreach { case (lang, raw, dedup, decontam, heur, quality, probe, kept) =>
+      assert(raw >= dedup && dedup >= decontam && decontam >= heur &&
+        heur >= quality && quality >= probe && probe >= kept,
+        s"$lang funnel not monotone: $raw/$dedup/$decontam/$heur/$quality/$probe/$kept")
     }
-    assert(funnel.map(_._6).sum < funnel.map(_._5).sum,
+    assert(funnel.map(_._7).sum < funnel.map(_._6).sum,
       "probe stage dropped nothing — not engaged")
-    assert(funnel.map(_._6).sum > 0, "probe stage dropped everything")
+    assert(funnel.map(_._7).sum > 0, "probe stage dropped everything")
 
     // routing: every written doc must be one the classifier predicts
     // into a keep class, and its lineage score must equal the
@@ -152,9 +154,9 @@ class CurationExportSpec extends AnyFunSuite {
     }
     // funnel n_probe == quality survivors the classifier keeps
     val qualityIds = CurationExport.funnel(spark, sf)
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
-      .map(f => f._1 -> f._5).toMap
-    assert(funnel.map(f => f._1 -> f._6).toMap.values.sum <=
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(f => f._1 -> f._6).toMap
+    assert(funnel.map(f => f._1 -> f._7).toMap.values.sum <=
       qualityIds.values.sum)
 
     // re-run idempotent
@@ -184,13 +186,90 @@ class CurationExportSpec extends AnyFunSuite {
       s"contaminated docs shipped: ${written & contaminated}")
     // funnel: the stage is engaged and the report reconciles with disk
     val funnel = CurationExport.funnel(spark, sf, evalSet = Some(evalSet))
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(funnel.map(_._4).sum < funnel.map(_._3).sum,
       "decontamination dropped nothing — stage not engaged")
     val onDisk = spark.read.parquet(s"$root/corpus")
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(onDisk == funnel.map(f => f._1 -> f._7).toMap.filter(_._2 > 0))
+    assert(onDisk == funnel.map(f => f._1 -> f._8).toMap.filter(_._2 > 0))
+  }
+
+  test("heuristic gate: rule-violating docs drop visibly, funnel reconciles, off is pass-through") {
+    val root = Files.createTempDirectory("graft-export-heur").toString
+    val outG = s"$root/gated"
+    CurationExport.run(spark, sf, outG, heuristic = true)
+    val funnel = CurationExport.funnel(spark, sf, heuristic = true)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(funnel.map(_._5).sum < funnel.map(_._4).sum,
+      "heuristic gate dropped nothing — stage not engaged")
+    assert(funnel.map(_._5).sum > 0, "heuristic gate dropped everything")
+    // every written doc passes the rule family — checked with the
+    // SAME shared flag derivation the q134 report rolls up
+    val violators = graft.queries.Quality.heuristicFlagged(
+        spark.read.parquet(outG).select($"doc_id", $"text"))
+      .filter($"f_short" || $"f_long" || $"f_len" || $"f_stop")
+      .select($"doc_id").as[Long].collect()
+    assert(violators.isEmpty, s"rule-violating docs shipped: ${violators.toSeq}")
+    // disk reconciles with the report
+    val onDisk = spark.read.parquet(outG)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(onDisk == funnel.map(f => f._1 -> f._8).toMap.filter(_._2 > 0))
+    // re-run idempotent
+    val first = spark.read.parquet(outG).count()
+    CurationExport.run(spark, sf, outG, heuristic = true)
+    assert(spark.read.parquet(outG).count() == first)
+  }
+
+  test("PII scrub: planted PII is masked and counted on disk, counts unchanged, off rides null") {
+    val root = Files.createTempDirectory("graft-export-pii").toString
+    // a corpus WITH PII (the testdata ships none): q124's planting
+    // pattern — emails on doc_id%4==1, phones on %4==2
+    val dirty = s"$root/dirty"
+    Tables.documents(spark, sf)
+      .withColumn("text",
+        when(pmod($"doc_id", lit(4L)) === 1L,
+          concat($"text", lit(" contact u"), $"doc_id".cast("string"),
+            lit("@mail.example.com now")))
+          .when(pmod($"doc_id", lit(4L)) === 2L,
+            concat($"text", lit(" call +1-555-0"),
+              pmod($"doc_id", lit(100L)).cast("string"), lit(" today")))
+          .otherwise($"text"))
+      .withColumn("n_chars", length($"text").cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dirty/documents.parquet")
+
+    val outP = s"$root/scrubbed"
+    val report = CurationExport.run(spark, dirty, outP, scrubPii = true).collect()
+    // a scrub is a transform, not a drop: per-split counts match the
+    // unscrubbed run of the same corpus
+    val plainReport = CurationExport.run(spark, dirty, s"$root/plain").collect()
+    assert(report.sameElements(plainReport),
+      "scrub changed survivor counts — it must only mask")
+
+    val rows = spark.read.parquet(outP)
+      .select($"doc_id", $"text", $"n_pii").as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // no raw PII byte survives; planted-and-kept docs are masked AND
+    // counted; untouched docs count zero
+    rows.foreach { case (id, text, nPii) =>
+      assert(!text.contains("@mail.example.com") && !text.contains("+1-555-"),
+        s"doc $id shipped raw PII")
+      if (id % 4 == 1) {
+        assert(text.contains("<EMAIL>"), s"doc $id email not masked")
+        assert(nPii >= 1L, s"doc $id masked but n_pii=$nPii")
+      } else if (id % 4 == 2) {
+        assert(text.contains("<PHONE>"), s"doc $id phone not masked")
+        assert(nPii >= 1L, s"doc $id masked but n_pii=$nPii")
+      } else assert(nPii == 0L, s"doc $id has no PII but n_pii=$nPii")
+    }
+    assert(rows.exists(_._3 >= 1L), "no PII doc survived — scrub untested")
+    // off-switch: the lineage column rides along as null
+    assert(spark.read.parquet(s"$root/plain")
+      .filter($"n_pii".isNotNull).count() == 0L)
+    // re-run idempotent
+    CurationExport.run(spark, dirty, outP, scrubPii = true)
+    assert(spark.read.parquet(outP).count() == rows.length.toLong)
   }
 
   test("jsonl export round-trips the parquet artifact exactly (one document per line)") {

@@ -159,6 +159,39 @@ class HybridRetrievalSpec extends AnyFunSuite {
       "token-less query must be omitted per the no-results convention")
   }
 
+  test("a crashed encode heals on the next append (raw run missing from codes is re-encoded)") {
+    import graft.pipeline.HybridRetrieval
+    // Crash window: a delivery lands its raw run, then dies before
+    // (or during) the ANN encode. The old bootstrap's delete-and-
+    // re-key made this TERMINAL — codebooks present, run never
+    // encoded, every later append down the normal path (round-13
+    // advisor, silent recall loss). Now append's heal loop encodes
+    // every raw run the codes store lacks.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-heal").toString + "/idx"
+    HybridRetrieval.build(spark, Seq((1L, "")).toDF("doc_id", "text"), dir)
+    val b1 = Seq(
+      (10L, "alpha beta alpha beta"),
+      (11L, (0 until 12).map(j => s"pad$j").mkString(" "))).toDF("doc_id", "text")
+    HybridRetrieval.append(spark, b1, dir, "b1")
+    // simulate the crash: the raw run survives, its codes don't
+    val codesB1 = new org.apache.hadoop.fs.Path(s"$dir/ann/codes/run=b1")
+    val fs = codesB1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(codesB1), "precondition: b1 encoded")
+    assert(fs.delete(codesB1, true))
+    // next delivery heals b1 alongside encoding itself
+    val b2 = Seq((12L, "gamma delta gamma")).toDF("doc_id", "text")
+    HybridRetrieval.append(spark, b2, dir, "b2")
+    assert(fs.exists(codesB1), "heal loop must re-encode the orphan raw run")
+    val semantic = graft.pipeline.AnnIndex.searchRefined(spark,
+        Seq((0L, "alpha beta alpha beta")).toDF("query_id", "qtext")
+          .select($"query_id", HybridRetrieval.unitEmbed($"qtext").as("qvec")),
+        s"$dir/ann",
+        spark.read.parquet(s"$dir/raw").select($"vec_id", $"vec"), 1)
+      .select($"vec_id").as[Long].collect()
+    assert(semantic.toSeq == Seq(10L),
+      s"healed run must serve semantically: ${semantic.toSeq}")
+  }
+
   test("streaming ingest: new document files index incrementally and serve exactly") {
     import graft.pipeline.HybridRetrieval
     val root = java.nio.file.Files.createTempDirectory("graft-hybrid-s").toString

@@ -400,6 +400,23 @@ class LearnSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 380L)
   }
 
+  test("q136 alloc: exatoken availabilities allocate exactly (int64 cross-products would overflow)") {
+    // avail A=3e18, B=6e18 -> total 9e18 (fits int64; every PRODUCT
+    // in the chain does not: 9e18·19, 3e18·10^6, 5.55e18·10^6 all
+    // cross 2^63 — the decimal arithmetic this test pins).
+    // b = 9e18·19 div 20 = 8.55e18. A capped (3e18·2 ≤ 8.55e18);
+    // B uncapped (6e18 > 8.55e18−3e18) -> level 5.55e18.
+    // epochs: A exactly 1e6; B = 5.55e18·1e6 div 6e18 = 925000.
+    val avail = Seq(
+      ("A", 3000000000000000000L), ("B", 6000000000000000000L))
+      .toDF("source", "avail")
+    val out = graft.queries.Learn.allocOf(avail)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 3000000000000000000L, 3000000000000000000L, true, 1000000L),
+      ("B", 6000000000000000000L, 5550000000000000000L, false, 925000L)))
+  }
+
   test("score() runs on an UNLABELED frame — the production full-corpus call") {
     // labels exist only on the training slice; the corpus being
     // scored has none, so score must not demand the column

@@ -135,4 +135,50 @@ class LmSpec extends AnyFunSuite {
     // manifest reconciles: every doc in exactly one shard
     assert(out.map(_._3).sum == 6L)
   }
+
+  test("skew-free prefix sum: two-phase multi-bucket scan ≡ single window; q133/q54 bucket-width-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    // direct equality on a frame with a dominant key, ord gaps, and
+    // several buckets at width 4 (gapped ords leave EMPTY buckets —
+    // the offset window must carry over them)
+    val rows = Seq(
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 4L, 1L), ("a", 9L, 2L),
+      ("a", 12L, 8L), ("a", 17L, 3L), ("a", 33L, 9L),
+      ("b", 2L, 4L), ("b", 40L, 6L)).toDF("k", "ord", "v")
+    val w = Window.partitionBy($"k").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = rows.withColumn("off", sum($"v").over(w) - $"v")
+      .select($"k", $"ord", $"off").as[(String, Long, Long)].collect().toSet
+    val got = graft.ops.PrefixSum.exclusive(rows, "k", "ord", "v", "off", 4L)
+      .select($"k", $"ord", $"off").as[(String, Long, Long)].collect().toSet
+    assert(got == ref, "two-phase scan diverged from the single window")
+
+    // the q133 plant at bucketWidth 2 — every doc its own bucket
+    // family — reproduces the default-width shards exactly
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, doc(300)), ("A", 2L, doc(300)), ("A", 3L, doc(300)),
+      ("A", 4L, doc(100)), ("A", 5L, doc(600)),
+      ("B", 9L, doc(7))).toDF("source", "doc_id", "text")
+    val narrow = graft.queries.Corpus.tokenPacking(docs, bucketWidth = 2L)
+      .select($"source", $"shard", $"n_docs", $"n_tokens",
+        $"first_doc", $"last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(narrow == Seq(
+      ("A", 0L, 2L, 600L, 1L, 2L),
+      ("A", 1L, 3L, 1000L, 3L, 5L),
+      ("B", 0L, 1L, 7L, 9L, 9L)), "q133 shards changed with bucket width")
+
+    // q54's packer: multi-bucket output == effectively-single-bucket
+    // output on the same frame
+    val langDocs = Seq(
+      (1L, "en", doc(300)), (2L, "en", doc(300)), (3L, "en", doc(300)),
+      (4L, "en", doc(100)), (5L, "en", doc(600)), (9L, "fr", doc(7)))
+      .toDF("doc_id", "lang", "text")
+    val seqNarrow = graft.queries.Quality.seqPack(langDocs, bucketWidth = 2L)
+      .collect().toSeq
+    val seqWide = graft.queries.Quality.seqPack(langDocs, bucketWidth = 1L << 20)
+      .collect().toSeq
+    assert(seqNarrow == seqWide, "q54 sequences changed with bucket width")
+  }
 }

@@ -10,10 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
 
-  private lazy val plans: Map[String, String] =
+  private lazy val built: Map[String, (String, org.apache.spark.sql.execution.SparkPlan)] =
     try SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+      val qe = fn(spark, sf).queryExecution
+      // executedPlan for the string checks; sparkPlan (pre-AQE, a
+      // traversable tree — the adaptive wrapper hides its children)
+      // for the structural window audit
+      name -> (qe.executedPlan.toString, qe.sparkPlan)
     } finally spark.catalog.clearCache() // SparkEntry.queries cache contract
+
+  private lazy val plans: Map[String, String] = built.view.mapValues(_._1).toMap
 
   // q25 broadcasts a 3-row query-vector set against the scan with an
   // always-true condition — an intentional BroadcastNestedLoopJoin
@@ -124,6 +130,28 @@ class PlanAuditSpec extends AnyFunSuite {
         "q126_boilerplate_grams"))
       assert(!plans(name).contains("Window"),
         s"$name plans a window — per-content-key state must stay a skew-immune aggregate:\n${plans(name)}")
+  }
+
+  test("every unpartitioned window sits above an aggregate that bounds its input") {
+    // An unpartitioned Window funnels its ENTIRE input through one
+    // task — fine over a frame an aggregate has already reduced to
+    // O(sources)/O(distinct-scores) rows (q132/q136's documented
+    // shape), a scale-killer over anything corpus-sized. The bench
+    // log's WindowExec warnings were all justified by inspection;
+    // this turns that inspection into an invariant: below every
+    // empty-partition-spec WindowExec there must be an aggregate (or
+    // an explicit limit) bounding the rows the single task sees.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => ()
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+    }.nonEmpty
+    for ((name, (_, plan)) <- built;
+         w <- plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w })
+      assert(bounded(w.child),
+        s"$name plans an unpartitioned window over an unbounded input:\n$w")
   }
 
   test("every query ends in a deterministic total order (oracle-comparable output)") {

@@ -136,6 +136,29 @@ class SourceFormatSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSeq == Seq(("r1", "text,doc_id")))
   }
 
+  test("CSV header collision: a data row equal to the field names quarantines, never vanishes") {
+    import org.apache.spark.sql.types._
+    val base = tmp("csv-coll")
+    val in = s"$base/in"; val quar = s"$base/quarantine"
+    // all-string schema — the one place a DATA row can satisfy the
+    // header predicate (csvChannel's documented collision corner)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("kind", StringType)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.csv"),
+      Seq("name,kind", "alpha,x", "Name , KIND", "beta,y")
+        .mkString("\n").getBytes("UTF-8"))
+    val good = graft.sources.JsonlIngest.readCsvWithQuarantine(
+      spark, in, schema, quar, "r1")
+    assert(good.as[(String, String)].collect().sorted.toSeq ==
+      Seq(("alpha", "x"), ("beta", "y")))
+    // one header-matching line per file is THE header (dropped —
+    // deterministically the raw-min, here "Name , KIND"); the other
+    // lands in the repair queue — visible, not silent
+    assert(graft.sources.JsonlIngest.quarantined(spark, quar)
+      .as[(String, String)].collect().toSeq == Seq(("r1", "name,kind")))
+  }
+
   test("streaming quarantine ingest: streamed == batch on the same delivery, re-delivery idempotent") {
     import org.apache.spark.sql.types._
     val base = tmp("jsonl-stream")
