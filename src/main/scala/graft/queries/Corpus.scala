@@ -676,6 +676,74 @@ object Corpus {
       pmiBigrams(Tables.documents(s, d))
     },
 
+    // Zipf rank-frequency slope per language (Zipf 1949; Piantadosi
+    // 2014 reviews the law's use as a corpus-health diagnostic): a
+    // natural corpus fits ln(freq) ≈ c + s·ln(rank) with s ≈ −1;
+    // machine-generated or template-flooded text bends the tail, so
+    // the fitted slope per provider/language is a cheap generation-
+    // artifact screen. Least squares over the top-K terms, closed
+    // form. Determinism: each rank's ln terms micro-quantize BEFORE
+    // the int64 sums (order-free — the q137 quantize-then-sum
+    // contract); the slope/intercept are ONE fixed-order double
+    // expression over those exact integers (the q43 libm-ulp
+    // argument applies to the ln calls, micro-granularity absorbs
+    // the ulp).
+    //
+    // Scale shape: term frequencies map-side combine to token-width
+    // (lang, term) rows; the top-K is bounded-heap TopKPerKey (≤ K
+    // rows per lang cross the wire — skew-immune); the regression
+    // aggregates O(langs·K) rows. Nothing after the scan is
+    // O(corpus) but the count shuffle itself.
+    "q139_zipf_slope" -> { (s, d) =>
+      zipfSlope(Tables.documents(s, d))
+    },
+
+    // Lexical-diversity table per language: type/token ratio, hapax
+    // and dis legomena fractions, Herdan's C = ln V / ln N (the
+    // classic vocabulary-richness statistics — Herdan 1960; hapax
+    // rate is the standard OCR-garbage / boilerplate-flood tell:
+    // clean natural text keeps ~40-60% hapax types, template floods
+    // crash it, OCR noise inflates it). Integer-exact ratios via
+    // micro div; Herdan is one double expression over exact integer
+    // counts. Scale shape: ONE groupBy(lang, term) count (map-side
+    // combined) then an O(types)-row rollup per lang.
+    "q140_lexical_diversity" -> { (s, d) =>
+      lexicalDiversity(Tables.documents(s, d))
+    },
+
+    // Distinct-n diversity (Li et al. 2016's distinct-1/2/3,
+    // corpus-level): unique n-grams / total n-grams per language for
+    // n = 1..3 — the repetitiveness score model-output audits read
+    // next to q51's within-doc repetition (this one is CROSS-doc:
+    // a corpus of individually-diverse near-copies scores low).
+    // Totals are closed-form off token counts (Σ max(len−n+1, 0));
+    // distincts count the same shingle hashes q24/q138 dedup on —
+    // deterministic, so the oracle replays them (the auditable-
+    // sketch doctrine). Scale shape: per n, one shingle-hash explode
+    // into a two-phase distinct count keyed by hash — map-side
+    // partials, no corpus-width collect, no window.
+    "q141_distinct_ngrams" -> { (s, d) =>
+      distinctNgrams(Tables.documents(s, d))
+    },
+
+    // Term burstiness table (Church & Gale 1995: content words are
+    // BURSTY — high collection frequency concentrated in few docs —
+    // while function words spread evenly; cf/df is the classic
+    // burstiness ratio): top bursty terms per language above a df
+    // floor (df < floor makes the ratio meaningless — the q125
+    // min-count mitigation). What a curation team reads to spot
+    // navigation chrome and SEO keyword stuffing: pathological
+    // burstiness = one template repeating a term hundreds of times
+    // per page. Integer-exact: burst_micro = cf·1e6 div df.
+    //
+    // Scale shape: (lang, term, doc) counts map-side combine, fold
+    // to (lang, term) stats, bounded-heap TopKPerKey per lang — the
+    // q126 report discipline (term text shuffles only post-floor
+    // count rows, never positions).
+    "q142_burstiness" -> { (s, d) =>
+      burstiness(Tables.documents(s, d))
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -782,6 +850,120 @@ object Corpus {
       Seq("pmi_micro" -> false, "w1" -> true, "w2" -> true), PmiTopK,
       rankCol = "rn")
       .select($"lang", $"w1", $"w2", $"n_ab", $"pmi_micro",
+        $"rn".cast("bigint").as("rn"))
+      .orderBy($"lang", $"rn")
+  }
+
+  /** q139 fit width: top-100 ranks per lang. The published fits use
+    * the head of the distribution (the tail needs the Zipf-Mandelbrot
+    * correction); 100 ranks is deep enough for a stable slope and
+    * shallow enough that ties stay rare. */
+  private val ZipfTopK = 100
+
+  /** The q139 chain over any (lang, text) frame (spec hook: planted
+    * exact power-law frequencies recover slope −1 — CorpusStatSpec). */
+  private[graft] def zipfSlope(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+    val top = graft.plans.TopK.perKey(tf, Seq("lang"),
+      Seq("freq" -> false, "w" -> true), ZipfTopK, rankCol = "rn")
+    val lx = log($"rn".cast("double"))
+    val ly = log($"freq".cast("double"))
+    def micro(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("bigint")
+    val g = top
+      .select($"lang", micro(lx).as("x"), micro(ly).as("y"),
+        micro(lx * ly).as("xy"), micro(lx * lx).as("xx"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_terms"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"xy").as("sxy"), sum($"xx").as("sxx"))
+    // ONE fixed-order double expression over the exact integer sums
+    // — identical text in the oracle
+    val kd = $"n_terms".cast("double")
+    def d(c: Column) = c.cast("double") / lit(1e6)
+    val den = kd * d($"sxx") - d($"sx") * d($"sx")
+    val slope = (kd * d($"sxy") - d($"sx") * d($"sy")) / den
+    g.select($"lang", $"n_terms",
+        when(den =!= 0.0, micro(slope)).otherwise(lit(0L)).as("slope_micro"),
+        when(den =!= 0.0, micro((d($"sy") - slope * d($"sx")) / kd))
+          .otherwise(lit(0L)).as("icept_micro"))
+      .orderBy($"lang")
+  }
+
+  /** The q140 chain over any (lang, text) frame (spec hook: planted
+    * counts with hand-computed ratios — CorpusStatSpec). Token-less
+    * languages have no type table and are out of scope. */
+  private[graft] def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"lang").agg(
+        sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select($"lang", $"n_tokens", $"n_types", $"n_hapax", $"n_dis",
+        expr("(n_types * 1000000) div n_tokens").as("ttr_micro"),
+        expr("(n_hapax * 1000000) div n_types").as("hapax_micro"),
+        when($"n_tokens" > 1L,
+          floor(log($"n_types".cast("double")) /
+            log($"n_tokens".cast("double")) * lit(1e6) + lit(0.5))
+            .cast("bigint"))
+          .otherwise(lit(0L)).as("herdan_micro"))
+      .orderBy($"lang")
+  }
+
+  /** q141 widths: distinct-1/2/3, the published convention. */
+  private val DistinctNMax = 3
+
+  /** The q141 chain over any (lang, text) frame (spec hook: planted
+    * gram counts — CorpusStatSpec). Every (lang, n) reports; a lang
+    * whose docs are all shorter than n reports zeros (keep-zero). */
+  private[graft] def distinctNgrams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    (1 to DistinctNMax).map { n =>
+      val tot = docs
+        .select($"lang", TextOps.tokens($"text").as("toks"))
+        .groupBy($"lang").agg(
+          sum(greatest(size($"toks") - lit(n - 1), lit(0)).cast("long"))
+            .as("n_total"))
+      val dis = docs
+        .select($"lang",
+          explode(graft.ops.expressions.ShingleHashes($"text", n)).as("h"))
+        .groupBy($"lang").agg(count_distinct($"h").as("n_distinct"))
+      tot.join(dis, Seq("lang"), "left")
+        .select($"lang", lit(n.toLong).as("n"), $"n_total",
+          coalesce($"n_distinct", lit(0L)).as("n_distinct"))
+    }.reduce(_ unionByName _)
+      .withColumn("distinct_micro",
+        when($"n_total" > 0L, expr("(n_distinct * 1000000) div n_total"))
+          .otherwise(lit(0L)))
+      .orderBy($"lang", $"n")
+  }
+
+  /** q142 floor and report depth: a term in < MinDf docs has a
+    * meaningless cf/df ratio; 10 rows per lang is the report grade. */
+  private val BurstMinDf = 5L
+  private val BurstTopK = 10
+
+  /** The q142 chain over any (lang, doc_id, text) frame (spec hook:
+    * planted bursty/even/rare terms — CorpusStatSpec). */
+  private[graft] def burstiness(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docs
+      .select($"lang", $"doc_id", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w", $"doc_id").agg(count(lit(1)).as("c"))
+      .groupBy($"lang", $"w")
+      .agg(sum($"c").as("cf"), count(lit(1)).as("df"))
+      .filter($"df" >= BurstMinDf)
+      .withColumn("burst_micro", expr("(cf * 1000000) div df"))
+    graft.plans.TopK.perKey(stats, Seq("lang"),
+        Seq("burst_micro" -> false, "cf" -> false, "w" -> true), BurstTopK,
+        rankCol = "rn")
+      .select($"lang", $"w", $"cf", $"df", $"burst_micro",
         $"rn".cast("bigint").as("rn"))
       .orderBy($"lang", $"rn")
   }
@@ -1133,6 +1315,111 @@ object Corpus {
          |      FROM sc)
          |SELECT lang, w1, w2, n_ab, pmi_micro, rn FROM r
          |WHERE rn <= $PmiTopK ORDER BY lang, rn""".stripMargin,
+
+    // Twin of q139: same micro-quantize-then-BIGINT-sum regression
+    // terms (ranks via row_number under the TopKPerKey tie order),
+    // same fixed-order closed-form slope over the exact integer sums.
+    "q139_zipf_slope" ->
+      s"""WITH t AS (SELECT lang, unnest(${Sql.toks("text")}) AS w FROM documents),
+         |f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+         |      FROM t GROUP BY lang, w),
+         |r AS (SELECT lang, freq, row_number() OVER (PARTITION BY lang
+         |        ORDER BY freq DESC, w) AS rn FROM f),
+         |k AS (SELECT lang,
+         |        CAST(floor(ln(CAST(rn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |        CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y,
+         |        CAST(floor(ln(CAST(rn AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+         |          * 1000000.0 + 0.5) AS BIGINT) AS xy,
+         |        CAST(floor(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))
+         |          * 1000000.0 + 0.5) AS BIGINT) AS xx
+         |      FROM r WHERE rn <= $ZipfTopK),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
+         |      FROM k GROUP BY lang),
+         |s AS (SELECT lang, n_terms,
+         |        CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000.0)
+         |          - (CAST(sx AS DOUBLE) / 1000000.0)
+         |            * (CAST(sx AS DOUBLE) / 1000000.0) AS den,
+         |        CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+         |          - (CAST(sx AS DOUBLE) / 1000000.0)
+         |            * (CAST(sy AS DOUBLE) / 1000000.0) AS num,
+         |        CAST(sx AS DOUBLE) / 1000000.0 AS sxd,
+         |        CAST(sy AS DOUBLE) / 1000000.0 AS syd
+         |      FROM g)
+         |SELECT lang, n_terms,
+         |  CASE WHEN den <> 0.0
+         |    THEN CAST(floor(num / den * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS slope_micro,
+         |  CASE WHEN den <> 0.0
+         |    THEN CAST(floor((syd - (num / den) * sxd)
+         |      / CAST(n_terms AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS icept_micro
+         |FROM s ORDER BY lang""".stripMargin,
+
+    // Twin of q140: exact integer counts, micro int division, ln
+    // ratio over exact integers (q43's libm note).
+    "q140_lexical_diversity" ->
+      s"""WITH t AS (SELECT lang, unnest(${Sql.toks("text")}) AS w FROM documents),
+         |f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM t GROUP BY lang, w),
+         |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+         |      FROM f GROUP BY lang)
+         |SELECT lang, n_tokens, n_types, n_hapax, n_dis,
+         |  (n_types * 1000000) // n_tokens AS ttr_micro,
+         |  (n_hapax * 1000000) // n_types AS hapax_micro,
+         |  CASE WHEN n_tokens > 1
+         |    THEN CAST(floor(ln(CAST(n_types AS DOUBLE))
+         |      / ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS herdan_micro
+         |FROM g ORDER BY lang""".stripMargin,
+
+    // Twin of q141: totals closed-form off token counts, distincts
+    // over the same shingle polyhashes the kernel computes (the
+    // q138 device); LEFT JOIN keeps the zero rows.
+    "q141_distinct_ngrams" -> {
+      def grams(n: Int) =
+        s"""SELECT lang, $n AS n, unnest(list_transform(
+           |        ${Sql.shingleSet("text", n)}, t -> ${Sql.polyHash("t")})) AS h
+           |      FROM documents""".stripMargin
+      s"""WITH d AS (SELECT lang, ${Sql.toks("text")} AS toks FROM documents),
+         |tot AS (SELECT lang, u.n, CAST(sum(greatest(
+         |          len(toks) - (u.n - 1), 0)) AS BIGINT) AS n_total
+         |        FROM d, unnest([1, 2, 3]) u(n) GROUP BY lang, u.n),
+         |gs AS (${grams(1)}
+         |       UNION ALL ${grams(2)}
+         |       UNION ALL ${grams(3)}),
+         |dis AS (SELECT lang, n, CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+         |        FROM gs GROUP BY lang, n)
+         |SELECT tot.lang, CAST(tot.n AS BIGINT) AS n, tot.n_total,
+         |  coalesce(dis.n_distinct, 0) AS n_distinct,
+         |  CASE WHEN tot.n_total > 0
+         |    THEN (coalesce(dis.n_distinct, 0) * 1000000) // tot.n_total
+         |    ELSE 0 END AS distinct_micro
+         |FROM tot LEFT JOIN dis ON dis.lang = tot.lang AND dis.n = tot.n
+         |ORDER BY tot.lang, n""".stripMargin
+    },
+
+    // Twin of q142: exact cf/df integers, micro int division,
+    // row_number under the TopKPerKey tie order.
+    "q142_burstiness" ->
+      s"""WITH t AS (SELECT lang, doc_id, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |pd AS (SELECT lang, w, doc_id, CAST(count(*) AS BIGINT) AS c
+         |       FROM t GROUP BY lang, w, doc_id),
+         |st AS (SELECT lang, w, CAST(sum(c) AS BIGINT) AS cf,
+         |         CAST(count(*) AS BIGINT) AS df
+         |       FROM pd GROUP BY lang, w),
+         |fl AS (SELECT *, (cf * 1000000) // df AS burst_micro
+         |       FROM st WHERE df >= $BurstMinDf),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY burst_micro DESC, cf DESC, w) AS BIGINT) AS rn
+         |      FROM fl)
+         |SELECT lang, w, cf, df, burst_micro, rn FROM r
+         |WHERE rn <= $BurstTopK ORDER BY lang, rn""".stripMargin,
 
     // Twin of q123: same distinct-shingle-hash device as the q24/
     // q121 oracles, df + join-back in plain SQL.

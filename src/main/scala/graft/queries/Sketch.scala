@@ -479,6 +479,31 @@ object Sketch {
     // no float boundary).
     "q135_mad_fences" -> { (s, d) =>
       madFences(Tables.documents(s, d))
+    },
+
+    // Per-class Fréchet embedding distance, diagonal-covariance form
+    // (the Gaussian Fréchet/Wasserstein-2 closed form, Dowson &
+    // Landau 1982; FID, Heusel et al. 2017 — with diagonal Σ the
+    // trace term collapses to Σ_d (σ1−σ2)², so the whole distance is
+    // per-dimension arithmetic): for each label, d²(label group,
+    // complement) = Σ_d (μA−μB)² + σA² + σB² − 2σAσB. The
+    // distribution-level dual of q114's within-class diversity: HOW
+    // FAR each class sits from the rest of the embedding mass — the
+    // embedding-drift / synthetic-data screen (a generated slice
+    // shows a large FID against the organic remainder long before
+    // per-doc filters notice). Determinism: per-dim Σx and Σx² are
+    // int64 micro sums (q114's device); means/variances/sqrts are
+    // ONE fixed-order double expression over those exact integers
+    // (sqrt is IEEE-correctly-rounded — engine-identical), each dim
+    // term micro-quantizes BEFORE the order-free integer sum.
+    //
+    // Scale shape: ONE posexplode pass map-side-combines to
+    // O(labels·dims) rows; the complement stats are global-minus-
+    // group off a broadcast O(dims) frame — no second corpus pass,
+    // no per-pair work, nothing O(corpus) after the scan.
+    "q143_group_frechet" -> { (s, d) =>
+      import s.implicits._
+      fidDiag(Tables.embeddings(s, d).select($"label", $"embedding"))
     }
   )
 
@@ -534,6 +559,40 @@ object Sketch {
         when($"u_size" > 0L, expr("(n_inter * 1000000) div u_size"))
           .otherwise(lit(0L)))
       .orderBy($"s1", $"s2")
+  }
+
+  /** The q143 chain over any (label, embedding) frame (spec hook:
+    * planted two-class geometries with closed-form distances —
+    * SketchSpec). A label that IS the whole corpus (empty
+    * complement) reports n_b = 0 and distance 0. */
+  private[graft] def fidDiag(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select($"label".cast("bigint").as("label"),
+        posexplode($"embedding".cast("array<double>")))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val per = e.groupBy($"label", $"dim").agg(
+      count(lit(1)).as("n"),
+      sum(floor($"x" * lit(1e6) + lit(0.5)).cast("bigint")).as("s1"),
+      sum(floor($"x" * $"x" * lit(1e6) + lit(0.5)).cast("bigint")).as("s2"))
+    val glob = per.groupBy($"dim").agg(
+      sum($"n").as("gn"), sum($"s1").as("g1"), sum($"s2").as("g2"))
+    val j = per.join(broadcast(glob), Seq("dim")).withColumn("nb", $"gn" - $"n")
+    val muA = $"s1".cast("double") / lit(1e6) / $"n".cast("double")
+    val exA = $"s2".cast("double") / lit(1e6) / $"n".cast("double")
+    val muB = ($"g1" - $"s1").cast("double") / lit(1e6) / $"nb".cast("double")
+    val exB = ($"g2" - $"s2").cast("double") / lit(1e6) / $"nb".cast("double")
+    val varA = greatest(exA - muA * muA, lit(0.0))
+    val varB = greatest(exB - muB * muB, lit(0.0))
+    val term = (muA - muB) * (muA - muB) + varA + varB -
+      lit(2.0) * sqrt(varA) * sqrt(varB)
+    j.select($"label", $"n", $"nb",
+        when($"nb" > 0L, floor(term * lit(1e6) + lit(0.5)).cast("bigint"))
+          .otherwise(lit(0L)).as("term_micro"))
+      .groupBy($"label")
+      .agg(min($"n").as("n_a"), min($"nb").as("n_b"),
+        sum($"term_micro").as("fid_micro"))
+      .orderBy($"label")
   }
 
   /** The q135 chain over any (source, text) frame (spec hook:
@@ -1001,6 +1060,50 @@ object Sketch {
          |    ELSE CAST(0 AS BIGINT) END AS jaccard_micro
          |FROM pairs p LEFT JOIN agg USING (s1, s2)
          |ORDER BY s1, s2""".stripMargin,
+
+    // Twin of q143: q114's per-dim int64 micro sums, the identical
+    // fixed-order mean/variance/sqrt expression over the exact
+    // integers, per-dim terms micro-quantized before the BIGINT sum.
+    "q143_group_frechet" ->
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pd AS (SELECT label, CAST(u.i AS BIGINT) AS dim,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(floor(v[CAST(u.i AS INTEGER) + 1]
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         |         CAST(sum(CAST(floor(v[CAST(u.i AS INTEGER) + 1]
+         |           * v[CAST(u.i AS INTEGER) + 1]
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+         |       FROM e, unnest(range(0, len(v))) u(i) GROUP BY 1, 2),
+         |g AS (SELECT dim, CAST(sum(n) AS BIGINT) AS gn,
+         |        CAST(sum(s1) AS BIGINT) AS g1,
+         |        CAST(sum(s2) AS BIGINT) AS g2
+         |      FROM pd GROUP BY 1),
+         |t0 AS (SELECT pd.label, pd.n, g.gn - pd.n AS nb,
+         |         CAST(pd.s1 AS DOUBLE) / 1000000.0 / CAST(pd.n AS DOUBLE) AS mua,
+         |         CAST(pd.s2 AS DOUBLE) / 1000000.0 / CAST(pd.n AS DOUBLE) AS exa,
+         |         CASE WHEN g.gn - pd.n > 0
+         |           THEN CAST(g.g1 - pd.s1 AS DOUBLE) / 1000000.0
+         |                / CAST(g.gn - pd.n AS DOUBLE) ELSE 0.0 END AS mub,
+         |         CASE WHEN g.gn - pd.n > 0
+         |           THEN CAST(g.g2 - pd.s2 AS DOUBLE) / 1000000.0
+         |                / CAST(g.gn - pd.n AS DOUBLE) ELSE 0.0 END AS exb
+         |       FROM pd JOIN g USING (dim)),
+         |t1 AS (SELECT label, n, nb, mua, mub,
+         |         greatest(exa - mua * mua, 0.0) AS vara,
+         |         greatest(exb - mub * mub, 0.0) AS varb
+         |       FROM t0),
+         |tm AS (SELECT label, n, nb,
+         |         CASE WHEN nb > 0
+         |           THEN CAST(floor(((mua - mub) * (mua - mub) + vara + varb
+         |             - 2.0 * sqrt(vara) * sqrt(varb)) * 1000000.0 + 0.5)
+         |             AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END AS term_micro
+         |       FROM t1)
+         |SELECT label, CAST(min(n) AS BIGINT) AS n_a,
+         |  CAST(min(nb) AS BIGINT) AS n_b,
+         |  CAST(sum(term_micro) AS BIGINT) AS fid_micro
+         |FROM tm GROUP BY label ORDER BY label""".stripMargin,
 
     // Twin of q131: max-abs is exact (no fp-sum ambiguity), the code
     // is the same lazy-CASE clamp chain, and the SSE pico-quantizes

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics queries (q139 Zipf slope, q140 lexical
+  * diversity, q141 distinct-n, q142 burstiness) on planted corpora
+  * with closed-form answers. Where a statistic passes through libm
+  * (ln), the expected value is computed in the TEST with the same
+  * java.lang.Math calls and the same micro-quantization order the
+  * engine uses — equality is exact, not approximate.
+  */
+class CorpusStatSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+
+  test("q139 Zipf slope: an exact power law recovers slope -1 and intercept ln C") {
+    // freqs 12/i at ranks i = 1..4: alpha 12, beta 6, gamma 4,
+    // delta 3 — ln f = ln 12 − 1·ln rank exactly
+    val words =
+      Seq.fill(12)("alpha") ++ Seq.fill(6)("beta") ++
+        Seq.fill(4)("gamma") ++ Seq.fill(3)("delta")
+    // spread over 5 docs so no doc-level accident hides a bug
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.zipfSlope(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // replicate the engine's quantize-then-sum pipeline exactly
+    val freqs = Seq(12L, 6L, 4L, 3L)
+    val terms = freqs.zipWithIndex.map { case (f, i0) =>
+      val x = math.log((i0 + 1).toDouble); val y = math.log(f.toDouble)
+      (micro(x), micro(y), micro(x * y), micro(x * x))
+    }
+    val (sx, sy, sxy, sxx) = (terms.map(_._1).sum, terms.map(_._2).sum,
+      terms.map(_._3).sum, terms.map(_._4).sum)
+    val k = freqs.length.toDouble
+    def d(l: Long) = l.toDouble / 1e6
+    val den = k * d(sxx) - d(sx) * d(sx)
+    val slope = (k * d(sxy) - d(sx) * d(sy)) / den
+    val icept = (d(sy) - slope * d(sx)) / k
+    assert(out == Seq(("en", 4L, micro(slope), micro(icept))))
+    // and the recovered law is the planted one to micro precision
+    assert(math.abs(micro(slope) + 1000000L) <= 5,
+      s"slope ${micro(slope)} not ≈ -1")
+    assert(math.abs(micro(icept) - micro(math.log(12.0))) <= 5,
+      s"intercept ${micro(icept)} not ≈ ln 12")
+  }
+
+  test("q140 lexical diversity: counts, ratios and Herdan's C on a planted vocabulary") {
+    // en tokens: aa×3 bb×2 cc×1 → N=6, V=3, hapax {cc}, dis {bb}
+    val docs = Seq(
+      (1L, "en", "aa aa bb"), (2L, "en", "aa bb cc"),
+      (3L, "fr", "zz")) // 1-token lang: Herdan guard (ln 1 = 0)
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.lexicalDiversity(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val herdan = micro(math.log(3.0) / math.log(6.0))
+    assert(out == Seq(
+      ("en", 6L, 3L, 1L, 1L, 500000L, 333333L, herdan),
+      ("fr", 1L, 1L, 1L, 0L, 1000000L, 1000000L, 0L)))
+  }
+
+  test("q141 distinct-n: planted gram counts, short-doc zero rows kept") {
+    val docs = Seq(
+      (1L, "en", "aa bb aa bb"), // 1-grams 4/2, 2-grams 3/2, 3-grams 2/2
+      (2L, "fr", "xx")) // 1 token: n=2,3 report ZERO rows, not absent
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.distinctNgrams(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", 1L, 4L, 2L, 500000L),
+      ("en", 2L, 3L, 2L, 666666L),
+      ("en", 3L, 2L, 2L, 1000000L),
+      ("fr", 1L, 1L, 1L, 1000000L),
+      ("fr", 2L, 0L, 0L, 0L),
+      ("fr", 3L, 0L, 0L, 0L)))
+  }
+
+  test("q142 burstiness: bursty term tops, even term follows, sub-floor term excluded") {
+    // tt: 3 per doc × 5 docs (cf 15, df 5 → 3.0); uu: 1 × 5 (1.0);
+    // vv: 5 per doc but only 4 docs — under the df floor, excluded
+    val base = (1 to 5).map { i =>
+      val extra = if (i <= 4) " vv vv vv vv vv" else ""
+      (i.toLong, "en", s"tt tt tt uu$extra")
+    }
+    val docs = base.toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.burstiness(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", "tt", 15L, 5L, 3000000L, 1L),
+      ("en", "uu", 5L, 5L, 1000000L, 2L)))
+  }
+}

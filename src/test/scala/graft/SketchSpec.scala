@@ -307,4 +307,42 @@ class SketchSpec extends AnyFunSuite {
       ("X", 5L, 12L, 1L, 9L, 15L, 0L, 1L),
       ("Y", 1L, 7L, 0L, 7L, 7L, 0L, 0L)))
   }
+
+  test("q143 group Fréchet: planted two-class geometry matches the closed form, lone label inert") {
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    // dim 0: A = {0.0, 0.2} (mu .1, var .01), B = {0.1, 0.3}
+    // (mu .2, var .01); dim 1 identical across classes -> 0.
+    // d2 = (mu_A - mu_B)^2 + var_A + var_B - 2*sigma_A*sigma_B
+    //    = 0.01 + 0.01 + 0.01 - 2*0.01 = 0.01
+    val emb = Seq(
+      (0, Seq(0.0, 0.5)), (0, Seq(0.2, 0.5)),
+      (1, Seq(0.1, 0.5)), (1, Seq(0.3, 0.5)))
+      .toDF("label", "embedding")
+    val out = graft.queries.Sketch.fidDiag(emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // replicate the engine's exact pipeline: per-dim micro sums ->
+    // fixed-order double expression -> micro term
+    def term(as: Seq[Double], bs: Seq[Double]): Long = {
+      def s1(v: Seq[Double]) = v.map(x => micro(x)).sum
+      def s2(v: Seq[Double]) = v.map(x => micro(x * x)).sum
+      val (na, nb) = (as.length.toDouble, bs.length.toDouble)
+      val mua = s1(as).toDouble / 1e6 / na; val exa = s2(as).toDouble / 1e6 / na
+      val mub = s1(bs).toDouble / 1e6 / nb; val exb = s2(bs).toDouble / 1e6 / nb
+      val vara = math.max(exa - mua * mua, 0.0)
+      val varb = math.max(exb - mub * mub, 0.0)
+      micro((mua - mub) * (mua - mub) + vara + varb -
+        2.0 * math.sqrt(vara) * math.sqrt(varb))
+    }
+    val d0 = term(Seq(0.0, 0.2), Seq(0.1, 0.3))
+    val d1 = term(Seq(0.5, 0.5), Seq(0.5, 0.5))
+    val expected = d0 + d1
+    assert(out == Seq((0L, 2L, 2L, expected), (1L, 2L, 2L, expected)),
+      s"got $out, want fid $expected")
+    assert(math.abs(expected - 10000L) <= 2, s"d2 $expected not ~ 0.01")
+
+    // a label that IS the corpus: empty complement reports 0, not NaN
+    val lone = Seq((7, Seq(0.1, 0.2))).toDF("label", "embedding")
+    assert(graft.queries.Sketch.fidDiag(lone)
+      .as[(Long, Long, Long, Long)].collect().toSeq == Seq((7L, 1L, 0L, 0L)))
+  }
 }
