@@ -744,6 +744,54 @@ object Corpus {
       burstiness(Tables.documents(s, d))
     },
 
+    // Language-label confusion matrix: the corpus's lang column vs
+    // the n-gram/stopword language-ID heuristic (q26's predictor,
+    // one definition) — the LABEL-NOISE audit a curation team runs
+    // before trusting per-lang statistics (CCNet/OSCAR ship exactly
+    // this cross-tab; a provider whose 'en' rows predict 'de' at 30%
+    // is mislabeled upstream and poisons every per-lang threshold
+    // derived from it, q110/q135's inputs). Integer-exact row
+    // fractions. Scale shape: one codegen langId pass map-side-
+    // combines to O(langs²) cells; the per-label total is a window
+    // over that AGGREGATED frame (the q132 device).
+    "q144_lang_confusion" -> { (s, d) =>
+      langConfusion(Tables.documents(s, d))
+    },
+
+    // Doc-length tail index per source (Hill 1975 estimator over the
+    // top-k order statistics): how heavy each provider's length tail
+    // is — α ≈ 1–2 means a few documents dominate the token mass
+    // (chunk them before shard packing or one worker inherits a
+    // monster), large α means a benign tail. Complements q135: MAD
+    // fences flag INDIVIDUAL outliers, the tail index says whether
+    // outliers are a population. Determinism: the top-(k+1) order
+    // statistics are TopKPerKey-selected under a (n_tok desc,
+    // doc_id) tie order, each ln(x_i/x_ref) term micro-quantizes
+    // before the integer sum, and the estimator is integer division.
+    //
+    // Scale shape: token counts map-side-reduce per doc, bounded-heap
+    // TopKPerKey (≤ k+1 rows per source cross the wire); everything
+    // after runs on O(sources·k) rows.
+    "q145_length_tail" -> { (s, d) =>
+      lengthTail(Tables.documents(s, d))
+    },
+
+    // Gini coefficient of token mass over documents, per language —
+    // the corpus-inequality audit (a Gini near 0 = uniform docs,
+    // near 1 = a few docs carry the corpus; data-governance reports
+    // ship this next to the source-mixture table). Computed EXACTLY
+    // from the per-lang length histogram: with ties grouped, the
+    // rank-weighted mass Σᵢ i·xᵢ collapses to len·(c·F_prev +
+    // c(c+1)/2) per histogram row — all integer, summed in
+    // DECIMAL(38,0) (the q136 device; n·S crosses int64 at corpus
+    // scale), one double expression at the end. Scale shape: ONE
+    // tokenize pass map-side-combines to O(langs × distinct
+    // lengths) histogram rows; the cumulative window runs over that
+    // aggregated frame (q135's shape), never the corpus.
+    "q146_gini_lengths" -> { (s, d) =>
+      giniLengths(Tables.documents(s, d))
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -966,6 +1014,89 @@ object Corpus {
       .select($"lang", $"w", $"cf", $"df", $"burst_micro",
         $"rn".cast("bigint").as("rn"))
       .orderBy($"lang", $"rn")
+  }
+
+  /** The q144 chain over any (lang, text) frame (spec hook: planted
+    * mislabeled docs — CorpusStatSpec). */
+  private[graft] def langConfusion(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"lang", TextOps.langId($"text").as("lang_pred"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total",
+        sum($"n_docs").over(Window.partitionBy($"lang")))
+      .select($"lang", $"lang_pred", $"n_docs",
+        expr("(n_docs * 1000000) div total").as("frac_micro"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  /** q145 tail depth: the estimator uses the top-HillK order
+    * statistics against the (HillK+1)-th (Hill's x_{k+1} reference
+    * convention), clamped to n−1 for small sources. */
+  private val HillK = 50
+
+  /** The q145 chain over any (source, doc_id, text) frame (spec
+    * hook: planted Pareto-exact lengths — CorpusStatSpec). Sources
+    * with < 2 positive-length docs report zeros (no tail). */
+  private[graft] def lengthTail(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = docs
+      .select($"source", $"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      .filter($"n_tok" > 0L)
+    val top = graft.plans.TopK.perKey(lens, Seq("source"),
+      Seq("n_tok" -> false, "doc_id" -> true), HillK + 1, rankCol = "rn")
+    val cnt = top.groupBy($"source").agg(count(lit(1)).as("m"))
+      .withColumn("k", least($"m" - 1L, lit(HillK.toLong)))
+    val ref = top.join(cnt, Seq("source"))
+      .filter($"rn" === $"k" + 1L)
+      .select($"source", $"n_tok".as("x_ref"))
+    val sums = top.join(cnt, Seq("source")).join(ref, Seq("source"))
+      .filter($"rn" <= $"k" && $"k" > 0L)
+      .select($"source", $"k",
+        floor(log($"n_tok".cast("double") / $"x_ref".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("term"))
+      .groupBy($"source", $"k").agg(sum($"term").as("t"))
+    cnt.select($"source", $"k").join(sums, Seq("source", "k"), "left")
+      .select($"source", greatest($"k", lit(0L)).as("k_tail"),
+        coalesce(expr("t div k"), lit(0L)).as("hill_inv_micro"),
+        coalesce(when($"t" > 0L, expr("(k * 1000000000000) div t")),
+          lit(0L)).as("alpha_micro"))
+      .orderBy($"source")
+  }
+
+  /** The q146 chain over any (lang, text) frame (spec hook: planted
+    * uniform/concentrated corpora with closed-form Ginis —
+    * CorpusStatSpec). Zero-length docs count in n but carry no
+    * mass; a lang with zero total mass reports 0. */
+  private[graft] def giniLengths(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs
+      .select($"lang", TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      .groupBy($"lang", $"n_tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"lang").orderBy($"n_tok")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // doubled rank-weighted mass per tie run: 2·Σᵢ i·len over ranks
+    // (F_prev+1 .. F_prev+c) = len·c·(2·F_prev + c + 1) — every
+    // PRODUCT in decimal (int64 crosses 2^63 near 10^10 docs per
+    // bucket), only bounded sums stay int64
+    val g = hist
+      .withColumn("fprev", coalesce(sum($"c").over(w), lit(0L)))
+      .select($"lang", $"c",
+        expr("CAST(n_tok AS DECIMAL(38,0)) * c * (2 * fprev + c + 1)")
+          .as("t2"),
+        expr("CAST(n_tok AS DECIMAL(38,0)) * c").as("m"))
+      .groupBy($"lang").agg(sum($"c").as("n_docs"),
+        sum($"m").as("s"), sum($"t2").as("t2"))
+    g.select($"lang", $"n_docs", $"s".cast("bigint").as("n_tokens"),
+        when($"s" > 0L, floor(($"t2".cast("double")
+            / ($"n_docs".cast("double") * $"s".cast("double"))
+            - ($"n_docs" + 1L).cast("double") / $"n_docs".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint"))
+          .otherwise(lit(0L)).as("gini_micro"))
+      .orderBy($"lang")
   }
 
   /** q123: n-gram width of the novelty profile (matches q121's
@@ -1420,6 +1551,86 @@ object Corpus {
          |      FROM fl)
          |SELECT lang, w, cf, df, burst_micro, rn FROM r
          |WHERE rn <= $BurstTopK ORDER BY lang, rn""".stripMargin,
+
+    // Twin of q144: the q26 oracle's langid argmax device (same
+    // dicts, same fixed tie order), cross-tab + micro fractions.
+    "q144_lang_confusion" -> {
+      def hits(dict: Seq[String]): String = {
+        val lits = dict.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($lits, t)))"
+      }
+      val scores = TextOps.LangDicts.map { case (l, dct) => l -> hits(dct) }
+      val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val langCase = scores
+        .map { case (l, sc) => s"WHEN best > 0 AND $sc = best THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH d AS (SELECT lang, ${Sql.toks("text")} AS toks FROM documents),
+         |b AS (SELECT lang, toks, $best AS best FROM d),
+         |p AS (SELECT lang, $langCase AS lang_pred FROM b),
+         |cm AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM p GROUP BY lang, lang_pred),
+         |tt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS total
+         |       FROM cm GROUP BY lang)
+         |SELECT cm.lang, cm.lang_pred, cm.n_docs,
+         |  (cm.n_docs * 1000000) // tt.total AS frac_micro
+         |FROM cm JOIN tt USING (lang)
+         |ORDER BY cm.lang, cm.lang_pred""".stripMargin
+    },
+
+    // Twin of q145: row_number under the TopKPerKey tie order, the
+    // same micro-quantized ln ratios and integer divisions.
+    "q145_length_tail" ->
+      s"""WITH l AS (SELECT source, doc_id,
+         |             CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |p AS (SELECT source, doc_id, n_tok, row_number() OVER (
+         |        PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rn
+         |      FROM l WHERE n_tok > 0),
+         |top AS (SELECT * FROM p WHERE rn <= ${HillK + 1}),
+         |c AS (SELECT source, least(CAST(count(*) AS BIGINT) - 1,
+         |        CAST($HillK AS BIGINT)) AS k
+         |      FROM top GROUP BY source),
+         |rf AS (SELECT top.source, top.n_tok AS x_ref
+         |       FROM top JOIN c USING (source) WHERE top.rn = c.k + 1),
+         |sm AS (SELECT top.source, CAST(sum(CAST(floor(
+         |         ln(CAST(top.n_tok AS DOUBLE) / CAST(rf.x_ref AS DOUBLE))
+         |         * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS t
+         |       FROM top JOIN c USING (source) JOIN rf USING (source)
+         |       WHERE top.rn <= c.k AND c.k > 0 GROUP BY top.source)
+         |SELECT c.source, greatest(c.k, CAST(0 AS BIGINT)) AS k_tail,
+         |  CASE WHEN c.k > 0 AND sm.t IS NOT NULL THEN sm.t // c.k
+         |    ELSE CAST(0 AS BIGINT) END AS hill_inv_micro,
+         |  CASE WHEN coalesce(sm.t, 0) > 0
+         |    THEN (c.k * 1000000000000) // sm.t
+         |    ELSE CAST(0 AS BIGINT) END AS alpha_micro
+         |FROM c LEFT JOIN sm ON sm.source = c.source
+         |ORDER BY c.source""".stripMargin,
+
+    // Twin of q146: same histogram device, same doubled tie-run
+    // rank mass (HUGEINT here ≡ the Spark side's DECIMAL(38,0) —
+    // both exact, both convert once to double at the end).
+    "q146_gini_lengths" ->
+      s"""WITH l AS (SELECT lang,
+         |             CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |h AS (SELECT lang, n_tok, CAST(count(*) AS BIGINT) AS c
+         |      FROM l GROUP BY lang, n_tok),
+         |f AS (SELECT lang, n_tok, c,
+         |        coalesce(sum(c) OVER (PARTITION BY lang ORDER BY n_tok
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS fprev
+         |      FROM h),
+         |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+         |        sum(CAST(n_tok AS HUGEINT) * c) AS s,
+         |        sum(CAST(n_tok AS HUGEINT) * c * (2 * fprev + c + 1)) AS t2
+         |      FROM f GROUP BY lang)
+         |SELECT lang, n_docs, CAST(s AS BIGINT) AS n_tokens,
+         |  CASE WHEN s > 0 THEN CAST(floor((CAST(t2 AS DOUBLE)
+         |      / (CAST(n_docs AS DOUBLE) * CAST(s AS DOUBLE))
+         |      - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS gini_micro
+         |FROM g ORDER BY lang""".stripMargin,
 
     // Twin of q123: same distinct-shingle-hash device as the q24/
     // q121 oracles, df + join-back in plain SQL.

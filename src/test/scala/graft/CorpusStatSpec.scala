@@ -80,6 +80,55 @@ class CorpusStatSpec extends AnyFunSuite {
       ("fr", 3L, 0L, 0L, 0L)))
   }
 
+  test("q144 lang confusion: mislabeled docs land off-diagonal with exact fractions") {
+    val docs = Seq(
+      (1L, "en", "the value of the fast thing"),
+      (2L, "en", "a value is fast and the thing is fast"),
+      (3L, "en", "the fast value"),
+      (4L, "en", "der die das ist nicht gut"), // German text labeled en
+      (5L, "fr", "le la les et est bien")).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.langConfusion(docs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", "de", 1L, 250000L),
+      ("en", "en", 3L, 750000L),
+      ("fr", "fr", 1L, 1000000L)))
+  }
+
+  test("q145 length tail: exact geometric tail matches the replayed Hill arithmetic, singleton inert") {
+    // source A lengths 64,32,16,8,4,2: k = 5, x_ref = 2, terms
+    // ln(2^5..2^1) — replicate the engine's quantize/divide pipeline
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val lens = Seq(64, 32, 16, 8, 4, 2)
+    val docs = (lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "A", doc(n))
+    } :+ ((99L, "B", doc(7)))).toDF("doc_id", "source", "text")
+    val out = graft.queries.Corpus.lengthTail(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val terms = Seq(64, 32, 16, 8, 4).map(x =>
+      micro(math.log(x.toDouble / 2.0)))
+    val t = terms.sum
+    val hillInv = t / 5
+    val alpha = (5L * 1000000000000L) / t
+    assert(out == Seq(("A", 5L, hillInv, alpha), ("B", 0L, 0L, 0L)))
+    // the planted tail is exact: H = 3·ln 2
+    assert(math.abs(hillInv - micro(3 * math.log(2.0))) <= 2)
+  }
+
+  test("q146 Gini: uniform corpus scores 0, one-doc-holds-all scores (n-1)/n") {
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "en", doc(5)), (2L, "en", doc(5)),
+      (3L, "en", doc(5)), (4L, "en", doc(5)),
+      (5L, "fr", ""), (6L, "fr", ""), (7L, "fr", ""), (8L, "fr", doc(10)))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.giniLengths(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", 4L, 20L, 0L),
+      ("fr", 4L, 10L, 750000L)))
+  }
+
   test("q142 burstiness: bursty term tops, even term follows, sub-floor term excluded") {
     // tt: 3 per doc × 5 docs (cf 15, df 5 → 3.0); uu: 1 × 5 (1.0);
     // vv: 5 per doc but only 4 docs — under the df floor, excluded
