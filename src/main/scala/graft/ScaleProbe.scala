@@ -88,9 +88,11 @@ object ScaleProbe {
     "q126_boilerplate_grams",
     // round-14 additions: the two-phase prefix-sum packers (their
     // exponent is the de-skew fix's receipt), the MAD fences, the
-    // char-entropy kernel, and the KMV source-overlap sketch
+    // char-entropy kernel, the KMV source-overlap sketch, and the
+    // token-explode-heavy corpus statistics
     "q133_token_packing", "q54_seq_pack", "q135_mad_fences",
-    "q137_char_entropy", "q138_source_overlap")
+    "q137_char_entropy", "q138_source_overlap",
+    "q141_distinct_ngrams", "q142_burstiness", "q146_gini_lengths")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

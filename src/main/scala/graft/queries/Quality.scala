@@ -67,6 +67,26 @@ object Quality {
     // lambda counting (the HOF formulation interprets |toks|² evals
     // per row — measured against at sf0.1 before choosing this
     // shape).
+    // Flesch reading-ease profile per language (Flesch 1948; the
+    // readability score ships as a feature in published quality
+    // classifiers and data-audit dashboards): 206.835 − 1.015·(W/S)
+    // − 84.6·(syllables/W), syllables by the standard vowel-group
+    // heuristic (maximal [aeiouy]+ runs per word, floor 1 — the
+    // public approximation; both engines run the same regex).
+    // Determinism: per-doc score is ONE fixed-order double
+    // expression over exact integer counts, micro-quantized per doc
+    // BEFORE the order-free integer sum; the mean divides once in
+    // double with the same floor(+0.5) in both engines (integer div
+    // truncates toward zero vs DuckDB's floor — they diverge on
+    // negative sums, and Flesch goes negative on dense text).
+    // Scale shape: one narrow codegen pass per doc (tokens +
+    // sentence split + vowel-group HOF), map-side-combined rollup to
+    // O(langs) rows. Sentence-less or token-less docs are out of a
+    // readability score's scope.
+    "q148_readability" -> { (s, d) =>
+      readability(Tables.documents(s, d))
+    },
+
     "q51_repetition" -> { (s, d) =>
       import s.implicits._
       // Single pass on the TokenHashes codegen kernel (no regex, no
@@ -405,6 +425,36 @@ object Quality {
       .orderBy($"lang", $"seq_id")
   }
 
+  /** The q148 chain over any (lang, text) frame (spec hook: planted
+    * syllable/sentence counts with a hand-computed score —
+    * CorpusStatSpec). */
+  private[graft] def readability(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("wc", size($"toks").cast("long"))
+      .withColumn("sc", size(TextOps.sentences($"text")).cast("long"))
+      .withColumn("syl", aggregate(
+        transform($"toks", t => greatest(
+          size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+            .cast("long"), lit(1L))),
+        lit(0L), (acc, x) => acc + x))
+      .filter($"wc" > 0L && $"sc" > 0L)
+    val f = lit(206.835) -
+      lit(1.015) * ($"wc".cast("double") / $"sc".cast("double")) -
+      lit(84.6) * ($"syl".cast("double") / $"wc".cast("double"))
+    counted
+      .select($"lang", floor(f * lit(1e6) + lit(0.5)).cast("bigint").as("fm"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"), sum($"fm").as("sf"),
+        min($"fm").as("min_flesch_micro"), max($"fm").as("max_flesch_micro"))
+      .select($"lang", $"n_docs",
+        floor($"sf".cast("double") / $"n_docs".cast("double") + lit(0.5))
+          .cast("bigint").as("mean_flesch_micro"),
+        $"min_flesch_micro", $"max_flesch_micro")
+      .orderBy($"lang")
+  }
+
   /** The q134 rule family at ROW level: appends the per-doc flag
     * columns (f_short, f_long, f_len, f_stop) plus `__n_tok` to
     * `docs`, every other column passing through — shared by the
@@ -470,6 +520,37 @@ object Quality {
       |ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Twin of q148: the same vowel-group syllable heuristic, the
+    // identical fixed-order Flesch expression micro-quantized per
+    // doc, and the mean as ONE double division with floor(+0.5)
+    // (never integer //, which floors where Spark's div truncates —
+    // they disagree on the negative sums dense text produces).
+    "q148_readability" ->
+      s"""WITH d AS (SELECT lang, ${TextVector.Sql.toks("text")} AS toks,
+         |             len(list_filter(string_split_regex(text,
+         |               '${TextOps.SentencePattern}'),
+         |               x -> len(trim(x)) > 0)) AS sc0
+         |           FROM documents),
+         |w AS (SELECT lang, CAST(len(toks) AS BIGINT) AS wc,
+         |        CAST(sc0 AS BIGINT) AS sc,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(toks, t -> greatest(
+         |            CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+         |              AS BIGINT), CAST(1 AS BIGINT)))),
+         |          (a, b) -> a + b) AS syl
+         |      FROM d),
+         |f AS (SELECT lang, CAST(floor((206.835
+         |        - 1.015 * (CAST(wc AS DOUBLE) / CAST(sc AS DOUBLE))
+         |        - 84.6 * (CAST(syl AS DOUBLE) / CAST(wc AS DOUBLE)))
+         |        * 1000000.0 + 0.5) AS BIGINT) AS fm
+         |      FROM w WHERE wc > 0 AND sc > 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(floor(CAST(sum(fm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    + 0.5) AS BIGINT) AS mean_flesch_micro,
+         |  CAST(min(fm) AS BIGINT) AS min_flesch_micro,
+         |  CAST(max(fm) AS BIGINT) AS max_flesch_micro
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q51_repetition" -> {
       val toks = TSql.toks("text")

@@ -926,6 +926,40 @@ object TextVector {
     // ([[nearDupPairs]] — the chain + the [[BucketCap]] rationale).
     // All hash arithmetic stays < 2^63 (a_j, h < 1e9+7 ⇒
     // a_j·h < ~1e18), so ANSI overflow checking never fires.
+    // Exact edit-distance verification of the near-dup pairs (Lee
+    // et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better" — their NearDup verdict is edit similarity
+    // 1 − lev/max(len) over candidate pairs, the character-level
+    // ground truth a shingle-Jaccard screen approximates): q24's
+    // confirmed pairs re-scored with true Levenshtein. What a
+    // curation team samples before trusting the Jaccard threshold —
+    // a pair family at high Jaccard but low edit similarity means
+    // the shingle width is wrong for that corpus. Both engines ship
+    // the SAME dynamic-programming levenshtein builtin (integer,
+    // code-point based — identical on this corpus); the ratio is
+    // integer micro division.
+    //
+    // Scale shape: the O(len²) distance runs ONLY on the bounded
+    // pair set (q24's cap bounds it); texts reach the pairs by two
+    // id equi-joins of the corpus scan against the tiny pair frame
+    // (AQE broadcasts the pair side) — the corpus never self-joins.
+    "q147_editdist_verify" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val t = docs.select($"doc_id", $"text")
+      nearDupPairs(docs).select($"id_a", $"id_b")
+        .join(t.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
+        .join(t.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
+        .select($"id_a", $"id_b",
+          levenshtein($"ta", $"tb").cast("bigint").as("dist"),
+          greatest(length($"ta"), length($"tb")).cast("bigint").as("max_len"))
+        .withColumn("esim_micro",
+          when($"max_len" > 0L,
+            expr("((max_len - dist) * 1000000) div max_len"))
+            .otherwise(lit(1000000L)))
+        .orderBy($"id_a", $"id_b")
+    },
+
     "q24_near_dup" -> { (s, d) =>
       nearDupPairs(Tables.documents(s, d)) },
 
@@ -2210,6 +2244,42 @@ object TextVector {
            |FROM cand JOIN h a ON cand.id_a = a.doc_id JOIN h b2 ON cand.id_b = b2.doc_id
            |WHERE jaccard >= $JaccardMin
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // Twin of q147: the q24 replay's pair set, re-scored with
+      // DuckDB's own levenshtein builtin (both engines implement the
+      // standard integer DP edit distance) and the same micro ratio.
+      "q147_editdist_verify" ->
+        s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", ShingleK)} AS sh FROM documents),
+           |h AS (SELECT doc_id, list_distinct(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs
+           |      FROM s WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, list_transform(range(0, $NumPerms), j ->
+           |        list_min(list_transform(hs, h ->
+           |          (((j+1)*$PermMult % $HashMod) * h + (j*40503+1) % $HashMod) % $HashMod))) AS sig
+           |      FROM h),
+           |b AS (SELECT doc_id, t.b AS band_idx,
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          sig[t.b*$RowsPerBand+1 : t.b*$RowsPerBand+$RowsPerBand]),
+           |          (acc, v) -> (acc*31+v) % $HashMod) AS band_hash
+           |      FROM g, generate_series(0, ${Bands - 1}) t(b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |         FROM b x JOIN b y ON x.band_idx = y.band_idx
+           |           AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+           |pf AS (SELECT id_a, id_b
+           |       FROM cand JOIN h a ON cand.id_a = a.doc_id
+           |       JOIN h b2 ON cand.id_b = b2.doc_id
+           |       WHERE CAST(len(list_intersect(a.hs, b2.hs)) AS DOUBLE)
+           |         / CAST(len(list_distinct(list_concat(a.hs, b2.hs))) AS DOUBLE)
+           |         >= $JaccardMin),
+           |e AS (SELECT pf.id_a, pf.id_b,
+           |        CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+           |        CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+           |      FROM pf JOIN documents da ON da.doc_id = pf.id_a
+           |      JOIN documents db ON db.doc_id = pf.id_b)
+           |SELECT id_a, id_b, dist, max_len,
+           |  CASE WHEN max_len > 0
+           |    THEN ((max_len - dist) * 1000000) // max_len
+           |    ELSE 1000000 END AS esim_micro
+           |FROM e ORDER BY id_a, id_b""".stripMargin,
 
       // Twin of q106: the q24 shingle/minhash/band chain restricted
       // to the seeded sample (SeededSample's ORDER BY twin), truth by

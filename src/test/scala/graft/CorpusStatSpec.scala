@@ -129,6 +129,54 @@ class CorpusStatSpec extends AnyFunSuite {
       ("fr", 4L, 10L, 750000L)))
   }
 
+  test("q147 edit verify: a planted near-dup pair scores its exact edit distance, unrelated docs emit no pair") {
+    // A and B share a 10-token prefix and differ in the last word by
+    // two characters (kk -> zz): 3-shingle jaccard 8/10 ≥ 0.5 so the
+    // q24 stage emits the pair; levenshtein = 2 exactly
+    val a = "aa bb cc dd ee ff gg hh ii jj kk"
+    val b = "aa bb cc dd ee ff gg hh ii jj zz"
+    val docs = Seq(
+      (1L, "en", a), (2L, "en", b),
+      (3L, "en", "qq rr ss tt uu vv ww xx yy")).toDF("doc_id", "lang", "text")
+    val out = graft.queries.TextVector.queries("q147_editdist_verify")(
+        spark, sf) // schema check only — planted run below
+    assert(out.columns.toSeq ==
+      Seq("id_a", "id_b", "dist", "max_len", "esim_micro"))
+    // drive the chain on the planted frame via the private hook
+    val pairs = graft.queries.TextVector.nearDupPairs(docs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"planted pair not found: $pairs")
+    val t = docs.select($"doc_id", $"text")
+    val verified = graft.queries.TextVector.nearDupPairs(docs)
+      .select($"id_a", $"id_b")
+      .join(t.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
+      .join(t.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
+      .select($"id_a", $"id_b", levenshtein($"ta", $"tb").as("dist"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(verified == Seq((1L, 2L, 2)),
+      s"edit distance diverged: $verified")
+  }
+
+  test("q148 readability: hand-computed Flesch on planted syllable/sentence counts") {
+    // doc 1: "aa bb. cc dd." -> W=4 (the '.' tokens are split by the
+    // sentence pass, tokens pattern counts letters+dots... plant
+    // carefully: tokens = [aa, bb, ., cc, dd, .] — W counts ALL
+    // tokens including punctuation (the tokenizer's definition);
+    // syllables: 'aa','cc' etc = 1 vowel group, '.' has none -> floor 1
+    val text = "aa bb. cc dd."
+    val docs = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Quality.readability(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // replicate the engine arithmetic: W = 6 tokens (aa bb . cc dd .),
+    // S = 2 sentences, syllables = aa(1) bb(1) .(floor 1) cc(1) dd(1)
+    // .(floor 1) = 6
+    val (wc, sc, syl) = (6.0, 2.0, 6.0)
+    val f = 206.835 - 1.015 * (wc / sc) - 84.6 * (syl / wc)
+    val fm = micro(f)
+    val mean = math.floor(fm.toDouble / 1.0 + 0.5).toLong
+    assert(out == Seq(("en", 1L, mean, fm, fm)), s"got $out want fm=$fm")
+  }
+
   test("q142 burstiness: bursty term tops, even term follows, sub-floor term excluded") {
     // tt: 3 per doc × 5 docs (cf 15, df 5 → 3.0); uu: 1 × 5 (1.0);
     // vv: 5 per doc but only 4 docs — under the df floor, excluded
