@@ -177,6 +177,73 @@ class CorpusStatSpec extends AnyFunSuite {
     assert(out == Seq(("en", 1L, mean, fm, fm)), s"got $out want fm=$fm")
   }
 
+  test("randomized differential: q140/q141/q146 match in-memory references on random corpora") {
+    // the planted cases above pin specific shapes; this pins the full
+    // semantics on inputs nobody hand-picked (the CleaningSpec
+    // differential discipline)
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 40L).map { id =>
+        val lang = if (rnd.nextBoolean()) "en" else "fr"
+        val toks = Vector.fill(rnd.nextInt(9))(s"w${rnd.nextInt(10)}")
+        (id, lang, toks.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val byLang = docs.groupBy(_._2).map { case (l, ds) =>
+        l -> ds.map(_._3.split(" ").filter(_.nonEmpty).toVector)
+      }
+
+      // ---- q140 reference ----
+      val wantDiv = byLang.collect {
+        case (l, ts) if ts.exists(_.nonEmpty) =>
+          val counts = ts.flatten.groupBy(identity).map(_._2.size)
+          val (nTok, nTyp) = (ts.map(_.size).sum.toLong, counts.size.toLong)
+          val hap = counts.count(_ == 1).toLong
+          val dis = counts.count(_ == 2).toLong
+          val herdan = if (nTok > 1)
+            micro(math.log(nTyp.toDouble) / math.log(nTok.toDouble)) else 0L
+          (l, nTok, nTyp, hap, dis,
+            nTyp * 1000000L / nTok, hap * 1000000L / nTyp, herdan)
+      }.toSeq.sortBy(_._1)
+      val gotDiv = graft.queries.Corpus.lexicalDiversity(df)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+      assert(gotDiv == wantDiv, s"trial $trial: q140 diverges")
+
+      // ---- q141 reference (distinct gram STRINGS — a hash
+      // collision in the engine would surface here) ----
+      val wantN = byLang.toSeq.flatMap { case (l, ts) =>
+        (1 to 3).map { n =>
+          val tot = ts.map(t => math.max(t.size - n + 1, 0).toLong).sum
+          val dis = ts.flatMap(_.sliding(n).filter(_.size == n)
+            .map(_.mkString(" "))).toSet.size.toLong
+          val m = if (tot > 0) dis * 1000000L / tot else 0L
+          (l, n.toLong, tot, dis, m)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val gotN = graft.queries.Corpus.distinctNgrams(df)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(gotN == wantN, s"trial $trial: q141 diverges")
+
+      // ---- q146 reference: Gini over sorted doc lengths ----
+      val wantG = byLang.map { case (l, ts) =>
+        val xs = ts.map(_.size.toLong).sorted
+        val n = xs.size.toLong
+        val s = xs.sum
+        val t2 = xs.zipWithIndex.map { case (x, i0) =>
+          2L * (i0 + 1) * x }.sum
+        val g = if (s > 0)
+          micro(t2.toDouble / (n.toDouble * s.toDouble) -
+            (n + 1).toDouble / n.toDouble)
+        else 0L
+        (l, n, s, g)
+      }.toSeq.sortBy(_._1)
+      val gotG = graft.queries.Corpus.giniLengths(df)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(gotG == wantG, s"trial $trial: q146 diverges")
+    }
+  }
+
   test("q142 burstiness: bursty term tops, even term follows, sub-floor term excluded") {
     // tt: 3 per doc × 5 docs (cf 15, df 5 → 3.0); uu: 1 × 5 (1.0);
     // vv: 5 per doc but only 4 docs — under the df floor, excluded
