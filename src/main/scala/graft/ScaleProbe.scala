@@ -92,7 +92,9 @@ object ScaleProbe {
     // token-explode-heavy corpus statistics
     "q133_token_packing", "q54_seq_pack", "q135_mad_fences",
     "q137_char_entropy", "q138_source_overlap",
-    "q141_distinct_ngrams", "q142_burstiness", "q146_gini_lengths")
+    "q141_distinct_ngrams", "q142_burstiness", "q146_gini_lengths",
+    "q143_group_frechet", "q144_lang_confusion", "q145_length_tail",
+    "q147_editdist_verify", "q148_readability")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the
