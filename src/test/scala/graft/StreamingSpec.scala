@@ -623,4 +623,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(nEarlyEmitted == nEarlyExpected,
       s"early sessions: $nEarlyEmitted emitted of $nEarlyExpected")
   }
+
+  test("curation screen stream: rule-violating docs reject with flags, survivors land scrubbed, re-delivery idempotent") {
+    import graft.streaming.CurationScreenStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-curscreen").toString
+    val in = s"$root/in"; val good = s"$root/good"
+    val rej = s"$root/reject"; val ck = s"$root/ck"
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    // two files -> two micro-batches (maxFilesPerTrigger = 1)
+    val f1 = Seq(
+      (1L, "en", rep("value", 3)), // f_short -> reject
+      (3L, "en", rep("value", 20) + " " + rep("fast", 20) +
+        " contact bob@mail.example.com now")) // passes, email PII
+      .toDF("doc_id", "lang", "text")
+    val f2 = Seq(
+      (2L, "en", rep("xxxx", 40)), // f_len + f_stop -> reject
+      (4L, "en", rep("value", 30) + " " + rep("fast", 10) +
+        " call +1-555-012 today"), // passes, phone PII
+      (5L, "en", rep("value", 20) + " " + rep("fast", 20))) // clean pass
+      .toDF("doc_id", "lang", "text")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    f1.coalesce(1).write.mode("append").parquet(in)
+    f2.coalesce(1).write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, lang STRING, text STRING")
+    CurationScreenStream.runOnce(spark, in, good, rej, ck, schema)
+
+    val acc = CurationScreenStream.accepted(spark, good)
+      .select($"doc_id", $"text", $"n_pii").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(acc.map(_._1) == Seq(3L, 4L, 5L), s"accepted set wrong: $acc")
+    val byId = acc.map(r => r._1 -> r).toMap
+    assert(byId(3L)._2.contains("<EMAIL>") &&
+      !byId(3L)._2.contains("@mail.example.com") && byId(3L)._3 == 1L,
+      s"doc 3 not scrubbed: ${byId(3L)}")
+    assert(byId(4L)._2.contains("<PHONE>") &&
+      !byId(4L)._2.contains("+1-555-") && byId(4L)._3 == 1L,
+      s"doc 4 not scrubbed: ${byId(4L)}")
+    assert(byId(5L)._3 == 0L, "clean doc counted PII")
+
+    val rejected = spark.read.parquet(rej)
+      .select($"doc_id", $"f_short", $"f_len", $"f_stop")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rejected.map(_._1) == Seq(1L, 2L), s"reject set wrong: $rejected")
+    assert(rejected(0)._2, "doc 1 must flag f_short")
+    assert(rejected(1)._3 && rejected(1)._4, "doc 2 must flag f_len+f_stop")
+
+    // at-least-once: re-deliver one batch with the same id directly
+    // (the factored hook) — stores must not change
+    val accBefore = CurationScreenStream.accepted(spark, good).count()
+    val rejBefore = spark.read.parquet(rej).count()
+    CurationScreenStream.deliver(f1, 0L, good, rej)
+    CurationScreenStream.deliver(f2, 1L, good, rej)
+    assert(CurationScreenStream.accepted(spark, good).count() == accBefore)
+    assert(spark.read.parquet(rej).count() == rejBefore)
+
+    // a second runOnce with no new files is a no-op
+    CurationScreenStream.runOnce(spark, in, good, rej, ck, schema)
+    assert(CurationScreenStream.accepted(spark, good).count() == accBefore)
+  }
 }
