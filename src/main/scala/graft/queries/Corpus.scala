@@ -792,6 +792,26 @@ object Corpus {
       giniLengths(Tables.documents(s, d))
     },
 
+    // Heaps'-law vocabulary-growth fit per language (Heaps 1978;
+    // Herdan 1960): across a language's SOURCES, each provider is a
+    // (N tokens, V types) point and natural text fits V ≈ k·N^β with
+    // β ≈ 0.4–0.6 — a provider family whose fitted β collapses is
+    // template-flooded (vocabulary stops growing with volume), one
+    // whose β ≈ 1 is ID-like noise (every token new). The
+    // cross-source fit avoids the classic within-corpus Heaps curve's
+    // order dependence (cumulative V(n) depends on doc order; points
+    // across sources don't). Same least-squares device as q139:
+    // ln terms micro-quantize before the int64 sums, the closed form
+    // is one fixed-order double expression over exact integers.
+    //
+    // Scale shape: one groupBy(lang, source, term) count (map-side
+    // combined, token-width keys), fold to O(langs·sources) points,
+    // regression over that tiny frame. Nothing after the scan is
+    // O(corpus) but the count shuffle.
+    "q149_heaps_fit" -> { (s, d) =>
+      heapsFit(Tables.documents(s, d))
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two
     // dimension buckets so range scans on EITHER dimension touch few
     // z-ranges — the data-layout move behind multi-dimensional file
@@ -1014,6 +1034,38 @@ object Corpus {
       .select($"lang", $"w", $"cf", $"df", $"burst_micro",
         $"rn".cast("bigint").as("rn"))
       .orderBy($"lang", $"rn")
+  }
+
+  /** The q149 chain over any (lang, source, text) frame (spec hook:
+    * planted exact power-law (N, V) points recover (β, ln k) —
+    * CorpusStatSpec). Languages with < 2 source points report
+    * zeros (no fit). */
+  private[graft] def heapsFit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pts = docs
+      .select($"lang", $"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"lang", $"source")
+      .agg(sum($"c").as("n_tok"), count(lit(1)).as("n_typ"))
+    val lx = log($"n_tok".cast("double"))
+    val ly = log($"n_typ".cast("double"))
+    def micro(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("bigint")
+    val g = pts
+      .select($"lang", micro(lx).as("x"), micro(ly).as("y"),
+        micro(lx * ly).as("xy"), micro(lx * lx).as("xx"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_points"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"xy").as("sxy"), sum($"xx").as("sxx"))
+    val kd = $"n_points".cast("double")
+    def d(c: Column) = c.cast("double") / lit(1e6)
+    val den = kd * d($"sxx") - d($"sx") * d($"sx")
+    val beta = (kd * d($"sxy") - d($"sx") * d($"sy")) / den
+    g.select($"lang", $"n_points",
+        when(den =!= 0.0, micro(beta)).otherwise(lit(0L)).as("beta_micro"),
+        when(den =!= 0.0, micro((d($"sy") - beta * d($"sx")) / kd))
+          .otherwise(lit(0L)).as("lnk_micro"))
+      .orderBy($"lang")
   }
 
   /** The q144 chain over any (lang, text) frame (spec hook: planted
@@ -1486,6 +1538,48 @@ object Corpus {
          |    THEN CAST(floor((syd - (num / den) * sxd)
          |      / CAST(n_terms AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
          |    ELSE 0 END AS icept_micro
+         |FROM s ORDER BY lang""".stripMargin,
+
+    // Twin of q149: the q139 regression device over per-(lang,
+    // source) (ln N, ln V) points.
+    "q149_heaps_fit" ->
+      s"""WITH t AS (SELECT lang, source, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |f AS (SELECT lang, source, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM t GROUP BY lang, source, w),
+         |p AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_tok,
+         |        CAST(count(*) AS BIGINT) AS n_typ
+         |      FROM f GROUP BY lang, source),
+         |k AS (SELECT lang,
+         |        CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |        CAST(floor(ln(CAST(n_typ AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y,
+         |        CAST(floor(ln(CAST(n_tok AS DOUBLE)) * ln(CAST(n_typ AS DOUBLE))
+         |          * 1000000.0 + 0.5) AS BIGINT) AS xy,
+         |        CAST(floor(ln(CAST(n_tok AS DOUBLE)) * ln(CAST(n_tok AS DOUBLE))
+         |          * 1000000.0 + 0.5) AS BIGINT) AS xx
+         |      FROM p),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
+         |      FROM k GROUP BY lang),
+         |s AS (SELECT lang, n_points,
+         |        CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000.0)
+         |          - (CAST(sx AS DOUBLE) / 1000000.0)
+         |            * (CAST(sx AS DOUBLE) / 1000000.0) AS den,
+         |        CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+         |          - (CAST(sx AS DOUBLE) / 1000000.0)
+         |            * (CAST(sy AS DOUBLE) / 1000000.0) AS num,
+         |        CAST(sx AS DOUBLE) / 1000000.0 AS sxd,
+         |        CAST(sy AS DOUBLE) / 1000000.0 AS syd
+         |      FROM g)
+         |SELECT lang, n_points,
+         |  CASE WHEN den <> 0.0
+         |    THEN CAST(floor(num / den * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS beta_micro,
+         |  CASE WHEN den <> 0.0
+         |    THEN CAST(floor((syd - (num / den) * sxd)
+         |      / CAST(n_points AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS lnk_micro
          |FROM s ORDER BY lang""".stripMargin,
 
     // Twin of q140: exact integer counts, micro int division, ln

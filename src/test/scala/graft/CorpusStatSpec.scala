@@ -177,6 +177,33 @@ class CorpusStatSpec extends AnyFunSuite {
     assert(out == Seq(("en", 1L, mean, fm, fm)), s"got $out want fm=$fm")
   }
 
+  test("q149 Heaps fit: exact power-law (N, V) points recover beta = 0.5 and ln k = ln 2") {
+    // three sources on V = 2·N^0.5 exactly: (4, 4), (16, 8), (64, 16)
+    def src(n: Int, v: Int) =
+      (0 until n).map(i => s"t${i % v}").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "A", src(4, 4)), (2L, "en", "B", src(16, 8)),
+      (3L, "en", "C", src(64, 16)))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = graft.queries.Corpus.heapsFit(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // replicate the engine's quantize-then-sum pipeline exactly
+    val pts = Seq((4, 4), (16, 8), (64, 16)).map { case (n, v) =>
+      val x = math.log(n.toDouble); val y = math.log(v.toDouble)
+      (micro(x), micro(y), micro(x * y), micro(x * x))
+    }
+    val (sx, sy, sxy, sxx) = (pts.map(_._1).sum, pts.map(_._2).sum,
+      pts.map(_._3).sum, pts.map(_._4).sum)
+    val k = 3.0
+    def d(l: Long) = l.toDouble / 1e6
+    val den = k * d(sxx) - d(sx) * d(sx)
+    val beta = (k * d(sxy) - d(sx) * d(sy)) / den
+    val lnk = (d(sy) - beta * d(sx)) / k
+    assert(out == Seq(("en", 3L, micro(beta), micro(lnk))))
+    assert(math.abs(micro(beta) - 500000L) <= 5, s"beta ${micro(beta)}")
+    assert(math.abs(micro(lnk) - micro(math.log(2.0))) <= 5)
+  }
+
   test("randomized differential: q140/q141/q146 match in-memory references on random corpora") {
     // the planted cases above pin specific shapes; this pins the full
     // semantics on inputs nobody hand-picked (the CleaningSpec
