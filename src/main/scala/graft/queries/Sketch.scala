@@ -504,8 +504,65 @@ object Sketch {
     "q143_group_frechet" -> { (s, d) =>
       import s.implicits._
       fidDiag(Tables.embeddings(s, d).select($"label", $"embedding"))
+    },
+
+    // Nearest-other-centroid confusability per class (the
+    // nearest-class-mean geometry, Mensink et al. 2013): for each
+    // label, which OTHER label's centroid sits closest and at what
+    // squared distance — the embedding-space analog of q144's
+    // label-confusion cross-tab. Two classes whose centroids nearly
+    // coincide are indistinguishable to any centroid-based router or
+    // balanced sampler; the table says WHICH merges are happening
+    // before a per-class quota trusts the labels. Determinism:
+    // centroids derive from q114's per-dim int64 micro sums; each
+    // dim's (μA−μB)² term is ONE fixed-order double expression over
+    // those exact integers, micro-quantized BEFORE the order-free
+    // integer sum over dims; the argmin breaks ties on the smaller
+    // label id.
+    //
+    // Scale shape: ONE posexplode pass map-side-combines to
+    // O(labels·dims) rows; the pairwise work is a self-join of that
+    // tiny frame (labels²·dims rows — thousands), nothing O(corpus)
+    // after the scan.
+    "q150_centroid_confusion" -> { (s, d) =>
+      import s.implicits._
+      centroidConfusion(Tables.embeddings(s, d).select($"label", $"embedding"))
     }
   )
+
+  /** The q150 chain over any (label, embedding) frame (spec hook:
+    * planted centroids with closed-form pairwise distances —
+    * SketchSpec). A single-label corpus has no other centroid and
+    * reports no row (a confusability table needs ≥ 2 classes). */
+  private[graft] def centroidConfusion(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val per = emb.select($"label".cast("bigint").as("label"),
+        posexplode($"embedding".cast("array<double>")))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .groupBy($"label", $"dim").agg(
+        count(lit(1)).as("n"),
+        sum(floor($"x" * lit(1e6) + lit(0.5)).cast("bigint")).as("s1"))
+    val a = per.select($"label".as("la"), $"dim",
+      $"n".as("na"), $"s1".as("sa"))
+    val b = per.select($"label".as("lb"), $"dim",
+      $"n".as("nb"), $"s1".as("sb"))
+    val mua = $"sa".cast("double") / lit(1e6) / $"na".cast("double")
+    val mub = $"sb".cast("double") / lit(1e6) / $"nb".cast("double")
+    val d2 = a.join(b, Seq("dim")).filter($"la" =!= $"lb")
+      .select($"la", $"lb", $"na",
+        floor((mua - mub) * (mua - mub) * lit(1e6) + lit(0.5))
+          .cast("bigint").as("term"))
+      .groupBy($"la", $"lb")
+      .agg(min($"na").as("n_docs"), sum($"term").as("d2_micro"))
+    d2.groupBy($"la")
+      .agg(min($"n_docs").as("n_docs"),
+        min(struct($"d2_micro", $"lb")).as("best"))
+      .select($"la".as("label"), $"n_docs",
+        $"best".getField("lb").as("nearest"),
+        $"best".getField("d2_micro").as("d2_micro"))
+      .orderBy($"label")
+  }
 
   /** q138 sketch size (bottom-k per source) and shingle width. At
     * k=128 the resemblance stderr is ≈ √(J(1−J)/k) ≤ 4.4% — the
@@ -1104,6 +1161,33 @@ object Sketch {
          |  CAST(min(nb) AS BIGINT) AS n_b,
          |  CAST(sum(term_micro) AS BIGINT) AS fid_micro
          |FROM tm GROUP BY label ORDER BY label""".stripMargin,
+
+    // Twin of q150: q114's per-dim micro sums, the same fixed-order
+    // squared-mean-difference terms micro-quantized before the
+    // BIGINT dim sum, argmin tie-broken on the smaller label id.
+    "q150_centroid_confusion" ->
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pd AS (SELECT label, CAST(u.i AS BIGINT) AS dim,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(floor(v[CAST(u.i AS INTEGER) + 1]
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1
+         |       FROM e, unnest(range(0, len(v))) u(i) GROUP BY 1, 2),
+         |pr AS (SELECT a.label AS la, b.label AS lb, a.n AS na,
+         |         CAST(floor(
+         |           (CAST(a.s1 AS DOUBLE) / 1000000.0 / CAST(a.n AS DOUBLE)
+         |            - CAST(b.s1 AS DOUBLE) / 1000000.0 / CAST(b.n AS DOUBLE))
+         |           * (CAST(a.s1 AS DOUBLE) / 1000000.0 / CAST(a.n AS DOUBLE)
+         |            - CAST(b.s1 AS DOUBLE) / 1000000.0 / CAST(b.n AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS term
+         |       FROM pd a JOIN pd b ON a.dim = b.dim AND a.label <> b.label),
+         |d2 AS (SELECT la, lb, CAST(min(na) AS BIGINT) AS n_docs,
+         |         CAST(sum(term) AS BIGINT) AS d2_micro
+         |       FROM pr GROUP BY la, lb),
+         |r AS (SELECT la, n_docs, lb, d2_micro, row_number() OVER (
+         |        PARTITION BY la ORDER BY d2_micro, lb) AS rn FROM d2)
+         |SELECT la AS label, n_docs, lb AS nearest, d2_micro
+         |FROM r WHERE rn = 1 ORDER BY label""".stripMargin,
 
     // Twin of q131: max-abs is exact (no fp-sum ambiguity), the code
     // is the same lazy-CASE clamp chain, and the SSE pico-quantizes

@@ -345,4 +345,35 @@ class SketchSpec extends AnyFunSuite {
     assert(graft.queries.Sketch.fidDiag(lone)
       .as[(Long, Long, Long, Long)].collect().toSeq == Seq((7L, 1L, 0L, 0L)))
   }
+
+  test("q150 centroid confusion: planted centroids pick the true nearest class, lone label reports nothing") {
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    // centroids: L0 = (0.1, 0), L1 = (0.15, 0), L2 = (0.9, 0.5)
+    val emb = Seq(
+      (0, Seq(0.0, 0.0)), (0, Seq(0.2, 0.0)),
+      (1, Seq(0.15, 0.0)),
+      (2, Seq(0.9, 0.5)))
+      .toDF("label", "embedding")
+    val out = graft.queries.Sketch.centroidConfusion(emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // replay the engine's quantized pipeline per dim pair
+    def cent(vs: Seq[Seq[Double]]): Seq[Double] = {
+      val n = vs.length.toDouble
+      vs.head.indices.map(d =>
+        vs.map(v => micro(v(d))).sum.toDouble / 1e6 / n)
+    }
+    def d2(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) => micro((x - y) * (x - y)) }.sum
+    val c0 = cent(Seq(Seq(0.0, 0.0), Seq(0.2, 0.0)))
+    val c1 = cent(Seq(Seq(0.15, 0.0)))
+    val c2 = cent(Seq(Seq(0.9, 0.5)))
+    assert(out == Seq(
+      (0L, 2L, 1L, d2(c0, c1)),
+      (1L, 1L, 0L, d2(c1, c0)),
+      (2L, 1L, 1L, d2(c2, c1))), s"got $out")
+    assert(d2(c0, c1) == 2500L && d2(c2, c1) == 812500L)
+    // one class only: no other centroid, no row
+    assert(graft.queries.Sketch.centroidConfusion(
+      Seq((7, Seq(0.1, 0.2))).toDF("label", "embedding")).count() == 0L)
+  }
 }
