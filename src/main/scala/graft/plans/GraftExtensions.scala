@@ -73,6 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "simhash_bands", "e")(a => SimHashBands(a.head))
     inject(e, "text_stats", "e")(a => TextStats(a.head))
     inject(e, "char_entropy", "e")(a => CharEntropy(a.head))
+    inject(e, "syllable_count", "e")(a => SyllableCount(a.head))
     inject(e, "srp_bands", "eii")(a =>
       SrpBands(a.head, litInt("srp_bands", a(1)), litInt("srp_bands", a(2))))
     inject(e, "winnow_fingerprints", "eii")(a =>

@@ -431,15 +431,18 @@ object Quality {
   private[graft] def readability(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // one fused TextStats scan for (wc, sc) + one SyllableCount scan
+    // — replaces three interpreted HOF pipelines (tokenize twice +
+    // per-token regexp lambda) with two codegen kernels; comparable
+    // at sf0.1 (~0.9 s either way, the scan dominates) but the
+    // lambda's per-token regexp cost scaled with TOKENS, the
+    // kernel's with bytes — the 100-TB direction. Kernel ≡ HOF
+    // pinned by CorpusStatSpec's parity case
     val counted = docs
-      .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("wc", size($"toks").cast("long"))
-      .withColumn("sc", size(TextOps.sentences($"text")).cast("long"))
-      .withColumn("syl", aggregate(
-        transform($"toks", t => greatest(
-          size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
-            .cast("long"), lit(1L))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("st", graft.ops.expressions.TextStats($"text"))
+      .withColumn("wc", $"st".getField("n_tokens"))
+      .withColumn("sc", $"st".getField("n_sentences"))
+      .withColumn("syl", graft.ops.expressions.SyllableCount($"text"))
       .filter($"wc" > 0L && $"sc" > 0L)
     val f = lit(206.835) -
       lit(1.015) * ($"wc".cast("double") / $"sc".cast("double")) -

@@ -177,6 +177,35 @@ class CorpusStatSpec extends AnyFunSuite {
     assert(out == Seq(("en", 1L, mean, fm, fm)), s"got $out want fm=$fm")
   }
 
+  test("SyllableCount kernel ≡ the HOF definition on testdata, edge strings and random corpora; SQL face agrees") {
+    // the q148 chain swapped its interpreted per-token regexp HOF for
+    // the codegen kernel — this pins bit-equality of the two
+    def hof(c: org.apache.spark.sql.Column) = aggregate(
+      transform(graft.ops.TextOps.tokens(c), t => greatest(
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+          .cast("long"), lit(1L))),
+      lit(0L), (acc, x) => acc + x)
+    def diff(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(graft.ops.expressions.SyllableCount($"text") =!= hof($"text"))
+        .count()
+    assert(diff(Tables.documents(spark, sf)) == 0L, "kernel diverges on testdata")
+    val rnd = new scala.util.Random(20260815L)
+    val edge = Seq("", " ", "...", "a", "Y", "bcd", "AEIOUY", "a1a",
+      "ab-yz! aeiou?", "ÄÖÜ é ß", "ttuu", "w3 w3y yyy")
+    val fuzz = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(12)).map(_ => rnd.nextInt(4) match {
+        case 0 => s"w${rnd.nextInt(10)}"
+        case 1 => "aeiouy".substring(0, 1 + rnd.nextInt(5))
+        case 2 => Seq(".", "!", "?", ",", "-").apply(rnd.nextInt(5))
+        case _ => "XYZ"
+      }).mkString(" ")
+    }
+    assert(diff((edge ++ fuzz).toDF("text")) == 0L, "kernel diverges on fuzz")
+    // SQL registry face
+    assert(spark.sql("SELECT syllable_count('aa bb. cc')").head().getLong(0) ==
+      Seq("aa" -> 1, "bb" -> 1, "." -> 1, "cc" -> 1).map(_._2).sum.toLong)
+  }
+
   test("q149 Heaps fit: exact power-law (N, V) points recover beta = 0.5 and ln k = ln 2") {
     // three sources on V = 2·N^0.5 exactly: (4, 4), (16, 8), (64, 16)
     def src(n: Int, v: Int) =
