@@ -719,9 +719,12 @@ object Corpus {
     // Totals are closed-form off token counts (Σ max(len−n+1, 0));
     // distincts count the same shingle hashes q24/q138 dedup on —
     // deterministic, so the oracle replays them (the auditable-
-    // sketch doctrine). Scale shape: per n, one shingle-hash explode
-    // into a two-phase distinct count keyed by hash — map-side
-    // partials, no corpus-width collect, no window.
+    // sketch doctrine). Scale shape: TWO corpus passes total — one
+    // tokenize pass emits all three totals as n-tagged rows, one
+    // shingle pass explodes all three hash families into a two-phase
+    // distinct count keyed by hash (the per-n-separate form scanned
+    // the corpus six times) — map-side partials, no corpus-width
+    // collect, no window.
     "q141_distinct_ngrams" -> { (s, d) =>
       distinctNgrams(Tables.documents(s, d))
     },
@@ -991,20 +994,27 @@ object Corpus {
   private[graft] def distinctNgrams(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    (1 to DistinctNMax).map { n =>
-      val tot = docs
-        .select($"lang", TextOps.tokens($"text").as("toks"))
-        .groupBy($"lang").agg(
-          sum(greatest(size($"toks") - lit(n - 1), lit(0)).cast("long"))
-            .as("n_total"))
-      val dis = docs
-        .select($"lang",
-          explode(graft.ops.expressions.ShingleHashes($"text", n)).as("h"))
-        .groupBy($"lang").agg(count_distinct($"h").as("n_distinct"))
-      tot.join(dis, Seq("lang"), "left")
-        .select($"lang", lit(n.toLong).as("n"), $"n_total",
-          coalesce($"n_distinct", lit(0L)).as("n_distinct"))
-    }.reduce(_ unionByName _)
+    // TWO corpus passes total (one for totals, one for distincts),
+    // each emitting all three n values as n-tagged rows — the
+    // per-n-separate form scanned the corpus six times
+    val ns = 1 to DistinctNMax
+    val tot = docs
+      .select($"lang", TextOps.tokens($"text").as("toks"))
+      .select($"lang", explode(array(ns.map(n =>
+        struct(lit(n.toLong).as("n"),
+          greatest(size($"toks") - lit(n - 1), lit(0)).cast("long")
+            .as("t"))): _*)).as("p"))
+      .groupBy($"lang", $"p.n").agg(sum($"p.t").as("n_total"))
+    val dis = docs
+      .select($"lang", explode(array(ns.map(n =>
+        struct(lit(n.toLong).as("n"),
+          graft.ops.expressions.ShingleHashes($"text", n).as("hs"))): _*))
+        .as("p"))
+      .select($"lang", $"p.n".as("n"), explode($"p.hs").as("h"))
+      .groupBy($"lang", $"n").agg(count_distinct($"h").as("n_distinct"))
+    tot.join(dis, Seq("lang", "n"), "left")
+      .select($"lang", $"n", $"n_total",
+        coalesce($"n_distinct", lit(0L)).as("n_distinct"))
       .withColumn("distinct_micro",
         when($"n_total" > 0L, expr("(n_distinct * 1000000) div n_total"))
           .otherwise(lit(0L)))
@@ -1097,6 +1107,11 @@ object Corpus {
       .select($"source", $"doc_id",
         TextOps.tokenCount($"text").cast("long").as("n_tok"))
       .filter($"n_tok" > 0L)
+    // three consumers below (counts, the x_ref pick, the term sums)
+    // reference this subtree; its exchange is identical in each, so
+    // runtime ReusedExchange serves them from ONE corpus pass (an
+    // eager localCheckpoint here measured SLOWER at sf0.1 — the
+    // materialization job cannot overlap the consumers)
     val top = graft.plans.TopK.perKey(lens, Seq("source"),
       Seq("n_tok" -> false, "doc_id" -> true), HillK + 1, rankCol = "rn")
     val cnt = top.groupBy($"source").agg(count(lit(1)).as("m"))
