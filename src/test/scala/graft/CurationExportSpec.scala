@@ -272,6 +272,40 @@ class CurationExportSpec extends AnyFunSuite {
     assert(spark.read.parquet(outP).count() == rows.length.toLong)
   }
 
+  test("heuristic gate and PII scrub compose in one run") {
+    val root = Files.createTempDirectory("graft-export-both").toString
+    val dirty = s"$root/dirty"
+    Tables.documents(spark, sf)
+      .withColumn("text",
+        when(pmod($"doc_id", lit(4L)) === 1L,
+          concat($"text", lit(" contact u"), $"doc_id".cast("string"),
+            lit("@mail.example.com now")))
+          .otherwise($"text"))
+      .withColumn("n_chars", length($"text").cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dirty/documents.parquet")
+    val out = s"$root/corpus"
+    CurationExport.run(spark, dirty, out, heuristic = true, scrubPii = true)
+    val rows = spark.read.parquet(out)
+      .select($"doc_id", $"text", $"n_pii").as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // no rule violator shipped — checked with the shared flags over
+    // the ORIGINAL text (the gate runs pre-scrub; masked text has
+    // different token stats, so the written bytes are not the
+    // gate's input)
+    val violators = graft.queries.Quality.heuristicFlagged(
+        spark.read.parquet(s"$dirty/documents.parquet")
+          .join(spark.read.parquet(out).select($"doc_id"), Seq("doc_id"))
+          .select($"doc_id", $"text"))
+      .filter($"f_short" || $"f_long" || $"f_len" || $"f_stop")
+      .select($"doc_id").as[Long].collect()
+    assert(violators.isEmpty, s"gate skipped under compose: ${violators.toSeq}")
+    // and no raw PII byte shipped
+    rows.foreach { case (id, text, nPii) =>
+      assert(!text.contains("@mail.example.com"), s"doc $id raw PII")
+      if (id % 4 == 1) assert(nPii >= 1L, s"doc $id uncounted")
+    }
+  }
+
   test("jsonl export round-trips the parquet artifact exactly (one document per line)") {
     val root = Files.createTempDirectory("graft-export-jsonl").toString
     val pq = s"$root/pq"; val jl = s"$root/jl"

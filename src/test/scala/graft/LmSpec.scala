@@ -180,5 +180,23 @@ class LmSpec extends AnyFunSuite {
     val seqWide = graft.queries.Quality.seqPack(langDocs, bucketWidth = 1L << 20)
       .collect().toSeq
     assert(seqNarrow == seqWide, "q54 sequences changed with bucket width")
+
+    // property sweep: random frames × every bucket-width regime
+    // (1 = every ord its own bucket, primes that straddle gaps, one
+    // giant bucket) all equal the single-window form
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val rows2 = (0 until 60).map { _ =>
+        (s"k${rnd.nextInt(3)}", rnd.nextInt(500).toLong, rnd.nextInt(9).toLong)
+      }.distinctBy(r => (r._1, r._2)) // ord unique per key (the contract)
+      val df = rows2.toDF("k", "ord", "v")
+      val want = df.withColumn("off", sum($"v").over(w) - $"v")
+        .select($"k", $"ord", $"off").as[(String, Long, Long)].collect().toSet
+      for (bw <- Seq(1L, 2L, 7L, 97L, 1L << 20)) {
+        val got2 = graft.ops.PrefixSum.exclusive(df, "k", "ord", "v", "off", bw)
+          .select($"k", $"ord", $"off").as[(String, Long, Long)].collect().toSet
+        assert(got2 == want, s"trial $trial width $bw diverged")
+      }
+    }
   }
 }
