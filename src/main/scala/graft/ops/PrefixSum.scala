@@ -13,52 +13,100 @@ import org.apache.spark.sql.functions._
   * single task). This is the named scale-killer class "full shuffle
   * on a skewed key".
   *
-  * [[exclusive]] is the classic two-phase scan instead (the
+  * [[exclusive]] is the classic multi-level scan instead (the
   * Blelloch/MPI_Exscan shape, expressed declaratively):
   *
   *   1. bucket rows by `ord div bucketWidth` — `div` is monotone in
   *      `ord`, so buckets are contiguous ranges of the sort order;
-  *   2. per-(key, bucket) totals via one map-side-combining groupBy
-  *      (O(keys · buckets) rows — at 1 M rows/bucket, 10 B docs of
-  *      one source make 10 k rows);
-  *   3. the cumulative OFFSET of each bucket from a window over that
-  *      tiny aggregated frame (the only serial step — O(buckets),
-  *      never O(corpus));
-  *   4. broadcast the offsets back and run the within-bucket running
-  *      sum with the window partitioned by (key, bucket) — parallel
-  *      across buckets even when one key owns the corpus, each
-  *      partition ≤ bucketWidth of `ord` span.
+  *   2. per-(key, bucket) totals via one map-side-combining groupBy;
+  *   3. the cumulative OFFSET of each bucket from an exclusive scan
+  *      over that aggregated frame. The frame is COUNTED (it is
+  *      `localCheckpoint`ed anyway so the count is free of
+  *      recomputation): at or below [[DefaultMaxBroadcastBuckets]]
+  *      rows the scan is a single window and the offsets broadcast
+  *      back; above it the scan RECURSES — the bucket totals are
+  *      themselves bucketed, scanned, and joined without a broadcast
+  *      hint. Each recursion level divides the ordinal domain by
+  *      ≥ 2²⁰, so even 64-bit ordinals collapse within four levels;
+  *   4. join the offsets back and run the within-bucket running sum
+  *      with the window partitioned by (key, bucket) — parallel
+  *      across buckets even when one key owns the corpus.
   *
-  * Same integers as the single-window form (the within-bucket sum
-  * starts from the exact offset of everything before the bucket);
-  * LmSpec pins equality on multi-bucket plants.
+  * Density contract, made explicit after the round-14 audit: `ord`
+  * must be unique per key, but it need NOT be dense. With dense doc
+  * ids the offset frame is O(rows / bucketWidth) and broadcasts; with
+  * sparse ordinals (64-bit content hashes — nearly every row its own
+  * bucket) the frame is O(rows), and the counted guard routes it
+  * through the recursive path instead of broadcasting an unbounded
+  * frame to the driver. Same integers either way; LmSpec pins
+  * multi-bucket ≡ single-window equality on dense, gapped, AND
+  * 2⁴⁰-spaced sparse plants (the sparse case with the threshold
+  * forced low so the recursive path demonstrably fires).
   */
 object PrefixSum {
 
   /** Production bucket width: ~1 M ord-units per bucket keeps the
-    * offset table thousands of rows per billion-row key while each
-    * within-bucket partition stays comfortably in one task. */
+    * offset table thousands of rows per billion-row key of DENSE
+    * ordinals while each within-bucket partition stays comfortably
+    * in one task. */
   val DefaultBucketWidth: Long = 1L << 20
 
+  /** Largest offset frame that is broadcast (≈ 24 B/row → tens of
+    * MB at the cap, the usual auto-broadcast ceiling territory).
+    * Larger frames — sparse ordinals — take the recursive scan. */
+  val DefaultMaxBroadcastBuckets: Long = 1L << 20
+
   /** Adds `out` = exclusive running sum of `value` within `key`,
-    * ordered by `ord` (`ord` must be unique per key — doc ids are).
-    * Input columns pass through unchanged. */
+    * ordered by `ord` (`ord` must be unique per key — doc ids are;
+    * density is NOT required, see the object doc). Input columns
+    * pass through unchanged. */
   def exclusive(df: DataFrame, key: String, ord: String, value: String,
-      out: String, bucketWidth: Long = DefaultBucketWidth): DataFrame = {
+      out: String, bucketWidth: Long = DefaultBucketWidth,
+      maxBroadcastBuckets: Long = DefaultMaxBroadcastBuckets): DataFrame =
+    impl(df, key, ord, value, out, bucketWidth, maxBroadcastBuckets, 0)._1
+
+  /** Recursive body; returns the frame plus the number of scan levels
+    * used (1 = dense broadcast path), which the spec asserts on. Temp
+    * column names carry the depth so a recursive level never collides
+    * with its parent's bucket column. */
+  private[graft] def impl(df: DataFrame, key: String, ord: String,
+      value: String, out: String, bucketWidth: Long,
+      maxBroadcastBuckets: Long, depth: Int): (DataFrame, Int) = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
-    val bucketed = df.withColumn("__psb", expr(s"`$ord` div $bucketWidth"))
-    val btot = bucketed.groupBy(col(key), col("__psb"))
-      .agg(sum(col(value)).as("__pstot"))
-    val wb = Window.partitionBy(col(key)).orderBy(col("__psb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val boff = btot
-      .withColumn("__psoff", coalesce(sum(col("__pstot")).over(wb), lit(0L)))
-      .select(col(key), col("__psb"), col("__psoff"))
-    val ww = Window.partitionBy(col(key), col("__psb")).orderBy(col(ord))
+    require(depth < 8,
+      "prefix-sum recursion depth exceeded — the bucket domain is not shrinking")
+    val b = s"__psb_$depth"
+    val t = s"__pstot_$depth"
+    val o = s"__psoff_$depth"
+    val bucketed = df.withColumn(b, expr(s"`$ord` div $bucketWidth"))
+    // localCheckpoint: the frame feeds the count, the offset scan, and
+    // (on the recursive path) a shuffle join — materialize it once.
+    val btot = bucketed.groupBy(col(key), col(b))
+      .agg(sum(col(value)).as(t)).localCheckpoint()
+    val nBuckets = btot.count()
+    val (boff, levels) =
+      if (nBuckets <= maxBroadcastBuckets) {
+        val wb = Window.partitionBy(col(key)).orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        (broadcast(btot
+          .withColumn(o, coalesce(sum(col(t)).over(wb), lit(0L)))
+          .select(col(key), col(b), col(o))), depth + 1)
+      } else {
+        // Sparse ordinals: the "tiny" frame is O(corpus). Scan it with
+        // the same two-phase machinery (domain shrinks ≥ 2²⁰ per
+        // level, so 64-bit ordinals bottom out in ≤ 4 levels) and join
+        // WITHOUT a broadcast hint — the shuffle on (key, bucket) is
+        // the same partitioning the within-bucket window needs.
+        val rbw = math.max(bucketWidth, DefaultBucketWidth)
+        val (rec, lv) =
+          impl(btot, key, b, t, o, rbw, maxBroadcastBuckets, depth + 1)
+        (rec.select(col(key), col(b), col(o)), lv)
+      }
+    val ww = Window.partitionBy(col(key), col(b)).orderBy(col(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(boff), Seq(key, "__psb"))
-      .withColumn(out,
-        col("__psoff") + sum(col(value)).over(ww) - col(value))
-      .drop("__psb", "__psoff")
+    val result = bucketed.join(boff, Seq(key, b))
+      .withColumn(out, col(o) + sum(col(value)).over(ww) - col(value))
+      .drop(b, o)
+    (result, levels)
   }
 }

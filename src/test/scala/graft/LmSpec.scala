@@ -199,4 +199,42 @@ class LmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("prefix sum sparse ordinals: 2^40-spaced ids route through the recursive scan, same integers, no unbounded broadcast") {
+    import org.apache.spark.sql.expressions.Window
+    // 64-bit-hash-style ordinals: every row its own bucket at any
+    // realistic width, so the offset frame is O(rows). The counted
+    // guard must take the recursive path instead of broadcasting it.
+    val sp = 1L << 40
+    val rows = Seq(
+      ("a", 0L, 5L), ("a", sp, 7L), ("a", 2 * sp, 1L), ("a", 3 * sp, 2L),
+      ("a", 5 * sp, 8L), ("b", 2 * sp, 4L), ("b", 1L << 62, 6L))
+      .toDF("k", "ord", "v")
+    val w = Window.partitionBy($"k").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.withColumn("off", sum($"v").over(w) - $"v")
+      .select($"k", $"ord", $"off").as[(String, Long, Long)].collect().toSet
+
+    // threshold forced to 2 rows: the 7-row offset frame exceeds it at
+    // several levels, so the scan must recurse (levels > 1) before the
+    // 2^20-per-level domain collapse bottoms out in a broadcast
+    val (rec, levels) = graft.ops.PrefixSum.impl(
+      rows, "k", "ord", "v", "off",
+      graft.ops.PrefixSum.DefaultBucketWidth,
+      maxBroadcastBuckets = 2L, depth = 0)
+    assert(levels > 1, s"sparse plant should recurse, got levels=$levels")
+    val got = rec.select($"k", $"ord", $"off")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, "recursive sparse-path scan diverged from the single window")
+
+    // the default threshold on the same frame stays on the dense
+    // broadcast path (7 buckets is tiny) and agrees too
+    val (dense, denseLevels) = graft.ops.PrefixSum.impl(
+      rows, "k", "ord", "v", "off",
+      graft.ops.PrefixSum.DefaultBucketWidth,
+      graft.ops.PrefixSum.DefaultMaxBroadcastBuckets, depth = 0)
+    assert(denseLevels == 1, s"tiny frame should broadcast, got $denseLevels")
+    assert(dense.select($"k", $"ord", $"off")
+      .as[(String, Long, Long)].collect().toSet == want)
+  }
 }
