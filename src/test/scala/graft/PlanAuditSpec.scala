@@ -154,6 +154,44 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name plans an unpartitioned window over an unbounded input:\n$w")
   }
 
+  test("every low-cardinality-partitioned window sits above an aggregate that bounds its input") {
+    // Companion invariant to the unpartitioned-window audit, closing
+    // the round-14 verdict's "hand-enumerated list" gap: a WindowExec
+    // partitioned ONLY by lang/source-class columns has O(langs) ≈
+    // dozens of partitions, so a corpus-sized input funnels ~1/langs
+    // of the corpus through each task — same scale-killer as the
+    // unpartitioned case, just divided by a constant. The four
+    // current such windows (q133/q135/q144/q146/q54 shapes) all run
+    // over frames an aggregate has already collapsed to histogram
+    // size; this asserts that structurally for EVERY query, so a
+    // future query can't silently plan a per-document window
+    // partitioned by lang or source alone.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lowCard = Set("lang", "source", "kind", "label", "split", "band", "domain")
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => ()
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+      // A localCheckpoint severs lineage, so an aggregate computed
+      // before it is invisible here. The only checkpointed frames a
+      // window reads are PrefixSum's per-(key, bucket) totals, which
+      // are aggregate outputs AND row-counted before the scan is
+      // chosen (the sparse-ordinal guard; LmSpec pins it).
+      case _: org.apache.spark.sql.execution.RDDScanExec => ()
+    }.nonEmpty
+    for ((name, (_, plan)) <- built;
+         w <- plan.collect {
+           case w: WindowExec if w.partitionSpec.nonEmpty &&
+             w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
+               .forall(lowCard) => w
+         })
+      assert(bounded(w.child),
+        s"$name plans a window partitioned only by low-cardinality columns " +
+          s"(${w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(", ")}) " +
+          s"over an un-aggregated input:\n$w")
+  }
+
   test("every query ends in a deterministic total order (oracle-comparable output)") {
     // q02/q85 are keys=[] global aggregates (one row — trivially
     // ordered); q32 is the rows-only multimodal summary (3 rows,
