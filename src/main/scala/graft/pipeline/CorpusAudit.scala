@@ -23,11 +23,46 @@ import org.apache.spark.sql.functions._
   * (q148), char entropy rollup (q137), and source overlap (q138).
   *
   * Writes are static overwrite per table — a re-run reproduces the
-  * identical artifact (every underlying query is deterministic, the
-  * repo's whole-pack doctrine). At 100 TB each table is one
+  * identical table contents (every underlying query is deterministic,
+  * the repo's whole-pack doctrine). At 100 TB each table is one
   * independent job over the shared scans; run them all or cherry-pick
-  * with `only`. */
+  * with `only`.
+  *
+  * Crash-atomicity (round-14 audit): the manifest is written LAST, so
+  * a crash mid-pack used to leave a PRIOR run's manifest certifying a
+  * MIXED set of tables. Every table now carries a `_runid` sidecar
+  * (underscore-prefixed — invisible to parquet readers), written
+  * AFTER the table lands; the manifest records each table's run id,
+  * and [[readBack]] refuses a table whose sidecar is missing (crash
+  * during that table's write) or disagrees with the manifest row
+  * (pack crashed before re-certifying). A subset re-run MERGES into
+  * an existing manifest rather than overwriting it, so the tables it
+  * did not rewrite stay certified under their original run ids. */
 object CorpusAudit {
+
+  /** Per-directory certificate file. Underscore prefix: Spark/parquet
+    * readers treat it as metadata and never read it as data. */
+  private val RunIdFile = "_runid"
+
+  private def hfs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeRunId(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, runId: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, RunIdFile), true)
+    try out.write(runId.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readRunId(spark: SparkSession, dir: String): Option[String] = {
+    val fs = hfs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, RunIdFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
 
   /** Report table name → catalog query that defines it. */
   val Tables: Map[String, String] = Map(
@@ -52,9 +87,11 @@ object CorpusAudit {
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest
-    * (table, query, n_rows) — also persisted at `outDir/manifest/`.
-    * Unknown `only` names refuse loudly (the Bench filter's
-    * doctrine: a typo must not produce a plausible empty report). */
+    * (table, query, n_rows, run_id) — also persisted at
+    * `outDir/manifest/`, MERGED with any existing manifest so a
+    * subset re-run keeps the untouched tables certified. Unknown
+    * `only` names refuse loudly (the Bench filter's doctrine: a typo
+    * must not produce a plausible empty report). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           only: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
@@ -63,24 +100,61 @@ object CorpusAudit {
       require(unknown.isEmpty,
         s"CorpusAudit: unknown tables ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    val fs = hfs(spark, outDir)
+    val runId = java.util.UUID.randomUUID().toString
     val picked = Tables.toSeq.sortBy(_._1)
       .filter { case (t, _) => only.forall(_.contains(t)) }
     val rows = picked.map { case (table, query) =>
+      val dir = s"$outDir/$table"
+      // de-certify FIRST: a crash anywhere inside this table's write
+      // leaves it visibly uncertified, never certified-by-the-old-run
+      fs.delete(new org.apache.hadoop.fs.Path(dir, RunIdFile), false)
       val df = graft.SparkEntry.queries(query)(spark, sfDir)
-      df.write.mode("overwrite").parquet(s"$outDir/$table")
+      df.write.mode("overwrite").parquet(dir)
       // count the WRITTEN artifact, not the plan — the manifest
       // certifies what is on disk
-      (table, query, spark.read.parquet(s"$outDir/$table").count())
+      val n = spark.read.parquet(dir).count()
+      writeRunId(fs, dir, runId)
+      (table, query, n, runId)
     }
-    val manifest = rows.toDF("table", "query", "n_rows").orderBy($"table")
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    // carry forward manifest rows for tables this run did not touch
+    // (subset re-runs); a legacy pre-run_id manifest can't certify
+    // sidecar-less tables, so it is not carried
+    val manifestDir = s"$outDir/manifest"
+    val prior: Seq[(String, String, Long, String)] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(manifestDir))) Seq.empty
+      else try spark.read.parquet(manifestDir)
+        .as[(String, String, Long, String)].collect().toSeq
+        .filterNot(r => picked.exists(_._1 == r._1))
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    // prior is COLLECTED above, so the merged manifest is a local
+    // relation — overwriting the directory it was read from is safe
+    val manifest = (rows ++ prior).sortBy(_._1)
+      .toDF("table", "query", "n_rows", "run_id")
+    manifest.coalesce(1).write.mode("overwrite").parquet(manifestDir)
     spark.catalog.clearCache() // the queries' cache contract
     manifest
   }
 
-  /** Read one written table back (the consumer entry point). */
+  /** Read one written table back (the consumer entry point), refusing
+    * artifacts the manifest does not certify: a missing `_runid`
+    * sidecar means the pack crashed during this table's write; a
+    * sidecar the manifest row disagrees with means the pack crashed
+    * after rewriting the table but before re-certifying it. */
   def readBack(spark: SparkSession, outDir: String, table: String): DataFrame = {
     require(Tables.contains(table), s"CorpusAudit: unknown table '$table'")
+    import spark.implicits._
+    val tableRun = readRunId(spark, s"$outDir/$table").getOrElse(throw
+      new IllegalStateException(s"CorpusAudit: '$table' has no run " +
+        "certificate — the pack crashed during this table's write; re-run it"))
+    val certified = spark.read.parquet(s"$outDir/manifest")
+      .where($"table" === table).select($"run_id").as[String].collect()
+    require(certified.nonEmpty,
+      s"CorpusAudit: the manifest does not list '$table'")
+    if (certified.head != tableRun) throw new IllegalStateException(
+      s"CorpusAudit: '$table' was written by run $tableRun but the " +
+        s"manifest certifies ${certified.head} — the pack crashed " +
+        "between the table write and the manifest write; re-run it")
     spark.read.parquet(s"$outDir/$table")
   }
 }
