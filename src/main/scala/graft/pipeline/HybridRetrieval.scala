@@ -165,27 +165,32 @@ object HybridRetrieval {
     vecs.withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/raw")
-    if (!vecs.isEmpty) {
-      // DEFERRED BOOTSTRAP: the store was built before any vectors
-      // existed ([[build]]'s token-less-corpus posture) — train the
-      // codebooks on this first vectored batch. Train ONLY: build's
-      // run=base codes would need a delete-and-re-key to this
-      // delivery's run id, and a crash between the delete and the
-      // re-append strands a codebooks store with zero codes that
-      // every later append treats as bootstrapped — the first
-      // batch's vectors silently never encode (round-13 advisor).
-      if (!graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
-        AnnIndex.train(spark, vecs, s"$dir/ann")
-      // HEAL-ON-APPEND (the store family's heal-on-read discipline,
-      // applied to the raw→codes invariant): encode every raw run
-      // the codes store lacks, from the raw side store. This single
-      // loop IS the encode of the current delivery (its raw run
-      // landed above, codes can't have it yet) AND the repair of any
-      // prior delivery whose encode crashed after its raw write —
-      // codebooks-present-but-run-unencoded is no longer a terminal
-      // state. O(missing runs): steady state re-reads one run's
-      // vectors from parquet instead of the in-memory frame; the
-      // uniform read path is what makes the crash recovery free.
+    // DEFERRED BOOTSTRAP: the store was built before any vectors
+    // existed ([[build]]'s token-less-corpus posture) — train the
+    // codebooks on the first vectored batch. Train ONLY: build's
+    // run=base codes would need a delete-and-re-key to this
+    // delivery's run id, and a crash between the delete and the
+    // re-append strands a codebooks store with zero codes that
+    // every later append treats as bootstrapped — the first
+    // batch's vectors silently never encode (round-13 advisor).
+    if (!vecs.isEmpty &&
+        !graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks"))
+      AnnIndex.train(spark, vecs, s"$dir/ann")
+    // HEAL-ON-APPEND (the store family's heal-on-read discipline,
+    // applied to the raw→codes invariant): encode every raw run
+    // the codes store lacks, from the raw side store. This single
+    // loop IS the encode of the current delivery (its raw run
+    // landed above, codes can't have it yet) AND the repair of any
+    // prior delivery whose encode crashed after its raw write —
+    // codebooks-present-but-run-unencoded is no longer a terminal
+    // state. Gated on the CODEBOOKS store, not on this delivery's
+    // vectors (round-14 advisor): an orphan raw run must heal on the
+    // next delivery of ANY kind, or a vector-less ingest stream
+    // leaves it unencoded indefinitely. O(missing runs): steady
+    // state re-reads one run's vectors from parquet instead of the
+    // in-memory frame; the uniform read path is what makes the
+    // crash recovery free.
+    if (graft.ops.StoreCompaction.hasParquetData(spark, s"$dir/ann/codebooks")) {
       val missing = runsOf(spark, s"$dir/raw") --
         runsOf(spark, s"$dir/ann/codes")
       missing.toSeq.sorted.foreach { r =>

@@ -178,7 +178,16 @@ class HybridRetrievalSpec extends AnyFunSuite {
     val fs = codesB1.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(codesB1), "precondition: b1 encoded")
     assert(fs.delete(codesB1, true))
-    // next delivery heals b1 alongside encoding itself
+    // a VECTOR-LESS delivery must heal the orphan too (round-14
+    // advisor: the heal loop used to run only when the current batch
+    // carried vectors, so a boilerplate-only ingest stream left the
+    // orphan unencoded indefinitely)
+    HybridRetrieval.append(spark, Seq((19L, "")).toDF("doc_id", "text"),
+      dir, "bv")
+    assert(fs.exists(codesB1),
+      "a vector-less delivery must still heal the orphan raw run")
+    // and a normal vectored delivery keeps the invariant
+    assert(fs.delete(codesB1, true))
     val b2 = Seq((12L, "gamma delta gamma")).toDF("doc_id", "text")
     HybridRetrieval.append(spark, b2, dir, "b2")
     assert(fs.exists(codesB1), "heal loop must re-encode the orphan raw run")
