@@ -10,14 +10,18 @@ import org.apache.spark.sql.types.StructType
   * PII-scrub (stage 5b) stages, applied AT INGEST: each arriving
   * micro-batch of documents runs the q134 rule family (the SAME
   * [[graft.queries.Quality.heuristicFlagged]] derivation the batch
-  * report rolls up), rule-violating docs land VERBATIM with their
-  * per-rule flag columns under `rejectDir/batch=<id>` (the audit /
-  * repair queue — a gate that discards invisibly is how corpora rot),
-  * and surviving docs land PII-SCRUBBED (q124's masks, per-doc
-  * `n_pii` lineage) under `goodDir/batch=<id>`. A production feed
-  * gates junk and strips PII before anything downstream persists raw
-  * bytes; the batch export then runs its remaining stages (dedup,
-  * floor, mixture) over the pre-screened store.
+  * report rolls up), rule-violating docs land with their per-rule
+  * flag columns under `rejectDir/batch=<id>` (the audit / repair
+  * queue — a gate that discards invisibly is how corpora rot), and
+  * surviving docs land under `goodDir/batch=<id>` — BOTH copies
+  * PII-SCRUBBED (q124's masks, per-doc `n_pii` lineage). The reject
+  * queue is itself a long-lived downstream persistence (round-14
+  * advisor), so it gets the same scrub as the good store: the audit
+  * signal survives in the flags and `n_pii`, the raw bytes do not
+  * outlive the screen anywhere. A production feed gates junk and
+  * strips PII before anything downstream persists raw bytes; the
+  * batch export then runs its remaining stages (dedup, floor,
+  * mixture) over the pre-screened store.
   *
   * Delivery semantics: foreachBatch is at-least-once; BOTH sinks are
   * keyed on the batch id and written mode=overwrite, so a
@@ -63,8 +67,10 @@ object CurationScreenStream {
     try {
       val fail = col("f_short") || col("f_long") || col("f_len") || col("f_stop")
       flagged.filter(fail)
-        .select(col("doc_id"), col("lang"), col("text"),
-          col("f_short"), col("f_long"), col("f_len"), col("f_stop"))
+        .select(col("doc_id"), col("lang"),
+          graft.queries.Cleaning.piiMasked(col("text")).as("text"),
+          col("f_short"), col("f_long"), col("f_len"), col("f_stop"),
+          graft.queries.Cleaning.piiCount(col("text")).as("n_pii"))
         .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
       flagged.filter(!fail)
         .select(col("doc_id"), col("lang"),

@@ -633,7 +633,7 @@ class StreamingSpec extends AnyFunSuite {
     def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
     // two files -> two micro-batches (maxFilesPerTrigger = 1)
     val f1 = Seq(
-      (1L, "en", rep("value", 3)), // f_short -> reject
+      (1L, "en", "ping carol@mail.example.com now"), // f_short -> reject, carries PII
       (3L, "en", rep("value", 20) + " " + rep("fast", 20) +
         " contact bob@mail.example.com now")) // passes, email PII
       .toDF("doc_id", "lang", "text")
@@ -664,11 +664,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(5L)._3 == 0L, "clean doc counted PII")
 
     val rejected = spark.read.parquet(rej)
-      .select($"doc_id", $"f_short", $"f_len", $"f_stop")
-      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+      .select($"doc_id", $"f_short", $"f_len", $"f_stop", $"text", $"n_pii")
+      .as[(Long, Boolean, Boolean, Boolean, String, Long)]
+      .collect().sortBy(_._1).toSeq
     assert(rejected.map(_._1) == Seq(1L, 2L), s"reject set wrong: $rejected")
     assert(rejected(0)._2, "doc 1 must flag f_short")
     assert(rejected(1)._3 && rejected(1)._4, "doc 2 must flag f_len+f_stop")
+    // the reject queue is a long-lived store too: its copy is scrubbed,
+    // with the PII count preserved as the audit signal
+    assert(rejected(0)._5.contains("<EMAIL>") &&
+      !rejected(0)._5.contains("carol@") && rejected(0)._6 == 1L,
+      s"reject copy must be PII-scrubbed: ${rejected(0)}")
+    assert(rejected(1)._6 == 0L, "clean reject counted PII")
 
     // at-least-once: re-deliver one batch with the same id directly
     // (the factored hook) — stores must not change
