@@ -75,12 +75,16 @@ object JsonlIngest {
     * Collision corner (all-string schemas): a legitimate DATA row
     * whose tokens equal the field names also satisfies the
     * predicate. A line channel has no line numbers to tell it from
-    * the real header, so the channel drops exactly ONE
-    * header-matching line per file (deterministically: the raw-min,
-    * with ties identical) and QUARANTINES the rest — collided data
-    * rows surface in the repair queue rather than vanishing
-    * (round-13 advisor). A well-formed delivery has exactly one
-    * match per file and quarantines nothing. */
+    * the real header, so the channel consumes exactly ONE
+    * header-matching line per file as the header (deterministically:
+    * the raw-min, with ties identical) — which may be a colliding
+    * DATA row rather than the real header. In a COLLIDED file (≥2
+    * matches) the channel therefore quarantines a copy of EVERY
+    * header-equivalent line, including the consumed one, so no
+    * collided row's bytes vanish whichever line was really the
+    * header (round-14 advisor: previously the consumed line's bytes
+    * were lost when it was a data row). A well-formed delivery has
+    * exactly one match per file and quarantines nothing. */
   private[graft] def csvChannel(lines: DataFrame, schema: StructType,
                                 header: Boolean): (DataFrame, DataFrame) = {
     val wc = withCorrupt(schema)
@@ -94,16 +98,17 @@ object JsonlIngest {
     val (good, bad) = split2(parsed, schema)
     if (!header) (good, bad)
     else {
-      // header-matching lines BEYOND the first per file: O(headers)
-      // rows reach the window (the filter precedes it), so the
-      // per-file sort is bounded by the collision count, not the file
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__f")).orderBy(col("value"))
-      val excess = body.filter(isHeader)
+      // header-matching lines in COLLIDED files (≥2 matches): all of
+      // them — including a copy of the consumed raw-min — go to the
+      // repair queue. O(headers) rows reach the window (the filter
+      // precedes it), so the per-file count is bounded by the
+      // collision count, not the file
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__f"))
+      val collided = body.filter(isHeader)
         .withColumn("__f", input_file_name())
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1).select(col("value"))
-      (good, bad.union(excess))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") > 1).select(col("value"))
+      (good, bad.union(collided))
     }
   }
 

@@ -152,11 +152,14 @@ class SourceFormatSpec extends AnyFunSuite {
       spark, in, schema, quar, "r1")
     assert(good.as[(String, String)].collect().sorted.toSeq ==
       Seq(("alpha", "x"), ("beta", "y")))
-    // one header-matching line per file is THE header (dropped —
-    // deterministically the raw-min, here "Name , KIND"); the other
-    // lands in the repair queue — visible, not silent
+    // one header-matching line is consumed as THE header
+    // (deterministically the raw-min, here "Name , KIND" — actually a
+    // DATA row), and because the file is collided, BOTH
+    // header-equivalent lines land in the repair queue: the consumed
+    // one as a copy, so its bytes never vanish (round-14 advisor)
     assert(graft.sources.JsonlIngest.quarantined(spark, quar)
-      .as[(String, String)].collect().toSeq == Seq(("r1", "name,kind")))
+      .as[(String, String)].collect().sorted.toSeq ==
+      Seq(("r1", "Name , KIND"), ("r1", "name,kind")))
   }
 
   test("streaming quarantine ingest: streamed == batch on the same delivery, re-delivery idempotent") {
