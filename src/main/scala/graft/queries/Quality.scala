@@ -427,7 +427,17 @@ object Quality {
 
   /** The q148 chain over any (lang, text) frame (spec hook: planted
     * syllable/sentence counts with a hand-computed score —
-    * CorpusStatSpec). */
+    * CorpusStatSpec).
+    *
+    * Deviation from textstat-style Flesch, stated here rather than
+    * only in the parity test (round-14 advisor): the word count W is
+    * the engine's whitespace token count, so punctuation/symbol
+    * tokens ("--", "&") count as words and floor to 1 syllable,
+    * where standard implementations count only alphabetic words.
+    * Scores are therefore engine-consistent (the same tokenizer as
+    * every other query, oracle-replayed exactly) but systematically
+    * offset from textstat on symbol-heavy text — compare q148 scores
+    * only against q148 scores. */
   private[graft] def readability(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
