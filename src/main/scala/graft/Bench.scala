@@ -189,7 +189,18 @@ object Bench {
     val trainedJson = SparkEntry.trainedStageQueries.values.flatten.toSeq
       .filter(names.contains).sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noisy":$noisyJson,"trained_stages":$trainedJson,$loadJson,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noisy":$noisyJson,"trained_stages":$trainedJson,$loadJson,"sf":"$sfDir"}"""
+    println(fullJson)
+    // Persist the COMPLETE line as a workspace artifact (round-14
+    // verdict #4): the driver's committed BENCH_r{N}.json keeps only
+    // the output tail, which truncated the per-query map two rounds
+    // running and forced a judge re-bench for regression analysis.
+    // bench_full.json is committed each round instead.
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     // Compact trailer AFTER the full line: the driver's artifact
     // keeps only the output TAIL (BENCH_r09.json lost its own
     // leading "value" field to 2000-char truncation), so the
