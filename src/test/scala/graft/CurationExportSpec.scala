@@ -306,6 +306,103 @@ class CurationExportSpec extends AnyFunSuite {
     }
   }
 
+  test("screen-at-ingest then export ≡ all-batch export with gate+scrub on (stream/batch continuity)") {
+    import graft.streaming.CurationScreenStream
+    // The continuity contract, stated precisely. The screen's gate is
+    // the SAME derivation as the export's stage 2c, so the two chains
+    // gate identically on any corpus. Whole-corpus equality
+    // ADDITIONALLY needs the scrub to commute with the content-fitted
+    // middle stages — and it does not on PII-bearing text: masking
+    // rewrites tokens ("bob@mail.example.com" is four tokens,
+    // "<EMAIL>" is one), so dedup shingles and the adaptive floor's
+    // quality quantiles are fit on different bytes and boundary docs
+    // genuinely flip. Scrub-at-ingest and scrub-at-export are
+    // different corpora at the margin; that is WHY the export keeps
+    // its own scrub stage optional. Three pins: (1) on a PII-free
+    // corpus (scrub = identity) the chains are byte-equal end to end;
+    // (2) on a PII corpus the screen's reject set ≡ the batch gate's
+    // drop set, across the foreachBatch boundary; (3) the export's
+    // scrub over a pre-screened store is a byte no-op (double-scrub
+    // idempotence), so leaving scrubPii on by habit costs nothing.
+    val root = Files.createTempDirectory("graft-export-cont").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, lang STRING, text STRING")
+
+    // ---- pin 1: PII-free corpus (the raw testdata — asserted so) ----
+    assert(Tables.documents(spark, sf)
+      .filter(graft.queries.Cleaning.piiCount($"text") > 0L).count() == 0L,
+      "fixture assumption: raw testdata carries no PII")
+    val outA = s"$root/batch"
+    CurationExport.run(spark, sf, outA, heuristic = true, scrubPii = true)
+
+    val in = s"$root/in"; val good = s"$root/good"; val rej = s"$root/rej"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+      .coalesce(1).write.mode("append").parquet(in)
+    CurationScreenStream.runOnce(spark, in, good, rej, s"$root/ck", schema)
+    // the batch export runs its REMAINING stages over the pre-screened
+    // store: heuristic=false (the stream already gated), scrubPii=false
+    // (the text is pre-scrubbed)
+    val screened = s"$root/screened"
+    Tables.documents(spark, sf).drop("text", "n_chars")
+      .join(CurationScreenStream.accepted(spark, good)
+        .select($"doc_id", $"text"), Seq("doc_id"))
+      .withColumn("n_chars", length($"text").cast("bigint"))
+      .write.mode("overwrite").parquet(s"$screened/documents.parquet")
+    val outB = s"$root/streamed"
+    CurationExport.run(spark, screened, outB)
+
+    def corpus(dir: String) = spark.read.parquet(dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    val a = corpus(outA); val b = corpus(outB)
+    assert(a.nonEmpty, "continuity fixture exported an empty corpus")
+    assert(a == b,
+      s"screen-at-ingest chain diverged from the all-batch chain: " +
+        s"only-batch=${(a -- b).take(3).map(_._1)}, " +
+        s"only-stream=${(b -- a).take(3).map(_._1)}")
+
+    // ---- pin 2: PII corpus — gate continuity across the stream ----
+    val dirty = s"$root/dirty"
+    Tables.documents(spark, sf)
+      .withColumn("text",
+        when(pmod($"doc_id", lit(4L)) === 1L,
+          concat($"text", lit(" contact bob@mail.example.com now")))
+          .otherwise($"text"))
+      .withColumn("n_chars", length($"text").cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dirty/documents.parquet")
+    val in2 = s"$root/in2"; val good2 = s"$root/good2"; val rej2 = s"$root/rej2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in2))
+    spark.read.parquet(s"$dirty/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+      .coalesce(1).write.mode("append").parquet(in2)
+    CurationScreenStream.runOnce(spark, in2, good2, rej2, s"$root/ck2", schema)
+    val streamRejected = spark.read.parquet(rej2)
+      .select($"doc_id").as[Long].collect().toSet
+    val batchDropped = graft.queries.Quality.heuristicFlagged(
+        spark.read.parquet(s"$dirty/documents.parquet")
+          .select($"doc_id", $"lang", $"text"))
+      .filter($"f_short" || $"f_long" || $"f_len" || $"f_stop")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamRejected == batchDropped,
+      "the screen's reject set must equal the batch gate's drop set")
+    assert(streamRejected.nonEmpty, "gate continuity fixture gated nothing")
+
+    // ---- pin 3: double-scrub idempotence over the screened store ----
+    val screened2 = s"$root/screened2"
+    spark.read.parquet(s"$dirty/documents.parquet").drop("text", "n_chars")
+      .join(CurationScreenStream.accepted(spark, good2)
+        .select($"doc_id", $"text"), Seq("doc_id"))
+      .withColumn("n_chars", length($"text").cast("bigint"))
+      .write.mode("overwrite").parquet(s"$screened2/documents.parquet")
+    val outP = s"$root/plain2"; val outD = s"$root/double2"
+    CurationExport.run(spark, screened2, outP)
+    CurationExport.run(spark, screened2, outD, scrubPii = true)
+    assert(corpus(outD) == corpus(outP),
+      "double scrub must be a byte no-op on masked text")
+    assert(corpus(outP).exists(_._2.contains("<EMAIL>")),
+      "a masked doc must survive to make the idempotence claim non-vacuous")
+  }
+
   test("jsonl export round-trips the parquet artifact exactly (one document per line)") {
     val root = Files.createTempDirectory("graft-export-jsonl").toString
     val pq = s"$root/pq"; val jl = s"$root/jl"
