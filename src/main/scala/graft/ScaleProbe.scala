@@ -92,9 +92,11 @@ object ScaleProbe {
     // token-explode-heavy corpus statistics
     "q133_token_packing", "q54_seq_pack", "q135_mad_fences",
     "q137_char_entropy", "q138_source_overlap",
+    "q139_zipf_slope", "q140_lexical_diversity",
     "q141_distinct_ngrams", "q142_burstiness", "q146_gini_lengths",
     "q143_group_frechet", "q144_lang_confusion", "q145_length_tail",
-    "q147_editdist_verify", "q148_readability")
+    "q147_editdist_verify", "q148_readability",
+    "q149_heaps_fit", "q150_centroid_confusion")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the
@@ -130,11 +132,25 @@ object ScaleProbe {
     val big = s"$work/sf1x$mult"
     generate(spark, big, mult)
 
+    // dev-loop filter (Bench's SPARK_GRAFT_BENCH_ONLY doctrine):
+    // probe only the named queries; unknown names REFUSE, a typo must
+    // not emit a plausible empty table
+    val only = sys.env.get("GRAFT_PROBE_ONLY").map(_.split(',').toSet)
+    only.foreach { o =>
+      val unknown = o -- Probed.toSet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[probe] REFUSING: unknown GRAFT_PROBE_ONLY " +
+          s"names ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
+    val probed = Probed.filter(n => only.forall(_.contains(n)))
+
     // one untimed warmup at the SMALL scale only (JIT/codegen —
     // Bench's device); the big scale then pays data, not compiler
-    Probed.foreach(n => SparkEntry.queries(n)(spark, baseDir).foreach(_ => ()))
+    probed.foreach(n => SparkEntry.queries(n)(spark, baseDir).foreach(_ => ()))
 
-    val rows = Probed.map { n =>
+    val rows = probed.map { n =>
       val t1 = time(spark, n, baseDir)
       val t10 = time(spark, n, big)
       val exp = math.log(t10 / t1) / math.log(mult.toDouble)
