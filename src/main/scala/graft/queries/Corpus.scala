@@ -844,6 +844,60 @@ object Corpus {
           min($"x").as("x_min"), max($"x").as("x_max"),
           min($"y").as("y_min"), max($"y").as("y_max"))
         .orderBy($"zfile")
+    },
+
+    // Simple Good–Turing unseen-mass estimate per language (Good
+    // 1953; Gale & Sampson 1995): the hapax fraction N₁/N estimates
+    // the probability mass of UNSEEN vocabulary — how much of the
+    // language the corpus still misses, the coverage number a
+    // tokenizer/vocab decision reads next to q140's richness ratios
+    // — plus the Good–Turing discounted counts r* = (r+1)·N_{r+1}/N_r
+    // for r = 1..3 (the smoothing every count-based LM applies to
+    // its rare rows). All-integer micro divisions over exact
+    // frequency-of-frequency counts. Scale shape: ONE groupBy(lang,
+    // term) count (map-side combined), then an O(types)-row rollup.
+    "q152_good_turing" -> { (s, d) =>
+      goodTuring(Tables.documents(s, d))
+    },
+
+    // Per-source unigram KL drift against the whole corpus
+    // (Kullback & Leibler 1951; Moore & Lewis 2010 use exactly this
+    // cross-entropy difference for domain data selection): KL(P_s ‖
+    // P_corpus) per provider — the drift score that flags a feed
+    // whose language shifted from the blend it is mixed into.
+    // Per-term contributions micro-quantize before the int64 sum.
+    // Scale shape: (source, term) counts map-side combine; the
+    // corpus table derives from the SAME frame (no second corpus
+    // pass); joins move token-width count rows; the 1-row total
+    // broadcasts (intendedBnlj).
+    "q153_source_kl" -> { (s, d) =>
+      sourceKl(Tables.documents(s, d))
+    },
+
+    // Bigram entropy rate per language (Shannon 1951's estimate of
+    // the entropy of printed English; Brown et al. 1992 the corpus
+    // formulation): unigram entropy H₁, adjacent-pair entropy H₂,
+    // and the conditional rate H₂ − H₁ = H(wᵢ | wᵢ₋₁) — the
+    // predictability number that separates natural prose (~2-4
+    // nats) from template floods (→ 0) and shuffled/garbage text
+    // (→ H₁). Scale shape: two map-side-combined count passes over
+    // the same tokenize (unigrams, in-doc adjacent pairs), then
+    // O(types)-row quantize-then-sum rollups; the per-lang totals
+    // join keyed on lang.
+    "q154_entropy_rate" -> { (s, d) =>
+      entropyRate(Tables.documents(s, d))
+    },
+
+    // Token-mass concentration over providers and languages
+    // (Simpson 1949's index; 1/Σs² is the Herfindahl–Hirschman
+    // effective-group count): how many EFFECTIVE sources/languages
+    // the corpus really has once token mass is weighed — the
+    // one-glance number behind q136's allocation table (a corpus
+    // that is 90% one provider has eff ≈ 1.2 no matter how many
+    // provider names it lists). Scale shape: one token-count pass,
+    // two O(groups) rollups, share squares micro-quantize-then-sum.
+    "q155_concentration" -> { (s, d) =>
+      concentration(Tables.documents(s, d))
     }
   )
 
@@ -1260,7 +1314,229 @@ object Corpus {
       s"SELECT CAST(rn AS BIGINT) AS rn, a, b, n FROM (\n$out\n) ORDER BY rn"
   }
 
+  /** The q152 chain over any (lang, text) frame (spec hook: planted
+    * frequency spectra with hand-computed discounts —
+    * CorpusStatSpec). All-integer: micro divisions over exact
+    * frequency-of-frequency counts. */
+  private[graft] def goodTuring(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def nr(r: Int) = sum(when($"c" === r.toLong, 1L).otherwise(0L)).as(s"n$r")
+    docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"lang").agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"), nr(1), nr(2), nr(3), nr(4))
+      .select($"lang", $"n_tokens", $"n_types",
+        $"n1", $"n2", $"n3", $"n4",
+        expr("(n1 * 1000000) div n_tokens").as("p0_micro"),
+        when($"n1" > 0L, expr("(2 * n2 * 1000000) div n1"))
+          .otherwise(lit(0L)).as("rstar1_micro"),
+        when($"n2" > 0L, expr("(3 * n3 * 1000000) div n2"))
+          .otherwise(lit(0L)).as("rstar2_micro"),
+        when($"n3" > 0L, expr("(4 * n4 * 1000000) div n3"))
+          .otherwise(lit(0L)).as("rstar3_micro"))
+      .orderBy($"lang")
+  }
+
+  /** The q153 chain over any (source, text) frame (spec hook:
+    * planted two-source corpora with closed-form divergences —
+    * CorpusStatSpec). Per-term contributions micro-quantize before
+    * the int64 sum (order-free — the q137 contract); each ln runs
+    * over exact integer counts (the q43 libm-ulp note). */
+  private[graft] def sourceKl(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
+    val cw = tf.groupBy($"w").agg(sum($"csw").as("cw"))
+    val ns = tf.groupBy($"source")
+      .agg(sum($"csw").as("n_s"), count(lit(1)).as("n_types"))
+    val tot = ns.agg(sum($"n_s").as("n")) // 1 row — intendedBnlj
+    val term = tf.join(cw, Seq("w")).join(ns, Seq("source")).crossJoin(tot)
+      .select($"source", $"n_s", $"n_types",
+        floor(($"csw".cast("double") / $"n_s".cast("double")) *
+          log(($"csw".cast("double") * $"n".cast("double")) /
+            ($"n_s".cast("double") * $"cw".cast("double")))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("t"))
+    term.groupBy($"source", $"n_s", $"n_types")
+      .agg(sum($"t").as("kl_micro"))
+      .select($"source", $"n_s".as("n_tokens"), $"n_types", $"kl_micro")
+      .orderBy($"source")
+  }
+
+  /** The q154 chain over any (lang, text) frame (spec hook: planted
+    * uniform and deterministic-chain corpora with closed-form
+    * entropies — CorpusStatSpec). */
+  private[graft] def entropyRate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs.select($"lang", TextOps.tokens($"text").as("toks"))
+    def plogp(c: Column, n: Column) =
+      floor(-(c.cast("double") / n.cast("double")) *
+        log(c.cast("double") / n.cast("double")) * lit(1e6) + lit(0.5))
+        .cast("bigint")
+    val uni = t.select($"lang", explode($"toks").as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    val nuni = uni.groupBy($"lang")
+      .agg(sum($"c").as("n_unigrams"), count(lit(1)).as("n_types"))
+    val h1 = uni.join(nuni, Seq("lang"))
+      .select($"lang", plogp($"c", $"n_unigrams").as("t"))
+      .groupBy($"lang").agg(sum($"t").as("h1_micro"))
+    val bi = t.filter(size($"toks") >= 2)
+      .select($"lang", explode(zip_with(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy($"lang", $"p.w1", $"p.w2").agg(count(lit(1)).as("c"))
+    val nbi = bi.groupBy($"lang")
+      .agg(sum($"c").as("n_bigrams"), count(lit(1)).as("n_bigram_types"))
+    val h2 = bi.join(nbi, Seq("lang"))
+      .select($"lang", plogp($"c", $"n_bigrams").as("t"))
+      .groupBy($"lang").agg(sum($"t").as("h2_micro"))
+    nuni.join(nbi, Seq("lang")).join(h1, Seq("lang")).join(h2, Seq("lang"))
+      .select($"lang", $"n_unigrams", $"n_types",
+        $"n_bigrams", $"n_bigram_types", $"h1_micro", $"h2_micro",
+        ($"h2_micro" - $"h1_micro").as("cond_micro"))
+      .orderBy($"lang")
+  }
+
+  /** The q155 chain over any (source, lang, text) frame (spec hook:
+    * planted uniform/concentrated corpora with closed-form indices —
+    * CorpusStatSpec). One token-count pass; both rollups and the
+    * share squares run over O(groups) rows. */
+  private[graft] def concentration(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs.select($"source", $"lang",
+      TextOps.tokenCount($"text").cast("long").as("n_tok"))
+    val bySrc = counted.groupBy($"source".as("grp"))
+      .agg(sum($"n_tok").as("n")).withColumn("dim", lit("source"))
+    val byLang = counted.groupBy($"lang".as("grp"))
+      .agg(sum($"n_tok").as("n")).withColumn("dim", lit("lang"))
+    val groups = bySrc.unionByName(byLang)
+    val tot = groups.groupBy($"dim")
+      .agg(sum($"n").as("nt"), count(lit(1)).as("n_groups"))
+    val sq = groups.join(tot, Seq("dim"))
+      .select($"dim", $"nt", $"n_groups",
+        floor(($"n".cast("double") / $"nt".cast("double")) *
+          ($"n".cast("double") / $"nt".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("s2"))
+    sq.groupBy($"dim", $"nt", $"n_groups").agg(sum($"s2").as("hhi_micro"))
+      .select($"dim", $"n_groups", $"nt".as("n_tokens"), $"hhi_micro",
+        when($"hhi_micro" > 0L,
+          floor(lit(1e12) / $"hhi_micro".cast("double") + lit(0.5))
+            .cast("bigint")).otherwise(lit(0L)).as("eff_micro"))
+      .orderBy($"dim")
+  }
+
   def oracles: Map[String, String] = Map(
+
+    // Twin of q152: exact frequency-of-frequency counts, micro
+    // integer divisions.
+    "q152_good_turing" ->
+      s"""WITH t AS (SELECT lang, unnest(${Sql.toks("text")}) AS w FROM documents),
+         |f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM t GROUP BY lang, w),
+         |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |        CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |        CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |      FROM f GROUP BY lang)
+         |SELECT lang, n_tokens, n_types, n1, n2, n3, n4,
+         |  (n1 * 1000000) // n_tokens AS p0_micro,
+         |  CASE WHEN n1 > 0 THEN (2 * n2 * 1000000) // n1
+         |    ELSE 0 END AS rstar1_micro,
+         |  CASE WHEN n2 > 0 THEN (3 * n3 * 1000000) // n2
+         |    ELSE 0 END AS rstar2_micro,
+         |  CASE WHEN n3 > 0 THEN (4 * n4 * 1000000) // n3
+         |    ELSE 0 END AS rstar3_micro
+         |FROM g ORDER BY lang""".stripMargin,
+
+    // Twin of q153: same per-term micro-quantize-then-BIGINT-sum,
+    // same fixed-order double expression inside the floor.
+    "q153_source_kl" ->
+      s"""WITH t AS (SELECT source, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+         |       FROM t GROUP BY source, w),
+         |cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cw FROM tf GROUP BY w),
+         |ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS n_s,
+         |         CAST(count(*) AS BIGINT) AS n_types
+         |       FROM tf GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+         |term AS (SELECT tf.source, ns.n_s, ns.n_types,
+         |    CAST(floor((CAST(tf.csw AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+         |      * ln((CAST(tf.csw AS DOUBLE) * CAST(tot.n AS DOUBLE))
+         |           / (CAST(ns.n_s AS DOUBLE) * CAST(cw.cw AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS t
+         |  FROM tf JOIN cw ON cw.w = tf.w
+         |  JOIN ns ON ns.source = tf.source CROSS JOIN tot)
+         |SELECT source, n_s AS n_tokens, n_types,
+         |  CAST(sum(t) AS BIGINT) AS kl_micro
+         |FROM term GROUP BY source, n_s, n_types ORDER BY source""".stripMargin,
+
+    // Twin of q154: the q102 pos device for adjacent pairs, per-term
+    // −p·ln p micro-quantized before the BIGINT sums.
+    "q154_entropy_rate" ->
+      s"""WITH t AS (SELECT lang, ${Sql.toks("text")} AS toks FROM documents),
+         |u AS (SELECT lang, unnest(toks) AS w FROM t),
+         |uni AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         |        FROM u GROUP BY lang, w),
+         |nuni AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_unigrams,
+         |           CAST(count(*) AS BIGINT) AS n_types
+         |         FROM uni GROUP BY lang),
+         |h1 AS (SELECT uni.lang, CAST(sum(CAST(floor(
+         |           -(CAST(c AS DOUBLE) / CAST(n_unigrams AS DOUBLE))
+         |           * ln(CAST(c AS DOUBLE) / CAST(n_unigrams AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h1_micro
+         |       FROM uni JOIN nuni ON nuni.lang = uni.lang GROUP BY uni.lang),
+         |p AS (SELECT lang, toks[CAST(u.i AS INTEGER)] AS w1,
+         |        toks[CAST(u.i AS INTEGER) + 1] AS w2
+         |      FROM t, unnest(range(1, len(toks))) u(i)),
+         |bi AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+         |       FROM p GROUP BY 1, 2, 3),
+         |nbi AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |          CAST(count(*) AS BIGINT) AS n_bigram_types
+         |        FROM bi GROUP BY lang),
+         |h2 AS (SELECT bi.lang, CAST(sum(CAST(floor(
+         |           -(CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |           * ln(CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h2_micro
+         |       FROM bi JOIN nbi ON nbi.lang = bi.lang GROUP BY bi.lang)
+         |SELECT nuni.lang, n_unigrams, n_types, n_bigrams, n_bigram_types,
+         |  h1_micro, h2_micro, h2_micro - h1_micro AS cond_micro
+         |FROM nuni JOIN nbi ON nbi.lang = nuni.lang
+         |JOIN h1 ON h1.lang = nuni.lang JOIN h2 ON h2.lang = nuni.lang
+         |ORDER BY nuni.lang""".stripMargin,
+
+    // Twin of q155: one token-count pass, two rollups, share squares
+    // micro-quantized before the BIGINT sum.
+    "q155_concentration" ->
+      s"""WITH d AS (SELECT source, lang,
+         |             CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |g AS (SELECT 'source' AS dim, source AS grp,
+         |        CAST(sum(n_tok) AS BIGINT) AS n FROM d GROUP BY source
+         |      UNION ALL
+         |      SELECT 'lang' AS dim, lang AS grp,
+         |        CAST(sum(n_tok) AS BIGINT) AS n FROM d GROUP BY lang),
+         |tot AS (SELECT dim, CAST(sum(n) AS BIGINT) AS nt,
+         |          CAST(count(*) AS BIGINT) AS n_groups FROM g GROUP BY dim),
+         |sq AS (SELECT g.dim, tot.nt, tot.n_groups,
+         |         CAST(floor((CAST(g.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+         |           * (CAST(g.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS s2
+         |       FROM g JOIN tot ON tot.dim = g.dim),
+         |h AS (SELECT dim, nt, n_groups, CAST(sum(s2) AS BIGINT) AS hhi_micro
+         |      FROM sq GROUP BY 1, 2, 3)
+         |SELECT dim, n_groups, nt AS n_tokens, hhi_micro,
+         |  CASE WHEN hhi_micro > 0
+         |    THEN CAST(floor(1000000000000.0 / CAST(hhi_micro AS DOUBLE) + 0.5)
+         |      AS BIGINT)
+         |    ELSE 0 END AS eff_micro
+         |FROM h ORDER BY dim""".stripMargin,
 
     "q92_bpe_vocab" -> bpeOracle,
 

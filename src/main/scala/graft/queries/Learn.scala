@@ -449,8 +449,87 @@ object Learn {
         rankCol = "rn")
         .select($"lang", $"doc_id", $"rn".cast("bigint").as("rn"))
         .orderBy($"lang", $"rn")
+    },
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model
+    // Pretraining"): upweight the domains a reference model finds
+    // HARD (excess loss), via multiplicative weights. The engine's
+    // reference loss proxy is per-source mean token surprisal under
+    // the corpus unigram LM (deterministic, no model dependency —
+    // the q72/q102 surprisal device at source granularity); with a
+    // STATIC reference the K-step linearized MW update collapses to
+    // the closed form wₛ ∝ (1 + η·excessₛ)^K, which both engines
+    // evaluate exactly (pow's libm ulp absorbed by micro rounding,
+    // the q99 argument). Per-term surprisal contributions
+    // micro-quantize before the int64 sums; raw weights quantize to
+    // micro BEFORE the normalizing sum, so the denominator is an
+    // exact integer and the final share is ONE fixed-order double
+    // division.
+    //
+    // Scale shape: (source, term) counts map-side combine off one
+    // tokenize pass; the corpus table derives from the SAME frame;
+    // everything after is O(sources·types-width) count rows, the
+    // 1-row corpus total broadcasts (intendedBnlj).
+    "q151_doremi_weights" -> { (s, d) =>
+      doremiWeights(Tables.documents(s, d))
     }
   )
+
+  /** q151: MW step size (per nat of excess loss) and step count.
+    * η·K sets how aggressively excess loss tilts the mixture; 0.1×8
+    * keeps the closed form well inside double range for any real
+    * excess (a 5-nat excess maps to 1.5⁸ ≈ 26× upweight). */
+  private val DoremiEta = 0.1
+  private val DoremiSteps = 8
+
+  /** The q151 chain over any (source, text) frame (spec hook:
+    * planted two-source corpora with closed-form excess and weights
+    * — LearnSpec). */
+  private[graft] def doremiWeights(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.TextOps
+    val tf = docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
+    val cw = tf.groupBy($"w").agg(sum($"csw").as("cw"))
+    val ns = tf.groupBy($"source").agg(sum($"csw").as("n_s"))
+    val tot = ns.agg(sum($"n_s").as("n")) // 1 row — intendedBnlj
+    // per-source loss: Σ_w c_sw·(−ln(c_w/N)) micro-summed, then one
+    // fixed-order division by N_s; corpus loss: the same device over
+    // the corpus counts
+    val sterm = tf.join(cw, Seq("w")).crossJoin(tot)
+      .select($"source",
+        floor(-$"csw".cast("double") *
+          log($"cw".cast("double") / $"n".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("t"))
+      .groupBy($"source").agg(sum($"t").as("st"))
+    val loss = sterm.join(ns, Seq("source")).crossJoin(tot)
+      .select($"source", $"n_s",
+        floor($"st".cast("double") / $"n_s".cast("double") + lit(0.5))
+          .cast("bigint").as("loss_micro"), $"n")
+    val cterm = cw.crossJoin(tot)
+      .select(floor(-$"cw".cast("double") *
+        log($"cw".cast("double") / $"n".cast("double"))
+        * lit(1e6) + lit(0.5)).cast("bigint").as("t"), $"n")
+      .groupBy($"n").agg(sum($"t").as("ct"))
+      .select(floor($"ct".cast("double") / $"n".cast("double") + lit(0.5))
+        .cast("bigint").as("corpus_micro")) // 1 row — intendedBnlj
+    val exc = loss.crossJoin(cterm)
+      .select($"source", $"n_s".as("n_tokens"), $"loss_micro",
+        greatest($"loss_micro" - $"corpus_micro", lit(0L)).as("excess_micro"))
+    val raw = exc.withColumn("r_micro",
+      floor(pow(lit(1.0) + lit(DoremiEta) *
+          ($"excess_micro".cast("double") / lit(1e6)),
+        lit(DoremiSteps.toDouble)) * lit(1e6) + lit(0.5)).cast("bigint"))
+    val denom = raw.agg(sum($"r_micro").as("rsum")) // 1 row — intendedBnlj
+    raw.crossJoin(denom)
+      .select($"source", $"n_tokens", $"loss_micro", $"excess_micro",
+        floor($"r_micro".cast("double") * lit(1e6) /
+          $"rsum".cast("double") + lit(0.5)).cast("bigint")
+          .as("weight_micro"))
+      .orderBy($"source")
+  }
 
   /** q122: per-domain annotation-batch size. */
   private val SampleK = 20
@@ -789,6 +868,50 @@ object Learn {
 
   def oracles: Map[String, String] = Map(
     "q98_linear_probe" -> graft.ops.Determinism.Oracles.materializeCtes(probeOracle),
+
+    // Twin of q151: same per-term micro-quantize-then-BIGINT-sum
+    // surprisal device, the closed-form MW weight with eta/steps
+    // interpolated from the shared constants, explicit parens so
+    // the double expressions associate exactly as the Spark column.
+    "q151_doremi_weights" ->
+      s"""WITH t AS (SELECT source, unnest(${graft.queries.TextVector.Sql.toks("text")}) AS w
+         |           FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+         |       FROM t GROUP BY source, w),
+         |cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cw FROM tf GROUP BY w),
+         |ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS n_s
+         |       FROM tf GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+         |sterm AS (SELECT tf.source, CAST(sum(CAST(floor(
+         |      -CAST(tf.csw AS DOUBLE)
+         |      * ln(CAST(cw.cw AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS st
+         |    FROM tf JOIN cw ON cw.w = tf.w CROSS JOIN tot
+         |    GROUP BY tf.source),
+         |loss AS (SELECT sterm.source, ns.n_s,
+         |    CAST(floor(CAST(st AS DOUBLE) / CAST(ns.n_s AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS loss_micro
+         |  FROM sterm JOIN ns ON ns.source = sterm.source),
+         |cterm AS (SELECT CAST(floor(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+         |      + 0.5) AS BIGINT) AS corpus_micro
+         |  FROM (SELECT tot.n, CAST(sum(CAST(floor(
+         |        -CAST(cw.cw AS DOUBLE)
+         |        * ln(CAST(cw.cw AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ct
+         |      FROM cw CROSS JOIN tot GROUP BY tot.n)),
+         |exc AS (SELECT source, n_s AS n_tokens, loss_micro,
+         |    greatest(loss_micro - corpus_micro, CAST(0 AS BIGINT))
+         |      AS excess_micro
+         |  FROM loss CROSS JOIN cterm),
+         |raw AS (SELECT *, CAST(floor(power(
+         |      1.0 + $DoremiEta * (CAST(excess_micro AS DOUBLE) / 1000000.0),
+         |      ${DoremiSteps.toDouble}) * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+         |  FROM exc),
+         |den AS (SELECT CAST(sum(r_micro) AS BIGINT) AS rsum FROM raw)
+         |SELECT source, n_tokens, loss_micro, excess_micro,
+         |  CAST(floor(CAST(r_micro AS DOUBLE) * 1000000.0
+         |    / CAST(rsum AS DOUBLE) + 0.5) AS BIGINT) AS weight_micro
+         |FROM raw CROSS JOIN den ORDER BY source""".stripMargin,
 
     // Twin of q113: the FULL q98 training replay as a derived table
     // (so the calibration gate certifies the same trajectory), then

@@ -314,4 +314,90 @@ class CorpusStatSpec extends AnyFunSuite {
       ("en", "tt", 15L, 5L, 3000000L, 1L),
       ("en", "uu", 5L, 5L, 1000000L, 2L)))
   }
+
+  test("q152 Good-Turing: planted frequency spectrum recovers exact discounts, zero guards hold") {
+    // counts: a=1 (N1=1), b=2, f=2 (N2=2), c=3 (N3=1), d=4 (N4=1)
+    // N = 12 tokens, V = 5 types
+    val docs = Seq((1L, "en", "a b b f f c c c d d d d"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.goodTuring(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(("en", 12L, 5L, 1L, 2L, 1L, 1L,
+      1000000L / 12L,       // p0 = N1/N
+      4000000L,             // r*1 = 2·N2/N1 = 4
+      1500000L,             // r*2 = 3·N3/N2 = 1.5
+      4000000L)))           // r*3 = 4·N4/N3 = 4
+    // no hapax: p0 = 0 and the r* chain guards its zero denominators
+    val none = Seq((1L, "fr", "g g h h")).toDF("doc_id", "lang", "text")
+    val o2 = graft.queries.Corpus.goodTuring(none)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(o2 == Seq(("fr", 4L, 2L, 0L, 2L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("q153 source KL: planted two-source corpus matches the replayed per-term arithmetic; identical source scores 0") {
+    // s1: x x y (N=3); s2: x y y y (N=4); corpus: x=3, y=4, N=7
+    val docs = Seq((1L, "s1", "x x y"), (2L, "s2", "x y y y"))
+      .toDF("doc_id", "source", "text")
+    def term(csw: Long, ns: Long, cw: Long, n: Long): Long =
+      math.floor((csw.toDouble / ns.toDouble) *
+        math.log((csw.toDouble * n.toDouble) / (ns.toDouble * cw.toDouble))
+        * 1e6 + 0.5).toLong
+    val want = Seq(
+      ("s1", 3L, 2L, term(2, 3, 3, 7) + term(1, 3, 4, 7)),
+      ("s2", 4L, 2L, term(1, 4, 3, 7) + term(3, 4, 4, 7)))
+    val out = graft.queries.Corpus.sourceKl(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == want, s"q153 diverges: $out vs $want")
+    // a source distributed exactly like the corpus has KL = 0
+    val same = Seq((1L, "a", "x x y"), (2L, "b", "x x y"))
+      .toDF("doc_id", "source", "text")
+    val o2 = graft.queries.Corpus.sourceKl(same)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(o2.forall(_._4 == 0L), s"identical sources must score 0: $o2")
+  }
+
+  test("q154 entropy rate: alternating text scores H1 = ln 2 with conditional rate ~0; constant text scores 0") {
+    // en: "a b a b a b" — unigrams a=3,b=3 (H1 = ln 2); pairs
+    // ab=3, ba=2 (H2 < 2·H1: the chain is deterministic given the
+    // previous token up to the 3/5-2/5 split)
+    // fr: "c c c c" — both entropies 0 (one type, one pair)
+    val docs = Seq((1L, "en", "a b a b a b"), (2L, "fr", "c c c c"))
+      .toDF("doc_id", "lang", "text")
+    def plogp(c: Long, n: Long): Long =
+      math.floor(-(c.toDouble / n.toDouble) *
+        math.log(c.toDouble / n.toDouble) * 1e6 + 0.5).toLong
+    val h1 = plogp(3, 6) * 2
+    val h2 = plogp(3, 5) + plogp(2, 5)
+    val out = graft.queries.Corpus.entropyRate(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("en", 6L, 2L, 5L, 2L, h1, h2, h2 - h1),
+      ("fr", 4L, 1L, 3L, 1L, 0L, 0L, 0L)), s"q154 diverges: $out")
+    // quantize-THEN-sum: h1 is 2·micro(½ln2), one ulp above
+    // micro(ln 2) — the order the oracle replays
+    assert(math.abs(h1 - micro(math.log(2.0))) <= 1L)
+  }
+
+  test("q155 concentration: two equal groups score HHI 0.5 / eff 2; a monopoly scores 1 / eff 1") {
+    val docs = Seq(
+      (1L, "A", "en", "t t t"), (2L, "A", "en", "t"),
+      (3L, "B", "fr", "t t t t"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = graft.queries.Corpus.concentration(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // both dims: two groups of 4 tokens each — shares 1/2, HHI 1/2,
+    // effective group count exactly 2
+    assert(out == Seq(
+      ("lang", 2L, 8L, 500000L, 2000000L),
+      ("source", 2L, 8L, 500000L, 2000000L)), s"q155 diverges: $out")
+    val mono = Seq((1L, "A", "en", "t t")).toDF("doc_id", "source", "lang", "text")
+    val o2 = graft.queries.Corpus.concentration(mono)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(o2 == Seq(
+      ("lang", 1L, 2L, 1000000L, 1000000L),
+      ("source", 1L, 2L, 1000000L, 1000000L)))
+  }
 }

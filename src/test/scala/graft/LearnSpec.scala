@@ -466,4 +466,38 @@ class LearnSpec extends AnyFunSuite {
         s"vec ${r.getAs[Long]("vec_id")}: winner probability $score out of range")
     }
   }
+
+  test("q151 DoReMi weights: planted hard source upweights by the exact closed form, easy source floors at excess 0") {
+    import spark.implicits._
+    // s1: "x x x" — all high-frequency tokens, BELOW corpus mean
+    // surprisal → excess clamps to 0, weight multiplier 1.
+    // s2: "x y" — carries the rare token → above-mean loss, excess
+    // > 0, multiplier (1 + 0.1·excess)^8. Corpus: x=4, y=1, N=5.
+    val docs = Seq((1L, "s1", "x x x"), (2L, "s2", "x y"))
+      .toDF("doc_id", "source", "text")
+    def m(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    def surpSum(cs: Seq[(Long, Long)], n: Long): Long = // Σ micro(c·−ln(cw/N))
+      cs.map { case (c, cw) =>
+        m(-c.toDouble * math.log(cw.toDouble / n.toDouble)) }.sum
+    def lossOf(st: Long, ns: Long): Long =
+      math.floor(st.toDouble / ns.toDouble + 0.5).toLong
+    val loss1 = lossOf(surpSum(Seq((3L, 4L)), 5L), 3L)
+    val loss2 = lossOf(surpSum(Seq((1L, 4L), (1L, 1L)), 5L), 2L)
+    val corpus = lossOf(surpSum(Seq((4L, 4L), (1L, 1L)), 5L), 5L)
+    val e1 = math.max(loss1 - corpus, 0L); val e2 = math.max(loss2 - corpus, 0L)
+    def rw(e: Long): Long = m(math.pow(1.0 + 0.1 * (e.toDouble / 1e6), 8.0))
+    val (r1, r2) = (rw(e1), rw(e2)); val rsum = r1 + r2
+    def w(r: Long): Long =
+      math.floor(r.toDouble * 1e6 / rsum.toDouble + 0.5).toLong
+    val out = graft.queries.Learn.doremiWeights(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("s1", 3L, loss1, e1, w(r1)),
+      ("s2", 2L, loss2, e2, w(r2))), s"q151 diverges: $out")
+    assert(e1 == 0L, "the easy source must clamp to zero excess")
+    assert(e2 > 0L && w(r2) > w(r1),
+      "the hard source must upweight past the easy one")
+    // weights are a normalized mixture (micro rounding: ±1 per source)
+    assert(math.abs(out.map(_._5).sum - 1000000L) <= out.length.toLong)
+  }
 }

@@ -39,6 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q119_tfidf_keywords", // q119: 1-row doc-count broadcast
       "q120_perplexity_split", // q120: q102's 1-row LM totals broadcast
       "q136_token_alloc", // q136: 1-row (a_cap, k) broadcast over O(sources)
+      "q151_doremi_weights", // q151: 1-row corpus total/loss/denominator broadcasts
+      "q153_source_kl", // q153: 1-row corpus-total broadcast over token-width rows
       "q138_source_overlap") // q138: O(sources)² pair generator over the
                              // distinct-source list — both sides tiny by
                              // construction; the corpus-scale pass is the
