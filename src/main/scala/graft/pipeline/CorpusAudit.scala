@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * gini_lengths q146, token_alloc q136), label hygiene
   * (lang_confusion q144), embedding structure (group_frechet q143,
   * centroid_confusion q150, embed_diversity q114), readability
-  * (q148), char entropy rollup (q137), and source overlap (q138).
+  * (q148), char entropy rollup (q137), source overlap (q138),
+  * vocabulary coverage (good_turing q152), drift and predictability
+  * (source_drift q153, entropy_rate q154), and mixture posture
+  * (concentration q155, mixture_weights q151).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -83,7 +86,12 @@ object CorpusAudit {
     "embed_diversity" -> "q114_embed_diversity",
     "readability" -> "q148_readability",
     "char_entropy" -> "q137_char_entropy",
-    "source_overlap" -> "q138_source_overlap")
+    "source_overlap" -> "q138_source_overlap",
+    "good_turing" -> "q152_good_turing",
+    "source_drift" -> "q153_source_kl",
+    "entropy_rate" -> "q154_entropy_rate",
+    "concentration" -> "q155_concentration",
+    "mixture_weights" -> "q151_doremi_weights")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest
