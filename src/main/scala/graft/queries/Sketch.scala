@@ -527,8 +527,77 @@ object Sketch {
     "q150_centroid_confusion" -> { (s, d) =>
       import s.implicits._
       centroidConfusion(Tables.embeddings(s, d).select($"label", $"embedding"))
+    },
+
+    // Greedy k-center coreset over the embeddings (Gonzalez 1985's
+    // farthest-point 2-approximation; Sener & Savarese 2018 use
+    // exactly this selection as the active-learning/data-selection
+    // coreset): start from the smallest vec_id, then K−1 times pick
+    // the point FARTHEST from every chosen center. The output is
+    // the selection trajectory (rank, vec_id, distance-to-nearest-
+    // center at selection) — the radius column is the classic
+    // decreasing coverage-radius curve, and the chosen ids are the
+    // maximally-spread sample a labeling/eval budget buys (q122
+    // samples uniformly per domain; this samples for geometric
+    // coverage). Determinism: per-dim squared differences
+    // micro-quantize before the order-free int64 sum over dims (the
+    // q150 device, point-to-point), and the argmax breaks ties on
+    // the smaller vec_id; the oracle replays every iteration as an
+    // unrolled CTE chain (the q92/q129 full-trajectory doctrine).
+    //
+    // Scale shape: K linear passes over the vectors (each pass one
+    // narrow zip_with + a bounded-heap top-1), one 64-float center
+    // collected per pass — nothing O(corpus) is ever shuffled or
+    // collected, and K is a constant.
+    "q156_kcenter_coreset" -> { (s, d) =>
+      import s.implicits._
+      kcenterCoreset(Tables.embeddings(s, d).select($"vec_id", $"embedding"))
     }
   )
+
+  /** q156: coreset size. */
+  private val KcenterK = 8
+
+  /** The q156 chain over any (vec_id, embedding) frame (spec hook:
+    * planted collinear geometry with a hand-computed selection
+    * order — SketchSpec). Fewer vectors than K yields one row per
+    * vector (the whole set is the coreset). */
+  private[graft] def kcenterCoreset(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def d2To(center: Array[Double]) = aggregate(
+        zip_with($"v", typedLit(center), (x, y) =>
+          floor((x - y) * (x - y) * lit(1e6) + lit(0.5)).cast("bigint")),
+        lit(0L), (acc, t) => acc + t)
+      val first = vecs.orderBy($"vec_id").limit(1).collect()
+      if (first.isEmpty) {
+        Seq.empty[(Long, Long, Long)].toDF("rn", "vec_id", "radius_micro")
+      } else {
+        val chosen = scala.collection.mutable.ArrayBuffer(
+          (1L, first(0).getLong(0), 0L))
+        var center = first(0).getSeq[Double](1).toArray
+        var cur = vecs.withColumn("md", d2To(center))
+        var done = false
+        while (chosen.length < KcenterK && !done) {
+          val nxt = cur
+            .filter(!$"vec_id".isin(chosen.map(_._2).toSeq: _*))
+            .orderBy($"md".desc, $"vec_id").limit(1)
+            .select($"vec_id", $"v", $"md").collect()
+          if (nxt.isEmpty) done = true
+          else {
+            chosen += ((chosen.length + 1L, nxt(0).getLong(0), nxt(0).getLong(2)))
+            center = nxt(0).getSeq[Double](1).toArray
+            cur = cur.withColumn("md", least($"md", d2To(center)))
+          }
+        }
+        chosen.toSeq.toDF("rn", "vec_id", "radius_micro").orderBy($"rn")
+      }
+    } finally vecs.unpersist()
+  }
 
   /** The q150 chain over any (label, embedding) frame (spec hook:
     * planted centroids with closed-form pairwise distances —
@@ -1165,6 +1234,13 @@ object Sketch {
     // Twin of q150: q114's per-dim micro sums, the same fixed-order
     // squared-mean-difference terms micro-quantized before the
     // BIGINT dim sum, argmin tie-broken on the smaller label id.
+    // Twin of q156: every greedy iteration replayed as an unrolled,
+    // MATERIALIZED CTE pair (c_k = argmax, m_k = least-distance
+    // update — inlined, the chain re-evaluates 2^K times), same
+    // per-dim micro-quantize-then-sum distance, same (md DESC,
+    // vec_id) tie order.
+    "q156_kcenter_coreset" -> kcenterOracle,
+
     "q150_centroid_confusion" ->
       s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
          |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1212,4 +1288,37 @@ object Sketch {
          |    AS sse_pico
          |FROM er GROUP BY dim, ma ORDER BY dim""".stripMargin
   )
+
+  /** q156's full-trajectory replay (see the oracle-map comment). */
+  private def kcenterOracle: String = {
+    def d2(a: String, b: String): String =
+      s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST(floor(($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) " +
+        s"* ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) " +
+        s"* 1000000.0 + 0.5) AS BIGINT))), (x, y) -> x + y) AS BIGINT)"
+    val steps = (2 to KcenterK).map { k =>
+      val excl = (1 until k).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      s"""c$k AS (SELECT vec_id, v, md FROM m${k - 1}
+         |  WHERE vec_id NOT IN ($excl)
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |m$k AS (SELECT m.vec_id, m.v, least(m.md, ${d2("m.v", "c.v")}) AS md
+         |  FROM m${k - 1} m CROSS JOIN c$k c)""".stripMargin
+    }.mkString(",\n")
+    val out = (s"SELECT CAST(1 AS BIGINT) AS rn, vec_id, " +
+      s"CAST(0 AS BIGINT) AS radius_micro FROM c1") +:
+      (2 to KcenterK).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rn, vec_id, md AS radius_micro FROM c$k")
+    graft.ops.Determinism.Oracles.materializeCtes(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT e.vec_id, e.v, ${d2("e.v", "c.v")} AS md
+         |       FROM e CROSS JOIN c1 c),
+         |$steps
+         |SELECT rn, vec_id, radius_micro FROM (
+         |${out.mkString("\nUNION ALL\n")}
+         |) ORDER BY rn""".stripMargin)
+  }
 }

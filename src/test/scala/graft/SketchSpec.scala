@@ -376,4 +376,30 @@ class SketchSpec extends AnyFunSuite {
     assert(graft.queries.Sketch.centroidConfusion(
       Seq((7, Seq(0.1, 0.2))).toDF("label", "embedding")).count() == 0L)
   }
+
+  test("q156 k-center: planted collinear geometry selects in the exact farthest-point order, short set clamps") {
+    // points on a line: v1=0, v2=10, v3=1, v4=6, v5=0.5 — greedy
+    // from min-id v1: v2 (d²=100), v4 (min-dist 16 to v2), v3 (1 to
+    // v1), v5 (0.25 to v1); radii decrease, 5 < K rows (the clamp)
+    val emb = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 0.0)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(6.0, 0.0)), (5L, Seq(0.5, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.queries.Sketch.kcenterCoreset(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L),
+      (2L, 2L, 100000000L),
+      (3L, 4L, 16000000L),
+      (4L, 3L, 1000000L),
+      (5L, 5L, 250000L)), s"q156 trajectory diverges: $out")
+    // the radius sequence is non-increasing after the seed — the
+    // Gonzalez coverage-radius property
+    val radii = out.drop(1).map(_._3)
+    assert(radii == radii.sortBy(-_), "coverage radii must not increase")
+    // a singleton set is its own coreset
+    assert(graft.queries.Sketch.kcenterCoreset(
+      Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 9L, 0L)))
+  }
 }
