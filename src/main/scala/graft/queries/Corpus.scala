@@ -990,8 +990,18 @@ object Corpus {
   private[graft] def zipfSlope(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+    zipfSlopeFromCounts(docs
+      .select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq")))
+  }
+
+  /** q139 over a pre-aggregated (lang, w, freq) term-count frame —
+    * the shared derivation [[graft.pipeline.CorpusStatsMaintenance]]
+    * serves from its incremental store, so the served statistic and
+    * the gated query cannot diverge. */
+  private[graft] def zipfSlopeFromCounts(tf: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     val top = graft.plans.TopK.perKey(tf, Seq("lang"),
       Seq("freq" -> false, "w" -> true), ZipfTopK, rankCol = "rn")
     val lx = log($"rn".cast("double"))
@@ -1022,8 +1032,17 @@ object Corpus {
   private[graft] def lexicalDiversity(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    lexicalDiversityFromCounts(docs
+      .select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c")))
+  }
+
+  /** q140 over a pre-aggregated (lang, w, c) term-count frame (the
+    * [[zipfSlopeFromCounts]] sharing note). */
+  private[graft] def lexicalDiversityFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
       .groupBy($"lang").agg(
         sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
         sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"),
@@ -1321,9 +1340,18 @@ object Corpus {
   private[graft] def goodTuring(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    goodTuringFromCounts(docs
+      .select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c")))
+  }
+
+  /** q152 over a pre-aggregated (lang, w, c) term-count frame (the
+    * [[zipfSlopeFromCounts]] sharing note). */
+  private[graft] def goodTuringFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     def nr(r: Int) = sum(when($"c" === r.toLong, 1L).otherwise(0L)).as(s"n$r")
-    docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    counts
       .groupBy($"lang").agg(sum($"c").as("n_tokens"),
         count(lit(1)).as("n_types"), nr(1), nr(2), nr(3), nr(4))
       .select($"lang", $"n_tokens", $"n_types",
