@@ -97,9 +97,11 @@ object ScaleProbe {
     "q143_group_frechet", "q144_lang_confusion", "q145_length_tail",
     "q147_editdist_verify", "q148_readability",
     "q149_heaps_fit", "q150_centroid_confusion",
-    // round-15 additions: the token-width-join statistics pack
+    // round-15 additions: the token-width-join statistics pack, the
+    // K-pass coreset selector, and the bounded-pair containment
     "q151_doremi_weights", "q152_good_turing", "q153_source_kl",
-    "q154_entropy_rate", "q155_concentration")
+    "q154_entropy_rate", "q155_concentration",
+    "q156_kcenter_coreset", "q157_containment")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

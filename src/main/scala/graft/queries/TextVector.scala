@@ -963,6 +963,41 @@ object TextVector {
     "q24_near_dup" -> { (s, d) =>
       nearDupPairs(Tables.documents(s, d)) },
 
+    // Asymmetric shingle containment of the near-dup pairs (Broder
+    // 1997, "On the resemblance and containment of documents" —
+    // resemblance is q24's symmetric Jaccard, containment
+    // |A∩B|/|A| is its DIRECTIONAL twin): for each confirmed pair,
+    // how much of EACH side lives inside the other. A pair at
+    // moderate Jaccard but one-sided containment ≈ 1 is a
+    // quote/subset inclusion (boilerplate wrapper, excerpt, page
+    // chrome around a shared article) — the curation decision is
+    // "keep the superset, drop the fragment", which symmetric
+    // Jaccard cannot tell apart from a genuine half-overlap edit
+    // pair. Integer micro divisions over the same distinct shingle
+    // hash sets q24 banded.
+    //
+    // Scale shape: the q147 device — pair set bounded by q24's
+    // caps, shingle sets re-derived only via two id equi-joins of
+    // the kernel scan against the tiny pair frame (AQE broadcasts
+    // the pair side); the corpus never self-joins.
+    "q157_containment" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val sh = docs.select($"doc_id",
+          graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
+        .filter(size($"hs") > 0)
+      nearDupPairs(docs).select($"id_a", $"id_b")
+        .join(sh.select($"doc_id".as("id_a"), $"hs".as("ha")), Seq("id_a"))
+        .join(sh.select($"doc_id".as("id_b"), $"hs".as("hb")), Seq("id_b"))
+        .select($"id_a", $"id_b",
+          size($"ha").cast("bigint").as("n_a"),
+          size($"hb").cast("bigint").as("n_b"),
+          size(array_intersect($"ha", $"hb")).cast("bigint").as("n_common"))
+        .withColumn("cont_ab_micro", expr("(n_common * 1000000) div n_a"))
+        .withColumn("cont_ba_micro", expr("(n_common * 1000000) div n_b"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Similarity search (builder brief): cosine top-k for a broadcast
     // query-vector set, computed as TWO-PHASE top-k — per (query,
     // salt-bucket) local top-k, then global top-k per query — so no
@@ -2280,6 +2315,43 @@ object TextVector {
            |    THEN ((max_len - dist) * 1000000) // max_len
            |    ELSE 1000000 END AS esim_micro
            |FROM e ORDER BY id_a, id_b""".stripMargin,
+
+      // Twin of q157: the q24 replay's pair set, re-scored with the
+      // shingle-set intersections against EACH side's size — the
+      // same micro integer divisions.
+      "q157_containment" ->
+        s"""WITH s AS (SELECT doc_id, ${Sql.shingleSet("text", ShingleK)} AS sh FROM documents),
+           |h AS (SELECT doc_id, list_distinct(list_transform(sh, t -> ${Sql.polyHash("t")})) AS hs
+           |      FROM s WHERE len(sh) > 0),
+           |g AS (SELECT doc_id, list_transform(range(0, $NumPerms), j ->
+           |        list_min(list_transform(hs, h ->
+           |          (((j+1)*$PermMult % $HashMod) * h + (j*40503+1) % $HashMod) % $HashMod))) AS sig
+           |      FROM h),
+           |b AS (SELECT doc_id, t.b AS band_idx,
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          sig[t.b*$RowsPerBand+1 : t.b*$RowsPerBand+$RowsPerBand]),
+           |          (acc, v) -> (acc*31+v) % $HashMod) AS band_hash
+           |      FROM g, generate_series(0, ${Bands - 1}) t(b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |         FROM b x JOIN b y ON x.band_idx = y.band_idx
+           |           AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+           |pf AS (SELECT id_a, id_b
+           |       FROM cand JOIN h a ON cand.id_a = a.doc_id
+           |       JOIN h b2 ON cand.id_b = b2.doc_id
+           |       WHERE CAST(len(list_intersect(a.hs, b2.hs)) AS DOUBLE)
+           |         / CAST(len(list_distinct(list_concat(a.hs, b2.hs))) AS DOUBLE)
+           |         >= $JaccardMin)
+           |SELECT pf.id_a, pf.id_b,
+           |  CAST(len(a.hs) AS BIGINT) AS n_a,
+           |  CAST(len(b2.hs) AS BIGINT) AS n_b,
+           |  CAST(len(list_intersect(a.hs, b2.hs)) AS BIGINT) AS n_common,
+           |  (CAST(len(list_intersect(a.hs, b2.hs)) AS BIGINT) * 1000000)
+           |    // CAST(len(a.hs) AS BIGINT) AS cont_ab_micro,
+           |  (CAST(len(list_intersect(a.hs, b2.hs)) AS BIGINT) * 1000000)
+           |    // CAST(len(b2.hs) AS BIGINT) AS cont_ba_micro
+           |FROM pf JOIN h a ON pf.id_a = a.doc_id
+           |JOIN h b2 ON pf.id_b = b2.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // Twin of q106: the q24 shingle/minhash/band chain restricted
       // to the seeded sample (SeededSample's ORDER BY twin), truth by

@@ -157,6 +157,36 @@ class CorpusStatSpec extends AnyFunSuite {
       s"edit distance diverged: $verified")
   }
 
+  test("q157 containment: a planted subset pair scores one-sided containment 1, the superset side 0.8") {
+    // B = A + two extra tokens: every one of A's 8 3-shingles
+    // appears in B's 10, so C(A→B) = 8/8 = 1 (full inclusion — the
+    // "excerpt" signature) while C(B→A) = 8/10; Jaccard 8/10 ≥ 0.5
+    // keeps the pair in the q24 stage (the q147 fixture device)
+    val a = "aa bb cc dd ee ff gg hh ii jj"
+    val b = a + " kk ll"
+    val docs = Seq(
+      (1L, "en", a), (2L, "en", b),
+      (3L, "en", "qq rr ss tt uu vv ww xx yy")).toDF("doc_id", "lang", "text")
+    val sh = docs.select($"doc_id",
+        graft.ops.expressions.ShingleHashes($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+    val out = graft.queries.TextVector.nearDupPairs(docs)
+      .select($"id_a", $"id_b")
+      .join(sh.select($"doc_id".as("id_a"), $"hs".as("ha")), Seq("id_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"hs".as("hb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        size($"ha").cast("long"), size($"hb").cast("long"),
+        size(array_intersect($"ha", $"hb")).cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 8L, 10L, 8L)),
+      s"planted containment pair diverges: $out")
+    // and the gated chain reports the micro ratios for this shape
+    val cols = graft.queries.TextVector.queries("q157_containment")(
+      spark, sf).columns.toSeq
+    assert(cols == Seq("id_a", "id_b", "n_a", "n_b", "n_common",
+      "cont_ab_micro", "cont_ba_micro"))
+  }
+
   test("q148 readability: hand-computed Flesch on planted syllable/sentence counts") {
     // doc 1: "aa bb. cc dd." -> W=4 (the '.' tokens are split by the
     // sentence pass, tokens pattern counts letters+dots... plant
