@@ -101,7 +101,12 @@ object ScaleProbe {
     // K-pass coreset selector, and the bounded-pair containment
     "q151_doremi_weights", "q152_good_turing", "q153_source_kl",
     "q154_entropy_rate", "q155_concentration",
-    "q156_kcenter_coreset", "q157_containment")
+    "q156_kcenter_coreset", "q157_containment",
+    // the ranker-agreement profile (two corpus ranker passes, O(q·k²)
+    // after), the histogram-CDF drift pair, the top-K dispersion
+    // table, and the sentence-explode code-switch report
+    "q158_rank_overlap", "q159_length_drift",
+    "q160_term_dispersion", "q161_code_switch")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * centroid_confusion q150, embed_diversity q114), readability
   * (q148), char entropy rollup (q137), source overlap (q138),
   * vocabulary coverage (good_turing q152), drift and predictability
-  * (source_drift q153, entropy_rate q154), and mixture posture
-  * (concentration q155, mixture_weights q151).
+  * (source_drift q153, entropy_rate q154, length_drift q159), term
+  * provenance (term_dispersion q160), ingest language hygiene
+  * (code_switch q161), and mixture posture (concentration q155,
+  * mixture_weights q151).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -91,7 +93,10 @@ object CorpusAudit {
     "source_drift" -> "q153_source_kl",
     "entropy_rate" -> "q154_entropy_rate",
     "concentration" -> "q155_concentration",
-    "mixture_weights" -> "q151_doremi_weights")
+    "mixture_weights" -> "q151_doremi_weights",
+    "length_drift" -> "q159_length_drift",
+    "term_dispersion" -> "q160_term_dispersion",
+    "code_switch" -> "q161_code_switch")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

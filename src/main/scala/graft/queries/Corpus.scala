@@ -898,6 +898,71 @@ object Corpus {
     // two O(groups) rollups, share squares micro-quantize-then-sum.
     "q155_concentration" -> { (s, d) =>
       concentration(Tables.documents(s, d))
+    },
+
+    // Per-source length-distribution drift against the corpus blend:
+    // the exact 1-D Wasserstein-1 distance (Kantorovich 1942;
+    // Vaserstein 1969; the CDF-difference form is Ramdas, García
+    // Trillos & Cuturi 2017 eq. 2: W₁ = ∫|F_s − F_c| dx) plus the
+    // Kolmogorov–Smirnov statistic max|F_s − F_c| (Kolmogorov 1933) —
+    // the two standard drift numbers over the SAME cumulative frame.
+    // KL (q153) is over the term axis and blows up on
+    // disjoint support; W₁ over doc length is finite, in token
+    // units, and is the "this feed's documents got shorter" alarm a
+    // mixture owner reads next to q145's tail index. Exactness: CDF
+    // differences cross-multiply as DECIMAL(38,0) integers (q146's
+    // device — |cum_s·n_c − cum_c·n_s|, never a rounded division),
+    // step-width weighted, summed exactly, ONE double conversion at
+    // the end. Scale shape: one token-count pass collapses to an
+    // O(sources × distinct-lengths) histogram (map-side combined);
+    // the source×support spine, cumulative windows (partitioned by
+    // source ABOVE the aggregate — the PlanAudit invariant) and the
+    // final rollup all run over that aggregated frame; the tiny
+    // source-totals side broadcasts (intendedBnlj).
+    "q159_length_drift" -> { (s, d) =>
+      lengthDrift(Tables.documents(s, d))
+    },
+
+    // Dispersion of the corpus's top terms across sources (Gries
+    // 2008's DP, "deviation of proportions"; Lijffijt & Gries 2012:
+    // DP = ½ Σᵢ |vᵢ − sᵢ| with sᵢ = source i's share of corpus
+    // tokens, vᵢ = the term's share of its occurrences in source i):
+    // a high-frequency term with DP → 1 lives in ONE provider —
+    // boilerplate or domain jargon — while DP → 0 is a true
+    // function word; the cross-SOURCE complement of q142's
+    // within-document burstiness, and the review table that says
+    // WHICH provider q126's boilerplate n-grams come from.
+    // Exactness: per-source deviations cross-multiply as
+    // DECIMAL(38,0) integers (|c_ti·N − nᵢ·c_t|), sum exactly, one
+    // double conversion at the end. Scale shape: ONE (source, term)
+    // count pass (map-side combined); top-K terms come off the
+    // O(types) rollup; the K×sources spine joins back token-width
+    // count rows; 1-row corpus total broadcasts (intendedBnlj).
+    "q160_term_dispersion" -> { (s, d) =>
+      termDispersion(Tables.documents(s, d))
+    },
+
+    // Code-switching / language-mixing report per source (Gambäck &
+    // Das 2016's code-mixing index CMI = 1 − max_lang/n over units;
+    // Gullifer & Titone 2020's language entropy H = −Σ p ln p over
+    // the same label distribution): sentence-level langId over each
+    // document, then per-doc mixing scores rolled up per provider —
+    // the ingest-hygiene view that separates a feed of genuinely
+    // multilingual documents (high entropy WITHIN docs — splits and
+    // lang quotas q38/q39 mislabel them) from a feed that merely
+    // concatenates monolingual docs. A doc counts mixed when its
+    // sentences carry ≥ 2 distinct labels ('und' counts — an
+    // unidentifiable sentence inside an 'en' doc IS a mixing signal
+    // at curation time). Docs with zero sentences carry no label
+    // evidence and are out of scope (documented, like q26's
+    // token-less rows). Exactness: per-(doc, lang) −p·ln p terms
+    // micro-quantize before the int64 sums (the q154 device); the
+    // source rollup is integer division. Scale shape: one
+    // sentence-explode pass (O(corpus sentences)), codegen langId,
+    // counts map-side combine to O(docs × langs-per-doc) rows; all
+    // joins are keyed on doc_id — never a low-cardinality window.
+    "q161_code_switch" -> { (s, d) =>
+      codeSwitch(Tables.documents(s, d))
     }
   )
 
@@ -1457,6 +1522,121 @@ object Corpus {
       .orderBy($"dim")
   }
 
+  /** The q159 chain over any (source, text) frame (spec hook:
+    * planted two-source length sets with closed-form W₁/KS —
+    * CorpusStatSpec). The corpus histogram and every total derive
+    * from the ONE aggregated (source, len) histogram — no second
+    * corpus pass. The trailing support row has no step width (gap
+    * null) and both CDFs at 1 there (cross-difference exactly 0), so
+    * excluding it from the W₁ sum is the integral's own boundary,
+    * not an approximation. */
+  private[graft] def lengthDrift(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs
+      .select($"source", TextOps.tokenCount($"text").cast("long").as("len"))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+    val corpus = hist.groupBy($"len").agg(sum($"c").as("cc"))
+    val ns = hist.groupBy($"source").agg(sum($"c").as("n_s"))
+    // O(sources) × O(distinct lengths) spine — both sides aggregate
+    // outputs, the small side broadcasts (intendedBnlj)
+    val spine = ns.crossJoin(corpus)
+    val j = spine.join(hist, Seq("source", "len"), "left")
+      .select($"source", $"n_s", $"len", $"cc",
+        coalesce($"c", lit(0L)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"len")
+    val cum = j
+      .withColumn("cum_s", sum($"c").over(w))
+      .withColumn("cum_c", sum($"cc").over(w))
+      .withColumn("n_c", sum($"cc").over(Window.partitionBy($"source")))
+      .withColumn("gap", lead($"len", 1).over(w) - $"len")
+      .withColumn("d",
+        expr("abs(CAST(cum_s AS DECIMAL(38,0)) * n_c" +
+          " - CAST(cum_c AS DECIMAL(38,0)) * n_s)"))
+    cum.groupBy($"source", $"n_s", $"n_c")
+      .agg(sum(expr("d * gap")).as("s_w1"), max($"d").as("ks_d"))
+      .select($"source", $"n_s".as("n_docs"),
+        floor(coalesce($"s_w1", lit(0).cast("decimal(38,0)")).cast("double")
+          / ($"n_s".cast("double") * $"n_c".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("w1_micro"),
+        floor($"ks_d".cast("double")
+          / ($"n_s".cast("double") * $"n_c".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("ks_micro"))
+      .orderBy($"source")
+  }
+
+  /** q160: how many top-frequency terms the dispersion table
+    * reports. */
+  private val DispTopK = 20
+
+  /** The q160 chain over any (source, text) frame (spec hook:
+    * planted concentrated/even terms with closed-form DP —
+    * CorpusStatSpec). */
+  private[graft] def termDispersion(docs: DataFrame,
+                                    topK: Int = DispTopK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
+    val top = tf.groupBy($"w").agg(sum($"csw").as("ct"))
+      .orderBy($"ct".desc, $"w").limit(topK)
+    val ns = tf.groupBy($"source").agg(sum($"csw").as("n_i"))
+    val tot = ns.agg(sum($"n_i").as("n")) // 1 row — intendedBnlj
+    val spine = ns.crossJoin(broadcast(top)).crossJoin(tot)
+    spine.join(tf, Seq("source", "w"), "left")
+      .select($"w", $"ct", $"n", $"n_i",
+        coalesce($"csw", lit(0L)).as("c_ti"))
+      .withColumn("dev",
+        expr("abs(CAST(c_ti AS DECIMAL(38,0)) * n" +
+          " - CAST(n_i AS DECIMAL(38,0)) * ct)"))
+      .groupBy($"w", $"ct", $"n").agg(sum($"dev").as("s"))
+      .select($"w", $"ct".as("c"),
+        floor($"s".cast("double")
+          / (lit(2.0) * $"ct".cast("double") * $"n".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("dp_micro"))
+      .orderBy($"c".desc, $"w")
+  }
+
+  /** The q161 chain over any (source, doc_id, text) frame (spec
+    * hook: planted mixed/monolingual docs with closed-form CMI and
+    * entropy — CorpusStatSpec). Sentence labels come from the SAME
+    * langId argmax q26/q144 gate on (fixed tie order, 'und'
+    * fallback); the per-doc label-count frame feeds both the CMI
+    * majority and the entropy quantize-then-sum. */
+  private[graft] def codeSwitch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sl = docs
+      .select($"source", $"doc_id",
+        explode(TextOps.sentences($"text")).as("sent"))
+      .select($"source", $"doc_id", TextOps.tokens($"sent").as("stoks"))
+      .select($"source", $"doc_id", TextOps.langIdOf($"stoks").as("sl"))
+    val cnt = sl.groupBy($"source", $"doc_id", $"sl")
+      .agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy($"source", $"doc_id")
+      .agg(sum($"c").as("n_sent"), count(lit(1)).as("n_langs"),
+        max($"c").as("c_max"))
+    val ent = cnt.join(per.select($"doc_id", $"n_sent"), Seq("doc_id"))
+      .select($"doc_id",
+        floor(-($"c".cast("double") / $"n_sent".cast("double")) *
+          log($"c".cast("double") / $"n_sent".cast("double")) *
+          lit(1e6) + lit(0.5)).cast("bigint").as("t"))
+      .groupBy($"doc_id").agg(sum($"t").as("ent_micro"))
+    per.join(ent, Seq("doc_id"))
+      .select($"source", $"n_langs", $"ent_micro",
+        floor((lit(1.0) - $"c_max".cast("double") / $"n_sent".cast("double"))
+          * lit(1e6) + lit(0.5)).cast("bigint").as("cmi_micro"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_langs" >= 2L, 1L).otherwise(0L)).as("n_mixed"),
+        sum($"ent_micro").as("sum_ent"), sum($"cmi_micro").as("sum_cmi"))
+      .select($"source", $"n_docs", $"n_mixed",
+        expr("(n_mixed * 1000000) div n_docs").as("mixed_micro"),
+        expr("sum_ent div n_docs").as("mean_ent_micro"),
+        expr("sum_cmi div n_docs").as("mean_cmi_micro"))
+      .orderBy($"source")
+  }
+
   def oracles: Map[String, String] = Map(
 
     // Twin of q152: exact frequency-of-frequency counts, micro
@@ -1565,6 +1745,128 @@ object Corpus {
          |      AS BIGINT)
          |    ELSE 0 END AS eff_micro
          |FROM h ORDER BY dim""".stripMargin,
+
+    // Twin of q159: same aggregated histogram, HUGEINT ≡ the Spark
+    // side's DECIMAL(38,0) cross-multiplied CDF differences, one
+    // double conversion at the end (the q146 convention). Window
+    // defaults match (RANGE UNBOUNDED PRECEDING — identical on the
+    // unique len ordering key).
+    "q159_length_drift" ->
+      s"""WITH l AS (SELECT source,
+         |             CAST(len(${Sql.toks("text")}) AS BIGINT) AS len
+         |           FROM documents),
+         |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c
+         |      FROM l GROUP BY 1, 2),
+         |corpus AS (SELECT len, CAST(sum(c) AS BIGINT) AS cc
+         |           FROM h GROUP BY len),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |       FROM h GROUP BY source),
+         |spine AS (SELECT ns.source, ns.n_s, corpus.len, corpus.cc
+         |          FROM ns CROSS JOIN corpus),
+         |j AS (SELECT spine.source, spine.n_s, spine.len, spine.cc,
+         |        coalesce(h.c, CAST(0 AS BIGINT)) AS c
+         |      FROM spine LEFT JOIN h
+         |        ON h.source = spine.source AND h.len = spine.len),
+         |cum AS (SELECT source, n_s,
+         |          sum(c) OVER (PARTITION BY source ORDER BY len) AS cum_s,
+         |          sum(cc) OVER (PARTITION BY source ORDER BY len) AS cum_c,
+         |          sum(cc) OVER (PARTITION BY source) AS n_c,
+         |          lead(len, 1) OVER (PARTITION BY source ORDER BY len) - len
+         |            AS gap
+         |        FROM j),
+         |dd AS (SELECT source, n_s, n_c,
+         |         abs(CAST(cum_s AS HUGEINT) * n_c
+         |           - CAST(cum_c AS HUGEINT) * n_s) AS d, gap
+         |       FROM cum),
+         |g AS (SELECT source, n_s, n_c, sum(d * gap) AS s_w1,
+         |        max(d) AS ks_d
+         |      FROM dd GROUP BY 1, 2, 3)
+         |SELECT source, n_s AS n_docs,
+         |  CAST(floor(CAST(coalesce(s_w1, 0) AS DOUBLE)
+         |    / (CAST(n_s AS DOUBLE) * CAST(n_c AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS w1_micro,
+         |  CAST(floor(CAST(ks_d AS DOUBLE)
+         |    / (CAST(n_s AS DOUBLE) * CAST(n_c AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS ks_micro
+         |FROM g ORDER BY source""".stripMargin,
+
+    // Twin of q160: same top-K off the O(types) rollup, HUGEINT
+    // cross-multiplied deviations, one double conversion at the end.
+    "q160_term_dispersion" ->
+      s"""WITH t AS (SELECT source, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+         |       FROM t GROUP BY 1, 2),
+         |top AS (SELECT w, CAST(sum(csw) AS BIGINT) AS ct
+         |        FROM tf GROUP BY w ORDER BY ct DESC, w LIMIT $DispTopK),
+         |ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS n_i
+         |       FROM tf GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n FROM ns),
+         |spine AS (SELECT ns.source, ns.n_i, top.w, top.ct, tot.n
+         |          FROM ns CROSS JOIN top CROSS JOIN tot),
+         |j AS (SELECT spine.w, spine.ct, spine.n,
+         |        abs(CAST(coalesce(tf.csw, 0) AS HUGEINT) * spine.n
+         |          - CAST(spine.n_i AS HUGEINT) * spine.ct) AS dev
+         |      FROM spine LEFT JOIN tf
+         |        ON tf.source = spine.source AND tf.w = spine.w),
+         |g AS (SELECT w, ct, n, sum(dev) AS s FROM j GROUP BY 1, 2, 3)
+         |SELECT w, ct AS c,
+         |  CAST(floor(CAST(s AS DOUBLE)
+         |    / (2.0 * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS dp_micro
+         |FROM g ORDER BY c DESC, w""".stripMargin,
+
+    // Twin of q161: the q26 oracle's langid argmax device applied
+    // per sentence, the q154 −p·ln p quantize-then-sum, integer
+    // divisions for the rollup means.
+    "q161_code_switch" -> {
+      def hits(dict: Seq[String]): String = {
+        val lits = dict.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(stoks, t -> list_contains($lits, t)))"
+      }
+      val scores = TextOps.LangDicts.map { case (l, dct) => l -> hits(dct) }
+      val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val langCase = scores
+        .map { case (l, sc) => s"WHEN best > 0 AND $sc = best THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH s AS (SELECT source, doc_id,
+         |             unnest(list_filter(string_split_regex(text,
+         |               '${TextOps.SentencePattern}'),
+         |               x -> len(trim(x)) > 0)) AS sent
+         |           FROM documents),
+         |sl AS (SELECT source, doc_id, $langCase AS sl
+         |       FROM (SELECT *, $best AS best
+         |             FROM (SELECT source, doc_id,
+         |                     ${Sql.toks("sent")} AS stoks FROM s))),
+         |cnt AS (SELECT source, doc_id, sl, CAST(count(*) AS BIGINT) AS c
+         |        FROM sl GROUP BY 1, 2, 3),
+         |per AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n_sent,
+         |          CAST(count(*) AS BIGINT) AS n_langs,
+         |          CAST(max(c) AS BIGINT) AS c_max
+         |        FROM cnt GROUP BY 1, 2),
+         |ent AS (SELECT cnt.doc_id, CAST(sum(CAST(floor(
+         |            -(CAST(c AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         |            * ln(CAST(c AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         |            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ent_micro
+         |        FROM cnt JOIN per ON per.doc_id = cnt.doc_id
+         |        GROUP BY cnt.doc_id),
+         |pd AS (SELECT per.source, per.n_langs, ent.ent_micro,
+         |         CAST(floor((1.0 - CAST(c_max AS DOUBLE)
+         |             / CAST(n_sent AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS cmi_micro
+         |       FROM per JOIN ent ON ent.doc_id = per.doc_id),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_mixed,
+         |        CAST(sum(ent_micro) AS BIGINT) AS sum_ent,
+         |        CAST(sum(cmi_micro) AS BIGINT) AS sum_cmi
+         |      FROM pd GROUP BY source)
+         |SELECT source, n_docs, n_mixed,
+         |  (n_mixed * 1000000) // n_docs AS mixed_micro,
+         |  sum_ent // n_docs AS mean_ent_micro,
+         |  sum_cmi // n_docs AS mean_cmi_micro
+         |FROM g ORDER BY source""".stripMargin
+    },
 
     "q92_bpe_vocab" -> bpeOracle,
 

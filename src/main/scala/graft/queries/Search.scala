@@ -267,6 +267,75 @@ object Search {
       .orderBy($"query_id", $"rn")
   }
 
+  /** The q158 chain over the two rank tables (spec hook: planted
+    * identical / disjoint / hand-overlapped lists with closed-form
+    * scores). Per query at evaluation depth k:
+    *
+    *   X_d   = |top-d(lexical) ∩ top-d(semantic)|  (agreement depth
+    *           profile — each common doc contributes from depth
+    *           max(lrank, srank) on);
+    *   AO    = (1/k) Σ_d X_d/d  (Fagin, Kumar & Sivakumar 2003's
+    *           intersection metric — the unweighted precursor);
+    *   RBO   = (1−p) Σ_d p^(d−1) · X_d/d at p = 1/2 (Webber, Moffat
+    *           & Zobel 2010, truncated at k). p = 1/2 is chosen so
+    *           every weight is an exact dyadic rational — X_d·10⁶ and
+    *           d·2^d are both exact int64, their ONE double division
+    *           is correctly rounded identically in both engines, and
+    *           no libm pow() enters the formula at all (with p = 0.9
+    *           the weights need pow, whose cross-engine ulp the gate
+    *           would have to absorb).
+    *
+    * Per-term quantize-then-sum (the q137 contract). Scale shape:
+    * everything downstream of the rankers is O(queries · k²) rows —
+    * the pair join is two already-capped rank tables, the depth
+    * spine broadcasts (intendedBnlj). */
+  private[graft] def rankOverlap(lex: DataFrame, sem: DataFrame,
+                                 queryIds: Seq[Int],
+                                 depth: Int = RrfDepth): DataFrame = {
+    val spark = lex.sparkSession
+    import spark.implicits._
+    val pairs = lex.select($"query_id", $"doc_id", $"lrank")
+      .filter($"lrank" <= depth)
+      .join(sem.select($"query_id", $"doc_id", $"srank")
+        .filter($"srank" <= depth), Seq("query_id", "doc_id"))
+      .select($"query_id",
+        greatest($"lrank", $"srank").cast("long").as("m"))
+    val cm = pairs.groupBy($"query_id", $"m").agg(count(lit(1)).as("cm"))
+    val spine = queryIds.map(_.toLong).toDF("query_id")
+      .crossJoin(spark.range(1, depth + 1).toDF("d"))
+    val xd = spine.join(cm,
+        spine("query_id") === cm("query_id") && cm("m") <= spine("d"), "left")
+      .groupBy(spine("query_id"), $"d")
+      .agg(coalesce(sum($"cm"), lit(0L)).as("x"))
+    val terms = xd.select($"query_id",
+      when($"d" === depth.toLong, $"x").otherwise(lit(0L)).as("xk"),
+      floor($"x".cast("double") * lit(1e6)
+        / ($"d" * lit(depth.toLong)).cast("double") + lit(0.5))
+        .cast("bigint").as("ao_t"),
+      floor($"x".cast("double") * lit(1e6)
+        / ($"d" * expr("shiftleft(cast(1 as bigint), cast(d as int))"))
+          .cast("double") + lit(0.5))
+        .cast("bigint").as("rbo_t"))
+    val sc = terms.groupBy($"query_id")
+      .agg(max($"xk").as("x_k"), sum($"ao_t").as("ao_micro"),
+        sum($"rbo_t").as("rbo_micro"))
+    val nl = lex.filter($"lrank" <= depth)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_lex"))
+    val nsm = sem.filter($"srank" <= depth)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_sem"))
+    queryIds.map(_.toLong).toDF("query_id")
+      .join(nl, Seq("query_id"), "left")
+      .join(nsm, Seq("query_id"), "left")
+      .join(sc, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n_lex", lit(0L)).as("n_lex"),
+        coalesce($"n_sem", lit(0L)).as("n_sem"),
+        coalesce($"x_k", lit(0L)).as("x_k"),
+        coalesce($"ao_micro", lit(0L)).as("ao_micro"),
+        coalesce($"rbo_micro", lit(0L)).as("rbo_micro"))
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BM25 keyword retrieval, inverted-index style but expressed as
@@ -610,6 +679,18 @@ object Search {
     // TRAIN the dense side.
     "q117_hard_negatives" -> { (s, d) =>
       hardNegatives(Tables.documents(s, d))
+    },
+
+    // Ranker agreement (class doc on [[rankOverlap]]): average
+    // overlap + rank-biased overlap between q111's lexical and
+    // semantic rank lists — the retrieval-stack diagnostic that says
+    // whether hybrid fusion is WORTH its second ranker (RBO → 1: the
+    // rankers are redundant, serve one; RBO → 0: they see disjoint
+    // corpora slices, fusion is load-bearing). Same rankers q111
+    // fuses, so the number describes exactly the shipped pair.
+    "q158_rank_overlap" -> { (s, d) =>
+      val (lex, sem) = rrfRankers(Tables.documents(s, d), RrfQueries)
+      rankOverlap(lex, sem, RrfQueries.map(_._1))
     }
   )
 
@@ -731,6 +812,100 @@ object Search {
            |      FROM fused)
            |SELECT query_id, doc_id, rrf_nano, rn FROM r WHERE rn <= $RrfTopN
            |ORDER BY query_id, rn""".stripMargin
+      },
+
+      // Twin of q158 (rankOverlap): the q111 ranker CTEs verbatim
+      // through lex/sem, then the depth-profile arithmetic — X_d via
+      // per-(query, max-rank) counts against a depth spine, AO and
+      // RBO(p=1/2) terms as ONE exact double division each,
+      // quantize-then-sum.
+      "q158_rank_overlap" -> {
+        val terms = RrfQueries.flatMap(_._2.split(' ')).distinct
+        val tfSelects = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+        }.mkString(", ")
+        val dfSelects = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(", ")
+        def fe(hs: String): String = sqlFeatEmbed(hs)
+        val qVals = RrfQueries.map { case (q, p) => s"($q, '$p')" }.mkString(", ")
+        val qIds = RrfQueries.map { case (q, _) => s"($q)" }.mkString(", ")
+        val lexUnion = RrfQueries.map { case (qid, phrase) =>
+          val c = phrase.split(' ').toSeq.map(t =>
+            sqlBm25Contrib(s"tf${terms.indexOf(t)}", s"df${terms.indexOf(t)}"))
+            .mkString(" + ")
+          s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+             |  CAST(floor(($c) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_u
+             |FROM base, stats""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH base AS (
+           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |    list_sort(list_distinct(list_transform(toks, t -> ${TextVector.Sql.polyHash("t")}))) AS hs,
+           |    $tfSelects
+           |  FROM (SELECT doc_id, ${TextVector.Sql.toks("text")} AS toks FROM documents)
+           |  WHERE len(toks) > 0
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfSelects FROM base
+           |), docv AS (SELECT doc_id, ${fe("hs")} AS v FROM base),
+           |qe AS (SELECT CAST(query_id AS BIGINT) AS query_id, ${fe("qhs")} AS qv
+           |       FROM (SELECT query_id,
+           |               list_sort(list_distinct(list_transform(${TextVector.Sql.toks("qtext")}, t -> ${TextVector.Sql.polyHash("t")}))) AS qhs
+           |             FROM (VALUES $qVals) q(query_id, qtext))),
+           |lexall AS ($lexUnion),
+           |lex AS (SELECT query_id, doc_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS lrank
+           |        FROM lexall WHERE score_u > 0),
+           |sem AS (SELECT query_id, doc_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS srank
+           |        FROM (SELECT qe.query_id, docv.doc_id,
+           |                ${TextVector.Sql.dot("qe.qv", "docv.v")}
+           |                  / sqrt(${TextVector.Sql.dot("qe.qv", "qe.qv")})
+           |                  / sqrt(${TextVector.Sql.dot("docv.v", "docv.v")}) AS cos
+           |              FROM docv CROSS JOIN qe)),
+           |pairs AS (SELECT l.query_id,
+           |            CAST(greatest(l.lrank, s.srank) AS BIGINT) AS m
+           |          FROM (SELECT * FROM lex WHERE lrank <= $RrfDepth) l
+           |          JOIN (SELECT * FROM sem WHERE srank <= $RrfDepth) s
+           |            ON s.query_id = l.query_id AND s.doc_id = l.doc_id),
+           |cm AS (SELECT query_id, m, CAST(count(*) AS BIGINT) AS cm
+           |       FROM pairs GROUP BY 1, 2),
+           |spine AS (SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           |            CAST(d.d AS BIGINT) AS d
+           |          FROM (VALUES $qIds) q(query_id),
+           |            (SELECT unnest(range(1, ${RrfDepth + 1})) AS d) d),
+           |xd AS (SELECT spine.query_id, spine.d,
+           |         coalesce(CAST(sum(cm.cm) AS BIGINT), CAST(0 AS BIGINT)) AS x
+           |       FROM spine LEFT JOIN cm
+           |         ON cm.query_id = spine.query_id AND cm.m <= spine.d
+           |       GROUP BY 1, 2),
+           |terms AS (SELECT query_id,
+           |    CASE WHEN d = $RrfDepth THEN x ELSE CAST(0 AS BIGINT) END AS xk,
+           |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+           |      / CAST(d * $RrfDepth AS DOUBLE) + 0.5) AS BIGINT) AS ao_t,
+           |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+           |      / CAST(d * (CAST(1 AS BIGINT) << CAST(d AS INTEGER)) AS DOUBLE)
+           |      + 0.5) AS BIGINT) AS rbo_t
+           |  FROM xd),
+           |sc AS (SELECT query_id, CAST(max(xk) AS BIGINT) AS x_k,
+           |         CAST(sum(ao_t) AS BIGINT) AS ao_micro,
+           |         CAST(sum(rbo_t) AS BIGINT) AS rbo_micro
+           |       FROM terms GROUP BY 1),
+           |nl AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_lex
+           |       FROM lex WHERE lrank <= $RrfDepth GROUP BY 1),
+           |nsm AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_sem
+           |        FROM sem WHERE srank <= $RrfDepth GROUP BY 1),
+           |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id
+           |       FROM (VALUES $qIds) q(query_id))
+           |SELECT qs.query_id,
+           |  coalesce(nl.n_lex, CAST(0 AS BIGINT)) AS n_lex,
+           |  coalesce(nsm.n_sem, CAST(0 AS BIGINT)) AS n_sem,
+           |  coalesce(sc.x_k, CAST(0 AS BIGINT)) AS x_k,
+           |  coalesce(sc.ao_micro, CAST(0 AS BIGINT)) AS ao_micro,
+           |  coalesce(sc.rbo_micro, CAST(0 AS BIGINT)) AS rbo_micro
+           |FROM qs LEFT JOIN nl ON nl.query_id = qs.query_id
+           |LEFT JOIN nsm ON nsm.query_id = qs.query_id
+           |LEFT JOIN sc ON sc.query_id = qs.query_id
+           |ORDER BY qs.query_id""".stripMargin
       },
 
       // Twin of q117 (hardNegatives): the q111 doc/query embedding

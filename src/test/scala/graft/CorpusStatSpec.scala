@@ -430,4 +430,60 @@ class CorpusStatSpec extends AnyFunSuite {
       ("lang", 1L, 2L, 1000000L, 1000000L),
       ("source", 1L, 2L, 1000000L, 1000000L)))
   }
+
+  test("q159 length drift: planted length sets score their exact W1/KS, identical sources score 0") {
+    // srcA lengths {1, 3}, srcB {3, 3} → corpus {1: 1/4, 3: 3/4}.
+    // On [1, 3): |F_A − F_c| = |1/2 − 1/4| = 1/4 over width 2 → W1 =
+    // 1/2 both sources (B: |0 − 1/4| · 2); KS = 1/4.
+    val docs = Seq(
+      (1L, "srcA", "a"), (2L, "srcA", "a b c"),
+      (3L, "srcB", "a b c"), (4L, "srcB", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.Corpus.lengthDrift(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("srcA", 2L, 500000L, 250000L),
+      ("srcB", 2L, 500000L, 250000L)), s"q159 diverges: $out")
+    // identical length distributions → both drift stats exactly 0
+    val same = Seq(
+      (1L, "srcA", "a"), (2L, "srcA", "a b c"),
+      (3L, "srcB", "a"), (4L, "srcB", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val o2 = graft.queries.Corpus.lengthDrift(same)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(o2 == Seq(("srcA", 2L, 0L, 0L), ("srcB", 2L, 0L, 0L)))
+  }
+
+  test("q160 term dispersion: concentrated term scores its exact DP, evenly-spread term scores 0") {
+    // srcA "x x x y z", srcB "y y y y z": N = 10, n_A = n_B = 5.
+    //   x (ct 3): ½(|3/3 − 1/2| + |0/3 − 1/2|) = 1/2
+    //   y (ct 5): ½(|1/5 − 1/2| + |4/5 − 1/2|) = 3/10
+    //   z (ct 2): in both sources at exactly the source shares → 0
+    val docs = Seq(
+      (1L, "srcA", "x x x y z"), (2L, "srcB", "y y y y z"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.Corpus.termDispersion(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("y", 5L, 300000L), ("x", 3L, 500000L), ("z", 2L, 0L)),
+      s"q160 diverges: $out")
+  }
+
+  test("q161 code switch: a planted bilingual doc scores CMI 1/2 and entropy ln 2, monolingual scores 0") {
+    val docs = Seq(
+      (1L, "srcA", "the value is fast. der ist nicht ein."),
+      (2L, "srcA", "the value is fast."),
+      (3L, "srcB", "xyzzy plugh."))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.Corpus.codeSwitch(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: sentences en + de → n_langs 2, CMI 1 − 1/2, entropy
+    // 2·micro(−½ln½) (quantize-then-sum); doc 2: en only → 0/0;
+    // srcA means integer-divide by 2. doc 3: one 'und' sentence —
+    // a single label, NOT mixed.
+    val ent = 2L * micro(-0.5 * math.log(0.5))
+    assert(out == Seq(
+      ("srcA", 2L, 1L, 500000L, ent / 2L, 250000L),
+      ("srcB", 1L, 0L, 0L, 0L, 0L)), s"q161 diverges: $out")
+  }
 }

@@ -387,4 +387,33 @@ class HybridRetrievalSpec extends AnyFunSuite {
       s"a noise doc outranks a relevant doc: $fusedRanks")
     spark.catalog.clearCache() // hybridRrf persist contract
   }
+
+  test("q158 rank overlap: identical lists score AO 1 / RBO 1-2^-k, disjoint 0, hand-overlap exact") {
+    import org.apache.spark.sql.DataFrame
+    def ranks(col: String, ids: Seq[Long]): DataFrame =
+      ids.zipWithIndex.map { case (d, i) => (0L, d, i + 1) }
+        .toDF("query_id", "doc_id", col)
+    def run(lex: Seq[Long], sem: Seq[Long]) =
+      graft.queries.Search.rankOverlap(
+        ranks("lrank", lex), ranks("srank", sem), Seq(0), depth = 4)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // identical depth-4 lists: X_d = d, so AO = Σ floor(10⁶/4 + ½) =
+    // 10⁶ and RBO(p=½) = Σ_d floor(10⁶/2^d + ½) = 937500 = 10⁶(1−2⁻⁴)
+    assert(run(Seq(10, 11, 12, 13), Seq(10, 11, 12, 13)) ==
+      ((0L, 4L, 4L, 4L, 1000000L, 937500L)))
+    // disjoint lists: every score 0
+    assert(run(Seq(10, 11, 12, 13), Seq(20, 21, 22, 23)) ==
+      ((0L, 4L, 4L, 0L, 0L, 0L)))
+    // [a b c d] vs [c d e f]: common docs enter at max(lrank, srank)
+    // → X = (0, 0, 1, 2); AO terms floor(10⁶/12+½)+floor(2·10⁶/16+½)
+    // = 83333 + 125000; RBO terms floor(10⁶/24+½)+floor(2·10⁶/64+½)
+    // = 41667 + 31250
+    assert(run(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) ==
+      ((0L, 4L, 4L, 2L, 208333L, 72917L)))
+    // lists shorter than the depth cap still profile correctly:
+    // lex [7], sem [7, 8] → X_d = 1 at every d ≥ 1
+    val short = run(Seq(7), Seq(7, 8))
+    assert(short._2 == 1L && short._3 == 2L && short._4 == 1L,
+      s"short-list counts diverge: $short")
+  }
 }
