@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * (lang_confusion q144), embedding structure (group_frechet q143,
   * centroid_confusion q150, embed_diversity q114), readability
   * (q148), char entropy rollup (q137), source overlap (q138),
-  * vocabulary coverage (good_turing q152), drift and predictability
+  * vocabulary coverage (good_turing q152, vocab_richness q162),
+  * drift and predictability
   * (source_drift q153, entropy_rate q154, length_drift q159), term
   * provenance (term_dispersion q160), ingest language hygiene
   * (code_switch q161), and mixture posture (concentration q155,
@@ -96,7 +97,8 @@ object CorpusAudit {
     "mixture_weights" -> "q151_doremi_weights",
     "length_drift" -> "q159_length_drift",
     "term_dispersion" -> "q160_term_dispersion",
-    "code_switch" -> "q161_code_switch")
+    "code_switch" -> "q161_code_switch",
+    "vocab_richness" -> "q162_chao_richness")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

@@ -6,62 +6,93 @@ import org.apache.spark.sql.functions._
 /** Incremental corpus-statistics maintenance — the lexical half of
   * the [[CorpusAudit]] report pack WITHOUT re-tokenizing the corpus
   * per delivery. At 100 TB the audit's term-statistics tables (Zipf
-  * slope q139, lexical diversity q140, Good–Turing coverage q152)
-  * each cost a full corpus tokenize; but all three are pure
-  * functions of ONE sufficient statistic, the (lang, term) count
-  * table, and counts are additive across disjoint deliveries. So
-  * the store keeps per-run term counts ([[absorb]] tokenizes only
-  * the arriving batch), folds them with the [[graft.ops
-  * .StoreCompaction]] crash-recoverable protocol, and serves the
-  * statistics through the SAME `FromCounts` derivations the gated
-  * queries run — served ≡ batch is structural, not aspirational
-  * (the [[MixtureMaintenance]]/[[HybridRetrieval]] store doctrine).
+  * slope q139, lexical diversity q140, Good–Turing coverage q152,
+  * Chao richness q162) each cost a full corpus tokenize; but all
+  * four are pure functions of ONE sufficient statistic, the (lang,
+  * term) count table, and counts are additive across disjoint
+  * deliveries. So the store keeps per-run term counts ([[absorb]]
+  * tokenizes only the arriving batch), folds them with the
+  * [[graft.ops.StoreCompaction]] crash-recoverable protocol, and
+  * serves the statistics through the SAME `FromCounts` derivations
+  * the gated queries run — served ≡ batch is structural, not
+  * aspirational (the [[MixtureMaintenance]]/[[HybridRetrieval]]
+  * store doctrine).
   *
-  * Store layout: `dir/termcounts/run=<id>/` parquet (lang, w, c).
-  * [[absorb]] is idempotent under re-delivery (dynamic partition
-  * overwrite keyed on the run id — the house at-least-once
-  * convention); a token-less batch writes nothing and serves
-  * unchanged. [[compact]] folds every run into one partition,
-  * SUMMING duplicate (lang, term) rows — the fold is the only place
-  * rows merge, reads always aggregate, so an uncompacted store
+  * The store keeps a SECOND additive statistic alongside: the
+  * (source, len) document-length histogram, which is the entire
+  * input of q159's Wasserstein/KS length-drift table — so the drift
+  * alarm a mixture owner reads per delivery costs O(batch) tokenize
+  * plus an O(sources × distinct-lengths) derivation, never a corpus
+  * re-scan. Both statistics come off the one tokenize of the
+  * arriving batch.
+  *
+  * Store layout: `dir/termcounts/run=<id>/` parquet (lang, w, c) and
+  * `dir/lenhist/run=<id>/` parquet (source, len, c). [[absorb]] is
+  * idempotent under re-delivery (dynamic partition overwrite keyed
+  * on the run id — the house at-least-once convention); a token-less
+  * batch still histograms its zero-length docs (length 0 is length
+  * evidence even when no term arrives). [[compact]] folds every run
+  * into one partition, SUMMING duplicate rows — the fold is the only
+  * place rows merge, reads always aggregate, so an uncompacted store
   * serves the same integers as a compacted one.
   *
-  * Scale shape: absorb is O(batch); the store holds O(langs·vocab)
-  * rows regardless of corpus size (vocabulary grows ~N^β, q149's
-  * own fit); serving aggregates the store, never the corpus.
+  * Scale shape: absorb is O(batch); the store holds O(langs·vocab) +
+  * O(sources·distinct-lengths) rows regardless of corpus size
+  * (vocabulary grows ~N^β, q149's own fit); serving aggregates the
+  * store, never the corpus.
   */
 object CorpusStatsMaintenance {
 
   private def store(dir: String) = s"$dir/termcounts"
+  private def lstore(dir: String) = s"$dir/lenhist"
 
   private def counts(docs: DataFrame): DataFrame =
     docs.select(col("lang"),
         explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
 
-  /** Full rebuild from a corpus snapshot → `run=base`. */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+  private def lenhist(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+
+  /** Full rebuild from a corpus snapshot → `run=base` (both
+    * statistics). */
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
     counts(docs).withColumn("run", lit("base"))
       .write.partitionBy("run").mode("overwrite").parquet(store(dir))
+    lenhist(docs).withColumn("run", lit("base"))
+      .write.partitionBy("run").mode("overwrite").parquet(lstore(dir))
+  }
 
   /** Absorb one delivery under `run=<runId>` — O(batch), idempotent
-    * under re-delivery (the partition overwrites itself). */
+    * under re-delivery (the partition overwrites itself, BOTH
+    * statistics keyed on the same run id so a replay can never land
+    * one table without the other). */
   def absorb(spark: SparkSession, docs: DataFrame, dir: String,
              runId: String): Unit = {
     graft.ops.StoreCompaction.heal(spark, store(dir), "run")
     counts(docs).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(store(dir))
+    graft.ops.StoreCompaction.heal(spark, lstore(dir), "run")
+    lenhist(docs).withColumn("run", lit(runId))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(lstore(dir))
   }
 
-  /** Fold every run into one summed partition (crash-recoverable —
-    * the StoreCompaction marker protocol; run at a quiescent point,
-    * the store family's documented contract). `force` reruns the
-    * fold even over a single partition. */
-  def compact(spark: SparkSession, dir: String): Unit =
+  /** Fold every run into one summed partition per statistic
+    * (crash-recoverable — the StoreCompaction marker protocol; run
+    * at a quiescent point, the store family's documented
+    * contract). */
+  def compact(spark: SparkSession, dir: String): Unit = {
     graft.ops.StoreCompaction.fold(spark, store(dir), "run", "base",
       spark.read.parquet(store(dir))
         .groupBy(col("lang"), col("w")).agg(sum(col("c")).as("c")))
+    graft.ops.StoreCompaction.fold(spark, lstore(dir), "run", "base",
+      spark.read.parquet(lstore(dir))
+        .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c")))
+  }
 
   /** The summed (lang, w, c) view of whatever runs are on disk —
     * heal-on-read, aggregation always applied so compaction is
@@ -70,6 +101,14 @@ object CorpusStatsMaintenance {
     graft.ops.StoreCompaction.heal(spark, store(dir), "run")
     spark.read.parquet(store(dir))
       .groupBy(col("lang"), col("w")).agg(sum(col("c")).as("c"))
+  }
+
+  /** The summed (source, len, c) histogram view — same heal/aggregate
+    * contract. */
+  private def mergedLens(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.StoreCompaction.heal(spark, lstore(dir), "run")
+    spark.read.parquet(lstore(dir))
+      .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c"))
   }
 
   /** q140's table from the store — same derivation as the query. */
@@ -84,4 +123,13 @@ object CorpusStatsMaintenance {
   def zipfSlope(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Corpus.zipfSlopeFromCounts(
       merged(spark, dir).withColumnRenamed("c", "freq"))
+
+  /** q162's table from the store. */
+  def chaoRichness(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.chaoRichnessFromCounts(merged(spark, dir))
+
+  /** q159's length-drift table from the store — the per-delivery
+    * drift alarm, served without touching the corpus. */
+  def lengthDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.lengthDriftFromHist(mergedLens(spark, dir))
 }

@@ -963,6 +963,24 @@ object Corpus {
     // joins are keyed on doc_id — never a low-cardinality window.
     "q161_code_switch" -> { (s, d) =>
       codeSwitch(Tables.documents(s, d))
+    },
+
+    // Vocabulary-richness estimators per language (Chao 1984's
+    // bias-corrected Chao1, V + N₁(N₁−1)/(2(N₂+1)), and Burnham &
+    // Overton 1978's first-order jackknife V + N₁): how many types
+    // the language HAS, where q152's Good–Turing says how much
+    // probability mass the unseen ones carry — together they answer
+    // "is this corpus slice big enough to train a tokenizer for
+    // lang X, and how far is its vocabulary from saturating" (the
+    // forward-looking complement of q149's Heaps backfit). Exactness:
+    // all-integer off the exact frequency spectrum; the Chao1
+    // correction multiplies as DECIMAL(38,0) under an integral
+    // division. Scale shape: the SAME one map-side-combined (lang,
+    // term) count pass as q152, then an O(types) rollup — and the
+    // statistic is additive, so CorpusStatsMaintenance serves it
+    // incrementally off its term-count store.
+    "q162_chao_richness" -> { (s, d) =>
+      chaoRichness(Tables.documents(s, d))
     }
   )
 
@@ -1431,6 +1449,39 @@ object Corpus {
       .orderBy($"lang")
   }
 
+  /** The q162 chain over any (lang, text) frame (spec hook: planted
+    * frequency spectra with hand-computed estimates —
+    * CorpusStatSpec). All-integer: the Chao1 correction term is a
+    * DECIMAL(38,0) product under an integral division (n₁² crosses
+    * int64 around a billion hapaxes). */
+  private[graft] def chaoRichness(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    chaoRichnessFromCounts(docs
+      .select($"lang", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c")))
+  }
+
+  /** q162 over a pre-aggregated (lang, w, c) term-count frame (the
+    * [[goodTuringFromCounts]] sharing note —
+    * [[graft.pipeline.CorpusStatsMaintenance]] serves this off its
+    * store). */
+  private[graft] def chaoRichnessFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .groupBy($"lang").agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("n2"))
+      .select($"lang", $"n_tokens", $"n_types", $"n1", $"n2",
+        ($"n_types" * lit(1000000L) +
+          expr("CAST((CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) * 1000000)" +
+            " div (2 * (n2 + 1)) AS BIGINT)")).as("chao1_micro"),
+        ($"n_types" + $"n1").as("jack1"))
+      .orderBy($"lang")
+  }
+
   /** The q153 chain over any (source, text) frame (spec hook:
     * planted two-source corpora with closed-form divergences —
     * CorpusStatSpec). Per-term contributions micro-quantize before
@@ -1533,9 +1584,18 @@ object Corpus {
   private[graft] def lengthDrift(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hist = docs
+    lengthDriftFromHist(docs
       .select($"source", TextOps.tokenCount($"text").cast("long").as("len"))
-      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c")))
+  }
+
+  /** q159 over a pre-aggregated (source, len, c) histogram — the
+    * additive sufficient statistic
+    * [[graft.pipeline.CorpusStatsMaintenance]] maintains per
+    * delivery (the [[goodTuringFromCounts]] sharing note). */
+  private[graft] def lengthDriftFromHist(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
     val corpus = hist.groupBy($"len").agg(sum($"c").as("cc"))
     val ns = hist.groupBy($"source").agg(sum($"c").as("n_s"))
     // O(sources) × O(distinct lengths) spine — both sides aggregate
@@ -1745,6 +1805,26 @@ object Corpus {
          |      AS BIGINT)
          |    ELSE 0 END AS eff_micro
          |FROM h ORDER BY dim""".stripMargin,
+
+    // Twin of q162: same frequency spectrum as the q152 twin, HUGEINT
+    // ≡ DECIMAL(38,0) for the Chao1 correction product, integral
+    // division.
+    "q162_chao_richness" ->
+      s"""WITH t AS (SELECT lang, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM t GROUP BY lang, w),
+         |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |      FROM f GROUP BY lang)
+         |SELECT lang, n_tokens, n_types, n1, n2,
+         |  n_types * 1000000
+         |    + CAST((CAST(n1 AS HUGEINT) * (n1 - 1) * 1000000)
+         |        // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro,
+         |  n_types + n1 AS jack1
+         |FROM g ORDER BY lang""".stripMargin,
 
     // Twin of q159: same aggregated histogram, HUGEINT ≡ the Spark
     // side's DECIMAL(38,0) cross-multiplied CDF differences, one

@@ -7,11 +7,12 @@ import org.apache.spark.sql.types.StructType
 /** Continuous corpus-statistics maintenance — the streaming twin of
   * [[graft.pipeline.CorpusStatsMaintenance]]: each arriving
   * micro-batch of documents is tokenized ONCE and its (lang, term)
-  * counts absorbed under `run=b<batchId>`, so the lexical audit
-  * tables (q139/q140/q152) are servable at any moment without ever
-  * re-tokenizing the corpus — the monitoring posture a 100 TB feed
-  * needs (a nightly full-corpus tokenize is the thing this store
-  * exists to delete).
+  * counts plus (source, length) histogram absorbed under
+  * `run=b<batchId>`, so the lexical audit tables (q139/q140/q152/
+  * q162) and the q159 length-drift alarm are servable at any moment
+  * without ever re-tokenizing the corpus — the monitoring posture a
+  * 100 TB feed needs (a nightly full-corpus tokenize is the thing
+  * this store exists to delete).
   *
   * Delivery semantics: foreachBatch is at-least-once; the absorb is
   * a dynamic partition overwrite keyed on the batch id, so a

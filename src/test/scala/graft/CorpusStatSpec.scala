@@ -431,6 +431,23 @@ class CorpusStatSpec extends AnyFunSuite {
       ("source", 1L, 2L, 1000000L, 1000000L)))
   }
 
+  test("q162 chao richness: planted spectra recover the exact bias-corrected Chao1 and jackknife") {
+    // en: aa×3 bb×2 cc dd → V 4, N₁ 2, N₂ 1 → chao1 = 4 + 2·1/(2·2)
+    // = 4.5, jack1 = 6; fr: two hapaxes, NO doubletons — the
+    // bias-corrected form's whole point (n₂ = 0 divides fine):
+    // 2 + 2·1/2 = 3, jack1 = 4; de: single hapax → V exactly
+    val docs = Seq(
+      (1L, "en", "aa aa bb cc"), (2L, "en", "aa bb dd"),
+      (3L, "fr", "x y"), (4L, "de", "z"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.chaoRichness(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 1L, 1L, 1L, 0L, 1000000L, 2L),
+      ("en", 7L, 4L, 2L, 1L, 4500000L, 6L),
+      ("fr", 2L, 2L, 2L, 0L, 3000000L, 4L)), s"q162 diverges: $out")
+  }
+
   test("q159 length drift: planted length sets score their exact W1/KS, identical sources score 0") {
     // srcA lengths {1, 3}, srcB {3, 3} → corpus {1: 1/4, 3: 3/4}.
     // On [1, 3): |F_A − F_c| = |1/2 − 1/4| = 1/4 over width 2 → W1 =

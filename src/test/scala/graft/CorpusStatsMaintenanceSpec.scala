@@ -5,19 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.CorpusStatsMaintenance
 import java.nio.file.Files
 
-/** CorpusStatsMaintenance — the incremental term-count store must
-  * serve the gated lexical statistics EXACTLY (same integers as the
-  * batch chains over the union of everything absorbed), stay
-  * idempotent under re-delivery, and be invisible to consumers
-  * across compaction.
+/** CorpusStatsMaintenance — the incremental term-count + length-
+  * histogram store must serve the gated lexical statistics EXACTLY
+  * (same integers as the batch chains over the union of everything
+  * absorbed), stay idempotent under re-delivery, and be invisible to
+  * consumers across compaction.
   */
 class CorpusStatsMaintenanceSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  test("incremental store serves q139/q140/q152 exactly, re-delivery idempotent, compaction invisible, token-less no-op") {
+  test("incremental store serves q139/q140/q152/q159/q162 exactly, re-delivery idempotent, compaction invisible, token-less length evidence") {
     val dir = Files.createTempDirectory("graft-cstats").toString + "/store"
-    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"text")
     val part0 = docs.filter(pmod($"doc_id", lit(3L)) === 0L)
     val part1 = docs.filter(pmod($"doc_id", lit(3L)) === 1L)
     val part2 = docs.filter(pmod($"doc_id", lit(3L)) === 2L)
@@ -29,23 +30,36 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     def served = (
       CorpusStatsMaintenance.lexicalDiversity(spark, dir).collect().toSeq,
       CorpusStatsMaintenance.goodTuring(spark, dir).collect().toSeq,
-      CorpusStatsMaintenance.zipfSlope(spark, dir).collect().toSeq)
+      CorpusStatsMaintenance.zipfSlope(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.chaoRichness(spark, dir).collect().toSeq)
+    def servedLen =
+      CorpusStatsMaintenance.lengthDrift(spark, dir).collect().toSeq
     val batch = (
       graft.queries.Corpus.lexicalDiversity(docs).collect().toSeq,
       graft.queries.Corpus.goodTuring(docs).collect().toSeq,
-      graft.queries.Corpus.zipfSlope(docs).collect().toSeq)
+      graft.queries.Corpus.zipfSlope(docs).collect().toSeq,
+      graft.queries.Corpus.chaoRichness(docs).collect().toSeq)
     assert(batch._1.nonEmpty && batch._3.nonEmpty, "fixture served nothing")
     assert(served == batch,
       "served statistics diverge from the batch chains over the same docs")
+    assert(servedLen ==
+      graft.queries.Corpus.lengthDrift(docs).collect().toSeq,
+      "served length drift diverges from the batch chain")
 
     // at-least-once: a re-delivered batch overwrites its own run
     CorpusStatsMaintenance.absorb(spark, part1, dir, "b1")
     assert(served == batch, "re-delivery changed the served statistics")
 
-    // a token-less delivery writes nothing and serves unchanged
-    CorpusStatsMaintenance.absorb(spark,
-      Seq((999999L, "en", "")).toDF("doc_id", "lang", "text"), dir, "b3")
-    assert(served == batch, "token-less delivery changed the store")
+    // a token-less delivery adds no term counts — but a zero-length
+    // document IS length evidence, so the drift table must see it
+    val emptyDoc = Seq((999999L, "srcX", "en", ""))
+      .toDF("doc_id", "source", "lang", "text")
+    CorpusStatsMaintenance.absorb(spark, emptyDoc, dir, "b3")
+    assert(served == batch, "token-less delivery changed the term store")
+    val withEmpty = docs.unionByName(emptyDoc)
+    assert(servedLen ==
+      graft.queries.Corpus.lengthDrift(withEmpty).collect().toSeq,
+      "zero-length doc missing from the served length histogram")
 
     // compaction folds the runs into one partition without changing
     // a single served integer
@@ -57,14 +71,24 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     CorpusStatsMaintenance.compact(spark, dir)
     assert(runDirs == 1, "compaction must fold to one partition")
     assert(served == batch, "compaction changed the served statistics")
+    assert(servedLen ==
+      graft.queries.Corpus.lengthDrift(withEmpty).collect().toSeq,
+      "compaction changed the served length drift")
 
-    // and the store keeps absorbing after a fold
-    CorpusStatsMaintenance.absorb(spark,
-      Seq((999998L, "en", "freshword freshword")).toDF("doc_id", "lang", "text"),
-      dir, "b4")
-    val extended = docs.unionByName(Seq((999998L, "en", "freshword freshword"))
-      .toDF("doc_id", "lang", "text"))
-    assert(served._2 == graft.queries.Corpus.goodTuring(extended).collect().toSeq,
+    // and the store keeps absorbing after a fold — both statistics
+    val fresh = Seq((999998L, "srcF", "en", "freshword freshword"))
+      .toDF("doc_id", "source", "lang", "text")
+    CorpusStatsMaintenance.absorb(spark, fresh, dir, "b4")
+    val extTerms = docs.unionByName(fresh)
+    assert(served._2 ==
+      graft.queries.Corpus.goodTuring(extTerms).collect().toSeq,
       "post-compaction absorb diverges from the batch chain")
+    assert(served._4 ==
+      graft.queries.Corpus.chaoRichness(extTerms).collect().toSeq,
+      "post-compaction chao serving diverges from the batch chain")
+    assert(servedLen ==
+      graft.queries.Corpus.lengthDrift(withEmpty.unionByName(fresh))
+        .collect().toSeq,
+      "post-compaction length drift diverges from the batch chain")
   }
 }

@@ -697,26 +697,32 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cstream").toString
     val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
-    val f1 = Seq((1L, "en", "alpha beta alpha"), (2L, "fr", "gamma gamma"))
-      .toDF("doc_id", "lang", "text")
-    val f2 = Seq((3L, "en", "beta beta delta"), (4L, "en", ""))
-      .toDF("doc_id", "lang", "text")
+    val f1 = Seq((1L, "srcA", "en", "alpha beta alpha"),
+      (2L, "srcB", "fr", "gamma gamma"))
+      .toDF("doc_id", "source", "lang", "text")
+    val f2 = Seq((3L, "srcA", "en", "beta beta delta"),
+      (4L, "srcB", "en", ""))
+      .toDF("doc_id", "source", "lang", "text")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     f1.coalesce(1).write.mode("append").parquet(in)
     f2.coalesce(1).write.mode("append").parquet(in)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, lang STRING, text STRING")
+      "doc_id LONG, source STRING, lang STRING, text STRING")
     CorpusStatsStream.runOnce(spark, in, store, ck, schema)
 
     val all = f1.unionByName(f2)
     def served = (
       CorpusStatsMaintenance.lexicalDiversity(spark, store).collect().toSeq,
       CorpusStatsMaintenance.goodTuring(spark, store).collect().toSeq,
-      CorpusStatsMaintenance.zipfSlope(spark, store).collect().toSeq)
+      CorpusStatsMaintenance.zipfSlope(spark, store).collect().toSeq,
+      CorpusStatsMaintenance.chaoRichness(spark, store).collect().toSeq,
+      CorpusStatsMaintenance.lengthDrift(spark, store).collect().toSeq)
     val batch = (
       graft.queries.Corpus.lexicalDiversity(all).collect().toSeq,
       graft.queries.Corpus.goodTuring(all).collect().toSeq,
-      graft.queries.Corpus.zipfSlope(all).collect().toSeq)
+      graft.queries.Corpus.zipfSlope(all).collect().toSeq,
+      graft.queries.Corpus.chaoRichness(all).collect().toSeq,
+      graft.queries.Corpus.lengthDrift(all).collect().toSeq)
     assert(batch._1.nonEmpty)
     assert(served == batch,
       "stream-maintained statistics diverge from the batch chains")
