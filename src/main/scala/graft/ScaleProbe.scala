@@ -106,7 +106,8 @@ object ScaleProbe {
     // after), the histogram-CDF drift pair, the top-K dispersion
     // table, and the sentence-explode code-switch report
     "q158_rank_overlap", "q159_length_drift",
-    "q160_term_dispersion", "q161_code_switch", "q162_chao_richness")
+    "q160_term_dispersion", "q161_code_switch", "q162_chao_richness",
+    "q163_temperature_mix")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * (source_drift q153, entropy_rate q154, length_drift q159), term
   * provenance (term_dispersion q160), ingest language hygiene
   * (code_switch q161), and mixture posture (concentration q155,
-  * mixture_weights q151).
+  * mixture_weights q151, temperature_mix q163).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -98,7 +98,8 @@ object CorpusAudit {
     "length_drift" -> "q159_length_drift",
     "term_dispersion" -> "q160_term_dispersion",
     "code_switch" -> "q161_code_switch",
-    "vocab_richness" -> "q162_chao_richness")
+    "vocab_richness" -> "q162_chao_richness",
+    "temperature_mix" -> "q163_temperature_mix")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

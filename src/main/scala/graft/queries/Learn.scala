@@ -473,8 +473,56 @@ object Learn {
     // 1-row corpus total broadcasts (intendedBnlj).
     "q151_doremi_weights" -> { (s, d) =>
       doremiWeights(Tables.documents(s, d))
+    },
+
+    // Temperature-damped language sampling (Lample & Conneau 2019's
+    // XLM multinomial rebalancing: sample language ℓ with probability
+    // ∝ pℓ^α — α < 1 lifts low-resource languages without drowning
+    // the head): per-language token mass → damped sampling weights
+    // plus the per-language EPOCH multiplier at a one-corpus token
+    // budget (wℓ·N/cℓ — the "how many times does each slice repeat"
+    // number from the data-constrained scaling discussion,
+    // Muennighoff et al. 2023; a weight table alone hides that a
+    // 100× upweight of a tiny language means 100 epochs of it).
+    // α = 1/2 EXACTLY — not a style choice: p^(1/2) is ONE IEEE
+    // sqrt (correctly rounded, bit-identical in both engines), so
+    // unlike a generic pow-based temperature no libm ulp argument is
+    // needed anywhere; damped masses quantize to nano BEFORE the
+    // normalizing sum (the q151 denominator device), every division
+    // after is integral over DECIMAL(38,0)/HUGEINT. Scale shape: one
+    // token-count pass to O(langs) rows; both totals are 1-row
+    // broadcasts (intendedBnlj).
+    "q163_temperature_mix" -> { (s, d) =>
+      temperatureMix(Tables.documents(s, d))
     }
   )
+
+  /** The q163 chain over any (lang, text) frame (spec hook: planted
+    * dyadic masses with hand-replayed integers — LearnSpec). */
+  private[graft] def temperatureMix(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.TextOps
+    val m = docs
+      .select($"lang", TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      .groupBy($"lang").agg(sum($"n_tok").as("c"))
+    val tot = m.agg(sum($"c").as("n")) // 1 row — intendedBnlj
+    val q = m.crossJoin(tot)
+      .select($"lang", $"c", $"n",
+        floor(sqrt($"c".cast("double") / $"n".cast("double"))
+          * lit(1e9) + lit(0.5)).cast("bigint").as("q"))
+    val qs = q.agg(sum($"q").as("qs")) // 1 row — intendedBnlj
+    q.crossJoin(qs)
+      .select($"lang", $"c".as("n_tokens"),
+        expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("share_micro"),
+        expr("(q * 1000000) div qs").as("w_micro"),
+        when($"c" > 0L,
+          expr("CAST((CAST(q AS DECIMAL(38,0)) * n * 1000000)" +
+            " div (CAST(qs AS DECIMAL(38,0)) * c) AS BIGINT)"))
+          .otherwise(lit(0L)).as("epochs_micro"))
+      .orderBy($"lang")
+  }
 
   /** q151: MW step size (per nat of excess loss) and step count.
     * η·K sets how aggressively excess loss tilts the mixture; 0.1×8
@@ -912,6 +960,31 @@ object Learn {
          |  CAST(floor(CAST(r_micro AS DOUBLE) * 1000000.0
          |    / CAST(rsum AS DOUBLE) + 0.5) AS BIGINT) AS weight_micro
          |FROM raw CROSS JOIN den ORDER BY source""".stripMargin,
+
+    // Twin of q163: same token-mass rollup, the ONE IEEE sqrt
+    // (correctly rounded both engines — no pow), nano-quantized
+    // damped masses, HUGEINT ≡ DECIMAL(38,0) integral divisions.
+    "q163_temperature_mix" ->
+      s"""WITH d AS (SELECT lang,
+         |             CAST(len(${graft.queries.TextVector.Sql.toks("text")})
+         |               AS BIGINT) AS n_tok
+         |           FROM documents),
+         |m AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS c
+         |      FROM d GROUP BY lang),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM m),
+         |q AS (SELECT lang, c, n,
+         |        CAST(floor(sqrt(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * 1000000000.0 + 0.5) AS BIGINT) AS q
+         |      FROM m CROSS JOIN tot),
+         |qs AS (SELECT CAST(sum(q) AS BIGINT) AS qs FROM q)
+         |SELECT lang, c AS n_tokens,
+         |  CAST((CAST(c AS HUGEINT) * 1000000) // n AS BIGINT) AS share_micro,
+         |  (q * 1000000) // qs AS w_micro,
+         |  CASE WHEN c > 0
+         |    THEN CAST((CAST(q AS HUGEINT) * n * 1000000)
+         |      // (CAST(qs AS HUGEINT) * c) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS epochs_micro
+         |FROM q CROSS JOIN qs ORDER BY lang""".stripMargin,
 
     // Twin of q113: the FULL q98 training replay as a derived table
     // (so the calibration gate certifies the same trajectory), then

@@ -500,4 +500,30 @@ class LearnSpec extends AnyFunSuite {
     // weights are a normalized mixture (micro rounding: ±1 per source)
     assert(math.abs(out.map(_._5).sum - 1000000L) <= out.length.toLong)
   }
+
+  test("q163 temperature mix: sqrt damping lifts the minority by the exact replayed integers") {
+    import spark.implicits._
+    // dyadic masses so one sqrt is EXACT: en 12 of 16 (3/4), fr 4 of
+    // 16 (1/4 → sqrt = 1/2 exactly, q_fr = 500000000)
+    val docs = Seq(
+      (1L, "en", (1 to 12).map(_ => "w").mkString(" ")),
+      (2L, "fr", "w w w w"))
+      .toDF("doc_id", "lang", "text")
+    def nano(v: Double): Long = math.floor(v * 1e9 + 0.5).toLong
+    val qEn = nano(math.sqrt(12.0 / 16.0)); val qFr = nano(math.sqrt(4.0 / 16.0))
+    assert(qFr == 500000000L)
+    val qsum = qEn + qFr
+    def w(q: Long): Long = q * 1000000L / qsum
+    def epochs(q: Long, c: Long): Long =
+      (BigInt(q) * 16L * 1000000L / (BigInt(qsum) * c)).toLong
+    val out = graft.queries.Learn.temperatureMix(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", 12L, 750000L, w(qEn), epochs(qEn, 12L)),
+      ("fr", 4L, 250000L, w(qFr), epochs(qFr, 4L))), s"q163 diverges: $out")
+    // the damping law: minority lifted above its raw share, majority
+    // below, and the minority's epoch multiplier exceeds 1×
+    assert(w(qFr) > 250000L && w(qEn) < 750000L)
+    assert(epochs(qFr, 4L) > 1000000L && epochs(qEn, 12L) < 1000000L)
+  }
 }
