@@ -107,7 +107,7 @@ object ScaleProbe {
     // table, and the sentence-explode code-switch report
     "q158_rank_overlap", "q159_length_drift",
     "q160_term_dispersion", "q161_code_switch", "q162_chao_richness",
-    "q163_temperature_mix")
+    "q163_temperature_mix", "q165_label_agreement")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the
@@ -120,6 +120,11 @@ object ScaleProbe {
       // reset it so every rep pays the whole pipeline, which is the
       // thing whose scaling is being measured
       graft.queries.TextVector.centsStageReset()
+      // chains that persist a derived stage (SparkEntry's cache
+      // contract) would otherwise serve rep 2 from rep 1's cached
+      // blocks — the min would then measure the CACHE, not the
+      // chain, and the growth exponent would collapse toward 0
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).foreach(_ => ())
       (System.nanoTime() - t0) / 1e9

@@ -981,6 +981,29 @@ object Corpus {
     // incrementally off its term-count store.
     "q162_chao_richness" -> { (s, d) =>
       chaoRichness(Tables.documents(s, d))
+    },
+
+    // Chance-corrected label agreement (Cohen 1960's κ; Artstein &
+    // Poesio 2008 for the computational-linguistics framing): the
+    // supplied `lang` labels vs the engine's langId, as per-class
+    // one-vs-rest binary κ — the chance-corrected score q144's raw
+    // confusion fractions DON'T give (a 95%-majority class scores
+    // 95% raw agreement by always guessing it; κ scores that 0).
+    // This is the number that says whether provider labels are
+    // trustworthy enough to drive q38/q39's splits and quotas.
+    // κ < 0 (worse than chance) is reported with its sign. Degenerate
+    // single-class frames (pₑ = 1) report 0 — documented, guarded.
+    // Exactness: pₒ/pₑ/κ are exact rationals cross-multiplied in
+    // DECIMAL(38,0) (n² crosses int64 past ~3 billion docs); the
+    // sign splits off so the integral division runs on nonnegative
+    // operands (truncation ≡ floor in both engines — negative `div`
+    // truncates toward zero in Spark but floors in DuckDB, so signed
+    // division NEVER crosses the gate). Scale shape: one codegen
+    // langId pass collapses to the O(langs²) confusion; everything
+    // after is O(classes) rows; the 1-row total broadcasts
+    // (intendedBnlj).
+    "q165_label_agreement" -> { (s, d) =>
+      labelAgreement(Tables.documents(s, d))
     }
   )
 
@@ -1573,6 +1596,55 @@ object Corpus {
       .orderBy($"dim")
   }
 
+  /** The q165 chain over any (lang, text) frame (spec hook: planted
+    * confusions with closed-form κ — CorpusStatSpec). Classes are
+    * the union of observed actual and predicted labels, so a pure
+    * prediction artifact like 'und' still gets its row. */
+  private[graft] def labelAgreement(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // conf is O(langs²) but feeds FOUR consumers (rows/cols/diag/
+    // total) — without the persist each replans the whole corpus
+    // langId scan (measured 6 scans, no exchange reuse; the
+    // SparkEntry cache contract covers the release). The label comes
+    // from the fused TextStats kernel (codegen; PropertySpec pins
+    // lang_pred ≡ TextOps.langIdOf on random and real corpora).
+    val conf = docs.select($"lang",
+        graft.ops.expressions.TextStats($"text")
+          .getField("lang_pred").as("pred"))
+      .groupBy($"lang", $"pred").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = conf.groupBy($"lang").agg(sum($"c").as("n_act"))
+    val cols = conf.groupBy($"pred").agg(sum($"c").as("n_prd"))
+    val diag = conf.filter($"lang" === $"pred").select($"lang", $"c".as("tp"))
+    val tot = rows.agg(sum($"n_act").as("n")) // 1 row — intendedBnlj
+    val classes = rows.select($"lang")
+      .unionByName(cols.select($"pred".as("lang"))).distinct()
+    classes
+      .join(rows, Seq("lang"), "left")
+      .join(cols.withColumnRenamed("pred", "lang"), Seq("lang"), "left")
+      .join(diag, Seq("lang"), "left")
+      .crossJoin(tot)
+      .select($"lang", coalesce($"n_act", lit(0L)).as("n_actual"),
+        coalesce($"n_prd", lit(0L)).as("n_pred"),
+        coalesce($"tp", lit(0L)).as("tp"), $"n")
+      .withColumn("tn", $"n" - $"n_actual" - $"n_pred" + $"tp")
+      .withColumn("a", expr("CAST(tp + tn AS DECIMAL(38,0)) * n"))
+      .withColumn("b",
+        expr("CAST(n_actual AS DECIMAL(38,0)) * n_pred" +
+          " + CAST(n - n_actual AS DECIMAL(38,0)) * (n - n_pred)"))
+      .withColumn("nn", expr("CAST(n AS DECIMAL(38,0)) * n"))
+      .select($"lang", $"n_actual", $"n_pred", $"tp",
+        expr("CAST((CAST(tp + tn AS DECIMAL(38,0)) * 1000000) div n" +
+          " AS BIGINT)").as("po_micro"),
+        expr("CAST((b * 1000000) div nn AS BIGINT)").as("pe_micro"),
+        when(expr("nn > b"),
+          expr("CAST(CASE WHEN a >= b THEN 1 ELSE -1 END" +
+            " * ((abs(a - b) * 1000000) div (nn - b)) AS BIGINT)"))
+          .otherwise(lit(0L)).as("kappa_micro"))
+      .orderBy($"lang")
+  }
+
   /** The q159 chain over any (source, text) frame (spec hook:
     * planted two-source length sets with closed-form W₁/KS —
     * CorpusStatSpec). The corpus histogram and every total derive
@@ -1666,11 +1738,14 @@ object Corpus {
   private[graft] def codeSwitch(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // per-sentence label via the fused TextStats kernel (one codegen
+    // scan per sentence; PropertySpec pins lang_pred ≡ the HOF)
     val sl = docs
       .select($"source", $"doc_id",
         explode(TextOps.sentences($"text")).as("sent"))
-      .select($"source", $"doc_id", TextOps.tokens($"sent").as("stoks"))
-      .select($"source", $"doc_id", TextOps.langIdOf($"stoks").as("sl"))
+      .select($"source", $"doc_id",
+        graft.ops.expressions.TextStats($"sent")
+          .getField("lang_pred").as("sl"))
     val cnt = sl.groupBy($"source", $"doc_id", $"sl")
       .agg(count(lit(1)).as("c"))
     val per = cnt.groupBy($"source", $"doc_id")
@@ -1825,6 +1900,57 @@ object Corpus {
          |        // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro,
          |  n_types + n1 AS jack1
          |FROM g ORDER BY lang""".stripMargin,
+
+    // Twin of q165: the q26/q144 langid argmax device, the same
+    // one-vs-rest integer arithmetic with HUGEINT ≡ DECIMAL(38,0)
+    // and the sign split off the integral division.
+    "q165_label_agreement" -> {
+      def hits(dict: Seq[String]): String = {
+        val lits = dict.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($lits, t)))"
+      }
+      val scores = TextOps.LangDicts.map { case (l, dct) => l -> hits(dct) }
+      val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val langCase = scores
+        .map { case (l, sc) => s"WHEN best > 0 AND $sc = best THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH p AS (SELECT lang, $langCase AS pred
+         |           FROM (SELECT *, $best AS best
+         |                 FROM (SELECT lang, ${Sql.toks("text")} AS toks
+         |                       FROM documents))),
+         |conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS c
+         |         FROM p GROUP BY 1, 2),
+         |r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_act
+         |      FROM conf GROUP BY lang),
+         |cl AS (SELECT pred, CAST(sum(c) AS BIGINT) AS n_prd
+         |       FROM conf GROUP BY pred),
+         |dg AS (SELECT lang, c AS tp FROM conf WHERE lang = pred),
+         |tot AS (SELECT CAST(sum(n_act) AS BIGINT) AS n FROM r),
+         |cls AS (SELECT lang FROM r UNION SELECT pred AS lang FROM cl),
+         |j AS (SELECT cls.lang,
+         |        coalesce(r.n_act, CAST(0 AS BIGINT)) AS n_actual,
+         |        coalesce(cl.n_prd, CAST(0 AS BIGINT)) AS n_pred,
+         |        coalesce(dg.tp, CAST(0 AS BIGINT)) AS tp, tot.n
+         |      FROM cls LEFT JOIN r ON r.lang = cls.lang
+         |      LEFT JOIN cl ON cl.pred = cls.lang
+         |      LEFT JOIN dg ON dg.lang = cls.lang CROSS JOIN tot),
+         |k AS (SELECT lang, n_actual, n_pred, tp, n,
+         |        n - n_actual - n_pred + tp AS tn,
+         |        CAST(tp + (n - n_actual - n_pred + tp) AS HUGEINT) * n AS a,
+         |        CAST(n_actual AS HUGEINT) * n_pred
+         |          + CAST(n - n_actual AS HUGEINT) * (n - n_pred) AS b,
+         |        CAST(n AS HUGEINT) * n AS nn
+         |      FROM j)
+         |SELECT lang, n_actual, n_pred, tp,
+         |  CAST((CAST(tp + tn AS HUGEINT) * 1000000) // n AS BIGINT)
+         |    AS po_micro,
+         |  CAST((b * 1000000) // nn AS BIGINT) AS pe_micro,
+         |  CASE WHEN nn > b
+         |    THEN CAST((CASE WHEN a >= b THEN 1 ELSE -1 END)
+         |      * ((abs(a - b) * 1000000) // (nn - b)) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS kappa_micro
+         |FROM k ORDER BY lang""".stripMargin
+    },
 
     // Twin of q159: same aggregated histogram, HUGEINT ≡ the Spark
     // side's DECIMAL(38,0) cross-multiplied CDF differences, one

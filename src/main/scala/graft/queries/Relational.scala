@@ -314,8 +314,50 @@ object Relational {
     "q76_recursive_bfs" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(RecursiveBfsSql)
+    },
+
+    // Benford first-digit audit of a monetary column (Benford 1938;
+    // Nigrini 1996's forensic-accounting screen): the first
+    // significant digit of naturally-grown multiplicative quantities
+    // follows P(d) = log₁₀(1 + 1/d); a feed whose digits DON'T —
+    // synthetic fills, truncated exports, fabricated rows — lights
+    // up the per-digit χ² long before any schema check fires. The
+    // numeric-column sibling of the text-side ingest screens
+    // (q84/q134). TPC-H's uniform price generator is exactly such a
+    // non-Benford source, which is the point: the audit flags it.
+    // Exactness: digits come from the integer-cents device (exact
+    // int64) rendered base-10 — integer-to-string is exact in both
+    // engines, never a double format; expected counts and χ² terms
+    // are fixed-order double expressions micro-quantized (log10 is
+    // the ln precedent, q43's libm note). Scale shape: one pruned
+    // scan → 9-row hash aggregate (map-side combined); the 1-row
+    // total broadcasts (intendedBnlj).
+    "q164_benford_digits" -> { (s, d) =>
+      import s.implicits._
+      benfordDigits(Tables.lineitem(s, d).select($"l_extendedprice"))
     }
   )
+
+  /** The q164 chain over any (l_extendedprice) frame (spec hook:
+    * planted prices with hand-replayed digit counts and χ² —
+    * RelationalSpec). */
+  private[graft] def benfordDigits(prices: DataFrame): DataFrame = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+    val cents = floor($"l_extendedprice" * 100 + lit(0.5)).cast("bigint")
+    val digits = prices
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n")) // 1 row — intendedBnlj
+    def e = $"n".cast("double") *
+      log10(lit(1.0) + lit(1.0) / $"digit".cast("double"))
+    digits.crossJoin(tot)
+      .select($"digit", $"n_obs",
+        floor(e * lit(1e6) + lit(0.5)).cast("bigint").as("exp_micro"),
+        floor(($"n_obs".cast("double") - e) * ($"n_obs".cast("double") - e)
+          / e * lit(1e6) + lit(0.5)).cast("bigint").as("chi2_micro"))
+      .orderBy($"digit")
+  }
 
   /** Runs verbatim in both engines. */
   private val RecursiveBfsSql =
@@ -334,6 +376,27 @@ object Relational {
       |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Twin of q164: same integer-cents → VARCHAR digit device, same
+    // fixed-order double expected/χ² expressions (the expected-count
+    // subexpression is spelled out at each use so both trees match).
+    "q164_benford_digits" -> {
+      val e = "CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+      s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |             AS cents
+         |           FROM lineitem),
+         |g AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |        AS digit, CAST(count(*) AS BIGINT) AS n_obs
+         |      FROM c GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+         |SELECT digit, n_obs,
+         |  CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT) AS exp_micro,
+         |  CAST(floor((CAST(n_obs AS DOUBLE) - ($e))
+         |    * (CAST(n_obs AS DOUBLE) - ($e)) / ($e)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+         |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+    },
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -448,6 +448,36 @@ class CorpusStatSpec extends AnyFunSuite {
       ("fr", 2L, 2L, 2L, 0L, 3000000L, 4L)), s"q162 diverges: $out")
   }
 
+  test("q165 label agreement: planted confusions score exact kappa, perfect disagreement -1, single class 0") {
+    // en: 1 hit + 1 miss; de: 2 hits → per-class one-vs-rest:
+    // po = 3/4, pe = 1/2, kappa = (3/4 − 1/2)/(1 − 1/2) = 1/2
+    val docs = Seq(
+      (1L, "en", "the value"), (2L, "en", "der ist"),
+      (3L, "de", "der ist nicht"), (4L, "de", "das und"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus.labelAgreement(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 2L, 3L, 2L, 750000L, 500000L, 500000L),
+      ("en", 2L, 1L, 1L, 750000L, 500000L, 500000L)), s"q165 diverges: $out")
+    // systematic disagreement: binary kappa hits exactly −1 (the
+    // signed path — Spark div truncates, DuckDB // floors; the abs
+    // split keeps both on nonnegative operands)
+    val swapped = Seq((1L, "en", "der ist"), (2L, "de", "the value"))
+      .toDF("doc_id", "lang", "text")
+    val o2 = graft.queries.Corpus.labelAgreement(swapped)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(o2 == Seq(
+      ("de", 1L, 1L, 0L, 0L, 500000L, -1000000L),
+      ("en", 1L, 1L, 0L, 0L, 500000L, -1000000L)), s"q165 sign: $o2")
+    // degenerate single class: pe = 1 → guarded 0, not a crash
+    val mono = Seq((1L, "en", "the value"), (2L, "en", "the a"))
+      .toDF("doc_id", "lang", "text")
+    val o3 = graft.queries.Corpus.labelAgreement(mono)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(o3 == Seq(("en", 2L, 2L, 2L, 1000000L, 1000000L, 0L)))
+  }
+
   test("q159 length drift: planted length sets score their exact W1/KS, identical sources score 0") {
     // srcA lengths {1, 3}, srcB {3, 3} → corpus {1: 1/4, 3: 3/4}.
     // On [1, 3): |F_A − F_c| = |1/2 − 1/4| = 1/4 over width 2 → W1 =

@@ -95,4 +95,23 @@ class RelationalSpec extends AnyFunSuite {
           "silently truncate min distances on this dataset")
     }
   }
+
+  test("q164 Benford: planted prices yield exact digit counts and the replayed expected/chi-square integers") {
+    import spark.implicits._
+    // cents 100, 150, 250, 999 → first digits 1, 1, 2, 9
+    val prices = Seq(1.00, 1.50, 2.50, 9.99).toDF("l_extendedprice")
+    val out = graft.queries.Relational.benfordDigits(prices)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    def e(d: Long): Double = 4.0 * math.log10(1.0 + 1.0 / d.toDouble)
+    def chi(o: Long, d: Long): Long =
+      micro((o.toDouble - e(d)) * (o.toDouble - e(d)) / e(d))
+    assert(out == Seq(
+      (1L, 2L, micro(e(1)), chi(2, 1)),
+      (2L, 1L, micro(e(2)), chi(1, 2)),
+      (9L, 1L, micro(e(9)), chi(1, 9))), s"q164 diverges: $out")
+    // digit 1's observed 2/4 < Benford would flag nothing; digit 9's
+    // 25% share vs 4.6% expected must carry the largest chi-square
+    assert(out.maxBy(_._4)._1 == 9L)
+  }
 }
