@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * (burstiness q142, pmi_bigrams q125, boilerplate_grams q126),
   * length structure (mad_fences q135, length_tail q145,
   * gini_lengths q146, token_alloc q136), label hygiene
-  * (lang_confusion q144, label_agreement q165), embedding structure (group_frechet q143,
+  * (lang_confusion q144, label_agreement q165), embedding
+  * separability (fisher_ratio q166), embedding structure (group_frechet q143,
   * centroid_confusion q150, embed_diversity q114), readability
   * (q148), char entropy rollup (q137), source overlap (q138),
   * vocabulary coverage (good_turing q152, vocab_richness q162),
@@ -100,7 +101,8 @@ object CorpusAudit {
     "code_switch" -> "q161_code_switch",
     "vocab_richness" -> "q162_chao_richness",
     "temperature_mix" -> "q163_temperature_mix",
-    "label_agreement" -> "q165_label_agreement")
+    "label_agreement" -> "q165_label_agreement",
+    "fisher_ratio" -> "q166_fisher_ratio")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

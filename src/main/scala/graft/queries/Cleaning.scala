@@ -439,25 +439,31 @@ object Cleaning {
   // word-grams is the same statistic at the testdata's vocabulary),
   // eval-set size, and the planted span (1-based token start/len)
   // lifted from each donor doc.
-  private val DecontK = 8
-  private val DecontEvalN = 3
-  private val DecontSpanFrom = 4
-  private val DecontSpanLen = 16
+  private[graft] val DecontK = 8
+  private[graft] val DecontEvalN = 3
+  private[graft] val DecontSpanFrom = 4
+  private[graft] val DecontSpanLen = 16
 
   /** The q121 chain over any (doc_id, text, n_chars) frame (spec
     * hook: planted donor/near-dup corpus — CleaningSpec). See the
     * q121 entry comment for the recipe and scale shape; the gate's
     * eval set derives from the corpus, the general scan is
     * [[decontaminationAgainst]]. */
-  private[graft] def decontamination(docs: DataFrame): DataFrame = {
+  private[graft] def decontamination(docs: DataFrame): DataFrame =
+    decontaminationAgainst(docs, decontEvalItems(docs))
+
+  /** The gate's derived benchmark frame (eval_id, etext) — spans
+    * lifted from the [[DecontEvalN]] longest docs (q121's planted
+    * eval set; ONE definition, shared with q167's semantic screen so
+    * both contamination views scan the SAME benchmark). */
+  private[graft] def decontEvalItems(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val evalItems = docs.orderBy($"n_chars".desc, $"doc_id").limit(DecontEvalN)
+    docs.orderBy($"n_chars".desc, $"doc_id").limit(DecontEvalN)
       .select($"doc_id".as("eval_id"),
         array_join(
           slice(TextOps.tokens($"text"), DecontSpanFrom, DecontSpanLen), " ")
           .as("etext"))
-    decontaminationAgainst(docs, evalItems)
   }
 
   /** The general scan: contaminated (eval_id, doc_id, n_shared)

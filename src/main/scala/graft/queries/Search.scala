@@ -234,6 +234,34 @@ object Search {
       .orderBy($"query_id", $"rn")
   }
 
+  /** The q167 chain over any (doc_id, text) corpus and (eval_id,
+    * etext) benchmark frame (spec hook: planted donor corpus — the
+    * lifted span's donor must rank #1). The q117 scoring device with
+    * the term filter REMOVED: contamination wants the term-sharing
+    * docs (q117 excludes them because negatives must not be
+    * positives; here they are exactly the finds). */
+  private[graft] def semanticContam(docs: DataFrame, evalItems: DataFrame,
+                                    topK: Int = HnTopK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .repartition($"doc_id")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"),
+        bowEmbed($"text").as("v"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", $"v")
+    val qdf = broadcast(evalItems
+      .select($"eval_id", bowEmbed($"etext").as("qv")))
+    val cand = base.crossJoin(qdf)
+      .select($"eval_id", $"doc_id",
+        floor(graft.ops.expressions.CosineSim($"qv", $"v") * lit(1e9) + lit(0.5))
+          .cast("bigint").as("cos_nano"))
+    graft.plans.TopK.perKey(cand, Seq("eval_id"),
+      Seq("cos_nano" -> false, "doc_id" -> true), topK, rankCol = "rn")
+      .select($"eval_id", $"doc_id", $"cos_nano", $"rn".cast("bigint").as("rn"))
+      .orderBy($"eval_id", $"rn")
+  }
+
   /** RRF fusion of the two rank tables (the plug point: any ranker
     * producing (query_id, doc_id, rank) fuses here unchanged —
     * [[graft.pipeline.HybridRetrieval]] feeds it store-served
@@ -691,6 +719,27 @@ object Search {
     "q158_rank_overlap" -> { (s, d) =>
       val (lex, sem) = rrfRankers(Tables.documents(s, d), RrfQueries)
       rankOverlap(lex, sem, RrfQueries.map(_._1))
+    },
+
+    // SEMANTIC benchmark decontamination (the embedding-similarity
+    // screen next to q121's lexical n-gram scan — the recipe
+    // phi/"Textbooks Are All You Need" (Gunasekar et al. 2023) and
+    // Platypus (Lee et al. 2023) run because paraphrased
+    // contamination carries ZERO shared n-grams and q121 is blind to
+    // it): top-k training docs by embedding cosine against each eval
+    // item, the review queue a decontamination pass hand-checks.
+    // Scans the SAME derived benchmark as q121
+    // (Cleaning.decontEvalItems — one definition), so the two
+    // screens' outputs line up row-for-row for the same eval ids;
+    // the planted spans are lifted from real donor docs, so the
+    // semantic screen provably rediscovers each donor at rank 1.
+    // Scale shape: one corpus embed pass (the q111/q117 stand-in
+    // encoder — the ranker is a plug point for AnnIndex at scale),
+    // eval set broadcasts, bounded-heap TopKPerKey — never a
+    // whole-corpus window (intendedBnlj: the tiny eval frame).
+    "q167_semantic_contam" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      semanticContam(docs, Cleaning.decontEvalItems(docs))
     }
   )
 
@@ -906,6 +955,42 @@ object Search {
            |LEFT JOIN nsm ON nsm.query_id = qs.query_id
            |LEFT JOIN sc ON sc.query_id = qs.query_id
            |ORDER BY qs.query_id""".stripMargin
+      },
+
+      // Twin of q167 (semanticContam): q121's derived-benchmark CTEs
+      // (same constants), the q111/q117 embedding device, nano-
+      // rounded cosine, row_number ranks (the TopKPerKey contract).
+      "q167_semantic_contam" -> {
+        val ph = TextVector.Sql.polyHash("t")
+        s"""WITH ev0 AS (SELECT doc_id, text FROM documents
+           |             ORDER BY n_chars DESC, doc_id LIMIT ${Cleaning.DecontEvalN}),
+           |ev1 AS (SELECT doc_id AS eval_id,
+           |          array_to_string((${TextVector.Sql.toks("text")})
+           |            [${Cleaning.DecontSpanFrom} : ${Cleaning.DecontSpanFrom + Cleaning.DecontSpanLen - 1}], ' ')
+           |            AS etext
+           |        FROM ev0),
+           |base AS (
+           |  SELECT doc_id,
+           |    list_sort(list_distinct(list_transform(toks, t -> $ph))) AS hs
+           |  FROM (SELECT doc_id, ${TextVector.Sql.toks("text")} AS toks FROM documents)
+           |  WHERE len(toks) > 0
+           |), docv AS (SELECT doc_id, ${sqlFeatEmbed("hs")} AS v FROM base),
+           |q AS (SELECT eval_id, ${sqlFeatEmbed("qhs")} AS qv
+           |      FROM (SELECT eval_id,
+           |              list_sort(list_distinct(list_transform(${TextVector.Sql.toks("etext")}, t -> $ph))) AS qhs
+           |            FROM ev1)),
+           |sc AS (SELECT q.eval_id, d.doc_id,
+           |         CAST(floor((${TextVector.Sql.dot("q.qv", "d.v")}
+           |             / sqrt(${TextVector.Sql.dot("q.qv", "q.qv")})
+           |             / sqrt(${TextVector.Sql.dot("d.v", "d.v")}))
+           |           * 1000000000.0 + 0.5) AS BIGINT) AS cos_nano
+           |       FROM docv d CROSS JOIN q),
+           |r AS (SELECT eval_id, doc_id, cos_nano,
+           |        CAST(row_number() OVER (PARTITION BY eval_id
+           |          ORDER BY cos_nano DESC, doc_id) AS BIGINT) AS rn
+           |      FROM sc)
+           |SELECT eval_id, doc_id, cos_nano, rn FROM r WHERE rn <= $HnTopK
+           |ORDER BY eval_id, rn""".stripMargin
       },
 
       // Twin of q117 (hardNegatives): the q111 doc/query embedding

@@ -552,6 +552,31 @@ object Sketch {
     "q156_kcenter_coreset" -> { (s, d) =>
       import s.implicits._
       kcenterCoreset(Tables.embeddings(s, d).select($"vec_id", $"embedding"))
+    },
+
+    // Per-dimension Fisher discriminant ratio of the labeled
+    // embeddings (Fisher 1936; Ho & Basu 2002 call exactly this the
+    // F1 class-separability complexity measure): for each dimension,
+    // between-class scatter Σ_c n_c(μ_c − μ)² over within-class
+    // scatter Σ_c n_c σ_c² — the "can a linear probe even work on
+    // these labels" number read BEFORE training q98 (ratio ≈ 0
+    // everywhere means the probe will learn priors, not features),
+    // and the per-dim view that says WHICH coordinates carry the
+    // label signal (q129's top-PC says where variance lives; this
+    // says where DISCRIMINATION lives — not the same dims when the
+    // nuisance variance dominates). Determinism: per-(label, dim)
+    // Σx/Σx² are int64 micro sums (q143's device); both scatter
+    // terms are fixed-order double expressions over those exact
+    // integers, micro-quantized per label BEFORE the order-free
+    // integer sum over labels; the final ratio is ONE double
+    // division. An all-constant dim (zero within-scatter) reports
+    // ratio 0, guarded. Scale shape: ONE posexplode pass map-side-
+    // combines to O(labels·dims) rows; everything after runs on that
+    // tiny frame (the global moments derive from it — no second
+    // corpus pass).
+    "q166_fisher_ratio" -> { (s, d) =>
+      import s.implicits._
+      fisherRatio(Tables.embeddings(s, d).select($"label", $"embedding"))
     }
   )
 
@@ -719,6 +744,41 @@ object Sketch {
       .agg(min($"n").as("n_a"), min($"nb").as("n_b"),
         sum($"term_micro").as("fid_micro"))
       .orderBy($"label")
+  }
+
+  /** The q166 chain over any (label, embedding) frame (spec hook:
+    * planted two-class geometry with a closed-form ratio —
+    * SketchSpec). */
+  private[graft] def fisherRatio(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select($"label".cast("bigint").as("label"),
+        posexplode($"embedding".cast("array<double>")))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val per = e.groupBy($"label", $"dim").agg(
+      count(lit(1)).as("n"),
+      sum(floor($"x" * lit(1e6) + lit(0.5)).cast("bigint")).as("s1"),
+      sum(floor($"x" * $"x" * lit(1e6) + lit(0.5)).cast("bigint")).as("s2"))
+    val glob = per.groupBy($"dim").agg(
+      sum($"n").as("gn"), sum($"s1").as("g1"))
+    val j = per.join(broadcast(glob), Seq("dim"))
+    val muC = $"s1".cast("double") / lit(1e6) / $"n".cast("double")
+    val exC = $"s2".cast("double") / lit(1e6) / $"n".cast("double")
+    val mu = $"g1".cast("double") / lit(1e6) / $"gn".cast("double")
+    val varC = greatest(exC - muC * muC, lit(0.0))
+    j.select($"dim",
+        floor($"n".cast("double") * (muC - mu) * (muC - mu)
+          * lit(1e6) + lit(0.5)).cast("bigint").as("tb"),
+        floor($"n".cast("double") * varC * lit(1e6) + lit(0.5))
+          .cast("bigint").as("tw"))
+      .groupBy($"dim")
+      .agg(sum($"tb").as("between_micro"), sum($"tw").as("within_micro"))
+      .select($"dim".cast("bigint").as("dim"), $"between_micro", $"within_micro",
+        when($"within_micro" > 0L,
+          floor($"between_micro".cast("double")
+            / $"within_micro".cast("double") * lit(1e6) + lit(0.5))
+            .cast("bigint")).otherwise(lit(0L)).as("ratio_micro"))
+      .orderBy($"dim")
   }
 
   /** The q135 chain over any (source, text) frame (spec hook:
@@ -1190,6 +1250,45 @@ object Sketch {
     // Twin of q143: q114's per-dim int64 micro sums, the identical
     // fixed-order mean/variance/sqrt expression over the exact
     // integers, per-dim terms micro-quantized before the BIGINT sum.
+    // Twin of q166: the q143 per-(label, dim) micro-sum device, the
+    // same fixed-order scatter expressions micro-quantized per label
+    // before the BIGINT dim sums, one final double division.
+    "q166_fisher_ratio" ->
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pd AS (SELECT label, CAST(u.i AS BIGINT) AS dim,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(floor(v[CAST(u.i AS INTEGER) + 1]
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         |         CAST(sum(CAST(floor(v[CAST(u.i AS INTEGER) + 1]
+         |           * v[CAST(u.i AS INTEGER) + 1]
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+         |       FROM e, unnest(range(0, len(v))) u(i) GROUP BY 1, 2),
+         |g AS (SELECT dim, CAST(sum(n) AS BIGINT) AS gn,
+         |        CAST(sum(s1) AS BIGINT) AS g1
+         |      FROM pd GROUP BY 1),
+         |t0 AS (SELECT pd.dim,
+         |         CAST(pd.n AS DOUBLE) AS nd,
+         |         CAST(pd.s1 AS DOUBLE) / 1000000.0 / CAST(pd.n AS DOUBLE) AS muc,
+         |         CAST(pd.s2 AS DOUBLE) / 1000000.0 / CAST(pd.n AS DOUBLE) AS exc,
+         |         CAST(g.g1 AS DOUBLE) / 1000000.0 / CAST(g.gn AS DOUBLE) AS mu
+         |       FROM pd JOIN g USING (dim)),
+         |tm AS (SELECT dim,
+         |         CAST(floor(nd * (muc - mu) * (muc - mu)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS tb,
+         |         CAST(floor(nd * greatest(exc - muc * muc, 0.0)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS tw
+         |       FROM t0),
+         |agg AS (SELECT dim, CAST(sum(tb) AS BIGINT) AS between_micro,
+         |          CAST(sum(tw) AS BIGINT) AS within_micro
+         |        FROM tm GROUP BY dim)
+         |SELECT dim, between_micro, within_micro,
+         |  CASE WHEN within_micro > 0
+         |    THEN CAST(floor(CAST(between_micro AS DOUBLE)
+         |      / CAST(within_micro AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS ratio_micro
+         |FROM agg ORDER BY dim""".stripMargin,
+
     "q143_group_frechet" ->
       s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
          |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -131,6 +131,42 @@ class CleaningSpec extends AnyFunSuite {
     assert(full == 9L, s"embedded span should share all 9 grams, got $full")
   }
 
+  test("semantic contamination scans the same benchmark and ranks each donor first") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    // the q121 fixture SHAPE with the SAME derived eval set
+    // (decontEvalItems — one definition), the embedding screen
+    // instead of the n-gram scan. Each eval span is lifted from its
+    // donor, so the donor's bag-of-words contains the whole span
+    // vocabulary — the semantic screen must put the donor at rank 1
+    // for its own eval id (the exact copy, doc 10, ties donor 1's
+    // embedding bit-for-bit and sits behind on the doc_id tiebreak).
+    // Stems are equal-LENGTH (so the longest-3 eval derivation picks
+    // docs 1-3 on the doc_id tie-break, q121's device) but
+    // hash-DIVERSE: sequential stems like "d14"/"d15" polyhash into
+    // one narrow band, the stand-in FeatureEmbed then maps every doc
+    // nearly collinear (cos ≈ 0.9999989 measured), and the screen
+    // degenerates — an adversarial-vocabulary caveat of the
+    // bag-of-hashes encoder, documented here deliberately.
+    val stems = Map(1L -> "kumquat", 2L -> "zebraic", 3L -> "pilgrim")
+    val donors = (1L to 3L).map(i => (i, ws(stems(i), 1, 40)))
+    val copy = Seq((10L, ws(stems(1L), 1, 40)))
+    val noise = (20L to 30L).map(i => (i, ws(s"junk${i}x", 1, 20)))
+    val docs = (donors ++ copy ++ noise).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val out = graft.queries.Search.semanticContam(
+        docs, graft.queries.Cleaning.decontEvalItems(docs))
+      .select(col("eval_id"), col("doc_id"), col("rn"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val top = out.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    // eval 1's donor shares its exact embedding with the copy —
+    // doc_id tiebreak puts the donor (1) above the copy (10)
+    assert(top == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"donors must rank first for their own spans: $out")
+    // the exact copy sits immediately behind donor 1
+    assert(out.contains((1L, 10L, 2L)),
+      s"the exact copy must rank #2 for eval 1: $out")
+  }
+
   test("n-gram novelty: template docs score 0, unique docs 1e6, short docs null") {
     def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
     val template = ws("t", 1, 12)

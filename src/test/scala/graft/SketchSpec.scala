@@ -402,4 +402,20 @@ class SketchSpec extends AnyFunSuite {
       Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"))
       .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 9L, 0L)))
   }
+
+  test("q166 Fisher ratio: separated classes score the closed form, constant dim guards to 0") {
+    // dim 0: A = {0, 2} (mu 1, var 1), B = {4, 6} (mu 5, var 1),
+    // global mu 3 → between = 2·4 + 2·4 = 16, within = 2 + 2 = 4,
+    // ratio = 4 exactly. dim 1: constant 7 → both scatters 0,
+    // guarded ratio 0.
+    val emb = Seq(
+      (0, Seq(0.0, 7.0)), (0, Seq(2.0, 7.0)),
+      (1, Seq(4.0, 7.0)), (1, Seq(6.0, 7.0)))
+      .toDF("label", "embedding")
+    val out = graft.queries.Sketch.fisherRatio(emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 16000000L, 4000000L, 4000000L),
+      (1L, 0L, 0L, 0L)), s"q166 diverges: $out")
+  }
 }
