@@ -330,6 +330,64 @@ class CorpusStatSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: q159/q162 match in-memory references on random corpora") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 40L).map { id =>
+        val src = s"s${rnd.nextInt(3)}"
+        val lang = if (rnd.nextBoolean()) "en" else "fr"
+        val toks = Vector.fill(rnd.nextInt(9))(s"w${rnd.nextInt(10)}")
+        (id, src, lang, toks.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "source", "lang", "text")
+      def toksOf(t: String) = t.split(" ").filter(_.nonEmpty).toVector
+
+      // ---- q162 reference: exact frequency spectrum + the integer
+      // Chao1/jackknife arithmetic (langs with zero tokens have no
+      // count rows and are out of the frame, like the engine) ----
+      val wantC = docs.groupBy(_._3).collect {
+        case (l, ds) if ds.exists(d => toksOf(d._4).nonEmpty) =>
+          val counts = ds.flatMap(d => toksOf(d._4))
+            .groupBy(identity).map(_._2.size.toLong)
+          val nTok = counts.sum; val nTyp = counts.size.toLong
+          val n1 = counts.count(_ == 1L).toLong
+          val n2 = counts.count(_ == 2L).toLong
+          (l, nTok, nTyp, n1, n2,
+            nTyp * 1000000L + (n1 * (n1 - 1L) * 1000000L) / (2L * (n2 + 1L)),
+            nTyp + n1)
+      }.toSeq.sortBy(_._1)
+      val gotC = graft.queries.Corpus.chaoRichness(df)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(gotC == wantC, s"trial $trial: q162 diverges")
+
+      // ---- q159 reference: cross-multiplied CDF differences over
+      // the shared support, step-weighted, one double conversion ----
+      val allLens = docs.map(d => toksOf(d._4).size.toLong)
+      val support = allLens.distinct.sorted
+      val corpusCnt = allLens.groupBy(identity).view.mapValues(_.size.toLong)
+      val nC = allLens.size.toLong
+      val wantW = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+        val lens = ds.map(d => toksOf(d._4).size.toLong)
+        val nS = lens.size.toLong
+        val cnt = lens.groupBy(identity).view.mapValues(_.size.toLong)
+        var cumS = 0L; var cumC = 0L; var w1 = 0L; var ks = 0L
+        for (k <- support.indices) {
+          cumS += cnt.getOrElse(support(k), 0L)
+          cumC += corpusCnt(support(k))
+          val dd = math.abs(cumS * nC - cumC * nS)
+          ks = math.max(ks, dd)
+          if (k < support.length - 1) w1 += dd * (support(k + 1) - support(k))
+        }
+        (src, nS,
+          math.floor(w1.toDouble / (nS.toDouble * nC.toDouble) * 1e6 + 0.5).toLong,
+          math.floor(ks.toDouble / (nS.toDouble * nC.toDouble) * 1e6 + 0.5).toLong)
+      }
+      val gotW = graft.queries.Corpus.lengthDrift(df)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(gotW == wantW, s"trial $trial: q159 diverges")
+    }
+  }
+
   test("q142 burstiness: bursty term tops, even term follows, sub-floor term excluded") {
     // tt: 3 per doc × 5 docs (cf 15, df 5 → 3.0); uu: 1 × 5 (1.0);
     // vv: 5 per doc but only 4 docs — under the df floor, excluded

@@ -124,6 +124,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q116Scan.contains("text") && !q116Scan.contains("source") &&
       !q116Scan.contains("n_chars"),
       s"q116 scan not pruned to (doc_id, lang, text):\n$q116Scan")
+    // q159 histograms lengths per source: source + text only
+    val q159Scan = plans("q159_length_drift").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q159Scan.contains("source") && q159Scan.contains("text") &&
+      !q159Scan.contains("lang") && !q159Scan.contains("n_chars"),
+      s"q159 scan not pruned to (source, text):\n$q159Scan")
+    // q165 confuses labels: lang + text only, never source
+    val q165Scan = plans("q165_label_agreement").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q165Scan.contains("lang") && q165Scan.contains("text") &&
+      !q165Scan.contains("source") && !q165Scan.contains("n_chars"),
+      s"q165 scan not pruned to (lang, text):\n$q165Scan")
+    // q166 scatters vectors per label: label + embedding, never vec_id
+    val q166Scan = plans("q166_fisher_ratio").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(q166Scan.contains("embedding") && q166Scan.contains("label") &&
+      !q166Scan.contains("vec_id"),
+      s"q166 scan not pruned to (label, embedding):\n$q166Scan")
   }
 
   test("content-key per-group state never plans a window over a content-key partition") {
