@@ -108,7 +108,7 @@ object ScaleProbe {
     "q158_rank_overlap", "q159_length_drift",
     "q160_term_dispersion", "q161_code_switch", "q162_chao_richness",
     "q163_temperature_mix", "q165_label_agreement",
-    "q166_fisher_ratio", "q167_semantic_contam")
+    "q166_fisher_ratio", "q167_semantic_contam", "q168_kn_xent")
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

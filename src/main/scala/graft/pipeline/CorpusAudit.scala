@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * (q148), char entropy rollup (q137), source overlap (q138),
   * vocabulary coverage (good_turing q152, vocab_richness q162),
   * drift and predictability
-  * (source_drift q153, entropy_rate q154, length_drift q159), term
+  * (source_drift q153, entropy_rate q154, length_drift q159,
+  * kn_xent q168), term
   * provenance (term_dispersion q160), ingest language hygiene
   * (code_switch q161), and mixture posture (concentration q155,
   * mixture_weights q151, temperature_mix q163).
@@ -102,7 +103,8 @@ object CorpusAudit {
     "vocab_richness" -> "q162_chao_richness",
     "temperature_mix" -> "q163_temperature_mix",
     "label_agreement" -> "q165_label_agreement",
-    "fisher_ratio" -> "q166_fisher_ratio")
+    "fisher_ratio" -> "q166_fisher_ratio",
+    "kn_xent" -> "q168_kn_xent")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

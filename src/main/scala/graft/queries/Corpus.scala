@@ -140,6 +140,87 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  // q168: the KN absolute discount (Kneser & Ney 1995; 0.75 is Chen
+  // & Goodman 1998's fixed-discount default). 3/4 is exactly
+  // representable in binary, so c − D is an EXACT double for any
+  // integer count below 2⁵¹.
+  private val KnD = 0.75
+
+  /** The q168 chain (spec hook: planted train/eval splits with every
+    * branch hand-scored — LmSpec): interpolated Kneser–Ney bigram
+    * cross-entropy on the held-out half. The q102 position device
+    * and split; the model is the KN smoother instead of Stupid
+    * Backoff:
+    *
+    *   p(w|v) = (max(c(vw) − D, 0) + D·N₁₊(v·)·p_cont(w)) / c(v·)
+    *   p_cont(w) = (N₁₊(·w) + 1) / (N₁₊(··) + V + 1)
+    *
+    * — the continuation distribution is add-one smoothed (one
+    * documented deviation from the textbook form, which reserves an
+    * <unk> type instead: it keeps every OOV and unseen-context
+    * position finite without a vocabulary decision the corpus can't
+    * make). Positions with no usable context (first token, or a
+    * context never seen in training) score p_cont alone. Output is
+    * per-LANG (n_pos, n_oov, xent) — the held-out predictability
+    * table read next to q154's entropy rate (that one is the
+    * corpus's own conditional entropy; this one is what a COUNT
+    * MODEL trained on half the corpus achieves on the other half,
+    * and the gap is the overfit/sparsity signal).
+    *
+    * Determinism: all five count tables are exact integers; p is ONE
+    * fixed-order double expression over them (c − 3/4 exact, the
+    * rest exact-rounded IEEE on identical inputs); ln micro-rounds
+    * through avgExact (q72/q102's cross-engine argument). Scale
+    * shape: ONE tokenize/posexplode pass (persisted — train rows are
+    * a filter of it); unigram/context/continuation tables broadcast
+    * (Heaps-bounded); the bigram table joins by key with no hint
+    * (q102's rationale); the 1-row (N₁₊(··), V) total broadcasts
+    * (intendedBnlj). */
+  private[graft] def knCrossEntropy(docs: DataFrame,
+                                    refPred: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.Determinism.{avgExact, roundFix}
+    val pos = docs
+      .select($"lang", $"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"lang", $"doc_id", $"toks",
+        posexplode($"toks").as(Seq("pos", "cur")))
+      .select($"lang", $"doc_id", $"cur",
+        when($"pos" === 0, lit(null).cast("string"))
+          .otherwise(element_at($"toks", $"pos")).as("prev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refPos = pos.filter(refPred)
+    val evalPos = pos.filter(!refPred)
+    val uni = refPos.groupBy($"cur").agg(count(lit(1)).as("cu"))
+    val bi = refPos.filter($"prev".isNotNull)
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy($"prev")
+      .agg(sum($"cb").as("cv"), count(lit(1)).as("n1p"))
+    val contw = bi.groupBy($"cur").agg(count(lit(1)).as("n1w"))
+    val tot = bi.agg(count(lit(1)).as("nbb"))
+      .crossJoin(uni.agg(count(lit(1)).as("v"))) // 1 row — intendedBnlj
+    val pcont = (coalesce($"n1w", lit(0L)).cast("double") + lit(1.0)) /
+      ($"nbb".cast("double") + $"v".cast("double") + lit(1.0))
+    evalPos
+      .join(broadcast(contw), Seq("cur"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(broadcast(uni), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"lang",
+        (-log(
+          when($"cv".isNotNull,
+            (greatest(coalesce($"cb", lit(0L)).cast("double") - lit(KnD),
+              lit(0.0)) + lit(KnD) * $"n1p".cast("double") * pcont)
+              / $"cv".cast("double"))
+            .otherwise(pcont))).as("surp"),
+        when($"cu".isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_pos"), sum($"oov").as("n_oov"),
+        roundFix(avgExact($"surp"), XentDecimals).as("xent"))
+      .orderBy($"lang")
+  }
+
   // q116: distribution-drift bucket count (q103's fixed-size
   // hashed-unigram device — the model is B counters per side
   // regardless of vocabulary). Shared with the incremental store
@@ -1004,6 +1085,22 @@ object Corpus {
     // (intendedBnlj).
     "q165_label_agreement" -> { (s, d) =>
       labelAgreement(Tables.documents(s, d))
+    },
+
+    // Interpolated Kneser–Ney bigram cross-entropy on the held-out
+    // half (class doc on [[knCrossEntropy]]): the canonical count-LM
+    // smoother (Kneser & Ney 1995; Chen & Goodman 1998's definitive
+    // comparison crowned it) next to q102's Stupid Backoff — KN's
+    // continuation probability asks "how many CONTEXTS does this
+    // word complete", which is exactly what separates genuinely
+    // productive vocabulary from boilerplate tokens that are
+    // frequent in one template only. The per-lang held-out table is
+    // the sparsity/coverage gauge a mixture owner reads next to
+    // q154's entropy rate before trusting per-lang LM-based filters
+    // (q110/q120) on a thin slice.
+    "q168_kn_xent" -> { (s, d) =>
+      import s.implicits._
+      knCrossEntropy(Tables.documents(s, d), pmod($"doc_id", lit(2L)) === 0)
     }
   )
 
@@ -1900,6 +1997,52 @@ object Corpus {
          |        // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro,
          |  n_types + n1 AS jack1
          |FROM g ORDER BY lang""".stripMargin,
+
+    // Twin of q168: the q102 position/split CTEs, the KN count
+    // tables, one fixed-order double expression per branch, the
+    // favg/fround pair.
+    "q168_kn_xent" -> {
+      val pcont = "(CAST(coalesce(w.n1w, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(tot.nbb AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0)"
+      s"""WITH t AS (SELECT lang, doc_id, ${Sql.toks("text")} AS toks
+         |           FROM documents),
+         |pos AS (
+         |  SELECT lang, doc_id, toks[CAST(u.i AS INTEGER)] AS cur,
+         |    CASE WHEN u.i = 1 THEN NULL
+         |         ELSE toks[CAST(u.i AS INTEGER) - 1] END AS prev
+         |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+         |refpos AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+         |evalpos AS (SELECT * FROM pos WHERE doc_id % 2 <> 0),
+         |uni AS (SELECT cur, CAST(count(*) AS BIGINT) AS cu
+         |        FROM refpos GROUP BY 1),
+         |bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+         |       FROM refpos WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cv,
+         |          CAST(count(*) AS BIGINT) AS n1p
+         |        FROM bi GROUP BY 1),
+         |contw AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1w
+         |          FROM bi GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS nbb,
+         |               (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v),
+         |s AS (
+         |  SELECT p.lang,
+         |    CASE WHEN c.cv IS NOT NULL THEN
+         |      -ln((greatest(CAST(coalesce(b.cb, 0) AS DOUBLE) - 0.75, 0.0)
+         |         + 0.75 * CAST(c.n1p AS DOUBLE) * ($pcont))
+         |        / CAST(c.cv AS DOUBLE))
+         |    ELSE -ln($pcont) END AS surp,
+         |    CASE WHEN u.cu IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM evalpos p
+         |  LEFT JOIN contw w ON w.cur = p.cur
+         |  LEFT JOIN ctx c ON c.prev = p.prev
+         |  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+         |  LEFT JOIN uni u ON u.cur = p.cur
+         |  CROSS JOIN tot)
+         |SELECT lang, count(*) AS n_pos, CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  ${graft.ops.Determinism.Oracles.fround(
+                graft.ops.Determinism.Oracles.favg("surp"), XentDecimals)} AS xent
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // Twin of q165: the q26/q144 langid argmax device, the same
     // one-vs-rest integer arithmetic with HUGEINT ≡ DECIMAL(38,0)

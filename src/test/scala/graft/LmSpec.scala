@@ -60,6 +60,42 @@ class LmSpec extends AnyFunSuite {
     assert(out(11L) == ((3L, 2L, want11)), s"doc 11: ${out(11L)} != $want11")
   }
 
+  test("planted KN: discount, interpolation, unseen-context, first-token and OOV branches score exactly") {
+    // train doc 0: "a b a b" — uni a:2 b:2 (V 2); bigrams (a,b):2
+    // (b,a):1 → N₁₊(··) 2; ctx a: (cv 2, n1p 1), b: (cv 1, n1p 1);
+    // continuation counts a:1 b:1. p_cont denominator = 2 + 2 + 1.
+    val docs = Seq(
+      (0L, "en", "a b a b"), // the train half
+      (1L, "en", "a b c"),   // first-token + seen-bigram + OOV branch
+      (3L, "fr", "z q")      // OOV first token + unseen context
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Corpus
+      .knCrossEntropy(docs, pmod($"doc_id", lit(2L)) === 0)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    spark.catalog.clearCache() // position-frame persist contract
+
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5)
+    def xentOf(surps: Seq[Double]) = {
+      val s = surps.map(micro).sum / 1e6 / surps.length
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    def pcont(n1w: Long) = (n1w.toDouble + 1.0) / (2.0 + 2.0 + 1.0)
+    def pfull(cb: Long, n1p: Long, pc: Double, cv: Long) =
+      (math.max(cb.toDouble - 0.75, 0.0) + 0.75 * n1p.toDouble * pc) /
+        cv.toDouble
+    // en: p(a|∅) = p_cont(a) = 0.4; p(b|a) = (2−¾ + ¾·1·0.4)/2 =
+    // 0.775; p(c|b) = (0 + ¾·1·0.2)/1 = 0.15 (c is OOV)
+    val wantEn = xentOf(Seq(-math.log(pcont(1)),
+      -math.log(pfull(2, 1, pcont(1), 2)),
+      -math.log(pfull(0, 1, pcont(0), 1))))
+    // fr: both positions have no usable context → pure p_cont of an
+    // unseen word = 0.2; both tokens OOV
+    val wantFr = xentOf(Seq(-math.log(pcont(0)), -math.log(pcont(0))))
+    assert(out("en") == ((3L, 1L, wantEn)), s"en: ${out("en")} != $wantEn")
+    assert(out("fr") == ((2L, 2L, wantFr)), s"fr: ${out("fr")} != $wantFr")
+  }
+
   test("perplexity split: buckets partition each language and means order head < middle < tail") {
     // q120 (Sketch.perplexitySplit) on a planted two-lang corpus:
     // per lang, 12 docs in three clean surprisal strata — reference

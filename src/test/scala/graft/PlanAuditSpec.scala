@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q163_temperature_mix", // q163: two 1-row totals broadcast over O(langs) rows
       "q164_benford_digits", // q164: 1-row total broadcast over the 9-digit rollup
       "q167_semantic_contam", // q167: 3-row derived benchmark vs the scan (q117's shape)
+      "q168_kn_xent", // q168: 1-row (N1++(..), V) total broadcast (q102's shape)
       "q165_label_agreement", // q165: 1-row total broadcast over O(classes) rows
       "q159_length_drift", // q159: O(sources) totals × O(distinct-lengths) histogram spine
       "q160_term_dispersion", // q160: O(sources) totals × top-K terms × 1-row corpus total
