@@ -572,6 +572,32 @@ object Search {
         .orderBy($"user_id", $"day")
     },
 
+    // CUSUM change detection over the per-type daily event stream
+    // (Page 1954's cumulative-sum chart — the classic sequential
+    // detector behind every "this feed's volume shifted" alarm;
+    // where q116's JSD compares two SNAPSHOTS, CUSUM watches ONE
+    // stream and accumulates small persistent deviations until they
+    // cross a decision interval). The recursion gₜ = max(0, gₜ₋₁ +
+    // xₜ − μ − k) is NOT a window primitive, but its closed form is:
+    // gₜ = Sₜ − min(0, min_{j≤t} Sⱼ) with S the plain prefix sum of
+    // deviations — so the whole detector is TWO stacked windows over
+    // the aggregated daily frame (prefix sum + running min), never a
+    // sequential driver loop. Self-baselined (μ = the type's own
+    // mean daily count — the Phase-I convention), allowance k = 10%
+    // of μ and decision interval h = 5k (the standard fast-initial-
+    // response-free parameterization; both documented constants).
+    // Exactness: deviations stay in count·days integer units
+    // (n·D − T − T div 10) in DECIMAL(38,0)/HUGEINT — no division
+    // touches the alarm decision, which compares exact integers;
+    // only the REPORTED cusum normalizes to mean-day units through
+    // one double division. Scale shape: one scan → O(types·days)
+    // daily aggregate (map-side combined); both windows and the
+    // baseline join run over that aggregated frame.
+    "q169_cusum_drift" -> { (s, d) =>
+      import s.implicits._
+      cusumDrift(Tables.events(s, d))
+    },
+
     // Behavioral funnel over per-user event sequences: how far does
     // each user get through view → click → purchase IN ORDER? One
     // shuffle on user_id; per-user state is that user's own events
@@ -743,6 +769,34 @@ object Search {
     }
   )
 
+  /** The q169 chain over any (event_type, ts) frame (spec hook:
+    * planted level-shift series with hand-computed alarm days —
+    * RelationalSpec). A monotone-decreasing S (steady stream) keeps
+    * cusum at exactly 0 because the running min includes the current
+    * row. */
+  private[graft] def cusumDrift(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select($"event_type", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val base = daily.groupBy($"event_type")
+      .agg(sum($"n").as("t"), count(lit(1)).as("d"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily.join(base, Seq("event_type"))
+      .withColumn("step",
+        expr("CAST(n AS DECIMAL(38,0)) * d - t - (t div 10)"))
+      .withColumn("sa", sum($"step").over(w))
+      .withColumn("smin", min($"sa").over(w))
+      .withColumn("cusum",
+        $"sa" - least($"smin", lit(0).cast("decimal(38,0)")))
+      .select($"event_type", $"day", $"n".as("n_events"),
+        floor($"cusum".cast("double") / $"t".cast("double")
+          * lit(1e6) + lit(0.5)).cast("bigint").as("cusum_micro"),
+        when(expr("cusum > 5 * (t div 10)"), 1L).otherwise(0L).as("alarm"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Runs verbatim in both engines. */
   private val LateralSql =
     """SELECT n.n_name, t.o_orderkey,
@@ -760,6 +814,35 @@ object Search {
     val toks = TextVector.Sql.toks("text")
 
     Map(
+      // Twin of q169: same daily aggregate, HUGEINT ≡ DECIMAL(38,0)
+      // deviation units, the same two stacked windows, the exact
+      // integer alarm comparison, one double division for the
+      // reported normalization.
+      "q169_cusum_drift" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |base AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t,
+          |           CAST(count(*) AS BIGINT) AS d
+          |         FROM daily GROUP BY 1),
+          |j AS (SELECT daily.event_type, daily.day, daily.n, base.t,
+          |        CAST(daily.n AS HUGEINT) * base.d - base.t - (base.t // 10)
+          |          AS step
+          |      FROM daily JOIN base USING (event_type)),
+          |s AS (SELECT *, sum(step) OVER (PARTITION BY event_type
+          |        ORDER BY day) AS sa FROM j),
+          |m AS (SELECT *, min(sa) OVER (PARTITION BY event_type
+          |        ORDER BY day) AS smin FROM s),
+          |c AS (SELECT event_type, day, n, t,
+          |        sa - least(smin, CAST(0 AS HUGEINT)) AS cusum FROM m)
+          |SELECT event_type, day, n AS n_events,
+          |  CAST(floor(CAST(cusum AS DOUBLE) / CAST(t AS DOUBLE)
+          |    * 1000000.0 + 0.5) AS BIGINT) AS cusum_micro,
+          |  CAST(CASE WHEN cusum > 5 * (t // 10) THEN 1 ELSE 0 END AS BIGINT)
+          |    AS alarm
+          |FROM c ORDER BY event_type, day""".stripMargin,
+
       "q77_gap_fill" ->
         """WITH daily AS (
           |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -114,4 +114,30 @@ class RelationalSpec extends AnyFunSuite {
     // 25% share vs 4.6% expected must carry the largest chi-square
     assert(out.maxBy(_._4)._1 == 9L)
   }
+
+  test("q169 CUSUM: a planted level shift accumulates to the exact alarm day, a steady stream stays at 0") {
+    import spark.implicits._
+    // type a: 10 days at 10 events, then 5 days at 20 — T 200, D 15,
+    // allowance T div 10 = 20, decision interval 5·20 = 100.
+    // step = n·15 − 220: −70 pre-shift (S keeps falling, running min
+    // tracks it → cusum 0), +80 post-shift → cusum 80, 160, 240,
+    // 320, 400; the alarm (> 100) fires on shift day 2, exactly.
+    // type b: constant rate → negative steps forever → cusum 0.
+    val rows = (1 to 10).flatMap(d => Seq.fill(10)(("a", f"2026-01-$d%02d 12:00:00"))) ++
+      (11 to 15).flatMap(d => Seq.fill(20)(("a", f"2026-01-$d%02d 12:00:00"))) ++
+      (1 to 5).flatMap(d => Seq.fill(4)(("b", f"2026-02-$d%02d 12:00:00")))
+    val events = rows.toDF("event_type", "ts_s")
+      .select($"event_type", to_timestamp($"ts_s").as("ts"))
+    val out = graft.queries.Search.cusumDrift(events)
+      .as[(String, java.sql.Date, Long, Long, Long)].collect().toSeq
+    val a = out.filter(_._1 == "a")
+    assert(a.take(10).forall(r => r._4 == 0L && r._5 == 0L),
+      s"pre-shift days must sit at cusum 0: $a")
+    // post-shift: cusum/T = 80/200, 160/200, ... in micro units
+    assert(a.drop(10).map(r => (r._3, r._4, r._5)) == Seq(
+      (20L, 400000L, 0L), (20L, 800000L, 1L), (20L, 1200000L, 1L),
+      (20L, 1600000L, 1L), (20L, 2000000L, 1L)), s"shift days diverge: $a")
+    assert(out.filter(_._1 == "b").forall(r => r._4 == 0L && r._5 == 0L),
+      "a steady stream must never alarm")
+  }
 }
