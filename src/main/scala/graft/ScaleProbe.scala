@@ -109,6 +109,11 @@ object ScaleProbe {
     "q160_term_dispersion", "q161_code_switch", "q162_chao_richness",
     "q163_temperature_mix", "q165_label_agreement",
     "q166_fisher_ratio", "q167_semantic_contam", "q168_kn_xent")
+    // q101/q170 are NOT probed: their shared citation-edge
+    // derivation documents a ~9k-doc bound (doc_id·A must stay under
+    // 2^63 — Graph.scala's constants note), which the 10× synthetic
+    // corpus exceeds; the operators themselves are equi-join/agg
+    // shapes whose scaling the probed queries already cover.
 
   /** Wall seconds for one full execution (all rows materialized);
     * best of `reps` — the scaling signal wants the floor, not the

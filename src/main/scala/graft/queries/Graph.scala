@@ -65,8 +65,61 @@ object Graph {
       graft.ops.PageRank.run(citationEdges(Tables.documents(s, d)))
         .select($"node", ($"rm".cast("double") / lit(1e6)).as("rank"))
         .orderBy($"node")
+    },
+
+    // Triangle participation per node over the SAME citation graph
+    // q101 ranks (one edge derivation, two analytics): the local
+    // clustering signal — a node in many triangles sits inside a
+    // tightly-linked community, a high-PageRank node in ZERO
+    // triangles is a pure hub (spam farms and link rings separate
+    // exactly on this axis). Degree-ORIENTED counting (Schank &
+    // Wagner 2005's forward algorithm; Suri & Vassilvitskii 2011's
+    // MapReduce formulation): orient every edge from its (deg, id)-
+    // smaller endpoint, enumerate wedges only at each triangle's
+    // unique minimum vertex, close against the undirected edge set —
+    // each triangle found EXACTLY once, and the wedge fan-out is
+    // bounded by oriented out-degree (≤ O(√E) on any graph — the
+    // published bound that keeps a celebrity hub from exploding the
+    // join; a naive wedge join at the hub is the graph analog of the
+    // q24 mega-bucket). All-integer, exact. Scale shape: the edge
+    // frame persists (read three times: degrees, wedges, closure);
+    // everything is equi-joins on node ids — no window, no
+    // cartesian; output is bounded top-K.
+    "q170_triangles" -> { (s, d) =>
+      triangleCounts(citationEdges(Tables.documents(s, d)))
     }
   )
+
+  /** The q170 chain over any (src, dst) edge frame (spec hook:
+    * planted K4 + path — GraphSpec). Reversed duplicates and self
+    * loops canonicalize away; ties in the degree order break on the
+    * smaller id (a total order, so the minimum vertex of every
+    * triangle is unique). */
+  private[graft] def triangleCounts(edges: DataFrame,
+                                    topK: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array($"a", $"b")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oriented = und
+      .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+      .select(when(lower, $"a").otherwise($"b").as("u"),
+        when(lower, $"b").otherwise($"a").as("v"))
+    val wedges = oriented.select($"u", $"v".as("v1"))
+      .join(oriented.select($"u", $"v".as("v2")), Seq("u"))
+      .filter($"v1" < $"v2")
+    val tri = wedges.join(und, $"v1" === $"a" && $"v2" === $"b")
+      .select($"u", $"v1", $"v2")
+    tri.select(explode(array($"u", $"v1", $"v2")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+      .orderBy($"n_tri".desc, $"node").limit(topK)
+  }
 
   /** q101's oracle: the same edge derivation as a UNION ALL, then
     * [[graft.ops.PageRank.Rounds]] unrolled power iterations with
@@ -120,6 +173,46 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
-    "q101_pagerank" -> graft.ops.Determinism.Oracles.materializeCtes(pagerankOracle)
+    "q101_pagerank" -> graft.ops.Determinism.Oracles.materializeCtes(pagerankOracle),
+
+    // Twin of q170: the same edge derivation UNION ALL, the same
+    // canonicalize → degree-orient → wedge → closure chain, all
+    // exact integers.
+    "q170_triangles" -> {
+      val edges = A.zip(B).map { case (a, b) =>
+        s"""SELECT doc_id AS src,
+           |  ((doc_id * $a + $b) % $P) % greatest(doc_id, 1) AS dst
+           |  FROM documents
+           |  WHERE ((doc_id * $a + $b) % $P) % greatest(doc_id, 1) <> doc_id"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e0 AS (
+         |$edges),
+         |und AS (SELECT DISTINCT least(src, dst) AS a,
+         |          greatest(src, dst) AS b
+         |        FROM e0 WHERE least(src, dst) <> greatest(src, dst)),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS node FROM und
+         |              UNION ALL SELECT b FROM und) GROUP BY 1),
+         |o AS (SELECT
+         |        CASE WHEN da.deg < db.deg
+         |               OR (da.deg = db.deg AND und.a < und.b)
+         |          THEN und.a ELSE und.b END AS u,
+         |        CASE WHEN da.deg < db.deg
+         |               OR (da.deg = db.deg AND und.a < und.b)
+         |          THEN und.b ELSE und.a END AS v
+         |      FROM und JOIN deg da ON da.node = und.a
+         |      JOIN deg db ON db.node = und.b),
+         |w AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+         |      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v),
+         |tri AS (SELECT w.u, w.v1, w.v2
+         |        FROM w JOIN und ON und.a = w.v1 AND und.b = w.v2),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         |       FROM (SELECT u AS node FROM tri
+         |             UNION ALL SELECT v1 FROM tri
+         |             UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+         |SELECT node, n_tri FROM pn ORDER BY n_tri DESC, node LIMIT 20"""
+        .stripMargin
+    }
   )
 }
