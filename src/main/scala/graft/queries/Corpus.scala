@@ -192,8 +192,12 @@ object Corpus {
     val refPos = pos.filter(refPred)
     val evalPos = pos.filter(!refPred)
     val uni = refPos.groupBy($"cur").agg(count(lit(1)).as("cu"))
+    // bi feeds FOUR consumers (ctx, continuation, the 1-row total,
+    // and the scoring join) — persisted so the train half aggregates
+    // ONCE instead of once per derived table (the q165 lesson)
     val bi = refPos.filter($"prev".isNotNull)
       .groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = bi.groupBy($"prev")
       .agg(sum($"cb").as("cv"), count(lit(1)).as("n1p"))
     val contw = bi.groupBy($"cur").agg(count(lit(1)).as("n1w"))
@@ -1843,8 +1847,12 @@ object Corpus {
       .select($"source", $"doc_id",
         graft.ops.expressions.TextStats($"sent")
           .getField("lang_pred").as("sl"))
+    // cnt feeds TWO consumers (per-doc stats + the entropy terms) —
+    // persisted so the sentence-explode langId pass runs ONCE (the
+    // q165 lesson; SparkEntry cache contract covers the release)
     val cnt = sl.groupBy($"source", $"doc_id", $"sl")
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val per = cnt.groupBy($"source", $"doc_id")
       .agg(sum($"c").as("n_sent"), count(lit(1)).as("n_langs"),
         max($"c").as("c_max"))

@@ -322,10 +322,17 @@ object Search {
                                  depth: Int = RrfDepth): DataFrame = {
     val spark = lex.sparkSession
     import spark.implicits._
-    val pairs = lex.select($"query_id", $"doc_id", $"lrank")
+    // each capped rank table feeds TWO consumers (the pair join and
+    // its own size count) — persisted so the ranker's corpus scoring
+    // pass behind it executes ONCE per side (the q165 lesson;
+    // O(queries·k) rows cached)
+    val lexD = lex.select($"query_id", $"doc_id", $"lrank")
       .filter($"lrank" <= depth)
-      .join(sem.select($"query_id", $"doc_id", $"srank")
-        .filter($"srank" <= depth), Seq("query_id", "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val semD = sem.select($"query_id", $"doc_id", $"srank")
+      .filter($"srank" <= depth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lexD.join(semD, Seq("query_id", "doc_id"))
       .select($"query_id",
         greatest($"lrank", $"srank").cast("long").as("m"))
     val cm = pairs.groupBy($"query_id", $"m").agg(count(lit(1)).as("cm"))
@@ -347,10 +354,8 @@ object Search {
     val sc = terms.groupBy($"query_id")
       .agg(max($"xk").as("x_k"), sum($"ao_t").as("ao_micro"),
         sum($"rbo_t").as("rbo_micro"))
-    val nl = lex.filter($"lrank" <= depth)
-      .groupBy($"query_id").agg(count(lit(1)).as("n_lex"))
-    val nsm = sem.filter($"srank" <= depth)
-      .groupBy($"query_id").agg(count(lit(1)).as("n_sem"))
+    val nl = lexD.groupBy($"query_id").agg(count(lit(1)).as("n_lex"))
+    val nsm = semD.groupBy($"query_id").agg(count(lit(1)).as("n_sem"))
     queryIds.map(_.toLong).toDF("query_id")
       .join(nl, Seq("query_id"), "left")
       .join(nsm, Seq("query_id"), "left")
