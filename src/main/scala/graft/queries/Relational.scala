@@ -340,7 +340,13 @@ object Relational {
 
   /** The q164 chain over any (l_extendedprice) frame (spec hook:
     * planted prices with hand-replayed digit counts and χ² —
-    * RelationalSpec). */
+    * RelationalSpec). Domain contract: a strictly positive monetary
+    * column (cents ≥ 1 — TPC-H's domain, and Benford's own: the law
+    * is about leading SIGNIFICANT digits). A zero-cents row would
+    * put digit 0 in the table and 1/0 = ∞ through the expected-count
+    * expression (an ANSI cast fault); a caller auditing a column
+    * that can hold zeros filters them first — they carry no leading
+    * significant digit to test. */
   private[graft] def benfordDigits(prices: DataFrame): DataFrame = {
     val spark = prices.sparkSession
     import spark.implicits._
