@@ -135,6 +135,60 @@ class LmSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: q168 matches an in-memory KN reference on random corpora") {
+    // the planted case pins each branch once; this pins the full
+    // joined arithmetic (five count tables, coalesces, branch
+    // routing) on inputs nobody hand-picked
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 30L).map { id =>
+        val lang = if (rnd.nextBoolean()) "en" else "fr"
+        val toks = Vector.fill(rnd.nextInt(8))(s"w${rnd.nextInt(6)}")
+        (id, lang, toks.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val out = graft.queries.Corpus
+        .knCrossEntropy(df, pmod($"doc_id", lit(2L)) === 0)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      spark.catalog.clearCache() // position-frame persist contract
+
+      def toksOf(t: String) = t.split(" ").filter(_.nonEmpty).toVector
+      def positions(ds: Seq[(Long, String, String)]) = ds.flatMap { d =>
+        val ts = toksOf(d._3)
+        ts.zipWithIndex.map { case (w, i) =>
+          (d._2, if (i == 0) None else Some(ts(i - 1)), w) }
+      }
+      val train = positions(docs.filter(_._1 % 2 == 0))
+      val eval = positions(docs.filter(_._1 % 2 != 0))
+      val uni = train.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val bi = train.collect { case (_, Some(p), w) => (p, w) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctx = bi.toSeq.groupBy(_._1._1).view
+        .mapValues(es => (es.map(_._2).sum, es.size.toLong)).toMap
+      val n1w = bi.keys.toSeq.groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val (nbb, v) = (bi.size.toLong, uni.size.toLong)
+      def pcont(w: String) = (n1w.getOrElse(w, 0L).toDouble + 1.0) /
+        (nbb.toDouble + v.toDouble + 1.0)
+      def surp(prev: Option[String], w: String): Double = -math.log(
+        prev.flatMap(ctx.get) match {
+          case Some((cv, n1p)) =>
+            (math.max(bi.getOrElse((prev.get, w), 0L).toDouble - 0.75, 0.0)
+              + 0.75 * n1p.toDouble * pcont(w)) / cv.toDouble
+          case None => pcont(w)
+        })
+      def micro(x: Double) = math.floor(x * 1e6 + 0.5)
+      val want = eval.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, ps) =>
+        val ss = ps.map(p => surp(p._2, p._3))
+        val xent = math.floor(
+          ss.map(micro).sum / 1e6 / ss.length * 1e6 + 0.5) / 1e6
+        (l, ps.size.toLong,
+          ps.count(p => !uni.contains(p._3)).toLong, xent)
+      }
+      assert(out == want, s"trial $trial: q168 diverges\n got $out\nwant $want")
+    }
+  }
+
   test("q102 on the corpus: reference-side docs never back off, scores well-formed") {
     val out = SparkEntry.queries("q102_bigram_surprisal")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double)].collect()
