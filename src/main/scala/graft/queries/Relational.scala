@@ -347,13 +347,26 @@ object Relational {
     * expression (an ANSI cast fault); a caller auditing a column
     * that can hold zeros filters them first — they carry no leading
     * significant digit to test. */
-  private[graft] def benfordDigits(prices: DataFrame): DataFrame = {
+  private[graft] def benfordDigits(prices: DataFrame): DataFrame =
+    benfordFromCounts(digitCounts(prices))
+
+  /** The additive sufficient statistic — one (digit, n_obs) row per
+    * leading digit ([[graft.pipeline.NumericAuditMaintenance]]
+    * absorbs exactly this frame per delivery). */
+  private[graft] def digitCounts(prices: DataFrame): DataFrame = {
     val spark = prices.sparkSession
     import spark.implicits._
     val cents = floor($"l_extendedprice" * 100 + lit(0.5)).cast("bigint")
-    val digits = prices
+    prices
       .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+  }
+
+  /** q164 over a pre-aggregated (digit, n_obs) frame (the
+    * goodTuringFromCounts sharing convention). */
+  private[graft] def benfordFromCounts(digits: DataFrame): DataFrame = {
+    val spark = digits.sparkSession
+    import spark.implicits._
     val tot = digits.agg(sum($"n_obs").as("n")) // 1 row — intendedBnlj
     def e = $"n".cast("double") *
       log10(lit(1.0) + lit(1.0) / $"digit".cast("double"))
