@@ -388,6 +388,90 @@ class CorpusStatSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: q161/q165 match in-memory langId-chain references on random corpora") {
+    // the langId replica: same dicts, same argmax tie order, same
+    // 'und' fallback (PropertySpec pins the kernel ≡ the HOF; this
+    // pins the CHAINS built on it — joins, coalesces, rollups)
+    def toksOf(t: String) =
+      graft.ops.TextOps.TokenPattern.r.findAllIn(t).toVector
+    def langOf(toks: Seq[String]): String = {
+      val scores = graft.ops.TextOps.LangDicts.map { case (l, d) =>
+        l -> toks.count(d.toSet) }
+      val best = scores.map(_._2).max
+      scores.find { case (_, s) => s == best && best > 0 }
+        .map(_._1).getOrElse("und")
+    }
+    def sentsOf(t: String) = t
+      .split(s"[.!?]+[${" \\t\\n\\x0B\\f\\r"}]*").toVector
+      .filter(_.trim.nonEmpty)
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    val words = Seq("the", "value", "der", "nicht", "le", "los", "zz")
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 30L).map { id =>
+        val src = s"s${rnd.nextInt(3)}"
+        val lang = Seq("en", "de", "fr")(rnd.nextInt(3))
+        val sents = Vector.fill(1 + rnd.nextInt(3))(
+          Vector.fill(1 + rnd.nextInt(4))(words(rnd.nextInt(words.size)))
+            .mkString(" "))
+        (id, src, lang, sents.mkString(". ") + ".")
+      }
+      val df = docs.toDF("doc_id", "source", "lang", "text")
+
+      // ---- q161 reference ----
+      val perDoc = docs.map { d =>
+        val labels = sentsOf(d._4).map(s => langOf(toksOf(s)))
+        val byLang = labels.groupBy(identity).view.mapValues(_.size).toMap
+        val n = labels.size.toDouble
+        val ent = byLang.values
+          .map(c => micro(-(c / n) * math.log(c / n))).sum
+        val cmi = micro(1.0 - byLang.values.max / n)
+        (d._2, byLang.size, ent, cmi)
+      }
+      val wantCs = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (src, ds) =>
+          val nDocs = ds.size.toLong
+          val nMixed = ds.count(_._2 >= 2).toLong
+          (src, nDocs, nMixed, nMixed * 1000000L / nDocs,
+            ds.map(_._3).sum / nDocs, ds.map(_._4).sum / nDocs)
+      }
+      val gotCs = graft.queries.Corpus.codeSwitch(df)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      spark.catalog.clearCache() // q161 cnt persist contract
+      assert(gotCs == wantCs, s"trial $trial: q161 diverges")
+
+      // ---- q165 reference: one-vs-rest kappa off the doc-level
+      // confusion, signed division replicated with BigInt ----
+      val conf = docs.map(d => (d._3, langOf(toksOf(d._4))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = docs.size.toLong
+      val rows = conf.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val cols = conf.toSeq.groupBy(_._1._2).view
+        .mapValues(_.map(_._2).sum).toMap
+      val classes = (rows.keySet ++ cols.keySet).toSeq.sorted
+      val wantK = classes.map { l =>
+        val (r, c) = (rows.getOrElse(l, 0L), cols.getOrElse(l, 0L))
+        val tp = conf.getOrElse((l, l), 0L)
+        val tn = n - r - c + tp
+        val a = BigInt(tp + tn) * n
+        val b = BigInt(r) * c + BigInt(n - r) * (n - c)
+        val nn = BigInt(n) * n
+        val kappa =
+          if (nn > b)
+            ((if (a >= b) 1 else -1) * ((a - b).abs * 1000000 / (nn - b)))
+              .toLong
+          else 0L
+        (l, r, c, tp, (BigInt(tp + tn) * 1000000 / n).toLong,
+          (b * 1000000 / nn).toLong, kappa)
+      }
+      val gotK = graft.queries.Corpus.labelAgreement(df)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      spark.catalog.clearCache() // q165 conf persist contract
+      assert(gotK == wantK, s"trial $trial: q165 diverges")
+    }
+  }
+
   test("q142 burstiness: bursty term tops, even term follows, sub-floor term excluded") {
     // tt: 3 per doc × 5 docs (cf 15, df 5 → 3.0); uu: 1 × 5 (1.0);
     // vv: 5 per doc but only 4 docs — under the df floor, excluded
