@@ -388,6 +388,60 @@ class CorpusStatSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: q160/q163 match in-memory references on random corpora") {
+    def toksOf(t: String) = t.split(" ").filter(_.nonEmpty).toVector
+    val rnd = new scala.util.Random(20260819L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 30L).map { id =>
+        val src = s"s${rnd.nextInt(3)}"
+        val lang = if (rnd.nextBoolean()) "en" else "fr"
+        val toks = Vector.fill(rnd.nextInt(7))(s"w${rnd.nextInt(8)}")
+        (id, src, lang, toks.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "source", "lang", "text")
+
+      // ---- q160 reference: BigInt cross-products, engine-order
+      // double division ----
+      val tf = docs.flatMap(d => toksOf(d._4).map(w => (d._2, w)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ct = tf.toSeq.groupBy(_._1._2).view
+        .mapValues(_.map(_._2).sum).toMap
+      val ni = tf.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val nTot = ni.values.sum
+      val top = ct.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+      val wantD = top.map { case (w, c) =>
+        val s = ni.toSeq.map { case (src, nI) =>
+          (BigInt(tf.getOrElse((src, w), 0L)) * nTot - BigInt(nI) * c).abs
+        }.sum
+        (w, c, math.floor(s.toDouble /
+          (2.0 * c.toDouble * nTot.toDouble) * 1e6 + 0.5).toLong)
+      }.sortBy { case (w, c, _) => (-c, w) }
+      val gotD = graft.queries.Corpus.termDispersion(df)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(gotD == wantD, s"trial $trial: q160 diverges")
+
+      // ---- q163 reference: nano-quantized sqrt damping, BigInt
+      // integral divisions ----
+      val byLang = docs.groupBy(_._3).view
+        .mapValues(_.map(d => toksOf(d._4).size.toLong).sum).toMap
+      val n = byLang.values.sum
+      val q = byLang.view.mapValues(c =>
+        math.floor(math.sqrt(c.toDouble / n.toDouble) * 1e9 + 0.5).toLong)
+        .toMap
+      val qs = q.values.sum
+      val wantT = byLang.toSeq.sortBy(_._1).map { case (l, c) =>
+        val w = (BigInt(q(l)) * 1000000 / qs).toLong
+        val ep = if (c > 0)
+          (BigInt(q(l)) * n * 1000000 / (BigInt(qs) * c)).toLong else 0L
+        (l, c, (BigInt(c) * 1000000 / n).toLong, w, ep)
+      }
+      val gotT = graft.queries.Learn.temperatureMix(df)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(gotT == wantT, s"trial $trial: q163 diverges")
+    }
+  }
+
   test("randomized differential: q161/q165 match in-memory langId-chain references on random corpora") {
     // the langId replica: same dicts, same argmax tie order, same
     // 'und' fallback (PropertySpec pins the kernel ≡ the HOF; this
