@@ -416,4 +416,38 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(short._2 == 1L && short._3 == 2L && short._4 == 1L,
       s"short-list counts diverge: $short")
   }
+
+  test("randomized differential: q158 matches an in-memory overlap reference on random rank lists") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(20260820L)
+    val depth = 6
+    for (trial <- 1 to 3) {
+      val qids = Seq(0, 1, 2)
+      def lists() = qids.map { q =>
+        q.toLong -> rnd.shuffle((1L to 12L).toVector)
+          .take(1 + rnd.nextInt(depth))
+      }.toMap
+      val (lexL, semL) = (lists(), lists())
+      def df(m: Map[Long, Vector[Long]], col: String): DataFrame =
+        m.toSeq.flatMap { case (q, ds) =>
+          ds.zipWithIndex.map { case (d, i) => (q, d, i + 1) } }
+          .toDF("query_id", "doc_id", col)
+      val got = graft.queries.Search.rankOverlap(
+          df(lexL, "lrank"), df(semL, "srank"), qids, depth)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      spark.catalog.clearCache() // rankOverlap persist contract
+      val want = qids.map(_.toLong).map { q =>
+        val (l, s) = (lexL(q), semL(q))
+        def x(d: Int) = l.take(d).toSet.intersect(s.take(d).toSet).size.toLong
+        val ao = (1 to depth).map(d =>
+          math.floor(x(d).toDouble * 1e6 / (d.toLong * depth).toDouble
+            + 0.5).toLong).sum
+        val rbo = (1 to depth).map(d =>
+          math.floor(x(d).toDouble * 1e6 / (d.toLong * (1L << d)).toDouble
+            + 0.5).toLong).sum
+        (q, l.size.toLong, s.size.toLong, x(depth), ao, rbo)
+      }
+      assert(got == want, s"trial $trial: q158 diverges\n got $got\nwant $want")
+    }
+  }
 }

@@ -418,4 +418,37 @@ class SketchSpec extends AnyFunSuite {
       (0L, 16000000L, 4000000L, 4000000L),
       (1L, 0L, 0L, 0L)), s"q166 diverges: $out")
   }
+
+  test("randomized differential: q166 matches an in-memory scatter reference on random labeled vectors") {
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    val rnd = new scala.util.Random(20260821L)
+    for (trial <- 1 to 3) {
+      val dims = 3
+      val vecs = (0 until 25).map { _ =>
+        (rnd.nextInt(3), Vector.fill(dims)(rnd.nextDouble() * 2 - 1)) }
+      val df = vecs.toDF("label", "embedding")
+      val got = graft.queries.Sketch.fisherRatio(df)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = (0 until dims).map { d =>
+        val per = vecs.groupBy(_._1).toSeq.map { case (_, vs) =>
+          val xs = vs.map(_._2(d))
+          (xs.size.toLong, xs.map(micro).sum,
+            xs.map(x => micro(x * x)).sum)
+        }
+        val (gn, g1) = (per.map(_._1).sum, per.map(_._2).sum)
+        val mu = g1.toDouble / 1e6 / gn.toDouble
+        val tb = per.map { case (n, s1, _) =>
+          val muC = s1.toDouble / 1e6 / n.toDouble
+          micro(n.toDouble * (muC - mu) * (muC - mu)) }.sum
+        val tw = per.map { case (n, s1, s2) =>
+          val muC = s1.toDouble / 1e6 / n.toDouble
+          val exC = s2.toDouble / 1e6 / n.toDouble
+          micro(n.toDouble * math.max(exC - muC * muC, 0.0)) }.sum
+        val ratio = if (tw > 0)
+          math.floor(tb.toDouble / tw.toDouble * 1e6 + 0.5).toLong else 0L
+        (d.toLong, tb, tw, ratio)
+      }
+      assert(got == want, s"trial $trial: q166 diverges\n got $got\nwant $want")
+    }
+  }
 }
