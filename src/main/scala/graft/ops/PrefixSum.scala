@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Skew-free distributed prefix sums.
   *
@@ -21,8 +22,8 @@ import org.apache.spark.sql.functions._
   *   2. per-(key, bucket) totals via one map-side-combining groupBy;
   *   3. the cumulative OFFSET of each bucket from an exclusive scan
   *      over that aggregated frame. The frame is COUNTED (it is
-  *      `localCheckpoint`ed anyway so the count is free of
-  *      recomputation): at or below [[DefaultMaxBroadcastBuckets]]
+  *      persisted anyway so the count reads the cached blocks):
+  *      at or below [[DefaultMaxBroadcastBuckets]]
   *      rows the scan is a single window and the offsets broadcast
   *      back; above it the scan RECURSES — the bucket totals are
   *      themselves bucketed, scanned, and joined without a broadcast
@@ -79,10 +80,16 @@ object PrefixSum {
     val t = s"__pstot_$depth"
     val o = s"__psoff_$depth"
     val bucketed = df.withColumn(b, expr(s"`$ord` div $bucketWidth"))
-    // localCheckpoint: the frame feeds the count, the offset scan, and
+    // persist + count: the frame feeds the count, the offset scan, and
     // (on the recursive path) a shuffle join — materialize it once.
+    // MEMORY_AND_DISK (not localCheckpoint) because on the sparse path
+    // this frame is O(corpus) rows: persist keeps the lineage, so an
+    // executor loss recomputes the lost blocks instead of failing the
+    // job, and the blocks register with the CacheManager, so the
+    // SparkEntry clearCache() contract releases them between queries
+    // (localCheckpoint blocks answered to neither).
     val btot = bucketed.groupBy(col(key), col(b))
-      .agg(sum(col(value)).as(t)).localCheckpoint()
+      .agg(sum(col(value)).as(t)).persist(StorageLevel.MEMORY_AND_DISK)
     val nBuckets = btot.count()
     val (boff, levels) =
       if (nBuckets <= maxBroadcastBuckets) {

@@ -1661,9 +1661,16 @@ object Corpus {
     val h2 = bi.join(nbi, Seq("lang"))
       .select($"lang", plogp($"c", $"n_bigrams").as("t"))
       .groupBy($"lang").agg(sum($"t").as("h2_micro"))
-    nuni.join(nbi, Seq("lang")).join(h1, Seq("lang")).join(h2, Seq("lang"))
+    // nbi/h2 LEFT-joined (round-15 advisor note): a language whose
+    // documents are all single-token has unigram evidence but zero
+    // bigrams — it must still report its H1 row, with n_bigrams 0 and
+    // null h2/cond (undefined over an empty distribution), not vanish.
+    nuni.join(nbi, Seq("lang"), "left").join(h1, Seq("lang"))
+      .join(h2, Seq("lang"), "left")
       .select($"lang", $"n_unigrams", $"n_types",
-        $"n_bigrams", $"n_bigram_types", $"h1_micro", $"h2_micro",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_bigram_types", lit(0L)).as("n_bigram_types"),
+        $"h1_micro", $"h2_micro",
         ($"h2_micro" - $"h1_micro").as("cond_micro"))
       .orderBy($"lang")
   }
@@ -1953,10 +1960,12 @@ object Corpus {
          |           * ln(CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
          |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h2_micro
          |       FROM bi JOIN nbi ON nbi.lang = bi.lang GROUP BY bi.lang)
-         |SELECT nuni.lang, n_unigrams, n_types, n_bigrams, n_bigram_types,
+         |SELECT nuni.lang, n_unigrams, n_types,
+         |  coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+         |  coalesce(n_bigram_types, CAST(0 AS BIGINT)) AS n_bigram_types,
          |  h1_micro, h2_micro, h2_micro - h1_micro AS cond_micro
-         |FROM nuni JOIN nbi ON nbi.lang = nuni.lang
-         |JOIN h1 ON h1.lang = nuni.lang JOIN h2 ON h2.lang = nuni.lang
+         |FROM nuni LEFT JOIN nbi ON nbi.lang = nuni.lang
+         |JOIN h1 ON h1.lang = nuni.lang LEFT JOIN h2 ON h2.lang = nuni.lang
          |ORDER BY nuni.lang""".stripMargin,
 
     // Twin of q155: one token-count pass, two rollups, share squares

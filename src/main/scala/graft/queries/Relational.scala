@@ -340,41 +340,55 @@ object Relational {
 
   /** The q164 chain over any (l_extendedprice) frame (spec hook:
     * planted prices with hand-replayed digit counts and χ² —
-    * RelationalSpec). Domain contract: a strictly positive monetary
-    * column (cents ≥ 1 — TPC-H's domain, and Benford's own: the law
-    * is about leading SIGNIFICANT digits). A zero-cents row would
-    * put digit 0 in the table and 1/0 = ∞ through the expected-count
-    * expression (an ANSI cast fault); a caller auditing a column
-    * that can hold zeros filters them first — they carry no leading
-    * significant digit to test. */
+    * RelationalSpec). Benford's law is about leading SIGNIFICANT
+    * digits, so only cents ≥ 1 rows carry evidence — but this chain
+    * is also NumericAuditMaintenance's ingestion path, whose whole
+    * purpose is catching malformed feeds. Out-of-domain rows (zero
+    * or negative cents — a truncated export, a sign-flipped refund
+    * feed) are therefore COUNTED AND REPORTED as an explicit
+    * digit-0 bucket with null expected/χ² (the row IS the audit
+    * signal) rather than silently dropped or — the round-15 advisor
+    * finding — left to poison the χ² table with log10(∞) garbage.
+    * The Benford expectation itself is computed over in-domain rows
+    * only. */
   private[graft] def benfordDigits(prices: DataFrame): DataFrame =
     benfordFromCounts(digitCounts(prices))
 
   /** The additive sufficient statistic — one (digit, n_obs) row per
-    * leading digit ([[graft.pipeline.NumericAuditMaintenance]]
-    * absorbs exactly this frame per delivery). */
+    * leading digit, digit 0 = out-of-domain rows (cents < 1)
+    * ([[graft.pipeline.NumericAuditMaintenance]] absorbs exactly
+    * this frame per delivery; the digit-0 bucket is additive like
+    * every other, so bad-feed evidence accumulates in the store). */
   private[graft] def digitCounts(prices: DataFrame): DataFrame = {
     val spark = prices.sparkSession
     import spark.implicits._
     val cents = floor($"l_extendedprice" * 100 + lit(0.5)).cast("bigint")
+    // The when-guard must come FIRST: a negative cents renders as
+    // "-…" whose first character is no digit at all.
     prices
-      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .select(when(cents < 1, lit(0L))
+        .otherwise(substring(cents.cast("string"), 1, 1).cast("long"))
+        .as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
   }
 
   /** q164 over a pre-aggregated (digit, n_obs) frame (the
-    * goodTuringFromCounts sharing convention). */
+    * goodTuringFromCounts sharing convention). Digit-0 rows pass
+    * through with null exp/χ² — reported, never in the expectation. */
   private[graft] def benfordFromCounts(digits: DataFrame): DataFrame = {
     val spark = digits.sparkSession
     import spark.implicits._
-    val tot = digits.agg(sum($"n_obs").as("n")) // 1 row — intendedBnlj
+    val tot = digits.where($"digit" >= 1)
+      .agg(sum($"n_obs").as("n")) // 1 row — intendedBnlj
     def e = $"n".cast("double") *
       log10(lit(1.0) + lit(1.0) / $"digit".cast("double"))
     digits.crossJoin(tot)
       .select($"digit", $"n_obs",
-        floor(e * lit(1e6) + lit(0.5)).cast("bigint").as("exp_micro"),
-        floor(($"n_obs".cast("double") - e) * ($"n_obs".cast("double") - e)
-          / e * lit(1e6) + lit(0.5)).cast("bigint").as("chi2_micro"))
+        when($"digit" >= 1,
+          floor(e * lit(1e6) + lit(0.5)).cast("bigint")).as("exp_micro"),
+        when($"digit" >= 1,
+          floor(($"n_obs".cast("double") - e) * ($"n_obs".cast("double") - e)
+            / e * lit(1e6) + lit(0.5)).cast("bigint")).as("chi2_micro"))
       .orderBy($"digit")
   }
 
@@ -404,15 +418,18 @@ object Relational {
       s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
          |             AS cents
          |           FROM lineitem),
-         |g AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
-         |        AS digit, CAST(count(*) AS BIGINT) AS n_obs
+         |g AS (SELECT CASE WHEN cents < 1 THEN CAST(0 AS BIGINT)
+         |             ELSE CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |             END AS digit, CAST(count(*) AS BIGINT) AS n_obs
          |      FROM c GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+         |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g WHERE digit >= 1)
          |SELECT digit, n_obs,
-         |  CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT) AS exp_micro,
-         |  CAST(floor((CAST(n_obs AS DOUBLE) - ($e))
-         |    * (CAST(n_obs AS DOUBLE) - ($e)) / ($e)
-         |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+         |  CASE WHEN digit >= 1 THEN
+         |    CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT) END AS exp_micro,
+         |  CASE WHEN digit >= 1 THEN
+         |    CAST(floor((CAST(n_obs AS DOUBLE) - ($e))
+         |      * (CAST(n_obs AS DOUBLE) - ($e)) / ($e)
+         |      * 1000000.0 + 0.5) AS BIGINT) END AS chi2_micro
          |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
     },
 

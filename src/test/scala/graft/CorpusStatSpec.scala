@@ -607,6 +607,25 @@ class CorpusStatSpec extends AnyFunSuite {
     assert(math.abs(h1 - micro(math.log(2.0))) <= 1L)
   }
 
+  test("q154 entropy rate: a language of single-token documents keeps its H1 row with zero bigrams and null h2/cond") {
+    // Round-15 advisor note: the inner nbi join silently dropped any
+    // language with no bigram evidence. 'de' is two one-token docs —
+    // unigram H1 = ln 2 over {x, y}, zero bigrams; it must report,
+    // not vanish, and the undefined H2/cond surface as nulls.
+    val docs = Seq((1L, "de", "x"), (2L, "de", "y"),
+      (3L, "fr", "c c")).toDF("doc_id", "lang", "text")
+    def plogp(c: Long, n: Long): Long =
+      math.floor(-(c.toDouble / n.toDouble) *
+        math.log(c.toDouble / n.toDouble) * 1e6 + 0.5).toLong
+    val out = graft.queries.Corpus.entropyRate(docs)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("de", 2L, 2L, 0L, 0L, plogp(1, 2) * 2, None, None),
+      ("fr", 2L, 1L, 1L, 1L, 0L, Some(0L), Some(0L))),
+      s"q154 single-token-language contract diverges: $out")
+  }
+
   test("q155 concentration: two equal groups score HHI 0.5 / eff 2; a monopoly scores 1 / eff 1") {
     val docs = Seq(
       (1L, "A", "en", "t t t"), (2L, "A", "en", "t"),

@@ -197,17 +197,25 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     val lowCard = Set("lang", "source", "kind", "label", "split", "band", "domain")
-    def bounded(p: SparkPlan): Boolean = p.collectFirst {
-      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => ()
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
-      // A localCheckpoint severs lineage, so an aggregate computed
-      // before it is invisible here. The only checkpointed frames a
-      // window reads are PrefixSum's per-(key, bucket) totals, which
-      // are aggregate outputs AND row-counted before the scan is
-      // chosen (the sparse-ordinal guard; LmSpec pins it).
-      case _: org.apache.spark.sql.execution.RDDScanExec => ()
-    }.nonEmpty
+    def bounded(p: SparkPlan): Boolean = p.collect {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      // A persisted frame plans as a cache scan whose lineage lives in
+      // the InMemoryRelation's cachedPlan — descend into it and apply
+      // the same invariant, so a cached aggregate output (PrefixSum's
+      // per-(key, bucket) totals) passes structurally while a cached
+      // corpus-sized projection does NOT. No blanket RDD/cache-scan
+      // acceptance: the round-15 advisor flagged exactly that hatch.
+      // AdaptiveSparkPlanExec / QueryStageExec are LEAF nodes whose
+      // real subtree hangs off a field, not children — unwrap both.
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        bounded(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        bounded(q.plan)
+    }.exists(identity)
     for ((name, (_, plan)) <- built;
          w <- plan.collect {
            case w: WindowExec if w.partitionSpec.nonEmpty &&

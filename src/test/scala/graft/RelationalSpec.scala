@@ -115,6 +115,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.maxBy(_._4)._1 == 9L)
   }
 
+  test("q164 Benford: zero and negative prices surface as a digit-0 evidence row instead of poisoning the chi-square table") {
+    import spark.implicits._
+    // A malformed feed: two in-domain rows plus a zero-cents row and
+    // a sign-flipped refund. The out-of-domain pair must land in ONE
+    // digit-0 bucket with null expected/χ² (the row is the audit
+    // signal), and the Benford expectation must be computed over the
+    // 2 in-domain rows only — not 4 (round-15 advisor note: before
+    // this guard, cents=0 produced digit 0 → log10(∞) garbage on the
+    // Spark side and a cast fault in the DuckDB twin).
+    val prices = Seq(1.00, 9.99, 0.0, -3.50).toDF("l_extendedprice")
+    val out = graft.queries.Relational.benfordDigits(prices)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    def e(d: Long): Double = 2.0 * math.log10(1.0 + 1.0 / d.toDouble)
+    def chi(o: Long, d: Long): Long =
+      micro((o.toDouble - e(d)) * (o.toDouble - e(d)) / e(d))
+    assert(out == Seq(
+      (0L, 2L, None, None),
+      (1L, 1L, Some(micro(e(1))), Some(chi(1, 1))),
+      (9L, 1L, Some(micro(e(9))), Some(chi(1, 9)))), s"q164 guard diverges: $out")
+  }
+
   test("q169 CUSUM: a planted level shift accumulates to the exact alarm day, a steady stream stays at 0") {
     import spark.implicits._
     // type a: 10 days at 10 events, then 5 days at 20 — T 200, D 15,

@@ -26,8 +26,11 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     qo, qn = old.get("queries", {}), new.get("queries", {})
+    # Same ratio convention as the flag loop: old==0 sorts as inf
+    # (worst), not 0 (last).
     both = sorted(set(qo) & set(qn),
-                  key=lambda q: qn[q] / qo[q] if qo[q] else 0, reverse=True)
+                  key=lambda q: qn[q] / qo[q] if qo[q] else float("inf"),
+                  reverse=True)
     flagged = 0
     print(f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}")
     for q in both:
@@ -43,11 +46,19 @@ def main():
     if removed:
         print("removed: " + ", ".join(removed))
     to, tn = old.get("value"), new.get("value")
+    # steal_pct/load fields are absent from older (tail-truncated)
+    # BENCH_r*.json artifacts — the files this tool exists to compare
+    # against; render them as nan instead of raising.
+    nan = float("nan")
+    so = old.get("steal_pct", nan)
+    sn = new.get("steal_pct", nan)
+    so = nan if so is None else so
+    sn = nan if sn is None else sn
     print(f"total: {to:.2f}s ({len(qo)} queries) -> {tn:.2f}s ({len(qn)}), "
           f"shared-query sum {sum(qo[q] for q in both):.2f} -> "
           f"{sum(qn[q] for q in both):.2f}; {flagged} flagged > {thr}x "
           f"(loads: old {old.get('load_before')}, new {new.get('load_before')}; "
-          f"steal: old {old.get('steal_pct'):.2f}%, new {new.get('steal_pct'):.2f}%)")
+          f"steal: old {so:.2f}%, new {sn:.2f}%)")
 
 if __name__ == "__main__":
     main()
