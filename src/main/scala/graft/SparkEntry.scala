@@ -57,7 +57,8 @@ object SparkEntry {
       "q132_threshold_sweep"),
     "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers",
       "q115_corpus_map"),
-    "pc_fit" -> Seq("q129_top_pc", "q130_whiten"))
+    "pc_fit" -> Seq("q129_top_pc", "q130_whiten"),
+    "citation_edges" -> Seq("q101_pagerank", "q170_triangles"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the

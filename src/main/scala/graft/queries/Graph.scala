@@ -61,8 +61,12 @@ object Graph {
       import s.implicits._
       // ranking executes eagerly during construction (the q63/q92/
       // q98 precedent for driver-looped stages); the returned plan
-      // is the final rank projection
-      graft.ops.PageRank.run(citationEdges(Tables.documents(s, d)))
+      // is the final rank projection. Edges come from the shared
+      // CitationStage memo (one materialization, two consumers —
+      // also the shape PageRank.run's doc asks callers to provide:
+      // each power round reads the checkpoint instead of re-running
+      // the derivation scan).
+      graft.ops.PageRank.run(CitationStage.edges(s, d))
         .select($"node", ($"rm".cast("double") / lit(1e6)).as("rank"))
         .orderBy($"node")
     },
@@ -86,7 +90,7 @@ object Graph {
     // everything is equi-joins on node ids — no window, no
     // cartesian; output is bounded top-K.
     "q170_triangles" -> { (s, d) =>
-      triangleCounts(citationEdges(Tables.documents(s, d)))
+      triangleCounts(CitationStage.edges(s, d))
     }
   )
 

@@ -131,4 +131,24 @@ class GraphSpec extends AnyFunSuite {
     assert(real.nonEmpty && real.forall(_._2 >= 1L),
       s"gate-scale citation graph should carry triangles: $real")
   }
+
+  test("q101 and q170 share ONE citation-edge materialization per (session, corpus)") {
+    import spark.implicits._
+    // The shared-stage contract (round-15 verdict #2): two graph
+    // analytics, one edge derivation. Both queries must answer from
+    // the same CitationStage build — a second build means a builder
+    // regressed to deriving privately.
+    graft.queries.CitationStage.reset()
+    try {
+      val ranks = graft.SparkEntry.queries("q101_pagerank")(spark, sf)
+        .as[(Long, Double)].collect()
+      val tris = graft.SparkEntry.queries("q170_triangles")(spark, sf)
+        .as[(Long, Long)].collect()
+      spark.catalog.clearCache()
+      assert(ranks.nonEmpty && tris.nonEmpty)
+      assert(graft.queries.CitationStage.buildCount == 1,
+        s"citation edges derived ${graft.queries.CitationStage.buildCount} " +
+          "times for two consumers — the shared stage is not shared")
+    } finally graft.queries.CitationStage.reset()
+  }
 }
