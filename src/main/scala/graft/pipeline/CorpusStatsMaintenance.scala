@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   * input of q159's Wasserstein/KS length-drift table — so the drift
   * alarm a mixture owner reads per delivery costs O(batch) tokenize
   * plus an O(sources × distinct-lengths) derivation, never a corpus
-  * re-scan. Both statistics come off the one tokenize of the
-  * arriving batch.
+  * re-scan. And a THIRD: the RAW (lang, w1, w2) adjacent-pair count
+  * table, which carries q154's entropy rate and q125's PMI
+  * collocations — raw (unfloored) counts are load-bearing for both
+  * (q125's ≥5 noise floor must apply to the MERGED counts, and the
+  * table's per-lang sum IS the bigram mass both normalizers need —
+  * [[graft.queries.Corpus.bigramCounts]]'s doc). All three
+  * statistics come off the one tokenize of the arriving batch.
   *
-  * Store layout: `dir/termcounts/run=<id>/` parquet (lang, w, c) and
-  * `dir/lenhist/run=<id>/` parquet (source, len, c). [[absorb]] is
+  * Store layout: `dir/termcounts/run=<id>/` parquet (lang, w, c),
+  * `dir/lenhist/run=<id>/` parquet (source, len, c), and
+  * `dir/bicounts/run=<id>/` parquet (lang, w1, w2, c). [[absorb]] is
   * idempotent under re-delivery (dynamic partition overwrite keyed
   * on the run id — the house at-least-once convention); a token-less
   * batch still histograms its zero-length docs (length 0 is length
@@ -37,19 +43,23 @@ import org.apache.spark.sql.functions._
   * serves the same integers as a compacted one.
   *
   * Scale shape: absorb is O(batch); the store holds O(langs·vocab) +
-  * O(sources·distinct-lengths) rows regardless of corpus size
-  * (vocabulary grows ~N^β, q149's own fit); serving aggregates the
-  * store, never the corpus.
+  * O(sources·distinct-lengths) + O(langs·bigram-types) rows
+  * regardless of corpus size (vocabulary grows ~N^β, q149's own
+  * fit; bigram types grow the same way one power up — still
+  * sublinear in tokens); serving aggregates the store, never the
+  * corpus.
   */
 object CorpusStatsMaintenance {
 
   private def store(dir: String) = s"$dir/termcounts"
   private def lstore(dir: String) = s"$dir/lenhist"
+  private def bstore(dir: String) = s"$dir/bicounts"
 
   private def counts(docs: DataFrame): DataFrame =
-    docs.select(col("lang"),
-        explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    graft.queries.Corpus.unigramCounts(docs)
+
+  private def bicounts(docs: DataFrame): DataFrame =
+    graft.queries.Corpus.bigramCounts(docs)
 
   private def lenhist(docs: DataFrame): DataFrame =
     docs.select(col("source"),
@@ -63,6 +73,8 @@ object CorpusStatsMaintenance {
       .write.partitionBy("run").mode("overwrite").parquet(store(dir))
     lenhist(docs).withColumn("run", lit("base"))
       .write.partitionBy("run").mode("overwrite").parquet(lstore(dir))
+    bicounts(docs).withColumn("run", lit("base"))
+      .write.partitionBy("run").mode("overwrite").parquet(bstore(dir))
   }
 
   /** Absorb one delivery under `run=<runId>` — O(batch), idempotent
@@ -79,6 +91,10 @@ object CorpusStatsMaintenance {
     lenhist(docs).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(lstore(dir))
+    graft.ops.StoreCompaction.heal(spark, bstore(dir), "run")
+    bicounts(docs).withColumn("run", lit(runId))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(bstore(dir))
   }
 
   /** Fold every run into one summed partition per statistic
@@ -92,6 +108,10 @@ object CorpusStatsMaintenance {
     graft.ops.StoreCompaction.fold(spark, lstore(dir), "run", "base",
       spark.read.parquet(lstore(dir))
         .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c")))
+    graft.ops.StoreCompaction.fold(spark, bstore(dir), "run", "base",
+      spark.read.parquet(bstore(dir))
+        .groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(sum(col("c")).as("c")))
   }
 
   /** The summed (lang, w, c) view of whatever runs are on disk —
@@ -128,8 +148,30 @@ object CorpusStatsMaintenance {
   def chaoRichness(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Corpus.chaoRichnessFromCounts(merged(spark, dir))
 
+  /** The summed (lang, w1, w2, c) bigram view — same heal/aggregate
+    * contract. */
+  private def mergedBi(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.StoreCompaction.heal(spark, bstore(dir), "run")
+    spark.read.parquet(bstore(dir))
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+  }
+
   /** q159's length-drift table from the store — the per-delivery
     * drift alarm, served without touching the corpus. */
   def lengthDrift(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Corpus.lengthDriftFromHist(mergedLens(spark, dir))
+
+  /** q154's entropy-rate table from the store — H₁/H₂/conditional
+    * per language off the merged count tables, no corpus re-scan. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.entropyRateFromCounts(
+      merged(spark, dir), mergedBi(spark, dir))
+
+  /** q125's PMI collocation table from the store — the ≥5 noise
+    * floor applies to the MERGED bigram counts (the reason the store
+    * keeps raw counts), so a pair crossing the floor across
+    * deliveries surfaces exactly as the batch chain would rank it. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.pmiFromCounts(
+      merged(spark, dir), mergedBi(spark, dir))
 }

@@ -1142,31 +1142,54 @@ object Corpus {
 
   /** The q125 chain over any (lang, text) frame (spec hook: planted
     * collocation corpus — LmSpec). See the q125 entry comment. */
-  private[graft] def pmiBigrams(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def pmiBigrams(docs: DataFrame): DataFrame =
+    pmiFromCounts(unigramCounts(docs), bigramCounts(docs))
+
+  /** Per-(lang, term) occurrence counts — the additive sufficient
+    * statistic behind q139/q140/q152/q154/q162/q125 and the
+    * [[graft.pipeline.CorpusStatsMaintenance]] term store (counts sum
+    * across disjoint deliveries, so the store absorbs batches and the
+    * FromCounts derivations serve without a corpus re-scan). */
+  private[graft] def unigramCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+
+  /** Per-(lang, adjacent-pair) RAW counts — the second additive
+    * sufficient statistic ([[CorpusStatsMaintenance]]'s bigram store;
+    * q154's H₂ and q125's PMI are both pure functions of it). RAW is
+    * load-bearing: the table's per-lang sum IS the total bigram mass
+    * Σ_docs(len−1), so consumers reconstruct their normalizers from
+    * the table alone — a count-floored table would lose the mass of
+    * the rare pairs and the PMI denominator with it. Adjacent pairs
+    * zip the token array with its own tail — one narrow map, no
+    * positional explode-then-self-join. */
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("lang"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("c"))
+
+  /** q125 over the pre-aggregated sufficient statistics (the
+    * goodTuringFromCounts sharing convention): `uni` = (lang, w, c),
+    * `bi` = RAW (lang, w1, w2, c). The PMI noise floor applies to the
+    * MERGED counts (a pair seen 3+3 times across two deliveries is a
+    * ≥5 pair), which is why the store keeps raw counts. */
+  private[graft] def pmiFromCounts(uni0: DataFrame, biRaw: DataFrame): DataFrame = {
+    val spark = uni0.sparkSession
     import spark.implicits._
-    val toked = docs
-      .select($"lang", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") > 1)
-    // adjacent pairs: zip the token array with its own tail — one
-    // narrow map, no positional explode-then-self-join
-    val bi = toked.select($"lang",
-        explode(arrays_zip(
-          slice($"toks", lit(1), size($"toks") - 1),
-          slice($"toks", lit(2), size($"toks") - 1))).as("p"))
-      .select($"lang", $"p".getField("0").as("w1"), $"p".getField("1").as("w2"))
-      .groupBy($"lang", $"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val bi = biRaw.withColumnRenamed("c", "n_ab")
       .filter($"n_ab" >= PmiMinCount)
-    val uni = docs.select($"lang", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    val uni = uni0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = uni.groupBy($"lang").agg(sum($"c").as("n_uni"))
-    // total bigram mass per lang = Σ_docs (len−1) over the >1-token
-    // docs — closed form off the token counts, NOT a sum of the
-    // count-floored bi frame (p(ab) must be a probability over ALL
-    // bigram occurrences, not just the frequent ones)
-    val nbi = toked.groupBy($"lang")
-      .agg((sum(size($"toks")) - count(lit(1))).as("n_bi"))
+    // total bigram mass per lang = the raw table's per-lang sum
+    // (= Σ_docs (len−1) over the >1-token docs — p(ab) must be a
+    // probability over ALL bigram occurrences, not just the ≥5 ones)
+    val nbi = biRaw.groupBy($"lang").agg(sum($"c").as("n_bi"))
     val scored = bi
       .join(uni.select($"lang", $"w".as("w1"), $"c".as("c_a")), Seq("lang", "w1"))
       .join(uni.select($"lang", $"w".as("w2"), $"c".as("c_b")), Seq("lang", "w2"))
@@ -1635,27 +1658,27 @@ object Corpus {
   /** The q154 chain over any (lang, text) frame (spec hook: planted
     * uniform and deterministic-chain corpora with closed-form
     * entropies — CorpusStatSpec). */
-  private[graft] def entropyRate(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def entropyRate(docs: DataFrame): DataFrame =
+    entropyRateFromCounts(unigramCounts(docs), bigramCounts(docs))
+
+  /** q154 over the pre-aggregated sufficient statistics (the
+    * [[pmiFromCounts]] twin): both entropies are pure functions of
+    * the merged count tables — plogp terms quantize to int64 BEFORE
+    * the per-lang sums, so the served result is bit-identical to the
+    * batch chain regardless of how counts were accumulated. */
+  private[graft] def entropyRateFromCounts(uni: DataFrame,
+                                           bi: DataFrame): DataFrame = {
+    val spark = uni.sparkSession
     import spark.implicits._
-    val t = docs.select($"lang", TextOps.tokens($"text").as("toks"))
     def plogp(c: Column, n: Column) =
       floor(-(c.cast("double") / n.cast("double")) *
         log(c.cast("double") / n.cast("double")) * lit(1e6) + lit(0.5))
         .cast("bigint")
-    val uni = t.select($"lang", explode($"toks").as("w"))
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
     val nuni = uni.groupBy($"lang")
       .agg(sum($"c").as("n_unigrams"), count(lit(1)).as("n_types"))
     val h1 = uni.join(nuni, Seq("lang"))
       .select($"lang", plogp($"c", $"n_unigrams").as("t"))
       .groupBy($"lang").agg(sum($"t").as("h1_micro"))
-    val bi = t.filter(size($"toks") >= 2)
-      .select($"lang", explode(zip_with(
-        slice($"toks", lit(1), size($"toks") - 1),
-        slice($"toks", lit(2), size($"toks") - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .groupBy($"lang", $"p.w1", $"p.w2").agg(count(lit(1)).as("c"))
     val nbi = bi.groupBy($"lang")
       .agg(sum($"c").as("n_bigrams"), count(lit(1)).as("n_bigram_types"))
     val h2 = bi.join(nbi, Seq("lang"))

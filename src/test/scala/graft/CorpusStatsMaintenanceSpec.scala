@@ -34,21 +34,36 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
       CorpusStatsMaintenance.chaoRichness(spark, dir).collect().toSeq)
     def servedLen =
       CorpusStatsMaintenance.lengthDrift(spark, dir).collect().toSeq
+    // the bigram-store consumers (q154 entropy rate, q125 PMI — the
+    // round-15 verdict's incremental-serving ask): both must replay
+    // the batch chains' exact integers off the merged raw counts
+    def servedBi = (
+      CorpusStatsMaintenance.entropyRate(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.pmiBigrams(spark, dir).collect().toSeq)
     val batch = (
       graft.queries.Corpus.lexicalDiversity(docs).collect().toSeq,
       graft.queries.Corpus.goodTuring(docs).collect().toSeq,
       graft.queries.Corpus.zipfSlope(docs).collect().toSeq,
       graft.queries.Corpus.chaoRichness(docs).collect().toSeq)
+    val batchBi = (
+      graft.queries.Corpus.entropyRate(docs).collect().toSeq,
+      graft.queries.Corpus.pmiBigrams(docs).collect().toSeq)
     assert(batch._1.nonEmpty && batch._3.nonEmpty, "fixture served nothing")
+    assert(batchBi._1.nonEmpty && batchBi._2.nonEmpty,
+      "bigram fixture served nothing")
     assert(served == batch,
       "served statistics diverge from the batch chains over the same docs")
     assert(servedLen ==
       graft.queries.Corpus.lengthDrift(docs).collect().toSeq,
       "served length drift diverges from the batch chain")
+    assert(servedBi == batchBi,
+      "served entropy-rate/PMI diverge from the batch chains")
 
     // at-least-once: a re-delivered batch overwrites its own run
     CorpusStatsMaintenance.absorb(spark, part1, dir, "b1")
     assert(served == batch, "re-delivery changed the served statistics")
+    assert(servedBi == batchBi,
+      "re-delivery changed the served entropy-rate/PMI")
 
     // a token-less delivery adds no term counts — but a zero-length
     // document IS length evidence, so the drift table must see it
@@ -71,6 +86,8 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     CorpusStatsMaintenance.compact(spark, dir)
     assert(runDirs == 1, "compaction must fold to one partition")
     assert(served == batch, "compaction changed the served statistics")
+    assert(servedBi == batchBi,
+      "compaction changed the served entropy-rate/PMI")
     assert(servedLen ==
       graft.queries.Corpus.lengthDrift(withEmpty).collect().toSeq,
       "compaction changed the served length drift")
@@ -90,5 +107,9 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
       graft.queries.Corpus.lengthDrift(withEmpty.unionByName(fresh))
         .collect().toSeq,
       "post-compaction length drift diverges from the batch chain")
+    assert(servedBi == (
+      graft.queries.Corpus.entropyRate(extTerms).collect().toSeq,
+      graft.queries.Corpus.pmiBigrams(extTerms).collect().toSeq),
+      "post-compaction entropy-rate/PMI diverge from the batch chains")
   }
 }
