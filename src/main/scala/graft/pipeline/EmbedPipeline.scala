@@ -50,6 +50,47 @@ object EmbedPipeline {
     }
   }
 
+  /** EP1 with a PLUGGABLE model — the reference's actual job shape
+    * (`run.py:42` `model.encode(batch)` over InstructorXL): rows
+    * stream through [[graft.ops.Inference.mapBatched]] with one
+    * encoder instance per partition and fixed-size batches whose
+    * tail always flushes. [[embedJob]] keeps the codegen `HashEmbed`
+    * kernel (the oracle-gated stand-in); THIS entry point is the
+    * seam a real model plugs into — same sink, same shard bound,
+    * same no-tail-drop guarantee, only the encoder swapped. The
+    * wrapper hands the user's text encoder exactly the batch
+    * mapBatched formed (ids zip back positionally, and mapBatched's
+    * length check rejects an encoder that drops or pads rows), so
+    * "batch boundaries hold" is a property of the seam, not of any
+    * particular model. PipelineSpec drives a non-hash model
+    * (bag-of-chars) through embed → merge → AnnIndex build → search
+    * end-to-end. */
+  def embedJobWith(spark: SparkSession, inPath: String, outPath: String,
+                   idCol: String, contentCol: String, batchSize: Int,
+                   shardRows: Int,
+                   enc: graft.ops.BatchEncoder[String, Seq[Double]]): Long = {
+    import spark.implicits._
+    val rows = spark.read.parquet(inPath)
+      .select(col(idCol).cast("long").as("id"),
+        col(contentCol).cast("string").as("content"))
+      .as[(Long, String)]
+    val embedded = graft.ops.Inference.mapBatched(rows, batchSize,
+      new graft.ops.BatchEncoder[(Long, String), Embedded] {
+        def encodeBatch(xs: Seq[(Long, String)]): Seq[Embedded] = {
+          val vecs = enc.encodeBatch(xs.map(_._2))
+          // checked HERE, not left to mapBatched's length guard: a
+          // zip would silently TRUNCATE an over-producing encoder
+          // back to batch length and the guard would never see it
+          require(vecs.length == xs.length,
+            s"encoder returned ${vecs.length} vectors for a ${xs.length}-row batch")
+          xs.lazyZip(vecs).map { case ((id, c), v) => Embedded(id, c, v) }
+        }
+      })
+    withMaxRecordsPerFile(spark, shardRows) {
+      graft.ops.Metrics.observedParquetWrite(embedded.toDF(), outPath).rows
+    }
+  }
+
   /** The K3 rows-per-file bound is the session conf, not a writer
     * option (the option form is silently ignored). */
   private def withMaxRecordsPerFile[A](spark: SparkSession, shardRows: Int)(f: => A): A = {

@@ -203,4 +203,118 @@ class PipelineSpec extends AnyFunSuite {
       .filter(_.status == "conflict").collect()
     assert(conf.map(_.id).toSeq == Seq(7L))
   }
+
+  test("pluggable encoder seam: a non-hash model drives embed → merge → ANN build → search end-to-end (run.py:42's job with a swapped model)") {
+    import spark.implicits._
+    // a model-shaped object that is NOT the HashEmbed stand-in
+    // (top-level fixture object — an inner class would capture the
+    // non-Serializable suite)
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("bocBatches")
+    def bagOfChars(s: String): Seq[Double] = BagOfCharsModel.vec(s)
+    def newEnc = new BagOfCharsModel.Enc(batchSizes)
+
+    // two "fields" per doc (the reference's title/abstract shape),
+    // derived so the sides differ
+    val base = tmp("plug")
+    val in = s"$base/in"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", substring($"text", 1, 60).as("title"),
+        $"text".as("abstract"))
+    docs.write.parquet(in)
+    val n = docs.count()
+    val inParts = spark.read.parquet(in).rdd.getNumPartitions
+
+    // EP1 with the swapped model: no tail-drop, bounded batches
+    val tOut = s"$base/titles"
+    val wrote = EmbedPipeline.embedJobWith(spark, in, tOut,
+      "doc_id", "title", batchSize = 32, shardRows = 200, newEnc)
+    assert(wrote == n, s"tail-drop with a swapped encoder: $wrote of $n")
+    val sizes = batchSizes.value
+    import scala.jdk.CollectionConverters._
+    val sz = sizes.asScala.toSeq
+    assert(sz.sum == n, s"batches covered ${sz.sum} of $n rows")
+    assert(sz.forall(_ <= 32), s"oversized batch: ${sz.max}")
+    assert(sz.count(_ < 32) <= inParts,
+      s"more short batches (${sz.count(_ < 32)}) than partitions ($inParts) — " +
+        "tail batches must only occur at partition ends")
+
+    // the vectors really came from the swapped model — driver replay
+    val got = spark.read.parquet(tOut)
+      .select($"id", $"content", $"embedding").as[(Long, String, Seq[Double])]
+      .collect().sortBy(_._1)
+    assert(got.forall { case (_, c, e) => e == bagOfChars(c) },
+      "executor-side encoding diverges from the driver replay")
+
+    // checkpoint/resume: the job is an idempotent overwrite — a crashed
+    // run re-runs to the same bytes (the K2/L3 contract embedJob pins
+    // for the hash model, re-proven for the seam)
+    val firstRun = got.map { case (id, _, e) => (id, e) }
+    assert(EmbedPipeline.embedJobWith(spark, in, tOut,
+      "doc_id", "title", batchSize = 32, shardRows = 200, newEnc) == n)
+    val secondRun = spark.read.parquet(tOut)
+      .select($"id", $"embedding").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    assert(secondRun.toSeq == firstRun.toSeq, "re-run is not idempotent")
+
+    // merge (EP3) — same downstream as the hash model
+    val aOut = s"$base/abstracts"
+    EmbedPipeline.embedJobWith(spark, in, aOut,
+      "doc_id", "abstract", batchSize = 32, shardRows = 200, newEnc)
+    val mOut = s"$base/merged"
+    assert(EmbedPipeline.mergeJob(spark, tOut, aOut, mOut, 0.2) == n)
+    val merged = spark.read.parquet(mOut)
+      .select($"id".as("vec_id"), $"embedding".as("vec"))
+    assert(merged.limit(1).select(size($"vec")).as[Int].collect()(0) == 52,
+      "merged dim must be title+abstract concat")
+
+    // ANN build + refined search in the swapped model's space: query
+    // docs whose vector is UNIQUE (the corpus plants exact-duplicate
+    // texts, which any deterministic model maps to identical vectors
+    // — those can't assert self-first) must retrieve themselves
+    val dir = s"$base/ann"
+    graft.pipeline.AnnIndex.build(spark, merged, dir)
+    val uniqueIds = merged.groupBy($"vec").agg(collect_list($"vec_id").as("ids"))
+      .filter(size($"ids") === 1)
+      .select(element_at($"ids", 1).as("vec_id")).orderBy($"vec_id")
+      .limit(3).as[Long].collect()
+    assert(uniqueIds.length == 3, "fixture lost its unique-vector docs")
+    val queries = merged.filter($"vec_id".isin(uniqueIds: _*))
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val hits = graft.pipeline.AnnIndex
+      .searchRefined(spark, queries, dir, merged, k = 3)
+      .filter($"rn" === 1)
+      .select($"query_id", $"vec_id", $"d2").collect()
+    assert(hits.length == 3)
+    hits.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 0.0,
+        s"query ${r.getLong(0)} did not retrieve itself in the " +
+          s"swapped model's space: got ${r.getLong(1)} at d2=${r.getDouble(2)}")
+    }
+  }
+}
+
+/** The pluggable-encoder spec's stand-in model: position-weighted
+  * bag-of-chars (letter i accumulates 1 + pos mod 11, so word ORDER
+  * matters and distinct texts map to distinct vectors) —
+  * deterministic, Serializable, and nothing like HashEmbed. Lives at
+  * top level because an encoder defined inside the suite would
+  * capture the non-Serializable scalatest engine via $outer. */
+private object BagOfCharsModel {
+  def vec(s: String): Seq[Double] = {
+    val v = new Array[Double](26)
+    var j = 0
+    while (j < s.length) {
+      val c = Character.toLowerCase(s.charAt(j))
+      if (c >= 'a' && c <= 'z') v(c - 'a') += 1.0 + (j % 11)
+      j += 1
+    }
+    v.toSeq
+  }
+  class Enc(batchSizes: org.apache.spark.util.CollectionAccumulator[Int])
+      extends graft.ops.BatchEncoder[String, Seq[Double]] {
+    def encodeBatch(xs: Seq[String]): Seq[Seq[Double]] = {
+      batchSizes.add(xs.length)
+      xs.map(vec)
+    }
+  }
 }
