@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
   * (source_drift q153, entropy_rate q154, length_drift q159,
   * kn_xent q168), term
   * provenance (term_dispersion q160), ingest language hygiene
-  * (code_switch q161), and mixture posture (concentration q155,
-  * mixture_weights q151, temperature_mix q163).
+  * (code_switch q161), mixture posture (concentration q155,
+  * mixture_weights q151, temperature_mix q163), coverage geometry
+  * (kcenter_coreset q156), retrieval-ranker health (rank_overlap
+  * q158), and numeric-feed / event-stream forensics (benford_digits
+  * q164, cusum_drift q169 — the operational alarms a release review
+  * reads next to the text statistics).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -104,7 +108,11 @@ object CorpusAudit {
     "temperature_mix" -> "q163_temperature_mix",
     "label_agreement" -> "q165_label_agreement",
     "fisher_ratio" -> "q166_fisher_ratio",
-    "kn_xent" -> "q168_kn_xent")
+    "kn_xent" -> "q168_kn_xent",
+    "kcenter_coreset" -> "q156_kcenter_coreset",
+    "rank_overlap" -> "q158_rank_overlap",
+    "benford_digits" -> "q164_benford_digits",
+    "cusum_drift" -> "q169_cusum_drift")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest
