@@ -368,8 +368,59 @@ object Cleaning {
     // the scan and ONE combine.
     "q126_boilerplate_grams" -> { (s, d) =>
       boilerplateGrams(Tables.documents(s, d))
+    },
+
+    // k-anonymity / l-diversity release audit (Sweeney 2002;
+    // Machanavajjhala et al. 2006) — the governance gate q124's
+    // PII masking does NOT cover: masking hides direct identifiers,
+    // but a released table still re-identifies people when a
+    // quasi-identifier COMBINATION (here nation × market segment ×
+    // coarse balance band) is rare enough to single someone out.
+    // One row per occupied QI cell: k (cell size), l (distinct
+    // sensitive values — the exact balance stands in for the
+    // sensitive attribute), and the 0/1 release verdicts a
+    // suppression pass would act on (k ≥ KAnonK AND l ≥ LDiversity
+    // to publish). This is the record-level twin of q52/q124's
+    // text-level PII family — data-release governance over the
+    // metadata side of the corpus.
+    //
+    // Scale shape: ONE map-side-combined hash aggregate keyed by
+    // the QI tuple (count + exact count-distinct expands to the
+    // standard two-phase agg); output is O(occupied QI cells),
+    // bounded by the QI domain product, never by row count. Nothing
+    // else moves — at 100 TB this is a scan plus a combine.
+    "q171_k_anonymity" -> { (s, d) =>
+      import s.implicits._
+      kAnonymity(Tables.customer(s, d)
+        .select($"c_nationkey".cast("long").as("nationkey"),
+          $"c_mktsegment".as("segment"),
+          floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"),
+          $"c_acctbal".as("sensitive")))
     }
   )
+
+  /** q171: publishability floors — the textbook defaults (k=5 is
+    * the census small-cell rule; l=3 guards attribute disclosure
+    * inside a published cell). */
+  private val KAnonK     = 5L
+  private val LDiversity = 3L
+
+  /** The q171 chain over any (nationkey, segment, band, sensitive)
+    * frame (spec hook: planted cells with known k/l — CleaningSpec). */
+  private[graft] def kAnonymity(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupBy($"nationkey", $"segment", $"band")
+      .agg(count(lit(1)).as("k"),
+        countDistinct($"sensitive").as("l"))
+      .select($"nationkey", $"segment", $"band", $"k", $"l",
+        when($"k" >= KAnonK, 1L).otherwise(0L).as("k_anon"),
+        when($"l" >= LDiversity, 1L).otherwise(0L).as("l_diverse"),
+        when($"k" >= KAnonK && $"l" >= LDiversity, 0L).otherwise(1L)
+          .as("suppress"))
+      .orderBy($"nationkey", $"segment", $"band")
+  }
 
   /** q126: report size. The gram width is q93's SpanK — one
     * boilerplate granularity across the repeated-text family. */
@@ -640,6 +691,27 @@ object Cleaning {
          |      FROM p GROUP BY gram)
          |SELECT gram, n_docs, n_occur FROM a
          |WHERE n_docs > 1
-         |ORDER BY n_docs DESC, gram LIMIT $BoilerK""".stripMargin
+         |ORDER BY n_docs DESC, gram LIMIT $BoilerK""".stripMargin,
+
+    // Twin of q171: same QI banding (floor over DOUBLE division —
+    // one IEEE op, bit-identical), count + exact count-distinct,
+    // integer verdict flags.
+    "q171_k_anonymity" ->
+      s"""WITH b AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |    c_mktsegment AS segment,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         |    c_acctbal AS sensitive
+         |  FROM customer),
+         |g AS (SELECT nationkey, segment, band,
+         |        CAST(count(*) AS BIGINT) AS k,
+         |        CAST(count(DISTINCT sensitive) AS BIGINT) AS l
+         |      FROM b GROUP BY 1, 2, 3)
+         |SELECT nationkey, segment, band, k, l,
+         |  CAST(CASE WHEN k >= $KAnonK THEN 1 ELSE 0 END AS BIGINT) AS k_anon,
+         |  CAST(CASE WHEN l >= $LDiversity THEN 1 ELSE 0 END AS BIGINT) AS l_diverse,
+         |  CAST(CASE WHEN k >= $KAnonK AND l >= $LDiversity
+         |       THEN 0 ELSE 1 END AS BIGINT) AS suppress
+         |FROM g ORDER BY nationkey, segment, band""".stripMargin
   )
 }

@@ -401,8 +401,59 @@ object Quality {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(SubquerySql)
+    },
+
+    // Padded-batch waste audit — the OTHER sequence-shaping regime
+    // next to q54/q133's concatenate-and-split packing: encoder-
+    // style training (and every inference server) pads each example
+    // to its LENGTH BUCKET's width instead of packing, and the
+    // padding is pure wasted compute. One row per (lang, bucket):
+    // how many documents land in the power-of-two bucket, the real
+    // vs padded token totals, and the waste fraction — the table
+    // that says whether the bucket ladder needs another rung (a
+    // 40% waste row IS the finding). Buckets 16/32/64/128/256/512
+    // (512 = the engine's max-length motif; docs above it would
+    // truncate upstream, q20's gate).
+    //
+    // Scale shape: tokenize-count + CASE ladder fuse into the scan
+    // (narrow map, whole-stage codegen), then ONE map-side-combined
+    // aggregate to O(langs × 6) rows. Nothing else moves.
+    "q173_padding_waste" -> { (s, d) =>
+      import s.implicits._
+      paddingWaste(Tables.documents(s, d)
+        .select($"lang", TextOps.tokenCount($"text").cast("long").as("len")))
     }
   )
+
+  /** q173: the power-of-two bucket ladder (min rung 16, max 512 —
+    * the engine-wide max-sequence motif). */
+  private val PadBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+
+  /** The q173 chain over any (lang, len) frame (spec hook: planted
+    * lengths on the rung boundaries — CorpusStatSpec). Zero-token
+    * documents are excluded (they have no batch slot; both engines
+    * drop them identically); documents past the top rung truncate
+    * to it (the standard max-length cut — keeps the waste fraction
+    * in [0, 1] by construction). */
+  private[graft] def paddingWaste(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucket = PadBuckets.init.foldRight(lit(PadBuckets.last)) {
+      case (b, rest) => when($"len" <= b, lit(b)).otherwise(rest)
+    }
+    docs
+      .filter($"len" > 0L)
+      .withColumn("len", least($"len", lit(PadBuckets.last)))
+      .withColumn("bucket", bucket)
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("real_tokens"))
+      .withColumn("padded_tokens", $"bucket" * $"n_docs")
+      .withColumn("waste_micro",
+        floor(($"padded_tokens" - $"real_tokens").cast("double")
+          / $"padded_tokens".cast("double") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .orderBy($"lang", $"bucket")
+  }
 
   /** The q54 chain over any (doc_id, lang, text) frame (spec hook:
     * LmSpec's multi-bucket ≡ single-window equality plant). Token-
@@ -795,6 +846,29 @@ object Quality {
         |  END AS corr_bal_orders
         |FROM a ORDER BY c_nationkey""".stripMargin,
 
-    "q55_subqueries" -> SubquerySql
+    "q55_subqueries" -> SubquerySql,
+
+    // Twin of q173: same tokenizer length, same top-rung truncation
+    // (least), same CASE ladder, one double division micro-rounded.
+    "q173_padding_waste" -> {
+      val ladder = "CASE " + PadBuckets.init.map(b =>
+        s"WHEN len <= $b THEN $b").mkString(" ") +
+        s" ELSE ${PadBuckets.last} END"
+      s"""WITH l0 AS (SELECT lang,
+         |    CAST(len(${TextVector.Sql.toks("text")}) AS BIGINT) AS raw_len
+         |  FROM documents),
+         |l AS (SELECT lang, least(raw_len, ${PadBuckets.last}) AS len
+         |      FROM l0 WHERE raw_len > 0),
+         |b AS (SELECT lang, len, CAST($ladder AS BIGINT) AS bucket FROM l),
+         |g AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(len) AS BIGINT) AS real_tokens
+         |      FROM b GROUP BY 1, 2)
+         |SELECT lang, bucket, n_docs, real_tokens,
+         |  bucket * n_docs AS padded_tokens,
+         |  CAST(floor(CAST(bucket * n_docs - real_tokens AS DOUBLE)
+         |    / CAST(bucket * n_docs AS DOUBLE) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS waste_micro
+         |FROM g ORDER BY lang, bucket""".stripMargin
+    }
   )
 }

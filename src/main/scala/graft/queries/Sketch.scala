@@ -577,8 +577,100 @@ object Sketch {
     "q166_fisher_ratio" -> { (s, d) =>
       import s.implicits._
       fisherRatio(Tables.embeddings(s, d).select($"label", $"embedding"))
+    },
+
+    // Poisson-bootstrap confidence intervals (Chamandy et al. 2012,
+    // "Estimating Uncertainty for Massive Data Streams" — Google's
+    // distributed bootstrap; Efron 1979 underneath): every corpus
+    // statistic the audit pack reports is a point estimate, and
+    // this is the operator that says HOW SURE. Classic resampling
+    // draws n rows with replacement — impossible distributed — but
+    // the multinomial replicate weights converge to iid Poisson(1),
+    // so each row draws its weight for each of the B replicates
+    // from a hash of (doc_id, b): one pass, embarrassingly
+    // parallel, reproducible by seed. Metric here: mean document
+    // token length per source; CI = the 2nd / (B−1)th order
+    // statistics of the B weighted replicate means (≈ 2.5%/97.5% at
+    // B = 40). Determinism: the Poisson inverse-CDF is integer
+    // thresholds on mix()'s [0, 2^31) output — zero floating-point
+    // until the final single-division mean, micro-rounded.
+    //
+    // Scale shape: the B-way explode inflates rows BEFORE the
+    // map-side combine, so the shuffle carries O(sources × B)
+    // partials, never the corpus; the order statistics run on that
+    // tiny frame. Weighted sums stay in int64 (micro headroom
+    // ~9e12 token-weight units per (source, replicate) — comment
+    // bound, not a runtime reach at any plausible shard).
+    "q172_bootstrap_ci" -> { (s, d) =>
+      import s.implicits._
+      bootstrapCi(Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          graft.ops.TextOps.tokenCount($"text").cast("long").as("len")))
     }
   )
+
+  /** q172: replicate count and the order-statistic picks (2nd and
+    * 39th of 40 ≈ the 2.5%/97.5% percentile bootstrap). */
+  private val BootB  = 40
+  private val BootLo = 2
+  private val BootHi = BootB - 1
+
+  /** q172: Poisson(1) inverse-CDF thresholds scaled to mix()'s
+    * [0, 2^31) range — floor(CDF(k) · 2^31) for k = 0..6; a hash
+    * above the last bucket draws weight 7 (residual mass 8.3e-5). */
+  private val PoisT: Array[Long] = Array(790015084L, 1580030168L,
+    1975037710L, 2106706891L, 2139624186L, 2146207645L, 2147304888L)
+
+  private def poissonW(h: Column): Column =
+    PoisT.zipWithIndex.foldRight(lit(PoisT.length.toLong)) {
+      case ((t, k), rest) => when(h < lit(t), lit(k.toLong)).otherwise(rest)
+    }
+
+  private def sqlPoissonW(h: String): String =
+    "CASE " + PoisT.zipWithIndex.map { case (t, k) =>
+      s"WHEN $h < $t THEN $k" }.mkString(" ") +
+      s" ELSE ${PoisT.length} END"
+
+  /** The q172 chain over any (source, doc_id, len) frame (spec
+    * hook: planted two-source frame with hand-replayed replicate
+    * weights — SketchSpec). Replicates whose total weight is 0 are
+    * dropped identically in both engines (probability e^{-n} per
+    * replicate — deterministic either way, and dropping avoids
+    * engine-specific NULL ordering in the rank window). */
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val meanMicro = (s: Column, n: Column) =>
+      floor(s.cast("double") / n.cast("double") * lit(1e6) + lit(0.5))
+        .cast("long")
+    val rm = docs
+      .select($"source", $"doc_id", $"len",
+        explode(sequence(lit(1), lit(BootB))).as("b"))
+      .withColumn("w", poissonW(mix($"doc_id" * lit(41L) + $"b")))
+      .groupBy($"source", $"b")
+      .agg(sum($"w" * $"len").as("s"), sum($"w").as("wsum"))
+      .filter($"wsum" > 0L)
+      .withColumn("mean_micro", meanMicro($"s", $"wsum"))
+    // rank window over the O(sources × B) aggregate output — the
+    // PlanAudit-sanctioned shape (bounded input, never the corpus)
+    val win = Window.partitionBy($"source").orderBy($"mean_micro", $"b")
+    val ci = rm
+      .withColumn("rn", row_number().over(win))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_boot"),
+        max(when($"rn" === BootLo, $"mean_micro")).as("ci_lo_micro"),
+        max(when($"rn" === BootHi, $"mean_micro")).as("ci_hi_micro"))
+    docs
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("lsum"))
+      .select($"source", $"n_docs",
+        meanMicro($"lsum", $"n_docs").as("mean_micro"))
+      .join(ci, Seq("source"))
+      .select($"source", $"n_docs", $"mean_micro", $"n_boot",
+        $"ci_lo_micro", $"ci_hi_micro")
+      .orderBy($"source")
+  }
 
   /** q156: coreset size. */
   private val KcenterK = 8
@@ -1385,7 +1477,47 @@ object Sketch {
          |  CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
          |  CAST(sum(CAST(floor(e * e * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
          |    AS sse_pico
-         |FROM er GROUP BY dim, ma ORDER BY dim""".stripMargin
+         |FROM er GROUP BY dim, ma ORDER BY dim""".stripMargin,
+
+    // Twin of q172: same mix() hash (sqlMix), same integer Poisson
+    // thresholds, same single-division micro means, same 2nd/39th
+    // order-statistic picks. DuckDB range(1, B+1) = Spark
+    // sequence(1, B) = replicates 1..B.
+    "q172_bootstrap_ci" -> {
+      val mm = (s: String, n: String) =>
+        s"CAST(floor(CAST($s AS DOUBLE) / CAST($n AS DOUBLE) " +
+          "* 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH dl AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(${TextVector.Sql.toks("text")}) AS BIGINT) AS len
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, len, u.b AS b,
+         |        ${sqlMix(s"(doc_id * 41 + u.b)")} AS h
+         |      FROM dl, unnest(range(1, ${BootB + 1})) u(b)),
+         |rw AS (SELECT source, b, len,
+         |         CAST(${sqlPoissonW("h")} AS BIGINT) AS w FROM r),
+         |rm AS (SELECT source, b,
+         |         CAST(sum(w * len) AS BIGINT) AS s,
+         |         CAST(sum(w) AS BIGINT) AS wsum
+         |       FROM rw GROUP BY 1, 2),
+         |rm2 AS (SELECT source, b, ${mm("s", "wsum")} AS mean_micro
+         |        FROM rm WHERE wsum > 0),
+         |rk AS (SELECT source, mean_micro,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY mean_micro, b) AS rn
+         |       FROM rm2),
+         |ci AS (SELECT source, CAST(count(*) AS BIGINT) AS n_boot,
+         |         max(CASE WHEN rn = $BootLo THEN mean_micro END) AS ci_lo_micro,
+         |         max(CASE WHEN rn = $BootHi THEN mean_micro END) AS ci_hi_micro
+         |       FROM rk GROUP BY 1),
+         |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         ${mm("sum(len)", "count(*)")} AS mean_micro
+         |       FROM dl GROUP BY 1)
+         |SELECT pt.source, n_docs, mean_micro, n_boot,
+         |  ci_lo_micro, ci_hi_micro
+         |FROM pt JOIN ci ON ci.source = pt.source
+         |ORDER BY pt.source""".stripMargin
+    }
   )
 
   /** q156's full-trajectory replay (see the oracle-map comment). */

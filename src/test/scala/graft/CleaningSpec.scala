@@ -398,4 +398,24 @@ class CleaningSpec extends AnyFunSuite {
     assert(plan.contains("collect_set"),
       "q93 lost its per-doc drop-set aggregate")
   }
+
+  test("q171 k-anonymity: planted cells report exact k/l and the release verdicts") {
+    val rows = Seq(
+      // cell (1, A, 0): k=5, l=3 → publishable
+      (1L, "A", 0L, 10.0), (1L, "A", 0L, 10.0), (1L, "A", 0L, 20.0),
+      (1L, "A", 0L, 30.0), (1L, "A", 0L, 30.0),
+      // cell (1, B, 0): k=5 but l=2 → k-anonymous yet NOT l-diverse
+      (1L, "B", 0L, 1.0), (1L, "B", 0L, 1.0), (1L, "B", 0L, 1.0),
+      (1L, "B", 0L, 2.0), (1L, "B", 0L, 2.0),
+      // cell (2, A, -1): singleton (negative band) → suppress
+      (2L, "A", -1L, 5.0)
+    ).toDF("nationkey", "segment", "band", "sensitive")
+    val out = graft.queries.Cleaning.kAnonymity(rows)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "A", 0L, 5L, 3L, 1L, 1L, 0L),
+      (1L, "B", 0L, 5L, 2L, 1L, 0L, 1L),
+      (2L, "A", -1L, 1L, 1L, 0L, 0L, 1L)), s"q171 diverges: $out")
+  }
 }

@@ -748,4 +748,18 @@ class CorpusStatSpec extends AnyFunSuite {
       ("srcA", 2L, 1L, 500000L, ent / 2L, 250000L),
       ("srcB", 1L, 0L, 0L, 0L, 0L)), s"q161 diverges: $out")
   }
+
+  test("q173 padding waste: rung boundaries, top-rung truncation, zero-token drop") {
+    val docs = Seq(("en", 16L), ("en", 17L), ("en", 0L), ("de", 600L))
+      .toDF("lang", "len")
+    val out = graft.queries.Quality.paddingWaste(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // en/16: exact fit → waste 0; en/32: one 17-token doc → 15/32;
+    // de: 600 truncates to the 512 rung → exact fit; zero-token drops.
+    val w32 = math.floor(15.0 / 32.0 * 1e6 + 0.5).toLong
+    assert(out == Seq(
+      ("de", 512L, 1L, 512L, 512L, 0L),
+      ("en", 16L, 1L, 16L, 16L, 0L),
+      ("en", 32L, 1L, 17L, 32L, w32)), s"q173 diverges: $out")
+  }
 }

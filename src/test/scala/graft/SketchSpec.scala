@@ -451,4 +451,22 @@ class SketchSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial: q166 diverges\n got $got\nwant $want")
     }
   }
+
+  test("q172 bootstrap CI: constant lengths degenerate to the point; mixed lengths bracket it") {
+    val a = (1L to 30L).map(i => ("srcA", i, 50L))
+    val b = (31L to 60L).map(i => ("srcB", i, if (i % 2 == 0) 10L else 90L))
+    val out = graft.queries.Sketch.bootstrapCi(
+      (a ++ b).toDF("source", "doc_id", "len"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val Seq((sa, na, ma, ba, loA, hiA), (sb, nb, mb, bb, loB, hiB)) = out
+    // srcA: every replicate resamples only 50-token docs — every
+    // replicate mean is exactly 50e6 and the interval is the point
+    assert((sa, na, ma, ba, loA, hiA) ==
+      ("srcA", 30L, 50000000L, 40L, 50000000L, 50000000L), s"srcA: $out")
+    // srcB: alternating 10/90 → point mean exact, a proper interval
+    // inside the data range that brackets the point estimate
+    assert(sb == "srcB" && nb == 30L && mb == 50000000L && bb == 40L)
+    assert(loB < hiB && loB >= 10000000L && hiB <= 90000000L)
+    assert(loB <= mb && mb <= hiB, s"srcB CI misses the mean: $out")
+  }
 }
