@@ -54,7 +54,7 @@ object SparkEntry {
       "q67_dedup_keep", "q128_source_redundancy"),
     "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
     "probe_weights" -> Seq("q98_linear_probe", "q113_probe_calibration",
-      "q132_threshold_sweep"),
+      "q132_threshold_sweep", "q174_label_noise"),
     "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers",
       "q115_corpus_map"),
     "pc_fit" -> Seq("q129_top_pc", "q130_whiten"),

@@ -162,3 +162,43 @@ object SoftmaxScore {
   def apply(xb: Column, w: Array[Array[Double]]): Column =
     ColumnShim.column(SoftmaxScore(ColumnShim.expression(xb), w))
 }
+
+/** softmax_probs(xb): the FULL per-class probability vector, in
+  * class order — q174's confident-learning input ([[SoftmaxScore]]
+  * keeps only the argmax; noise estimation needs every class's
+  * probability to compare against that class's own confidence
+  * threshold). Same fold orders as the family contract above. */
+case class SoftmaxProbs(child: Expression, w: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback with SoftmaxEval {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"softmax_probs needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "softmax_probs"
+
+  override protected def nullSafeEval(x: Any): Any = {
+    val xs = x.asInstanceOf[ArrayData]
+    if (xs.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"softmax_probs: feature vector has ${xs.numElements()} " +
+          s"elements, weights expect $dims")
+    val ez = expLogits(xs)
+    val den = foldSum(ez)
+    val out = new Array[Any](kClasses)
+    var kk = 0
+    while (kk < kClasses) { out(kk) = ez(kk) / den; kk += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SoftmaxProbs = copy(child = newChild)
+}
+
+object SoftmaxProbs {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(xb: Column, w: Array[Array[Double]]): Column =
+    ColumnShim.column(SoftmaxProbs(ColumnShim.expression(xb), w))
+}

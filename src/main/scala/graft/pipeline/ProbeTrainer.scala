@@ -170,4 +170,24 @@ object ProbeTrainer {
         $"s.pred".as("pred") :+
         graft.ops.Determinism.roundFix($"s.p", 6).as("score"): _*)
   }
+
+  /** Per-class probabilities, micro-quantized and exploded to one
+    * row per (id, class) — the confident-learning input (q174).
+    * [[score]] keeps only the argmax; noise estimation compares
+    * EVERY class's probability against that class's own confidence
+    * threshold. Same narrow shuffle-free scan shape (K rows out per
+    * document, K a constant). */
+  def probs(emb: DataFrame, wMicro: Array[Array[Long]],
+            idCol: String = "vec_id", labelCol: String = "label",
+            vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol), col(labelCol).cast("int").as("label"),
+        biased(vecCol).as("xb"))
+      .select(col(idCol), $"label", posexplode(
+        graft.ops.expressions.SoftmaxProbs($"xb", asDoubles(wMicro)))
+        .as(Seq("j", "p")))
+      .select(col(idCol), $"label", $"j".cast("int").as("j"),
+        floor($"p" * lit(1e6) + lit(0.5)).cast("long").as("pm"))
+  }
 }

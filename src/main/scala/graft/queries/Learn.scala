@@ -421,6 +421,34 @@ object Learn {
         Tables.documents(s, d))
     },
 
+    // Confident-learning label-noise matrix (Northcutt, Jiang & Chuang
+    // 2021, "Confident Learning: Estimating Uncertainty in Dataset
+    // Labels") — the label-QUALITY audit over the probe family: q98
+    // trains on the given labels, q113 asks whether its confidence is
+    // calibrated; this asks whether the LABELS THEMSELVES are wrong,
+    // and where. Per class j, the self-confidence threshold t_j is
+    // the mean predicted probability of j among examples LABELED j;
+    // an example is confidently class j when p_j ≥ t_j, and lands in
+    // matrix cell (noisy = given label, assigned = argmax over its
+    // confident classes). Off-diagonal mass estimates the label-flip
+    // rates a relabeling/pruning pass would act on (fourth consumer
+    // of the memoized probe weights). Examples confident in NO class
+    // drop — the CL convention for ambiguous items. Determinism:
+    // probabilities micro-quantize per (example, class) BEFORE the
+    // threshold mean (exact int64 sum / one rounded division), so
+    // every ≥ comparison is integer vs integer.
+    //
+    // Scale shape: scoring is the q98 narrow scan fanned K× (K a
+    // constant); thresholds are a K-row broadcast; the confident
+    // argmax is a bounded-heap top-1 per example (TopKPerKeyExec —
+    // map-side partial reduction, no per-example window sort); the
+    // matrix is a ≤ K² map-side-combined aggregate. Nothing
+    // O(corpus) shuffles but the K-fanned id-width rows.
+    "q174_label_noise" -> { (s, d) =>
+      labelNoise(ProbeTrainer.probs(
+        Tables.embeddings(s, d), ProbeStage.trained(s, d)))
+    },
+
     // Stratified annotation-batch sampler: k docs PER DOMAIN by the
     // engine's seeded hash permutation (graft.ops.SeededSample's
     // rank — deterministic across engines and re-runs, unbiased
@@ -863,7 +891,40 @@ object Learn {
     * side's zip_with + aggregate), micro-quantizes each gradient
     * term before the order-independent BIGINT sum, and applies the
     * same left-assoc floor(lr·g/n + 0.5) update. */
-  private def probeOracle: String = {
+  /** The q174 chain over any (vec_id, label, j, pm) per-(example,
+    * class) micro-probability frame (spec hook: planted
+    * probabilities with hand-computed thresholds and matrix —
+    * LearnSpec). Threshold mean rounds floor(+0.5) on the exact
+    * integer sum (pm ≤ 1e6, so the int64 sum holds to ~9e12
+    * examples per class); argmax ties break on the smaller class
+    * id; examples with no confident class drop (the CL convention). */
+  private[graft] def labelNoise(px: DataFrame): DataFrame = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    val th = px.filter($"label" === $"j").groupBy($"j")
+      .agg(floor(sum($"pm").cast("double") / count(lit(1)).cast("double")
+        + lit(0.5)).cast("long").as("tm"))
+    val cand = px.join(broadcast(th), Seq("j")).filter($"pm" >= $"tm")
+    val asg = graft.plans.TopK.perKey(cand, Seq("vec_id"),
+      Seq("pm" -> false, "j" -> true), 1)
+    val m = asg.groupBy($"label".as("noisy"), $"j".as("assigned"))
+      .agg(count(lit(1)).as("n"))
+    m.crossJoin(broadcast(m.agg(sum($"n").as("tot"))))
+      .select($"noisy", $"assigned", $"n",
+        floor($"n".cast("double") / $"tot".cast("double") * lit(1e6)
+          + lit(0.5)).cast("long").as("frac_micro"))
+      .orderBy($"noisy", $"assigned")
+  }
+
+  /** Softmax denominator over the `sc` CTE's ez column (fold in
+    * class order from 0.0 — the kernel contract). */
+  private val EzDen = "list_reduce(list_prepend(0.0, ez), (a, b) -> a + b)"
+
+  /** The q98 full-training-replay CTE chain, ending at
+    * `sc AS (vec_id, y, ez)` (per-class exp-logits under the final
+    * weights) — shared verbatim by the q98/q113/q132 oracles and
+    * q174's noise-matrix oracle. */
+  private def probeChainCtes: String = {
     // exp(w_k · xb) per class, in class order, from a one-row wll
     // (list-of-lists) CTE joined alongside
     val ez =
@@ -871,7 +932,7 @@ object Learn {
         "list_transform(range(1, " + (D + 1) + "), i -> " +
         "wl[CAST(i AS INTEGER)] * xb[CAST(i AS INTEGER)])), " +
         "(a, b) -> a + b)))"
-    val den = "list_reduce(list_prepend(0.0, ez), (a, b) -> a + b)"
+    val den = EzDen
     val rounds = (1 to R).map { t =>
       s"""wl$t AS (SELECT k, list(wm / 1000000.0 ORDER BY j) AS wl
          |         FROM w${t - 1} GROUP BY k),
@@ -893,8 +954,7 @@ object Learn {
          |  FROM w${t - 1} w JOIN g$t g ON g.k = w.k AND g.j = w.j, n)"""
         .stripMargin
     }.mkString(",\n")
-    val maxEz = "list_reduce(ez, (p, q) -> CASE WHEN q > p THEN q ELSE p END)"
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(label AS INTEGER) AS y,
        |    list_prepend(1.0, list_transform(embedding,
        |      v -> CAST(v AS DOUBLE))) AS xb
@@ -907,10 +967,15 @@ object Learn {
        |wlF AS (SELECT k, list(wm / 1000000.0 ORDER BY j) AS wl
        |        FROM w$R GROUP BY k),
        |wllF AS (SELECT list(wl ORDER BY k) AS wll FROM wlF),
-       |sc AS (SELECT vec_id, y, $ez AS ez FROM e, wllF)
+       |sc AS (SELECT vec_id, y, $ez AS ez FROM e, wllF)""".stripMargin
+  }
+
+  private def probeOracle: String = {
+    val maxEz = "list_reduce(ez, (p, q) -> CASE WHEN q > p THEN q ELSE p END)"
+    s"""WITH $probeChainCtes
        |SELECT vec_id, y AS label,
        |  CAST(list_position(ez, $maxEz) - 1 AS INTEGER) AS pred,
-       |  ${graft.ops.Determinism.Oracles.fround(s"$maxEz / ($den)", 6)} AS score
+       |  ${graft.ops.Determinism.Oracles.fround(s"$maxEz / ($EzDen)", 6)} AS score
        |FROM sc ORDER BY vec_id""".stripMargin
   }
 
@@ -1030,6 +1095,34 @@ object Learn {
         "CAST(sum(n_tokens) OVER (ORDER BY sm DESC ROWS UNBOUNDED PRECEDING) " +
         "AS BIGINT) AS cum_tokens " +
         "FROM gb ORDER BY score_micro DESC"),
+
+    // Twin of q174: the shared training-replay chain, per-class
+    // micro probabilities off sc's ez list, the same integer
+    // self-confidence thresholds, rank-1 confident argmax
+    // (pm DESC, j — the smaller-class tie-break), ≤ K² matrix.
+    "q174_label_noise" -> graft.ops.Determinism.Oracles.materializeCtes(
+      s"""WITH $probeChainCtes,
+         |px AS (SELECT vec_id, y, CAST(u.j AS INTEGER) AS j,
+         |         CAST(floor(ez[CAST(u.j AS INTEGER) + 1] / ($EzDen)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS pm
+         |       FROM sc, range(0, $K) u(j)),
+         |th AS (SELECT j, CAST(floor(CAST(sum(pm) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS tm
+         |       FROM px WHERE y = j GROUP BY j),
+         |cf AS (SELECT vec_id, y, px.j, pm
+         |       FROM px JOIN th ON th.j = px.j AND pm >= tm),
+         |asg AS (SELECT vec_id, y, j,
+         |          row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY pm DESC, j) AS rn
+         |        FROM cf),
+         |m AS (SELECT y AS noisy, j AS assigned,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM asg WHERE rn = 1 GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM m)
+         |SELECT noisy, assigned, n,
+         |  CAST(floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS frac_micro
+         |FROM m, t ORDER BY noisy, assigned""".stripMargin),
 
     "q99_domain_mixture" -> {
       import TextVector.Sql

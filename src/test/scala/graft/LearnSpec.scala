@@ -526,4 +526,26 @@ class LearnSpec extends AnyFunSuite {
     assert(w(qFr) > 250000L && w(qEn) < 750000L)
     assert(epochs(qFr, 4L) > 1000000L && epochs(qEn, 12L) < 1000000L)
   }
+
+  test("q174 label noise: planted probabilities give the hand-computed CL matrix") {
+    // two classes; pm in micro. t_0 = mean p_0 over label-0 examples
+    // = (900000 + 800000) / 2 = 850000; t_1 = mean p_1 over label-1
+    // = (50000 + 800000) / 2 = 425000.
+    //  v1 (y=0): p0 900000 ≥ t0, p1 100000 < t1 → (0, 0)
+    //  v2 (y=0): p0 800000 < t0, p1 200000 < t1 → drops (no confident class)
+    //  v3 (y=1): p0 950000 ≥ t0, p1  50000 < t1 → (1, 0)  — the flip
+    //  v4 (y=1): p0 200000 < t0, p1 800000 ≥ t1 → (1, 1)
+    val px = Seq(
+      (1L, 0, 0, 900000L), (1L, 0, 1, 100000L),
+      (2L, 0, 0, 800000L), (2L, 0, 1, 200000L),
+      (3L, 1, 0, 950000L), (3L, 1, 1, 50000L),
+      (4L, 1, 0, 200000L), (4L, 1, 1, 800000L)
+    ).toDF("vec_id", "label", "j", "pm")
+    val out = graft.queries.Learn.labelNoise(px)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val third = math.floor(1.0 / 3.0 * 1e6 + 0.5).toLong
+    assert(out == Seq(
+      (0, 0, 1L, third), (1, 0, 1L, third), (1, 1, 1L, third)),
+      s"q174 diverges: $out")
+  }
 }

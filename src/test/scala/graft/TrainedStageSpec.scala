@@ -18,11 +18,12 @@ class TrainedStageSpec extends AnyFunSuite {
       s"trainedStageQueries names unknown queries: $unknown")
   }
 
-  test("probe weights train once for its three consumers (q98, q113, q132)") {
+  test("probe weights train once for its four consumers (q98, q113, q132, q174)") {
     graft.queries.ProbeStage.reset()
     SparkEntry.queries("q98_linear_probe")(spark, sf).foreach(_ => ())
     SparkEntry.queries("q113_probe_calibration")(spark, sf).foreach(_ => ())
     SparkEntry.queries("q132_threshold_sweep")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q174_label_noise")(spark, sf).foreach(_ => ())
     assert(graft.queries.ProbeStage.buildCount == 1,
       s"probe trained ${graft.queries.ProbeStage.buildCount} times")
     spark.catalog.clearCache()
