@@ -107,6 +107,19 @@ object ScaleProbe {
           "view")), (pmod(hash(col("id") + lit(19L)), lit(5L)) + lit(1))
           .cast("int")).as("event_type"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // q171's input: the QI columns only (nation 0..24, 5 segments,
+    // balances hash-uniform over the real table's [-999.99, 9999.99])
+    spark.range(15000L * mult)
+      .select(col("id").as("c_custkey"),
+        pmod(hash(col("id") + lit(23L)), lit(25L)).cast("int")
+          .as("c_nationkey"),
+        ((pmod(hash(col("id") + lit(29L)), lit(1099999L)) - lit(99999L))
+          .cast("double") / lit(100.0)).as("c_acctbal"),
+        element_at(typedLit(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY")),
+          (pmod(hash(col("id") + lit(31L)), lit(5L)) + lit(1))
+            .cast("int")).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
   }
 
   /** Direct (src, dst) edge generator for the graph probes: the
@@ -166,7 +179,12 @@ object ScaleProbe {
     // round-16 additions: the numeric-feed audits (both O(aggregate)
     // — 9-row and 150-row outputs off one linear pass) and the
     // triangle OPERATOR over a directly-generated edge list (below)
-    "q164_benford_digits", "q169_cusum_drift", "q170_triangles")
+    "q164_benford_digits", "q169_cusum_drift", "q170_triangles",
+    // the governance/uncertainty pack: QI-cell audit (one combine),
+    // the B×-explode bootstrap, the bucket-ladder waste table, and
+    // the probe-training + K-fanned-scoring noise matrix
+    "q171_k_anonymity", "q172_bootstrap_ci", "q173_padding_waste",
+    "q174_label_noise")
     // q101 is NOT probed: its in-query citation-edge derivation
     // documents a ~9k-doc bound (doc_id·A must stay under 2^63 —
     // Graph.scala's constants note), which the 10× synthetic corpus
@@ -199,11 +217,13 @@ object ScaleProbe {
   private def time(spark: SparkSession, name: String, dir: String,
                    reps: Int = 2): Double =
     (1 to reps).map { _ =>
-      // full chain including training: of the probed six only q104
-      // consumes a SessionStage memo (the shared ivf quantizer) —
-      // reset it so every rep pays the whole pipeline, which is the
-      // thing whose scaling is being measured
+      // full chain including training: of the probed set only q104
+      // (the shared ivf quantizer) and q174 (the probe weights)
+      // consume a SessionStage memo — reset them so every rep pays
+      // the whole pipeline, which is the thing whose scaling is
+      // being measured
       graft.queries.TextVector.centsStageReset()
+      graft.queries.ProbeStage.reset()
       // chains that persist a derived stage (SparkEntry's cache
       // contract) would otherwise serve rep 2 from rep 1's cached
       // blocks — the min would then measure the CACHE, not the

@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * (code_switch q161), mixture posture (concentration q155,
   * mixture_weights q151, temperature_mix q163), coverage geometry
   * (kcenter_coreset q156), retrieval-ranker health (rank_overlap
-  * q158), and numeric-feed / event-stream forensics (benford_digits
+  * q158), numeric-feed / event-stream forensics (benford_digits
   * q164, cusum_drift q169 — the operational alarms a release review
-  * reads next to the text statistics).
+  * reads next to the text statistics), release governance
+  * (k_anonymity q171), statistical uncertainty (bootstrap_ci q172),
+  * batch-shape economics (padding_waste q173), and label quality
+  * (label_noise q174).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -112,7 +115,11 @@ object CorpusAudit {
     "kcenter_coreset" -> "q156_kcenter_coreset",
     "rank_overlap" -> "q158_rank_overlap",
     "benford_digits" -> "q164_benford_digits",
-    "cusum_drift" -> "q169_cusum_drift")
+    "cusum_drift" -> "q169_cusum_drift",
+    "k_anonymity" -> "q171_k_anonymity",
+    "bootstrap_ci" -> "q172_bootstrap_ci",
+    "padding_waste" -> "q173_padding_waste",
+    "label_noise" -> "q174_label_noise")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest
