@@ -390,14 +390,21 @@ object Cleaning {
     // bounded by the QI domain product, never by row count. Nothing
     // else moves — at 100 TB this is a scan plus a combine.
     "q171_k_anonymity" -> { (s, d) =>
-      import s.implicits._
-      kAnonymity(Tables.customer(s, d)
-        .select($"c_nationkey".cast("long").as("nationkey"),
-          $"c_mktsegment".as("segment"),
-          floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"),
-          $"c_acctbal".as("sensitive")))
+      kAnonymity(qiInput(Tables.customer(s, d)))
     }
   )
+
+  /** q171's QI projection off a raw customer frame — shared by the
+    * gated query and [[graft.pipeline.GovernanceMaintenance]]'s
+    * absorb path (one banding definition). */
+  private[graft] def qiInput(customers: DataFrame): DataFrame = {
+    val spark = customers.sparkSession
+    import spark.implicits._
+    customers.select($"c_nationkey".cast("long").as("nationkey"),
+      $"c_mktsegment".as("segment"),
+      floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"),
+      $"c_acctbal".as("sensitive"))
+  }
 
   /** q171: publishability floors — the textbook defaults (k=5 is
     * the census small-cell rule; l=3 guards attribute disclosure
@@ -407,13 +414,29 @@ object Cleaning {
 
   /** The q171 chain over any (nationkey, segment, band, sensitive)
     * frame (spec hook: planted cells with known k/l — CleaningSpec). */
-  private[graft] def kAnonymity(rows: DataFrame): DataFrame = {
+  private[graft] def kAnonymity(rows: DataFrame): DataFrame =
+    kAnonymityFromCounts(qiCounts(rows))
+
+  /** q171's additive sufficient statistic: per-(QI cell, sensitive
+    * value) record counts — disjoint deliveries sum, so
+    * [[graft.pipeline.GovernanceMaintenance]] serves the release
+    * audit incrementally off this exact frame. */
+  private[graft] def qiCounts(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows
+    rows.groupBy($"nationkey", $"segment", $"band", $"sensitive")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q171 over a pre-aggregated (QI, sensitive, n) count table: k is
+    * the cell's record sum, l its occupied sensitive-value count. */
+  private[graft] def kAnonymityFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .filter($"n" > 0L)
       .groupBy($"nationkey", $"segment", $"band")
-      .agg(count(lit(1)).as("k"),
-        countDistinct($"sensitive").as("l"))
+      .agg(sum($"n").as("k"), count(lit(1)).as("l"))
       .select($"nationkey", $"segment", $"band", $"k", $"l",
         when($"k" >= KAnonK, 1L).otherwise(0L).as("k_anon"),
         when($"l" >= LDiversity, 1L).otherwise(0L).as("l_diverse"),

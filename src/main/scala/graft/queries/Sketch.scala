@@ -602,10 +602,7 @@ object Sketch {
     // ~9e12 token-weight units per (source, replicate) — comment
     // bound, not a runtime reach at any plausible shard).
     "q172_bootstrap_ci" -> { (s, d) =>
-      import s.implicits._
-      bootstrapCi(Tables.documents(s, d)
-        .select($"source", $"doc_id",
-          graft.ops.TextOps.tokenCount($"text").cast("long").as("len")))
+      bootstrapCi(bootInput(Tables.documents(s, d)))
     }
   )
 
@@ -637,19 +634,52 @@ object Sketch {
     * dropped identically in both engines (probability e^{-n} per
     * replicate — deterministic either way, and dropping avoids
     * engine-specific NULL ordering in the rank window). */
-  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame =
+    bootstrapCiFromCounts(bootRepPartials(docs), bootPointPartials(docs))
+
+  /** q172's (source, doc_id, len) projection off a raw document
+    * frame — shared by the gated query and the maintenance absorb. */
+  private[graft] def bootInput(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val meanMicro = (s: Column, n: Column) =>
-      floor(s.cast("double") / n.cast("double") * lit(1e6) + lit(0.5))
-        .cast("long")
-    val rm = docs
+    docs.select($"source", $"doc_id",
+      graft.ops.TextOps.tokenCount($"text").cast("long").as("len"))
+  }
+
+  /** q172's replicate sufficient statistic: per-(source, replicate)
+    * weighted sums. The Poisson weight is a pure function of
+    * (doc_id, b), so disjoint deliveries SUM — the additive fact
+    * [[graft.pipeline.GovernanceMaintenance]] leans on to serve the
+    * full-corpus CI incrementally at O(batch) per delivery. */
+  private[graft] def bootRepPartials(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .select($"source", $"doc_id", $"len",
         explode(sequence(lit(1), lit(BootB))).as("b"))
       .withColumn("w", poissonW(mix($"doc_id" * lit(41L) + $"b")))
       .groupBy($"source", $"b")
       .agg(sum($"w" * $"len").as("s"), sum($"w").as("wsum"))
+  }
+
+  /** q172's point-estimate sufficient statistic (additive). */
+  private[graft] def bootPointPartials(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("lsum"))
+  }
+
+  /** q172 over pre-aggregated replicate/point partials. */
+  private[graft] def bootstrapCiFromCounts(reps: DataFrame,
+                                           point: DataFrame): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val meanMicro = (s: Column, n: Column) =>
+      floor(s.cast("double") / n.cast("double") * lit(1e6) + lit(0.5))
+        .cast("long")
+    val rm = reps
       .filter($"wsum" > 0L)
       .withColumn("mean_micro", meanMicro($"s", $"wsum"))
     // rank window over the O(sources × B) aggregate output — the
@@ -661,9 +691,7 @@ object Sketch {
       .agg(count(lit(1)).as("n_boot"),
         max(when($"rn" === BootLo, $"mean_micro")).as("ci_lo_micro"),
         max(when($"rn" === BootHi, $"mean_micro")).as("ci_hi_micro"))
-    docs
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"len").as("lsum"))
+    point
       .select($"source", $"n_docs",
         meanMicro($"lsum", $"n_docs").as("mean_micro"))
       .join(ci, Seq("source"))
