@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * q164, cusum_drift q169 — the operational alarms a release review
   * reads next to the text statistics), release governance
   * (k_anonymity q171), statistical uncertainty (bootstrap_ci q172),
-  * batch-shape economics (padding_waste q173), and label quality
-  * (label_noise q174).
+  * batch-shape economics (padding_waste q173), label quality
+  * (label_noise q174), discourse structure (topic_boundaries q175),
+  * and dimensionality-cut cost (jl_distortion q176).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -119,7 +120,9 @@ object CorpusAudit {
     "k_anonymity" -> "q171_k_anonymity",
     "bootstrap_ci" -> "q172_bootstrap_ci",
     "padding_waste" -> "q173_padding_waste",
-    "label_noise" -> "q174_label_noise")
+    "label_noise" -> "q174_label_noise",
+    "topic_boundaries" -> "q175_text_tiling",
+    "jl_distortion" -> "q176_jl_distortion")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

@@ -1105,8 +1105,90 @@ object Corpus {
     "q168_kn_xent" -> { (s, d) =>
       import s.implicits._
       knCrossEntropy(Tables.documents(s, d), pmod($"doc_id", lit(2L)) === 0)
+    },
+
+    // TextTiling topic segmentation (Hearst 1997, "TextTiling:
+    // Segmenting Text into Multi-paragraph Subtopic Passages") — the
+    // DISCOURSE-structure member of the text-analysis family: q26
+    // says what a document is made of, q161 what languages it
+    // mixes; this says where its subject CHANGES. Lexical cohesion
+    // between adjacent fixed-width token blocks (multiset overlap —
+    // exact integers, where Hearst's cosine would drag doubles
+    // through the gate for no analytical gain at constant block
+    // width), then a boundary fires at every gap that is a STRICT
+    // local cohesion minimum sitting strictly below the document's
+    // mean gap cohesion (integer cross-multiply — no division).
+    // Output: one row per detected boundary with its token offset
+    // and the cohesion evidence; single-block and uniformly-cohesive
+    // documents emit nothing (documented, like q26's zero-evidence
+    // note). Long-doc chunkers (q21/q56) cut at arbitrary 512-token
+    // walls; these boundaries are where a topic-aware chunker WOULD
+    // cut — the retrieval-quality upgrade RAG pipelines buy.
+    //
+    // Scale shape: one tokenize/posexplode pass map-side-combines to
+    // (doc, block, token) counts; gap cohesion is ONE self-
+    // equi-join keyed (doc_id, gap, token) between a block and its
+    // successor (never all block pairs); the gap spine explodes off
+    // the O(docs) block-count rollup; the minimum/mean windows
+    // partition by doc_id — bounded rows per partition, corpus-
+    // cardinality keys (the audited low-cardinality-window hazard
+    // does not apply).
+    "q175_text_tiling" -> { (s, d) =>
+      import s.implicits._
+      textTiling(Tables.documents(s, d).select($"doc_id", $"text"))
     }
   )
+
+  /** q175: tokens per cohesion block (Hearst's w — her 20-token
+    * pseudosentences at the testdata's 10–99-token documents would
+    * leave most docs a single block; 10 keeps 1–10 blocks per doc
+    * and the same arithmetic at any width). */
+  private val TileBlock = 10
+
+  /** The q175 chain over any (doc_id, text) frame (spec hook:
+    * planted two-topic and uniform documents with hand-computed
+    * overlaps — CorpusStatSpec). */
+  private[graft] def textTiling(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnt = docs
+      .select($"doc_id", posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", ($"pos".cast("long") / lit(TileBlock)).cast("long").as("blk"),
+        $"tok")
+      .groupBy($"doc_id", $"blk", $"tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nblk = cnt.groupBy($"doc_id").agg((max($"blk") + 1L).as("n_blocks"))
+    // multiset overlap at gap g = Σ_tok min(count in block g, block g+1)
+    val sim = cnt.select($"doc_id", $"blk".as("g"), $"tok", $"c".as("ca"))
+      .join(cnt.select($"doc_id", ($"blk" - 1L).as("g"), $"tok", $"c".as("cb")),
+        Seq("doc_id", "g", "tok"))
+      .groupBy($"doc_id", $"g").agg(sum(least($"ca", $"cb")).as("overlap"))
+    // full gap spine — zero-overlap gaps (total topic shifts) must
+    // exist as rows, not vanish from the join
+    val spine = nblk.filter($"n_blocks" >= 2L)
+      .select($"doc_id", $"n_blocks",
+        explode(sequence(lit(0L), $"n_blocks" - 2L)).as("g"))
+    val gaps = spine.join(sim, Seq("doc_id", "g"), "left")
+      .select($"doc_id", $"n_blocks", $"g",
+        coalesce($"overlap", lit(0L)).as("overlap"))
+    val w = Window.partitionBy($"doc_id").orderBy($"g")
+    val doc = Window.partitionBy($"doc_id")
+    gaps
+      .withColumn("prv", lag($"overlap", 1).over(w))
+      .withColumn("nxt", lead($"overlap", 1).over(w))
+      .withColumn("n_gaps", count(lit(1)).over(doc))
+      .withColumn("tot", sum($"overlap").over(doc))
+      // strict local minimum (missing neighbor = edge, counts as
+      // higher) AND strictly below the doc mean: overlap·n < Σ
+      .filter(($"prv".isNull || $"overlap" < $"prv") &&
+        ($"nxt".isNull || $"overlap" < $"nxt") &&
+        $"overlap" * $"n_gaps" < $"tot")
+      .select($"doc_id", $"n_blocks", $"g".as("gap"),
+        (($"g" + 1L) * TileBlock).as("token_offset"),
+        $"overlap", coalesce($"prv", lit(-1L)).as("prev_overlap"),
+        coalesce($"nxt", lit(-1L)).as("next_overlap"))
+      .orderBy($"doc_id", $"gap")
+  }
 
   /** The q133 chain over any (source, doc_id, text) frame (spec
     * hook: planted token counts with closed-form shard boundaries —
@@ -2792,7 +2874,46 @@ object Corpus {
     "q102_bigram_surprisal" ->
       // composed without an outer stripMargin (bpeOracle's note)
       (s"WITH $sbOracleCtes\n" +
-        "SELECT doc_id, n_tok, n_backoff, xent FROM sb ORDER BY doc_id")
+        "SELECT doc_id, n_tok, n_backoff, xent FROM sb ORDER BY doc_id"),
+
+    // Twin of q175: same block split (integer floor division), the
+    // same adjacent-block multiset overlap via least(), the same
+    // strict-local-minimum + below-mean cross-multiply filter.
+    "q175_text_tiling" ->
+      s"""WITH t AS (SELECT doc_id, ${Sql.toks("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id, u.i // $TileBlock AS blk, toks[u.i + 1] AS tok
+         |      FROM t, unnest(range(0, len(toks))) u(i)),
+         |cc AS (SELECT doc_id, blk, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM c GROUP BY 1, 2, 3),
+         |nb AS (SELECT doc_id, CAST(max(blk) + 1 AS BIGINT) AS n_blocks
+         |       FROM cc GROUP BY 1),
+         |sim AS (SELECT a.doc_id, a.blk AS g,
+         |          CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+         |        FROM cc a JOIN cc b ON b.doc_id = a.doc_id
+         |          AND b.blk = a.blk + 1 AND b.tok = a.tok
+         |        GROUP BY 1, 2),
+         |sp AS (SELECT nb.doc_id, n_blocks, u.g AS g
+         |       FROM nb, unnest(range(0, n_blocks - 1)) u(g)
+         |       WHERE n_blocks >= 2),
+         |gp AS (SELECT sp.doc_id, n_blocks, sp.g,
+         |         coalesce(sim.overlap, CAST(0 AS BIGINT)) AS overlap
+         |       FROM sp LEFT JOIN sim ON sim.doc_id = sp.doc_id
+         |         AND sim.g = sp.g),
+         |sc AS (SELECT doc_id, n_blocks, g, overlap,
+         |         lag(overlap) OVER (PARTITION BY doc_id ORDER BY g) AS prv,
+         |         lead(overlap) OVER (PARTITION BY doc_id ORDER BY g) AS nxt,
+         |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_gaps,
+         |         CAST(sum(overlap) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+         |       FROM gp)
+         |SELECT doc_id, n_blocks, g AS gap,
+         |  CAST((g + 1) * $TileBlock AS BIGINT) AS token_offset, overlap,
+         |  coalesce(prv, CAST(-1 AS BIGINT)) AS prev_overlap,
+         |  coalesce(nxt, CAST(-1 AS BIGINT)) AS next_overlap
+         |FROM sc
+         |WHERE (prv IS NULL OR overlap < prv)
+         |  AND (nxt IS NULL OR overlap < nxt)
+         |  AND overlap * n_gaps < tot
+         |ORDER BY doc_id, gap""".stripMargin
   )
 
   /** The q102 scoring replay (t → pos → refpos → uni → tot → bi →

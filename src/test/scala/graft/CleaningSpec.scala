@@ -418,4 +418,27 @@ class CleaningSpec extends AnyFunSuite {
       (1L, "B", 0L, 5L, 2L, 1L, 0L, 1L),
       (2L, "A", -1L, 1L, 1L, 0L, 0L, 1L)), s"q171 diverges: $out")
   }
+
+  test("randomized differential: q171 matches an in-memory reference on random record sets") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 200).map { _ =>
+        (rnd.nextInt(4).toLong, s"S${rnd.nextInt(3)}",
+          rnd.nextInt(3).toLong - 1L, (rnd.nextInt(6) * 7).toDouble)
+      }
+      val want = rows.groupBy(r => (r._1, r._2, r._3)).toSeq
+        .map { case ((n, s, b), g) =>
+          val k = g.size.toLong
+          val l = g.map(_._4).distinct.size.toLong
+          val ka = if (k >= 5) 1L else 0L
+          val ld = if (l >= 3) 1L else 0L
+          (n, s, b, k, l, ka, ld, if (ka == 1 && ld == 1) 0L else 1L)
+        }.sortBy(r => (r._1, r._2, r._3))
+      val got = graft.queries.Cleaning.kAnonymity(
+        rows.toDF("nationkey", "segment", "band", "sensitive"))
+        .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+      assert(got == want, s"trial $trial: q171 diverges")
+    }
+  }
 }

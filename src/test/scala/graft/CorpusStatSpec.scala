@@ -762,4 +762,82 @@ class CorpusStatSpec extends AnyFunSuite {
       ("en", 16L, 1L, 16L, 16L, 0L),
       ("en", 32L, 1L, 17L, 32L, w32)), s"q173 diverges: $out")
   }
+
+  test("q175 TextTiling: the V-shaped cohesion valley fires; uniform and single-block docs emit nothing") {
+    // doc 1 blocks (width 10): [a×10][a×6 b×4][b×10][b×10] →
+    // overlaps 6, 4, 10 — gap 1 is the strict local minimum below
+    // the mean (4·3 < 20) → ONE boundary at token offset 20 with
+    // evidence (4, prev 6, next 10). doc 2: 20 uniform tokens → one
+    // gap, below-mean test can't hold → nothing. doc 3: one block.
+    val d1 = (Seq.fill(16)("a") ++ Seq.fill(24)("b")).mkString(" ")
+    val d2 = Seq.fill(20)("c").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, "tiny doc here"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Corpus.textTiling(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 1L, 20L, 4L, 6L, 10L)),
+      s"q175 diverges: $out")
+  }
+
+  test("randomized differential: q173/q175 match in-memory references on random corpora") {
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 40L).map { id =>
+        val toks = Vector.fill(rnd.nextInt(45))(s"w${rnd.nextInt(5)}")
+        (id, if (id % 2 == 0) "en" else "fr", toks)
+      }
+
+      // ---- q173 reference ----
+      val rungs = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+      val wantP = docs
+        .filter(_._3.nonEmpty)
+        .map { case (_, lang, toks) =>
+          val len = math.min(toks.size.toLong, 512L)
+          (lang, rungs.find(len <= _).get, len)
+        }
+        .groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((lang, b), g) =>
+          val n = g.size.toLong; val real = g.map(_._3).sum
+          (lang, b, n, real, b * n,
+            math.floor((b * n - real).toDouble / (b * n).toDouble * 1e6
+              + 0.5).toLong)
+        }.sortBy(r => (r._1, r._2))
+      val gotP = graft.queries.Quality.paddingWaste(
+        docs.map { case (_, lang, toks) =>
+          (lang, toks.size.toLong) }.toDF("lang", "len"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(gotP == wantP, s"trial $trial: q173 diverges")
+
+      // ---- q175 reference ----
+      val wantT = docs.flatMap { case (id, _, toks) =>
+        if (toks.isEmpty) Nil else {
+          val blocks = toks.zipWithIndex.groupBy(_._2 / 10).view
+            .mapValues(_.map(_._1)).toMap
+          val nb = blocks.keys.max + 1
+          if (nb < 2) Nil else {
+            val ov = (0 until nb - 1).map { g =>
+              val ca = blocks(g).groupBy(identity).view.mapValues(_.size).toMap
+              val cb = blocks(g + 1).groupBy(identity).view.mapValues(_.size).toMap
+              ca.map { case (t, c) => math.min(c, cb.getOrElse(t, 0)) }.sum.toLong
+            }
+            val tot = ov.sum; val n = ov.size
+            (0 until n).flatMap { g =>
+              val o = ov(g)
+              val prv = if (g > 0) Some(ov(g - 1)) else None
+              val nxt = if (g < n - 1) Some(ov(g + 1)) else None
+              if (prv.forall(o < _) && nxt.forall(o < _) && o * n < tot)
+                Some((id, nb.toLong, g.toLong, (g + 1) * 10L, o,
+                  prv.getOrElse(-1L), nxt.getOrElse(-1L)))
+              else None
+            }
+          }
+        }
+      }.sortBy(r => (r._1, r._3))
+      val gotT = graft.queries.Corpus.textTiling(
+        docs.map { case (id, _, toks) => (id, toks.mkString(" ")) }
+          .toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(gotT == wantT, s"trial $trial: q175 diverges\n got $gotT\nwant $wantT")
+    }
+  }
 }

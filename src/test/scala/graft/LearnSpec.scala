@@ -548,4 +548,45 @@ class LearnSpec extends AnyFunSuite {
       (0, 0, 1L, third), (1, 0, 1L, third), (1, 1, 1L, third)),
       s"q174 diverges: $out")
   }
+
+  test("q176 JL distortion: Scala replay of the exact fold arithmetic on seeded vectors") {
+    val P = 1000000007L; val M = 2654435761L
+    def sign(i: Int, j: Int): Double =
+      if ((j.toLong * 64 + i + 1) * M % P % 2 == 0) 1.0 else -1.0
+    // float-rounded then widened — the gated chain casts the
+    // array<float> column to double, so the replay must too
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i =>
+        (((id * 31 + i) % 97).toDouble / 97.0 - 0.5).toFloat.toDouble)
+    def proj(x: Array[Double]): Array[Double] =
+      Array.tabulate(16) { j =>
+        var a = 0.0; var i = 0
+        while (i < 64) { a = a + x(i) * sign(i, j); i += 1 }
+        a / 4.0
+      }
+    def d2(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        s += math.floor((a(i) - b(i)) * (a(i) - b(i)) * 1e6 + 0.5).toLong
+        i += 1
+      }
+      s
+    }
+    val n = 40L
+    def agg(stride: Long): (Long, Long, Long, Long, Long) = {
+      val r = (0L until n).filter(_ + stride < n).map { id =>
+        val (a, b) = (vec(id), vec(id + stride))
+        (d2(a, b), d2(proj(a), proj(b)))
+      }.filter(_._1 > 0L).map { case (o, p) =>
+        math.floor(p.toDouble / o.toDouble * 1e6 + 0.5).toLong }
+      (stride, r.size.toLong,
+        math.floor(r.sum.toDouble / r.size.toDouble + 0.5).toLong,
+        r.min, r.max)
+    }
+    val emb = (0L until n).map(id =>
+      (id, vec(id).map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    val out = graft.queries.Learn.jlDistortion(emb)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(agg(1L), agg(17L)), s"q176 diverges: $out")
+  }
 }

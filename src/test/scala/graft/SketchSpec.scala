@@ -469,4 +469,45 @@ class SketchSpec extends AnyFunSuite {
     assert(loB < hiB && loB >= 10000000L && hiB <= 90000000L)
     assert(loB <= mb && mb <= hiB, s"srcB CI misses the mean: $out")
   }
+
+  test("randomized differential: q172 matches an in-memory hash/Poisson/order-statistic replay") {
+    // full-chain replay: the mix() stages, the integer Poisson
+    // thresholds, the per-replicate weighted means, the 2nd/39th
+    // order statistics — any drift in any stage moves an integer
+    val P = 1000000007L
+    def mix(k: Long): Long = {
+      val s1 = (k % P) * 654435747L % P
+      val x1 = s1 ^ (s1 >> 15)
+      val s2 = x1 * 961748941L % P
+      val x2 = s2 ^ (s2 >> 13)
+      val s3 = x2 * 920419813L % P
+      s3 ^ (s3 >> 16)
+    }
+    val thresholds = Seq(367879443L, 735758887L, 919698609L,
+      981011849L, 996340160L, 999405822L, 999916765L)
+    def pois(h: Long): Long = thresholds.count(h >= _).toLong
+    def mm(s: Long, n: Long): Long =
+      math.floor(s.toDouble / n.toDouble * 1e6 + 0.5).toLong
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 60L).map(id =>
+        (s"s${id % 3}", id * 13 + trial, 5L + rnd.nextInt(200)))
+      val want = docs.groupBy(_._1).toSeq.map { case (src, g) =>
+        val reps = (1L to 40L).flatMap { b =>
+          val (s, w) = g.foldLeft((0L, 0L)) { case ((s, w), (_, id, len)) =>
+            val wi = pois(mix(id * 41 + b))
+            (s + wi * len, w + wi)
+          }
+          if (w > 0) Some((mm(s, w), b)) else None
+        }.sorted
+        assert(reps.size == 40, s"trial $trial: a replicate emptied")
+        (src, g.size.toLong, mm(g.map(_._3).sum, g.size.toLong), 40L,
+          reps(1)._1, reps(38)._1)
+      }.sortBy(_._1)
+      val got = graft.queries.Sketch.bootstrapCi(
+        docs.toDF("source", "doc_id", "len"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"trial $trial: q172 diverges\n got $got\nwant $want")
+    }
+  }
 }
