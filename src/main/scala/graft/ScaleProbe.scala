@@ -185,9 +185,10 @@ object ScaleProbe {
     // the probe-training + K-fanned-scoring noise matrix
     "q171_k_anonymity", "q172_bootstrap_ci", "q173_padding_waste",
     "q174_label_noise",
-    // the discourse segmenter (token explode + adjacent-block join)
-    // and the JL projection audit (narrow HOF map + id-keyed pairs)
-    "q175_text_tiling", "q176_jl_distortion")
+    // the discourse segmenter (token explode + adjacent-block join),
+    // the JL projection audit (narrow HOF map + id-keyed pairs), and
+    // the LOO data-valuation pass (q151's token-width-join shape)
+    "q175_text_tiling", "q176_jl_distortion", "q177_loo_novelty")
     // q101 is NOT probed: its in-query citation-edge derivation
     // documents a ~9k-doc bound (doc_id·A must stay under 2^63 —
     // Graph.scala's constants note), which the 10× synthetic corpus

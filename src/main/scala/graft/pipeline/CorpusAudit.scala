@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * (k_anonymity q171), statistical uncertainty (bootstrap_ci q172),
   * batch-shape economics (padding_waste q173), label quality
   * (label_noise q174), discourse structure (topic_boundaries q175),
-  * and dimensionality-cut cost (jl_distortion q176).
+  * dimensionality-cut cost (jl_distortion q176), and source
+  * data-valuation (loo_novelty q177).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -122,7 +123,8 @@ object CorpusAudit {
     "padding_waste" -> "q173_padding_waste",
     "label_noise" -> "q174_label_noise",
     "topic_boundaries" -> "q175_text_tiling",
-    "jl_distortion" -> "q176_jl_distortion")
+    "jl_distortion" -> "q176_jl_distortion",
+    "loo_novelty" -> "q177_loo_novelty")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

@@ -1136,8 +1136,68 @@ object Corpus {
     "q175_text_tiling" -> { (s, d) =>
       import s.implicits._
       textTiling(Tables.documents(s, d).select($"doc_id", $"text"))
+    },
+
+    // Leave-one-source-out novelty (the cross-validation member of
+    // the data-valuation family — Ghorbani & Zou 2019's Data Shapley
+    // asks this with models; the unigram-LM version is closed-form):
+    // score each provider's OWN tokens under the LM trained on
+    // EVERYONE ELSE (add-one smoothed over the corpus vocabulary).
+    // High held-out cross-entropy = the source contributes text the
+    // rest of the corpus cannot predict (novel — or garbage, which
+    // q134/q110's quality gates disambiguate); low = redundant with
+    // what other providers already deliver. The complement of q153
+    // (KL of source vs corpus INCLUDING itself — a big source looks
+    // like the corpus by construction; LOO removes that self-mass)
+    // and of q128 (near-dup redundancy sees only verbatim copies;
+    // this sees distributional redundancy). n_unique_terms (terms NO
+    // other source has) rides as the vocabulary-exclusivity
+    // diagnostic. Determinism: per-(source, term) contributions
+    // micro-quantize before the int64 sum (q151's device; ln's ulp
+    // absorbed by the rounding, q151's argument); the per-token mean
+    // is one integral floor division.
+    //
+    // Scale shape: ONE tokenize pass map-side-combines to the
+    // (source, term) count table; cw is its O(types) rollup joined
+    // back BY KEY (token-width rows, no broadcast assumption on the
+    // vocabulary); the O(sources) totals and the 1-row (N, V) frame
+    // broadcast (intendedBnlj). Everything is the q151/q153 shape.
+    "q177_loo_novelty" -> { (s, d) =>
+      import s.implicits._
+      looNovelty(Tables.documents(s, d).select($"source", $"text"))
     }
   )
+
+  /** The q177 chain over any (source, text) frame (spec hook:
+    * planted two-source corpus with hand-computed smoothed LOO
+    * probabilities — CorpusStatSpec). */
+  private[graft] def looNovelty(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cw = tf.groupBy($"w").agg(sum($"tf").as("cw"))
+    val ns = tf.groupBy($"source")
+      .agg(sum($"tf").as("n_s"), count(lit(1)).as("n_terms"))
+    val tot = cw.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+    tf.join(cw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("tterm", floor(-$"tf".cast("double")
+        * log(($"cw" - $"tf" + lit(1L)).cast("double")
+          / ($"n" - $"n_s" + $"v").cast("double"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("uniq", when($"cw" === $"tf", 1L).otherwise(0L))
+      .groupBy($"source", $"n_s", $"n_terms")
+      .agg(sum($"uniq").as("n_unique_terms"), sum($"tterm").as("st"))
+      .select($"source", $"n_s".as("n_tokens"), $"n_terms",
+        $"n_unique_terms",
+        floor($"st".cast("double") / $"n_s".cast("double") + lit(0.5))
+          .cast("long").as("xent_loo_micro"))
+      .orderBy($"source")
+  }
 
   /** q175: tokens per cohesion block (Hearst's w — her 20-token
     * pseudosentences at the testdata's 10–99-token documents would
@@ -2913,7 +2973,35 @@ object Corpus {
          |WHERE (prv IS NULL OR overlap < prv)
          |  AND (nxt IS NULL OR overlap < nxt)
          |  AND overlap * n_gaps < tot
-         |ORDER BY doc_id, gap""".stripMargin
+         |ORDER BY doc_id, gap""".stripMargin,
+
+    // Twin of q177: the q151-family count CTEs, the same add-one
+    // LOO probability (integer arithmetic, one cast each side of
+    // ONE division), micro-quantize-then-sum, integral mean.
+    "q177_loo_novelty" ->
+      s"""WITH t AS (SELECT source, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY 1, 2),
+         |cw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cw FROM tf GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s,
+         |         CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n,
+         |          CAST(count(*) AS BIGINT) AS v FROM cw),
+         |sc AS (SELECT tf.source, ns.n_s, ns.n_terms,
+         |         CAST(floor(-CAST(tf.tf AS DOUBLE)
+         |           * ln(CAST(cw.cw - tf.tf + 1 AS DOUBLE)
+         |               / CAST(tot.n - ns.n_s + tot.v AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS tterm,
+         |         CASE WHEN cw.cw = tf.tf THEN 1 ELSE 0 END AS uniq
+         |       FROM tf JOIN cw ON cw.w = tf.w
+         |            JOIN ns ON ns.source = tf.source CROSS JOIN tot)
+         |SELECT source, n_s AS n_tokens, n_terms,
+         |  CAST(sum(uniq) AS BIGINT) AS n_unique_terms,
+         |  CAST(floor(CAST(sum(tterm) AS DOUBLE) / CAST(n_s AS DOUBLE)
+         |    + 0.5) AS BIGINT) AS xent_loo_micro
+         |FROM sc GROUP BY source, n_s, n_terms ORDER BY source""".stripMargin
   )
 
   /** The q102 scoring replay (t → pos → refpos → uni → tot → bi →

@@ -779,6 +779,23 @@ class CorpusStatSpec extends AnyFunSuite {
       s"q175 diverges: $out")
   }
 
+  test("q177 planted LOO novelty: hand-computed smoothed probabilities and unique terms") {
+    // srcA = "a a b", srcB = "b c"; cw: a=2 b=2 c=1; N=5, V=3.
+    // LOO-A denom 5−3+3=5: a→(2−2+1)/5, b→(2−1+1)/5; unique: a.
+    // LOO-B denom 5−2+3=6: b→2/6, c→1/6; unique: c.
+    val docs = Seq(("srcA", "a a b"), ("srcB", "b c"))
+      .toDF("source", "text")
+    def m(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val stA = m(-2.0 * math.log(1.0 / 5.0)) + m(-1.0 * math.log(2.0 / 5.0))
+    val stB = m(-1.0 * math.log(2.0 / 6.0)) + m(-1.0 * math.log(1.0 / 6.0))
+    val out = graft.queries.Corpus.looNovelty(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("srcA", 3L, 2L, 1L, math.floor(stA.toDouble / 3.0 + 0.5).toLong),
+      ("srcB", 2L, 2L, 1L, math.floor(stB.toDouble / 2.0 + 0.5).toLong)),
+      s"q177 diverges: $out")
+  }
+
   test("randomized differential: q173/q175 match in-memory references on random corpora") {
     val rnd = new scala.util.Random(20260818L)
     for (trial <- 1 to 3) {

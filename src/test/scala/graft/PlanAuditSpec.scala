@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q168_kn_xent", // q168: 1-row (N1++(..), V) total broadcast (q102's shape)
       "q165_label_agreement", // q165: 1-row total broadcast over O(classes) rows
       "q174_label_noise", // q174: 1-row matrix-total broadcast over ≤ K² rows
+      "q177_loo_novelty", // q177: 1-row (N, V) total broadcast over token-width rows
       "q159_length_drift", // q159: O(sources) totals × O(distinct-lengths) histogram spine
       "q160_term_dispersion", // q160: O(sources) totals × top-K terms × 1-row corpus total
       "q138_source_overlap") // q138: O(sources)² pair generator over the
