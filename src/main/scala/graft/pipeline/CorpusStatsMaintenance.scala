@@ -28,12 +28,19 @@ import org.apache.spark.sql.functions._
   * collocations — raw (unfloored) counts are load-bearing for both
   * (q125's ≥5 noise floor must apply to the MERGED counts, and the
   * table's per-lang sum IS the bigram mass both normalizers need —
-  * [[graft.queries.Corpus.bigramCounts]]'s doc). All three
-  * statistics come off the one tokenize of the arriving batch.
+  * [[graft.queries.Corpus.bigramCounts]]'s doc). A FOURTH (round
+  * 16): the (source, term) count table, which carries the whole
+  * source-mixture family — q153's KL drift, q151's DoReMi weights
+  * and q177's LOO novelty all serve off it through their
+  * `FromCounts` derivations, so the mixture owner re-reads
+  * recommended weights and data-valuation scores after every
+  * delivery. All four statistics come off the one tokenize of the
+  * arriving batch.
   *
   * Store layout: `dir/termcounts/run=<id>/` parquet (lang, w, c),
-  * `dir/lenhist/run=<id>/` parquet (source, len, c), and
-  * `dir/bicounts/run=<id>/` parquet (lang, w1, w2, c). [[absorb]] is
+  * `dir/lenhist/run=<id>/` parquet (source, len, c),
+  * `dir/bicounts/run=<id>/` parquet (lang, w1, w2, c), and
+  * `dir/srccounts/run=<id>/` parquet (source, w, csw). [[absorb]] is
   * idempotent under re-delivery (dynamic partition overwrite keyed
   * on the run id — the house at-least-once convention); a token-less
   * batch still histograms its zero-length docs (length 0 is length
@@ -54,12 +61,16 @@ object CorpusStatsMaintenance {
   private def store(dir: String) = s"$dir/termcounts"
   private def lstore(dir: String) = s"$dir/lenhist"
   private def bstore(dir: String) = s"$dir/bicounts"
+  private def sstore(dir: String) = s"$dir/srccounts"
 
   private def counts(docs: DataFrame): DataFrame =
     graft.queries.Corpus.unigramCounts(docs)
 
   private def bicounts(docs: DataFrame): DataFrame =
     graft.queries.Corpus.bigramCounts(docs)
+
+  private def srccounts(docs: DataFrame): DataFrame =
+    graft.queries.Corpus.sourceTermCounts(docs)
 
   private def lenhist(docs: DataFrame): DataFrame =
     docs.select(col("source"),
@@ -75,6 +86,8 @@ object CorpusStatsMaintenance {
       .write.partitionBy("run").mode("overwrite").parquet(lstore(dir))
     bicounts(docs).withColumn("run", lit("base"))
       .write.partitionBy("run").mode("overwrite").parquet(bstore(dir))
+    srccounts(docs).withColumn("run", lit("base"))
+      .write.partitionBy("run").mode("overwrite").parquet(sstore(dir))
   }
 
   /** Absorb one delivery under `run=<runId>` — O(batch), idempotent
@@ -95,6 +108,10 @@ object CorpusStatsMaintenance {
     bicounts(docs).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(bstore(dir))
+    graft.ops.StoreCompaction.heal(spark, sstore(dir), "run")
+    srccounts(docs).withColumn("run", lit(runId))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(sstore(dir))
   }
 
   /** Fold every run into one summed partition per statistic
@@ -112,6 +129,9 @@ object CorpusStatsMaintenance {
       spark.read.parquet(bstore(dir))
         .groupBy(col("lang"), col("w1"), col("w2"))
         .agg(sum(col("c")).as("c")))
+    graft.ops.StoreCompaction.fold(spark, sstore(dir), "run", "base",
+      spark.read.parquet(sstore(dir))
+        .groupBy(col("source"), col("w")).agg(sum(col("csw")).as("csw")))
   }
 
   /** The summed (lang, w, c) view of whatever runs are on disk —
@@ -174,4 +194,27 @@ object CorpusStatsMaintenance {
   def pmiBigrams(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Corpus.pmiFromCounts(
       merged(spark, dir), mergedBi(spark, dir))
+
+  /** The summed (source, w, csw) view — same heal/aggregate
+    * contract; the FOURTH additive statistic (round 16), carrying
+    * the source-mixture family. */
+  private def mergedSrc(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.StoreCompaction.heal(spark, sstore(dir), "run")
+    spark.read.parquet(sstore(dir))
+      .groupBy(col("source"), col("w")).agg(sum(col("csw")).as("csw"))
+  }
+
+  /** q153's source-KL drift table from the store. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.sourceKlFromCounts(mergedSrc(spark, dir))
+
+  /** q151's DoReMi weight table from the store — the mixture owner
+    * re-reads the recommended weights after every delivery. */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Learn.doremiWeightsFromCounts(mergedSrc(spark, dir))
+
+  /** q177's LOO novelty table from the store — data valuation per
+    * delivery (which provider still adds unpredictable text). */
+  def looNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.looNoveltyFromCounts(mergedSrc(spark, dir))
 }

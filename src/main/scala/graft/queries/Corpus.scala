@@ -1171,13 +1171,15 @@ object Corpus {
   /** The q177 chain over any (source, text) frame (spec hook:
     * planted two-source corpus with hand-computed smoothed LOO
     * probabilities — CorpusStatSpec). */
-  private[graft] def looNovelty(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def looNovelty(docs: DataFrame): DataFrame =
+    looNoveltyFromCounts(sourceTermCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** q177 over the pre-aggregated (source, w, csw) count table. */
+  private[graft] def looNoveltyFromCounts(tf0: DataFrame): DataFrame = {
+    val spark = tf0.sparkSession
     import spark.implicits._
-    val tf = docs
-      .select($"source", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tf0.select($"source", $"w", $"csw".as("tf"))
     val cw = tf.groupBy($"w").agg(sum($"tf").as("cw"))
     val ns = tf.groupBy($"source")
       .agg(sum($"tf").as("n_s"), count(lit(1)).as("n_terms"))
@@ -1776,11 +1778,25 @@ object Corpus {
     * CorpusStatSpec). Per-term contributions micro-quantize before
     * the int64 sum (order-free — the q137 contract); each ln runs
     * over exact integer counts (the q43 libm-ulp note). */
-  private[graft] def sourceKl(docs: DataFrame): DataFrame = {
+  private[graft] def sourceKl(docs: DataFrame): DataFrame =
+    sourceKlFromCounts(sourceTermCounts(docs))
+
+  /** The (source, term) count table — the additive sufficient
+    * statistic behind the whole source-mixture family (q151 DoReMi,
+    * q153 KL, q177 LOO novelty), maintained incrementally by
+    * [[graft.pipeline.CorpusStatsMaintenance]] as its fourth store. */
+  private[graft] def sourceTermCounts(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
+    docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
       .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
+  }
+
+  /** q153 over the pre-aggregated (source, w, csw) count table (the
+    * [[goodTuringFromCounts]] sharing convention). */
+  private[graft] def sourceKlFromCounts(tf: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     val cw = tf.groupBy($"w").agg(sum($"csw").as("cw"))
     val ns = tf.groupBy($"source")
       .agg(sum($"csw").as("n_s"), count(lit(1)).as("n_types"))

@@ -590,12 +590,15 @@ object Learn {
   /** The q151 chain over any (source, text) frame (spec hook:
     * planted two-source corpora with closed-form excess and weights
     * — LearnSpec). */
-  private[graft] def doremiWeights(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def doremiWeights(docs: DataFrame): DataFrame =
+    doremiWeightsFromCounts(graft.queries.Corpus.sourceTermCounts(docs))
+
+  /** q151 over the pre-aggregated (source, w, csw) count table (the
+    * Corpus.sourceKlFromCounts sharing convention — the fourth
+    * CorpusStatsMaintenance store serves this incrementally). */
+  private[graft] def doremiWeightsFromCounts(tf: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    import graft.ops.TextOps
-    val tf = docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
     val cw = tf.groupBy($"w").agg(sum($"csw").as("cw"))
     val ns = tf.groupBy($"source").agg(sum($"csw").as("n_s"))
     val tot = ns.agg(sum($"n_s").as("n")) // 1 row — intendedBnlj

@@ -40,6 +40,12 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     def servedBi = (
       CorpusStatsMaintenance.entropyRate(spark, dir).collect().toSeq,
       CorpusStatsMaintenance.pmiBigrams(spark, dir).collect().toSeq)
+    // the source-term-store consumers (round 16's fourth statistic):
+    // the whole mixture family must replay off the merged counts
+    def servedSrc = (
+      CorpusStatsMaintenance.sourceKl(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.doremiWeights(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.looNovelty(spark, dir).collect().toSeq)
     val batch = (
       graft.queries.Corpus.lexicalDiversity(docs).collect().toSeq,
       graft.queries.Corpus.goodTuring(docs).collect().toSeq,
@@ -48,6 +54,10 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     val batchBi = (
       graft.queries.Corpus.entropyRate(docs).collect().toSeq,
       graft.queries.Corpus.pmiBigrams(docs).collect().toSeq)
+    val batchSrc = (
+      graft.queries.Corpus.sourceKl(docs).collect().toSeq,
+      graft.queries.Learn.doremiWeights(docs).collect().toSeq,
+      graft.queries.Corpus.looNovelty(docs).collect().toSeq)
     assert(batch._1.nonEmpty && batch._3.nonEmpty, "fixture served nothing")
     assert(batchBi._1.nonEmpty && batchBi._2.nonEmpty,
       "bigram fixture served nothing")
@@ -58,6 +68,9 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
       "served length drift diverges from the batch chain")
     assert(servedBi == batchBi,
       "served entropy-rate/PMI diverge from the batch chains")
+    assert(batchSrc._1.nonEmpty, "source fixture served nothing")
+    assert(servedSrc == batchSrc,
+      "served KL/DoReMi/LOO diverge from the batch chains")
 
     // at-least-once: a re-delivered batch overwrites its own run
     CorpusStatsMaintenance.absorb(spark, part1, dir, "b1")
@@ -88,6 +101,8 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     assert(served == batch, "compaction changed the served statistics")
     assert(servedBi == batchBi,
       "compaction changed the served entropy-rate/PMI")
+    assert(servedSrc == batchSrc,
+      "compaction changed the served mixture family")
     assert(servedLen ==
       graft.queries.Corpus.lengthDrift(withEmpty).collect().toSeq,
       "compaction changed the served length drift")
@@ -111,5 +126,10 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
       graft.queries.Corpus.entropyRate(extTerms).collect().toSeq,
       graft.queries.Corpus.pmiBigrams(extTerms).collect().toSeq),
       "post-compaction entropy-rate/PMI diverge from the batch chains")
+    assert(servedSrc == (
+      graft.queries.Corpus.sourceKl(extTerms).collect().toSeq,
+      graft.queries.Learn.doremiWeights(extTerms).collect().toSeq,
+      graft.queries.Corpus.looNovelty(extTerms).collect().toSeq),
+      "post-compaction mixture family diverges from the batch chains")
   }
 }
