@@ -228,6 +228,10 @@ object ScaleProbe {
       // being measured
       graft.queries.TextVector.centsStageReset()
       graft.queries.ProbeStage.reset()
+      // q147/q157 read the memoized pair stage — reset so the probe
+      // keeps measuring their FULL chain (the exponent the README
+      // table claims is the end-to-end one)
+      graft.queries.NearDupStage.reset()
       // chains that persist a derived stage (SparkEntry's cache
       // contract) would otherwise serve rep 2 from rep 1's cached
       // blocks — the min would then measure the CACHE, not the

@@ -40,11 +40,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object NearDupStage {
 
-  private val stage = new graft.ops.SessionStage[DataFrame]((s, d) => {
-    val pairs = TextVector.queries("q24_near_dup")(s, d)
-      .select("id_a", "id_b")
-    graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
-  })
+  /** q24's VERIFIED pair set, materialized once per (session, dir)
+    * — the stage below the label stage (round 16): q147's edit-
+    * distance verification and q157's containment both consume the
+    * raw pairs, not the component labels, and each rebuilt the whole
+    * shingle → minhash → LSH → verify chain per run (the #3/#4
+    * clean-bench entries). localCheckpoint is the labels device: the
+    * pair table is bounded by the banded-candidate caps — 4 orders
+    * smaller than the corpus — and survives clearCache. */
+  private val pairStage = new graft.ops.SessionStage[DataFrame]((s, d) =>
+    TextVector.queries("q24_near_dup")(s, d)
+      .select("id_a", "id_b").localCheckpoint())
+
+  private val stage = new graft.ops.SessionStage[DataFrame]((s, d) =>
+    graft.ops.ConnectedComponents.run(pairs(s, d), "id_a", "id_b"))
+
+  /** The verified (id_a, id_b) near-dup pairs — one q24 execution
+    * shared by q147/q157 and the label stage underneath. */
+  def pairs(s: SparkSession, d: String): DataFrame = pairStage.get(s, d)
 
   /** Connected-component labels (id, label) over q24's verified
     * near-dup pairs — label = min doc_id of the near-dup cluster;
@@ -52,11 +65,15 @@ object NearDupStage {
     * the full chain; later calls return the materialized table. */
   def labels(s: SparkSession, d: String): DataFrame = stage.get(s, d)
 
-  /** How many times the chain actually executed (spec hook: three
-    * consumers, one build). */
+  /** How many times the component chain actually executed (spec
+    * hook: three consumers, one build). */
   def buildCount: Int = stage.buildCount
+
+  /** How many times the pair chain executed (spec hook: q147 + q157
+    * + the label stage, one build). */
+  def pairBuildCount: Int = pairStage.buildCount
 
   /** Drop cached stages (test isolation; the checkpointed blocks are
     * released with their session). */
-  private[graft] def reset(): Unit = stage.reset()
+  private[graft] def reset(): Unit = { stage.reset(); pairStage.reset() }
 }

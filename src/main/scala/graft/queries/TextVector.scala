@@ -947,7 +947,7 @@ object TextVector {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val t = docs.select($"doc_id", $"text")
-      nearDupPairs(docs).select($"id_a", $"id_b")
+      NearDupStage.pairs(s, d)
         .join(t.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
         .join(t.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
         .select($"id_a", $"id_b",
@@ -986,7 +986,7 @@ object TextVector {
       val sh = docs.select($"doc_id",
           graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
         .filter(size($"hs") > 0)
-      nearDupPairs(docs).select($"id_a", $"id_b")
+      NearDupStage.pairs(s, d)
         .join(sh.select($"doc_id".as("id_a"), $"hs".as("ha")), Seq("id_a"))
         .join(sh.select($"doc_id".as("id_b"), $"hs".as("hb")), Seq("id_b"))
         .select($"id_a", $"id_b",

@@ -29,6 +29,16 @@ class TrainedStageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the verified pair set builds once for q147, q157, and the label stage") {
+    graft.queries.NearDupStage.reset()
+    SparkEntry.queries("q147_editdist_verify")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q157_containment")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q63_dedup_clusters")(spark, sf).foreach(_ => ())
+    assert(graft.queries.NearDupStage.pairBuildCount == 1,
+      s"pair chain ran ${graft.queries.NearDupStage.pairBuildCount} times")
+    spark.catalog.clearCache()
+  }
+
   test("the PC fit builds once for its two consumers (q129, q130)") {
     graft.queries.Learn.pcStageReset()
     SparkEntry.queries("q129_top_pc")(spark, sf).foreach(_ => ())
