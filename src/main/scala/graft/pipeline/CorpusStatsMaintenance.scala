@@ -63,53 +63,62 @@ object CorpusStatsMaintenance {
   private def bstore(dir: String) = s"$dir/bicounts"
   private def sstore(dir: String) = s"$dir/srccounts"
 
-  private def counts(docs: DataFrame): DataFrame =
-    graft.queries.Corpus.unigramCounts(docs)
+  // all four statistics derive from ONE tokenize of the batch — the
+  // shared (source, lang, toks) frame persists for the four writes
+  // and unpersists before absorb/build returns
+  private def counts(tk: DataFrame): DataFrame =
+    graft.queries.Corpus.unigramCountsFromToks(tk)
 
-  private def bicounts(docs: DataFrame): DataFrame =
-    graft.queries.Corpus.bigramCounts(docs)
+  private def bicounts(tk: DataFrame): DataFrame =
+    graft.queries.Corpus.bigramCountsFromToks(tk)
 
-  private def srccounts(docs: DataFrame): DataFrame =
-    graft.queries.Corpus.sourceTermCounts(docs)
+  private def srccounts(tk: DataFrame): DataFrame =
+    graft.queries.Corpus.sourceTermCountsFromToks(tk)
 
-  private def lenhist(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("len"))
+  private def lenhist(tk: DataFrame): DataFrame =
+    tk.select(col("source"), size(col("toks")).cast("long").as("len"))
       .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+
+  private def withTokenized[T](docs: DataFrame)(f: DataFrame => T): T = {
+    val tk = graft.queries.Corpus.tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(tk) finally tk.unpersist()
+  }
 
   /** Full rebuild from a corpus snapshot → `run=base` (both
     * statistics). */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    counts(docs).withColumn("run", lit("base"))
-      .write.partitionBy("run").mode("overwrite").parquet(store(dir))
-    lenhist(docs).withColumn("run", lit("base"))
-      .write.partitionBy("run").mode("overwrite").parquet(lstore(dir))
-    bicounts(docs).withColumn("run", lit("base"))
-      .write.partitionBy("run").mode("overwrite").parquet(bstore(dir))
-    srccounts(docs).withColumn("run", lit("base"))
-      .write.partitionBy("run").mode("overwrite").parquet(sstore(dir))
-  }
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    withTokenized(docs) { tk =>
+      counts(tk).withColumn("run", lit("base"))
+        .write.partitionBy("run").mode("overwrite").parquet(store(dir))
+      lenhist(tk).withColumn("run", lit("base"))
+        .write.partitionBy("run").mode("overwrite").parquet(lstore(dir))
+      bicounts(tk).withColumn("run", lit("base"))
+        .write.partitionBy("run").mode("overwrite").parquet(bstore(dir))
+      srccounts(tk).withColumn("run", lit("base"))
+        .write.partitionBy("run").mode("overwrite").parquet(sstore(dir))
+    }
 
   /** Absorb one delivery under `run=<runId>` — O(batch), idempotent
     * under re-delivery (the partition overwrites itself, BOTH
     * statistics keyed on the same run id so a replay can never land
     * one table without the other). */
   def absorb(spark: SparkSession, docs: DataFrame, dir: String,
-             runId: String): Unit = {
+             runId: String): Unit = withTokenized(docs) { tk =>
     graft.ops.StoreCompaction.heal(spark, store(dir), "run")
-    counts(docs).withColumn("run", lit(runId))
+    counts(tk).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(store(dir))
     graft.ops.StoreCompaction.heal(spark, lstore(dir), "run")
-    lenhist(docs).withColumn("run", lit(runId))
+    lenhist(tk).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(lstore(dir))
     graft.ops.StoreCompaction.heal(spark, bstore(dir), "run")
-    bicounts(docs).withColumn("run", lit(runId))
+    bicounts(tk).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(bstore(dir))
     graft.ops.StoreCompaction.heal(spark, sstore(dir), "run")
-    srccounts(docs).withColumn("run", lit(runId))
+    srccounts(tk).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(sstore(dir))
   }

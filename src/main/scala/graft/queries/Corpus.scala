@@ -1287,16 +1287,31 @@ object Corpus {
   /** The q125 chain over any (lang, text) frame (spec hook: planted
     * collocation corpus — LmSpec). See the q125 entry comment. */
   private[graft] def pmiBigrams(docs: DataFrame): DataFrame =
-    pmiFromCounts(unigramCounts(docs), bigramCounts(docs))
+    { val (uni, bi) = uniBiCounts(docs); pmiFromCounts(uni, bi) }
 
   /** Per-(lang, term) occurrence counts — the additive sufficient
     * statistic behind q139/q140/q152/q154/q162/q125 and the
     * [[graft.pipeline.CorpusStatsMaintenance]] term store (counts sum
     * across disjoint deliveries, so the store absorbs batches and the
     * FromCounts derivations serve without a corpus re-scan). */
-  private[graft] def unigramCounts(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+  /** The shared tokenized projection behind every count statistic:
+    * (source, lang, toks). Chains that need several statistics off
+    * one corpus/batch pass persist THIS frame and feed the FromToks
+    * derivations below ([[uniBiCounts]],
+    * [[graft.pipeline.CorpusStatsMaintenance]]'s absorb). */
+  private[graft] def tokenized(docs: DataFrame): DataFrame = {
+    def opt(c: String) =
+      if (docs.columns.contains(c)) col(c) else lit(null).cast("string")
+    docs.select(opt("source").as("source"), opt("lang").as("lang"),
+      TextOps.tokens(col("text")).as("toks"))
+  }
+
+  private[graft] def unigramCountsFromToks(tk: DataFrame): DataFrame =
+    tk.select(col("lang"), explode(col("toks")).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+
+  private[graft] def unigramCounts(docs: DataFrame): DataFrame =
+    unigramCountsFromToks(tokenized(docs))
 
   /** Per-(lang, adjacent-pair) RAW counts — the second additive
     * sufficient statistic ([[CorpusStatsMaintenance]]'s bigram store;
@@ -1307,15 +1322,27 @@ object Corpus {
     * the rare pairs and the PMI denominator with it. Adjacent pairs
     * zip the token array with its own tail — one narrow map, no
     * positional explode-then-self-join. */
-  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
+  private[graft] def bigramCountsFromToks(tk: DataFrame): DataFrame =
+    tk.filter(size(col("toks")) >= 2)
       .select(col("lang"), explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("lang"), col("p.w1"), col("p.w2"))
       .agg(count(lit(1)).as("c"))
+
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    bigramCountsFromToks(tokenized(docs))
+
+  /** Both count statistics off ONE tokenize (q154/q125's chains each
+    * consume the pair — two independent derivations would pay the
+    * corpus tokenize twice; the persisted frame is the q102-pos-frame
+    * device, token-width, under the SparkEntry cache contract). */
+  private[graft] def uniBiCounts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tk = tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (unigramCountsFromToks(tk), bigramCountsFromToks(tk))
+  }
 
   /** q125 over the pre-aggregated sufficient statistics (the
     * goodTuringFromCounts sharing convention): `uni` = (lang, w, c),
@@ -1785,12 +1812,12 @@ object Corpus {
     * statistic behind the whole source-mixture family (q151 DoReMi,
     * q153 KL, q177 LOO novelty), maintained incrementally by
     * [[graft.pipeline.CorpusStatsMaintenance]] as its fourth store. */
-  private[graft] def sourceTermCounts(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
-  }
+  private[graft] def sourceTermCountsFromToks(tk: DataFrame): DataFrame =
+    tk.select(col("source"), explode(col("toks")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw"))
+
+  private[graft] def sourceTermCounts(docs: DataFrame): DataFrame =
+    sourceTermCountsFromToks(tokenized(docs))
 
   /** q153 over the pre-aggregated (source, w, csw) count table (the
     * [[goodTuringFromCounts]] sharing convention). */
@@ -1817,7 +1844,7 @@ object Corpus {
     * uniform and deterministic-chain corpora with closed-form
     * entropies — CorpusStatSpec). */
   private[graft] def entropyRate(docs: DataFrame): DataFrame =
-    entropyRateFromCounts(unigramCounts(docs), bigramCounts(docs))
+    { val (uni, bi) = uniBiCounts(docs); entropyRateFromCounts(uni, bi) }
 
   /** q154 over the pre-aggregated sufficient statistics (the
     * [[pmiFromCounts]] twin): both entropies are pure functions of
