@@ -188,7 +188,9 @@ object ScaleProbe {
     // the discourse segmenter (token explode + adjacent-block join),
     // the JL projection audit (narrow HOF map + id-keyed pairs), and
     // the LOO data-valuation pass (q151's token-width-join shape)
-    "q175_text_tiling", "q176_jl_distortion", "q177_loo_novelty")
+    "q175_text_tiling", "q176_jl_distortion", "q177_loo_novelty",
+    // the credential screen (one tokenize, fused flag predicates)
+    "q178_secret_scan")
     // q101 is NOT probed: its in-query citation-edge derivation
     // documents a ~9k-doc bound (doc_id·A must stay under 2^63 —
     // Graph.scala's constants note), which the 10× synthetic corpus

@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   * (k_anonymity q171), statistical uncertainty (bootstrap_ci q172),
   * batch-shape economics (padding_waste q173), label quality
   * (label_noise q174), discourse structure (topic_boundaries q175),
-  * dimensionality-cut cost (jl_distortion q176), and source
-  * data-valuation (loo_novelty q177).
+  * dimensionality-cut cost (jl_distortion q176), source
+  * data-valuation (loo_novelty q177), and credential leakage
+  * (secret_scan q178).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -124,7 +125,8 @@ object CorpusAudit {
     "label_noise" -> "q174_label_noise",
     "topic_boundaries" -> "q175_text_tiling",
     "jl_distortion" -> "q176_jl_distortion",
-    "loo_novelty" -> "q177_loo_novelty")
+    "loo_novelty" -> "q177_loo_novelty",
+    "secret_scan" -> "q178_secret_scan")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

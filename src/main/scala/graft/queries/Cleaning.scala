@@ -391,8 +391,76 @@ object Cleaning {
     // else moves — at 100 TB this is a scan plus a combine.
     "q171_k_anonymity" -> { (s, d) =>
       kAnonymity(qiInput(Tables.customer(s, d)))
+    },
+
+    // High-entropy credential scan (the detect-secrets recipe:
+    // Meli, McNiece & Reaves NDSS 2019 measured credential leakage
+    // at scale; every modern code/crawl curation pipeline runs this
+    // screen) — the third member of the privacy family: q52/q124
+    // catch STRUCTURED identifiers (emails, phones) by pattern;
+    // leaked API keys and tokens have no grammar, only SHAPE — long
+    // single-token alnum runs mixing letters and digits across many
+    // distinct characters. Detection: token length ≥ 20, at least
+    // one digit AND one letter, ≥ 8 distinct characters — all
+    // integer/regex predicates, no entropy float. Output: one row
+    // per offending document with counts and a masked 6-char
+    // example (a report of full secrets would itself be a leak).
+    // Testdata ships no credentials, so the dirty input derives
+    // in-query (the q73/q124 convention): every 5th doc gets a
+    // 20-char hex-ish token appended, derived from doc_id via the
+    // house hash so both engines plant the same bytes.
+    //
+    // Scale shape: one tokenize pass, flag predicates fuse into the
+    // scan, ONE map-side-combined per-doc aggregate; only flagged
+    // docs survive the HAVING. Nothing else moves.
+    "q178_secret_scan" -> { (s, d) =>
+      secretScan(withSecrets(Tables.documents(s, d)))
     }
   )
+
+  /** q178: detection floors (detect-secrets-style shape heuristic). */
+  private val SecretMinLen      = 20
+  private val SecretMinDistinct = 8
+
+  /** q178's dirty-input derivation (the [[withPii]] convention):
+    * every doc_id ≡ 1 (mod 5) grows a deterministic 20-char
+    * credential-shaped token — "sk" + two 9-hex-digit halves pinned
+    * to [2^32, 2^32+2^30) so the hex width never varies. */
+  private[graft] def withSecrets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def half(mult: Long) = lower(hex(
+      pmod($"doc_id" * lit(mult), lit(1000000007L)) + lit(4294967296L)))
+    docs.select($"doc_id", $"lang",
+      when(pmod($"doc_id", lit(5L)) === 1L,
+        concat($"text", lit(" key sk"), half(2654435761L), half(961748941L)))
+        .otherwise($"text").as("text"))
+  }
+
+  /** The q178 chain over any (doc_id, text) frame (spec hook:
+    * planted credential, long clean word, short hex — CleaningSpec). */
+  private[graft] def secretScan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flag =
+      (length($"tok") >= SecretMinLen &&
+        $"tok".rlike("[0-9]") && $"tok".rlike("[A-Za-z]") &&
+        size(array_distinct(split($"tok", ""))) >= SecretMinDistinct)
+        .cast("long")
+    docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .select($"doc_id", $"tok", flag.as("flag"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"flag").as("n_secrets"),
+        max(when($"flag" === 1L, length($"tok").cast("long")))
+          .as("max_secret_len"),
+        min(when($"flag" === 1L, $"tok")).as("first_secret"))
+      .filter($"n_secrets" > 0L)
+      .select($"doc_id", $"n_tokens", $"n_secrets", $"max_secret_len",
+        concat(substring($"first_secret", 1, 6), lit("***"))
+          .as("example_masked"))
+      .orderBy($"doc_id")
+  }
 
   /** q171's QI projection off a raw customer frame — shared by the
     * gated query and [[graft.pipeline.GovernanceMaintenance]]'s
@@ -735,6 +803,38 @@ object Cleaning {
          |  CAST(CASE WHEN l >= $LDiversity THEN 1 ELSE 0 END AS BIGINT) AS l_diverse,
          |  CAST(CASE WHEN k >= $KAnonK AND l >= $LDiversity
          |       THEN 0 ELSE 1 END AS BIGINT) AS suppress
-         |FROM g ORDER BY nationkey, segment, band""".stripMargin
+         |FROM g ORDER BY nationkey, segment, band""".stripMargin,
+
+    // Twin of q178: same doc_id-derived planted token (to_hex of the
+    // same pinned-range halves), same shape predicates, same masked
+    // 6-char example off the binary-min flagged token.
+    "q178_secret_scan" -> {
+      def half(mult: Long) =
+        s"lower(to_hex(doc_id * $mult % 1000000007 + 4294967296))"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 1
+         |      THEN text || ' key sk' || ${half(2654435761L)}
+         |             || ${half(961748941L)}
+         |      ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, unnest(${Sql.toks("text")}) AS tok FROM d),
+         |f AS (SELECT doc_id, tok,
+         |        CASE WHEN length(tok) >= $SecretMinLen
+         |          AND regexp_matches(tok, '[0-9]')
+         |          AND regexp_matches(tok, '[A-Za-z]')
+         |          AND len(list_distinct(regexp_extract_all(tok, '.')))
+         |                >= $SecretMinDistinct
+         |        THEN 1 ELSE 0 END AS flag
+         |      FROM t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(flag) AS BIGINT) AS n_secrets,
+         |  CAST(max(CASE WHEN flag = 1 THEN length(tok) END) AS BIGINT)
+         |    AS max_secret_len,
+         |  substr(min(CASE WHEN flag = 1 THEN tok END), 1, 6) || '***'
+         |    AS example_masked
+         |FROM f GROUP BY doc_id HAVING sum(flag) > 0
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

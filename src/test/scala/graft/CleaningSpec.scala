@@ -419,6 +419,22 @@ class CleaningSpec extends AnyFunSuite {
       (2L, "A", -1L, 1L, 1L, 0L, 0L, 1L)), s"q171 diverges: $out")
   }
 
+  test("q178 secret scan: credential shape flagged, long clean word / short hex / low-diversity miss") {
+    val docs = Seq(
+      // one credential among prose → flagged, masked example
+      (1L, "deploy with sk4f3a9b1c27de56a0f18e then restart"),
+      // 25 letters, no digit → not a secret
+      (2L, "internationalizationwords everywhere"),
+      // short hex (12 chars) → under the length floor
+      (3L, "hash a1b2c3d4e5f6 ok"),
+      // 20 chars but 2 distinct characters → under the diversity floor
+      (4L, "pad a1a1a1a1a1a1a1a1a1a1 done")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Cleaning.secretScan(docs)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 5L, 1L, 22L, "sk4f3a***")), s"q178 diverges: $out")
+  }
+
   test("randomized differential: q171 matches an in-memory reference on random record sets") {
     val rnd = new scala.util.Random(20260816L)
     for (trial <- 1 to 3) {
