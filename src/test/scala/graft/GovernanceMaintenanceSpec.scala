@@ -143,4 +143,33 @@ class GovernanceMaintenanceSpec extends AnyFunSuite {
     assert(GovernanceMaintenance.bootstrapCi(spark, store)
       .collect().toSeq == batch, "replay changed the served table")
   }
+
+  test("streamed governance absorb ≡ batch (QI store via GovernanceStream)") {
+    val root = Files.createTempDirectory("graft-govstream").toString
+    val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
+    val f1 = Seq((1L, "A", 0L, 10.0), (2L, "A", 0L, 20.0),
+      (3L, "A", 0L, 30.0), (4L, "B", 1L, 5.0))
+      .toDF("nationkey", "segment", "band", "sensitive")
+    val f2 = Seq((1L, "A", 0L, 10.0), (5L, "A", 0L, 40.0),
+      (6L, "B", 1L, 5.0))
+      .toDF("nationkey", "segment", "band", "sensitive")
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    f1.coalesce(1).write.mode("append").parquet(in)
+    f2.coalesce(1).write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "nationkey LONG, segment STRING, band LONG, sensitive DOUBLE")
+    graft.streaming.GovernanceStream.runQiOnce(spark, in, store, ck, schema)
+
+    val served = GovernanceMaintenance.kAnonymity(spark, store)
+      .collect().toSeq
+    val batch = graft.queries.Cleaning.kAnonymity(f1.unionByName(f2))
+      .collect().toSeq
+    assert(batch.nonEmpty)
+    assert(served == batch,
+      "stream-maintained release audit diverges from the batch chain")
+
+    graft.streaming.GovernanceStream.runQiOnce(spark, in, store, ck, schema)
+    assert(GovernanceMaintenance.kAnonymity(spark, store)
+      .collect().toSeq == batch, "replay changed the served audit")
+  }
 }
