@@ -929,9 +929,14 @@ object Learn {
     * integer sum (pm ≤ 1e6, so the int64 sum holds to ~9e12
     * examples per class); argmax ties break on the smaller class
     * id; examples with no confident class drop (the CL convention). */
-  private[graft] def labelNoise(px: DataFrame): DataFrame = {
-    val spark = px.sparkSession
+  private[graft] def labelNoise(px0: DataFrame): DataFrame = {
+    val spark = px0.sparkSession
     import spark.implicits._
+    // thresholds and candidates both read the probability frame —
+    // persist (id-width × K rows) so the embedding scan + softmax
+    // kernel run once
+    val px = px0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = px.filter($"label" === $"j").groupBy($"j")
       .agg(floor(sum($"pm").cast("double") / count(lit(1)).cast("double")
         + lit(0.5)).cast("long").as("tm"))

@@ -657,8 +657,14 @@ object Sketch {
     * dropped identically in both engines (probability e^{-n} per
     * replicate — deterministic either way, and dropping avoids
     * engine-specific NULL ordering in the rank window). */
-  private[graft] def bootstrapCi(docs: DataFrame): DataFrame =
-    bootstrapCiFromCounts(bootRepPartials(docs), bootPointPartials(docs))
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
+    // both partials scan the frame — persist the id-width projection
+    // so the tokenize upstream runs once (the absorb path in
+    // GovernanceMaintenance persists its own copy the same way)
+    val in = docs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bootstrapCiFromCounts(bootRepPartials(in), bootPointPartials(in))
+  }
 
   /** q172's (source, doc_id, len) projection off a raw document
     * frame — shared by the gated query and the maintenance absorb. */
