@@ -45,12 +45,21 @@ object NearDupStage {
     * distance verification and q157's containment both consume the
     * raw pairs, not the component labels, and each rebuilt the whole
     * shingle → minhash → LSH → verify chain per run (the #3/#4
-    * clean-bench entries). localCheckpoint is the labels device: the
-    * pair table is bounded by the banded-candidate caps — 4 orders
-    * smaller than the corpus — and survives clearCache. */
-  private val pairStage = new graft.ops.SessionStage[DataFrame]((s, d) =>
+    * clean-bench entries). Materialized as PARQUET in a per-build
+    * temp dir, NOT localCheckpoint: a checkpointed RDD scan carries
+    * no size statistics, so the consumers' text joins lost their
+    * adaptive broadcast and planned corpus-text sort-merge shuffles
+    * (measured at the 10× probe: q147 5.1 s → 26.6 s). A parquet
+    * scan has file-size stats — Catalyst/AQE keep choosing the same
+    * join shapes as the inline chain at every scale, and the file
+    * outlives clearCache like any other store. */
+  private val pairStage = new graft.ops.SessionStage[DataFrame]((s, d) => {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-neardup-pairs").toString
     TextVector.queries("q24_near_dup")(s, d)
-      .select("id_a", "id_b").localCheckpoint())
+      .select("id_a", "id_b").write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  })
 
   private val stage = new graft.ops.SessionStage[DataFrame]((s, d) =>
     graft.ops.ConnectedComponents.run(pairs(s, d), "id_a", "id_b"))

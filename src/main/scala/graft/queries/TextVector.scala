@@ -945,11 +945,26 @@ object TextVector {
     // (AQE broadcasts the pair side) — the corpus never self-joins.
     "q147_editdist_verify" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val t = docs.select($"doc_id", $"text")
-      NearDupStage.pairs(s, d)
+      val p = NearDupStage.pairs(s, d)
+      // participant-id broadcast semi-prune (the q67 shape): the
+      // text scan never shuffles, and only PAIRED documents reach
+      // the O(len²) verify
+      val ids = p
+        .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+      val t = Tables.documents(s, d).select($"doc_id", $"text")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      p
         .join(t.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
         .join(t.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
+        // CPU fan-out for the O(len²) verify with an EXPLICIT
+        // partition count: the pair frame is a few MB, so AQE's
+        // size-based coalescing folds a column-only repartition (and
+        // the one-file scan split upstream) back to ONE task — but
+        // the work here is per-cell CPU, not bytes (measured at the
+        // 10× probe: 11 s single-task vs ~1 s fanned). A
+        // user-specified numPartitions is the one fan-out AQE must
+        // respect.
+        .repartition(s.sparkContext.defaultParallelism, $"id_a", $"id_b")
         .select($"id_a", $"id_b",
           levenshtein($"ta", $"tb").cast("bigint").as("dist"),
           greatest(length($"ta"), length($"tb")).cast("bigint").as("max_len"))
@@ -982,11 +997,18 @@ object TextVector {
     // the pair side); the corpus never self-joins.
     "q157_containment" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val sh = docs.select($"doc_id",
+      val p = NearDupStage.pairs(s, d)
+      // q147's participant prune, one step earlier: the shingle
+      // recompute itself runs only over PAIRED documents (the
+      // corpus-wide ShingleHashes pass was the chain's whole cost)
+      val ids = p
+        .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+      val sh = Tables.documents(s, d).select($"doc_id", $"text")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select($"doc_id",
           graft.ops.expressions.ShingleHashes($"text", ShingleK).as("hs"))
         .filter(size($"hs") > 0)
-      NearDupStage.pairs(s, d)
+      p
         .join(sh.select($"doc_id".as("id_a"), $"hs".as("ha")), Seq("id_a"))
         .join(sh.select($"doc_id".as("id_b"), $"hs".as("hb")), Seq("id_b"))
         .select($"id_a", $"id_b",
