@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A stage materialized ONCE per (session, corpus dir) and shared by
   * every consumer — the memo device behind
@@ -23,14 +23,17 @@ import org.apache.spark.sql.SparkSession
   *   - `buildCount`/`reset` are spec hooks (N consumers, one build;
   *     test isolation).
   */
-final class SessionStage[T](build: (SparkSession, String) => T) {
+final class SessionStage[T](build: (SparkSession, String) => T,
+                            onDrop: T => Unit = (_: T) => ()) {
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), T]
   private val builds = new AtomicInteger(0)
 
   def get(s: SparkSession, d: String): T = {
-    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      cache.remove(k).foreach(onDrop)
+    }
     cache.getOrElseUpdate((s, d), {
       builds.incrementAndGet()
       build(s, d)
@@ -40,6 +43,84 @@ final class SessionStage[T](build: (SparkSession, String) => T) {
   /** How many times the stage actually built (spec hook). */
   def buildCount: Int = builds.get()
 
-  /** Drop cached entries (test isolation). */
-  def reset(): Unit = { cache.clear(); builds.set(0) }
+  /** Drop cached entries (test isolation), releasing each through
+    * `onDrop` — stages that own on-disk state (ParquetStage) delete
+    * it here instead of leaking one directory per build. */
+  def reset(): Unit = {
+    cache.values.foreach(onDrop)
+    cache.clear()
+    builds.set(0)
+  }
+}
+
+/** A [[SessionStage]] whose value materializes as PARQUET under a
+  * deterministic scratch path instead of `localCheckpoint` — the
+  * memo form for any stage OTHER QUERIES JOIN AGAINST: a
+  * checkpointed-RDD scan carries no size statistics, so consumers
+  * lose adaptive broadcast exactly when the stage grows (measured at
+  * the round-16 10× probe: q147 5.1 s → 26.6 s when its pair memo
+  * was checkpoint-backed), while a parquet scan has file-size stats
+  * and Catalyst/AQE keep choosing the same join shapes as the inline
+  * chain at every scale. The file also outlives
+  * `spark.catalog.clearCache()` like any other store.
+  *
+  * Path contract (the round-16 advisor note): the stage writes under
+  * `<scratch root>/graft-stage/<name>-<dir token>`, where the
+  * scratch root is `spark.graft.scratchDir` when set and the local
+  * JVM tmpdir otherwise. ON A MULTI-NODE CLUSTER
+  * `spark.graft.scratchDir` MUST point at the shared filesystem
+  * (executors commit task files to the path they are given — a
+  * driver-local tmpdir would scatter the commit across machines);
+  * local-mode tests and the driver's single-JVM runs are correct
+  * with the default. The path is DETERMINISTIC per (name, data dir),
+  * so rebuilds overwrite in place rather than accreting temp dirs,
+  * and [[reset]] (and stopped-session eviction) deletes it.
+  *
+  * Staleness/eviction contract: [[SessionStage]]. */
+final class ParquetStage(name: String,
+                         derive: (SparkSession, String) => DataFrame) {
+
+  private val inner = new SessionStage[(DataFrame, () => Unit)](
+    build = (s, d) => {
+      val path = ParquetStage.stagePath(s, name, d)
+      // FileSystem handle captured now: the drop thunk must work even
+      // after the owning session stops (Hadoop FS outlives Spark)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      derive(s, d).write.mode("overwrite").parquet(path.toString)
+      (s.read.parquet(path.toString), () => { fs.delete(path, true); () })
+    },
+    onDrop = _._2())
+
+  /** The materialized stage (first call per (session, dir) derives
+    * and writes; later calls scan the parquet). */
+  def get(s: SparkSession, d: String): DataFrame = inner.get(s, d)._1
+
+  /** How many times the derivation actually executed (spec hook). */
+  def buildCount: Int = inner.buildCount
+
+  /** Drop cached entries AND their parquet dirs (test isolation;
+    * ScaleProbe's per-rep cold start). */
+  def reset(): Unit = inner.reset()
+}
+
+object ParquetStage {
+
+  /** Scratch root for stage materialization — `spark.graft.scratchDir`
+    * (set it to a shared-FS path on any real cluster) falling back to
+    * the JVM tmpdir (correct in local mode only). */
+  private[graft] def scratchRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Deterministic per-(stage, data dir) path: readable basename +
+    * full-path hash token so distinct corpus dirs with one basename
+    * cannot collide. */
+  private[graft] def stagePath(s: SparkSession, name: String,
+                               dir: String): org.apache.hadoop.fs.Path = {
+    val token =
+      f"${new org.apache.hadoop.fs.Path(dir).getName}%s-${dir.hashCode & 0xffffffffL}%08x"
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(scratchRoot(s), "graft-stage"),
+      s"$name-$token")
+  }
 }

@@ -16,18 +16,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table once (CommonCrawl publishes the edge list beside the rank
   * files for exactly this reason) and every analytic scans that.
   *
-  * Mechanics: the edges `localCheckpoint` (eager) — two-long rows,
-  * ~3 per document, orders smaller than the corpus; the blocks
-  * survive `spark.catalog.clearCache()` (Verify/Bench call it
-  * between queries) and release with the session. Staleness/
+  * Mechanics: the edges materialize as PARQUET via
+  * [[graft.ops.ParquetStage]] — two-long rows, ~3 per document,
+  * orders smaller than the corpus. Round 17 replaced the original
+  * `localCheckpoint` here: a checkpointed-RDD scan carries no size
+  * statistics, and q101/q170 both JOIN against this frame, so a
+  * stats-less memo blocks their adaptive broadcast exactly when the
+  * graph grows (the same hazard the round-16 10× probe measured on
+  * the pair memo — q147 5.1 s → 26.6 s); the parquet file also
+  * survives `spark.catalog.clearCache()` (Verify/Bench call it
+  * between queries) like any other store, and GraphSpec pins that
+  * the consumers' plans read a stats-bearing file scan. Staleness/
   * eviction contract: [[graft.ops.SessionStage]]. The correctness
   * gate is untouched — both oracles replay the derivation from
   * scratch in SQL every run.
   */
 object CitationStage {
 
-  private val stage = new graft.ops.SessionStage[DataFrame]((s, d) =>
-    Graph.citationEdges(graft.Tables.documents(s, d)).localCheckpoint())
+  private val stage = new graft.ops.ParquetStage("citation-edges",
+    (s, d) => Graph.citationEdges(graft.Tables.documents(s, d)))
 
   /** The derived citation edges (src, dst), materialized once per
     * (session, dir). */

@@ -45,21 +45,16 @@ object NearDupStage {
     * distance verification and q157's containment both consume the
     * raw pairs, not the component labels, and each rebuilt the whole
     * shingle → minhash → LSH → verify chain per run (the #3/#4
-    * clean-bench entries). Materialized as PARQUET in a per-build
-    * temp dir, NOT localCheckpoint: a checkpointed RDD scan carries
-    * no size statistics, so the consumers' text joins lost their
+    * clean-bench entries). Materialized as PARQUET via
+    * [[graft.ops.ParquetStage]] (stats-bearing, clearCache-proof,
+    * deterministic scratch path deleted on reset — the round-16
+    * advisor note replaced a leaked driver-local temp dir per
+    * build), NOT localCheckpoint: a checkpointed RDD scan carries no
+    * size statistics, so the consumers' text joins lost their
     * adaptive broadcast and planned corpus-text sort-merge shuffles
-    * (measured at the 10× probe: q147 5.1 s → 26.6 s). A parquet
-    * scan has file-size stats — Catalyst/AQE keep choosing the same
-    * join shapes as the inline chain at every scale, and the file
-    * outlives clearCache like any other store. */
-  private val pairStage = new graft.ops.SessionStage[DataFrame]((s, d) => {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-neardup-pairs").toString
-    TextVector.queries("q24_near_dup")(s, d)
-      .select("id_a", "id_b").write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  })
+    * (measured at the 10× probe: q147 5.1 s → 26.6 s). */
+  private val pairStage = new graft.ops.ParquetStage("neardup-pairs",
+    (s, d) => TextVector.queries("q24_near_dup")(s, d).select("id_a", "id_b"))
 
   private val stage = new graft.ops.SessionStage[DataFrame]((s, d) =>
     graft.ops.ConnectedComponents.run(pairs(s, d), "id_a", "id_b"))
@@ -82,7 +77,8 @@ object NearDupStage {
     * + the label stage, one build). */
   def pairBuildCount: Int = pairStage.buildCount
 
-  /** Drop cached stages (test isolation; the checkpointed blocks are
-    * released with their session). */
+  /** Drop cached stages (test isolation; the label stage's
+    * checkpointed blocks release with their session, the pair
+    * stage's parquet dir is deleted). */
   private[graft] def reset(): Unit = { stage.reset(); pairStage.reset() }
 }

@@ -151,4 +151,27 @@ class GraphSpec extends AnyFunSuite {
           "times for two consumers — the shared stage is not shared")
     } finally graft.queries.CitationStage.reset()
   }
+
+  test("CitationStage memo is a stats-bearing parquet scan (round-17: no localCheckpoint)") {
+    // q101/q170 JOIN against this frame — a checkpointed-RDD memo
+    // carries no size statistics and blocks the consumers' adaptive
+    // broadcast exactly when the graph grows (the hazard the r16 10×
+    // probe measured on the pair memo). Pin both halves: the memo's
+    // physical form is a file scan, and the optimizer sees real
+    // (finite, nonzero) size stats for it.
+    graft.queries.CitationStage.reset()
+    try {
+      val edges = graft.queries.CitationStage.edges(spark, sf)
+      val scans = edges.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty &&
+        scans.exists(_.metadata.get("Location").exists(_.contains("citation-edges"))),
+        s"expected a parquet file scan over the citation-edges stage, got:\n" +
+          edges.queryExecution.executedPlan.toString)
+      val size = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(size > 0 && size < BigInt(Long.MaxValue),
+        s"edge memo should carry real size statistics, got $size")
+    } finally graft.queries.CitationStage.reset()
+  }
 }

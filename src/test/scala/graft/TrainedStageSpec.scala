@@ -39,6 +39,22 @@ class TrainedStageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ParquetStage materializes at a deterministic scratch path and reset deletes it") {
+    // The round-16 advisor note: the pair memo used to write one
+    // leaked driver-local temp dir per build. Pin the replacement's
+    // contract — deterministic path per (stage, data dir), dir exists
+    // while cached, dir GONE after reset.
+    graft.queries.NearDupStage.reset()
+    val path = graft.ops.ParquetStage.stagePath(spark, "neardup-pairs", sf)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.queries.NearDupStage.pairs(spark, sf).foreach(_ => ())
+    assert(fs.exists(path), s"pair memo should materialize at $path")
+    graft.queries.NearDupStage.reset()
+    assert(!fs.exists(path),
+      s"reset must delete the memo dir, $path still exists")
+    spark.catalog.clearCache()
+  }
+
   test("the PC fit builds once for its two consumers (q129, q130)") {
     graft.queries.Learn.pcStageReset()
     SparkEntry.queries("q129_top_pc")(spark, sf).foreach(_ => ())
