@@ -41,6 +41,55 @@ object GovernanceMaintenance {
   private def repStore(dir: String) = s"$dir/bootreps"
   private def ptStore(dir: String)  = s"$dir/bootpoint"
 
+  // ---- q172 delivery markers --------------------------------------
+  // A bootstrap delivery spans TWO sub-stores (bootreps + bootpoint),
+  // and two parquet writes are not atomic together: a crash between
+  // them leaves run=<id> present in one store but absent from the
+  // other, and a compaction before the retry would fold that
+  // half-landed state into run=base permanently (the round-16
+  // advisor's window). So absorbBoot acknowledges a delivery with a
+  // per-run commit marker `.bootrun-<id>.ok` created only AFTER both
+  // writes, and the read/compact paths treat an unmarked run id as
+  // NOT DELIVERED — its partitions are invisible to serving and are
+  // dropped (not folded) by compaction, which is exactly right under
+  // the house at-least-once contract: an unacknowledged delivery is
+  // retried, and the retry's dynamic partition overwrite replaces
+  // both halves together before re-marking. `run=base` (full rebuild
+  // / fold target) is always implicitly approved.
+
+  private def markerPath(dir: String, runId: String) =
+    new org.apache.hadoop.fs.Path(dir, s".bootrun-$runId.ok")
+
+  private def bootFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Run ids whose delivery committed BOTH sub-stores. */
+  private[graft] def approvedBootRuns(spark: SparkSession,
+                                      dir: String): Set[String] = {
+    val fs = bootFs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith(".bootrun-") && n.endsWith(".ok") =>
+        n.stripPrefix(".bootrun-").stripSuffix(".ok") }
+      .toSet
+  }
+
+  /** Keep `run=base` plus marker-approved runs; a half-landed
+    * (unacknowledged) delivery is invisible. */
+  private def approvedOnly(df: DataFrame, approved: Set[String]): DataFrame =
+    df.where(col("run") === lit("base") ||
+      col("run").isin(approved.toSeq: _*))
+
+  /** Marker deletion must VERIFY (Hadoop FS reports failure by
+    * returning false): a silently-surviving marker would approve a
+    * FUTURE half-landed retry of the same run id. */
+  private def mustDeleteMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new IllegalStateException(s"governance: failed to delete marker $p")
+
   // ---- q171: k-anonymity / l-diversity --------------------------
 
   /** Full rebuild from a records snapshot → `run=base`. `rows` is
@@ -86,6 +135,11 @@ object GovernanceMaintenance {
   /** Full rebuild from a documents snapshot → `run=base`. `docs` is
     * a raw (doc_id, source, text) document frame. */
   def buildBoot(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // fresh store: stale markers from a previous deployment must not
+    // approve future runs that happen to reuse an id
+    val fs = bootFs(spark, dir)
+    approvedBootRuns(spark, dir)
+      .foreach(r => mustDeleteMarker(fs, markerPath(dir, r)))
     val in = graft.queries.Sketch.bootInput(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -100,8 +154,11 @@ object GovernanceMaintenance {
 
   /** Absorb one document delivery under `run=<runId>` — O(batch·B)
     * map work, O(sources·B) rows written, idempotent. Both
-    * sub-stores write under the SAME run id, so a re-delivery
-    * replaces the pair together. */
+    * sub-stores write under the SAME run id, and the delivery is
+    * acknowledged by the `.bootrun-<id>.ok` marker created only
+    * AFTER both writes land — until then the read/compact paths
+    * ignore the run, so a crash between the two writes can never be
+    * served or folded (see the marker note above). */
   def absorbBoot(spark: SparkSession, docs: DataFrame, dir: String,
                  runId: String): Unit = {
     graft.ops.StoreCompaction.heal(spark, repStore(dir), "run")
@@ -117,19 +174,31 @@ object GovernanceMaintenance {
         .withColumn("run", lit(runId))
         .write.partitionBy("run").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(ptStore(dir))
+      // commit point: both halves are durable — acknowledge
+      bootFs(spark, dir).create(markerPath(dir, runId), true).close()
     } finally in.unpersist()
   }
 
-  /** Fold both bootstrap sub-stores (each crash-recoverable). */
+  /** Fold both bootstrap sub-stores (each crash-recoverable). Only
+    * marker-approved runs fold; a half-landed (unacknowledged) run's
+    * partitions are DROPPED, not merged — its delivery will be
+    * retried whole under the at-least-once contract. Markers for the
+    * folded runs delete after BOTH folds complete (a crash between
+    * the folds leaves the second store's approved partitions
+    * readable through the same filter, so serving stays consistent
+    * across the window). */
   def compactBoot(spark: SparkSession, dir: String): Unit = {
+    val approved = approvedBootRuns(spark, dir)
     graft.ops.StoreCompaction.fold(spark, repStore(dir), "run", "base",
-      spark.read.parquet(repStore(dir))
+      approvedOnly(spark.read.parquet(repStore(dir)), approved)
         .groupBy(col("source"), col("b"))
         .agg(sum(col("s")).as("s"), sum(col("wsum")).as("wsum")))
     graft.ops.StoreCompaction.fold(spark, ptStore(dir), "run", "base",
-      spark.read.parquet(ptStore(dir))
+      approvedOnly(spark.read.parquet(ptStore(dir)), approved)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("lsum")).as("lsum")))
+    val fs = bootFs(spark, dir)
+    approved.foreach(r => mustDeleteMarker(fs, markerPath(dir, r)))
   }
 
   /** The q172 CI table from the store — heal-on-read, aggregation
@@ -137,11 +206,15 @@ object GovernanceMaintenance {
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.StoreCompaction.heal(spark, repStore(dir), "run")
     graft.ops.StoreCompaction.heal(spark, ptStore(dir), "run")
+    // serve only marker-acknowledged deliveries: a crash between the
+    // two absorb writes must never skew the CI against its own point
+    // estimate (run filters hit the partition column — pruned reads)
+    val approved = approvedBootRuns(spark, dir)
     graft.queries.Sketch.bootstrapCiFromCounts(
-      spark.read.parquet(repStore(dir))
+      approvedOnly(spark.read.parquet(repStore(dir)), approved)
         .groupBy(col("source"), col("b"))
         .agg(sum(col("s")).as("s"), sum(col("wsum")).as("wsum")),
-      spark.read.parquet(ptStore(dir))
+      approvedOnly(spark.read.parquet(ptStore(dir)), approved)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("lsum")).as("lsum")))
   }

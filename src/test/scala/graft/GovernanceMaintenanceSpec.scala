@@ -114,6 +114,44 @@ class GovernanceMaintenanceSpec extends AnyFunSuite {
       "fresh source must land its own CI row")
   }
 
+  test("half-landed bootstrap delivery: invisible to reads, dropped by compaction, healed by retry") {
+    // The round-16 advisor's crash window: a delivery spans two
+    // sub-store writes, and a crash between them used to leave
+    // run=<id> in bootreps but not bootpoint — served CIs then
+    // disagreed with their own point estimate, and a compaction
+    // before the retry folded the inconsistency into run=base
+    // permanently. The per-run commit marker closes all three exits.
+    val dir = Files.createTempDirectory("graft-gov").toString + "/store"
+    val docs = Tables.documents(spark, sf)
+    val part0 = docs.filter(pmod($"doc_id", lit(2L)) === 0L)
+    val part1 = docs.filter(pmod($"doc_id", lit(2L)) === 1L)
+    GovernanceMaintenance.buildBoot(spark, part0, dir)
+    val base = GovernanceMaintenance.bootstrapCi(spark, dir).collect().toSeq
+
+    // simulate the crash: the reps half of run=bX lands (exactly
+    // absorbBoot's first write), the points half and the marker never do
+    graft.queries.Sketch.bootRepPartials(graft.queries.Sketch.bootInput(part1))
+      .withColumn("run", lit("bX"))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/bootreps")
+    assert(GovernanceMaintenance.bootstrapCi(spark, dir).collect().toSeq == base,
+      "an unacknowledged half-landed run must be invisible to serving")
+
+    // compaction before the retry DROPS the half-landed partitions
+    // instead of folding them into base
+    GovernanceMaintenance.compactBoot(spark, dir)
+    assert(GovernanceMaintenance.bootstrapCi(spark, dir).collect().toSeq == base,
+      "compaction must drop, not fold, an unacknowledged run")
+
+    // the at-least-once retry re-delivers the run whole; the store
+    // converges on the batch chain over the full corpus
+    GovernanceMaintenance.absorbBoot(spark, part1, dir, "bX")
+    val batch = SparkEntry.queries("q172_bootstrap_ci")(spark, sf)
+      .collect().toSeq
+    assert(GovernanceMaintenance.bootstrapCi(spark, dir).collect().toSeq == batch,
+      "retried delivery must converge the store on the batch chain")
+  }
+
   test("streamed governance absorb ≡ batch (bootstrap store via GovernanceStream)") {
     val root = Files.createTempDirectory("graft-govstream").toString
     val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
