@@ -25,6 +25,11 @@ object SeededSample {
     * the RESULT is the hash order; callers that need a pinned fold
     * order re-sort on the id.
     *
+    * Range audit (r17): RANK-based — membership depends only on the
+    * hash ORDER, never its range; no threshold scaling to drift
+    * (MixRangeSpec's site sweep). The affine hash's exact [0, P)
+    * range is itself pinned there.
+    *
     * The rank reduces the id into the modular field BEFORE the
     * multiply: the raw product id·Mult wraps Long for ids ≳3.5e9
     * (negative ranks; an error under spark.sql.ansi.enabled), while

@@ -64,7 +64,10 @@ object VectorOps {
 
   /** Pack an array of 0/1 bit longs into nBands integer band values
     * (bandBits bits each, little-endian within the band) — LSH
-    * bucket keys. pow(2,p) is exact in double for p ≤ 52. */
+    * bucket keys. pow(2,p) is exact in double for p ≤ 52.
+    * Range audit (r17): every ±coordinate here is (h mod P)/P·2−1 —
+    * the divisor IS the reducing modulus in the same expression, so
+    * the scaling cannot drift independently (MixRangeSpec sweep). */
   def packBands(bits: Column, nBands: Int, bandBits: Int): Column =
     transform(
       sequence(lit(0L), lit(nBands.toLong - 1)),

@@ -79,6 +79,10 @@ object Clusters {
     // priorities are micro-rounded to 1e-9 and the selection margin
     // between adjacent order statistics (~1e-5 here) dwarfs 1 ulp,
     // so neither the sample nor the hash can flip (q43's argument).
+    // Range audit (r17): h is the affine house hash — range exactly
+    // [0, HashMod) by construction — and u scales by HashMod+1 (its
+    // true modulus, never a power of two), so u ∈ (0, 1] and ln(u)
+    // is finite; pinned in MixRangeSpec.
     "q64_weighted_sample" -> { (s, d) =>
       import s.implicits._
       val h = pmod($"o_orderkey", lit(HashMod)) * lit(PermMult) % lit(HashMod)

@@ -390,6 +390,8 @@ object Corpus {
     // broadcast join. At scale this IS the re-shard plan: shuffle
     // once on shard_id, sortWithinPartitions(h), write with
     // maxRecordsPerFile.
+    // Range audit (r17): MODULO shard bucket (q38's device) —
+    // range-independent, no scaling assumption (MixRangeSpec sweep).
     "q69_shard_assign" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)

@@ -495,6 +495,9 @@ object Learn {
     // would put 90% of rows in one window partition; the heap's
     // partial aggregation absorbs exactly that skew). Nothing else
     // moves; text is never read.
+    // Range audit (r17): RANK-based per stratum (order by hash, keep
+    // k) — membership depends on hash order only, no range scaling to
+    // drift (MixRangeSpec's site sweep).
     "q122_stratified_sample" -> { (s, d) =>
       import s.implicits._
       val ph = pmod($"doc_id", lit(graft.ops.SeededSample.Mod)) *
@@ -967,7 +970,9 @@ object Learn {
   private[graft] def jlDistortion(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // ±1 from the parity of the house hash at flat index j·64+i+1
+    // ±1 from the parity of the house hash at flat index j·64+i+1.
+    // Range audit (r17): PARITY of the affine hash — bit-level,
+    // range-free (MixRangeSpec's site sweep).
     def sign(i: Column, j: Column): Column =
       when((j * lit(JlSrcDim.toLong) + i + lit(1L)) * lit(JlMult)
         % lit(JlP) % lit(2L) === 0L, lit(1.0)).otherwise(lit(-1.0))

@@ -59,8 +59,10 @@ object Sketch {
     * (q172's inverse-CDF thresholds) must scale by P, not by a
     * power of two — scaling by 2^31 silently compresses the top 53%
     * of the CDF into never-reached territory (the q172 differential
-    * caught exactly that). */
-  private def mix(k: Column): Column = {
+    * caught exactly that). Range, moments, bucket uniformity and the
+    * PoisT scaling are PINNED in MixRangeSpec (r17 verdict #1) so
+    * the next range drift fails a test instead of shipping. */
+  private[graft] def mix(k: Column): Column = {
     val s1 = pmod(k.cast("long"), lit(P)) * lit(C1) % lit(P)
     val x1 = s1.bitwiseXOR(shiftright(s1, 15))
     val s2 = x1 * lit(C2) % lit(P)
@@ -84,6 +86,9 @@ object Sketch {
     * rank is the first-1 position in the next W = 22 bits, computed
     * as W+1 − length(bin(v)) — a STRING-length formulation both
     * engines share exactly (no floating log2 at the integer stage). */
+  // Range audit (r17): bucket = hv mod 256 and the register value =
+  // (hv >> 8) mod 2^22 are modulo/bit extractions — range-free given
+  // MixRangeSpec's [0, P + 2^14) range pin.
   private val HllM = 256
   private val HllW = 22
 
@@ -207,6 +212,9 @@ object Sketch {
 
   /** Row-i bucket: affine post-scramble of the mixed hash (hv is
     * already uniform; distinct multipliers decorrelate the rows). */
+  /** Range audit (r17): MODULO bucket — range-independent, no
+    * scaling assumption to drift; hv < P + 2^14 and mult < 2^30 keep
+    * the product under 2^61 (Long-safe, ANSI-safe). */
   private def rowBucket(hv: Column, mult: Long, width: Long): Column =
     hv * lit(mult) % lit(P) % lit(width)
   private def sqlRowBucket(hv: String, mult: Long, width: Long): String =
@@ -638,10 +646,10 @@ object Sketch {
     * Bernoulli(0.21) instead of Poisson(1)). A hash above the last
     * bucket draws weight 7 (residual mass 8.3e-5); measured
     * calibration over 2e5 hashes: mean 1.0006, variance 0.997. */
-  private val PoisT: Array[Long] = Array(367879443L, 735758887L,
+  private[graft] val PoisT: Array[Long] = Array(367879443L, 735758887L,
     919698609L, 981011849L, 996340160L, 999405822L, 999916765L)
 
-  private def poissonW(h: Column): Column =
+  private[graft] def poissonW(h: Column): Column =
     PoisT.zipWithIndex.foldRight(lit(PoisT.length.toLong)) {
       case ((t, k), rest) => when(h < lit(t), lit(k.toLong)).otherwise(rest)
     }
@@ -1041,7 +1049,9 @@ object Sketch {
   private val WSampleK = 20
 
   /** The q127 chain over any (doc_id, text) frame (spec hook:
-    * planted heavy/light corpus — SketchSpec). Slot hash =
+    * planted heavy/light corpus — SketchSpec). Range audit (r17):
+    * RANK-based (global min-of-clocks order, keep k) — no threshold
+    * scaling to drift (MixRangeSpec's site sweep). Slot hash =
     * ((doc_id mod P)·Mult + t) mod P · Mult mod P — the MinHash
     * permutation family's integer form, every operand < 2.66e18 so
     * no int64 wrap under ANSI. */

@@ -1424,6 +1424,10 @@ object TextVector {
     // choice (the property that matters for dataset reproducibility;
     // a rand()-based split has none of them). 80/10/10 by
     // polyhash(text) mod 10.
+    // Range audit (r17): MODULO bucket — range-independent; the
+    // non-divisible modulus (P ≡ 7 mod 10) skews bucket occupancy by
+    // ≤ 1 part in P/10 ≈ 1e-8, not a scaling assumption that can
+    // drift (MixRangeSpec's site sweep).
     "q38_hash_split" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
