@@ -31,11 +31,19 @@ def main():
     both = sorted(set(qo) & set(qn),
                   key=lambda q: qn[q] / qo[q] if qo[q] else float("inf"),
                   reverse=True)
+    # noisy disclosure (round-17): a query flagged noisy in EITHER
+    # artifact had its passes disagree >2x — its ratio is measurement
+    # noise until a clean run confirms it, so annotate instead of
+    # letting it read as a regression (the r16 q106 lesson). The
+    # best-of-2 re-measure map ("noisy_rerun") is summarized below.
+    noisy = set(old.get("noisy", [])) | set(new.get("noisy", []))
     flagged = 0
     print(f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}")
     for q in both:
         r = qn[q] / qo[q] if qo[q] else float("inf")
         flag = "  <<< slower than %.1fx" % thr if r > thr else ""
+        if flag and q in noisy:
+            flag += " (noisy — re-measure before trusting)"
         if flag:
             flagged += 1
         print(f"{q:40s} {qo[q]:8.2f} {qn[q]:8.2f} {r:7.2f}{flag}")
@@ -59,6 +67,17 @@ def main():
           f"{sum(qn[q] for q in both):.2f}; {flagged} flagged > {thr}x "
           f"(loads: old {old.get('load_before')}, new {new.get('load_before')}; "
           f"steal: old {so:.2f}%, new {sn:.2f}%)")
+    # best-of-2 disclosure: how many flagged-noisy queries each run
+    # re-measured, and how much the re-measure shaved (a big total
+    # delta here means slot-local contention, not code movement)
+    for label, d in (("old", old), ("new", new)):
+        rr = d.get("noisy_rerun") or {}
+        if rr:
+            saved = sum(max(v["first"], v["second"]) -
+                        min(v["first"], v["second"]) for v in rr.values())
+            print(f"noisy best-of-2 ({label}): {len(rr)} re-measured, "
+                  f"{len(d.get('noisy', []))} still noisy, "
+                  f"{saved:.2f}s shaved by keeping the min")
 
 if __name__ == "__main__":
     main()
