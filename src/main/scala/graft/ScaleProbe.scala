@@ -244,10 +244,32 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** The token-stream counters whose claimed shape is linear in
+    * TOKENS, not docs (README: q144/q173/q153/q159/q155 sit closest
+    * to the token-bound regime) — for these the probe also reports
+    * the token-normalized exponent ln(t_big/t_1)/ln(tokens ratio),
+    * because the synthetic corpus's tokens-per-doc differs from
+    * sf0.1's and the doc-ratio denominator under-normalizes exactly
+    * the rows where fixed overhead can no longer hide a superlinear
+    * term (round-17 verdict #3). */
+  private val TokenNormalized = Set("q144_lang_confusion",
+    "q153_source_kl", "q155_concentration", "q159_length_drift",
+    "q173_padding_waste")
+
+  /** Total corpus tokens of the documents table under `dir` — the
+    * denominator the token-normalized exponents scale by. */
+  private def corpusTokens(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .agg(sum(graft.ops.TextOps.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft-scaleprobe")
     val baseDir = "/root/testdata/sf0.1"
-    val mult = 10
+    // second scale point (r17): GRAFT_PROBE_MULT=30 pushes the
+    // near-linear token counters to a corpus where fixed overhead
+    // cannot hide a superlinear term
+    val mult = sys.env.getOrElse("GRAFT_PROBE_MULT", "10").toInt
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -286,21 +308,34 @@ object ScaleProbe {
       probeFn(n)(spark, dirsFor(n, work, baseDir, big)._1).foreach(_ => ())
     }
 
+    // token ratio between the two document corpora — the denominator
+    // for the token-normalized exponents (computed once, one narrow
+    // aggregate per side)
+    val tokRatio =
+      if (probed.exists(TokenNormalized.contains))
+        corpusTokens(spark, big).toDouble / corpusTokens(spark, baseDir)
+      else mult.toDouble
+
     val rows = probed.map { n =>
       val (d1, d10) = dirsFor(n, work, baseDir, big)
       val t1 = time(spark, n, d1)
       val t10 = time(spark, n, d10)
       val exp = math.log(t10 / t1) / math.log(mult.toDouble)
-      (n, t1, t10, t10 / t1, exp)
+      val expTok = if (TokenNormalized.contains(n))
+        Some(math.log(t10 / t1) / math.log(tokRatio)) else None
+      (n, t1, t10, t10 / t1, exp, expTok)
     }
-    println(f"${"query"}%-16s ${"t_sf0.1"}%8s ${"t_10x"}%8s ${"ratio"}%7s ${"exponent"}%9s")
-    rows.foreach { case (n, t1, t10, r, e) =>
+    println(f"${"query"}%-16s ${"t_sf0.1"}%8s ${s"t_${mult}x"}%8s ${"ratio"}%7s ${"exponent"}%9s ${"exp_tok"}%8s")
+    rows.foreach { case (n, t1, t10, r, e, et) =>
       val flag = if (e >= 1.8) "  <<< FLAG: ~quadratic growth" else ""
-      println(f"$n%-16s $t1%8.2f $t10%8.2f $r%7.2f $e%9.2f$flag")
+      val etS = et.map(v => f"$v%8.2f").getOrElse("       -")
+      println(f"$n%-16s $t1%8.2f $t10%8.2f $r%7.2f $e%9.2f$etS$flag")
     }
-    val json = rows.map { case (n, t1, t10, _, e) =>
-      f"""\"$n\":{\"t1\":$t1%.3f,\"t10\":$t10%.3f,\"exp\":$e%.3f}"""
-    }.mkString("{\"mult\":" + mult + ",", ",", "}")
+    val json = rows.map { case (n, t1, t10, _, e, et) =>
+      f"""\"$n\":{\"t1\":$t1%.3f,\"t10\":$t10%.3f,\"exp\":$e%.3f""" +
+        et.map(v => f""",\"exp_tok\":$v%.3f""").getOrElse("") + "}"
+    }.mkString(
+      f"""{\"mult\":$mult,\"token_ratio\":$tokRatio%.3f,""", ",", "}")
     println(json)
     spark.stop()
   }
