@@ -190,7 +190,12 @@ object ScaleProbe {
     // the LOO data-valuation pass (q151's token-width-join shape)
     "q175_text_tiling", "q176_jl_distortion", "q177_loo_novelty",
     // the credential screen (one tokenize, fused flag predicates)
-    "q178_secret_scan")
+    "q178_secret_scan",
+    // round-17 additions: the Burrows-Delta profile (the q151-family
+    // token pass, O(sources·F) after) and the cluster-size spectrum
+    // (the full q24+CC chain — NearDupStage resets per rep — plus an
+    // O(clusters) rollup)
+    "q179_stylometry", "q180_dup_spectrum")
     // q101 is NOT probed: its in-query citation-edge derivation
     // documents a ~9k-doc bound (doc_id·A must stay under 2^63 —
     // Graph.scala's constants note), which the 10× synthetic corpus

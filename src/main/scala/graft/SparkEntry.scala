@@ -52,7 +52,7 @@ object SparkEntry {
     * (ClusterSpec/BpeSpec/LearnSpec/SemDedupSpec). */
   val trainedStageQueries: Map[String, Seq[String]] = Map(
     "near_dup_labels" -> Seq("q63_dedup_clusters", "q65_leakage_split",
-      "q67_dedup_keep", "q128_source_redundancy"),
+      "q67_dedup_keep", "q128_source_redundancy", "q180_dup_spectrum"),
     "near_dup_pairs" -> Seq("q147_editdist_verify", "q157_containment"),
     "bpe_merges" -> Seq("q92_bpe_vocab", "q105_bpe_fertility"),
     "probe_weights" -> Seq("q98_linear_probe", "q113_probe_calibration",

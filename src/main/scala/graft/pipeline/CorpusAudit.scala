@@ -37,8 +37,9 @@ import org.apache.spark.sql.functions._
   * batch-shape economics (padding_waste q173), label quality
   * (label_noise q174), discourse structure (topic_boundaries q175),
   * dimensionality-cut cost (jl_distortion q176), source
-  * data-valuation (loo_novelty q177), and credential leakage
-  * (secret_scan q178).
+  * data-valuation (loo_novelty q177), credential leakage
+  * (secret_scan q178), provenance stylometry (stylometry q179), and
+  * duplication concentration (dup_spectrum q180).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -126,7 +127,9 @@ object CorpusAudit {
     "topic_boundaries" -> "q175_text_tiling",
     "jl_distortion" -> "q176_jl_distortion",
     "loo_novelty" -> "q177_loo_novelty",
-    "secret_scan" -> "q178_secret_scan")
+    "secret_scan" -> "q178_secret_scan",
+    "stylometry" -> "q179_stylometry",
+    "dup_spectrum" -> "q180_dup_spectrum")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

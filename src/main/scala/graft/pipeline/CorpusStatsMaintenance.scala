@@ -226,4 +226,11 @@ object CorpusStatsMaintenance {
     * delivery (which provider still adds unpredictable text). */
   def looNovelty(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Corpus.looNoveltyFromCounts(mergedSrc(spark, dir))
+
+  /** q179's Burrows-Delta stylometry table from the store — the
+    * provenance-forensics read after every delivery (a provider
+    * whose function-word profile jumps mid-stream changed its
+    * upstream generator). Fifth consumer of the source-term store. */
+  def stylometry(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Corpus.stylometryFromCounts(mergedSrc(spark, dir))
 }

@@ -169,6 +169,29 @@ object Clusters {
             .when(pmod(h, lit(10L)) === 8, "val")
             .otherwise("test").as("split"))
         .orderBy($"doc_id")
+    },
+
+    // Near-dup cluster-SIZE spectrum: how many clusters of each size
+    // the corpus carries, plus the doc mass each size class holds —
+    // the duplication-CONCENTRATION report (Lee et al. 2022's
+    // "Deduplicating Training Data Makes Language Models Better"
+    // reads exactly this histogram: a heavy tail of mega-clusters
+    // means template/boilerplate floods, many pairs means organic
+    // near-dups; q63 lists the members, q67/q128 say what survives
+    // per language/source — this says how the duplication itself is
+    // DISTRIBUTED, the number that decides between cluster-cap and
+    // keep-one policies). Fifth consumer of the shared label stage:
+    // one O(clustered docs) count per label, then an O(distinct
+    // sizes) rollup — nothing corpus-sized moves.
+    "q180_dup_spectrum" -> { (s, d) =>
+      import s.implicits._
+      NearDupStage.labels(s, d)
+        .groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"))
+        .orderBy($"cluster_size")
     }
   )
 
@@ -254,6 +277,16 @@ object Clusters {
          |       WHEN ((unit_id % $HashMod) * $PermMult % $HashMod) % 10 = 8 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM units
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Twin of q180: the same label replay, size per cluster, rollup
+    // per size.
+    "q180_dup_spectrum" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lbl GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
   )
 }

@@ -1167,6 +1167,40 @@ object Corpus {
     "q177_loo_novelty" -> { (s, d) =>
       import s.implicits._
       looNovelty(Tables.documents(s, d).select($"source", $"text"))
+    },
+
+    // Burrows' Delta stylometric fingerprint per source (Burrows
+    // 2002, "'Delta': a Measure of Stylistic Difference"; Evert et
+    // al. 2017's DH evaluation): z-standardize each provider's
+    // relative frequency of the corpus's F most frequent terms —
+    // the function-word profile authorship attribution runs on —
+    // and report each source's mean |z| plus its single most
+    // deviant marker. The PROVENANCE-forensics member of the
+    // source-mixture family: q153's full-vocab KL says a source's
+    // topics differ, Delta says its GRAMMAR does — the signal that
+    // separates machine-generated/spam/template feeds (function-word
+    // profiles collapse) and spoofed provenance (two "different"
+    // providers with identical profiles) from honest topical
+    // variation. reference `run.py`-style per-source reports are the
+    // surface this extends (SURVEY §2 family).
+    //
+    // Exactness: relative frequencies micro-quantize per (source,
+    // marker) BEFORE the cross-source integer sums; μ and σ come off
+    // exact int64 (Σf, Σf²) in fixed-order double arithmetic (sqrt
+    // is correctly-rounded IEEE in both engines — the q163 device);
+    // |z| micro-quantizes before the per-source sum; zero-variance
+    // markers (single source, or all sources at one rate) score 0 by
+    // the shared guard. Range audit (r17 doctrine): no hash at all.
+    //
+    // Scale shape: the SAME (source, term) count pass as q151/q153/
+    // q177 (map-side combined — and served incrementally off the
+    // CorpusStatsMaintenance store); markers are a bounded
+    // TakeOrdered top-F off the O(types) rollup; the O(sources × F)
+    // spine LEFT-joins the count table BY KEY; everything after runs
+    // on O(sources × F) rows.
+    "q179_stylometry" -> { (s, d) =>
+      import s.implicits._
+      stylometry(Tables.documents(s, d).select($"source", $"text"))
     }
   )
 
@@ -1200,6 +1234,62 @@ object Corpus {
         $"n_unique_terms",
         floor($"st".cast("double") / $"n_s".cast("double") + lit(0.5))
           .cast("long").as("xent_loo_micro"))
+      .orderBy($"source")
+  }
+
+  /** q179: marker-word count F — Burrows used the 150 most frequent
+    * words of a novel corpus; 32 fits the testdata's vocabulary while
+    * keeping the marker set dominated by true function words. */
+  private[graft] val DeltaMarkers = 32
+
+  /** The q179 chain over any (source, text) frame (spec hook:
+    * planted three-source corpus with hand-computed z-scores —
+    * CorpusStatSpec). */
+  private[graft] def stylometry(docs: DataFrame): DataFrame =
+    stylometryFromCounts(sourceTermCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** q179 over the pre-aggregated (source, w, csw) count table (the
+    * source-term store's fifth consumer). */
+  private[graft] def stylometryFromCounts(tf: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    // markers: bounded top-F off the O(types) rollup (TakeOrdered)
+    val markers = tf.groupBy($"w").agg(sum($"csw").as("ct"))
+      .orderBy($"ct".desc, $"w").limit(DeltaMarkers)
+      .select($"w")
+    val ns = tf.groupBy($"source").agg(sum($"csw").as("n_s"))
+    // O(sources × F) spine; missing (source, marker) counts are 0
+    val fq = ns.crossJoin(broadcast(markers))
+      .join(tf, Seq("source", "w"), "left")
+      .select($"source", $"n_s", $"w",
+        floor(coalesce($"csw", lit(0L)).cast("double")
+          / $"n_s".cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("fq"))
+    // cross-source moments off exact int64 sums; ONE fixed-order
+    // double derivation per marker (sqrt correctly rounded — q163)
+    val stats = fq.groupBy($"w")
+      .agg(sum($"fq").as("sf"), sum($"fq" * $"fq").as("sf2"),
+        count(lit(1)).as("sc"))
+    val mu = $"sf".cast("double") / $"sc".cast("double")
+    val varr = $"sf2".cast("double") / $"sc".cast("double") - mu * mu
+    val zq = when(varr <= 0.0, lit(0L)).otherwise(
+      floor(abs(($"fq".cast("double") - mu) / sqrt(varr)) * lit(1e6)
+        + lit(0.5)).cast("long"))
+    val z = fq.join(stats, Seq("w"))
+      .select($"source", $"n_s", $"w", zq.as("zq"))
+    // top deviating marker via the deterministic rank-1 window (both
+    // engines replay row_number identically; O(F) rows per source)
+    val win = Window.partitionBy($"source")
+      .orderBy($"zq".desc, $"w".asc)
+    z.withColumn("rn", row_number().over(win))
+      .groupBy($"source", $"n_s")
+      .agg(floor(sum($"zq").cast("double") / count(lit(1)).cast("double")
+          + lit(0.5)).cast("long").as("delta_micro"),
+        max(when($"rn" === 1, $"w")).as("top_term"),
+        max(when($"rn" === 1, $"zq")).as("top_z_micro"))
+      .select($"source", $"n_s".as("n_tokens"), $"delta_micro",
+        $"top_term", $"top_z_micro")
       .orderBy($"source")
   }
 
@@ -3057,7 +3147,53 @@ object Corpus {
          |  CAST(sum(uniq) AS BIGINT) AS n_unique_terms,
          |  CAST(floor(CAST(sum(tterm) AS DOUBLE) / CAST(n_s AS DOUBLE)
          |    + 0.5) AS BIGINT) AS xent_loo_micro
-         |FROM sc GROUP BY source, n_s, n_terms ORDER BY source""".stripMargin
+         |FROM sc GROUP BY source, n_s, n_terms ORDER BY source""".stripMargin,
+
+    // Twin of q179: the same count CTEs, top-F marker LIMIT with the
+    // (ct DESC, w) tie-break, micro frequencies, exact-int moments,
+    // fixed-order double z (sqrt correctly rounded both engines),
+    // rank-1 window for the top marker.
+    "q179_stylometry" ->
+      s"""WITH t AS (SELECT source, unnest(${Sql.toks("text")}) AS w
+         |           FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+         |       FROM t GROUP BY 1, 2),
+         |mk AS (SELECT w FROM (SELECT w, CAST(sum(csw) AS BIGINT) AS ct
+         |                      FROM tf GROUP BY w
+         |                      ORDER BY ct DESC, w LIMIT $DeltaMarkers)),
+         |ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS n_s
+         |       FROM tf GROUP BY source),
+         |fq AS (SELECT ns.source, ns.n_s, mk.w,
+         |         CAST(floor(CAST(coalesce(tf.csw, 0) AS DOUBLE)
+         |           / CAST(ns.n_s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS fq
+         |       FROM ns CROSS JOIN mk
+         |       LEFT JOIN tf ON tf.source = ns.source AND tf.w = mk.w),
+         |st AS (SELECT w, CAST(sum(fq) AS BIGINT) AS sf,
+         |         CAST(sum(fq * fq) AS BIGINT) AS sf2,
+         |         CAST(count(*) AS BIGINT) AS sc
+         |       FROM fq GROUP BY w),
+         |z AS (SELECT fq.source, fq.n_s, fq.w,
+         |        CASE WHEN CAST(st.sf2 AS DOUBLE) / CAST(st.sc AS DOUBLE)
+         |               - (CAST(st.sf AS DOUBLE) / CAST(st.sc AS DOUBLE))
+         |               * (CAST(st.sf AS DOUBLE) / CAST(st.sc AS DOUBLE)) <= 0.0
+         |             THEN CAST(0 AS BIGINT)
+         |             ELSE CAST(floor(abs((CAST(fq.fq AS DOUBLE)
+         |               - CAST(st.sf AS DOUBLE) / CAST(st.sc AS DOUBLE))
+         |               / sqrt(CAST(st.sf2 AS DOUBLE) / CAST(st.sc AS DOUBLE)
+         |                 - (CAST(st.sf AS DOUBLE) / CAST(st.sc AS DOUBLE))
+         |                 * (CAST(st.sf AS DOUBLE) / CAST(st.sc AS DOUBLE))))
+         |               * 1000000.0 + 0.5) AS BIGINT) END AS zq
+         |      FROM fq JOIN st ON st.w = fq.w),
+         |r AS (SELECT source, n_s, w, zq,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY zq DESC, w ASC) AS rn
+         |      FROM z)
+         |SELECT source, n_s AS n_tokens,
+         |  CAST(floor(CAST(sum(zq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    + 0.5) AS BIGINT) AS delta_micro,
+         |  max(CASE WHEN rn = 1 THEN w END) AS top_term,
+         |  max(CASE WHEN rn = 1 THEN zq END) AS top_z_micro
+         |FROM r GROUP BY source, n_s ORDER BY source""".stripMargin
   )
 
   /** The q102 scoring replay (t → pos → refpos → uni → tot → bi →

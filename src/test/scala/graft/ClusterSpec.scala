@@ -317,4 +317,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(sampleMean > popMean * 1.2,
       s"weighted sample mean $sampleMean not above population mean $popMean")
   }
+
+  test("q180 spectrum is exactly q63's label table rolled up by cluster size") {
+    graft.queries.NearDupStage.reset()
+    try {
+      val labels = SparkEntry.queries("q63_dedup_clusters")(spark, sf01)
+        .select($"cluster_id").as[Long].collect()
+      val want = labels.groupBy(identity).values.map(_.length.toLong).toSeq
+        .groupBy(identity).toSeq
+        .map { case (sz, g) => (sz, g.size.toLong, sz * g.size.toLong) }
+        .sortBy(_._1)
+      val got = SparkEntry.queries("q180_dup_spectrum")(spark, sf01)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want, s"spectrum diverges from q63's labels:\n got $got\nwant $want")
+      assert(got.nonEmpty && got.forall(_._1 >= 2L),
+        s"every near-dup cluster has >= 2 members: $got")
+    } finally {
+      graft.queries.NearDupStage.reset()
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -796,6 +796,51 @@ class CorpusStatSpec extends AnyFunSuite {
       s"q177 diverges: $out")
   }
 
+  test("q179 planted stylometry: exact Scala replay of moments and z-scores; single source scores 0") {
+    // three sources, five terms (all inside the F=32 marker set):
+    // srcA "the cat sat", srcB "the the dog", srcC "mouse mouse mouse"
+    val docs = Seq(("srcA", "the cat sat"), ("srcB", "the the dog"),
+      ("srcC", "mouse mouse mouse")).toDF("source", "text")
+    val counts = Map(("srcA", "the") -> 1L, ("srcA", "cat") -> 1L,
+      ("srcA", "sat") -> 1L, ("srcB", "the") -> 2L, ("srcB", "dog") -> 1L,
+      ("srcC", "mouse") -> 3L)
+    val sources = Seq("srcA", "srcB", "srcC")
+    val nS = Map("srcA" -> 3L, "srcB" -> 3L, "srcC" -> 3L)
+    val terms = Seq("cat", "dog", "mouse", "sat", "the")
+    def fq(s: String, w: String): Long =
+      math.floor(counts.getOrElse((s, w), 0L).toDouble / nS(s).toDouble
+        * 1e6 + 0.5).toLong
+    // the EXACT engine arithmetic: int64 moment sums, fixed-order
+    // double mu/var/z, micro-quantized |z|
+    def zq(s: String, w: String): Long = {
+      val fs = sources.map(fq(_, w))
+      val sf = fs.sum; val sf2 = fs.map(v => v * v).sum; val sc = fs.size
+      val mu = sf.toDouble / sc.toDouble
+      val varr = sf2.toDouble / sc.toDouble - mu * mu
+      if (varr <= 0.0) 0L
+      else math.floor(math.abs((fq(s, w).toDouble - mu) / math.sqrt(varr))
+        * 1e6 + 0.5).toLong
+    }
+    val want = sources.map { s =>
+      val zs = terms.map(w => (w, zq(s, w)))
+      val delta = math.floor(zs.map(_._2).sum.toDouble
+        / terms.size.toDouble + 0.5).toLong
+      val top = zs.sortBy { case (w, z) => (-z, w) }.head
+      (s, nS(s), delta, top._1, top._2)
+    }
+    val out = graft.queries.Corpus.stylometry(docs)
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    assert(out == want, s"q179 diverges:\n got $out\nwant $want")
+    // the monolingual-feed degenerate: one source, every marker has
+    // zero cross-source variance -> the guard scores 0, never NaN
+    val one = Seq(("only", "x y z")).toDF("source", "text")
+    val o = graft.queries.Corpus.stylometry(one)
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    assert(o.map(r => (r._1, r._2, r._3)) == Seq(("only", 3L, 0L)),
+      s"single-source corpus must score delta 0: $o")
+    spark.catalog.clearCache()
+  }
+
   test("randomized differential: q173/q175 match in-memory references on random corpora") {
     val rnd = new scala.util.Random(20260818L)
     for (trial <- 1 to 3) {

@@ -107,6 +107,7 @@ class OperationsDaySpec extends AnyFunSuite {
       CorpusStatsMaintenance.sourceKl(spark, statsDir) -> "q153_source_kl",
       CorpusStatsMaintenance.doremiWeights(spark, statsDir) -> "q151_doremi_weights",
       CorpusStatsMaintenance.looNovelty(spark, statsDir) -> "q177_loo_novelty",
+      CorpusStatsMaintenance.stylometry(spark, statsDir) -> "q179_stylometry",
       NumericAuditMaintenance.benford(spark, numDir) -> "q164_benford_digits",
       GovernanceMaintenance.kAnonymity(spark, govDir) -> "q171_k_anonymity",
       GovernanceMaintenance.bootstrapCi(spark, govDir) -> "q172_bootstrap_ci")
@@ -170,7 +171,7 @@ class OperationsDaySpec extends AnyFunSuite {
 
     // ---- audit-pack export: the full pack lands, and EVERY table
     // certifies against its live gated query, row for row ----
-    assert(CorpusAudit.Tables.size == 43, "the pack should hold 43 tables")
+    assert(CorpusAudit.Tables.size == 45, "the pack should hold 45 tables")
     val report = s"$root/report"
     val manifest = CorpusAudit.run(spark, sf, report)
       .as[(String, String, Long, String)].collect().toSeq

@@ -51,6 +51,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q177_loo_novelty", // q177: 1-row (N, V) total broadcast over token-width rows
       "q159_length_drift", // q159: O(sources) totals × O(distinct-lengths) histogram spine
       "q160_term_dispersion", // q160: O(sources) totals × top-K terms × 1-row corpus total
+      "q179_stylometry", // q179: O(sources) totals × the ≤ F=32 marker set (q160's spine)
       "q138_source_overlap") // q138: O(sources)² pair generator over the
                              // distinct-source list — both sides tiny by
                              // construction; the corpus-scale pass is the
