@@ -841,6 +841,60 @@ class CorpusStatSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("randomized differential: q179 matches an in-memory reference on random corpora") {
+    // guards the full moment/z chain (marker selection, micro
+    // frequencies, int64 moment sums, fixed-order double z, rank-1
+    // tie-break) against an INDEPENDENT reference on corpora the
+    // planted fixture cannot anticipate
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 3) {
+      val nSrc = 2 + rnd.nextInt(4)
+      val vocab = (0 until 12).map(i => s"w$i")
+      val docs = (0 until nSrc).flatMap { si =>
+        (0 until 1 + rnd.nextInt(3)).map { _ =>
+          (s"src$si",
+            Vector.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+              .mkString(" "))
+        }
+      }.toDF("source", "text")
+
+      // reference: plain Scala, same arithmetic
+      val rows = docs.as[(String, String)].collect()
+      val counts = rows.flatMap { case (src, t) =>
+        t.split(" ").map(w => (src, w)) }
+        .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+      val nS = counts.groupBy(_._1._1).map { case (s0, g) => s0 -> g.values.sum }
+      val sources = nS.keys.toSeq.sorted
+      val markers = counts.groupBy(_._1._2)
+        .map { case (w, g) => (w, g.values.sum) }.toSeq
+        .sortBy { case (w, ct) => (-ct, w) }
+        .take(graft.queries.Corpus.DeltaMarkers).map(_._1)
+      def fq(s0: String, w: String): Long =
+        math.floor(counts.getOrElse((s0, w), 0L).toDouble
+          / nS(s0).toDouble * 1e6 + 0.5).toLong
+      def zq(s0: String, w: String): Long = {
+        val fs = sources.map(fq(_, w))
+        val sf = fs.sum; val sf2 = fs.map(v => v * v).sum; val sc = fs.size
+        val mu = sf.toDouble / sc.toDouble
+        val varr = sf2.toDouble / sc.toDouble - mu * mu
+        if (varr <= 0.0) 0L
+        else math.floor(math.abs((fq(s0, w).toDouble - mu)
+          / math.sqrt(varr)) * 1e6 + 0.5).toLong
+      }
+      val want = sources.map { s0 =>
+        val zs = markers.map(w => (w, zq(s0, w)))
+        val delta = math.floor(zs.map(_._2).sum.toDouble
+          / markers.size.toDouble + 0.5).toLong
+        val top = zs.sortBy { case (w, z) => (-z, w) }.head
+        (s0, nS(s0), delta, top._1, top._2)
+      }
+      val got = graft.queries.Corpus.stylometry(docs)
+        .as[(String, Long, Long, String, Long)].collect().toSeq
+      assert(got == want, s"q179 random differential:\n got $got\nwant $want")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("randomized differential: q173/q175 match in-memory references on random corpora") {
     val rnd = new scala.util.Random(20260818L)
     for (trial <- 1 to 3) {
