@@ -1259,9 +1259,14 @@ object Corpus {
       .orderBy($"ct".desc, $"w").limit(DeltaMarkers)
       .select($"w")
     val ns = tf.groupBy($"source").agg(sum($"csw").as("n_s"))
+    // restrict the token-width count table to the F markers FIRST
+    // (broadcast semi-filter) so the spine's left join sees an
+    // O(sources × F) right side instead of shuffling the full
+    // (source, term) table — the join the scale-shape claim names
+    val tfm = tf.join(broadcast(markers), Seq("w"))
     // O(sources × F) spine; missing (source, marker) counts are 0
     val fq = ns.crossJoin(broadcast(markers))
-      .join(tf, Seq("source", "w"), "left")
+      .join(tfm, Seq("source", "w"), "left")
       .select($"source", $"n_s", $"w",
         floor(coalesce($"csw", lit(0L)).cast("double")
           / $"n_s".cast("double") * lit(1e6) + lit(0.5))
