@@ -89,6 +89,8 @@ object CorpusStatsMaintenance {
     * statistics). */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
     withTokenized(docs) { tk =>
+      // fresh store: stale markers must not approve reused run ids
+      graft.ops.DeliveryMarker.clearAll(spark, dir)
       counts(tk).withColumn("run", lit("base"))
         .write.partitionBy("run").mode("overwrite").parquet(store(dir))
       lenhist(tk).withColumn("run", lit("base"))
@@ -100,9 +102,15 @@ object CorpusStatsMaintenance {
     }
 
   /** Absorb one delivery under `run=<runId>` — O(batch), idempotent
-    * under re-delivery (the partition overwrites itself, BOTH
+    * under re-delivery (the partition overwrites itself, all four
     * statistics keyed on the same run id so a replay can never land
-    * one table without the other). */
+    * one table without the others). The delivery spans FOUR parquet
+    * writes, which are not atomic together: it is acknowledged by
+    * the shared [[graft.ops.DeliveryMarker]] written only after the
+    * fourth lands, and every read/compact path ignores unmarked runs
+    * — a crash inside this method can never skew a cross-sub-store
+    * statistic (q154's H2 − H1 reads term AND bigram counts; q125
+    * likewise) or be folded into run=base before the retry. */
   def absorb(spark: SparkSession, docs: DataFrame, dir: String,
              runId: String): Unit = withTokenized(docs) { tk =>
     graft.ops.StoreCompaction.heal(spark, store(dir), "run")
@@ -121,6 +129,8 @@ object CorpusStatsMaintenance {
     srccounts(tk).withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(sstore(dir))
+    // commit point: all four statistics are durable — acknowledge
+    graft.ops.DeliveryMarker.mark(spark, dir, runId)
   }
 
   /** Fold every run into one summed partition per statistic
@@ -128,19 +138,25 @@ object CorpusStatsMaintenance {
     * at a quiescent point, the store family's documented
     * contract). */
   def compact(spark: SparkSession, dir: String): Unit = {
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
+    def ok(df: DataFrame) = graft.ops.DeliveryMarker.approvedOnly(df, ap)
     graft.ops.StoreCompaction.fold(spark, store(dir), "run", "base",
-      spark.read.parquet(store(dir))
+      ok(spark.read.parquet(store(dir)))
         .groupBy(col("lang"), col("w")).agg(sum(col("c")).as("c")))
     graft.ops.StoreCompaction.fold(spark, lstore(dir), "run", "base",
-      spark.read.parquet(lstore(dir))
+      ok(spark.read.parquet(lstore(dir)))
         .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c")))
     graft.ops.StoreCompaction.fold(spark, bstore(dir), "run", "base",
-      spark.read.parquet(bstore(dir))
+      ok(spark.read.parquet(bstore(dir)))
         .groupBy(col("lang"), col("w1"), col("w2"))
         .agg(sum(col("c")).as("c")))
     graft.ops.StoreCompaction.fold(spark, sstore(dir), "run", "base",
-      spark.read.parquet(sstore(dir))
+      ok(spark.read.parquet(sstore(dir)))
         .groupBy(col("source"), col("w")).agg(sum(col("csw")).as("csw")))
+    // markers clear only after the LAST fold: a crash between folds
+    // leaves the unfolded sub-stores' approved partitions readable
+    // through the same filter
+    graft.ops.DeliveryMarker.clear(spark, dir, ap)
   }
 
   /** The summed (lang, w, c) view of whatever runs are on disk —
@@ -148,7 +164,8 @@ object CorpusStatsMaintenance {
     * invisible to consumers. */
   private def merged(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.StoreCompaction.heal(spark, store(dir), "run")
-    spark.read.parquet(store(dir))
+    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(store(dir)),
+        graft.ops.DeliveryMarker.approved(spark, dir))
       .groupBy(col("lang"), col("w")).agg(sum(col("c")).as("c"))
   }
 
@@ -156,7 +173,8 @@ object CorpusStatsMaintenance {
     * contract. */
   private def mergedLens(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.StoreCompaction.heal(spark, lstore(dir), "run")
-    spark.read.parquet(lstore(dir))
+    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(lstore(dir)),
+        graft.ops.DeliveryMarker.approved(spark, dir))
       .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c"))
   }
 
@@ -181,7 +199,8 @@ object CorpusStatsMaintenance {
     * contract. */
   private def mergedBi(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.StoreCompaction.heal(spark, bstore(dir), "run")
-    spark.read.parquet(bstore(dir))
+    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(bstore(dir)),
+        graft.ops.DeliveryMarker.approved(spark, dir))
       .groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c")).as("c"))
   }
 
@@ -209,7 +228,8 @@ object CorpusStatsMaintenance {
     * the source-mixture family. */
   private def mergedSrc(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.StoreCompaction.heal(spark, sstore(dir), "run")
-    spark.read.parquet(sstore(dir))
+    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(sstore(dir)),
+        graft.ops.DeliveryMarker.approved(spark, dir))
       .groupBy(col("source"), col("w")).agg(sum(col("csw")).as("csw"))
   }
 

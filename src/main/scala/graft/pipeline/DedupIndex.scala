@@ -120,6 +120,9 @@ object DedupIndex {
     // all-duplicates batch append leaves a READABLE index (a
     // partitionBy write of zero rows leaves only _SUCCESS and the
     // next read dies in schema inference)
+    if (clearOtherRuns)
+      // rebuild: stale markers must not approve reused run ids
+      graft.ops.DeliveryMarker.clearAll(spark, dir)
     def out(df: DataFrame, path: String): Unit = {
       if (clearOtherRuns) {
         val root = new org.apache.hadoop.fs.Path(path)
@@ -136,6 +139,11 @@ object DedupIndex {
         s"$dir/fingerprints")
       out(derived.select(col("doc_id"), col("hs")), s"$dir/shingles")
       out(bandsOf(derived), s"$dir/bands")
+      // commit point (r17 DeliveryMarker sweep): one delivery spans
+      // THREE sub-store writes, and screening JOINS across them
+      // (bands nominate, fingerprints/shingles verify) — a
+      // half-landed run must stay invisible until all three land
+      graft.ops.DeliveryMarker.mark(spark, dir, runId)
     } finally derived.unpersist()
   }
 
@@ -148,12 +156,18 @@ object DedupIndex {
     * in-flight deliveries): a re-delivered batch appending its
     * `run=` after compaction would duplicate that batch's rows
     * alongside the folded copy. */
-  def compact(spark: SparkSession, dir: String): Unit =
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
     Tables.foreach { t =>
       val path = s"$dir/$t"
       graft.ops.StoreCompaction.fold(spark, path, "run", "base",
-        spark.read.parquet(path).drop("run"))
+        graft.ops.DeliveryMarker.approvedOnly(
+          spark.read.parquet(path), ap).drop("run"))
     }
+    // markers clear only after the LAST table's fold (the unfolded
+    // tables' approved partitions stay readable through the filter)
+    graft.ops.DeliveryMarker.clear(spark, dir, ap)
+  }
 
   private def healAll(spark: SparkSession, dir: String): Unit =
     Tables.foreach(t =>
@@ -197,8 +211,10 @@ object DedupIndex {
           struct(col("jaccard"), negate(col("corpus_id")))).as("best"))
         .select(col("doc_id"), col("best.corpus_id").as("near_id"),
           col("best.jaccard").as("near_jaccard"))
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
     def runs(path: String): DataFrame = {
-      val df = spark.read.parquet(path)
+      val df = graft.ops.DeliveryMarker.approvedOnly(
+        spark.read.parquet(path), ap)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
     }
     val fps = runs(s"$dir/fingerprints")
@@ -228,8 +244,10 @@ object DedupIndex {
                               dir: String, excludeRun: Option[String],
                               broadcastMaxBands: Long = ProbeBroadcastMaxBands): DataFrame = {
     healAll(spark, dir) // complete any interrupted compaction first
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
     def runs(path: String): DataFrame = {
-      val df = spark.read.parquet(path)
+      val df = graft.ops.DeliveryMarker.approvedOnly(
+        spark.read.parquet(path), ap)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
     }
     val shs = runs(s"$dir/shingles")

@@ -47,48 +47,18 @@ object GovernanceMaintenance {
   // them leaves run=<id> present in one store but absent from the
   // other, and a compaction before the retry would fold that
   // half-landed state into run=base permanently (the round-16
-  // advisor's window). So absorbBoot acknowledges a delivery with a
-  // per-run commit marker `.bootrun-<id>.ok` created only AFTER both
-  // writes, and the read/compact paths treat an unmarked run id as
-  // NOT DELIVERED — its partitions are invisible to serving and are
-  // dropped (not folded) by compaction, which is exactly right under
-  // the house at-least-once contract: an unacknowledged delivery is
-  // retried, and the retry's dynamic partition overwrite replaces
-  // both halves together before re-marking. `run=base` (full rebuild
-  // / fold target) is always implicitly approved.
+  // advisor's window). absorbBoot acknowledges a delivery through
+  // the shared [[graft.ops.DeliveryMarker]] protocol (marker written
+  // only AFTER both writes; unmarked runs invisible to reads and
+  // dropped by compaction; markers cleared after the last fold) —
+  // protocol semantics documented once there.
 
-  private def markerPath(dir: String, runId: String) =
-    new org.apache.hadoop.fs.Path(dir, s".bootrun-$runId.ok")
-
-  private def bootFs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  import graft.ops.DeliveryMarker
 
   /** Run ids whose delivery committed BOTH sub-stores. */
   private[graft] def approvedBootRuns(spark: SparkSession,
-                                      dir: String): Set[String] = {
-    val fs = bootFs(spark, dir)
-    val root = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith(".bootrun-") && n.endsWith(".ok") =>
-        n.stripPrefix(".bootrun-").stripSuffix(".ok") }
-      .toSet
-  }
-
-  /** Keep `run=base` plus marker-approved runs; a half-landed
-    * (unacknowledged) delivery is invisible. */
-  private def approvedOnly(df: DataFrame, approved: Set[String]): DataFrame =
-    df.where(col("run") === lit("base") ||
-      col("run").isin(approved.toSeq: _*))
-
-  /** Marker deletion must VERIFY (Hadoop FS reports failure by
-    * returning false): a silently-surviving marker would approve a
-    * FUTURE half-landed retry of the same run id. */
-  private def mustDeleteMarker(fs: org.apache.hadoop.fs.FileSystem,
-                               p: org.apache.hadoop.fs.Path): Unit =
-    if (fs.exists(p) && !fs.delete(p, false))
-      throw new IllegalStateException(s"governance: failed to delete marker $p")
+                                      dir: String): Set[String] =
+    DeliveryMarker.approved(spark, dir)
 
   // ---- q171: k-anonymity / l-diversity --------------------------
 
@@ -137,9 +107,7 @@ object GovernanceMaintenance {
   def buildBoot(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
     // fresh store: stale markers from a previous deployment must not
     // approve future runs that happen to reuse an id
-    val fs = bootFs(spark, dir)
-    approvedBootRuns(spark, dir)
-      .foreach(r => mustDeleteMarker(fs, markerPath(dir, r)))
+    DeliveryMarker.clearAll(spark, dir)
     val in = graft.queries.Sketch.bootInput(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -155,7 +123,7 @@ object GovernanceMaintenance {
   /** Absorb one document delivery under `run=<runId>` — O(batch·B)
     * map work, O(sources·B) rows written, idempotent. Both
     * sub-stores write under the SAME run id, and the delivery is
-    * acknowledged by the `.bootrun-<id>.ok` marker created only
+    * acknowledged by the [[DeliveryMarker]] created only
     * AFTER both writes land — until then the read/compact paths
     * ignore the run, so a crash between the two writes can never be
     * served or folded (see the marker note above). */
@@ -175,7 +143,7 @@ object GovernanceMaintenance {
         .write.partitionBy("run").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(ptStore(dir))
       // commit point: both halves are durable — acknowledge
-      bootFs(spark, dir).create(markerPath(dir, runId), true).close()
+      DeliveryMarker.mark(spark, dir, runId)
     } finally in.unpersist()
   }
 
@@ -190,15 +158,14 @@ object GovernanceMaintenance {
   def compactBoot(spark: SparkSession, dir: String): Unit = {
     val approved = approvedBootRuns(spark, dir)
     graft.ops.StoreCompaction.fold(spark, repStore(dir), "run", "base",
-      approvedOnly(spark.read.parquet(repStore(dir)), approved)
+      DeliveryMarker.approvedOnly(spark.read.parquet(repStore(dir)), approved)
         .groupBy(col("source"), col("b"))
         .agg(sum(col("s")).as("s"), sum(col("wsum")).as("wsum")))
     graft.ops.StoreCompaction.fold(spark, ptStore(dir), "run", "base",
-      approvedOnly(spark.read.parquet(ptStore(dir)), approved)
+      DeliveryMarker.approvedOnly(spark.read.parquet(ptStore(dir)), approved)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("lsum")).as("lsum")))
-    val fs = bootFs(spark, dir)
-    approved.foreach(r => mustDeleteMarker(fs, markerPath(dir, r)))
+    DeliveryMarker.clear(spark, dir, approved)
   }
 
   /** The q172 CI table from the store — heal-on-read, aggregation
@@ -211,10 +178,10 @@ object GovernanceMaintenance {
     // estimate (run filters hit the partition column — pruned reads)
     val approved = approvedBootRuns(spark, dir)
     graft.queries.Sketch.bootstrapCiFromCounts(
-      approvedOnly(spark.read.parquet(repStore(dir)), approved)
+      DeliveryMarker.approvedOnly(spark.read.parquet(repStore(dir)), approved)
         .groupBy(col("source"), col("b"))
         .agg(sum(col("s")).as("s"), sum(col("wsum")).as("wsum")),
-      approvedOnly(spark.read.parquet(ptStore(dir)), approved)
+      DeliveryMarker.approvedOnly(spark.read.parquet(ptStore(dir)), approved)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("lsum")).as("lsum")))
   }

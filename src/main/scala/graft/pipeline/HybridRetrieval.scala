@@ -123,6 +123,8 @@ object HybridRetrieval {
   /** Build all stores from scratch (static overwrite — a re-build
     * replaces any prior runs, the [[AnnIndex.build]] contract). */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // rebuild: stale delivery markers must not approve reused run ids
+    graft.ops.DeliveryMarker.clearAll(spark, dir)
     val prepared = prepare(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeLexical(prepared, dir, "base", dynamic = false)
@@ -165,6 +167,15 @@ object HybridRetrieval {
     vecs.withColumn("run", lit(runId))
       .write.partitionBy("run").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/raw")
+    // commit point (r17 DeliveryMarker sweep): one delivery spans
+    // FOUR serving-visible writes (postings + termstats + stats +
+    // raw) that BM25 joins across — a crash between them must stay
+    // invisible to serving and be dropped (not folded) by compaction
+    // until the retry lands the run whole. The ANN encode below is
+    // DERIVED state with its own heal-on-append recovery, so the
+    // marker lands before it: a crash mid-encode heals on the next
+    // delivery, it does not un-acknowledge this one.
+    graft.ops.DeliveryMarker.mark(spark, dir, runId)
     // DEFERRED BOOTSTRAP: the store was built before any vectors
     // existed ([[build]]'s token-less-corpus posture) — train the
     // codebooks on the first vectored batch. Train ONLY: build's
@@ -221,19 +232,40 @@ object HybridRetrieval {
     * Delta stores (termstats/stats) fold by CONCATENATION — the
     * serve-time integer sums read identically before and after. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
+    def ok(df: DataFrame) = graft.ops.DeliveryMarker.approvedOnly(df, ap)
     graft.ops.StoreCompaction.fold(spark, s"$dir/postings", "run", "base",
-      spark.read.parquet(s"$dir/postings").drop("run"), Seq("tb"))
+      ok(spark.read.parquet(s"$dir/postings")).drop("run"), Seq("tb"))
     graft.ops.StoreCompaction.fold(spark, s"$dir/termstats", "run", "base",
-      spark.read.parquet(s"$dir/termstats").drop("run")
+      ok(spark.read.parquet(s"$dir/termstats")).drop("run")
         .groupBy(col("th"), col("tb")).agg(sum(col("df")).as("df"))
         .select(col("th"), col("df"), col("tb")), Seq("tb"))
     graft.ops.StoreCompaction.fold(spark, s"$dir/stats", "run", "base",
-      spark.read.parquet(s"$dir/stats").drop("run")
+      ok(spark.read.parquet(s"$dir/stats")).drop("run")
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")),
       Nil)
     graft.ops.StoreCompaction.fold(spark, s"$dir/raw", "run", "base",
-      spark.read.parquet(s"$dir/raw").drop("run"), Nil)
+      ok(spark.read.parquet(s"$dir/raw")).drop("run"), Nil)
+    // an UNAPPROVED raw run was just dropped, but the heal-on-append
+    // loop may already have encoded it into codes — delete those
+    // code runs BEFORE the codes fold, or the retry's re-encode
+    // would duplicate the ids alongside the folded copy
+    val codesPath = s"$dir/ann/codes"
+    val stray = runsOf(spark, codesPath) -- ap - "base"
+    if (stray.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(codesPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stray.foreach { r =>
+        val pth = new org.apache.hadoop.fs.Path(root, s"run=$r")
+        if (fs.exists(pth) && !fs.delete(pth, true))
+          throw new IllegalStateException(
+            s"hybrid compact: failed to drop unapproved code run $pth")
+      }
+    }
     AnnIndex.compact(spark, s"$dir/ann")
+    // markers clear only after the LAST fold (unfolded stores'
+    // approved partitions stay readable through the filter)
+    graft.ops.DeliveryMarker.clear(spark, dir, ap)
   }
 
   /** Serve a query batch: (query_id LONG, qtext STRING) →
@@ -282,7 +314,9 @@ object HybridRetrieval {
         // (HybridRetrievalSpec pins row equivalence on the gate
         // corpus), so any serving divergence is attributable to the
         // ANN ranker alone.
-        val semAll = spark.read.parquet(s"$dir/raw")
+        val semAll = graft.ops.DeliveryMarker.approvedOnly(
+            spark.read.parquet(s"$dir/raw"),
+            graft.ops.DeliveryMarker.approved(spark, dir))
           .select(col("vec_id").as("doc_id"), col("vec"))
           .crossJoin(broadcast(qv))
           .select(col("query_id"), col("doc_id"),
@@ -290,7 +324,9 @@ object HybridRetrieval {
         graft.plans.TopK.perKey(semAll, Seq("query_id"),
           Seq("cos" -> false, "doc_id" -> true), depth, rankCol = "srank")
       } else {
-        val raw = spark.read.parquet(s"$dir/raw")
+        val raw = graft.ops.DeliveryMarker.approvedOnly(
+          spark.read.parquet(s"$dir/raw"),
+          graft.ops.DeliveryMarker.approved(spark, dir))
         AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw, k = depth)
           .select(col("query_id"), col("vec_id").as("doc_id"),
             col("rn").cast("int").as("srank"))
@@ -376,7 +412,9 @@ object HybridRetrieval {
     // the lexical ranker short-circuits to an EMPTY pool and search()
     // degrades to semantic-only fusion (the q111 paraphrase law's
     // posture: absent ranker pools weaken ranking, never crash it)
-    val st = spark.read.parquet(s"$dir/stats")
+    val st = graft.ops.DeliveryMarker.approvedOnly(
+        spark.read.parquet(s"$dir/stats"),
+        graft.ops.DeliveryMarker.approved(spark, dir))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("sumdl")), lit(0L)).as("sumdl")).head()
     val (n, sumdl) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
@@ -415,7 +453,9 @@ object HybridRetrieval {
   private def prunedScan(spark: SparkSession, terms: Array[Long],
                          path: String): DataFrame = {
     val buckets = terms.map(_ % TermBuckets).distinct
-    spark.read.parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path).getParent.toString
+    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(path),
+        graft.ops.DeliveryMarker.approved(spark, root))
       .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
   }
 

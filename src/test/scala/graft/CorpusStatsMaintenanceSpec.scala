@@ -132,4 +132,46 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
       graft.queries.Corpus.looNovelty(extTerms).collect().toSeq),
       "post-compaction mixture family diverges from the batch chains")
   }
+
+  test("half-landed stats delivery: invisible to reads, dropped by compaction, healed by retry") {
+    // the r17 DeliveryMarker sweep: one delivery spans FOUR parquet
+    // writes, and q154/q125 JOIN across two of the sub-stores — a
+    // crash between the writes must never skew them or be folded
+    // into run=base before the retry
+    val dir = Files.createTempDirectory("graft-cstats").toString + "/store"
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"text")
+    val part0 = docs.filter(pmod($"doc_id", lit(2L)) === 0L)
+    val part1 = docs.filter(pmod($"doc_id", lit(2L)) === 1L)
+    CorpusStatsMaintenance.build(spark, part0, dir)
+    def snapshot() = (
+      CorpusStatsMaintenance.zipfSlope(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.entropyRate(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.sourceKl(spark, dir).collect().toSeq,
+      CorpusStatsMaintenance.lengthDrift(spark, dir).collect().toSeq)
+    val base = snapshot()
+
+    // simulate the crash: ONLY the first sub-store write of run=bX
+    // lands (exactly absorb's first write), no marker
+    graft.queries.Corpus.unigramCountsFromToks(
+        graft.queries.Corpus.tokenized(part1))
+      .withColumn("run", lit("bX"))
+      .write.partitionBy("run").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/termcounts")
+    assert(snapshot() == base,
+      "an unacknowledged half-landed run must be invisible to every served table")
+
+    CorpusStatsMaintenance.compact(spark, dir)
+    assert(snapshot() == base,
+      "compaction must drop, not fold, an unacknowledged run")
+
+    // the at-least-once retry re-delivers the run whole
+    CorpusStatsMaintenance.absorb(spark, part1, dir, "bX")
+    assert(snapshot() == (
+      graft.queries.Corpus.zipfSlope(docs).collect().toSeq,
+      graft.queries.Corpus.entropyRate(docs).collect().toSeq,
+      graft.queries.Corpus.sourceKl(docs).collect().toSeq,
+      graft.queries.Corpus.lengthDrift(docs).collect().toSeq),
+      "retried delivery must converge the store on the batch chains")
+  }
 }

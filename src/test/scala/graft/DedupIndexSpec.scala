@@ -183,4 +183,41 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(q24.nonEmpty && edges == q24,
       s"edge sets differ: only-in-index=${edges -- q24}, only-in-q24=${q24 -- edges}")
   }
+
+  test("unacknowledged append is invisible to screening, dropped by compaction, healed by retry") {
+    // r17 DeliveryMarker sweep: one append spans three sub-store
+    // writes screening JOINS across (bands nominate, fingerprints/
+    // shingles verify). Simulate the crash-before-acknowledge window
+    // by appending and then removing the marker — the run's data is
+    // fully on disk but unacknowledged, exactly the state a crash
+    // between the last write and the marker leaves.
+    val dir = tmp("dedup-marker")
+    val corpus = (0L until 20L)
+      .map(i => (i, s"base document number $i with words $i"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, dir)
+    val batch = Seq((100L, "a wholly new ingest document payload"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(spark, batch, dir, "bX")
+    graft.ops.DeliveryMarker.clear(spark, dir, Set("bX"))
+
+    // the batch doc is ON DISK under run=bX, but screening a copy of
+    // it must not see the unacknowledged run: verdict stays unique
+    val probe = Seq((200L, "a wholly new ingest document payload"))
+      .toDF("doc_id", "text")
+    def verdict(): String =
+      DedupIndex.screen(spark, probe, dir).collect().head.getString(1)
+    assert(verdict() == "unique",
+      "unacknowledged run must be invisible to screening")
+
+    // compaction drops (never folds) the unacknowledged run
+    DedupIndex.compact(spark, dir)
+    assert(verdict() == "unique",
+      "compaction must drop, not fold, an unacknowledged run")
+
+    // the at-least-once retry re-lands the run whole and acknowledges
+    DedupIndex.append(spark, batch, dir, "bX")
+    assert(verdict() == "exact",
+      "retried delivery must make the run visible to screening")
+  }
 }

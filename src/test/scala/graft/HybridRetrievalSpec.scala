@@ -450,4 +450,40 @@ class HybridRetrievalSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial: q158 diverges\n got $got\nwant $want")
     }
   }
+
+  test("unacknowledged append is invisible to search, dropped by compaction, healed by retry") {
+    // r17 DeliveryMarker sweep: one append spans four serving-visible
+    // writes BM25 joins across (postings + termstats + stats + raw).
+    // Simulate the crash-before-acknowledge window by appending and
+    // then removing the marker.
+    import graft.pipeline.HybridRetrieval
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-marker").toString + "/idx"
+    HybridRetrieval.build(spark, docs, root)
+    val batchB = Seq((500L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val before = HybridRetrieval.search(spark, qdf, root)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+
+    HybridRetrieval.append(spark, batchB, root, "bX")
+    graft.ops.DeliveryMarker.clear(spark, root, Set("bX"))
+    val hidden = HybridRetrieval.search(spark, qdf, root)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+    assert(hidden == before,
+      s"unacknowledged run must be invisible to search: $hidden vs $before")
+
+    HybridRetrieval.compact(spark, root)
+    assert(HybridRetrieval.search(spark, qdf, root)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap == before,
+      "compaction must drop, not fold, an unacknowledged run")
+
+    // retry: the run lands whole and the new doc (top lexical AND
+    // semantic match for the query) enters the fused ranking
+    HybridRetrieval.append(spark, batchB, root, "bX")
+    val after = HybridRetrieval.search(spark, qdf, root)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+    assert(after.contains(500L),
+      s"retried delivery must surface the appended doc: $after")
+  }
 }
