@@ -195,7 +195,10 @@ object ScaleProbe {
     // token pass, O(sources·F) after) and the cluster-size spectrum
     // (the full q24+CC chain — NearDupStage resets per rep — plus an
     // O(clusters) rollup)
-    "q179_stylometry", "q180_dup_spectrum")
+    "q179_stylometry", "q180_dup_spectrum",
+    // the exact syndication matrix (one fingerprint pass, bounded
+    // per-group pair fan-out)
+    "q181_syndication")
     // q101 is NOT probed: its in-query citation-edge derivation
     // documents a ~9k-doc bound (doc_id·A must stay under 2^63 —
     // Graph.scala's constants note), which the 10× synthetic corpus

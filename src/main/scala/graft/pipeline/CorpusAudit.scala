@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   * (label_noise q174), discourse structure (topic_boundaries q175),
   * dimensionality-cut cost (jl_distortion q176), source
   * data-valuation (loo_novelty q177), credential leakage
-  * (secret_scan q178), provenance stylometry (stylometry q179), and
-  * duplication concentration (dup_spectrum q180).
+  * (secret_scan q178), provenance stylometry (stylometry q179),
+  * duplication concentration (dup_spectrum q180), and exact
+  * syndication flow (syndication q181).
   *
   * Writes are static overwrite per table — a re-run reproduces the
   * identical table contents (every underlying query is deterministic,
@@ -129,7 +130,8 @@ object CorpusAudit {
     "loo_novelty" -> "q177_loo_novelty",
     "secret_scan" -> "q178_secret_scan",
     "stylometry" -> "q179_stylometry",
-    "dup_spectrum" -> "q180_dup_spectrum")
+    "dup_spectrum" -> "q180_dup_spectrum",
+    "syndication" -> "q181_syndication")
 
   /** Run the pack (or the `only` subset) over `sfDir`, write each
     * table under `outDir/<table>/`, and return the manifest

@@ -629,6 +629,30 @@ object Sketch {
     // bound, not a runtime reach at any plausible shard).
     "q172_bootstrap_ci" -> { (s, d) =>
       bootstrapCi(bootInput(Tables.documents(s, d)))
+    },
+
+    // EXACT verbatim-passage syndication matrix: for every provider
+    // pair that shares at least one W-word shingle, the exact count
+    // of distinct shared shingle types, each side's type total, and
+    // the exact Jaccard — the one-shot AUDIT twin of q138 (whose
+    // KMV bottom-k sketch ESTIMATES this same Jaccard in constant
+    // state for routine monitoring; a procurement dispute or a
+    // provenance-spoofing investigation wants the exact number and
+    // the exact shared-passage count, q128/q180 say how much
+    // duplication exists, this says between WHOM it flows). Pairs
+    // sharing nothing are absent by design — the sparse complement
+    // of q138's every-pair report.
+    //
+    // Scale shape: one shingle pass → DISTINCT (source, shingle)
+    // table (map-side combined); the pair join is keyed on the
+    // shingle hash with fan-out ≤ carrying-sources² per shingle —
+    // bounded by |providers|² (provider cardinality is 10s–100s; at
+    // q24-style document cardinality this join would need the
+    // banded/capped devices, which is exactly why the DOCUMENT-pair
+    // problem runs through LSH while the PROVIDER-pair audit can
+    // afford exactness); per-source type totals broadcast back.
+    "q181_syndication" -> { (s, d) =>
+      syndication(Tables.documents(s, d))
     }
   )
 
@@ -821,6 +845,34 @@ object Sketch {
     * engines replay the same deterministic sketch. */
   private val OverlapK = 128
   private val OverlapShingleW = 3
+
+  /** The q181 chain over any (source, text) frame (spec hook:
+    * planted corpora with hand-enumerable shingle sets —
+    * SketchSpec). Shares q138's shingle width so the exact matrix
+    * and the KMV estimate audit the same underlying sets. */
+  private[graft] def syndication(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ss = docs.select($"source", explode(
+        graft.ops.expressions.ShingleHashes($"text", OverlapShingleW)).as("h"))
+      .distinct()
+    val ts = ss.groupBy($"source").agg(count(lit(1)).as("types"))
+    val shared = ss.select($"h", $"source".as("src_a"))
+      .join(ss.select($"h", $"source".as("src_b")), Seq("h"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(ts.select($"source".as("src_a"), $"types".as("types_a"))),
+        Seq("src_a"))
+      .join(broadcast(ts.select($"source".as("src_b"), $"types".as("types_b"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_shared", $"types_a", $"types_b",
+        floor($"n_shared".cast("double") /
+          ($"types_a" + $"types_b" - $"n_shared").cast("double")
+          * lit(1e6) + lit(0.5)).cast("long").as("jaccard_micro"))
+      .orderBy($"src_a", $"src_b")
+  }
 
   /** The q138 chain over any (source, text) frame (spec hook:
     * planted shingle sets with closed-form sketch intersections —
@@ -1143,6 +1195,31 @@ object Sketch {
          |UNION ALL
          |${sqlHll("user_id")}
          |) ORDER BY col_name""".stripMargin,
+
+    // Twin of q181: q138's shingle-set derivation (same width, same
+    // polyhash) WITHOUT the KMV mix/rank — exact distinct sets,
+    // ordered pair join, one micro-rounded division.
+    "q181_syndication" ->
+      s"""WITH s0 AS (SELECT source, unnest(list_distinct(list_transform(
+         |          ${TextVector.Sql.shingleSet("text", OverlapShingleW)},
+         |          t -> ${TextVector.Sql.polyHash("t")}))) AS h
+         |        FROM documents),
+         |sh AS (SELECT DISTINCT source, h FROM s0),
+         |ts AS (SELECT source, CAST(count(*) AS BIGINT) AS types
+         |       FROM sh GROUP BY source),
+         |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+         |             CAST(count(*) AS BIGINT) AS n_shared
+         |           FROM sh a JOIN sh b
+         |             ON a.h = b.h AND a.source < b.source
+         |           GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, ta.types AS types_a,
+         |  tb.types AS types_b,
+         |  CAST(floor(CAST(n_shared AS DOUBLE)
+         |    / CAST(ta.types + tb.types - n_shared AS DOUBLE)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro
+         |FROM shared JOIN ts ta ON ta.source = src_a
+         |JOIN ts tb ON tb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "q95_cms_heavy" ->
       s"""WITH h AS (SELECT user_id, ${sqlMix("user_id")} AS hv FROM events),

@@ -171,7 +171,7 @@ class OperationsDaySpec extends AnyFunSuite {
 
     // ---- audit-pack export: the full pack lands, and EVERY table
     // certifies against its live gated query, row for row ----
-    assert(CorpusAudit.Tables.size == 45, "the pack should hold 45 tables")
+    assert(CorpusAudit.Tables.size == 46, "the pack should hold 46 tables")
     val report = s"$root/report"
     val manifest = CorpusAudit.run(spark, sf, report)
       .as[(String, String, Long, String)].collect().toSeq

@@ -510,4 +510,25 @@ class SketchSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial: q172 diverges\n got $got\nwant $want")
     }
   }
+
+  test("q181 planted syndication: exact shared-shingle counts and Jaccard; disjoint pairs absent") {
+    // W = 3 word shingles: srcA {a b c, b c d} (a duplicate doc must
+    // not inflate the DISTINCT type sets), srcB {b c d, c d e},
+    // srcC {x y z} — only (A, B) share, J = 1/(2+2-1) = 1/3
+    val docs = Seq(
+      ("srcA", "a b c d"), ("srcA", "a b c d"),
+      ("srcB", "b c d e"),
+      ("srcC", "x y z")).toDF("source", "text")
+    val got = graft.queries.Sketch.syndication(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("srcA", "srcB", 1L, 2L, 2L, 333333L)),
+      s"q181 diverges: $got")
+    // the gate corpus carries cross-source verbatim shingles at every
+    // shipped SF — the gated query must exercise, never hash-match
+    // an empty table
+    val real = SparkEntry.queries("q181_syndication")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(real.nonEmpty, "gate-scale corpus should carry shared shingles")
+    spark.catalog.clearCache()
+  }
 }
