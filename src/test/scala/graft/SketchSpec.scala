@@ -531,4 +531,46 @@ class SketchSpec extends AnyFunSuite {
     assert(real.nonEmpty, "gate-scale corpus should carry shared shingles")
     spark.catalog.clearCache()
   }
+
+  test("randomized differential: q181 matches an in-memory reference on random corpora") {
+    // guards the distinct-set and pair logic (per-doc shingle dedup,
+    // per-source type union, ordered pairs, the Jaccard rounding)
+    // against an independent reference — W = 3 word shingles on a
+    // small vocabulary force heavy cross-source sharing
+    val rnd = new scala.util.Random(20260817L)
+    for (_ <- 1 to 3) {
+      val nSrc = 2 + rnd.nextInt(3)
+      val vocab = (0 until 6).map(i => s"v$i")
+      val rows = (0 until nSrc).flatMap { si =>
+        (0 until 2 + rnd.nextInt(3)).map { _ =>
+          (s"src$si",
+            Vector.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+              .mkString(" "))
+        }
+      }
+      val docs = rows.toDF("source", "text")
+      // reference: distinct 3-word shingle STRINGS per source (the
+      // kernel hashes them; equal strings hash equal, and collisions
+      // on a 6-token vocabulary of 3-grams are impossible for the
+      // polyhash's range)
+      val sets = rows.groupBy(_._1).map { case (src, g) =>
+        src -> g.flatMap { case (_, t) =>
+          t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        }.toSet
+      }
+      val srcs = sets.keys.toSeq.sorted
+      val want = (for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+        a = srcs(i); b = srcs(j)
+        shared = (sets(a) & sets(b)).size if shared > 0
+      } yield (a, b, shared.toLong, sets(a).size.toLong, sets(b).size.toLong,
+        math.floor(shared.toDouble /
+          (sets(a).size + sets(b).size - shared).toDouble * 1e6 + 0.5).toLong))
+        .sortBy(r => (r._1, r._2))
+      val got = graft.queries.Sketch.syndication(docs)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"q181 random differential:\n got $got\nwant $want")
+      spark.catalog.clearCache()
+    }
+  }
 }
