@@ -102,8 +102,35 @@ object TextOps {
     array(lit(prompt), content)
 
   /** Rolling-hash document fingerprint — custom Catalyst expression
-    * (whole-stage codegen; see TextPolyHash). */
+    * (whole-stage codegen; see TextPolyHash). ~2³⁰-range: fine for
+    * sampling / bucket keys (q84's rate gate, q41's demo funnel), NOT
+    * for an exact-dup verdict at corpus scale — that is
+    * [[fingerprintHi]]/[[fingerprintLo]] (128-bit, q23 + DedupIndex). */
   def fingerprint(text: Column): Column = TextPolyHash(text)
+
+  // The 128-bit exact-dup fingerprint: four independent polynomial
+  // hashes (disjoint base/mod families, each mod < 2³¹ so every fold
+  // step stays in int64 under ANSI mode) packed into two BIGINTs.
+  // fingerprintHi's high word is the CLASSIC fingerprint (base 31,
+  // mod 1e9+7) — fp_hi div FpHiMod2 recovers the old key, so an index
+  // migration can verify old-vs-new agreement in place. Combined
+  // keyspace ≈ 2¹²³: first expected birthday collision past 10¹⁸
+  // docs, vs ~10^4.5 for the single 30-bit hash (whose false "exact"
+  // verdict silently drops a document). Exactly re-playable in DuckDB
+  // BIGINT (TextVector.Sql.polyHashPacked) so q23 stays hash-gated.
+  final val FpHiMod2 = 2147483629L // prime < 2^31
+  final val FpLoMod1 = 2147483647L // 2^31 - 1 (Mersenne prime)
+  final val FpLoMod2 = 2147483587L // prime < 2^31
+
+  /** High 64 bits of the 128-bit exact-dup fingerprint. */
+  def fingerprintHi(text: Column): Column =
+    graft.ops.expressions.TextPolyHashPacked(
+      text, 31L, graft.ops.expressions.HashKernel.Mod, 131L, FpHiMod2)
+
+  /** Low 64 bits of the 128-bit exact-dup fingerprint. */
+  def fingerprintLo(text: Column): Column =
+    graft.ops.expressions.TextPolyHashPacked(
+      text, 257L, FpLoMod1, 65599L, FpLoMod2)
 
   // --- language ID (n-gram/stopword heuristic) -------------------
   // Tiny per-language marker dictionaries. Prediction quality is a

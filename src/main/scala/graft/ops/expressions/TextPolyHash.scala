@@ -35,6 +35,29 @@ object HashKernel {
     }
     acc
   }
+
+  /** Two independent polynomial hashes folded in ONE code-point scan,
+    * packed as h1·mod2 + h2 — half of the 128-bit exact-dup
+    * fingerprint (the other half uses a disjoint (base, mod) family).
+    * Bounds keep every intermediate inside int64 under ANSI mode:
+    * acc < mod ≤ 2³¹−1, acc·base ≤ (2³¹−1)·65599 < 2⁴⁸, and the pack
+    * h1·mod2 + h2 < 2³¹·2³¹ < 2⁶³ — same arithmetic is exactly
+    * re-playable in DuckDB BIGINT (TextVector.Sql.polyHashPacked). */
+  def polyHashPacked(s: UTF8String, base1: Long, mod1: Long,
+                     base2: Long, mod2: Long): Long = {
+    val str = s.toString
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      a1 = (a1 * base1 + cp) % mod1
+      a2 = (a2 * base2 + cp) % mod2
+      i += Character.charCount(cp)
+    }
+    a1 * mod2 + a2
+  }
 }
 
 /** Custom Catalyst expression: stays inside whole-stage codegen
@@ -68,4 +91,51 @@ object TextPolyHash {
   /** Column-API entry point. */
   def apply(c: Column): Column =
     ColumnShim.column(TextPolyHash(ColumnShim.expression(c)))
+}
+
+/** Two independent polynomial hashes over the same string, folded in
+  * one code-point scan and packed into a single BIGINT (h1·mod2+h2).
+  * Two instances with disjoint (base, mod) families form the 128-bit
+  * exact-dup fingerprint ([[graft.ops.TextOps.fingerprintHi]] /
+  * `fingerprintLo`) — the keyspace widening the single ~2³⁰-range
+  * polyhash needs before a 100 TB corpus: one 30-bit hash
+  * birthday-collides from ~10^4.5 documents, and a false "exact"
+  * verdict silently DROPS a document, so exact-dup keys must never
+  * ride on it alone. ~123 combined bits put the first expected
+  * collision past 10¹⁸ documents.
+  */
+case class TextPolyHashPacked(child: Expression, base1: Long, mod1: Long,
+                              base2: Long, mod2: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"text_poly_hash_packed needs a string argument, got ${child.dataType}")
+    // the int64-safety envelope documented on HashKernel.polyHashPacked
+    else if (mod1 <= 0 || mod1 > 2147483647L || mod2 <= 0 || mod2 > 2147483647L)
+      TypeCheckResult.TypeCheckFailure(s"mods must be in (0, 2^31): $mod1, $mod2")
+    else if (base1 <= 0 || base1 > 65599L || base2 <= 0 || base2 > 65599L)
+      TypeCheckResult.TypeCheckFailure(s"bases must be in (0, 65599]: $base1, $base2")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_poly_hash_packed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernel.polyHashPacked(input.asInstanceOf[UTF8String],
+      base1, mod1, base2, mod2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expressions.HashKernel.polyHashPacked($c, ${base1}L, ${mod1}L, ${base2}L, ${mod2}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextPolyHashPacked =
+    copy(child = newChild)
+}
+
+object TextPolyHashPacked {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, base1: Long, mod1: Long,
+            base2: Long, mod2: Long): Column =
+    ColumnShim.column(TextPolyHashPacked(
+      ColumnShim.expression(c), base1, mod1, base2, mod2))
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.expressions.{MinHashSig, ShingleHashes, TextPolyHash}
+import graft.ops.expressions.{MinHashSig, ShingleHashes}
 
 /** Incremental dedup screening: dedup a NEW batch of documents
   * against a PRECOMPUTED corpus index, without touching the corpus
@@ -13,7 +13,9 @@ import graft.ops.expressions.{MinHashSig, ShingleHashes, TextPolyHash}
   * formulation of the same two dedup families.)
   *
   * Index layout (parquet under `dir`, written by [[build]]):
-  *   - `fingerprints/` (doc_id, fp)            — exact-dup lookup
+  *   - `fingerprints/` (doc_id, fp_hi, fp_lo, fp_len) — exact-dup
+  *     lookup on the 128-bit fingerprint + byte length (narrow keys
+  *     silently drop docs at corpus scale; see [[withDerived]])
   *   - `shingles/`     (doc_id, hs)            — near-dup verification
   *   - `bands/`        (band_idx, band_hash, doc_id) — LSH candidates
   *
@@ -50,18 +52,21 @@ object DedupIndex {
   private val ProbeBroadcastMaxBands = 1L << 20
 
   private[graft] def withDerived(docs: DataFrame): DataFrame = {
-    // the exact-dup key is (polyhash, byte length): one ~2^30-range
-    // polyhash alone would birthday-collide from ~10^4.5 docs, and a
-    // false "exact" verdict silently drops a document — the length
-    // multiplies the keyspace for free. A production deployment
-    // widens fp to 128 bits (two independent polyhash bases or
-    // xxhash128) with no structural change to the index.
+    // the exact-dup key is 128 bits — (fp_hi, fp_lo), four
+    // independent polyhash families packed two-per-long
+    // (TextOps.fingerprintHi/Lo) — plus byte length for free. A
+    // narrow key is a SILENT DATA-LOSS bug at corpus scale: a
+    // ~2^30-range polyhash birthday-collides from ~10^4.5 docs and a
+    // false "exact" verdict drops the colliding document; 2^123 puts
+    // the first expected collision past 10^18 docs
+    // (Fingerprint128Spec plants the narrow-key collision).
     val base = docs
       .select(col("doc_id"), col("text"),
-        TextPolyHash(col("text")).as("fp"),
+        graft.ops.TextOps.fingerprintHi(col("text")).as("fp_hi"),
+        graft.ops.TextOps.fingerprintLo(col("text")).as("fp_lo"),
         octet_length(col("text")).as("fp_len"),
         ShingleHashes(col("text"), ShingleK).as("hs"))
-    base.select(col("doc_id"), col("fp"), col("fp_len"), col("hs"),
+    base.select(col("doc_id"), col("fp_hi"), col("fp_lo"), col("fp_len"), col("hs"),
       when(size(col("hs")) > 0, MinHashSig(col("hs"), NumPerms))
         .otherwise(array().cast("array<bigint>")).as("sig"))
   }
@@ -135,7 +140,7 @@ object DedupIndex {
       df.write.mode("overwrite").parquet(s"$path/run=$runId")
     }
     try {
-      out(derived.select(col("doc_id"), col("fp"), col("fp_len")),
+      out(derived.select(col("doc_id"), col("fp_hi"), col("fp_lo"), col("fp_len")),
         s"$dir/fingerprints")
       out(derived.select(col("doc_id"), col("hs")), s"$dir/shingles")
       out(bandsOf(derived), s"$dir/bands")
@@ -218,9 +223,10 @@ object DedupIndex {
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
     }
     val fps = runs(s"$dir/fingerprints")
-        .select(col("doc_id").as("corpus_id"), col("fp"), col("fp_len"))
+        .select(col("doc_id").as("corpus_id"),
+          col("fp_hi"), col("fp_lo"), col("fp_len"))
 
-      val exact = derived.join(fps, Seq("fp", "fp_len"))
+      val exact = derived.join(fps, Seq("fp_hi", "fp_lo", "fp_len"))
         .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("exact_id"))
 
       derived.select(col("doc_id"))

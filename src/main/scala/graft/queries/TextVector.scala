@@ -44,6 +44,28 @@ object TextVector {
         s"list_transform(regexp_extract_all($c, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT))), " +
         s"(acc, cp) -> (acc*31 + cp) % 1000000007)"
 
+    /** Generalized fold of [[polyHash]] — twin of
+      * HashKernel.polyHashPacked's per-family accumulator. */
+    private def polyHashW(c: String, base: Long, mod: Long): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(regexp_extract_all($c, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+        s"(acc, cp) -> (acc*$base + cp) % $mod)"
+
+    /** Packed double polyhash — twin of TextPolyHashPacked
+      * (h1·mod2 + h2; all intermediates < 2⁶³, BIGINT-safe). */
+    def polyHashPacked(c: String, base1: Long, mod1: Long,
+                       base2: Long, mod2: Long): String =
+      s"(${polyHashW(c, base1, mod1)}) * $mod2 + (${polyHashW(c, base2, mod2)})"
+
+    /** fp_hi of the 128-bit exact-dup fingerprint — twin of
+      * TextOps.fingerprintHi. */
+    def fpHi(c: String): String =
+      polyHashPacked(c, 31L, 1000000007L, 131L, TextOps.FpHiMod2)
+
+    /** fp_lo — twin of TextOps.fingerprintLo. */
+    def fpLo(c: String): String =
+      polyHashPacked(c, 257L, TextOps.FpLoMod1, 65599L, TextOps.FpLoMod2)
+
     /** Seeded-hash embedding — twin of VectorOps.embed(c, dim). */
     def embed(c: String, dim: Int): String =
       s"list_transform(range(0, $dim), i -> " +
@@ -842,10 +864,19 @@ object TextVector {
     // Exact dedup (builder brief): content fingerprint → groupBy →
     // keep-first. Hash-partitioned by fingerprint — at 100 TB this is
     // one shuffle on a high-cardinality key, no skew (hash output).
+    // The key is the 128-bit (fp_hi, fp_lo) pair — four independent
+    // polyhash families in two single-pass codegen kernels — because
+    // at corpus scale a narrow key's birthday collision is a SILENT
+    // DROP: the colliding doc folds into a stranger's group and its
+    // keeper never emits it. ~2³⁰ range collides from ~10^4.5 docs;
+    // 2¹²³ pushes the first expected collision past 10¹⁸
+    // (Fingerprint128Spec plants an old-key collision and proves the
+    // wide key separates it).
     "q23_dedup_exact" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .groupBy(TextOps.fingerprint($"text").as("fp"))
+        .groupBy(TextOps.fingerprintHi($"text").as("fp_hi"),
+          TextOps.fingerprintLo($"text").as("fp_lo"))
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
         .orderBy($"keeper_id")
     },
@@ -2237,9 +2268,9 @@ object TextVector {
            |ORDER BY doc_id""".stripMargin,
 
       "q23_dedup_exact" ->
-        s"""SELECT ${Sql.polyHash("text")} AS fp,
+        s"""SELECT ${Sql.fpHi("text")} AS fp_hi, ${Sql.fpLo("text")} AS fp_lo,
            |  min(doc_id) AS keeper_id, count(*) AS n_copies
-           |FROM documents GROUP BY fp ORDER BY keeper_id""".stripMargin,
+           |FROM documents GROUP BY fp_hi, fp_lo ORDER BY keeper_id""".stripMargin,
 
       "q21_chunk_pool" -> {
         val sum = (l: String) =>
