@@ -65,16 +65,29 @@ final class SessionStage[T](build: (SparkSession, String) => T,
   * `spark.catalog.clearCache()` like any other store.
   *
   * Path contract (the round-16 advisor note): the stage writes under
-  * `<scratch root>/graft-stage/<name>-<dir token>`, where the
-  * scratch root is `spark.graft.scratchDir` when set and the local
-  * JVM tmpdir otherwise. ON A MULTI-NODE CLUSTER
+  * `<scratch root>/graft-stage/<app>-<session>/<name>-<dir token>`,
+  * where the scratch root is `spark.graft.scratchDir` when set and
+  * the local JVM tmpdir otherwise. ON A MULTI-NODE CLUSTER
   * `spark.graft.scratchDir` MUST point at the shared filesystem
   * (executors commit task files to the path they are given — a
   * driver-local tmpdir would scatter the commit across machines);
   * local-mode tests and the driver's single-JVM runs are correct
-  * with the default. The path is DETERMINISTIC per (name, data dir),
-  * so rebuilds overwrite in place rather than accreting temp dirs,
-  * and [[reset]] (and stopped-session eviction) deletes it.
+  * with the default. The path is DETERMINISTIC per (session, name,
+  * data dir): rebuilds within a session overwrite in place rather
+  * than accreting temp dirs, and [[reset]] (and stopped-session
+  * eviction) deletes it. The `<app>-<session>` segment is the
+  * round-17 advisor fix — the path used to omit any process/session
+  * token while the cache is keyed per (session, dir), so two live
+  * sessions in one JVM, or two driver processes sharing the default
+  * tmpdir (Verify running beside Bench), resolved to ONE directory:
+  * one side's overwrite corrupted the other's mid-scan reads and
+  * either side's reset() deleted the survivor's files. applicationId
+  * separates processes; the session identity separates sibling
+  * `newSession()`s sharing a context. The cost is that a KILLED
+  * process leaves its `<app>-<session>` dir behind (nothing
+  * overwrites it in place anymore) — scratch roots are tmpdirs, and
+  * deployments that point `spark.graft.scratchDir` at a shared FS
+  * should sweep dirs whose application is no longer live.
   *
   * Staleness/eviction contract: [[SessionStage]]. */
 final class ParquetStage(name: String,
@@ -112,15 +125,20 @@ object ParquetStage {
     s.conf.getOption("spark.graft.scratchDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
-  /** Deterministic per-(stage, data dir) path: readable basename +
-    * full-path hash token so distinct corpus dirs with one basename
-    * cannot collide. */
+  /** Deterministic per-(session, stage, data dir) path: an owner
+    * segment (applicationId ⇒ no cross-process collision on a shared
+    * scratch root; session identity ⇒ no collision between sibling
+    * sessions of one context), then readable basename + full-path
+    * hash token so distinct corpus dirs with one basename cannot
+    * collide. */
   private[graft] def stagePath(s: SparkSession, name: String,
                                dir: String): org.apache.hadoop.fs.Path = {
+    val owner = f"${s.sparkContext.applicationId}%s-${System.identityHashCode(s)}%08x"
     val token =
       f"${new org.apache.hadoop.fs.Path(dir).getName}%s-${dir.hashCode & 0xffffffffL}%08x"
     new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(scratchRoot(s), "graft-stage"),
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(scratchRoot(s), "graft-stage"), owner),
       s"$name-$token")
   }
 }

@@ -55,6 +55,25 @@ class TrainedStageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stage scratch paths are isolated per session (no cross-session overwrite)") {
+    // The round-17 advisor note: the path was deterministic per
+    // (name, dir) only, while the memo cache is keyed per (session,
+    // dir) — two live sessions (or two driver processes sharing the
+    // default tmpdir) resolved to ONE directory and overwrote /
+    // deleted each other's parquet mid-scan. Pin the fix: a sibling
+    // session of the SAME context gets a different path, and the
+    // path carries the applicationId so separate processes cannot
+    // collide on a shared scratch root either.
+    val sibling = spark.newSession()
+    val a = graft.ops.ParquetStage.stagePath(spark, "neardup-pairs", sf)
+    val b = graft.ops.ParquetStage.stagePath(sibling, "neardup-pairs", sf)
+    assert(a != b, s"sibling sessions must not share a stage dir: $a")
+    assert(a.toString.contains(spark.sparkContext.applicationId),
+      s"stage path must carry the applicationId: $a")
+    // still deterministic for ONE session: rebuilds overwrite in place
+    assert(a == graft.ops.ParquetStage.stagePath(spark, "neardup-pairs", sf))
+  }
+
   test("the PC fit builds once for its two consumers (q129, q130)") {
     graft.queries.Learn.pcStageReset()
     SparkEntry.queries("q129_top_pc")(spark, sf).foreach(_ => ())
