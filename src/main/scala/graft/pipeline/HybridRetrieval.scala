@@ -290,11 +290,18 @@ object HybridRetrieval {
     * per-query accounting. */
   def search(spark: SparkSession, queries: DataFrame, dir: String,
              k: Int = 10, denseExact: Boolean = false): DataFrame = {
+    // the approved-run set is listed ONCE per search and threaded to
+    // every store read below (r17 advisor note): each
+    // DeliveryMarker.approved is a FileSystem.listStatus, and the
+    // hot serving path was paying one per sub-store scan — several
+    // remote-FS round-trips per query batch. Markers only change on
+    // absorb/compact (not mid-search), so one listing is sound.
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
     // pool depth scales with the requested k: fixed RrfDepth pools
     // would silently cap the fusion at 2·RrfDepth distinct docs per
     // query however large a k the caller asked for
     val depth = math.max(graft.queries.Search.RrfDepth, k)
-    val lex = lexRanks(spark, queries, dir, depth)
+    val lex = lexRanks(spark, queries, dir, depth, Some(ap))
     val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
       .filter(col("qvec").isNotNull)
     // a store with no vectored delivery yet has NO ann state (build's
@@ -315,8 +322,7 @@ object HybridRetrieval {
         // corpus), so any serving divergence is attributable to the
         // ANN ranker alone.
         val semAll = graft.ops.DeliveryMarker.approvedOnly(
-            spark.read.parquet(s"$dir/raw"),
-            graft.ops.DeliveryMarker.approved(spark, dir))
+            spark.read.parquet(s"$dir/raw"), ap)
           .select(col("vec_id").as("doc_id"), col("vec"))
           .crossJoin(broadcast(qv))
           .select(col("query_id"), col("doc_id"),
@@ -325,8 +331,7 @@ object HybridRetrieval {
           Seq("cos" -> false, "doc_id" -> true), depth, rankCol = "srank")
       } else {
         val raw = graft.ops.DeliveryMarker.approvedOnly(
-          spark.read.parquet(s"$dir/raw"),
-          graft.ops.DeliveryMarker.approved(spark, dir))
+          spark.read.parquet(s"$dir/raw"), ap)
         AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw, k = depth)
           .select(col("query_id"), col("vec_id").as("doc_id"),
             col("rn").cast("int").as("srank"))
@@ -377,7 +382,9 @@ object HybridRetrieval {
                     k: Int = graft.queries.Search.HnTopK,
                     depth: Int = 0, nprobe: Int = Int.MaxValue): DataFrame = {
     val d = if (depth > 0) depth else 5 * k
-    val (qt, _, pruned) = prunedPostings(spark, queries, dir)
+    // one marker listing per mining call (the search() note)
+    val ap = graft.ops.DeliveryMarker.approved(spark, dir)
+    val (qt, _, pruned) = prunedPostings(spark, queries, dir, ap)
     val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
       .filter(col("qvec").isNotNull)
     val sharers = pruned.select(col("th"), col("doc_id"))
@@ -405,7 +412,11 @@ object HybridRetrieval {
     * over the same corpus must produce identical rows). */
   private[graft] def lexRanks(spark: SparkSession, queries: DataFrame,
                               dir: String,
-                              depth: Int = graft.queries.Search.RrfDepth): DataFrame = {
+                              depth: Int = graft.queries.Search.RrfDepth,
+                              approvedRuns: Option[Set[String]] = None): DataFrame = {
+    // None = standalone call (spec hooks): list markers here, once
+    val ap = approvedRuns.getOrElse(
+      graft.ops.DeliveryMarker.approved(spark, dir))
     // coalesced: a store built/appended from ONLY empty or token-less
     // batches wrote null sum(dl) aggregates (and n = 0); getLong on
     // that null is an NPE, and n = 0 would NaN every BM25 idf — so
@@ -413,8 +424,7 @@ object HybridRetrieval {
     // degrades to semantic-only fusion (the q111 paraphrase law's
     // posture: absent ranker pools weaken ranking, never crash it)
     val st = graft.ops.DeliveryMarker.approvedOnly(
-        spark.read.parquet(s"$dir/stats"),
-        graft.ops.DeliveryMarker.approved(spark, dir))
+        spark.read.parquet(s"$dir/stats"), ap)
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("sumdl")), lit(0L)).as("sumdl")).head()
     val (n, sumdl) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
@@ -424,8 +434,8 @@ object HybridRetrieval {
           lit(0L).as("score_u")).filter(lit(false)),
         Seq("query_id"), Seq("score_u" -> false, "doc_id" -> true),
         depth, rankCol = "lrank")
-    val (qt, terms, pruned) = prunedPostings(spark, queries, dir)
-    val dfs = prunedScan(spark, terms, s"$dir/termstats")
+    val (qt, terms, pruned) = prunedPostings(spark, queries, dir, ap)
+    val dfs = prunedScan(spark, terms, s"$dir/termstats", ap)
       .groupBy(col("th")).agg(sum(col("df")).as("df"))
     val matched = pruned
       .join(broadcast(qt), "th")
@@ -451,16 +461,14 @@ object HybridRetrieval {
     * non-deterministic batch could even prune the two stores
     * inconsistently, silently dropping terms' df rows). */
   private def prunedScan(spark: SparkSession, terms: Array[Long],
-                         path: String): DataFrame = {
+                         path: String, ap: Set[String]): DataFrame = {
     val buckets = terms.map(_ % TermBuckets).distinct
-    val root = new org.apache.hadoop.fs.Path(path).getParent.toString
-    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(path),
-        graft.ops.DeliveryMarker.approved(spark, root))
+    graft.ops.DeliveryMarker.approvedOnly(spark.read.parquet(path), ap)
       .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
   }
 
   private def prunedPostings(spark: SparkSession, queries: DataFrame,
-                             dir: String)
+                             dir: String, ap: Set[String])
       : (DataFrame, Array[Long], DataFrame) = {
     import spark.implicits._
     Seq("postings", "termstats", "stats", "raw")
@@ -468,7 +476,7 @@ object HybridRetrieval {
     val qt = queries
       .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
     val terms = qt.select(col("th")).distinct().as[Long].collect()
-    (qt, terms, prunedScan(spark, terms, s"$dir/postings"))
+    (qt, terms, prunedScan(spark, terms, s"$dir/postings", ap))
   }
 
   /** The lexical-ranker scan over the stores (spec hook: partition
@@ -476,5 +484,6 @@ object HybridRetrieval {
     * `tb` buckets; same heal + pruning code path as serving). */
   private[graft] def lexPlan(spark: SparkSession, queries: DataFrame,
                              dir: String): DataFrame =
-    prunedPostings(spark, queries, dir)._3
+    prunedPostings(spark, queries, dir,
+      graft.ops.DeliveryMarker.approved(spark, dir))._3
 }

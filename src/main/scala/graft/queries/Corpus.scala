@@ -1206,10 +1206,21 @@ object Corpus {
 
   /** The q177 chain over any (source, text) frame (spec hook:
     * planted two-source corpus with hand-computed smoothed LOO
-    * probabilities — CorpusStatSpec). */
-  private[graft] def looNovelty(docs: DataFrame): DataFrame =
-    looNoveltyFromCounts(sourceTermCounts(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    * probabilities — CorpusStatSpec). The count-table persist is
+    * SCOPED (r17 advisor note): the O(sources)-row result
+    * materializes eagerly (localCheckpoint — final table, nothing
+    * joins it, so the q147 stats concern does not apply) and the
+    * cache releases in finally — a long-lived session invoking this
+    * per audit export no longer accretes one pinned dataset per call. */
+  private[graft] def looNovelty(docs: DataFrame): DataFrame = {
+    val tf = sourceTermCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-sorted after the checkpoint: the materialized rows keep
+    // their order, but the RETURNED plan must still end in a visible
+    // Sort (the PlanAuditSpec total-order contract) — O(sources) rows
+    try looNoveltyFromCounts(tf).localCheckpoint().orderBy(col("source"))
+    finally tf.unpersist()
+  }
 
   /** q177 over the pre-aggregated (source, w, csw) count table. */
   private[graft] def looNoveltyFromCounts(tf0: DataFrame): DataFrame = {
@@ -1244,10 +1255,14 @@ object Corpus {
 
   /** The q179 chain over any (source, text) frame (spec hook:
     * planted three-source corpus with hand-computed z-scores —
-    * CorpusStatSpec). */
-  private[graft] def stylometry(docs: DataFrame): DataFrame =
-    stylometryFromCounts(sourceTermCounts(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    * CorpusStatSpec). Scoped persist + eager O(sources)-row result:
+    * the [[looNovelty]] lifecycle note. */
+  private[graft] def stylometry(docs: DataFrame): DataFrame = {
+    val tf = sourceTermCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try stylometryFromCounts(tf).localCheckpoint().orderBy(col("source"))
+    finally tf.unpersist()
+  }
 
   /** q179 over the pre-aggregated (source, w, csw) count table (the
     * source-term store's fifth consumer). */

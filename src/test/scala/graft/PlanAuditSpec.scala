@@ -48,10 +48,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "q168_kn_xent", // q168: 1-row (N1++(..), V) total broadcast (q102's shape)
       "q165_label_agreement", // q165: 1-row total broadcast over O(classes) rows
       "q174_label_noise", // q174: 1-row matrix-total broadcast over ≤ K² rows
-      "q177_loo_novelty", // q177: 1-row (N, V) total broadcast over token-width rows
+      "q177_loo_novelty", // q177: 1-row (N, V) total broadcast over token-width
+                          // rows (returned plan is a checkpoint projection since
+                          // the r18 scoped-persist fix — internals audited via
+                          // CorpusStatSpec's planted/differential replays)
       "q159_length_drift", // q159: O(sources) totals × O(distinct-lengths) histogram spine
       "q160_term_dispersion", // q160: O(sources) totals × top-K terms × 1-row corpus total
-      "q179_stylometry", // q179: O(sources) totals × the ≤ F=32 marker set (q160's spine)
+      "q179_stylometry", // q179: O(sources) totals × the ≤ F=32 marker set
+                         // (q160's spine; checkpoint projection since r18 —
+                         // see the q177 note)
+      "q181_syndication", // q181: 1-row source-cardinality guard (in-plan
+                          // raise_error tripwire) crossed into the pair join
       "q138_source_overlap") // q138: O(sources)² pair generator over the
                              // distinct-source list — both sides tiny by
                              // construction; the corpus-scale pass is the
