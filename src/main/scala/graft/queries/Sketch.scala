@@ -846,18 +846,47 @@ object Sketch {
   private val OverlapK = 128
   private val OverlapShingleW = 3
 
+  /** q181: the exact pair join is affordable ONLY at provider
+    * cardinality (10s–100s; fan-out per shingle is
+    * carrying-sources²) — this bound is the in-plan tripwire against
+    * a caller keying it by doc_id, where the same join explodes to
+    * carrying-docs² per shingle. 1024 is ~10× real provider counts;
+    * document-scale dedup runs through q24's banded/capped LSH. */
+  private[graft] val SyndicationMaxSources = 1024
+
   /** The q181 chain over any (source, text) frame (spec hook:
     * planted corpora with hand-enumerable shingle sets —
     * SketchSpec). Shares q138's shingle width so the exact matrix
     * and the KMV estimate audit the same underlying sets. */
-  private[graft] def syndication(docs: DataFrame): DataFrame = {
+  private[graft] def syndication(docs: DataFrame,
+                                 maxSources: Int = SyndicationMaxSources): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ss = docs.select($"source", explode(
         graft.ops.expressions.ShingleHashes($"text", OverlapShingleW)).as("h"))
       .distinct()
     val ts = ss.groupBy($"source").agg(count(lit(1)).as("types"))
+    // cardinality guard (J1's in-plan raise_error device, r17 verdict
+    // ask): a 1-row source count that THROWS above the bound, crossed
+    // into the pair join's left input — the quadratic join cannot
+    // stream a row before the guard row materializes, so document-
+    // keyed misuse dies with a diagnosis instead of an OOM hours in.
+    // O(sources) agg rows — the cost is one more pass over ts's input.
+    val guard = ss.select($"source").distinct()
+      .agg(count(lit(1)).as("n_src"))
+      .select(when($"n_src" > lit(maxSources.toLong),
+          raise_error(concat(
+            lit("syndication: source cardinality "), $"n_src",
+            lit(s" exceeds $maxSources — the exact provider-pair join is " +
+              "quadratic per shingle; document-scale inputs must use the " +
+              "banded near-dup family (q24), or raise maxSources deliberately"))))
+        .otherwise($"n_src").as("n_src_ok"))
+    // the guard column must be CONSUMED (filter), not dropped: column
+    // pruning would otherwise strip the raise_error projection and
+    // keep only the 1-row count for the cross join
     val shared = ss.select($"h", $"source".as("src_a"))
+      .crossJoin(broadcast(guard))
+      .filter($"n_src_ok" >= lit(0L)).drop("n_src_ok")
       .join(ss.select($"h", $"source".as("src_b")), Seq("h"))
       .filter($"src_a" < $"src_b")
       .groupBy($"src_a", $"src_b")

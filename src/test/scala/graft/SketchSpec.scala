@@ -532,6 +532,25 @@ class SketchSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q181 cardinality guard: document-keyed misuse raises in-plan; at-bound input passes") {
+    // r17 verdict ask: nothing stopped a caller keying the exact
+    // quadratic pair join by doc_id. Over the bound, the in-plan
+    // guard must THROW with a diagnosis (not OOM); at the bound, the
+    // result is the ordinary matrix.
+    val docs = (0 until 8).map(i => (s"doc$i", "a b c d e")).toDF("source", "text")
+    val err = intercept[Exception] {
+      graft.queries.Sketch.syndication(docs, maxSources = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("source cardinality")),
+      s"guard should name the violation, got: ${msgs(err).mkString(" | ")}")
+    // exactly at the bound: passes and reports all pairs
+    val ok = graft.queries.Sketch.syndication(docs, maxSources = 8).collect()
+    assert(ok.length == 8 * 7 / 2, s"at-bound run should report all pairs: ${ok.length}")
+    spark.catalog.clearCache()
+  }
+
   test("randomized differential: q181 matches an in-memory reference on random corpora") {
     // guards the distinct-set and pair logic (per-doc shingle dedup,
     // per-source type union, ordered pairs, the Jaccard rounding)
