@@ -160,6 +160,62 @@ class OperationsDaySpec extends AnyFunSuite {
         s"query $q does not find itself in the compacted index")
     }
 
+    // ---- drift → rebuild → re-serve (r17 verdict #5): a fourth,
+    // distribution-SHIFTED delivery lands in the ANN store; the
+    // cell-occupancy telemetry trips needsRebuild; the operator
+    // re-trains from the raw vectors at the next quiescent point;
+    // serving is proven equivalent after — the full lifecycle the
+    // class doc promises, driven inside the operations day rather
+    // than only in AnnIndexSpec's isolated scenario ----
+    // the periodic end-of-day re-train the class doc promises: the
+    // day-0 codebooks were trained on one delivery (few cells, loose
+    // threshold); retraining on the full day's raw store widens the
+    // cell count to the corpus and is the posture a drift trigger
+    // actually monitors in steady state
+    AnnIndex.build(spark, vecs, annDir)
+    val sHealthy = AnnIndex.cellStats(spark, annDir)
+    assert(!AnnIndex.needsRebuild(sHealthy),
+      s"the day's own corpus should not trip the drift trigger: $sHealthy")
+    // the AnnIndexSpec drift device: a +0.5 direction cone under ±1
+    // deterministic spread — new enough that the FROZEN codebooks
+    // funnel it into few cells, wide enough that a re-train can
+    // subdivide it (AnnIndexSpec's measured regimes: ~1.3× balanced
+    // fresh, ≥3.3× frozen-drifted, ~2.2× re-trained, vs the 3.0×
+    // threshold)
+    val dim = vecs.select($"vec").as[Seq[Double]].head().length
+    val driftRows = (10000L until 10500L).map { i =>
+      (i, (0 until dim).map(d =>
+        0.5 + ((i * 31 + d) * 2654435761L % 1000L) / 1000.0 * 2.0 - 1.0))
+    }
+    val driftBatchDf = driftRows.toDF("vec_id", "vec")
+    AnnIndex.append(spark, driftBatchDf, annDir, "b3-shift")
+    val sDrifted = AnnIndex.cellStats(spark, annDir)
+    assert(AnnIndex.needsRebuild(sDrifted),
+      s"distribution-shifted delivery did not trip the trigger: $sDrifted")
+    // quiescent re-train from the raw vector store (day's corpus +
+    // the shifted batch — the side store an ingest pipeline keeps)
+    AnnIndex.build(spark, vecs.unionByName(driftBatchDf), annDir)
+    val sRebuilt = AnnIndex.cellStats(spark, annDir)
+    assert(!AnnIndex.needsRebuild(sRebuilt),
+      s"re-build did not restore cell balance: $sRebuilt")
+    // serving equivalence after the cycle: the ORIGINAL day queries
+    // still self-hit in the re-trained index, and so do queries from
+    // the shifted batch — the store serves both corpora
+    val annOut2 = AnnIndex.search(spark,
+      vecs.filter($"vec_id" < 3L).select($"vec_id".as("query_id"),
+        $"vec".as("qvec")), annDir, k = 5).collect()
+    (0L to 2L).foreach { q =>
+      assert(annOut2.exists(r => r.getLong(0) == q && r.getLong(1) == q),
+        s"query $q lost its self-hit after the drift rebuild")
+    }
+    val shiftedOut = AnnIndex.search(spark,
+      driftBatchDf.filter($"vec_id" < 10003L).select(
+        $"vec_id".as("query_id"), $"vec".as("qvec")), annDir, k = 5).collect()
+    (10000L to 10002L).foreach { q =>
+      assert(shiftedOut.exists(r => r.getLong(0) == q && r.getLong(1) == q),
+        s"shifted query $q does not find itself after the rebuild")
+    }
+
     // hybrid: a two-token query from a real day-1 document retrieves
     // non-empty fused results with a #1 hit
     val probe = docs.orderBy($"doc_id").limit(1)

@@ -111,4 +111,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("README's query count is the live SparkEntry.queries.size (stale-doc tripwire)") {
+    // The hand-written "q01–qNNN" range in README went stale in r15
+    // and r17 (verdict note both times). The count is now stated as a
+    // number and PINNED here: adding a query without updating the
+    // README line fails this test instead of shipping a stale doc.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val expected = s"All ${SparkEntry.queries.size} oracle-gated queries"
+    assert(readme.contains(expected),
+      s"README.md must contain the exact phrase '$expected' — " +
+        "update the coverage-map intro to the live query count")
+  }
 }
