@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
   *  - q176 JL signs: PARITY of the affine hash — range-free.
   *  - HLL register value: low-bit extraction (hv >> 8 mod 2^22) —
   *    bit-level, range-free given the range pin below.
+  *  - r18 `TextPolyHashPacked` (fp_hi/fp_lo — q23's and DedupIndex's
+  *    128-bit exact-dup key): EQUALITY-ONLY consumers (groupBy /
+  *    join keys) — no threshold, probability, or bucket derivation
+  *    anywhere. Range [0, mod1·mod2) pinned below so any FUTURE
+  *    consumer that scales by the range has a tested bound to cite
+  *    (the drift this spec exists to catch starts with an untested
+  *    range comment).
   */
 class MixRangeSpec extends AnyFunSuite {
   import TestSpark._
@@ -141,5 +148,24 @@ class MixRangeSpec extends AnyFunSuite {
       s"u left (0, 1]: ${stats.getDouble(2)}..${stats.getDouble(3)}")
     assert(math.abs(stats.getDouble(4) - 0.5) < 0.01,
       f"u mean ${stats.getDouble(4)}%.4f drifts from 0.5 — -ln(u) clocks would bias")
+  }
+
+  test("packed 128-bit fingerprint halves: ranges are [0, mod1*mod2), non-negative") {
+    // the r18 audit row: fp_hi/fp_lo have equality-only consumers
+    // today; this pins the TRUE range so a future threshold consumer
+    // scales by a tested bound instead of a drifting comment
+    import graft.ops.TextOps
+    val hiBound = graft.ops.expressions.HashKernel.Mod * TextOps.FpHiMod2
+    val loBound = TextOps.FpLoMod1 * TextOps.FpLoMod2
+    val r = Tables.documents(spark, sf)
+      .select(TextOps.fingerprintHi($"text").as("hi"),
+        TextOps.fingerprintLo($"text").as("lo"))
+      .agg(min($"hi").as("himn"), max($"hi").as("himx"),
+        min($"lo").as("lomn"), max($"lo").as("lomx"))
+      .head()
+    assert(r.getLong(0) >= 0L && r.getLong(1) < hiBound,
+      s"fp_hi left [0, $hiBound): ${r.getLong(0)}..${r.getLong(1)}")
+    assert(r.getLong(2) >= 0L && r.getLong(3) < loBound,
+      s"fp_lo left [0, $loBound): ${r.getLong(2)}..${r.getLong(3)}")
   }
 }
