@@ -680,6 +680,13 @@ object Corpus {
     // map-side-combined aggregate. This is also the pack's
     // oracle-gated FULL OUTER JOIN (the pipeline's cogroup merge
     // uses one spec-gated; q16/q17 cover except/intersect).
+    // Fingerprint-width audit (the r18 q23 doctrine): this compare is
+    // PER-DOC-ID equality — false-equal probability is 2^-30 per doc,
+    // LINEAR in corpus size (≈1 missed change per 10^9 docs), not the
+    // birthday bound that forced q23/q41/q100's keeper keys to 128
+    // bits. A deployment diffing snapshots where a missed change is
+    // unacceptable swaps in fingerprintHi/Lo; the narrow key is kept
+    // here as the documented cheap variant.
     "q107_snapshot_diff" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")

@@ -203,18 +203,25 @@ object Learn {
     // (raw funnel, survivor counts, kept stats) — without the caches
     // the scan → tokenize → distinct-ratio chain ran ~6x (the q93
     // device; lifecycle is the Verify/Bench clearCache contract)
+    // dedup keeper key is the 128-bit (fp_hi, fp_lo) pair — the q23
+    // doctrine (r18): a keeper chosen under a birthday-colliding
+    // narrow key silently drops the colliding doc from the published
+    // corpus. The narrow fp survives ONLY as the rate-sampling
+    // bucket (pmod 1e6 — range-audited in MixRangeSpec's sweep).
     val t = docs
       .select($"doc_id", $"lang",
         graft.ops.TextOps.fingerprint($"text").as("fp"),
+        graft.ops.TextOps.fingerprintHi($"text").as("fp_hi"),
+        graft.ops.TextOps.fingerprintLo($"text").as("fp_lo"),
         graft.ops.TextOps.tokens($"text").as("toks"))
-      .select($"doc_id", $"lang", $"fp",
+      .select($"doc_id", $"lang", $"fp", $"fp_hi", $"fp_lo",
         size($"toks").cast("long").as("n_tok"),
         when(size($"toks") === 0, 0.0)
           .otherwise(size(array_distinct($"toks")).cast("double") /
             size($"toks").cast("double")).as("dr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keepers = t.groupBy($"fp").agg(min($"doc_id").as("keeper_id"))
-    val flagged = t.join(keepers, Seq("fp"))
+    val keepers = t.groupBy($"fp_hi", $"fp_lo").agg(min($"doc_id").as("keeper_id"))
+    val flagged = t.join(keepers, Seq("fp_hi", "fp_lo"))
       .select($"doc_id", $"lang", $"fp", $"n_tok",
         ($"doc_id" === $"keeper_id").as("is_keeper"),
         ($"n_tok" >= MinTokens && $"dr" >= MinDistinctRatio).as("is_quality"))
@@ -1323,16 +1330,18 @@ object Learn {
       import TextVector.Sql
       s"""WITH t AS (
          |  SELECT doc_id, lang, ${Sql.polyHash("text")} AS fp,
+         |    ${Sql.fpHi("text")} AS fp_hi, ${Sql.fpLo("text")} AS fp_lo,
          |    CAST(len(${Sql.toks("text")}) AS BIGINT) AS n_tok,
          |    CASE WHEN len(${Sql.toks("text")}) = 0 THEN 0.0
          |         ELSE CAST(len(list_distinct(${Sql.toks("text")})) AS DOUBLE)
          |              / CAST(len(${Sql.toks("text")}) AS DOUBLE) END AS dr
          |  FROM documents),
-         |kk AS (SELECT fp, min(doc_id) AS keeper_id FROM t GROUP BY 1),
+         |kk AS (SELECT fp_hi, fp_lo, min(doc_id) AS keeper_id
+         |       FROM t GROUP BY 1, 2),
          |f AS (SELECT t.doc_id, t.lang, t.fp, t.n_tok,
          |        t.doc_id = kk.keeper_id AS is_keeper,
          |        t.n_tok >= $MinTokens AND t.dr >= $MinDistinctRatio AS is_quality
-         |      FROM t JOIN kk ON kk.fp = t.fp),
+         |      FROM t JOIN kk ON kk.fp_hi = t.fp_hi AND kk.fp_lo = t.fp_lo),
          |s AS (SELECT * FROM f WHERE is_keeper AND is_quality),
          |sc AS (SELECT lang, count(*) AS n_quality,
          |         CAST(sum(n_tok) AS BIGINT) AS q_tokens

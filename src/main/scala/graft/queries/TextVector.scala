@@ -1517,8 +1517,13 @@ object TextVector {
     "q41_curation_funnel" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // 128-bit dedup keeper key (the q23 doctrine, r18): a keeper
+      // chosen under a birthday-colliding narrow key silently DROPS
+      // the colliding doc from the published corpus. The narrow fp
+      // stays only where it is a SAMPLING bucket (the split pmod).
       val keepers = docs
-        .groupBy(TextOps.fingerprint($"text").as("fp"))
+        .groupBy(TextOps.fingerprintHi($"text").as("fp_hi"),
+          TextOps.fingerprintLo($"text").as("fp_lo"))
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val w = org.apache.spark.sql.expressions.Window
@@ -2978,8 +2983,9 @@ object TextVector {
       "q41_curation_funnel" -> {
         s"""WITH keepers AS (
            |  SELECT min(doc_id) AS doc_id FROM
-           |    (SELECT doc_id, ${Sql.polyHash("text")} AS fp FROM documents)
-           |  GROUP BY fp),
+           |    (SELECT doc_id, ${Sql.fpHi("text")} AS fp_hi,
+           |            ${Sql.fpLo("text")} AS fp_lo FROM documents)
+           |  GROUP BY fp_hi, fp_lo),
            |t AS (SELECT d.doc_id, d.lang, d.text, ${Sql.toks("d.text")} AS toks
            |      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
            |q AS (SELECT doc_id, lang, text, ${Sql.quality("toks")} AS quality FROM t),
