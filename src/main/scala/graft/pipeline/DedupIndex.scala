@@ -222,7 +222,19 @@ object DedupIndex {
         spark.read.parquet(path), ap)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
     }
-    val fps = runs(s"$dir/fingerprints")
+    val fpsRaw = runs(s"$dir/fingerprints")
+    // layout guard: an index persisted before the 128-bit widening
+    // carries a single `fp` column. Its hashes cannot be widened in
+    // place (fp_hi/fp_lo derive from the TEXT, which the index does
+    // not store), so the only sound migration is a rebuild — say so,
+    // instead of dying in analysis with a missing-column error.
+    if (!fpsRaw.columns.contains("fp_hi"))
+      throw new IllegalStateException(
+        s"dedup index at $dir uses the pre-128-bit fingerprint layout " +
+          "(single `fp` column) — re-run DedupIndex.build from the corpus " +
+          "snapshot; the old 2^30-range key false-merges from ~10^4.5 docs " +
+          "and cannot be widened without the original text")
+    val fps = fpsRaw
         .select(col("doc_id").as("corpus_id"),
           col("fp_hi"), col("fp_lo"), col("fp_len"))
 

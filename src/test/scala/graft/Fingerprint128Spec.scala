@@ -86,6 +86,31 @@ class Fingerprint128Spec extends AnyFunSuite {
     assert(byKeeper(3L) == 2L, "true duplicates must still merge")
   }
 
+  test("a pre-widening index layout fails screening with a rebuild diagnosis") {
+    // simulate an r17-era index: fingerprints table with the single
+    // narrow `fp` column — screening must name the migration path
+    // (rebuild), not die in analysis resolution
+    val root = Files.createTempDirectory("graft-fp128-old").toString
+    val dir = s"$root/idx"
+    DedupIndex.build(spark, Seq((1L, textA)).toDF("doc_id", "text"), dir)
+    // stage the downgraded table beside the index, then swap it in
+    // (a lazy read cannot overwrite its own input files)
+    spark.read.parquet(s"$dir/fingerprints/run=base")
+      .withColumnRenamed("fp_hi", "fp").drop("fp_lo")
+      .write.parquet(s"$root/old-layout")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/fingerprints/run=base"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/old-layout"),
+      new org.apache.hadoop.fs.Path(s"$dir/fingerprints/run=base"))
+    val err = intercept[IllegalStateException] {
+      DedupIndex.screen(spark, Seq((100L, textB)).toDF("doc_id", "text"), dir)
+        .collect()
+    }
+    assert(err.getMessage.contains("re-run DedupIndex.build"),
+      s"layout guard should prescribe a rebuild: ${err.getMessage}")
+  }
+
   test("DedupIndex.screen does not call the planted collision 'exact'") {
     val dir = Files.createTempDirectory("graft-fp128-idx").toString + "/idx"
     DedupIndex.build(spark, Seq((1L, textA)).toDF("doc_id", "text"), dir)
