@@ -220,4 +220,85 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(verdict() == "exact",
       "retried delivery must make the run visible to screening")
   }
+
+  test("randomized differential: screen verdicts match an in-memory replay of the LSH contract") {
+    // Guards the distributed JOIN/GROUP logic (exact 128-bit key
+    // join, band-bucket candidate join, best-match max_by with the
+    // smaller-id tie-break, exact-beats-near) against an independent
+    // plain-Scala replay. The replay SHARES the hash kernels — those
+    // are bit-pinned elsewhere — and re-implements everything on top
+    // of them: the screen semantics are candidates THROUGH the
+    // banding (a high-Jaccard pair the bands miss is 'unique' by
+    // contract), so the replay computes bands too. Small vocabulary
+    // forces heavy sharing; bucket sizes stay far under BucketCap so
+    // the star-edge device never engages (asserted).
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ops.expressions.{HashKernel, ShingleHashKernel, MinHashKernel}
+    val P = 1000000007L
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 8).map(i => s"w$i")
+      def randText(len: Int): String =
+        Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 40L).map(i => (i, randText(4 + rnd.nextInt(10))))
+      val batch = (100L until 115L).map { i =>
+        rnd.nextInt(3) match {
+          case 0 => (i, corpus(rnd.nextInt(corpus.size))._2)          // copy
+          case 1 => (i, corpus(rnd.nextInt(corpus.size))._2 + " w9")  // perturbed
+          case _ => (i, randText(3 + rnd.nextInt(8)))                 // fresh-ish
+        }
+      }
+      val dir = tmp(s"dedup-diff$trial")
+      DedupIndex.build(spark, corpus.toDF("doc_id", "text"), dir)
+      val got = DedupIndex.screen(spark, batch.toDF("doc_id", "text"), dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+
+      // ---- plain-Scala replay over the shared kernels ----
+      def key(t: String) = (
+        HashKernel.polyHashPacked(UTF8String.fromString(t), 31L, P, 131L, 2147483629L),
+        HashKernel.polyHashPacked(UTF8String.fromString(t), 257L, 2147483647L, 65599L, 2147483587L),
+        t.getBytes("UTF-8").length)
+      def hs(t: String): Set[Long] =
+        ShingleHashKernel.shingleHashes(UTF8String.fromString(t), 3).toLongArray().toSet
+      def bands(set: Set[Long]): Set[(Int, Long)] =
+        if (set.isEmpty) Set.empty
+        else {
+          val sig = MinHashKernel.signature(
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(set.toArray), 16)
+            .toLongArray()
+          (0 until 8).map(b =>
+            b -> ((sig(2 * b) * 31 + sig(2 * b + 1)) % P)).toSet
+        }
+      val cHs = corpus.map { case (id, t) => id -> hs(t) }.toMap
+      val cBands = corpus.map { case (id, t) => id -> bands(cHs(id)) }
+      // every index bucket far under the cap, so the plain rule is
+      // the CORRECT semantics to replay (the q24 oracle's argument)
+      val bucketSizes = cBands.flatMap { case (_, bs) => bs }
+        .groupBy(identity).map(_._2.size)
+      assert(bucketSizes.max <= graft.queries.TextVector.BucketCap / 2,
+        s"trial $trial grew a near-cap bucket — shrink the corpus")
+      val cKey = corpus.map { case (id, t) => id -> key(t) }.toMap
+      val want = batch.map { case (id, t) =>
+        val k = key(t)
+        val exact = cKey.collect { case (cid, ck) if ck == k => cid }
+        val myB = bands(hs(t))
+        val nears = cBands.collect {
+          case (cid, cb) if cb.exists(myB.contains) &&
+            hs(t).nonEmpty && cHs(cid).nonEmpty &&
+            (hs(t) & cHs(cid)).size.toDouble / (hs(t) | cHs(cid)).size >= 0.5 =>
+            (cid, (hs(t) & cHs(cid)).size.toDouble / (hs(t) | cHs(cid)).size)
+        }
+        val v =
+          if (exact.nonEmpty) ("exact", exact.min)
+          else if (nears.nonEmpty) {
+            val best = nears.minBy { case (cid, j) => (-j, cid) }
+            ("near", best._1)
+          } else ("unique", -1L)
+        id -> v
+      }.toMap
+      assert(got == want, s"trial $trial screen differential:\n got $got\nwant $want")
+      spark.catalog.clearCache()
+    }
+  }
 }
