@@ -49,6 +49,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packed 128-bit fingerprint == two independent single-family folds, on fuzz") {
+    // independent reference: each component hash re-folded separately
+    // (polyHashPacked folds BOTH families in one scan — a bug in the
+    // fused loop's dual-accumulator bookkeeping shows up here), then
+    // packed the documented way; plus unpacking recovers the classic
+    // hash, the migration hook Fingerprint128Spec relies on
+    def fold(s: String, base: Long, mod: Long): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * base + cp) % mod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    // surrogate-free chars: a LONE surrogate does not survive the
+    // UTF8String round-trip (it encodes as replacement bytes), so the
+    // kernel would legitimately hash a different string than the
+    // generator produced -- not the property under test
+    val bmpChar = Gen.choose('\u0020', '\uffff')
+      .suchThat(c => !Character.isSurrogate(c))
+    val texts = samples(Gen.asciiPrintableStr, 100) ++
+      samples(Gen.listOf(bmpChar).map(_.mkString), 100)
+    texts.foreach { s =>
+      val u = UTF8String.fromString(s)
+      val hi = HashKernel.polyHashPacked(u, 31L, HashKernel.Mod, 131L, TextOps.FpHiMod2)
+      val lo = HashKernel.polyHashPacked(u, 257L, TextOps.FpLoMod1, 65599L, TextOps.FpLoMod2)
+      assert(hi == fold(s, 31L, HashKernel.Mod) * TextOps.FpHiMod2 +
+        fold(s, 131L, TextOps.FpHiMod2), s"fp_hi fused != reference for $s")
+      assert(lo == fold(s, 257L, TextOps.FpLoMod1) * TextOps.FpLoMod2 +
+        fold(s, 65599L, TextOps.FpLoMod2), s"fp_lo fused != reference for $s")
+      assert(hi / TextOps.FpHiMod2 == HashKernel.polyHash(u),
+        "fp_hi high word must unpack to the classic polyhash")
+      assert(hi >= 0L && lo >= 0L, "packed halves must stay non-negative (int64-safe)")
+    }
+    // distinct short strings never collide on the wide key (2^123
+    // keyspace — a fuzz collision means a kernel bug, not bad luck)
+    val distinct = texts.distinct
+    val keys = distinct.map { s =>
+      val u = UTF8String.fromString(s)
+      (HashKernel.polyHashPacked(u, 31L, HashKernel.Mod, 131L, TextOps.FpHiMod2),
+        HashKernel.polyHashPacked(u, 257L, TextOps.FpLoMod1, 65599L, TextOps.FpLoMod2))
+    }
+    assert(keys.distinct.size == distinct.size, "wide-key collision on fuzz input")
+  }
+
   test("chunks partition the token stream: rejoin == token join, counts add up") {
     val texts = samples(asciiText, 80)
     val rows = texts.toDF("text")
