@@ -417,6 +417,13 @@ object HybridRetrieval {
     // None = standalone call (spec hooks): list markers here, once
     val ap = approvedRuns.getOrElse(
       graft.ops.DeliveryMarker.approved(spark, dir))
+    // heal BEFORE the first read (r18): the stats aggregate below is
+    // EAGER (.head()), and it used to run before prunedPostings'
+    // heal pass — a compaction of the stats store interrupted in the
+    // committed window (run dirs deleted, snapshot still in the
+    // hidden tmp dir) would read n = 0 and silently serve
+    // semantic-only fusion instead of healing first
+    healStores(spark, dir)
     // coalesced: a store built/appended from ONLY empty or token-less
     // batches wrote null sum(dl) aggregates (and n = 0); getLong on
     // that null is an NPE, and n = 0 would NaN every BM25 idf — so
@@ -467,12 +474,19 @@ object HybridRetrieval {
       .filter(col("tb").isin(buckets: _*) && col("th").isin(terms: _*))
   }
 
+  /** Complete any interrupted compaction of the four lexical/raw
+    * sub-stores — every serving entry point calls this before its
+    * FIRST store read (idempotent: four hidden-marker existence
+    * checks when nothing is in flight). */
+  private def healStores(spark: SparkSession, dir: String): Unit =
+    Seq("postings", "termstats", "stats", "raw")
+      .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
+
   private def prunedPostings(spark: SparkSession, queries: DataFrame,
                              dir: String, ap: Set[String])
       : (DataFrame, Array[Long], DataFrame) = {
     import spark.implicits._
-    Seq("postings", "termstats", "stats", "raw")
-      .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
+    healStores(spark, dir)
     val qt = queries
       .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
     val terms = qt.select(col("th")).distinct().as[Long].collect()

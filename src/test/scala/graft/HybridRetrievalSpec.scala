@@ -55,6 +55,48 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(worstRelevant < bestNoise, s"noise outranks relevant: $served")
   }
 
+  test("search heals an interrupted stats-store compaction BEFORE its eager stats read") {
+    // The r18 ordering fix: lexRanks' BM25 totals aggregate executes
+    // eagerly (.head()) and used to run before the heal pass — a
+    // compaction of the stats store crashed in the COMMITTED window
+    // (marker present, run dirs deleted, snapshot in the hidden tmp
+    // dir) read n = 0 and silently served semantic-only fusion. The
+    // serving path must heal first and return the same rows as the
+    // healthy store.
+    import graft.pipeline.HybridRetrieval
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid-heal")
+      .toString + "/idx"
+    HybridRetrieval.build(spark, docs, dir)
+    val qdf = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val healthy = HybridRetrieval.search(spark, qdf, dir)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+
+    // replay the committed crash window on $dir/stats by hand:
+    // snapshot run=base content to the hidden tmp, commit marker
+    // naming the target, delete the run dirs (the StoreCompactionSpec
+    // device)
+    val stats = s"$dir/stats"
+    val fs = new Path(stats).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(stats).drop("run")
+      .write.parquet(s"$stats/.compact-tmp")
+    val out = fs.create(new Path(stats, ".compact-commit"), true)
+    try out.write("base".getBytes("UTF-8")) finally out.close()
+    fs.listStatus(new Path(stats)).map(_.getPath)
+      .filter(_.getName.startsWith("run=")).foreach(p => fs.delete(p, true))
+
+    // lexical pool must come back identical — doc 2 in particular is
+    // lexical-only evidence (semantic ranks it below the paraphrase)
+    val healed = HybridRetrieval.search(spark, qdf, dir)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
+    assert(healed == healthy,
+      s"crashed-stats search diverged (heal did not precede the stats read): " +
+        s"healthy $healthy vs $healed")
+    assert(!fs.exists(new Path(stats, ".compact-commit")),
+      "heal should have completed the fold and removed the marker")
+    spark.catalog.clearCache()
+  }
+
   test("append is exactly incremental for the lexical ranker, idempotent, and makes the batch searchable") {
     import graft.pipeline.HybridRetrieval
     val root = java.nio.file.Files.createTempDirectory("graft-hybrid-inc").toString
