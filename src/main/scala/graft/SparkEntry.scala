@@ -19,7 +19,7 @@ object SparkEntry {
     *
     * Cache contract: several builders (q24/q29/q34/q68/q75/q93/
     * q95/q100/q103/q104/q106/q111/q112/q115/q116/q125/q154/q158/
-    * q161/q165/q168/q170/q172/q174/q175/q176/q177) persist a
+    * q161/q165/q168/q170/q172/q174/q175/q176/q181) persist a
     * derived stage that the returned
     * plan references several times (Spark has no DAG-level CSE
     * across multi-referenced DataFrames). The cache is owned by the

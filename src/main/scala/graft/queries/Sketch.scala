@@ -862,9 +862,17 @@ object Sketch {
                                  maxSources: Int = SyndicationMaxSources): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted (the q93 multi-reference device; lifecycle is the
+    // Verify/Bench clearCache contract): the distinct (source,
+    // shingle) table feeds FOUR plan references — the type totals,
+    // the r18 cardinality guard, and both pair-join sides — and the
+    // scan+shingle+distinct chain would otherwise run once per
+    // reference (measured +49% on the gate corpus when the guard
+    // added the fourth)
     val ss = docs.select($"source", explode(
         graft.ops.expressions.ShingleHashes($"text", OverlapShingleW)).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ts = ss.groupBy($"source").agg(count(lit(1)).as("types"))
     // cardinality guard (J1's in-plan raise_error device, r17 verdict
     // ask): a 1-row source count that THROWS above the bound, crossed
