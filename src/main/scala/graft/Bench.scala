@@ -266,9 +266,12 @@ object Bench {
       .mkString("{", ",", "}")
     // per-query raw-pass spread — committed so bench_diff can tell a
     // code regression (disjoint intervals) from slot noise
-    // (overlapping intervals); failed queries are omitted
+    // (overlapping intervals); failed queries are omitted. Doubles
+    // serialize via toString, NOT an %f format: the f-interpolator is
+    // JVM-locale-sensitive and a comma-decimal locale would silently
+    // corrupt the JSON arrays bench_diff parses.
     val spreadJson = results.collect { case q if q.median >= 0 =>
-      f"""\"${q.name}\":[${q.lo}%.3f,${q.hi}%.3f]""" }
+      s""""${q.name}":[${q.lo},${q.hi}]""" }
       .mkString("{", ",", "}")
     // failures are EXCLUDED from the total (a -1 sentinel would make
     // a partially-failing run look faster) and reported explicitly
@@ -276,7 +279,7 @@ object Bench {
     val noisy = results.collect { case q if q.noisy => q.name }
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = rerun.map { case (k, (a, b)) =>
-      f"""\"$k\":{\"first\":$a%.3f,\"second\":$b%.3f}""" }
+      s""""$k":{"first":$a,"second":$b}""" } // toString: locale-safe
       .mkString("{", ",", "}")
     val total = results.collect { case q if q.median >= 0 => q.median }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -82,8 +82,10 @@ final class SessionStage[T](build: (SparkSession, String) => T,
   * tmpdir (Verify running beside Bench), resolved to ONE directory:
   * one side's overwrite corrupted the other's mid-scan reads and
   * either side's reset() deleted the survivor's files. applicationId
-  * separates processes; the session identity separates sibling
-  * `newSession()`s sharing a context. The cost is that a KILLED
+  * + PID separates processes (two local-mode drivers started in the
+  * same millisecond share the `local-<millis>` applicationId); a
+  * JVM-unique session sequence separates sibling `newSession()`s
+  * sharing a context. The cost is that a KILLED
   * process leaves its `<app>-<session>` dir behind (nothing
   * overwrites it in place anymore) — scratch roots are tmpdirs, and
   * deployments that point `spark.graft.scratchDir` at a shared FS
@@ -125,15 +127,32 @@ object ParquetStage {
     s.conf.getOption("spark.graft.scratchDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
+  // Per-session sequence numbers, assigned at first stagePath use —
+  // unlike System.identityHashCode (31-bit, reused after GC) a
+  // counter cannot collide between live sessions of one JVM. Weak
+  // keys: a dropped session's entry must not pin it.
+  private val sessionSeq =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val nextSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def seqOf(s: SparkSession): Long = sessionSeq.synchronized {
+    Option(sessionSeq.get(s)).map(_.longValue()).getOrElse {
+      val n = nextSeq.getAndIncrement(); sessionSeq.put(s, n); n
+    }
+  }
+
   /** Deterministic per-(session, stage, data dir) path: an owner
-    * segment (applicationId ⇒ no cross-process collision on a shared
-    * scratch root; session identity ⇒ no collision between sibling
-    * sessions of one context), then readable basename + full-path
-    * hash token so distinct corpus dirs with one basename cannot
-    * collide. */
+    * segment (applicationId + PID ⇒ no cross-process collision on a
+    * shared scratch root, even between two local-mode drivers started
+    * in the same millisecond whose applicationIds tie; a JVM-unique
+    * session sequence ⇒ no collision between sibling sessions of one
+    * context — identityHashCode was only probabilistically unique),
+    * then readable basename + full-path hash token so distinct corpus
+    * dirs with one basename cannot collide. */
   private[graft] def stagePath(s: SparkSession, name: String,
                                dir: String): org.apache.hadoop.fs.Path = {
-    val owner = f"${s.sparkContext.applicationId}%s-${System.identityHashCode(s)}%08x"
+    val owner = s"${s.sparkContext.applicationId}-" +
+      s"p${ProcessHandle.current().pid()}-s${seqOf(s)}"
     val token =
       f"${new org.apache.hadoop.fs.Path(dir).getName}%s-${dir.hashCode & 0xffffffffL}%08x"
     new org.apache.hadoop.fs.Path(

@@ -116,6 +116,11 @@ object DedupIndex {
     // later heal would otherwise restore the pre-compaction snapshot
     // over this write
     healAll(spark, dir)
+    // an APPEND onto a pre-widening index would create the mixed-
+    // layout store the requireWideLayout doc describes — refuse it at
+    // the write, not just at the read (build clears the store, so the
+    // rebuild path stays open)
+    if (!clearOtherRuns) requireWideLayout(spark, dir)
     val derived = withDerived(docs).cache()
     // each run is written as an EXPLICIT `run=<id>` directory rather
     // than through partitionBy: same hive layout (readers still
@@ -162,6 +167,10 @@ object DedupIndex {
     * `run=` after compaction would duplicate that batch's rows
     * alongside the folded copy. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    // a fold over a mixed-layout store would bake parquet's
+    // arbitrarily-inferred schema into run=base (requireWideLayout's
+    // doc) — refuse before touching anything
+    requireWideLayout(spark, dir)
     val ap = graft.ops.DeliveryMarker.approved(spark, dir)
     Tables.foreach { t =>
       val path = s"$dir/$t"
@@ -177,6 +186,36 @@ object DedupIndex {
   private def healAll(spark: SparkSession, dir: String): Unit =
     Tables.foreach(t =>
       graft.ops.StoreCompaction.heal(spark, s"$dir/$t", "run"))
+
+  /** Layout guard (r18 widening): an index persisted before the
+    * 128-bit key carries a single `fp` column, and its hashes cannot
+    * be widened in place (fp_hi/fp_lo derive from the TEXT, which
+    * the index does not store) — the only sound migration is a
+    * rebuild. Checked PER RUN DIRECTORY, not on the merged scan:
+    * parquet schema inference (mergeSchema off) picks ONE file, so a
+    * mixed store — an old index that took a post-widening append —
+    * can present fp_hi at the merged level while every old-run row
+    * would read it as NULL, and NULL keys never equi-join: exact
+    * dups of the whole pre-widening corpus would silently screen as
+    * near/unique, and a compact() would bake the arbitrary schema
+    * into `run=base`. Screening, appending onto, and compacting such
+    * a store all refuse with the rebuild diagnosis instead. */
+  private def requireWideLayout(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/fingerprints")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("run=")).foreach { p =>
+        val cols = spark.read.parquet(p.toString).columns.toSet
+        if (cols.contains("fp") || !cols.contains("fp_hi"))
+          throw new IllegalStateException(
+            s"dedup index partition $p uses the pre-128-bit fingerprint " +
+              "layout (single `fp` column) — re-run DedupIndex.build from " +
+              "the corpus snapshot; the old 2^30-range key false-merges " +
+              "from ~10^4.5 docs and cannot be widened without the " +
+              "original text")
+      }
+  }
 
   /** How many `run=` partitions a screening currently lists (spec
     * hook for the compaction contract). */
@@ -222,19 +261,8 @@ object DedupIndex {
         spark.read.parquet(path), ap)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
     }
-    val fpsRaw = runs(s"$dir/fingerprints")
-    // layout guard: an index persisted before the 128-bit widening
-    // carries a single `fp` column. Its hashes cannot be widened in
-    // place (fp_hi/fp_lo derive from the TEXT, which the index does
-    // not store), so the only sound migration is a rebuild — say so,
-    // instead of dying in analysis with a missing-column error.
-    if (!fpsRaw.columns.contains("fp_hi"))
-      throw new IllegalStateException(
-        s"dedup index at $dir uses the pre-128-bit fingerprint layout " +
-          "(single `fp` column) — re-run DedupIndex.build from the corpus " +
-          "snapshot; the old 2^30-range key false-merges from ~10^4.5 docs " +
-          "and cannot be widened without the original text")
-    val fps = fpsRaw
+    requireWideLayout(spark, dir)
+    val fps = runs(s"$dir/fingerprints")
         .select(col("doc_id").as("corpus_id"),
           col("fp_hi"), col("fp_lo"), col("fp_len"))
 

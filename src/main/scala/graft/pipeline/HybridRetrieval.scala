@@ -382,15 +382,23 @@ object HybridRetrieval {
                     k: Int = graft.queries.Search.HnTopK,
                     depth: Int = 0, nprobe: Int = Int.MaxValue): DataFrame = {
     val d = if (depth > 0) depth else 5 * k
-    // one marker listing per mining call (the search() note)
+    // one marker listing + one heal pass per mining call (the
+    // search() note)
     val ap = graft.ops.DeliveryMarker.approved(spark, dir)
+    healStores(spark, dir)
     val (qt, _, pruned) = prunedPostings(spark, queries, dir, ap)
     val qv = queries.select(col("query_id"), unitEmbed(col("qtext")).as("qvec"))
       .filter(col("qvec").isNotNull)
     val sharers = pruned.select(col("th"), col("doc_id"))
       .join(broadcast(qt), "th")
       .select(col("query_id"), col("doc_id").as("vec_id")).distinct()
-    val raw = spark.read.parquet(s"$dir/raw")
+    // marker-filtered like EVERY raw read (r18 review find): an
+    // unacknowledged half-landed delivery's vectors were visible to
+    // mining while its postings were filtered out of the term-sharing
+    // exclusion — a doc sharing query terms could be emitted as a
+    // "zero-shared-term" hard negative, contaminating training data
+    val raw = graft.ops.DeliveryMarker.approvedOnly(
+      spark.read.parquet(s"$dir/raw"), ap)
     val cand = AnnIndex.searchRefined(spark, qv, s"$dir/ann", raw,
         k = d, nprobe = nprobe, keepVec = true, exclude = Some(sharers))
       .select(col("query_id"), col("vec_id").as("doc_id"), col("cand_vec"))
@@ -482,11 +490,14 @@ object HybridRetrieval {
     Seq("postings", "termstats", "stats", "raw")
       .foreach(s => graft.ops.StoreCompaction.heal(spark, s"$dir/$s", "run"))
 
+  /** Callers MUST [[healStores]] before this (every serving entry
+    * point — lexRanks, hardNegatives, lexPlan — does, exactly once;
+    * healing here too would double the remote-FS existence checks on
+    * the hot path). */
   private def prunedPostings(spark: SparkSession, queries: DataFrame,
                              dir: String, ap: Set[String])
       : (DataFrame, Array[Long], DataFrame) = {
     import spark.implicits._
-    healStores(spark, dir)
     val qt = queries
       .select(col("query_id"), explode(tokenHashes(col("qtext"))).as("th"))
     val terms = qt.select(col("th")).distinct().as[Long].collect()
@@ -497,7 +508,9 @@ object HybridRetrieval {
     * pruning — the postings scan must read only the query terms'
     * `tb` buckets; same heal + pruning code path as serving). */
   private[graft] def lexPlan(spark: SparkSession, queries: DataFrame,
-                             dir: String): DataFrame =
+                             dir: String): DataFrame = {
+    healStores(spark, dir)
     prunedPostings(spark, queries, dir,
       graft.ops.DeliveryMarker.approved(spark, dir))._3
+  }
 }

@@ -109,6 +109,27 @@ class Fingerprint128Spec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("re-run DedupIndex.build"),
       s"layout guard should prescribe a rebuild: ${err.getMessage}")
+    // APPEND and COMPACT must refuse too (r18 review find): an append
+    // onto the old layout creates a MIXED store whose merged schema
+    // is whatever parquet inference picks — old-run rows would read
+    // fp_hi as NULL, never equi-join, and exact dups of the whole
+    // pre-widening corpus would silently screen as near/unique; a
+    // compact would bake the arbitrary schema into run=base
+    val errA = intercept[IllegalStateException] {
+      DedupIndex.append(spark, Seq((101L, textA)).toDF("doc_id", "text"),
+        dir, "b1")
+    }
+    assert(errA.getMessage.contains("re-run DedupIndex.build"))
+    val errC = intercept[IllegalStateException] {
+      DedupIndex.compact(spark, dir)
+    }
+    assert(errC.getMessage.contains("re-run DedupIndex.build"))
+    // and a rebuild (the prescribed migration) clears the old layout
+    // and restores service
+    DedupIndex.build(spark, Seq((1L, textA)).toDF("doc_id", "text"), dir)
+    val v = DedupIndex.screen(spark, Seq((100L, textA)).toDF("doc_id", "text"), dir)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(v(100L) == "exact", "rebuild should restore exact screening")
   }
 
   test("DedupIndex.screen does not call the planted collision 'exact'") {

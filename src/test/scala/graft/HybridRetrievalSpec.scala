@@ -514,6 +514,16 @@ class HybridRetrievalSpec extends AnyFunSuite {
       .select($"doc_id", $"rn").as[(Long, Long)].collect().toMap
     assert(hidden == before,
       s"unacknowledged run must be invisible to search: $hidden vs $before")
+    // ... and invisible to MINING too (r18 review find): doc 500
+    // shares both query terms, but with its postings marker-filtered
+    // and its raw vectors visible it would pass the zero-shared-term
+    // exclusion and be emitted as a hard negative — training-data
+    // contamination. The raw read must be marker-filtered like every
+    // other store read.
+    val mined = HybridRetrieval.hardNegatives(spark, qdf, root)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!mined.contains(500L),
+      s"unacknowledged run leaked into hard-negative mining: $mined")
 
     HybridRetrieval.compact(spark, root)
     assert(HybridRetrieval.search(spark, qdf, root)
