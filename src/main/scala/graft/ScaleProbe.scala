@@ -242,6 +242,8 @@ object ScaleProbe {
       // keeps measuring their FULL chain (the exponent the README
       // table claims is the end-to-end one)
       graft.queries.NearDupStage.reset()
+      // q177/q179 read the memoized source-term count table (r19)
+      graft.queries.SourceTermStage.reset()
       // chains that persist a derived stage (SparkEntry's cache
       // contract) would otherwise serve rep 2 from rep 1's cached
       // blocks — the min would then measure the CACHE, not the

@@ -60,7 +60,8 @@ object SparkEntry {
     "ivf_quantizer" -> Seq("q104_semdedup", "q108_embed_outliers",
       "q115_corpus_map"),
     "pc_fit" -> Seq("q129_top_pc", "q130_whiten"),
-    "citation_edges" -> Seq("q101_pagerank", "q170_triangles"))
+    "citation_edges" -> Seq("q101_pagerank", "q170_triangles"),
+    "source_term_counts" -> Seq("q177_loo_novelty", "q179_stylometry"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys fall back to the

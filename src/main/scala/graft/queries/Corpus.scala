@@ -1170,10 +1170,14 @@ object Corpus {
     // (source, term) count table; cw is its O(types) rollup joined
     // back BY KEY (token-width rows, no broadcast assumption on the
     // vocabulary); the O(sources) totals and the 1-row (N, V) frame
-    // broadcast (intendedBnlj). Everything is the q151/q153 shape.
+    // broadcast (intendedBnlj). Everything is the q151/q153 shape —
+    // with the count pass served from the SourceTermStage parquet
+    // memo (r19: one build per (session, dir) shared with q179,
+    // disclosed in trained_stages; the r18 per-call cache scoping
+    // stays for the spec-hook/export paths that take arbitrary
+    // frames).
     "q177_loo_novelty" -> { (s, d) =>
-      import s.implicits._
-      looNovelty(Tables.documents(s, d).select($"source", $"text"))
+      looNoveltyFromCounts(SourceTermStage.counts(s, d))
     },
 
     // Burrows' Delta stylometric fingerprint per source (Burrows
@@ -1204,10 +1208,10 @@ object Corpus {
     // CorpusStatsMaintenance store); markers are a bounded
     // TakeOrdered top-F off the O(types) rollup; the O(sources × F)
     // spine LEFT-joins the count table BY KEY; everything after runs
-    // on O(sources × F) rows.
+    // on O(sources × F) rows. Count pass served from the shared
+    // SourceTermStage memo (the q177 note).
     "q179_stylometry" -> { (s, d) =>
-      import s.implicits._
-      stylometry(Tables.documents(s, d).select($"source", $"text"))
+      stylometryFromCounts(SourceTermStage.counts(s, d))
     }
   )
 

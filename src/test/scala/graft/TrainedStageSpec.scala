@@ -83,6 +83,25 @@ class TrainedStageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the source-term count table builds once for q177 and q179") {
+    // r19 (r18 verdict #2): the per-call cache scoping that fixed the
+    // audit-export memory leak doubled both queries; the recovery is
+    // this parquet memo — one tokenize+combine pass however many of
+    // the two consumers run, disclosed in trained_stages.
+    graft.queries.SourceTermStage.reset()
+    SparkEntry.queries("q177_loo_novelty")(spark, sf).foreach(_ => ())
+    SparkEntry.queries("q179_stylometry")(spark, sf).foreach(_ => ())
+    assert(graft.queries.SourceTermStage.buildCount == 1,
+      s"count pass ran ${graft.queries.SourceTermStage.buildCount} times")
+    // and the memoed path still serves the oracle-gated rows: both
+    // queries stay non-empty and source-sorted off the parquet scan
+    val rows = SparkEntry.queries("q177_loo_novelty")(spark, sf)
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(rows.nonEmpty && rows == rows.sorted,
+      "memo-served q177 lost its total order")
+    spark.catalog.clearCache()
+  }
+
   test("the shared quantizer trains once for its three consumers (q104, q108, q115)") {
     graft.queries.TextVector.centsStageReset()
     SparkEntry.queries("q104_semdedup")(spark, sf).foreach(_ => ())
