@@ -72,16 +72,28 @@ def main():
         a_hi = max(a[0], qo[q])
         b_hi = max(b[0], qn[q])
         return a[0] <= b_hi and b[0] <= a_hi
+    # Hard ceiling (round-18 advisor note): interval overlap suppresses
+    # noise, but a genuinely bimodal/data-dependent regression whose
+    # FASTEST new pass still dips into the old interval would be
+    # printed yet never counted. Movers whose median ratio exceeds
+    # 2x the threshold stay counted regardless of overlap — at that
+    # size "one fast pass" is no longer evidence of mere slot noise.
+    hard = 2 * thr
     flagged = 0
     print(f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}")
     for q in both:
         r = qn[q] / qo[q] if qo[q] else float("inf")
         flag = "  <<< slower than %.1fx" % thr if r > thr else ""
-        if flag and within_spread(q):
+        if flag and within_spread(q) and r <= hard:
             flag = ("  (within-spread: old [%0.2f,%0.2f] overlaps "
                     "new [%0.2f,%0.2f] — not counted)"
                     % (so_[q][0], max(so_[q][0], qo[q]),
                        sn_[q][0], max(sn_[q][0], qn[q])))
+        elif flag and within_spread(q):
+            flag = ("  <<< slower than %.1fx (overlaps old spread but "
+                    "median ratio > %.1fx hard ceiling — counted)"
+                    % (thr, hard))
+            flagged += 1
         elif flag and q in noisy:
             flag += " (noisy — re-measure before trusting)"
             flagged += 1
