@@ -187,6 +187,19 @@ object DedupIndex {
     Tables.foreach(t =>
       graft.ops.StoreCompaction.heal(spark, s"$dir/$t", "run"))
 
+  // Run directories already verified wide (r18 advisor note): the
+  // guard paid one parquet footer/schema read per run= dir on EVERY
+  // screen/append/compact — O(uncompacted runs) on the hot screening
+  // path. A run dir's layout cannot change once verified: only this
+  // object writes index runs, build() clears the store first,
+  // append() re-guards before writing, and every write is wide — so
+  // the pass verdict memoizes per run-dir path (a FAILED dir is
+  // never memoized: the rebuild that replaces it re-verifies).
+  // Bounded against pathological store churn; resettable for specs.
+  private val wideVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def resetLayoutMemo(): Unit = wideVerified.clear()
+
   /** Layout guard (r18 widening): an index persisted before the
     * 128-bit key carries a single `fp` column, and its hashes cannot
     * be widened in place (fp_hi/fp_lo derive from the TEXT, which
@@ -199,13 +212,16 @@ object DedupIndex {
     * dups of the whole pre-widening corpus would silently screen as
     * near/unique, and a compact() would bake the arbitrary schema
     * into `run=base`. Screening, appending onto, and compacting such
-    * a store all refuse with the rebuild diagnosis instead. */
+    * a store all refuse with the rebuild diagnosis instead
+    * (DedupIndexSpec's migration scenario drives all three plus the
+    * rebuild and the fp_hi-hook agreement check end-to-end). */
   private def requireWideLayout(spark: SparkSession, dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/fingerprints")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("run=")).foreach { p =>
+      .filter(_.getName.startsWith("run="))
+      .filter(p => !wideVerified.contains(p.toString)).foreach { p =>
         val cols = spark.read.parquet(p.toString).columns.toSet
         if (cols.contains("fp") || !cols.contains("fp_hi"))
           throw new IllegalStateException(
@@ -214,6 +230,8 @@ object DedupIndex {
               "the corpus snapshot; the old 2^30-range key false-merges " +
               "from ~10^4.5 docs and cannot be widened without the " +
               "original text")
+        if (wideVerified.size > (1 << 16)) wideVerified.clear()
+        wideVerified.add(p.toString)
       }
   }
 
@@ -244,6 +262,14 @@ object DedupIndex {
     // small side by definition, so recomputing its kernels per
     // reference costs less than materializing them would at scale
     val derived = withDerived(newDocs)
+    // heal first, then refuse pre-widening layouts BEFORE paying the
+    // eager band-probe work in verifiedAgainst (r18 advisor note:
+    // the guard used to run after the localCheckpoint+count probe
+    // had already executed — a late refusal on old-layout stores and
+    // dead work before it); with the verdict memoized per run dir
+    // this costs footer reads for NEW runs only
+    healAll(spark, dir)
+    requireWideLayout(spark, dir)
     // verifiedAgainst heals every table first — built BEFORE the
     // fingerprints read below so its heal precedes the eager file
     // listing spark.read.parquet performs at construction time
@@ -261,7 +287,6 @@ object DedupIndex {
         spark.read.parquet(path), ap)
       excludeRun.fold(df)(r => df.filter(col("run") =!= lit(r)))
     }
-    requireWideLayout(spark, dir)
     val fps = runs(s"$dir/fingerprints")
         .select(col("doc_id").as("corpus_id"),
           col("fp_hi"), col("fp_lo"), col("fp_len"))

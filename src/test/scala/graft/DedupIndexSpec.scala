@@ -221,6 +221,63 @@ class DedupIndexSpec extends AnyFunSuite {
       "retried delivery must make the run visible to screening")
   }
 
+  test("pre-widening migration: screen/append/compact all refuse, rebuild restores screening, the fp_hi hook proves old-vs-new agreement") {
+    // r18 verdict #3: the refuse-then-rebuild path existed but only
+    // screen-side was spec'd and nothing exercised an actual old
+    // store end-to-end. Full scenario: an operator holds an index
+    // built before the 128-bit widening; every operator path refuses
+    // with the rebuild diagnosis; the rebuild from the corpus
+    // snapshot restores screening; and the documented migration
+    // verification hook — fp_hi div FpHiMod2 recovers the classic
+    // fingerprint — proves the new index agrees with the old key on
+    // every document.
+    val dir = tmp("dedup-migrate")
+    val corpus = (0L until 30L)
+      .map(i => (i, s"legacy corpus document $i body words w$i extra w${i % 7}"))
+      .toDF("doc_id", "text")
+    LegacyDedupStore.write(spark, corpus, dir)
+    val probe = Seq((500L, "legacy corpus document 7 body words w7 extra w0"))
+      .toDF("doc_id", "text")
+
+    graft.pipeline.DedupIndex.resetLayoutMemo()
+    def diag(op: => Unit): String =
+      intercept[IllegalStateException](op).getMessage
+    val mScreen = diag(DedupIndex.screen(spark, probe, dir).collect())
+    val mAppend = diag(DedupIndex.append(spark, probe, dir, "b1"))
+    val mCompact = diag(DedupIndex.compact(spark, dir))
+    Seq("screen" -> mScreen, "append" -> mAppend, "compact" -> mCompact)
+      .foreach { case (op, m) =>
+        assert(m.contains("pre-128-bit") && m.contains("re-run DedupIndex.build"),
+          s"$op refusal lost the rebuild diagnosis: $m")
+      }
+    // the refused append must not have landed ANY partial state
+    assert(DedupIndex.runCount(spark, dir) == 1,
+      "a refused append landed run data on the legacy store")
+
+    // capture the old store's keys, then rebuild from the snapshot
+    val oldFp = spark.read.parquet(s"$dir/fingerprints")
+      .select($"doc_id", $"fp").as[(Long, Long)].collect().toMap
+    DedupIndex.build(spark, corpus, dir)
+
+    // screening resumes: the probe is an exact duplicate of doc 7
+    val v = DedupIndex.screen(spark, probe, dir).collect().head
+    assert(v.getString(1) == "exact" && v.getLong(2) == 7L,
+      s"screening did not resume after the rebuild: $v")
+
+    // migration verification hook (TextOps: fp_hi's high word IS the
+    // classic fingerprint): old-vs-new agreement on every doc
+    val recovered = spark.read.parquet(s"$dir/fingerprints")
+      .selectExpr("doc_id",
+        s"fp_hi div ${graft.ops.TextOps.FpHiMod2}L as classic")
+      .as[(Long, Long)].collect().toMap
+    assert(recovered.keySet == oldFp.keySet,
+      "rebuild changed the indexed document set")
+    recovered.foreach { case (id, c) =>
+      assert(c == oldFp(id),
+        s"doc $id: fp_hi hook recovers $c, old store held ${oldFp(id)}")
+    }
+  }
+
   test("randomized differential: screen verdicts match an in-memory replay of the LSH contract") {
     // Guards the distributed JOIN/GROUP logic (exact 128-bit key
     // join, band-bucket candidate join, best-match max_by with the

@@ -148,6 +148,32 @@ class OperationsDaySpec extends AnyFunSuite {
       r.getString(1) == "exact" && r.getLong(2) == r.getLong(0)),
       "re-delivered docs must screen as exact self-duplicates")
 
+    // ---- dedup rebuild-after-refusal (r18 verdict #6): the day's
+    // delivery lands against a (simulated) index persisted BEFORE
+    // the 128-bit fingerprint widening — the layout guard refuses
+    // every operator path with the rebuild diagnosis instead of
+    // NULL-keying the old rows and silently screening exact dups as
+    // unique; the operator rebuilds from the corpus snapshot at the
+    // next quiescent point, re-lands the delivery, and screening
+    // resumes — the dedup twin of the ANN drift→rebuild story below
+    val legacyDir = s"$root/dedup-legacy"
+    LegacyDedupStore.write(spark, d(0).select($"doc_id", $"text"), legacyDir)
+    val delivery = d(1).select($"doc_id", $"text")
+    graft.pipeline.DedupIndex.resetLayoutMemo()
+    val mAppend = intercept[IllegalStateException](
+      DedupIndex.append(spark, delivery, legacyDir, "b1")).getMessage
+    val mScreen = intercept[IllegalStateException](
+      DedupIndex.screen(spark, delivery, legacyDir).collect()).getMessage
+    Seq(mAppend, mScreen).foreach(m =>
+      assert(m.contains("re-run DedupIndex.build"),
+        s"legacy-store refusal lost the rebuild diagnosis: $m"))
+    DedupIndex.build(spark, d(0).select($"doc_id", $"text"), legacyDir)
+    DedupIndex.append(spark, delivery, legacyDir, "b1")
+    val relanded = DedupIndex.screen(spark, delivery, legacyDir).collect()
+    assert(relanded.nonEmpty && relanded.forall(r =>
+      r.getString(1) == "exact" && r.getLong(2) == r.getLong(0)),
+      "screening did not resume after the legacy-store rebuild")
+
     // ANN: queries from all three deliveries find themselves in the
     // top-5 of the compacted index (build-trained codebooks, two
     // appended runs, tombstone-free compaction)
