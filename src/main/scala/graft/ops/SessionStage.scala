@@ -87,9 +87,11 @@ final class SessionStage[T](build: (SparkSession, String) => T,
   * JVM-unique session sequence separates sibling `newSession()`s
   * sharing a context. The cost is that a KILLED
   * process leaves its `<app>-<session>` dir behind (nothing
-  * overwrites it in place anymore) — scratch roots are tmpdirs, and
-  * deployments that point `spark.graft.scratchDir` at a shared FS
-  * should sweep dirs whose application is no longer live.
+  * overwrites it in place anymore) — swept by
+  * [[ParquetStage.sweepStale]]: automatically (dead-PID siblings,
+  * once per JVM) when the scratch root is the local tmpdir, and on
+  * demand with a resource-manager liveness predicate for shared-FS
+  * deployments.
   *
   * Staleness/eviction contract: [[SessionStage]]. */
 final class ParquetStage(name: String,
@@ -97,6 +99,9 @@ final class ParquetStage(name: String,
 
   private val inner = new SessionStage[(DataFrame, () => Unit)](
     build = (s, d) => {
+      // best-effort janitor pass (once per JVM, local tmpdir only):
+      // sweep dead siblings' namespaces before adding our own
+      ParquetStage.autoSweepLocal(s)
       val path = ParquetStage.stagePath(s, name, d)
       // FileSystem handle captured now: the drop thunk must work even
       // after the owning session stops (Hadoop FS outlives Spark)
@@ -140,6 +145,57 @@ object ParquetStage {
       val n = nextSeq.getAndIncrement(); sessionSeq.put(s, n); n
     }
   }
+
+  // owner namespace layout: <appId>-p<pid>-s<sessionSeq> (appId may
+  // itself contain dashes — parse from the right)
+  private val OwnerDir = """^(.*)-p(\d+)-s(\d+)$""".r
+
+  /** Janitor for dead stage namespaces (r18 verdict #5 / advisor
+    * note): a KILLED or restarted driver leaves its
+    * `graft-stage/<app>-p<pid>-s<n>` dir behind forever — live
+    * processes overwrite in place and delete on `reset()`, but
+    * nothing swept a dead sibling's, so repeated runs on one scratch
+    * root accrete one owner dir per dead process. Lists the
+    * `graft-stage` root ONCE (bounded: one listStatus + one delete
+    * per dead namespace) and deletes every owner namespace whose
+    * owner `isLive(appId, pid)` returns false — NEVER its own, even
+    * under a predicate that lies (self-protection pinned in
+    * ScratchJanitorSpec). The default predicate is local PID
+    * liveness, which is only meaningful when the scratch root is
+    * machine-local (the default tmpdir): on a shared filesystem,
+    * PIDs from other hosts collide with local ones, so shared-FS
+    * deployments MUST pass a resource-manager-backed predicate
+    * (e.g. the YARN/K8s live-application set keyed on appId).
+    * Returns the number of namespaces swept. */
+  def sweepStale(s: SparkSession,
+      isLive: (String, Long) => Boolean = (_, pid) => {
+        val h = ProcessHandle.of(pid)
+        h.isPresent && h.get().isAlive
+      }): Int = {
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(scratchRoot(s)), "graft-stage")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val self = ProcessHandle.current().pid()
+    fs.listStatus(root).map(_.getPath).count { p =>
+      p.getName match {
+        case OwnerDir(app, pid, _) =>
+          val pidL = pid.toLong
+          pidL != self && !isLive(app, pidL) && fs.delete(p, true)
+        case _ => false // not ours to judge — leave unknown dirs alone
+      }
+    }
+  }
+
+  // Auto-sweep arms once per JVM, and ONLY when no
+  // spark.graft.scratchDir is set — exactly the local-tmpdir case
+  // where the default PID-liveness predicate is sound. Best effort:
+  // a janitor failure must never fail a stage build.
+  private val autoSwept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] def autoSweepLocal(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.graft.scratchDir").isEmpty &&
+        autoSwept.compareAndSet(false, true))
+      try { sweepStale(s); () } catch { case _: Throwable => () }
 
   /** Deterministic per-(session, stage, data dir) path: an owner
     * segment (applicationId + PID ⇒ no cross-process collision on a
