@@ -27,6 +27,11 @@ import graft.ops.expressions.{MinHashSig, ShingleHashes}
   * O(corpus). For steady-state production the three index tables
   * would be bucketed on their join keys (ScaleSpec's bucketBy
   * pattern) so repeated screenings skip even the index-side shuffle.
+  * Measured, not just argued (ScaleProbe's `dedup_screen` mode, r18
+  * verdict #4): screening the same fixed 500-doc batch against a
+  * 30×-larger index costs 1.7× — exponent ≈ 0.16 in index size,
+  * fixed-overhead dominated — where a corpus-rescanning screen
+  * would track exponent ≈ 1 (README scaling notes, receipt table).
   *
   * Same LSH parameters as q24 (k=3 shingles, 16 perms, 8 bands × 2
   * rows): detection probability 1-(1-j²)^8 ≈ 0.995 at j=0.7.

@@ -358,4 +358,33 @@ class DedupIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("ScaleProbe screen-latency fixture: the fixed batch is id-disjoint and lands exact/near/unique work at the probe's 1× index scale") {
+    // The dedup_screen receipt (r18 verdict #4) times screening the
+    // SAME 500-doc batch against generator-built indexes of growing
+    // size; this pins the two fixture invariants the receipt rides
+    // on. (1) Batch ids sit past every generated corpus id (largest
+    // probe corpus = 5 000×30 docs), so verdicts come from CONTENT,
+    // never id coincidence. (2) Against the probe's own 1× index the
+    // batch lands all three verdict classes with real mass — an
+    // all-unique batch would let the verify join degenerate to empty
+    // and the "flat latency" receipt would time nothing. The
+    // generator is deterministic (hash-driven, no RNG), so these
+    // counts are stable across runs and machines.
+    val dir = tmp("probe-fixture")
+    DedupIndex.build(spark,
+      ScaleProbe.docsDf(spark, 5000L).select($"doc_id", $"text"), dir)
+    val batch = ScaleProbe.fixedScreenBatch(spark)
+    assert(batch.agg(min($"doc_id")).head.getLong(0) >= 10000000L &&
+      batch.count() == 500L)
+    val verdicts = DedupIndex.screen(spark, batch, dir)
+      .groupBy($"verdict").count().as[(String, Long)].collect().toMap
+    assert(verdicts.getOrElse("exact", 0L) >= 10L,
+      s"fixture lost its exact-copy hits: $verdicts")
+    assert(verdicts.getOrElse("near", 0L) >= 10L,
+      s"fixture lost its near-dup hits: $verdicts")
+    assert(verdicts.getOrElse("unique", 0L) >= 300L,
+      s"fixture lost its unique docs: $verdicts")
+    assert(verdicts.values.sum == 500L)
+  }
 }
