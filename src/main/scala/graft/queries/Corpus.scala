@@ -1276,7 +1276,19 @@ object Corpus {
   }
 
   /** q179 over the pre-aggregated (source, w, csw) count table (the
-    * source-term store's fifth consumer). */
+    * source-term store's fifth consumer).
+    *
+    * Plan shape (r19 — the memo recovery exposed the consumer as
+    * pure stage overhead at gate scale: 16 exchanges + one SMJ for a
+    * 640-row result): after the two token-width rollups (markers
+    * TakeOrdered, ns), EVERYTHING is O(sources × F ≤ 32) or smaller
+    * and rides explicit broadcast joins — the moments need no
+    * zero-spine (an absent (source, marker) pair contributes exactly
+    * 0 to Σf and Σf², and its divisor is the TOTAL source count, a
+    * 1-row broadcast), the spine materializes once for the z rows,
+    * and the rank-1 window is a min_by((−zq, w)) aggregate riding
+    * the final per-source groupBy (same values, same tie-break, one
+    * fewer sort — the PlanAuditSpec no-window doctrine). */
   private[graft] def stylometryFromCounts(tf: DataFrame): DataFrame = {
     val spark = tf.sparkSession
     import spark.implicits._
@@ -1285,42 +1297,44 @@ object Corpus {
       .orderBy($"ct".desc, $"w").limit(DeltaMarkers)
       .select($"w")
     val ns = tf.groupBy($"source").agg(sum($"csw").as("n_s"))
+    val nSources = ns.agg(count(lit(1)).as("sc"))
     // restrict the token-width count table to the F markers FIRST
-    // (broadcast semi-filter) so the spine's left join sees an
-    // O(sources × F) right side instead of shuffling the full
-    // (source, term) table — the join the scale-shape claim names
-    val tfm = tf.join(broadcast(markers), Seq("w"))
-    // O(sources × F) spine; missing (source, marker) counts are 0
-    val fq = ns.crossJoin(broadcast(markers))
-      .join(tfm, Seq("source", "w"), "left")
-      .select($"source", $"n_s", $"w",
-        floor(coalesce($"csw", lit(0L)).cast("double")
-          / $"n_s".cast("double") * lit(1e6) + lit(0.5))
-          .cast("long").as("fq"))
-    // cross-source moments off exact int64 sums; ONE fixed-order
-    // double derivation per marker (sqrt correctly rounded — q163)
-    val stats = fq.groupBy($"w")
-      .agg(sum($"fq").as("sf"), sum($"fq" * $"fq").as("sf2"),
-        count(lit(1)).as("sc"))
+    // (broadcast semi-filter): O(sources × F) present pairs with
+    // their micro relative frequency — the only rows that carry mass
+    val fqp = tf.join(broadcast(markers), Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .select($"source", $"w",
+        floor($"csw".cast("double") / $"n_s".cast("double") * lit(1e6)
+          + lit(0.5)).cast("long").as("fq"))
+    // cross-source moments off exact int64 sums, present pairs only:
+    // absent pairs are exact zeros in Σf and Σf², and every marker's
+    // divisor is the total source count (1-row broadcast) — the
+    // zero-spine the moments used to join is algebraically free
+    val stats = fqp.groupBy($"w")
+      .agg(sum($"fq").as("sf"), sum($"fq" * $"fq").as("sf2"))
+      .crossJoin(broadcast(nSources))
     val mu = $"sf".cast("double") / $"sc".cast("double")
     val varr = $"sf2".cast("double") / $"sc".cast("double") - mu * mu
     val zq = when(varr <= 0.0, lit(0L)).otherwise(
       floor(abs(($"fq".cast("double") - mu) / sqrt(varr)) * lit(1e6)
         + lit(0.5)).cast("long"))
-    val z = fq.join(stats, Seq("w"))
+    // O(sources × F) spine (zero-count markers still score |0−μ|/σ),
+    // z in the same pass — every join side here is bounded (markers
+    // ≤ F, fqp ≤ sources × F, stats ≤ F rows) and broadcast
+    val z = ns.crossJoin(broadcast(markers))
+      .join(broadcast(fqp), Seq("source", "w"), "left")
+      .select($"source", $"n_s", $"w", coalesce($"fq", lit(0L)).as("fq"))
+      .join(broadcast(stats), Seq("w"))
       .select($"source", $"n_s", $"w", zq.as("zq"))
-    // top deviating marker via the deterministic rank-1 window (both
-    // engines replay row_number identically; O(F) rows per source)
-    val win = Window.partitionBy($"source")
-      .orderBy($"zq".desc, $"w".asc)
-    z.withColumn("rn", row_number().over(win))
-      .groupBy($"source", $"n_s")
+    // top deviating marker = min over (−zq, w): highest z, ties to
+    // the lexicographically smaller marker — the rank-1 window's
+    // exact rule as ONE deterministic aggregate
+    z.groupBy($"source", $"n_s")
       .agg(floor(sum($"zq").cast("double") / count(lit(1)).cast("double")
           + lit(0.5)).cast("long").as("delta_micro"),
-        max(when($"rn" === 1, $"w")).as("top_term"),
-        max(when($"rn" === 1, $"zq")).as("top_z_micro"))
+        min_by(struct($"w", $"zq"), struct(negate($"zq"), $"w")).as("top"))
       .select($"source", $"n_s".as("n_tokens"), $"delta_micro",
-        $"top_term", $"top_z_micro")
+        $"top.w".as("top_term"), $"top.zq".as("top_z_micro"))
       .orderBy($"source")
   }
 
