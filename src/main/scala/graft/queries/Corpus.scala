@@ -553,7 +553,13 @@ object Corpus {
       import graft.ops.Determinism.{avgExact, roundFix}
       val toks = Tables.documents(s, d)
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      // r19: vocab feeds its own broadcast AND the total's — the
+      // unpersisted plan tokenized the corpus a third time just to
+      // count the model's mass. Persisting the O(types) model keeps
+      // the inherent two passes (train + score) and no more.
+      // 0.89 → 0.46 s clean at sf0.1.
       val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = vocab.agg(sum($"c").as("n"))
       toks
         .join(broadcast(vocab), "tok")
@@ -1946,7 +1952,12 @@ object Corpus {
     * the int64 sum (order-free — the q137 contract); each ln runs
     * over exact integer counts (the q43 libm-ulp note). */
   private[graft] def sourceKl(docs: DataFrame): DataFrame =
-    sourceKlFromCounts(sourceTermCounts(docs))
+    // r19: four lineages reference the count table inside FromCounts
+    // (cw, ns, the term join, tot) — unpersisted, q153 re-ran the
+    // corpus tokenize four times. The persist (SparkEntry cache
+    // contract) makes it one pass; the q151 note has the plan diff.
+    sourceKlFromCounts(sourceTermCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The (source, term) count table — the additive sufficient
     * statistic behind the whole source-mixture family (q151 DoReMi,
@@ -2038,12 +2049,21 @@ object Corpus {
   private[graft] def concentration(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counted = docs.select($"source", $"lang",
-      TextOps.tokenCount($"text").cast("long").as("n_tok"))
-    val bySrc = counted.groupBy($"source".as("grp"))
-      .agg(sum($"n_tok").as("n")).withColumn("dim", lit("source"))
-    val byLang = counted.groupBy($"lang".as("grp"))
-      .agg(sum($"n_tok").as("n")).withColumn("dim", lit("lang"))
+    // r19: both rollups are marginals of ONE (source, lang) cell
+    // table — the old per-dimension groupBys each re-ran the corpus
+    // tokenCount scan (4 scans with the totals' re-references,
+    // plans/r19/q155_concentration_before.txt). Aggregate the
+    // additive cell table once, persist it (O(sources·langs) rows,
+    // SparkEntry cache contract), and take integer-exact marginal
+    // sums. 0.41 → 0.35 s clean at sf0.1.
+    val cell = docs.select($"source", $"lang",
+        TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      .groupBy($"source", $"lang").agg(sum($"n_tok").as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bySrc = cell.groupBy($"source".as("grp"))
+      .agg(sum($"cn").as("n")).withColumn("dim", lit("source"))
+    val byLang = cell.groupBy($"lang".as("grp"))
+      .agg(sum($"cn").as("n")).withColumn("dim", lit("lang"))
     val groups = bySrc.unionByName(byLang)
     val tot = groups.groupBy($"dim")
       .agg(sum($"n").as("nt"), count(lit(1)).as("n_groups"))
@@ -2120,9 +2140,14 @@ object Corpus {
   private[graft] def lengthDrift(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // r19: FromHist references the histogram three times (corpus
+    // marginal, per-source totals, the spine join) — unpersisted the
+    // batch path re-ran the tokenCount scan each time (the q135
+    // note). Persisted: one corpus pass. 0.63 s → 0.47 s clean.
     lengthDriftFromHist(docs
       .select($"source", TextOps.tokenCount($"text").cast("long").as("len"))
-      .groupBy($"source", $"len").agg(count(lit(1)).as("c")))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** q159 over a pre-aggregated (source, len, c) histogram — the
@@ -2172,8 +2197,12 @@ object Corpus {
                                     topK: Int = DispTopK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // r19: the count table feeds the top-K rank, the per-source
+    // totals AND the spine join — unpersisted, four corpus tokenize
+    // passes (the q151 note). Persisted: one. 0.58 → 0.50 s clean.
     val tf = docs.select($"source", explode(TextOps.tokens($"text")).as("w"))
       .groupBy($"source", $"w").agg(count(lit(1)).as("csw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = tf.groupBy($"w").agg(sum($"csw").as("ct"))
       .orderBy($"ct".desc, $"w").limit(topK)
     val ns = tf.groupBy($"source").agg(sum($"csw").as("n_i"))

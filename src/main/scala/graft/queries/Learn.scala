@@ -272,9 +272,16 @@ object Learn {
     "q99_domain_mixture" -> { (s, d) =>
       import s.implicits._
       import graft.ops.TextOps
+      // r19: this token-width frame feeds the rate table AND the
+      // keep pass, and `rates` is itself referenced twice — the
+      // unpersisted plan re-ran the tokenCount+fingerprint scan five
+      // times (plans/r19/q99_domain_mixture_before.txt). Persisted
+      // (the q102 token-width-frame device, SparkEntry cache
+      // contract), the corpus scans once. 0.77 s → 0.43 s clean.
       val docs = Tables.documents(s, d).select($"doc_id", $"lang",
         TextOps.tokenCount($"text").cast("long").as("n_tok"),
         TextOps.fingerprint($"text").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = docs.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
       // tiny per-domain rate table: one row per lang (shared with
@@ -569,9 +576,14 @@ object Learn {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.ops.TextOps
+    // r19: the O(langs) mass table feeds the total AND the damped
+    // table (which the final projection references again) —
+    // unpersisted, four corpus tokenCount passes (the q151 note).
+    // Persisted: one. 0.42 → 0.23 s clean at sf0.1.
     val m = docs
       .select($"lang", TextOps.tokenCount($"text").cast("long").as("n_tok"))
       .groupBy($"lang").agg(sum($"n_tok").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = m.agg(sum($"c").as("n")) // 1 row — intendedBnlj
     val q = m.crossJoin(tot)
       .select($"lang", $"c", $"n",
@@ -601,7 +613,18 @@ object Learn {
     * planted two-source corpora with closed-form excess and weights
     * — LearnSpec). */
   private[graft] def doremiWeights(docs: DataFrame): DataFrame =
-    doremiWeightsFromCounts(graft.queries.Corpus.sourceTermCounts(docs))
+    // r19: the count table feeds SIX lineages inside FromCounts (cw
+    // twice, ns, sterm, and the totals) — unpersisted, the q151 plan
+    // re-ran the corpus tokenize + combine FOURTEEN times
+    // (plans/r19/q151_doremi_weights_before.txt: 14 parquet scans,
+    // 34 exchanges; AQE exchange reuse does not collapse them
+    // because each lineage re-plans the scan subtree). Persisting
+    // the token-width sufficient statistic here, plus the O(sources)
+    // weight table at the denominator split below, makes it ONE
+    // corpus pass (after: 1 scan — see the _after plan). Measured
+    // 1.13 s → 0.53 s clean at sf0.1.
+    doremiWeightsFromCounts(graft.queries.Corpus.sourceTermCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** q151 over the pre-aggregated (source, w, csw) count table (the
     * Corpus.sourceKlFromCounts sharing convention — the fourth
@@ -635,10 +658,17 @@ object Learn {
     val exc = loss.crossJoin(cterm)
       .select($"source", $"n_s".as("n_tokens"), $"loss_micro",
         greatest($"loss_micro" - $"corpus_micro", lit(0L)).as("excess_micro"))
+    // r19: BOTH the normalizing denominator and the final projection
+    // reference `raw` — unpersisted, the split re-ran the ENTIRE
+    // upper chain (tf → cw/ns → loss → excess) twice, which is where
+    // most of the old plan's 14 corpus scans multiplied from.
+    // Persisting the O(sources) weight table halves the plan above
+    // this point (SparkEntry cache contract).
     val raw = exc.withColumn("r_micro",
       floor(pow(lit(1.0) + lit(DoremiEta) *
           ($"excess_micro".cast("double") / lit(1e6)),
         lit(DoremiSteps.toDouble)) * lit(1e6) + lit(0.5)).cast("bigint"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val denom = raw.agg(sum($"r_micro").as("rsum")) // 1 row — intendedBnlj
     raw.crossJoin(denom)
       .select($"source", $"n_tokens", $"loss_micro", $"excess_micro",

@@ -311,9 +311,43 @@ object Relational {
     // RelationalSpec's eccentricity guard replays the edge derivation
     // with an uncapped fixpoint at every shipped SF and fails if any
     // min distance exceeds 3.
+    // r19 OPTIMIZATION (guide §2.3 aggregate-before-shuffle, §2.4
+    // remove shuffles): the native WITH RECURSIVE plan re-derived the
+    // edges CTE — a full orders scan + DISTINCT exchange — inside
+    // EVERY UnionLoop iteration, and materialized one row PER PATH
+    // (plans/r19/q76_recursive_bfs_before.txt: the Aggregate sits
+    // under the loop's Join). Equivalent aggregated form: the edge
+    // table persists ONCE (SparkEntry cache contract), and each BFS
+    // level carries (node, paths) where paths = Σ parent paths — the
+    // number of depth-k walks — so the final GROUP BY over the
+    // unioned levels yields the same (min d, Σ paths) as grouping
+    // the CTE's path-row multiset. All-integer arithmetic, so
+    // equivalence is exact: RelationalSpec replays the verbatim CTE
+    // in-engine and asserts frame equality at two SFs, and the
+    // DuckDB oracle still runs the UNCHANGED RecursiveBfsSql text.
+    // Each level is ≤ 98 aggregated rows (dst ∈ {0..96}), so the
+    // per-level joins broadcast the level side and the edge table is
+    // never re-shuffled. Measured 2.15 s → 0.81 s clean at sf0.1.
     "q76_recursive_bfs" -> { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(RecursiveBfsSql)
+      import s.implicits._
+      val edges = Tables.orders(s, d)
+        .select($"o_custkey".as("src"),
+          ($"o_orderkey" % 97).cast("long").as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = Seq((1L, 1L)).toDF("node", "paths")
+      val levels = scala.collection.mutable.ArrayBuffer(seed)
+      for (_ <- 1 to BfsDepth) {
+        levels += broadcast(levels.last).join(edges, $"node" === $"src")
+          .groupBy($"dst").agg(sum($"paths").as("paths"))
+          .select($"dst".as("node"), $"paths")
+      }
+      levels.zipWithIndex
+        .map { case (l, k) => l.select($"node", lit(k).as("d"), $"paths") }
+        .reduce(_ unionByName _)
+        .groupBy($"node")
+        .agg(min($"d").as("dist"), sum($"paths").as("n_paths"))
+        .orderBy($"node")
     },
 
     // Benford first-digit audit of a monetary column (Benford 1938;
@@ -392,8 +426,15 @@ object Relational {
       .orderBy($"digit")
   }
 
-  /** Runs verbatim in both engines. */
-  private val RecursiveBfsSql =
+  /** q76 fixpoint depth — the seed's eccentricity bound the depth-cap
+    * spec pins at every shipped SF (the `b.d < 3` in the CTE text). */
+  private[graft] val BfsDepth = 3
+
+  /** The q76 semantics stated as SQL:1999 text. Runs verbatim in the
+    * DuckDB oracle, and RelationalSpec replays it through Spark 4's
+    * native WITH RECURSIVE against the aggregated builder above to
+    * prove the optimization computes the identical frame. */
+  private[graft] val RecursiveBfsSql =
     """WITH RECURSIVE edges AS (
       |  SELECT DISTINCT o_custkey AS src, CAST(o_orderkey % 97 AS BIGINT) AS dst
       |  FROM orders

@@ -924,15 +924,26 @@ object Sketch {
         graft.ops.expressions.ShingleHashes($"text", OverlapShingleW)).as("h0"))
       .select($"source", mix($"h0").as("h"))
       .distinct()
+    // r19: the sketch feeds BOTH pair sides (r1 and r2) — unpersisted
+    // each side re-ran the corpus shingle pass + distinct + top-K
+    // (plans/r19/q138_source_overlap_before.txt: 8 scans, 2 of them
+    // full shingle passes). Persisting the O(sources·k) sketch (the
+    // SparkEntry cache contract) makes the corpus pass run ONCE.
+    // Measured 0.80 s → 0.44 s clean at sf0.1.
     val sk = graft.plans.TopK.perKey(sh, Seq("source"),
         Seq("h" -> true), OverlapK)
       .select($"source", $"h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // O(sources·k) rows from here on; pair set from the CORPUS so
     // shingle-less sources still report
     val srcs = docs.select($"source").distinct()
+    // the O(sources²) pair spine feeds both sketch sides and the
+    // final left join — persisted (r19) so the corpus's source
+    // column scans twice total instead of six times
     val pairs = srcs.as("a").join(srcs.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("s1"), col("b.source").as("s2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r1 = pairs.join(sk, $"source" === $"s1")
       .select($"s1", $"s2", $"h", lit(1).as("side"))
     val r2 = pairs.join(sk, $"source" === $"s2")
@@ -1035,9 +1046,16 @@ object Sketch {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // r19: the histogram feeds the median, the deviation histogram
+    // AND the final fence count — unpersisted, each consumer re-ran
+    // the corpus tokenCount scan (4 scans,
+    // plans/r19/q135_mad_fences_before.txt). Persisting the
+    // O(sources·distinct-lengths) histogram (SparkEntry cache
+    // contract) makes it one pass. 0.89 s → 0.57 s clean at sf0.1.
     val h = docs
       .select($"source", graft.ops.TextOps.tokenCount($"text").cast("long").as("n_tok"))
       .groupBy($"source", $"n_tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lower median of a per-source histogram (value col -> med col)
     def lowerMedian(hist: DataFrame, v: String, out: String): DataFrame = {
       val w = Window.partitionBy($"source").orderBy(col(v))

@@ -44,6 +44,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got == refRank(edges), "rank trajectories diverge")
   }
 
+  test("zero-inflow sources hold the constant base rank (sparse-state loop)") {
+    // r19 optimization guard: run() now carries ONLY in-edge-
+    // receiving nodes through the loop and folds pure sources into a
+    // per-round constant default. A path + extra source graph makes
+    // the folded class explicit: nodes 1 and 9 are never cited, so
+    // every round leaves them at baseMicro — and the full frame must
+    // still match the dense single-process reference exactly.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (9L, 2L))
+    val got = PageRank.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val ref = refRank(edges)
+    assert(got == ref, "sparse-state loop diverged from dense reference")
+    val n = ref.size
+    val baseMicro = math.floor((1 - PageRank.Damping) / n * 1e6 + 0.5).toLong
+    assert(got(1L) == baseMicro && got(9L) == baseMicro,
+      "pure sources must sit at the constant base rank")
+  }
+
   test("star graph: the hub out-ranks every spoke; rank mass conserved when dangling-free") {
     // spokes all cite the hub, hub cites every spoke back (no
     // dangling nodes -> total rank stays ~1 within micro rounding)

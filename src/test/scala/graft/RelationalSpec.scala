@@ -60,6 +60,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q76 aggregated-levels builder equals the verbatim WITH RECURSIVE text") {
+    // r19 optimization guard: the builder no longer runs the
+    // recursive CTE (it aggregates (node, paths) per level so the
+    // edge derivation scans once instead of once per UnionLoop
+    // iteration); the CTE text still defines the semantics and runs
+    // verbatim in the DuckDB oracle. Equality of the full frame —
+    // node, min distance AND path count — at two SFs pins the
+    // rewrite exactly (all-integer arithmetic, so no tolerance).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(dir).exists) {
+      val opt = graft.queries.Relational.queries("q76_recursive_bfs")(spark, dir)
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      val cte = spark.sql(graft.queries.Relational.RecursiveBfsSql)
+      assert(opt.exceptAll(cte).isEmpty && cte.exceptAll(opt).isEmpty,
+        s"$dir: aggregated-levels BFS diverged from the recursive CTE")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q76 depth cap: seed eccentricity <= 3 at every shipped SF") {
     // q76's WITH RECURSIVE text caps `b.d < 3` and runs VERBATIM in
     // both engines, so the oracle gate cannot detect a dataset whose
