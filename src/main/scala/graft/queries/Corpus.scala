@@ -1727,13 +1727,20 @@ object Corpus {
       .select($"source", $"doc_id",
         TextOps.tokenCount($"text").cast("long").as("n_tok"))
       .filter($"n_tok" > 0L)
-    // three consumers below (counts, the x_ref pick, the term sums)
-    // reference this subtree; its exchange is identical in each, so
-    // runtime ReusedExchange serves them from ONE corpus pass (an
-    // eager localCheckpoint here measured SLOWER at sf0.1 — the
-    // materialization job cannot overlap the consumers)
+    // r19: three consumers below (counts, the x_ref pick, the term
+    // sums) reference this subtree, and the plan re-ran the corpus
+    // tokenCount pass for each (5 scans,
+    // plans/r19/q145_length_tail_before.txt — the runtime exchange
+    // reuse the old comment counted on does not collapse re-planned
+    // scan subtrees, the q151 lesson). A lazy persist of the
+    // O(sources·K) top table serves all three from ONE pass — unlike
+    // the eager localCheckpoint variant the old note measured slower
+    // (the blocking materialization job was the cost, not the reuse).
+    // Isolated clean A/B at sf0.1: 1.03 → 0.51 s (control-normalized;
+    // raw passes 1.33 → 0.51 with the before window ~1.25× loaded).
     val top = graft.plans.TopK.perKey(lens, Seq("source"),
       Seq("n_tok" -> false, "doc_id" -> true), HillK + 1, rankCol = "rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = top.groupBy($"source").agg(count(lit(1)).as("m"))
       .withColumn("k", least($"m" - 1L, lit(HillK.toLong)))
     val ref = top.join(cnt, Seq("source"))

@@ -845,10 +845,15 @@ object Learn {
   private[graft] def tokenAlloc(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // r19: allocOf references the availability table twice — the
+    // unpersisted plan ran the corpus tokenCount pass for each (the
+    // q151 note). Persisted O(sources) rows: one pass. Isolated
+    // clean A/B at sf0.1: 0.89 → 0.33 s (2 scans → 1).
     allocOf(docs
       .select($"source",
         graft.ops.TextOps.tokenCount($"text").cast("long").as("n"))
-      .groupBy($"source").agg(sum($"n").as("avail")))
+      .groupBy($"source").agg(sum($"n").as("avail"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** The allocation over an already-aggregated (source, avail)

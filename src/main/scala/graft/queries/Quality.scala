@@ -101,6 +101,15 @@ object Quality {
       // strings (measured 1.85 s → 1.19 s at sf0.1; the string
       // form's dominant cost was interpreted struct/string lambdas).
       val P = lit(1000000007L)
+      // r19 audit note: the q126 pre-partition device was TRIED here
+      // (repartition(doc_id) satisfies both aggregates' clustered
+      // distributions, dropping two exchanges) and measured 0.90 →
+      // 1.62 s at sf0.1 — reverted. Unlike q126's span-width gram
+      // strings, these exchanges carry 8-byte gram IDs, so the wire
+      // bytes saved (~2 longs/token) roughly equal the text bytes
+      // the repartition adds, and the fused four-aggregate stage
+      // lost the pipeline split. Left in the exchange-per-aggregate
+      // shape deliberately.
       val base = Tables.documents(s, d)
         .select($"doc_id",
           graft.ops.expressions.TokenHashes($"text").as("hs"))

@@ -181,11 +181,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // an explicit limit) bounding the rows the single task sees.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
-    def bounded(p: SparkPlan): Boolean = p.collectFirst {
-      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => ()
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
-    }.nonEmpty
+    def bounded(p: SparkPlan): Boolean = p.collect {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      // Same descent rules as the low-cardinality companion below: a
+      // persisted bounding aggregate plans as a cache scan whose
+      // lineage hangs off the InMemoryRelation (q136's O(sources)
+      // availability table), and AQE wrappers are leaf nodes whose
+      // real subtree is a field. Descend and re-apply the invariant —
+      // a cached corpus-sized projection still fails.
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        bounded(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        bounded(q.plan)
+    }.exists(identity)
     for ((name, (_, plan)) <- built;
          w <- plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w })
       assert(bounded(w.child),
