@@ -523,27 +523,20 @@ object Cleaning {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      // r19 (guide §2.3 shuffle fewer bytes): hash-partition the RAW
-      // text by doc_id BEFORE shingling. hashpartitioning(doc_id)
-      // satisfies the per-doc aggregate's ClusteredDistribution
-      // (doc_id, gram) — partition keys ⊆ grouping keys — so the
-      // (doc_id, gram) occurrence count no longer plans its own
-      // exchange: the exchange COUNT stays 2, but the first hop's
-      // payload changes from the per-doc gram-string partials
-      // (~SpanK×=8× the text bytes, the q75 trade) to the raw text
-      // (1×) — ~8× fewer bytes on the first wire hop at any scale
-      // (plans/r19/q126_boilerplate_grams_{before,after}: Exchange
-      // hashpartitioning(doc_id,gram) over gram partials → Exchange
-      // REPARTITION_BY_COL(doc_id) over (doc_id, text), and the
-      // (doc_id, gram) aggregate fuses into the scan stage).
-      // Honest local measurement: repeated sf0.1 A/Bs land WITHIN
-      // NOISE (before 1.42–1.60 s, after 1.38–1.62 s, q51 control
-      // drifting 1.0–1.3 s across the same windows) — local[32]
-      // shuffles are memory copies, so the ~SpanK× byte asymmetry
-      // this trades on is priced at ~0 here and only pays on a real
-      // network (guide §2.2: shuffles get relatively slower as you
-      // scale out). Kept for the plan shape, not a local win.
-      .repartition($"doc_id")
+      // r19 audit note: a pre-shingle `.repartition($"doc_id")` was
+      // TRIED here (guide §2.3 — hashpartitioning(doc_id) satisfies
+      // the (doc_id, gram) aggregate's ClusteredDistribution, so the
+      // first shuffle hop would carry 1× raw text instead of
+      // ~SpanK×=8× gram-string partials; the plan-shape evidence is
+      // committed as plans/r19/q126_boilerplate_grams_{before,after})
+      // and REVERTED: in full-bench context at sf0.1 it measured a
+      // consistent +0.4–0.6 s (0.83 → 1.19–1.82 kept across three
+      // runs while neighbor queries tracked their baselines) —
+      // local[32] shuffles are memory copies, so the byte asymmetry
+      // prices at ~0 here while the extra full-text exchange and the
+      // lost scan→partial-agg pipeline cost real time. On a real
+      // network the trade may invert (guide §2.2); re-evaluate on a
+      // cluster, not from local numbers.
       // toks MATERIALIZED before the shingle HOF (chunksOf's PERF
       // note: an inline tokens(text) re-tokenizes the whole text
       // once per window — measured here 6.4 s → 0.5 s at sf0.1)
