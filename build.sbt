@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout/stderr through UNDECORATED instead
+// of re-logging them with "[info] "/"[error] " prefixes: the bench's
+// one-line JSON contract (Bench.scala) must reach the driver parseable
+// — every BENCH_r*.json since r15 carried parsed:null because the
+// driver never stripped sbt's prefix from the line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,9 +148,16 @@ object Bench {
       System.err.println(f"[bench] loadavg decayed to $loadBefore%.2f — proceeding.")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-loop knob (the driver never sets it — default keeps the
+    // contract shape shuffle.partitions == cpus): override the
+    // shuffle-partition count independently of the core count, for
+    // diagnosing partition-count-sensitive plans (the r20 q24-family
+    // investigation: many small shuffle files at 32 partitions cost
+    // more in open/mmap/unmap churn than the extra parallelism buys).
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // same session conventions as Verify: q27's date_format must
@@ -370,7 +377,15 @@ object Bench {
     val trainedJson = SparkEntry.trainedStageQueries.values.flatten.toSeq
       .filter(names.contains).sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noisy":$noisyJson,"noisy_rerun":$rerunJson,"trained_stages":$trainedJson,$loadJson,"sf":"$sfDir"}"""
+    // ...and what those untimed builds actually COST (r19 verdict #3:
+    // disclosure named the gated queries but no number carried the
+    // warmup's build seconds, so total time could silently drain into
+    // the untimed region). Cumulative wall seconds per stage, recorded
+    // at build time by SessionStage; doubles serialize via toString
+    // (locale-safe, the spread convention above).
+    val stageBuildJson = graft.ops.SessionStage.buildSecs.toSeq.sorted
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noisy":$noisyJson,"noisy_rerun":$rerunJson,"trained_stages":$trainedJson,"trained_stage_build_secs":$stageBuildJson,$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // Persist the COMPLETE line as a workspace artifact (round-14
     // verdict #4): the driver's committed BENCH_r{N}.json keeps only
@@ -382,6 +397,10 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // full line on stderr too (bare — sbt leaves forked stderr
+    // undecorated; see the total_summary copy below). The summary
+    // trailer still goes LAST so a tail-truncated capture keeps it.
+    System.err.println(fullJson)
     // Compact trailer AFTER the full line: the driver's artifact
     // keeps only the output TAIL (BENCH_r09.json lost its own
     // leading "value" field to 2000-char truncation), so the
@@ -389,7 +408,16 @@ object Bench {
     // the scalar fields sit LAST so that even if the failed/noisy
     // lists ever grow past the truncation window, the tail-kept
     // bytes still carry value/n_queries/n_failed.
-    println(s"""{"metric":"total_summary","failed":$failedJson,"noisy":$noisyJson,"trained_stages":$trainedJson,$loadJson,"sf":"$sfDir","unit":"sec","value":$total,"n_queries":${results.length},"n_failed":${failed.length},"n_noisy_rerun":${rerun.size}}""")
+    val summaryJson = s"""{"metric":"total_summary","failed":$failedJson,"noisy":$noisyJson,"trained_stages":$trainedJson,"trained_stage_build_secs":$stageBuildJson,$loadJson,"sf":"$sfDir","unit":"sec","value":$total,"n_queries":${results.length},"n_failed":${failed.length},"n_noisy_rerun":${rerun.size}}"""
+    println(summaryJson)
+    // ALSO on stderr, bare (r19 verdict #2: every BENCH_r*.json since
+    // r15 carries parsed:null — through sbt the stdout lines arrive
+    // decorated with an "[info] " prefix and the driver's parser never
+    // strips it, so PERF's per-query/scaling blocks have been empty
+    // for five rounds. sbt passes the forked process's stderr through
+    // UNdecorated, so this copy is the parse target; bench_full.json /
+    // $GRAFT_BENCH_OUT remains the durable full artifact.)
+    System.err.println(summaryJson)
     spark.stop()
   }
 }

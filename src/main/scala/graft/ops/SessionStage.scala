@@ -24,7 +24,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     test isolation).
   */
 final class SessionStage[T](build: (SparkSession, String) => T,
-                            onDrop: T => Unit = (_: T) => ()) {
+                            onDrop: T => Unit = (_: T) => (),
+                            metricName: String = "") {
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), T]
@@ -36,7 +37,11 @@ final class SessionStage[T](build: (SparkSession, String) => T,
     }
     cache.getOrElseUpdate((s, d), {
       builds.incrementAndGet()
-      build(s, d)
+      val t0 = System.nanoTime()
+      val v = build(s, d)
+      if (metricName.nonEmpty)
+        SessionStage.recordBuild(metricName, (System.nanoTime() - t0) / 1e9)
+      v
     })
   }
 
@@ -51,6 +56,31 @@ final class SessionStage[T](build: (SparkSession, String) => T,
     cache.clear()
     builds.set(0)
   }
+}
+
+object SessionStage {
+
+  // cumulative wall seconds per named stage build, across every build
+  // this JVM ran (r19 verdict #3: the trained-stage memos execute in
+  // Bench's UNTIMED warmup, so their cost appeared in no timed number;
+  // Bench now reads this registry after warmup and emits
+  // `trained_stage_build_secs` in both JSON lines)
+  private val buildTimes =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  private[ops] def recordBuild(name: String, secs: Double): Unit = {
+    buildTimes.updateWith(name) {
+      case Some(t) => Some(t + secs)
+      case None => Some(secs)
+    }
+    ()
+  }
+
+  /** Snapshot of cumulative build seconds per named stage. */
+  def buildSecs: Map[String, Double] = buildTimes.toMap
+
+  /** Spec/probe hook: forget recorded build times. */
+  def resetBuildSecs(): Unit = buildTimes.clear()
 }
 
 /** A [[SessionStage]] whose value materializes as PARQUET under a
@@ -95,9 +125,12 @@ final class SessionStage[T](build: (SparkSession, String) => T,
   *
   * Staleness/eviction contract: [[SessionStage]]. */
 final class ParquetStage(name: String,
-                         derive: (SparkSession, String) => DataFrame) {
+                         derive: (SparkSession, String) => DataFrame,
+                         metricName: String = "") {
 
   private val inner = new SessionStage[(DataFrame, () => Unit)](
+    metricName =
+      if (metricName.nonEmpty) metricName else name.replace('-', '_'),
     build = (s, d) => {
       // best-effort janitor pass (once per JVM, local tmpdir only):
       // sweep dead siblings' namespaces before adding our own

@@ -3332,7 +3332,8 @@ object BpeStage {
   private val stage =
     new graft.ops.SessionStage[Seq[graft.pipeline.BpeTrainer.Merge]]((s, d) =>
       graft.pipeline.BpeTrainer.train(
-        s, graft.Tables.documents(s, d), "text", Corpus.BpeRounds, minFreq = 1L))
+        s, graft.Tables.documents(s, d), "text", Corpus.BpeRounds, minFreq = 1L),
+      metricName = "bpe_merges")
 
   def merges(s: org.apache.spark.sql.SparkSession,
              d: String): Seq[graft.pipeline.BpeTrainer.Merge] = stage.get(s, d)

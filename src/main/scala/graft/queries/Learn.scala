@@ -748,7 +748,7 @@ object Learn {
     * the transform consume them (disclosed in
     * `SparkEntry.trainedStageQueries`). */
   private val pcStage = new graft.ops.SessionStage[PcFit]((s, d) =>
-    pcFit(Tables.embeddings(s, d)))
+    pcFit(Tables.embeddings(s, d)), metricName = "pc_fit")
 
   private[graft] def pcStageBuilds: Int = pcStage.buildCount
   private[graft] def pcStageReset(): Unit = pcStage.reset()
@@ -1512,7 +1512,8 @@ object Learn {
 object ProbeStage {
 
   private val stage = new graft.ops.SessionStage[Array[Array[Long]]]((s, d) =>
-    graft.pipeline.ProbeTrainer.train(graft.Tables.embeddings(s, d))._1)
+    graft.pipeline.ProbeTrainer.train(graft.Tables.embeddings(s, d))._1,
+    metricName = "probe_weights")
 
   def trained(s: SparkSession, d: String): Array[Array[Long]] = stage.get(s, d)
 

@@ -54,10 +54,12 @@ object NearDupStage {
     * adaptive broadcast and planned corpus-text sort-merge shuffles
     * (measured at the 10× probe: q147 5.1 s → 26.6 s). */
   private val pairStage = new graft.ops.ParquetStage("neardup-pairs",
-    (s, d) => TextVector.queries("q24_near_dup")(s, d).select("id_a", "id_b"))
+    (s, d) => TextVector.queries("q24_near_dup")(s, d).select("id_a", "id_b"),
+    metricName = "near_dup_pairs")
 
   private val stage = new graft.ops.SessionStage[DataFrame]((s, d) =>
-    graft.ops.ConnectedComponents.run(pairs(s, d), "id_a", "id_b"))
+    graft.ops.ConnectedComponents.run(pairs(s, d), "id_a", "id_b"),
+    metricName = "near_dup_labels")
 
   /** The verified (id_a, id_b) near-dup pairs — one q24 execution
     * shared by q147/q157 and the label stage underneath. */

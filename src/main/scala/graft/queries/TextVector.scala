@@ -299,7 +299,7 @@ object TextVector {
   // (semDedup/embedOutliers over arbitrary frames) stay un-memoized.
   private val centsStage =
     new graft.ops.SessionStage[Array[Array[Double]]]((s, d) =>
-      trainedCentsDyn(Tables.embeddings(s, d)))
+      trainedCentsDyn(Tables.embeddings(s, d)), metricName = "ivf_quantizer")
   private def trainedCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
     centsStage.get(s, d)
   /** Spec hooks for the shared-quantizer memo (TrainedStageSpec pins

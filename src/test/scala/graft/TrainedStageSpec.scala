@@ -102,6 +102,29 @@ class TrainedStageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stage builds record wall seconds under their trainedStageQueries key") {
+    // r19 verdict #3: the memoized builds run in Bench's UNTIMED
+    // warmup, so their cost appeared in no timed number. SessionStage
+    // now records cumulative build seconds per metric name and Bench
+    // emits them as trained_stage_build_secs — pin that (a) a build
+    // records a positive time under the SAME key the disclosure map
+    // uses, (b) a memo HIT records nothing new, (c) reset clears.
+    graft.ops.SessionStage.resetBuildSecs()
+    graft.queries.Learn.pcStageReset()
+    SparkEntry.queries("q129_top_pc")(spark, sf).foreach(_ => ())
+    val t1 = graft.ops.SessionStage.buildSecs
+    assert(t1.contains("pc_fit") && t1("pc_fit") > 0.0,
+      s"pc_fit build time not recorded: $t1")
+    assert(SparkEntry.trainedStageQueries.contains("pc_fit"),
+      "build-time key must match the disclosure map's stage key")
+    SparkEntry.queries("q130_whiten")(spark, sf).foreach(_ => ())
+    assert(graft.ops.SessionStage.buildSecs("pc_fit") == t1("pc_fit"),
+      "a memo hit must not add build time")
+    graft.ops.SessionStage.resetBuildSecs()
+    assert(graft.ops.SessionStage.buildSecs.isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("the shared quantizer trains once for its three consumers (q104, q108, q115)") {
     graft.queries.TextVector.centsStageReset()
     SparkEntry.queries("q104_semdedup")(spark, sf).foreach(_ => ())
