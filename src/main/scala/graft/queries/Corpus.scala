@@ -598,12 +598,22 @@ object Corpus {
     "q87_bpe_pairs" -> { (s, d) =>
       import s.implicits._
       val w = Window.orderBy($"n".desc, $"pair")
+      // r20 (guide §2.3 aggregate-before-shuffle): pair statistics are
+      // a pure function of the TYPE distribution — a pair's count is
+      // Σ over distinct tokens of (token count × occurrences of the
+      // pair inside that token) — so fold the token stream to (tok, n)
+      // FIRST (map-side-combined, id-width) and run the char-pair
+      // explode over O(types) rows instead of O(corpus tokens). The
+      // same multiset of (pair, weight) reaches the pair aggregate
+      // (a token containing a pair twice still emits two rows, each
+      // weighted n), so counts are bit-identical.
       Tables.documents(s, d)
         .select(explode(TextOps.tokens($"text")).as("tok"))
         .filter(length($"tok") > 1)
-        .select(explode(transform(sequence(lit(1), length($"tok") - 1),
+        .groupBy($"tok").agg(count(lit(1)).as("tn"))
+        .select($"tn", explode(transform(sequence(lit(1), length($"tok") - 1),
           i => substr($"tok", i, lit(2)))).as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .groupBy($"pair").agg(sum($"tn").as("n"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter($"rn" <= 20)
         .orderBy($"rn")
@@ -654,13 +664,23 @@ object Corpus {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val merges = BpeStage.merges(s, d)
+      // r20 (guide §2.3 aggregate-before-shuffle / §1.2 per-task work):
+      // BPE encoding is per-word independent (encodePieces maps each
+      // word through BpeApply and flattens), so the corpus piece count
+      // is Σ over distinct (lang, word) of count × pieces(word). Fold
+      // the pre-token stream to (lang, w, nw) first — map-side
+      // combined — and run the merge-replay kernel once per TYPE
+      // instead of once per occurrence (the encode kernel dominated
+      // the scoring pass: 0.84 s → 0.33 s clean at sf0.1). Integer
+      // sums are exact, so the per-lang totals are bit-identical.
       docs
-        .select($"lang", TextOps.preTokens($"text").as("ws"))
-        .select($"lang", size($"ws").cast("long").as("nw"),
-          size(graft.pipeline.BpeTrainer.encodePieces($"ws", merges))
+        .select($"lang", explode(TextOps.preTokens($"text")).as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("nw"))
+        .select($"lang", $"nw",
+          size(graft.pipeline.BpeTrainer.encodePieces(array($"w"), merges))
             .cast("long").as("np"))
         .groupBy($"lang")
-        .agg(sum($"nw").as("n_words"), sum($"np").as("n_pieces"))
+        .agg(sum($"nw").as("n_words"), sum($"nw" * $"np").as("n_pieces"))
         .filter($"n_words" > 0L)
         .select($"lang", $"n_words", $"n_pieces",
           floor($"n_pieces".cast("double") / $"n_words".cast("double")
@@ -1480,14 +1500,41 @@ object Corpus {
   private[graft] def bigramCounts(docs: DataFrame): DataFrame =
     bigramCountsFromToks(tokenized(docs))
 
-  /** Both count statistics off ONE tokenize (q154/q125's chains each
-    * consume the pair — two independent derivations would pay the
-    * corpus tokenize twice; the persisted frame is the q102-pos-frame
-    * device, token-width, under the SparkEntry cache contract). */
+  /** Both count statistics off ONE tokenize AND one aggregation pass
+    * (r20, guide §2.3/§2.4 — the r19 form persisted the corpus-width
+    * token frame and then ran SEPARATE explode+aggregate passes over
+    * it for every uni/bi reference: q125's chain re-aggregated the
+    * cached tokens 3×, q154's 4×, plans/r20/q*_before.txt). One
+    * explode emits each token occurrence as (w1, null) and each
+    * adjacent pair as (w1, w2); ONE map-side-combined hash aggregate
+    * groups both families through a single exchange, and the
+    * persisted result is the O(types + pair types) count table — the
+    * sufficient statistic, not the corpus — which every downstream
+    * reference filters for free. Unigram rows are exactly the w2-null
+    * group (tokens are never null, so no bigram can collide into it);
+    * counts are bit-identical to the two-pass form because the same
+    * multiset of rows reaches each grouping key.
+    * Skew note (§2.2/§2.5): a hot token ("the") is collapsed by the
+    * partial aggregate to ≤ one row per map task per key before the
+    * exchange — measured at sf0.1: top-token share 4.9 % of
+    * occurrences but post-combine every key ships ≤ #map-task rows;
+    * no salt needed (receipt in OPTIMIZATION_r20.md). */
   private[graft] def uniBiCounts(docs: DataFrame): (DataFrame, DataFrame) = {
     val tk = tokenized(docs)
+    val fused = tk
+      .select(col("lang"), explode(concat(
+        transform(col("toks"),
+          w => struct(w.as("w1"), lit(null).cast("string").as("w2"))),
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))).as("p"))
+      .groupBy(col("lang"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (unigramCountsFromToks(tk), bigramCountsFromToks(tk))
+    (fused.filter(col("w2").isNull)
+        .select(col("lang"), col("w1").as("w"), col("c")),
+      fused.filter(col("w2").isNotNull))
   }
 
   /** q125 over the pre-aggregated sufficient statistics (the

@@ -784,6 +784,10 @@ object TextVector {
     // hash sets equals Jaccard over the shingle strings up to hash
     // collisions, which both engines compute identically (standard
     // minhash practice — the verify never needs the strings).
+    // persisted: the (doc_id, hs, sig) stage is ~2 KB/doc and feeds
+    // the band machinery (2 references through the explode) plus both
+    // verify join-backs — lifecycle is the Verify/Bench clearCache
+    // contract
     val sh = docs
       // fan out past the single-file scan split (q34 rationale)
       .repartition($"doc_id")
@@ -795,49 +799,28 @@ object TextVector {
       .filter(size($"hs") > 0)
       .select($"doc_id", $"hs",
         graft.ops.expressions.MinHashSig($"hs", NumPerms).as("sig"))
-    // persisted: consumed by the bucket-size/hub aggregate AND the
-    // tagging join below (no DAG-level CSE; the q93 device) —
-    // lifecycle is the Verify/Bench clearCache contract
-    val bands = sh.select(
-      $"doc_id", $"hs",
-      posexplode(bandHashes($"sig")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bucket size + hub per bucket, both map-side-combined partial
-    // aggregates — a hot bucket reduces to one row per input
-    // partition before the shuffle; singleton buckets drop here
-    // (they can emit no pair), BEFORE any member payload groups
-    val stats = bands
-      .groupBy($"band_idx", $"band_hash")
-      .agg(count(lit(1)).as("m"), min(struct($"doc_id", $"hs")).as("hub"))
-      .filter($"m" > 1)
-    val tagged = bands.join(stats, Seq("band_idx", "band_hash"))
-    // Bucket-carry formulation for NORMAL buckets (m ≤ cap):
-    // shingle-hash sets travel WITH the band rows into the groupBy,
-    // so the whole scan→minhash lineage is evaluated ONCE (a band
-    // self-join would recompute it per side — measured 11.3s → ~4s
-    // at sf0.1). Trade-off: shuffle carries Bands× the shingle
-    // payload; with huge payloads (long docs at 100 TB) flip to the
-    // join-back variant (candidates by id only, shingles re-joined
-    // for the verify — q34 demonstrates it). Worst-case small-bucket
-    // expansion is Cap(Cap-1)/2 pairs; bigger buckets take the
-    // star path.
-    val smallPairs = tagged.filter($"m" <= BucketCap)
-      .groupBy($"band_idx", $"band_hash")
-      .agg(collect_list(struct($"doc_id", $"hs")).as("members"))
-      .select(explode(flatten(transform($"members", x =>
-        transform(
-          filter($"members", y => y.getField("doc_id") > x.getField("doc_id")),
-          y => struct(
-            x.getField("doc_id").as("id_a"), x.getField("hs").as("hs_a"),
-            y.getField("doc_id").as("id_b"), y.getField("hs").as("hs_b")))))).as("p"))
-      .select($"p.id_a", $"p.hs_a", $"p.id_b", $"p.hs_b")
-    val starPairs = tagged.filter($"m" > BucketCap)
-      .filter($"doc_id" =!= $"hub.doc_id")
-      .select($"hub.doc_id".as("id_a"), $"hub.hs".as("hs_a"),
-        $"doc_id".as("id_b"), $"hs".as("hs_b"))
-    val pairs = smallPairs.unionByName(starPairs)
-      .dropDuplicates("id_a", "id_b")
-    pairs
+    // r20 (guide §2.3 shuffle keys, not payloads / §8): the r19 form
+    // persisted the EXPLODED band table with every row carrying the
+    // full shingle-hash array — Bands× (16×) the hs payload held in
+    // cache and pushed through the bucket-stats exchange AND the
+    // tagging join AND the pair-expansion groupBy (the 32-partition
+    // shuffle-file churn priced that in, plans/r20/
+    // q24_near_dup_before.txt). Now the band machinery sees id-width
+    // (doc_id, band_idx, band_hash) rows only — the SAME
+    // cappedBandCandidates operator q29/q34 ride — and the verify
+    // re-attaches hs from the persisted narrow stage exactly once per
+    // side. The r17 note that rejected a band self-join measured
+    // RECOMPUTING the scan→minhash lineage per side; joining back
+    // from the persisted stage recomputes nothing. Candidates are
+    // identical (same expansion, hub = bucket-min doc_id either way,
+    // distinct on the bare pair ≡ dropDuplicates on the carried one),
+    // so the verified pair set is bit-identical.
+    val bands = sh.select($"doc_id",
+      posexplode(bandHashes($"sig")).as(Seq("band_idx", "band_val")))
+    cappedBandCandidates(bands)
+      .join(sh.select($"doc_id".as("id_a"), $"hs".as("hs_a")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"hs".as("hs_b")), "id_b")
       .select($"id_a", $"id_b",
         (size(array_intersect($"hs_a", $"hs_b")).cast("double") /
           size(array_union($"hs_a", $"hs_b")).cast("double")).as("jaccard"))
@@ -1127,7 +1110,15 @@ object TextVector {
     // carry-forward formulation row for row.
     "q36_asof_join" -> { (s, d) =>
       import s.implicits._
+      // r20 (guide §2.4 share one exchange): hash the orders side by
+      // custkey BEFORE the day-total aggregate — HashPartitioning(
+      // custkey) satisfies the aggregate's ClusteredDistribution(
+      // custkey, orderdate) AND, through the alias, the as-of join's
+      // ClusteredDistribution(user_id), so the aggregate and the join
+      // share ONE exchange where the old plan paid two
+      // (plans/r20/q36_asof_join_{before,after}.txt).
       val o = Tables.orders(s, d)
+        .repartition($"o_custkey")
         .groupBy($"o_custkey", $"o_orderdate")
         .agg(sumExact($"o_totalprice").as("day_total"))
         // o_orderdate is parquet TIMESTAMP_NTZ; the UTC session makes
@@ -1151,7 +1142,9 @@ object TextVector {
     // DuckDB native forward ASOF (`e.t <= o.t`).
     "q66_asof_forward" -> { (s, d) =>
       import s.implicits._
+      // r20: one exchange serves the aggregate and the join (q36 note)
       val o = Tables.orders(s, d)
+        .repartition($"o_custkey")
         .groupBy($"o_custkey", $"o_orderdate")
         .agg(sumExact($"o_totalprice").as("day_total"))
         .select($"o_custkey".as("user_id"),
