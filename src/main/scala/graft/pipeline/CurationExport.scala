@@ -199,7 +199,8 @@ object CurationExport {
           probe: Option[ProbeStage] = None,
           evalSet: Option[DataFrame] = None,
           heuristic: Boolean = false,
-          scrubPii: Boolean = false): DataFrame = {
+          scrubPii: Boolean = false,
+          targetFileBytes: Option[Long] = None): DataFrame = {
     require(format == "parquet" || format == "jsonl",
       s"unsupported export format '$format' (parquet | jsonl)")
     val st = build(spark, sfDir, mixtureDir, probe, evalSet, heuristic)
@@ -225,9 +226,35 @@ object CurationExport {
       .select(col("doc_id"), col("lang"), col("text"), col("unit_id"),
         col("quality"), col("probe_score"), col("n_pii"), col("split"))
 
-    val w = kept.write.partitionBy("split").mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-    if (format == "jsonl") w.json(outDir) else w.parquet(outDir)
+    // §6 output sizing (r20, r19 verdict #8): the write was bounded by
+    // a caller-set maxRecordsPerFile only — a ROW bound, blind to how
+    // many bytes a row costs, so file sizes drifted with the corpus.
+    // Target BYTES per file instead: rows-per-file derives from the
+    // target divided by the input corpus's measured parquet
+    // bytes/row (footer metadata + file lengths — no data pass), and
+    // a REBALANCE-by-split hint lets AQE coalesce/split the write-side
+    // partitions so small files don't multiply per task (guide §6:
+    // aim 128 MB–1 GB; default target 128 MiB, override with
+    // `spark.graft.export.targetFileBytes` or the parameter). The
+    // estimate is parquet-to-parquet; jsonl files land larger by the
+    // format's expansion factor — bound, not exact (documented).
+    val target = targetFileBytes.getOrElse(
+      spark.conf.getOption("spark.graft.export.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024))
+    // floor of 16 rows/file: a degenerate bytes/row estimate (or a
+    // toy target) must not shatter the export into near-empty files;
+    // any production target (≥128 MiB) with real rows sits far above
+    val rowsPerFile =
+      math.max(16L, (target / parquetBytesPerRow(spark, sfDir)).toLong)
+    val sized = kept.hint("rebalance", col("split"))
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.get(key, "0")
+    spark.conf.set(key, rowsPerFile)
+    try {
+      val w = sized.write.partitionBy("split").mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+      if (format == "jsonl") w.json(outDir) else w.parquet(outDir)
+    } finally spark.conf.set(key, prev)
     st.unpersist()
 
     readBack(spark, outDir, format)
@@ -281,6 +308,22 @@ object CurationExport {
     st.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
+  /** Measured parquet bytes per row of the corpus under `sfDir` —
+    * the write-sizing denominator. Footer/row-count metadata and file
+    * lengths only; the export's rows are the documents table's minus
+    * drops plus a few narrow lineage columns, so the input's ratio is
+    * the right order-of-magnitude estimator without a data pass. */
+  private def parquetBytesPerRow(spark: SparkSession, sfDir: String): Double = {
+    val path = s"$sfDir/documents.parquet"
+    val df = spark.read.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = df.inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(new java.net.URI(f))).getLen).sum
+    val rows = df.count() // parquet metadata read, no data scan
+    if (rows <= 0L || bytes <= 0L) 1024.0 else bytes.toDouble / rows
   }
 
   /** Read a written export (the report path above; also the

@@ -76,6 +76,34 @@ class CurationExportSpec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
   }
 
+  test("targetFileBytes sizes output files: small target splits, content unchanged") {
+    // r20 (§6 output sizing): rows-per-file now derives from a BYTE
+    // target over the input's measured parquet bytes/row, with a
+    // rebalance-by-split hint on the write. Pin that (a) a tiny
+    // target produces multiple bounded data files where the default
+    // produced few, (b) no file wildly exceeds the target (slack for
+    // footer + row-group minimums), (c) the exported rows are
+    // byte-identical either way.
+    val root = Files.createTempDirectory("graft-export-size").toString
+    val outBig = s"$root/big"; val outSmall = s"$root/small"
+    CurationExport.run(spark, sf, outBig)
+    CurationExport.run(spark, sf, outSmall, targetFileBytes = Some(8L * 1024))
+    def dataFiles(dir: String) =
+      new java.io.File(dir).listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val big = dataFiles(outBig); val small = dataFiles(outSmall)
+    assert(small.length > big.length,
+      s"8 KB target produced ${small.length} files vs ${big.length} at default")
+    val worst = small.map(_.length).max
+    assert(worst < 8L * 1024 * 6,
+      s"a sized file blew past the target: $worst bytes")
+    val a = CurationExport.readBack(spark, outBig).collect().toSet
+    val b = CurationExport.readBack(spark, outSmall).collect().toSet
+    assert(a == b, "sizing changed the exported rows")
+    spark.catalog.clearCache()
+  }
+
   test("mixtureDir plumbs maintained rates into the export") {
     val root = Files.createTempDirectory("graft-export-mix").toString
     // an EMPTY maintained store: every domain is unseen, so decide's

@@ -158,6 +158,33 @@ class ScaleSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("skew probe: planted hot key owns ~40%, salted and plain variants row-equal") {
+    // r20 (r19 verdict #5): the ScaleProbe skew receipt's fixture
+    // invariants — the fact generator really plants a hot key (the
+    // probe would otherwise measure nothing), and the salted variant
+    // (q82's device) computes exactly the plain join's table, which
+    // is what licenses comparing their times.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    try {
+      val n = 50000L
+      ScaleProbe.skewFact(spark, n).write.mode("overwrite")
+        .parquet(s"$dir/fact.parquet")
+      ScaleProbe.skewDim(spark, n).write.mode("overwrite")
+        .parquet(s"$dir/dim.parquet")
+      val hot = spark.read.parquet(s"$dir/fact.parquet")
+        .filter($"k" === 0L).count()
+      assert(math.abs(hot.toDouble / n - 0.4) < 0.01,
+        s"hot key owns $hot of $n rows — the planted share drifted")
+      val plain = ScaleProbe.skewJoin(spark, dir, salted = false).collect().toSeq
+      val salted = ScaleProbe.skewJoin(spark, dir, salted = true).collect().toSeq
+      assert(plain == salted, s"variants disagree: $plain vs $salted")
+      assert(plain.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("q34 embed-dedup joins back by id: no cartesian, candidate shuffle carries ids only") {
     val df = graft.queries.TextVector.queries("q34_embed_dup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
