@@ -663,13 +663,22 @@ object TextVector {
       .agg(count(lit(1)).as("m"), min($"doc_id").as("hub_id"))
       .filter($"m" > 1) // singleton buckets emit no pair
     val tagged = bands.join(stats, Seq("band_idx", "band_val"))
-    val small = tagged.filter($"m" <= BucketCap)
-      .select($"doc_id", $"band_idx", $"band_val")
-    val smallCand = small.as("x")
-      .join(small.as("y"),
-        $"x.band_idx" === $"y.band_idx" && $"x.band_val" === $"y.band_val" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+    // r20 (guide §2.4): the small-bucket pairs used to come from a
+    // band-key SELF-JOIN of the tagged frame — two more references to
+    // `bands` (recompute or cache reads) and a two-sided shuffle. One
+    // grouped pass now collects each ≤cap bucket's member ids (id
+    // width — bounded by cap, so the per-bucket quadratic expansion
+    // is ≤ cap(cap−1)/2 rows) and explodes the ordered pairs: same
+    // pair set, one pass, one exchange. (The r17 note that rejected
+    // the bucket-carry form for q34 measured it CARRYING the
+    // embedding payloads; members here are bare longs.)
+    val smallCand = tagged.filter($"m" <= BucketCap)
+      .groupBy($"band_idx", $"band_val")
+      .agg(collect_list($"doc_id").as("members"))
+      .select(explode(flatten(transform($"members", x =>
+        transform(filter($"members", y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select($"p.id_a", $"p.id_b")
     val starCand = tagged
       .filter($"m" > BucketCap && $"doc_id" =!= $"hub_id")
       .select($"hub_id".as("id_a"), $"doc_id".as("id_b"))
