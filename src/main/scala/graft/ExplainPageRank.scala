@@ -54,22 +54,19 @@ object ExplainPageRank {
     nextOld.explain("formatted")
     // ---- the r19 loop body: loop-invariant (src, dst, outdeg)
     // checkpointed once, sparse in-edge-keyed rank state, no
-    // per-round node spine join
+    // per-round node spine join. The round itself is the REAL
+    // operator's PageRank.roundBody (r19 advisor note: the explained
+    // plan must not drift from run()); the placeholder micro
+    // constants only stand in for the computed initMicro/baseMicro —
+    // both are literals in the plan either way.
     val ew = e
       .join(e.groupBy($"src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .select($"src", $"dst", $"outdeg")
       .localCheckpoint()
     val ranks = ew.select($"dst".as("node")).distinct()
       .select($"node", lit(1000L).as("rm")).localCheckpoint()
-    val next = ew
-      .join(ranks.withColumnRenamed("node", "src"), Seq("src"), "left")
-      .select($"dst", floor(coalesce($"rm", lit(900L)).cast("double") / lit(1e6) /
-        $"outdeg".cast("double") * lit(1e6) + lit(0.5))
-        .cast("long").as("c"))
-      .groupBy($"dst").agg(sum($"c").as("infl"))
-      .select($"dst".as("node"), (lit(100L) +
-        floor(lit(0.85) * $"infl".cast("double")
-          + lit(0.5)).cast("long")).as("rm"))
+    val next = graft.ops.PageRank.roundBody(
+      ew, ranks, defaultRm = 900L, baseMicro = 100L, damping = 0.85)
     println("==== pagerank_round_after ====")
     next.explain("formatted")
     spark.stop()

@@ -42,6 +42,32 @@ object PageRank {
   val Damping = 0.85
   val Rounds = 6
 
+  /** ONE power-iteration round body over the loop-invariant
+    * (src, dst, outdeg) frame: contribute, micro-quantize, aggregate
+    * inflow, apply the damped update. `ranks == null` means the
+    * uniform init state (every source holds `defaultRm`). Extracted
+    * so [[graft.ExplainPageRank]] explains the SAME expressions the
+    * loop executes — the committed plan artifact cannot drift from
+    * the operator (r19 advisor note). */
+  private[graft] def roundBody(ew: DataFrame, ranks: DataFrame,
+      defaultRm: Long, baseMicro: Long, damping: Double): DataFrame = {
+    val spark = ew.sparkSession
+    import spark.implicits._
+    val rm = if (ranks == null) lit(defaultRm)
+      else coalesce($"rm", lit(defaultRm))
+    val joined = if (ranks == null) ew
+      else ew.join(ranks.withColumnRenamed("node", "src"),
+        Seq("src"), "left")
+    val contrib = joined
+      .select($"dst", floor(rm.cast("double") / lit(1e6) /
+        $"outdeg".cast("double") * lit(1e6) + lit(0.5))
+        .cast("long").as("c"))
+    contrib.groupBy($"dst").agg(sum($"c").as("infl"))
+      .select($"dst".as("node"), (lit(baseMicro) +
+        floor(lit(damping) * $"infl".cast("double")
+          + lit(0.5)).cast("long")).as("rm"))
+  }
+
   /** Rank every node of `edges(src, dst)`. Returns (node,
     * rank_micro) — one row per distinct endpoint. */
   def run(edges: DataFrame, rounds: Int = Rounds,
@@ -91,19 +117,7 @@ object PageRank {
     var backing: DataFrame = null
     var defaultRm = initMicro
     for (_ <- 1 to rounds) {
-      val rm = if (ranks == null) lit(defaultRm)
-        else coalesce($"rm", lit(defaultRm))
-      val joined = if (ranks == null) ew
-        else ew.join(ranks.withColumnRenamed("node", "src"),
-          Seq("src"), "left")
-      val contrib = joined
-        .select($"dst", floor(rm.cast("double") / lit(1e6) /
-          $"outdeg".cast("double") * lit(1e6) + lit(0.5))
-          .cast("long").as("c"))
-      val next = contrib.groupBy($"dst").agg(sum($"c").as("infl"))
-        .select($"dst".as("node"), (lit(baseMicro) +
-          floor(lit(damping) * $"infl".cast("double")
-            + lit(0.5)).cast("long")).as("rm"))
+      val next = roundBody(ew, ranks, defaultRm, baseMicro, damping)
         .localCheckpoint()
       if (backing != null) ConnectedComponents.releaseCheckpoint(backing)
       backing = next

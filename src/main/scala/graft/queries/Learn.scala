@@ -278,6 +278,12 @@ object Learn {
       // times (plans/r19/q99_domain_mixture_before.txt). Persisted
       // (the q102 token-width-frame device, SparkEntry cache
       // contract), the corpus scans once. 0.77 s → 0.43 s clean.
+      // Footprint caveat (r19 advisor): unlike the O(sources)/O(types)
+      // sufficient-statistic persists elsewhere, this one is O(docs)
+      // — 4 narrow columns per document, NOT per token, but it still
+      // scales with the corpus. At production scale drop the persist
+      // (recompute the two passes) or spill it to disk-only storage;
+      // MEMORY_AND_DISK keeps the bench honest at test SFs.
       val docs = Tables.documents(s, d).select($"doc_id", $"lang",
         TextOps.tokenCount($"text").cast("long").as("n_tok"),
         TextOps.fingerprint($"text").as("h"))

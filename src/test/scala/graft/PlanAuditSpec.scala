@@ -21,6 +21,23 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val plans: Map[String, String] = built.view.mapValues(_._1).toMap
 
+  // The window DISCOVERY must descend like the bounded() checks do: a
+  // WindowExec planned inside a persisted frame hangs off the
+  // InMemoryRelation's cachedPlan (InMemoryTableScanExec is a LEAF),
+  // so a plain plan.collect never sees it — and the catalog now
+  // persists many derived frames. AQE wrappers hide subtrees the same
+  // way. (r19 advisor note.)
+  private def collectWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = p.collect {
+    case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      collectWindows(im.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectWindows(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectWindows(q.plan)
+  }.flatten
+
   // q25 broadcasts a 3-row query-vector set against the scan with an
   // always-true condition — an intentional BroadcastNestedLoopJoin
   // (the "join" is really a per-row constant lookup). q43 and q72
@@ -199,7 +216,7 @@ class PlanAuditSpec extends AnyFunSuite {
         bounded(q.plan)
     }.exists(identity)
     for ((name, (_, plan)) <- built;
-         w <- plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w })
+         w <- collectWindows(plan) if w.partitionSpec.isEmpty)
       assert(bounded(w.child),
         s"$name plans an unpartitioned window over an unbounded input:\n$w")
   }
@@ -239,11 +256,10 @@ class PlanAuditSpec extends AnyFunSuite {
         bounded(q.plan)
     }.exists(identity)
     for ((name, (_, plan)) <- built;
-         w <- plan.collect {
-           case w: WindowExec if w.partitionSpec.nonEmpty &&
-             w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
-               .forall(lowCard) => w
-         })
+         w <- collectWindows(plan)
+         if w.partitionSpec.nonEmpty &&
+           w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
+             .forall(lowCard))
       assert(bounded(w.child),
         s"$name plans a window partitioned only by low-cardinality columns " +
           s"(${w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(", ")}) " +
