@@ -1383,11 +1383,30 @@ object Corpus {
       .groupBy($"doc_id", $"blk", $"tok").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nblk = cnt.groupBy($"doc_id").agg((max($"blk") + 1L).as("n_blocks"))
-    // multiset overlap at gap g = Σ_tok min(count in block g, block g+1)
-    val sim = cnt.select($"doc_id", $"blk".as("g"), $"tok", $"c".as("ca"))
-      .join(cnt.select($"doc_id", ($"blk" - 1L).as("g"), $"tok", $"c".as("cb")),
-        Seq("doc_id", "g", "tok"))
-      .groupBy($"doc_id", $"g").agg(sum(least($"ca", $"cb")).as("overlap"))
+    // multiset overlap at gap g = Σ_tok min(count in block g, block g+1).
+    // r20 (guide §2.3/§2.4, the d6cc19e grouped-pass device): was a
+    // (doc_id, g, tok)-keyed SELF-JOIN of cnt against its blk−1 shift
+    // — token-width rows moved twice (broadcast of the whole count
+    // table at test SFs, a corpus-width broadcast that cannot exist
+    // at scale; double-shuffled SMJ once it tips). ONE
+    // groupBy(doc_id, tok) pass now collects each token's sorted
+    // (blk, c) run — bounded by the doc's own block count — and
+    // emits min(c_g, c_{g+1}) for each adjacent pair present on both
+    // sides, exactly the rows the inner join produced (absent pairs
+    // were dropped there, never emitted here). Same multiset reaches
+    // the (doc_id, g) sum — integer-exact, oracle-pinned.
+    val sim = cnt.groupBy($"doc_id", $"tok")
+      .agg(sort_array(collect_list(struct($"blk", $"c"))).as("bs"))
+      .select($"doc_id", explode(filter(
+        zip_with(
+          slice($"bs", lit(1), size($"bs") - 1),
+          slice($"bs", lit(2), size($"bs") - 1),
+          (a, b) => when(b.getField("blk") === a.getField("blk") + 1L,
+            struct(a.getField("blk").as("g"),
+              least(a.getField("c"), b.getField("c")).as("m")))),
+        x => x.isNotNull)).as("gm"))
+      .select($"doc_id", $"gm.g".as("g"), $"gm.m".as("m"))
+      .groupBy($"doc_id", $"g").agg(sum($"m").as("overlap"))
     // full gap spine — zero-overlap gaps (total topic shifts) must
     // exist as rows, not vanish from the join
     val spine = nblk.filter($"n_blocks" >= 2L)
