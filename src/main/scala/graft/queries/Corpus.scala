@@ -1818,7 +1818,10 @@ object Corpus {
         floor(log($"n_tok".cast("double") / $"x_ref".cast("double"))
           * lit(1e6) + lit(0.5)).cast("bigint").as("term"))
       .groupBy($"source", $"k").agg(sum($"term").as("t"))
-    cnt.select($"source", $"k").join(sums, Seq("source", "k"), "left")
+    // r20 (§3.1): sums is an O(sources·K) aggregate — the same
+    // footprint class as the persisted frame it derives from —
+    // broadcast it instead of sort-merging the (source, k) tail
+    cnt.select($"source", $"k").join(broadcast(sums), Seq("source", "k"), "left")
       .select($"source", greatest($"k", lit(0L)).as("k_tail"),
         coalesce(expr("t div k"), lit(0L)).as("hill_inv_micro"),
         coalesce(when($"t" > 0L, expr("(k * 1000000000000) div t")),

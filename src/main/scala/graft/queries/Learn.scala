@@ -241,9 +241,12 @@ object Learn {
     val raw = flagged.groupBy($"lang").agg(
       count(lit(1)).as("n_raw"),
       sum(when($"is_keeper", 1L).otherwise(0L)).as("n_dedup"))
+    // r20 (§3.1): both report tables are O(langs) aggregates —
+    // broadcast instead of sort-merging the lang-keyed tail
     raw
-      .join(rates.select($"lang", $"n_quality", $"rate_micro"), Seq("lang"), "left")
-      .join(kept, Seq("lang"), "left")
+      .join(broadcast(rates.select($"lang", $"n_quality", $"rate_micro")),
+        Seq("lang"), "left")
+      .join(broadcast(kept), Seq("lang"), "left")
       .select($"lang", $"n_raw", $"n_dedup",
         coalesce($"n_quality", lit(0L)).as("n_quality"),
         coalesce($"rate_micro".cast("double") / lit(1e6), lit(0.0)).as("rate"),
@@ -298,7 +301,8 @@ object Learn {
         .filter(pmod($"h", lit(1000000L)) < $"rate_micro")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
-      rates.join(kept, Seq("lang"), "left")
+      // r20 (§3.1): kept is an O(langs) aggregate — broadcast it
+      rates.join(broadcast(kept), Seq("lang"), "left")
         .select($"lang", $"n_docs", $"n_tokens",
           ($"rate_micro".cast("double") / lit(1e6)).as("rate"),
           coalesce($"n_kept", lit(0L)).as("n_kept"),

@@ -332,13 +332,18 @@ object Search {
     val semD = sem.select($"query_id", $"doc_id", $"srank")
       .filter($"srank" <= depth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lexD.join(semD, Seq("query_id", "doc_id"))
+    // r20 (§3.1): both capped rank tables are O(queries·depth) rows —
+    // bounded by constants — so the pair join broadcasts one side
+    // instead of exchanging+sorting both (was a SortMergeJoin).
+    val pairs = lexD.join(broadcast(semD), Seq("query_id", "doc_id"))
       .select($"query_id",
         greatest($"lrank", $"srank").cast("long").as("m"))
     val cm = pairs.groupBy($"query_id", $"m").agg(count(lit(1)).as("cm"))
     val spine = queryIds.map(_.toLong).toDF("query_id")
       .crossJoin(spark.range(1, depth + 1).toDF("d"))
-    val xd = spine.join(cm,
+    // cm is O(queries·k) too — broadcast the equi-key match with the
+    // m ≤ d residual instead of sorting both sides (§3.1)
+    val xd = spine.join(broadcast(cm),
         spine("query_id") === cm("query_id") && cm("m") <= spine("d"), "left")
       .groupBy(spine("query_id"), $"d")
       .agg(coalesce(sum($"cm"), lit(0L)).as("x"))
@@ -356,10 +361,13 @@ object Search {
         sum($"rbo_t").as("rbo_micro"))
     val nl = lexD.groupBy($"query_id").agg(count(lit(1)).as("n_lex"))
     val nsm = semD.groupBy($"query_id").agg(count(lit(1)).as("n_sem"))
+    // O(queries)-row report tables broadcast onto the query spine
+    // (§3.1 — the q112 report device): three left BroadcastHashJoins
+    // instead of three SortMergeJoin exchange+sort pairs.
     queryIds.map(_.toLong).toDF("query_id")
-      .join(nl, Seq("query_id"), "left")
-      .join(nsm, Seq("query_id"), "left")
-      .join(sc, Seq("query_id"), "left")
+      .join(broadcast(nl), Seq("query_id"), "left")
+      .join(broadcast(nsm), Seq("query_id"), "left")
+      .join(broadcast(sc), Seq("query_id"), "left")
       .select($"query_id",
         coalesce($"n_lex", lit(0L)).as("n_lex"),
         coalesce($"n_sem", lit(0L)).as("n_sem"),

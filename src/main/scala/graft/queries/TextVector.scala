@@ -760,13 +760,13 @@ object TextVector {
     val bands = emb.select($"doc_id",
       posexplode(graft.ops.expressions.SrpBands($"v", DedupBits, DedupBands))
         .as(Seq("band_idx", "band_val")))
-    // band-equality SELF-JOIN for small-bucket candidates (same
-    // shape as the oracle SQL and q29): whole-stage-codegen join +
-    // filter. The bucket-carry groupBy/flatten form pays interpreted
-    // lambda pair expansion INSIDE each bucket — with an 871-doc
-    // cluster that is ~12M single-threaded lambda evals (this switch
-    // plus the cached embed stage: 17 s → ~1.5 s at sf0.1). Buckets
-    // past BucketCap take the star path (cappedBandCandidates).
+    // small-bucket candidates come from cappedBandCandidates' grouped
+    // pass (r20). History note: an UNCAPPED bucket-carry form was once
+    // rejected here — an 871-doc cluster meant ~12M single-threaded
+    // lambda evals inside one bucket — but under BucketCap the
+    // quadratic expansion is bounded by cap(cap−1)/2 per bucket and
+    // the mega-buckets take the star path, so the grouped pass now
+    // wins (one exchange vs the self-join's two-sided shuffle).
     cappedBandCandidates(bands)
       .join(emb.select($"doc_id".as("id_a"), $"v".as("v_a")), "id_a")
       .join(emb.select($"doc_id".as("id_b"), $"v".as("v_b")), "id_b")
@@ -1315,14 +1315,21 @@ object TextVector {
         AnnEvalTopK, rankCol = "rn")
         .select($"query_id", $"vec_id")
       val nc = cand.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
-      val nh = truth.join(cand, Seq("query_id", "vec_id"))
+      // r20 (§3.1): truth is ≤ AnnEvalQueryN·AnnEvalTopK rows — bounded
+      // by CONSTANTS at any corpus size — so the hit join broadcasts it
+      // and the candidate side (the one frame here that grows with the
+      // corpus) is never re-shuffled by (query_id, vec_id); before,
+      // this was a SortMergeJoin exchanging both sides.
+      val nh = cand.join(broadcast(truth), Seq("query_id", "vec_id"))
         .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
       // report driven by the query set: with self excluded, a query
       // whose bands retrieve nothing has NO cand row — it must still
-      // report (0, 0, 0), not vanish
+      // report (0, 0, 0), not vanish. The two count tables are
+      // O(queries) rows — broadcast (§3.1), dropping the report
+      // chain's two SortMergeJoin exchanges.
       qs.select($"query_id")
-        .join(nc, Seq("query_id"), "left")
-        .join(nh, Seq("query_id"), "left")
+        .join(broadcast(nc), Seq("query_id"), "left")
+        .join(broadcast(nh), Seq("query_id"), "left")
         .select($"query_id",
           coalesce($"n_cand", lit(0L)).as("n_cand"),
           coalesce($"n_hit", lit(0L)).as("n_hit"),
@@ -1806,7 +1813,10 @@ object TextVector {
             $"x.band_hash" === $"y.band_hash" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
         .distinct()
-      val hit = truth.join(cand, Seq("id_a", "id_b"))
+      // r20 (§3.1): both sides are EvalSampleN²-bounded; broadcasting
+      // the truth pairs keeps the candidate side un-shuffled (was a
+      // two-sided SortMergeJoin exchange).
+      val hit = cand.join(broadcast(truth), Seq("id_a", "id_b"))
       def micro(num: Column, den: Column): Column =
         when(den > 0, floor(num.cast("double") / den.cast("double")
           * lit(1e6) + lit(0.5)).cast("long"))
